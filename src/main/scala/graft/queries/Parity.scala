@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.MRJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity workloads: the two example jobs the reference ships
+  * (WordCount `wordcount-src/WordCount.java:13-35`, WordLength
+  * `wordlength-src/WordLength.java:13-40`), each in two forms —
+  * idiomatic DataFrame (codegen'd explode/groupBy, the form Bench exercises
+  * at scale) and through the `MRJob` facade (the reference's programming
+  * model). Tokenization is a literal single-space split so DuckDB's
+  * `string_split` is an exact oracle.
+  */
+object Parity {
+
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+
+  private val wordsSql =
+    "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  def wordlength(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .groupBy(length(col("word")).cast("long").as("len"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def mrWordcount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "documents").select($"text").as[String]
+    MRJob(lines)
+      .mapToPairs(l => l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+      .reduceByKey(_ + _)
+      .toDF("word", "cnt")
+  }
+
+  def mrWordlength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables(spark, dir, "documents").select($"text").as[String]
+    MRJob(lines)
+      .mapToPairs(l =>
+        l.split(" ", -1).iterator.filter(_.nonEmpty).map(w => (w.length.toLong, 1L)))
+      .reduceByKey(_ + _)
+      .toDF("len", "cnt")
+  }
+
+  /** The reference's `Text.add` concat-merge (`Text.java:29-32`), in the
+    * deterministic sorted form (SURVEY.md §7.5). */
+  def mrConcat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables(spark, dir, "nation")
+      .select($"n_regionkey", $"n_name").as[(Int, String)]
+    MRJob(nation)
+      .mapToPairs(Iterator.single(_))
+      .reduceGroupsSorted((_, vs: Seq[String]) => vs.mkString(","))
+      .toDF("key", "names")
+  }
+
+  private val wcOracle =
+    s"SELECT word, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY word"
+  private val wlOracle =
+    s"SELECT length(word) AS len, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY 1"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_wordcount", wordcount, Some(wcOracle)),
+    QueryDef("q02_wordlength", wordlength, Some(wlOracle)),
+    QueryDef("q03_mr_wordcount", mrWordcount, Some(wcOracle)),
+    QueryDef("q04_mr_wordlength", mrWordlength, Some(wlOracle)),
+    QueryDef("q05_mr_concat", mrConcat, Some(
+      "SELECT n_regionkey AS key, string_agg(n_name, ',' ORDER BY n_name) AS names " +
+        "FROM nation GROUP BY n_regionkey")))
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function surface over the `events` table: ranking (top-k per
+  * group), running aggregates, lag/lead deltas, bounded frames. Window order
+  * is always (ts, event_id) so ties can't make results partition-dependent.
+  * Running double sums go through DECIMAL frames (see `Exact`) for oracle
+  * bit-parity. Partitioning is by `user_id` — at 100 TB this shuffles once
+  * on the window key, which is the minimum any engine can do.
+  */
+object Windows {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  private val byUserTs = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  /** Top-3 events per user by value (rank + filter — the scalable top-k). */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("event_id"), col("user_id"), col("value"), col("rn"))
+
+  /** Running (cumulative) sum of value per user in time order. */
+  def runningValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(byUserTs.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running"))
+
+  /** Delta to the previous event of the same user (IEEE-exact subtraction). */
+  def valueDelta(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(byUserTs)).as("delta"))
+
+  /** Trailing 3-row moving average (exact decimal sum / frame count). */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val frame = byUserTs.rowsBetween(-2, Window.currentRow)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast(DecimalType(18, 2))).over(frame).cast("double") /
+          count(lit(1)).over(frame)).as("mov_avg"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_window_topk", topEventsPerUser, Some(
+      """SELECT event_id, user_id, value, rn FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin)),
+    QueryDef("q31_window_running", runningValue, Some(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events""".stripMargin)),
+    QueryDef("q32_window_lag", valueDelta, Some(
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin)),
+    QueryDef("q33_window_movavg", movingAvg, Some(
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)))
+}
