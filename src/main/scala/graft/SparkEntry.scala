@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Joins, Parity, Relational, Scalars, Windows}
+import graft.queries.{Dedup, Extensions, Joins, Parity, Relational, Scalars, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -14,7 +14,11 @@ object SparkEntry {
       Relational.defs ++
       Joins.defs ++
       Windows.defs ++
-      Scalars.defs
+      Scalars.defs ++
+      Dedup.defs ++
+      Similarity.defs ++
+      TextAnalysis.defs ++
+      Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` — the core of an LLM training-data
+  * pipeline. Four methods, all pure Spark built-ins (codegen'd, no UDFs),
+  * all with exact DuckDB oracles because every hash is derived from md5
+  * (identical in both engines):
+  *
+  *  - exact: group by md5 of normalized text — one shuffle on a 128-bit key;
+  *    at 100 TB this is the cheapest possible dedup (hash, not text, moves);
+  *  - n-gram Jaccard: 3-word shingles, inverted-index self-join on shingle,
+  *    similarity = |∩| / |∪| — exact but quadratic in colliding docs: the
+  *    ground truth the sketch methods approximate;
+  *  - MinHash+LSH: 16 permutations -> 4 bands of 4 -> candidates share a
+  *    band bucket. The scale path: cost is O(docs × shingles) + a join on
+  *    band buckets, never all-pairs;
+  *  - SimHash: 16-bit sign-of-weighted-bit-sums fingerprint; near-dups land
+  *    on equal/adjacent fingerprints.
+  *
+  * The shingle->int64 base hash is the first 15 hex digits of md5 (fits in
+  * 60 bits; Spark `conv`, DuckDB `('0x'||…)::BIGINT`), reduced mod the
+  * Mersenne prime 2^31-1 so the affine MinHash permutations stay in 63 bits
+  * in both engines (DuckDB BIGINT overflow is checked, Java wraps — staying
+  * under 2^62 keeps them identical).
+  */
+object Dedup {
+
+  // ---- shared shingling -------------------------------------------------
+
+  /** Spark: distinct 3-word shingles per doc (docs with >= 3 tokens). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  /** DuckDB equivalent of [[shingles]] (1-based list indexing). */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |WHERE len(w) >= 3""".stripMargin
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Shingle -> int64 in [0, P): same value in Spark and DuckDB. */
+  private def hashInt(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P
+
+  private def hashIntSql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % $P)"
+
+  /** Fixed affine permutation constants (single source for Spark + SQL). */
+  private val perms: Seq[(Long, Long)] =
+    (0 until 16).map(i => ((2L * i + 1) * 1000003L % P, i * 998244353L % P))
+
+  // ---- q50: exact -------------------------------------------------------
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- q51: n-gram Jaccard ---------------------------------------------
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))).as("jac"))
+      .where(col("jac") >= 0.5)
+  }
+
+  private val jaccardSql =
+    s"""WITH sh AS ($shinglesSql),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jac
+       |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5""".stripMargin
+
+  // ---- q52: MinHash + LSH candidates -------------------------------------
+
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val x = hashInt(col("s"))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * x + lit(b)) % P).as(s"m$i")
+    }
+    val sig = shingles(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*)).as("bh"))
+    }.reduce(_ union _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  private val minhashSql = {
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(j => s"m${4 * b + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $cols)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($shinglesSql),
+       |hx AS (SELECT doc_id, ${hashIntSql("s")} AS x FROM sh),
+       |sig AS (SELECT doc_id, $sigExprs FROM hx GROUP BY doc_id),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- q53: SimHash fingerprints -----------------------------------------
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"), hashInt(col("t")).as("x"))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("x"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val recombined = (0 until 16)
+      .map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), recombined.as("simhash"))
+  }
+
+  private val simhashSql = {
+    val bitSums = (0 until 16)
+      .map(j => s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val recombined = (0 until 16)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${hashIntSql("t")} AS x FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($recombined AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_dedup_exact", exact, Some(
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+    QueryDef("q51_dedup_jaccard", jaccardPairs, Some(jaccardSql)),
+    QueryDef("q52_dedup_minhash", minhashCandidates, Some(minhashSql)),
+    QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)))
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents`: language-ID heuristic, quality scoring,
+  * token statistics, document fingerprinting. All single-pass, codegen'd
+  * column expressions — per-document work is embarrassingly parallel and
+  * the only shuffles are the final small aggregations, so the shape is
+  * scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Stopword-ratio language ID: >= 4% English function words -> 'en'.
+    * (A real pipeline would score n-gram profiles per language; the engine
+    * shape — tokenized ratio scoring in one pass — is the same.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"),
+        (expr(s"size(filter(w, x -> x IN (${inList(stopwords)})))").cast("double") /
+          size(col("w"))).as("en_ratio"))
+      .withColumn("pred_lang", when(col("en_ratio") >= 0.04, "en").otherwise("und"))
+
+  private val langIdSql =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(list_filter(w, x -> x IN (${inList(stopwords)}))) AS DOUBLE)
+       |    / len(w) AS en_ratio,
+       |  CASE WHEN CAST(len(list_filter(w, x -> x IN (${inList(stopwords)}))) AS DOUBLE)
+       |    / len(w) >= 0.04 THEN 'en' ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  /** Quality scoring: token count, average token length, alpha ratio, and a
+    * keep/drop flag — the standard pre-training filter features. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("n_tokens") >= 20 && col("n_tokens") <= 200 && col("alpha_ratio") >= 0.7)
+
+  private val qualitySql =
+    """SELECT doc_id, n_tokens, n_chars, alpha_ratio,
+      |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  n_tokens >= 20 AND n_tokens <= 200 AND alpha_ratio >= 0.7 AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS alpha_ratio
+      |  FROM documents) t""".stripMargin
+
+  /** Corpus token statistics per (lang, source): total/distinct tokens and
+    * tokens-per-document — partial agg over the tokenized scan. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("t")).as("distinct_tokens"),
+        (count(lit(1)).cast("double") / countDistinct(col("doc_id"))).as("tokens_per_doc"))
+
+  private val tokenStatsSql =
+    """SELECT lang, source, count(*) AS total_tokens,
+      |  count(DISTINCT t) AS distinct_tokens,
+      |  CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS tokens_per_doc
+      |FROM (SELECT lang, source, doc_id, unnest(string_split(text, ' ')) AS t
+      |      FROM documents) x
+      |WHERE t <> ''
+      |GROUP BY lang, source""".stripMargin
+
+  /** Content-defined fingerprint: md5 over the sorted distinct token set —
+    * robust to token order, the standard bag-of-words dedup key. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(lower(col("text")), " "))).as("toks"))
+      .select(col("doc_id"),
+        md5(array_join(col("toks"), " ")).as("fp"),
+        size(col("toks")).cast("long").as("vocab"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+      |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS vocab
+      |FROM documents""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_lang_id", langId, Some(langIdSql)),
+    QueryDef("q71_quality", quality, Some(qualitySql)),
+    QueryDef("q72_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("q73_fingerprint", fingerprint, Some(fingerprintSql)))
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table, plus the exact
+  * batch equivalents (used for the DuckDB oracle — streaming and batch
+  * share the aggregation semantics, so the batch form IS the oracle of the
+  * streaming form on a finite input).
+  *
+  * Streaming reads go through `readStream` with an explicit schema (ts as
+  * long nanos, converted to timestamp — same NANOS workaround as
+  * `graft.Tables`), watermarked on `ts`; tumbling windows via `window()`,
+  * sessions via `session_window()`. At scale the state store partitions by
+  * the grouping key — same shuffle the batch plan does.
+  */
+object EventStreams {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (one file = one micro-batch
+    * replay of the table). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming tumbling 1-hour aggregation with a 2-hour watermark. */
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame =
+    readEventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Batch equivalent of [[tumblingStream]] (identical agg semantics). */
+  def tumblingBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("v"))
+
+  val tumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Streaming sessionization: 30-minute-gap sessions per user. */
+  def sessionStream(spark: SparkSession, dir: String): DataFrame =
+    readEventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+
+  /** Batch sessionization with the same 30-minute gap rule, as window
+    * functions (lag -> new-session flag -> running session id). This is the
+    * DuckDB-expressible formulation; session ids are per-user ordinals. */
+  def sessionBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+  }
+
+  val sessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0
+      |    END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id, sid, count(*) AS n_events,
+      |  min(ts) AS s_start, max(ts) AS s_end
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs at sf0.001 and yields a sane result; the
+  * oracle-differential gate (graft.Verify + DuckDB) covers exact values. */
+class QueriesSmokeSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  // Pair-producing queries can legitimately be empty at tiny scale.
+  private val mayBeEmpty = Set("q51_dedup_jaccard", "q52_dedup_minhash",
+    "q61_neardup_lsh", "q16_except", "q24_join_anti")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key is a registered query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}
