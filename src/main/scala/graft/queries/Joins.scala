@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Exact, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join surface: broadcast-hash, shuffle (sort-merge), multi-way star join,
@@ -79,6 +80,55 @@ object Joins {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
 
+  /** As-of join: each event matched to the same customer's most recent
+    * order day at-or-before the event time. Implemented as union + ordered
+    * window (last non-null carry-forward) — ONE shuffle+sort on the key,
+    * never the quadratic equi+range join; this is the shape that survives
+    * 100 TB (a range join would explode on hot keys, this stays linear).
+    * Order rows sort before event rows at equal timestamps so `>=`
+    * (inclusive) as-of semantics hold. */
+  def lastOrderAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val dayOrders = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+    val ord = dayOrders.select(col("key"), col("t"), lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"), col("day_spend"))
+    val ev = Tables(spark, dir, "events").select(col("user_id").as("key"),
+      col("ts").as("t"), lit(1).as("tag"), col("event_id"),
+      lit(null).cast("double").as("day_spend"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_day",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("asof_spend",
+        last(col("day_spend"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        col("asof_day"), col("asof_spend"))
+  }
+
+  /** Skew-mitigated join: the fact side gets a deterministic salt
+    * (l_linenumber mod S), the other side is replicated S ways, and the
+    * join key becomes (key, salt) — a hot orderkey's rows spread over S
+    * reducers instead of one. AQE's skew-join handles moderate skew
+    * automatically; explicit salting is the pattern for pathological keys
+    * at 100 TB. Result is provably identical to the unsalted join (the
+    * oracle IS the unsalted join). */
+  def revenueByPrioritySalted(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val salted = Tables(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(S)))
+    val replicated = Tables(spark, dir, "orders")
+      .withColumn("salt", explode(lit((0 until S).toArray)))
+    salted.join(replicated,
+        salted("l_orderkey") === replicated("o_orderkey") &&
+          salted("salt") === replicated("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum2(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_join_broadcast", revenueBySegment, Some(
       s"""SELECT c_mktsegment, ${sqlSum2("o_totalprice")} AS revenue, count(*) AS n_orders
@@ -116,5 +166,17 @@ object Joins {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
-        |GROUP BY o_orderpriority""".stripMargin)))
+        |GROUP BY o_orderpriority""".stripMargin)),
+    QueryDef("q27_join_asof", lastOrderAsOf, Some(
+      s"""WITH d AS (
+         |  SELECT o_custkey AS key, o_orderdate AS t,
+         |    ${sqlSum2("o_totalprice")} AS day_spend
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, d.t AS asof_day, d.day_spend AS asof_spend
+         |FROM events e ASOF LEFT JOIN d
+         |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
+    QueryDef("q28_join_salted", revenueByPrioritySalted, Some(
+      s"""SELECT o_orderpriority, ${sqlSum2("l_quantity")} AS qty, count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin)))
 }

@@ -88,6 +88,16 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(dsum2(col("o_totalprice")).as("tot"), count(lit(1)).as("cnt"))
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): (flag,status), (flag), ().
+    * Catalyst plans one Expand + single hash agg — one shuffle for all sets. */
+  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q11_filter_project", filterProject, Some(
@@ -114,5 +124,10 @@ object Relational {
     QueryDef("q18_cube", cubeOrders, Some(
       s"""SELECT o_orderstatus, o_orderpriority, ${sqlSum2("o_totalprice")} AS tot,
          |  count(*) AS cnt
-         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)))
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+    QueryDef("q19_grouping_sets", groupingSetsLineitem, Some(
+      s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)))
 }

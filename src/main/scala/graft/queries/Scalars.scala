@@ -58,6 +58,34 @@ object Scalars {
           .otherwise("big").as("bucket"))
       .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("tot"))
 
+  /** Array-function coverage over the embedding vectors: size, min/max,
+    * slice, element search — all codegen'd built-ins on ArrayType. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        array_max(col("v")).as("mx"),
+        array_min(col("v")).as("mn"),
+        expr("slice(v, 1, 3)").as("head3"),
+        expr("array_position(v, array_max(v))").as("pos_max"))
+
+  /** Aggregate extras: min_by/max_by (deterministic via an exact integer
+    * composite of (acctbal, custkey) — 2-dp decimal*100 stays exact),
+    * count_if, and a sorted distinct collect (set-equality across engines). */
+  def aggExtras(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+      .cast("long") * lit(10000000L) + col("c_custkey")
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("c_name"), ordKey).as("top_cust"),
+        min_by(col("c_name"), ordKey).as("bottom_cust"),
+        count_if(col("c_acctbal") > 0).as("n_pos"),
+        array_sort(collect_set(col("c_nationkey"))).as("nations"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
@@ -87,5 +115,19 @@ object Scalars {
       s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
          |  WHEN o_totalprice < 300000 THEN 'mid' ELSE 'big' END AS bucket,
          |  count(*) AS n, ${sqlSum2("o_totalprice")} AS tot
-         |FROM orders GROUP BY 1""".stripMargin)))
+         |FROM orders GROUP BY 1""".stripMargin)),
+    QueryDef("q45_array_funcs", arrayFuncs, Some(
+      """SELECT vec_id, CAST(len(v) AS BIGINT) AS dim, list_max(v) AS mx,
+        |  list_min(v) AS mn, v[1:3] AS head3,
+        |  CAST(list_position(v, list_max(v)) AS BIGINT) AS pos_max
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin)),
+    QueryDef("q46_agg_extras", aggExtras, Some(
+      """SELECT c_mktsegment,
+        |  max_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * 10000000 + c_custkey) AS top_cust,
+        |  min_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * 10000000 + c_custkey) AS bottom_cust,
+        |  count_if(c_acctbal > 0) AS n_pos,
+        |  list_sort(list(DISTINCT c_nationkey)) AS nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin)))
 }

@@ -1,14 +1,18 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.dot_d
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings.embedding` (Array[Float]).
   *
-  * Vector math is pure Catalyst higher-order functions (`zip_with` +
-  * `aggregate` — codegen'd, left-to-right fold), so the dot product is
+  * Vector math uses the engine's native `DotProduct` expression
+  * (graft.functions.dot_d): a codegen'd, allocation-free multiply-accumulate
+  * — the `aggregate(zip_with(...))` composable form is CodegenFallback and
+  * allocates an intermediate array per row, which is exactly the hot loop
+  * at 100 TB. The fold is left-to-right either way, so the result is
   * bit-identical to DuckDB's sequential `list_dot_product`. Floats are cast
   * to double (exact) before any arithmetic.
   *
@@ -22,13 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-
   /** vec_id, v (double[]), nrm for every embedding row. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr(s"sqrt(${dot.format("v", "v")})"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
 
   private val vectorsSql =
     """SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
@@ -43,7 +45,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr(dot.format("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 10)
   }
@@ -83,7 +85,7 @@ object Similarity {
       .join(s.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        (expr(dot.format("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= 0.15)
   }
 

@@ -97,9 +97,82 @@ object TextAnalysis {
       |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS vocab
       |FROM documents""".stripMargin
 
+  // ---- q74: rolling-hash fingerprint --------------------------------------
+
+  private val P = 2147483647L // 2^31 - 1
+  private val B = 131L
+  private val W = 8 // window size in tokens
+
+  /** c(j) = B^(W-1-j) mod P — the Rabin-Karp coefficient of window slot j.
+    * With the polynomial expanded per-window, the hash is a plain sum of
+    * (coef * tokenHash) % P terms — identical integer math in both engines,
+    * every intermediate < 2^62 (no overflow on checked BIGINT). */
+  private val coef: Seq[Long] =
+    (0 until W).map(j => (0 until (W - 1 - j)).foldLeft(1L)((a, _) => a * B % P))
+
+  /** Winnowing-style fingerprint: min Rabin-Karp hash over all 8-token
+    * windows. Token hashes are computed once per token (single md5 pass),
+    * then each window is a constant-coefficient dot product — the
+    * declarative form of a rolling hash (O(tokens × W) integer ops, no
+    * re-hashing per window). */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val hashTok = s"cast(conv(substring(md5(x), 1, 15), 16, 10) AS bigint) % ${P}L"
+    val terms = coef.zipWithIndex
+      .map { case (c, j) => s"${c}L * hw[i + $j] % ${P}L" }.mkString(" + ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= W)
+      .withColumn("hw", expr(s"transform(w, x -> $hashTok)"))
+      .withColumn("fps",
+        expr(s"transform(sequence(0, size(hw) - $W), i -> ($terms) % ${P}L)"))
+      .select(col("doc_id"), array_min(col("fps")).as("fp"),
+        size(col("fps")).cast("long").as("n_windows"))
+  }
+
+  private val rollingFingerprintSql = {
+    val terms = coef.zipWithIndex
+      .map { case (c, j) => s"$c * hw[i + $j] % $P" }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $P) AS hw
+       |  FROM t WHERE len(w) >= $W)
+       |SELECT doc_id,
+       |  list_min(list_transform(range(1, len(hw) - ${W - 2}),
+       |    i -> ($terms) % $P)) AS fp,
+       |  CAST(len(hw) - ${W - 1} AS BIGINT) AS n_windows
+       |FROM f""".stripMargin
+  }
+
+  // ---- q75: BPE-ish regex tokenization ------------------------------------
+
+  private val tokPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Regex tokenization (alpha runs / digit runs / single punctuation — the
+    * pre-BPE splitting shape) with per-class counts, one codegen'd pass. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"regexp_extract_all(text, '$tokPat', 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(toks, t -> t rlike '^[A-Za-z]'))").cast("long").as("n_alpha"),
+        expr("size(filter(toks, t -> t rlike '^[0-9]'))").cast("long").as("n_num"))
+      .withColumn("n_punct", col("n_tokens") - col("n_alpha") - col("n_num"))
+
+  private val regexTokensSql =
+    s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS BIGINT) AS n_num,
+       |  CAST(len(toks) - len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]')))
+       |    - len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS BIGINT) AS n_punct
+       |FROM (SELECT doc_id, regexp_extract_all(text, '$tokPat') AS toks FROM documents) t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q70_lang_id", langId, Some(langIdSql)),
     QueryDef("q71_quality", quality, Some(qualitySql)),
     QueryDef("q72_token_stats", tokenStats, Some(tokenStatsSql)),
-    QueryDef("q73_fingerprint", fingerprint, Some(fingerprintSql)))
+    QueryDef("q73_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q74_rolling_fp", rollingFingerprint, Some(rollingFingerprintSql)),
+    QueryDef("q75_regex_tokens", regexTokens, Some(regexTokensSql)))
 }

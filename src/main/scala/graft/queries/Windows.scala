@@ -53,6 +53,21 @@ object Windows {
           count(lit(1)).over(frame)).as("mov_avg"))
   }
 
+  /** Full ranking-function surface in one pass: rank, dense_rank, ntile,
+    * percent_rank, cume_dist. Order key (value desc, event_id) is unique so
+    * every function is deterministic and the ratio functions are a single
+    * IEEE division in both engines. */
+  def rankingFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(spark, dir).select(col("event_id"), col("user_id"), col("value"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_window_topk", topEventsPerUser, Some(
       """SELECT event_id, user_id, value, rn FROM (
@@ -76,5 +91,12 @@ object Windows {
         |    / count(*) OVER w AS mov_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)))
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+    QueryDef("q34_window_ranks", rankingFuncs, Some(
+      """SELECT event_id, user_id, value,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin)))
 }

@@ -27,13 +27,14 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet (one file = one micro-batch
-    * replay of the table). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over a DIRECTORY of events parquet files (the
+    * production shape: new files land, each becomes a micro-batch;
+    * FileStreamSource rejects a bare single-file path). */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.MRJob
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-parity behavior of the MRJob facade: text-dir source, flatMap
+  * map phase, monoid reduce, TSV sink (one file per reducer), and
+  * partition-count invariance (the reference's results must not depend on
+  * how chunks were distributed; ours must not depend on shuffle partitions).
+  */
+class MRJobSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def writeTextDir(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("mrjob_in")
+    Files.write(dir.resolve("part0.txt"),
+      lines.take(lines.size / 2).mkString("\n").getBytes)
+    Files.write(dir.resolve("part1.txt"),
+      lines.drop(lines.size / 2).mkString("\n").getBytes)
+    dir.toString
+  }
+
+  private val lines = Seq(
+    "the quick brown fox", "the lazy dog", "quick quick fox", "", "dog")
+
+  private def expectedCounts: Map[String, Long] =
+    lines.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+
+  test("textDir -> map -> reduceByKey reproduces WordCount") {
+    val dir = writeTextDir(lines)
+    val got = MRJob.textDir(spark, dir)
+      .mapToPairs(l => l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+      .reduceByKey(_ + _)
+      .pairs.collect().toMap
+    assert(got == expectedCounts)
+  }
+
+  test("TSV sink writes one file per reducer with key\\tvalue rows") {
+    val dir = writeTextDir(lines)
+    val out = Files.createTempDirectory("mrjob_out").toString + "/wc"
+    MRJob.textDir(spark, dir)
+      .mapToPairs(l => l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+      .reduceByKey(_ + _)
+      .writeTsv(out, reducers = 3)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    // one file per NON-EMPTY reducer partition (Spark skips empty ones;
+    // the reference would write an empty finaloutput — documented divergence)
+    assert(files.length >= 1 && files.length <= 3)
+    val rows = files.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty))
+      .map { r => val Array(k, v) = r.split("\t"); k -> v.toLong }.toMap
+    assert(rows == expectedCounts)
+  }
+
+  test("results are invariant to the number of shuffle partitions") {
+    val dir = writeTextDir(lines)
+    val results = Seq(1, 4, 7).map { n =>
+      MRJob.textDir(spark, dir)
+        .mapToPairs(l =>
+          l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+        .partitionBy(n)
+        .reduceByKey(_ + _)
+        .pairs.collect().toMap
+    }
+    assert(results.distinct.size == 1)
+  }
+
+  test("reduceGroupsSorted is deterministic under repartitioning") {
+    val ds = spark.range(100)
+      .map(i => (i % 7, s"v${i}"))
+    val runs = Seq(2, 5).map { n =>
+      MRJob(ds.repartition(n))
+        .mapToPairs(Iterator.single(_))
+        .reduceGroupsSorted((_, vs: Seq[String]) => vs.mkString(","))
+        .pairs.collect().toMap
+    }
+    assert(runs.distinct.size == 1)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates — the properties that decide whether a query
+  * survives a 100 TB scale-up, asserted so a regression is a test failure,
+  * not a silent slowdown:
+  *  - filters/projections reach the parquet scan (pushdown + pruning);
+  *  - dimension joins broadcast (no shuffle of the fact table for dims);
+  *  - global top-k plans as TakeOrderedAndProject (never a full sort);
+  *  - no accidental cartesian products anywhere in the registry.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q11 pushes filter and prunes columns at the parquet scan") {
+    val p = plan("q11_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // pruned scan: the 16-column lineitem table read as just the 5 needed
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("dimension joins are broadcast, not shuffled") {
+    assert(plan("q20_join_broadcast").contains("BroadcastHashJoin"))
+    val star = plan("q22_join_star")
+    // customer/nation/region broadcast; only lineitem⋈orders may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(star).size >= 3, star)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q13_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as semi/anti (no materialized subquery)") {
+    assert(plan("q23_join_semi").contains("LeftSemi"))
+    assert(plan("q24_join_anti").contains("LeftAnti"))
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan("q10_pricing_summary")
+    assert(p.contains("partial_"), p) // partial aggregate before the shuffle
+  }
+
+  test("no accidental cartesian products in any registered query") {
+    // q60 intentionally broadcasts a tiny query set against the corpus
+    // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
+    for ((name, fn) <- SparkEntry.queries if name != "q60_knn_brute") {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.MRJob
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics invariants of the MapReduce surface (SURVEY.md §5.2):
+  * the reference's add-merge model is only correct for commutative
+  * monoids — our facade must satisfy the same algebraic laws.
+  * (Raw scalacheck Gens sampled with fixed seeds — the scalatest
+  * bridge artifact isn't on the offline classpath.) */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf("a", "b", "cc", "ddd", "ef")
+  private val doc = Gen.listOf(word).map(_.mkString(" "))
+  private val corpus = Gen.listOfN(8, doc)
+
+  private def sample(seed: Long): List[String] =
+    corpus.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def wc(lines: Seq[String]): Map[String, Long] =
+    MRJob(spark.createDataset(lines))
+      .mapToPairs(l => l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+      .reduceByKey(_ + _)
+      .pairs.collect().toMap
+
+  test("WordCount over a concatenation == monoid merge of per-part WordCounts") {
+    for (seed <- 1L to 5L) {
+      val (p1, p2) = (sample(seed), sample(seed + 100))
+      val whole = wc(p1 ++ p2)
+      val merged = (wc(p1).toSeq ++ wc(p2).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      assert(whole == merged, s"seed=$seed")
+    }
+  }
+
+  test("reduceByKey agrees with a driver-side fold for any merge order") {
+    for (seed <- 10L to 14L) {
+      val lines = sample(seed)
+      val expected = lines.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      assert(wc(lines) == expected, s"seed=$seed")
+    }
+  }
+}
