@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.MRJob
+import graft.operators.{Aggregators, MRJob}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,15 @@ object Parity {
       .toDF("key", "names")
   }
 
+  /** The same concat monoid as a first-class `Aggregator` (partial+final,
+    * usable in any groupBy.agg) — customer names per nation. */
+  def concatAggregator(spark: SparkSession, dir: String): DataFrame = {
+    val sortedConcat = udaf(Aggregators.SortedConcat)
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("key"))
+      .agg(sortedConcat(col("c_name")).as("names"))
+  }
+
   private val wcOracle =
     s"SELECT word, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY word"
   private val wlOracle =
@@ -74,5 +83,8 @@ object Parity {
     QueryDef("q04_mr_wordlength", mrWordlength, Some(wlOracle)),
     QueryDef("q05_mr_concat", mrConcat, Some(
       "SELECT n_regionkey AS key, string_agg(n_name, ',' ORDER BY n_name) AS names " +
-        "FROM nation GROUP BY n_regionkey")))
+        "FROM nation GROUP BY n_regionkey")),
+    QueryDef("q06_concat_agg", concatAggregator, Some(
+      "SELECT c_nationkey AS key, string_agg(c_name, ',' ORDER BY c_name) AS names " +
+        "FROM customer GROUP BY c_nationkey")))
 }

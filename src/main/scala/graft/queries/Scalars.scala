@@ -86,6 +86,20 @@ object Scalars {
         array_sort(collect_set(col("c_nationkey"))).as("nations"))
   }
 
+  /** Sketch aggregates — approx_count_distinct (HyperLogLog++) and
+    * approx_percentile: at 100 TB these replace exact distinct/percentile
+    * (which need a full shuffle of the key space) with fixed-size mergeable
+    * sketches. No SQL oracle: sketch estimates are engine-specific, so the
+    * driver records a rows-only check; `QueriesSmokeSpec` bounds the error
+    * against exact values. */
+  def sketchAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
+        expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_qty"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
@@ -129,5 +143,6 @@ object Scalars {
         |    * 10000000 + c_custkey) AS bottom_cust,
         |  count_if(c_acctbal > 0) AS n_pos,
         |  list_sort(list(DISTINCT c_nationkey)) AS nations
-        |FROM customer GROUP BY c_mktsegment""".stripMargin)))
+        |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+    QueryDef("q47_sketch_aggs", sketchAggs, None))
 }

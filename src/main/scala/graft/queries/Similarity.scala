@@ -96,7 +96,47 @@ object Similarity {
        |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.15""".stripMargin
 
+  /** IVF-style ANN: a deterministic coarse quantizer (argmax over the
+    * first 4 components — i.e. nearest of 4 axis-aligned centroids) assigns
+    * every vector to an inverted list; queries probe ONLY their own list,
+    * then rank by exact cosine. The IVF shape at scale: the corpus scan
+    * becomes a partition-pruned bucket scan (bucket as a partition column),
+    * cost drops from O(corpus) to O(corpus / nlist) per query. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vectors(spark, dir)
+      .withColumn("bucket",
+        expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))"))
+    val q = bucketed.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    bucketed.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+  }
+
+  private val knnIvfSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_position(v[1:4], list_max(v[1:4])) AS bucket
+       |  FROM ($vectorsSql) t),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p) t
+       |WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
-    QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)))
+    QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
+    QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)))
 }

@@ -89,6 +89,26 @@ object EventStreams {
         min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
   }
 
+  /** Custom stateful streaming: per-user event counter via
+    * `mapGroupsWithState` — the arbitrary-state escape hatch when
+    * window()/session_window can't express the logic. State is one long per
+    * key, partitioned by the grouping key in the state store — the same
+    * shuffle a batch groupBy does, but persistent across micro-batches. */
+  def runningUserCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    readEventsStream(spark, eventsDir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (uid, n)
+      }
+      .toDF("user_id", "n_events")
+  }
+
   val sessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,

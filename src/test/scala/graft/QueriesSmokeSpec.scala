@@ -23,6 +23,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sketch aggregates are within tolerance of exact values") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q47_sketch_aggs")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("every oracle key is a registered query") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))

@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format/connector coverage (SURVEY.md §2.2 "file formats"): parquet,
+  * csv, json sinks round-trip the same result losslessly. */
+class SinksSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("parquet / csv / json sinks round-trip identically") {
+    val df = SparkEntry.queries("q13_top_orders")(spark, sf)
+    val base = Files.createTempDirectory("sinks").toString
+
+    df.write.mode("overwrite").parquet(s"$base/p")
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/c")
+    df.write.mode("overwrite").json(s"$base/j")
+
+    val p = spark.read.parquet(s"$base/p")
+    val c = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/c")
+    val j = spark.read.json(s"$base/j")
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Any]("o_orderkey").toString.toLong,
+        r.getAs[Any]("o_totalprice").toString.toDouble)
+    val expected = df.collect().map(key).sorted.toSeq
+    assert(p.collect().map(key).sorted.toSeq == expected)
+    assert(c.collect().map(key).sorted.toSeq == expected)
+    assert(j.collect().map(key).sorted.toSeq == expected)
+    assert(expected.size == 100)
+  }
+}

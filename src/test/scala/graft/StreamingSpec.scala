@@ -39,6 +39,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("mapGroupsWithState running counts match batch groupBy count") {
+    val q = EventStreams.runningUserCounts(spark, eventsDir)
+      .writeStream.format("memory").queryName("ruc")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ruc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables(spark, sf, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming sessionization produces the same session count as batch") {
     val streamed = runToMemory(EventStreams.sessionStream(spark, eventsDir), "sess")
     // Same number of (user, session) rows and same total event count; the
