@@ -98,6 +98,87 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
 
+  /** Pivot: customer counts per market segment × region. Catalyst rewrites
+    * pivot to a single hash agg with one conditional-count per pivot value —
+    * one shuffle regardless of pivot width; the explicit value list keeps the
+    * plan static (no driver-side distinct scan to discover columns). */
+  def pivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val joined = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .pivot("n_regionkey", Seq(0, 1, 2, 3, 4))
+      .count()
+      .select(col("c_mktsegment") +:
+        (0 to 4).map(r => coalesce(col(s"$r"), lit(0L)).as(s"r$r")): _*)
+  }
+
+  private val pivotSql =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE n_regionkey = 0) AS r0,
+      |  count(*) FILTER (WHERE n_regionkey = 1) AS r1,
+      |  count(*) FILTER (WHERE n_regionkey = 2) AS r2,
+      |  count(*) FILTER (WHERE n_regionkey = 3) AS r3,
+      |  count(*) FILTER (WHERE n_regionkey = 4) AS r4
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Unpivot (wide metrics -> long): the inverse reshape, a zero-shuffle
+    * Expand over the already-aggregated rows. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_rows"), col("n_orders")), "metric", "value")
+
+  private val unpivotSql =
+    """WITH a AS (
+      |  SELECT l_returnflag, count(*) AS n_rows,
+      |    count(DISTINCT l_orderkey) AS n_orders
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'n_orders' AS metric, n_orders AS value FROM a""".stripMargin
+
+  /** Deterministic hash sampling (~5%): reproducible across runs, engines,
+    * and partitionings — unlike rand()-based TABLESAMPLE. At 100 TB the
+    * predicate is evaluated in the scan, so a sample costs one pass with no
+    * shuffle, and downstream stages see a stable subset. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .where(conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 20 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val sampleHashSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 20 = 0""".stripMargin
+
+  /** Uncorrelated scalar subquery: Catalyst executes the subquery once
+    * (a tiny max-agg job), injects the literal, and the outer predicate
+    * pushes into the scan. max/min are order-insensitive, so the boundary
+    * is deterministic under any partitioning (avg of doubles is not). */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.95 * (SELECT max(o_totalprice) FROM orders)""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (each customer's max-price order): Catalyst
+    * de-correlates to an aggregate + join — the only shape that scales
+    * (a per-row re-scan would be O(n²)). */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q11_filter_project", filterProject, Some(
@@ -129,5 +210,15 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
          |  count(*) AS cnt
          |FROM lineitem
-         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)))
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)),
+    QueryDef("q35_pivot", pivotSegments, Some(pivotSql)),
+    QueryDef("q36_unpivot", unpivotMetrics, Some(unpivotSql)),
+    QueryDef("q37_sample_hash", sampleHash, Some(sampleHashSql)),
+    QueryDef("q38_scalar_subquery", scalarSubquery, Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 0.95 * (SELECT max(o_totalprice) FROM orders)""".stripMargin)),
+    QueryDef("q39_corr_subquery", correlatedSubquery, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)))
 }

@@ -135,8 +135,36 @@ object Similarity {
        |  FROM p) t
        |WHERE rn <= 3""".stripMargin
 
+  /** Embedding-cosine near-dup, blocked by `label`: all pairs within a block
+    * with cosine >= 0.3 -> (keep_id=min, dup_id=max). The blocked self-join
+    * is the scale shape for semantic dedup: the shuffle key is the block, so
+    * the pair space is sum(block²) not corpus², and each block's pairs are
+    * computed partition-locally. (q61 is the unblocked variant with LSH
+    * pruning; here the block key is a given attribute.) */
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"),
+        (dot_d(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.3)
+  }
+
+  private val dedupCosineSql =
+    """WITH n AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))
+      |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+      |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
-    QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)))
+    QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)),
+    QueryDef("q54_dedup_cosine", dedupCosine, Some(dedupCosineSql)))
 }

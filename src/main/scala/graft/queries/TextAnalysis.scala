@@ -168,7 +168,31 @@ object TextAnalysis {
        |    - len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS BIGINT) AS n_punct
        |FROM (SELECT doc_id, regexp_extract_all(text, '$tokPat') AS toks FROM documents) t""".stripMargin
 
+  /** Edit-distance near-dup pairs over part names, blocked by brand:
+    * `levenshtein` is O(len²) per pair, so the block key (brand) bounds the
+    * pair space — the same blocked-self-join shape as q54; at 100 TB the
+    * block key is the shuffle key and each block's pairs stay
+    * partition-local. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .where(col("dist") <= 3)
+  }
+
+  private val editDistanceSql =
+    """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_edit_distance", editDistance, Some(editDistanceSql)),
     QueryDef("q70_lang_id", langId, Some(langIdSql)),
     QueryDef("q71_quality", quality, Some(qualitySql)),
     QueryDef("q72_token_stats", tokenStats, Some(tokenStatsSql)),

@@ -109,6 +109,43 @@ object EventStreams {
       .toDF("user_id", "n_events")
   }
 
+  /** Multi-output stateful streaming via `flatMapGroupsWithState`: emits one
+    * alert row each time a user's cumulative event count crosses a multiple
+    * of `every` (0..many outputs per group per batch — the shape
+    * mapGroupsWithState can't express). Append mode, so the state store only
+    * ever re-emits new crossings. */
+  def thresholdAlerts(spark: SparkSession, eventsDir: String,
+      every: Long = 10L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    readEventsStream(spark, eventsDir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + events.size
+          state.update(after)
+          (before / every + 1 to after / every).map(k => (uid, k * every)).iterator
+      }
+      .toDF("user_id", "threshold")
+  }
+
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (user -> nation via customer). The static side is a broadcast hash
+    * join re-resolved per micro-batch — no state store, no shuffle of the
+    * stream; the 100 TB shape for dimension enrichment. */
+  def enrichedStream(spark: SparkSession, eventsDir: String,
+      dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    readEventsStream(spark, eventsDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_nationkey").as("nation"))
+  }
+
   val sessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,

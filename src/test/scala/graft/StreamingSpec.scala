@@ -54,6 +54,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits one alert per crossed threshold") {
+    val q = EventStreams.thresholdAlerts(spark, eventsDir, every = 10L)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("alerts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Batch oracle: user with n events crosses thresholds 10, 20, ..., n/10*10.
+    val batch = Tables(spark, sf, "events")
+      .groupBy("user_id").count()
+      .collect().flatMap { r =>
+        (1L to r.getLong(1) / 10).map(k => (r.getLong(0), k * 10))
+      }.toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stream-static broadcast join enriches every event exactly once") {
+    val q = EventStreams.enrichedStream(spark, eventsDir, sf)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enriched")
+    assert(streamed.count() == Tables(spark, sf, "events").count())
+    assert(streamed.where(org.apache.spark.sql.functions.col("nation").isNotNull)
+      .count() > 0)
+  }
+
+  test("foreachBatch sink lands every micro-batch to parquet") {
+    val out = Files.createTempDirectory("fb_out").toString
+    val q = EventStreams.readEventsStream(spark, eventsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() ==
+      Tables(spark, sf, "events").count())
+  }
+
   test("streaming sessionization produces the same session count as batch") {
     val streamed = runToMemory(EventStreams.sessionStream(spark, eventsDir), "sess")
     // Same number of (user, session) rows and same total event count; the
