@@ -100,7 +100,28 @@ object Scalars {
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
         expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_qty"))
 
+  /** Exact interpolated percentiles (median + quartiles) per group. Unlike
+    * q47's sketches this buffers the group's values — right only when the
+    * per-group cardinality is bounded; the oracle works because both engines
+    * use linear interpolation and the inputs are integer-valued doubles
+    * (every interpolated result is binary-exact). */
+  def percentileExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+
+  private val percentileExactSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_percentile_exact", percentileExact, Some(percentileExactSql)),
     QueryDef("q40_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
         |  substring(p_name, 1, 8) AS name8, length(p_name) AS name_len,

@@ -176,12 +176,16 @@ object TextAnalysis {
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    // dist <= 3 implies |len(a) - len(b)| <= 3, so the cheap length band
+    // runs first and the banded levenshtein (threshold arg -> O(len·k) not
+    // O(len²), early-exit -1 above k) only touches surviving pairs.
     p.as("a").join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
       .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .where(col("dist") <= 3)
+        levenshtein(col("a.p_name"), col("b.p_name"), 3).cast("long").as("dist"))
+      .where(col("dist").between(0, 3))
   }
 
   private val editDistanceSql =

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Exact, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series reshaping over `events`: resampling onto a regular grid with
+  * gap-fill, and forward-fill of missing buckets. The spine (types × hours)
+  * is generated from two tiny aggregates and broadcast — the fact scan
+  * stays the only big input, so the shape is one shuffle (the groupBy on
+  * (type, hour)) at any scale.
+  */
+object TimeSeries {
+  import Exact._
+
+  private def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+
+  /** Regular hourly grid per event type, empty buckets zero-filled.
+    * `sequence(min,max,interval)` runs on a 1-row aggregate; the spine
+    * (types × hours) is a broadcast cross join — never a shuffle. */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = hourly(spark, dir)
+    val agg = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    types.crossJoin(broadcast(hours))
+      .join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val resampleSql =
+    """WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+      |agg AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      |hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS h FROM b),
+      |types AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT t.event_type, hours.h AS hour, coalesce(a.n, 0) AS n
+      |FROM types t CROSS JOIN hours
+      |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = hours.h""".stripMargin
+
+  /** Forward fill: hourly summed value per type; hours with no events carry
+    * the last observed hour's sum (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame — one pass after the spine join). */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = hourly(spark, dir)
+    val agg = ev.groupBy(col("event_type"), col("h"))
+      .agg(dsum2(col("value")).as("v"))
+    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(broadcast(hours))
+      .join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour"),
+        last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("v_filled"))
+  }
+
+  private val forwardFillSql =
+    s"""WITH ev AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+       |agg AS (
+       |  SELECT event_type, h, ${sqlSum2("value")} AS v FROM ev GROUP BY 1, 2),
+       |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+       |hours AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 hour)) AS h FROM b),
+       |types AS (SELECT DISTINCT event_type FROM ev)
+       |SELECT t.event_type, hours.h AS hour,
+       |  last_value(a.v IGNORE NULLS) OVER (
+       |    PARTITION BY t.event_type ORDER BY hours.h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+       |FROM types t CROSS JOIN hours
+       |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = hours.h""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q92_resample", resample, Some(resampleSql)),
+    QueryDef("q93_forward_fill", forwardFill, Some(forwardFillSql)))
+}

@@ -30,4 +30,31 @@ class SinksSpec extends AnyFunSuite {
     assert(j.collect().map(key).sorted.toSeq == expected)
     assert(expected.size == 100)
   }
+
+  test("orc sink round-trips identically") {
+    val df = SparkEntry.queries("q13_top_orders")(spark, sf)
+    val dir = Files.createTempDirectory("orc").toString
+    df.write.mode("overwrite").orc(s"$dir/o")
+    assert(spark.read.orc(s"$dir/o").collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long])).toSeq ==
+      df.collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long])).toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("part_w").toString
+    val orders = Tables(spark, sf, "orders")
+    orders.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$dir/by_status")
+
+    val re = spark.read.parquet(s"$dir/by_status")
+      .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    // The status filter must become a partition filter (directory pruning,
+    // zero data-file reads outside o_orderstatus=F), not a row filter.
+    val scan = re.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderstatus"), scan.take(500))
+    assert(re.count() ==
+      orders.where(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
+  }
 }
