@@ -9,11 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Registers the engine's native expressions with the session's function
   * registry so they are usable from `expr(...)` / `spark.sql(...)` exactly
-  * like built-ins, and participate in whole-stage codegen.
+  * like built-ins, and participate in whole-stage codegen; also injects the
+  * engine's optimizer rules (`graft.plans.LevenshteinBandRule`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),

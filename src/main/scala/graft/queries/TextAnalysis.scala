@@ -179,7 +179,12 @@ object TextAnalysis {
     // dist <= 3 implies |len(a) - len(b)| <= 3, so the cheap length band
     // runs first and the banded levenshtein (threshold arg -> O(len·k) not
     // O(len²), early-exit -1 above k) only touches surviving pairs.
-    p.as("a").join(p.as("b"),
+    // The probe side is repartitioned before the pair explosion: the input
+    // is a single small file (one scan partition), but the join output is
+    // |block|² rows — without this the whole pair loop runs on one core
+    // while the build side is broadcast.
+    val fanned = p.repartition(spark.sparkContext.defaultParallelism)
+    fanned.as("a").join(broadcast(p).as("b"),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey") &&
           abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
