@@ -63,6 +63,40 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: nearest-neighbor downsample of the payload to
+    * `targetBytes` (stand-in for image resize — same contract: bounded
+    * output size, deterministic, per-record, batched per partition).
+    * Payloads already under the target pass through untouched. */
+  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { records =>
+      records.map { r =>
+        val src = r.blob
+        val out =
+          if (src.length <= targetBytes) src
+          else Array.tabulate(targetBytes)(i =>
+            src((i.toLong * src.length / targetBytes).toInt))
+        r.copy(blob = out, byte_len = out.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling as a row-multiplying column op (the video shape: one
+    * input row -> one row per sampled frame). Pure built-ins — the frame
+    * slicing is `substring` on the binary column inside codegen, so this
+    * stays SQL-expressible and oracle-checked, unlike the decode stub. */
+  def sampleFrames(spark: SparkSession, dir: String, stride: Int = 16,
+      everyNth: Int = 4): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("blob"),
+        expr("(byte_len + 15) div 16").as("nf"))
+      .select(col("doc_id"), col("blob"),
+        explode(expr("sequence(0L, nf - 1)")).as("frame_idx"))
+      .where(col("frame_idx") % everyNth === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(blob, cast(frame_idx * $stride + 1 as int), $stride)"))
+          .as("frame_md5"))
+
   /** Metadata-only pass (no decode): the always-cheap path — pure column
     * arithmetic on lengths, fully SQL-expressible (oracle-checked). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =

@@ -30,6 +30,19 @@ object Extensions {
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_code
         |FROM documents""".stripMargin)),
     QueryDef("q81_media_features", mediaFeatures, None),
+    QueryDef("q82_frame_sample",
+      (s, d) => Multimodal.sampleFrames(s, d), Some(
+        """WITH f AS (
+          |  SELECT doc_id, text,
+          |    unnest(range(0, (octet_length(encode(text)) + 15) // 16)) AS k
+          |  FROM documents)
+          |SELECT doc_id, k AS frame_idx,
+          |  md5(substring(text, CAST(k * 16 + 1 AS INT), 16)) AS frame_md5
+          |FROM f WHERE k % 4 = 0""".stripMargin)),
+    QueryDef("q83_media_resize",
+      (s, d) => Multimodal.resizeStub(Multimodal.mediaTable(s, d), 64)
+        .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("byte_len")), None),
     QueryDef("q90_stream_tumbling",
       (s, d) => EventStreams.tumblingBatch(s, d), Some(EventStreams.tumblingSql)),
     QueryDef("q91_sessionize",

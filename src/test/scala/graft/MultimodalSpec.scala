@@ -34,6 +34,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0).feature.forall(_ == 7.0f)) // constant payload
   }
 
+  test("resize stub bounds payload size and is a no-op under the target") {
+    val resized = Multimodal.resizeStub(Multimodal.mediaTable(spark, sf), 64)
+      .collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.blob.length <= 64))
+    assert(resized.forall(r => r.byte_len == r.blob.length))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeStub(Multimodal.mediaTable(spark, sf), 64)
+      .collect()
+    assert(resized.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => java.util.Arrays.equals(a.blob, b.blob) })
+  }
+
+  test("frame sampling emits every 4th frame with correct count") {
+    val frames = Multimodal.sampleFrames(spark, sf)
+    val perDoc = frames.groupBy("doc_id").count()
+    val expected = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("((octet_length(text) + 15) div 16 + 3) div 4").as("want"))
+    val joined = perDoc.join(expected, "doc_id")
+      .where(col("count") =!= col("want"))
+    assert(joined.count() == 0)
+  }
+
   test("feature extraction preserves rows and bounds frame count") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, sf), stride = 16, maxFrames = 8)

@@ -46,6 +46,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p) // partial aggregate before the shuffle
   }
 
+  test("pivot plans as a single hash aggregation (one shuffle, no discovery)") {
+    val p = plan("q35_pivot")
+    assert(p.contains("partial_"), p)
+    // exactly one hash-partition exchange (the groupBy); the nation dim
+    // side broadcasts
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("time-series spine joins broadcast (fact scan is the only big input)") {
+    val p = plan("q92_resample")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q76 levenshtein runs banded with a broadcast build side") {
+    val p = plan("q76_edit_distance")
+    assert(p.contains("levenshtein"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
