@@ -166,7 +166,96 @@ object Dedup {
        |SELECT doc_id, CAST($recombined AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  // ---- q56: SimHash near-dup pairs (banded Hamming join) -----------------
+
+  /** Near-dup pairs from the q53 SimHash fingerprints: Hamming distance
+    * <= 2 on the 16-bit prints. Banding makes it scale: split the print
+    * into 3 bands — any pair within distance 2 shares at least one intact
+    * band (pigeonhole), so candidates come from 3 equi-joins on (band id,
+    * band bits), never an all-pairs scan; the exact `bit_count(xor)` test
+    * then filters. Same LSH-shaped cost model as q52: shuffle on band
+    * buckets, pair work bucket-local. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+    val bands = (0 until 3).map { i =>
+      fp.select(col("doc_id"), col("simhash"), lit(i).as("band"),
+        shiftright(col("simhash"), i * 6).bitwiseAND(lit(63L)).as("bits"))
+    }.reduce(_ union _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 2)
+      .distinct()
+  }
+
+  private val simhashPairsSql = {
+    val bandSelects = (0 until 3)
+      .map(i => s"SELECT doc_id, simhash, $i AS band, " +
+        s"(simhash >> ${i * 6}) & 63 AS bits FROM fp")
+      .mkString(" UNION ALL ")
+    s"""WITH fp AS ($simhashSql),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+  }
+
+  // ---- q55: duplicate clusters (connected components) --------------------
+
+  /** Connected components over the MinHash candidate-pair graph — the
+    * clustering step after near-dup candidate generation (each cluster
+    * keeps one representative). Iterative min-label propagation: every
+    * node starts labelled with itself; each round takes the min of its own
+    * and its neighbors' labels; fixpoint in O(component diameter) rounds.
+    * Each round is one join + one aggregation — the Pregel/GraphX shape,
+    * all data-parallel, nothing driver-side except the convergence check
+    * (a count, not a collect). LSH keeps components tiny, so the loop
+    * converges in a handful of rounds at any corpus size. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, dir)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  private val dupClustersSql =
+    s"""WITH RECURSIVE cand AS ($minhashSql),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION SELECT d2 AS a, d1 AS b FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS component
+       |FROM reach GROUP BY a""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q50_dedup_exact", exact, Some(
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
