@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extensions, Joins, Parity, Relational, Scalars, Similarity, TextAnalysis, TimeSeries, Windows}
+import graft.queries.{Dedup, Extensions, Joins, Parity, Pipeline, Relational, Scalars, Similarity, TextAnalysis, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -19,11 +19,14 @@ object SparkEntry {
       Similarity.defs ++
       TextAnalysis.defs ++
       TimeSeries.defs ++
+      Pipeline.defs ++
       Extensions.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end LLM data pipeline (quality/lang gates -> exact dedup ->
+    * near-dup clustering -> representatives -> corpus stats, q99). */
   def entry(spark: SparkSession): DataFrame =
-    Joins.revenueByNation(spark, "/root/testdata/sf0.001")
+    Pipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -253,6 +253,9 @@ object Dedup {
        |SELECT a AS doc_id, least(a, min(b)) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  /** The q52 candidate SQL, for composition into the q99 pipeline oracle. */
+  private[queries] def minhashOracleSql: String = minhashSql
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
