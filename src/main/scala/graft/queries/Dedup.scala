@@ -217,25 +217,46 @@ object Dedup {
     * (a count, not a collect). LSH keeps components tiny, so the loop
     * converges in a handful of rounds at any corpus size. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashCandidates(spark, dir)
+    // Every iteration output is localCheckpoint'd: iterative plans otherwise
+    // DOUBLE in size per round (the pointer-jump self-join references the
+    // round's frame twice), and Catalyst analysis cost grows exponentially
+    // even when the data is cached. Checkpointing flattens each round to a
+    // LogicalRDD — O(1) plan size per round, and the candidate pipeline is
+    // materialized exactly once. (On a cluster this is `checkpoint()` to
+    // reliable storage; same contract.)
+    val pairs = minhashCandidates(spark, dir).localCheckpoint()
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).localCheckpoint()
+    // Convergence witness: sum(label) strictly decreases every round that
+    // changes anything (labels only ever decrease), so one cheap aggregate
+    // replaces a join-based changed-row check.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
+      // (1) neighbor-min: each node takes the min of its own and its
+      // neighbors' labels; (2) pointer jumping: then each node re-labels to
+      // its label's label — halves chain lengths, so rounds = O(log n)
+      // instead of O(diameter) even on path-shaped components.
       val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+      val stepped = labels.join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .cache()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist()
+      val next = stepped.as("x")
+        .join(stepped.select(col("node").as("pnode"), col("label").as("plabel")),
+          col("x.label") === col("pnode"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("plabel"), col("x.label")))
+            .as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
