@@ -146,6 +146,55 @@ object EventStreams {
         col("c_nationkey").as("nation"))
   }
 
+  /** Streaming dedup: first occurrence per event_id within the watermark —
+    * the streaming face of q50. State is one entry per key inside the
+    * watermark horizon; `dropDuplicates` keys partition the state store, and
+    * expired keys are evicted as the watermark advances — bounded state on
+    * an unbounded stream. */
+  def dedupStream(spark: SparkSession, eventsDir: String): DataFrame =
+    readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Stream-stream self-join: pair each 'click'-like event with a same-user
+    * event of a different type within the next 30 minutes. Both sides are
+    * watermarked and the join condition bounds event-time distance, so each
+    * side's buffered state is evictable — the only join shape that runs
+    * forever. */
+  def streamStreamJoin(spark: SparkSession, eventsDir: String): DataFrame = {
+    val base = readEventsStream(spark, eventsDir)
+    val a = base.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_id"), col("event_type").as("a_type"))
+    val b = readEventsStream(spark, eventsDir).withWatermark("ts", "2 hours")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"), col("event_type").as("b_type"))
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 30 minutes") &&
+        col("a_type") =!= col("b_type"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        col("a_type"), col("b_type"))
+  }
+
+  /** Batch equivalent of [[streamStreamJoin]] for the test oracle. */
+  def streamStreamJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val a = ev.select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_id").as("a_id"), col("event_type").as("a_type"))
+    val b = ev.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id"), col("event_type").as("b_type"))
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 30 minutes") &&
+        col("a_type") =!= col("b_type"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+        col("a_type"), col("b_type"))
+  }
+
   val sessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,

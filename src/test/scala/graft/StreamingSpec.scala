@@ -100,6 +100,35 @@ class StreamingSpec extends AnyFunSuite {
       Tables(spark, sf, "events").count())
   }
 
+  test("watermarked streaming dedup keeps exactly the distinct event_ids") {
+    val q = EventStreams.dedupStream(spark, eventsDir)
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_s")
+    val distinctIds = Tables(spark, sf, "events")
+      .select("event_id").distinct().count()
+    assert(streamed.count() == distinctIds)
+    assert(streamed.select("event_id").distinct().count() == distinctIds)
+  }
+
+  test("stream-stream interval join matches the batch join") {
+    val q = EventStreams.streamStreamJoin(spark, eventsDir)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(240000)
+    val streamed = spark.table("ssj")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.streamStreamJoinBatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming sessionization produces the same session count as batch") {
     val streamed = runToMemory(EventStreams.sessionStream(spark, eventsDir), "sess")
     // Same number of (user, session) rows and same total event count; the
