@@ -120,7 +120,35 @@ object Scalars {
       |  quantile_cont(l_quantity, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** MapType + structured JSON surface: `from_json` parses the event props
+    * into a typed struct (schema-on-read, codegen'd — the scalable JSON
+    * path vs per-field string extraction), and a map built from arrays is
+    * probed with `element_at`/`map_keys`. Outputs are flat scalars so the
+    * oracle (which computes the same values straight from the JSON) is
+    * exact. */
+  def mapJsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG, tag STRING")))
+      .withColumn("m", map_from_arrays(
+        array(lit("k2"), lit("id")),
+        array(col("parsed.k") * 2, col("event_id"))))
+      .select(col("event_id"),
+        col("parsed.k").as("k"),
+        col("parsed.tag").as("tag"),
+        element_at(col("m"), "k2").as("k2"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+
+  private val mapJsonFuncsSql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.tag') AS tag,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2,
+      |  CAST(2 AS BIGINT) AS n_keys
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_map_json", mapJsonFuncs, Some(mapJsonFuncsSql)),
     QueryDef("q48_percentile_exact", percentileExact, Some(percentileExactSql)),
     QueryDef("q40_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
