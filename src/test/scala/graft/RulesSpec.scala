@@ -26,6 +26,35 @@ class RulesSpec extends AnyFunSuite {
       SparkEntry.queries("q76_edit_distance")(spark, sf).count())
   }
 
+  test("rewrite preserves semantics on random string pairs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Reference implementation: textbook DP edit distance.
+    def edit(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val strGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pairs = (1L to 200L).flatMap { seed =>
+      for {
+        a <- strGen(Gen.Parameters.default, Seed(seed))
+        b <- strGen(Gen.Parameters.default, Seed(seed + 10000))
+      } yield (a, b)
+    }
+    val df = spark.createDataFrame(pairs).toDF("l", "r")
+    for (k <- Seq(0, 1, 3)) {
+      val got = df.where(levenshtein(col("l"), col("r")) <= k)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val want = pairs.filter { case (a, b) => edit(a, b) <= k }.toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("rewrite preserves levenshtein semantics on edge cases") {
     val df = spark.createDataFrame(Seq(
       ("", ""), ("abc", "abc"), ("abc", "abd"), ("abc", "xyz"),
