@@ -45,6 +45,8 @@ object Extensions {
           org.apache.spark.sql.functions.col("byte_len")), None),
     QueryDef("q90_stream_tumbling",
       (s, d) => EventStreams.tumblingBatch(s, d), Some(EventStreams.tumblingSql)),
+    QueryDef("q94_stream_sliding",
+      (s, d) => EventStreams.slidingBatch(s, d), Some(EventStreams.slidingSql)),
     QueryDef("q91_sessionize",
       (s, d) => EventStreams.sessionBatch(s, d), Some(EventStreams.sessionSql)))
 }

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *   -> representative selection -> corpus stats
   *
   * Every stage is a previously-verified operator (q71, q70, q50, q55)
-  * composed into a single DAG — Catalyst sees the whole pipeline, so
-  * filters push into the one shared scan of `documents` and each dedup
-  * stage only processes the previous stage's survivors. At 100 TB this is
+  * composed into a single DAG — Catalyst sees the whole pipeline, so the
+  * gates fuse into the scan projection and each dedup stage only processes
+  * the previous stage's survivors (the clustering branch scans `documents`
+  * separately — its input is the full corpus by construction). At 100 TB
+  * this is
   * the shape that matters: one pass over the corpus, a hash-key shuffle
   * per dedup stage, and the iterative clustering bounded by LSH bucket
   * sizes. The oracle recomputes the identical pipeline in DuckDB CTEs

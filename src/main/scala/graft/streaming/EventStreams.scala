@@ -62,6 +62,35 @@ object EventStreams {
       |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming sliding-window aggregation: 1-hour windows every 30 minutes
+    * (each event lands in exactly 2 windows — Spark's `window()` expands
+    * rows before the agg, so the shuffle carries window-assigned rows and
+    * partial aggregation still applies). */
+  def slidingStream(spark: SparkSession, dir: String): DataFrame =
+    readEventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Batch equivalent of [[slidingStream]]. */
+  def slidingBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** With width 1h and slide 30m every event is in exactly two windows:
+    * its 30-minute bucket's window and the one starting 30 minutes before. */
+  val slidingSql: String =
+    """SELECT window_start, event_type, count(*) AS n FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+      |    event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      |    AS window_start, event_type FROM events) t
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming sessionization: 30-minute-gap sessions per user. */
   def sessionStream(spark: SparkSession, dir: String): DataFrame =
     readEventsStream(spark, dir)

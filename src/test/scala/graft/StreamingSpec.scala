@@ -30,6 +30,15 @@ class StreamingSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("streaming sliding window agg matches batch") {
+    val streamed = runToMemory(EventStreams.slidingStream(spark, eventsDir), "slide")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.slidingBatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling window agg matches batch") {
     val streamed = runToMemory(EventStreams.tumblingStream(spark, eventsDir), "tumb")
       .collect().map(_.toSeq).toSet
