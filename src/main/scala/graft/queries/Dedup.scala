@@ -277,9 +277,54 @@ object Dedup {
   /** The q52 candidate SQL, for composition into the q99 pipeline oracle. */
   private[queries] def minhashOracleSql: String = minhashSql
 
+  // ---- q57: keep-best representative per duplicate cluster ----------------
+
+  /** Quality-aware representative selection: per q55 component, keep the
+    * member with the most tokens (tie -> smallest doc_id) instead of the
+    * smallest id — real pipelines keep the best copy, not an arbitrary one.
+    * The ordering key is an exact integer composite so argmax is
+    * deterministic in both engines. Docs outside any candidate pair are
+    * their own singleton cluster. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val comp = dupClusters(spark, dir)
+    val ordKey = col("n_tokens") * lit(10000000000L) - col("doc_id")
+    nTokens.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("component"))
+      .agg(max_by(col("doc_id"), ordKey).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_tokens")).as("best_tokens"))
+  }
+
+  private val keepBestSql =
+    s"""WITH RECURSIVE cand AS ($minhashSql),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION SELECT d2 AS a, d1 AS b FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_tokens FROM documents)
+       |SELECT coalesce(c.component, t.doc_id) AS component,
+       |  arg_max(t.doc_id, t.n_tokens * 10000000000 - t.doc_id) AS keep_id,
+       |  count(*) AS n_members,
+       |  max(t.n_tokens) AS best_tokens
+       |FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+       |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
+    QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
     QueryDef("q50_dedup_exact", exact, Some(
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
