@@ -70,12 +70,18 @@ object Dedup {
 
   // ---- q51: n-gram Jaccard ---------------------------------------------
 
+  /** The inverted-index join runs on the fixed-width shingle HASH, not the
+    * shingle text: the shuffle carries 8-byte keys instead of ~40-byte
+    * strings (the dominant cost of this join at scale). The oracle hashes
+    * identically, so even the negligible collision probability produces
+    * bit-equal results in both engines. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
     common
@@ -87,11 +93,12 @@ object Dedup {
   }
 
   private val jaccardSql =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |com AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jac
        |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
