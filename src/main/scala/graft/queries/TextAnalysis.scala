@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents`: language-ID heuristic, quality scoring,
@@ -200,7 +201,63 @@ object TextAnalysis {
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
+  /** Source mixing: per-source sampling rates (upsample-free downmix) via
+    * the deterministic doc-id hash — the data-mixing step of a training
+    * pipeline ("keep 1/2 of even sources, 1/5 of odd"). The rate predicate
+    * evaluates in the scan, so remixing the corpus costs one pass and no
+    * shuffle, and the same seedless recipe reproduces the exact corpus on
+    * any cluster shape. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000
+    Tables(spark, dir, "documents")
+      .withColumn("rate",
+        when(regexp_extract(col("source"), "([0-9]+)", 1).cast("long") % 2 === 0,
+          lit(500L)).otherwise(lit(200L)))
+      .where(h < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"))
+  }
+
+  private val sourceMixSql =
+    """SELECT doc_id, source, rate FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 2 = 0
+      |      THEN 500 ELSE 200 END AS rate
+      |  FROM documents) t
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < rate""".stripMargin
+
+  /** Token-budget corpus selection: per language, take documents in
+    * quality order (longest first, id tiebreak) until a 5000-token budget
+    * is filled — the greedy knapsack every data-curation pipeline runs.
+    * One window pass: running token sum per language, keep while the
+    * PREVIOUS cumulative total is under budget (so the first overflowing
+    * doc is included, matching the greedy rule). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .where(col("cum") - col("n_tokens") < 5000)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
+  }
+
+  private val tokenBudgetSql =
+    """SELECT doc_id, lang, n_tokens, cum FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY n_tokens DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM documents) x) t
+      |WHERE cum - n_tokens < 5000""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
+    QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("q76_edit_distance", editDistance, Some(editDistanceSql)),
     QueryDef("q70_lang_id", langId, Some(langIdSql)),
     QueryDef("q71_quality", quality, Some(qualitySql)),
