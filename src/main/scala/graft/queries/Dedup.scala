@@ -223,7 +223,19 @@ object Dedup {
     * all data-parallel, nothing driver-side except the convergence check
     * (a count, not a collect). LSH keeps components tiny, so the loop
     * converges in a handful of rounds at any corpus size. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The component map is deterministic per (session, dataset) and consumed
+    * by three registry entries (q55, q57, q99) — memoize the checkpointed
+    * result so the candidate pipeline and label-propagation loop run once
+    * per session, exactly as a pipeline would materialize the cluster map
+    * once and join it everywhere. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    ccCache.computeIfAbsent((spark, dir),
+      _ => computeDupClusters(spark, dir))
+
+  private def computeDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Every iteration output is localCheckpoint'd: iterative plans otherwise
     // DOUBLE in size per round (the pointer-jump self-join references the
     // round's frame twice), and Catalyst analysis cost grows exponentially
