@@ -173,6 +173,39 @@ object Dedup {
        |SELECT doc_id, CAST($recombined AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  // ---- q77: benchmark decontamination (anti-join on shingle hashes) ------
+
+  /** Decontamination: drop every training document that shares ANY 3-token
+    * shingle with the held-out set (here: doc_id % 100 == 0 stands in for
+    * the benchmark corpus). One `left_anti` join on the 8-byte shingle
+    * hash — the contaminated-doc set is derived without materializing
+    * pairs, and at 100 TB the held-out shingle side is small enough to
+    * broadcast, so decontamination costs one corpus scan. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h"))
+    val heldOut = sh.where(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+    val contaminated = sh.where(col("doc_id") % 100 =!= 0)
+      .join(broadcast(heldOut), "h")
+      .select(col("doc_id")).distinct()
+    Tables(spark, dir, "documents")
+      .where(col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |held AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN held ON s.h = held.h
+       |  WHERE s.doc_id % 100 <> 0)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id % 100 <> 0
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+
   // ---- q56: SimHash near-dup pairs (banded Hamming join) -----------------
 
   /** Near-dup pairs from the q53 SimHash fingerprints: Hamming distance
@@ -344,6 +377,7 @@ object Dedup {
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
+    QueryDef("q77_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q50_dedup_exact", exact, Some(
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
