@@ -255,7 +255,30 @@ object TextAnalysis {
       |    FROM documents) x) t
       |WHERE cum - n_tokens < 5000""".stripMargin
 
+  /** Canonical text normalization — the step that runs before any hash:
+    * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
+    * trim; emits the canonical md5 so downstream exact-dedup keys are
+    * punctuation/case/spacing-insensitive. Single-pass codegen'd regexes. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("canon"))
+      .select(col("doc_id"), md5(col("canon")).as("canon_fp"),
+        length(col("canon")).cast("long").as("canon_len"))
+
+  private val normalizeSql =
+    """SELECT doc_id, md5(canon) AS canon_fp,
+      |  CAST(length(canon) AS BIGINT) AS canon_len
+      |FROM (SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS canon
+      |  FROM documents) t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("q76_edit_distance", editDistance, Some(editDistanceSql)),
