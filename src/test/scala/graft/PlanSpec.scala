@@ -67,6 +67,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("decontamination plans as broadcast + anti join (no pair blowup)") {
+    val p = plan("q77_decontaminate")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("token-budget selection is one window pass over one shuffle") {
+    val p = plan("q59_token_budget")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
