@@ -47,6 +47,8 @@ object Extensions {
       (s, d) => EventStreams.tumblingBatch(s, d), Some(EventStreams.tumblingSql)),
     QueryDef("q94_stream_sliding",
       (s, d) => EventStreams.slidingBatch(s, d), Some(EventStreams.slidingSql)),
+    QueryDef("q95_funnel",
+      (s, d) => EventStreams.funnel(s, d), Some(EventStreams.funnelSql)),
     QueryDef("q91_sessionize",
       (s, d) => EventStreams.sessionBatch(s, d), Some(EventStreams.sessionSql)))
 }

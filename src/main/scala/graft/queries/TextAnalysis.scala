@@ -277,7 +277,32 @@ object TextAnalysis {
       |    ' +', ' ', 'g')) AS canon
       |  FROM documents) t""".stripMargin
 
+  /** Per-language top-5 vocabulary: exact heavy hitters via partial-agg
+    * count + per-group top-k (row_number + filter — only k rows per group
+    * survive the rank shuffle; the token count agg is map-side combined). */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("t").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+  }
+
+  private val topTokensSql =
+    """SELECT lang, t, cnt, rk FROM (
+      |  SELECT lang, t, cnt, row_number() OVER (
+      |    PARTITION BY lang ORDER BY cnt DESC, t) AS rk
+      |  FROM (
+      |    SELECT lang, t, count(*) AS cnt FROM (
+      |      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) x
+      |    WHERE t <> '' GROUP BY lang, t) c) r
+      |WHERE rk <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

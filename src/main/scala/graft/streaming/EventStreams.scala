@@ -62,6 +62,33 @@ object EventStreams {
       |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Funnel analysis: for every ordered pair of distinct event types, how
+    * many users performed the second within 1 hour of the first. The
+    * user-keyed self-join shuffles once per side on user_id and the
+    * event-time bound caps each user's pair space — the batch twin of the
+    * stream-stream interval join. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val a = ev.select(col("user_id").as("u"), col("ts").as("a_ts"),
+      col("event_type").as("step1"))
+    val b = ev.select(col("user_id").as("bu"), col("ts").as("b_ts"),
+      col("event_type").as("step2"))
+    a.join(b,
+      col("u") === col("bu") && col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 1 hour") &&
+        col("step1") =!= col("step2"))
+      .groupBy(col("step1"), col("step2"))
+      .agg(countDistinct(col("u")).as("users"), count(lit(1)).as("n_pairs"))
+  }
+
+  val funnelSql: String =
+    """SELECT a.event_type AS step1, b.event_type AS step2,
+      |  count(DISTINCT a.user_id) AS users, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      |  AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_type <> b.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming sliding-window aggregation: 1-hour windows every 30 minutes
     * (each event lands in exactly 2 windows — Spark's `window()` expands
     * rows before the agg, so the shuffle carries window-assigned rows and
