@@ -49,6 +49,8 @@ object Extensions {
       (s, d) => EventStreams.slidingBatch(s, d), Some(EventStreams.slidingSql)),
     QueryDef("q95_funnel",
       (s, d) => EventStreams.funnel(s, d), Some(EventStreams.funnelSql)),
+    QueryDef("q96_retention",
+      (s, d) => EventStreams.retention(s, d), Some(EventStreams.retentionSql)),
     QueryDef("q91_sessionize",
       (s, d) => EventStreams.sessionBatch(s, d), Some(EventStreams.sessionSql)))
 }

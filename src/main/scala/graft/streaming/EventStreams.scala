@@ -89,6 +89,33 @@ object EventStreams {
       |  AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_type <> b.event_type
       |GROUP BY 1, 2""".stripMargin
 
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * per whole hour since first touch. Two shuffles (first-touch agg, then
+    * the cohort agg) joined on the high-cardinality user key — the standard
+    * retention matrix at any scale. Hour arithmetic is integer epoch-ms
+    * division, exact in both engines. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    ev.join(first, "user_id")
+      .select(
+        to_date(col("first_ts")).as("cohort_day"),
+        expr("(unix_millis(ts) - unix_millis(first_ts)) div 3600000")
+          .as("hours_since"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("hours_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val retentionSql: String =
+    """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+      |SELECT date_trunc('day', f.first_ts) AS cohort_day,
+      |  (epoch_ms(e.ts) - epoch_ms(f.first_ts)) // 3600000 AS hours_since,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming sliding-window aggregation: 1-hour windows every 30 minutes
     * (each event lands in exactly 2 windows — Spark's `window()` expands
     * rows before the agg, so the shuffle carries window-assigned rows and
