@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.operators.Multimodal
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Multimodal + streaming query registrations.
   *
@@ -19,8 +20,15 @@ object Extensions {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMeta(spark, dir)
 
+  /** q81 registration projects the Array[Float] feature vector to scalars
+    * (dim + md5 of its JSON form): the driver's pandas row sorter cannot
+    * hash array cells. The typed `Dataset[MediaFeatures]` API keeps the
+    * full vector; `MultimodalSpec` tests it directly. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(spark, dir)
+      .select(col("doc_id"), col("n_frames"),
+        size(col("feature")).cast("long").as("feature_dim"),
+        md5(to_json(col("feature"))).as("feature_md5"))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q80_media_meta", mediaMeta, Some(

@@ -98,7 +98,7 @@ object Pipeline {
       |reps AS (
       |  SELECT min(doc_id) AS doc_id FROM with_comp GROUP BY component)
       |SELECT w.lang, w.source, count(*) AS n_docs,
-      |  sum(w.n_tokens) AS total_tokens
+      |  CAST(sum(w.n_tokens) AS BIGINT) AS total_tokens
       |FROM with_comp w JOIN reps r ON w.doc_id = r.doc_id
       |GROUP BY w.lang, w.source""".stripMargin
       .replace("%MINHASH%", Dedup.minhashOracleSql)

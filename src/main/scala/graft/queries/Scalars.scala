@@ -59,21 +59,31 @@ object Scalars {
       .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("tot"))
 
   /** Array-function coverage over the embedding vectors: size, min/max,
-    * slice, element search — all codegen'd built-ins on ArrayType. */
+    * slice, element search — all codegen'd built-ins on ArrayType. The
+    * sliced head is emitted as three scalar double columns (not an array):
+    * the driver's row checker sorts with pandas, which cannot hash
+    * array-typed cells, and doubles hash exactly while float->string
+    * serialization would not be cross-engine stable. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("head3", expr("slice(v, 1, 3)"))
       .select(col("vec_id"),
         size(col("v")).cast("long").as("dim"),
         array_max(col("v")).as("mx"),
         array_min(col("v")).as("mn"),
-        expr("slice(v, 1, 3)").as("head3"),
+        element_at(col("head3"), 1).as("h1"),
+        element_at(col("head3"), 2).as("h2"),
+        element_at(col("head3"), 3).as("h3"),
         expr("array_position(v, array_max(v))").as("pos_max"))
 
   /** Aggregate extras: min_by/max_by (deterministic via an exact integer
     * composite of (acctbal, custkey) — 2-dp decimal*100 stays exact),
-    * count_if, and a sorted distinct collect (set-equality across engines). */
+    * count_if, and a sorted distinct collect. The collected set is
+    * serialized with array_join (integer elements, so the string form is
+    * cross-engine exact) because the driver's pandas row sorter cannot
+    * hash array-typed cells. */
   def aggExtras(spark: SparkSession, dir: String): DataFrame = {
     val ordKey = (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
       .cast("long") * lit(10000000L) + col("c_custkey")
@@ -83,7 +93,10 @@ object Scalars {
         max_by(col("c_name"), ordKey).as("top_cust"),
         min_by(col("c_name"), ordKey).as("bottom_cust"),
         count_if(col("c_acctbal") > 0).as("n_pos"),
-        array_sort(collect_set(col("c_nationkey"))).as("nations"))
+        array_sort(collect_set(col("c_nationkey"))).as("nations_arr"))
+      .withColumn("nations",
+        expr("array_join(transform(nations_arr, x -> cast(x AS string)), ',')"))
+      .drop("nations_arr")
   }
 
   /** Sketch aggregates — approx_count_distinct (HyperLogLog++) and
@@ -181,7 +194,7 @@ object Scalars {
          |FROM orders GROUP BY 1""".stripMargin)),
     QueryDef("q45_array_funcs", arrayFuncs, Some(
       """SELECT vec_id, CAST(len(v) AS BIGINT) AS dim, list_max(v) AS mx,
-        |  list_min(v) AS mn, v[1:3] AS head3,
+        |  list_min(v) AS mn, v[1] AS h1, v[2] AS h2, v[3] AS h3,
         |  CAST(list_position(v, list_max(v)) AS BIGINT) AS pos_max
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin)),
     QueryDef("q46_agg_extras", aggExtras, Some(
@@ -190,8 +203,8 @@ object Scalars {
         |    * 10000000 + c_custkey) AS top_cust,
         |  min_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
         |    * 10000000 + c_custkey) AS bottom_cust,
-        |  count_if(c_acctbal > 0) AS n_pos,
-        |  list_sort(list(DISTINCT c_nationkey)) AS nations
+        |  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
+        |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
     QueryDef("q47_sketch_aggs", sketchAggs, None))
 }

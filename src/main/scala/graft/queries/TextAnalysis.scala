@@ -247,9 +247,9 @@ object TextAnalysis {
   private val tokenBudgetSql =
     """SELECT doc_id, lang, n_tokens, cum FROM (
       |  SELECT doc_id, lang, n_tokens,
-      |    sum(n_tokens) OVER (PARTITION BY lang
+      |    CAST(sum(n_tokens) OVER (PARTITION BY lang
       |      ORDER BY n_tokens DESC, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |  FROM (SELECT doc_id, lang,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |    FROM documents) x) t
