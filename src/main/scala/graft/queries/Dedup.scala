@@ -70,14 +70,33 @@ object Dedup {
 
   // ---- q51: n-gram Jaccard ---------------------------------------------
 
+  /** Shingle document-frequency cap for the inverted-index self-join: a
+    * "stop shingle" shared by k docs creates k^2/2 join rows, so one hot
+    * trigram in a 100 TB corpus would dominate the whole job. Shingles in
+    * more than [[maxShingleDf]] docs are dropped before the join (standard
+    * practice — such shingles carry no dedup signal anyway). The hot set is
+    * tiny by construction, so it broadcasts into a left_anti. */
+  val maxShingleDf = 64
+
   /** The inverted-index join runs on the fixed-width shingle HASH, not the
     * shingle text: the shuffle carries 8-byte keys instead of ~40-byte
     * strings (the dominant cost of this join at scale). The oracle hashes
     * identically, so even the negligible collision probability produces
-    * bit-equal results in both engines. */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    * bit-equal results in both engines. Pair space is bounded by the
+    * document-frequency cap: each surviving shingle contributes at most
+    * maxShingleDf^2/2 candidate rows. */
+  /** Distinct (doc_id, shingle-hash) pairs with hot shingles removed —
+    * exposed for the spec that asserts the df cap holds. */
+  private[graft] def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val all = shingles(spark, dir)
       .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
+    val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select(col("h"))
+    all.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -93,8 +112,10 @@ object Dedup {
   }
 
   private val jaccardSql =
-    s"""WITH sh AS (
+    s"""WITH allsh AS (
        |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |hot AS (SELECT h FROM allsh GROUP BY h HAVING count(*) > $maxShingleDf),
+       |sh AS (SELECT * FROM allsh WHERE h NOT IN (SELECT h FROM hot)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |com AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c

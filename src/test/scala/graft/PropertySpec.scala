@@ -45,4 +45,30 @@ class PropertySpec extends AnyFunSuite {
       assert(wc(lines) == expected, s"seed=$seed")
     }
   }
+
+  test("q51 shingle df cap bounds the self-join pair space") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val cap = graft.queries.Dedup.maxShingleDf
+    // 1. No surviving shingle on the real test table exceeds the cap.
+    val sh = graft.queries.Dedup.cappedShingles(spark, TestSpark.sf)
+    val maxDf = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head.getLong(0)
+    assert(maxDf <= cap, s"max shingle df $maxDf exceeds cap $cap")
+    // 2. A synthetic stop-shingle shared by cap+16 docs is dropped, while a
+    //    genuine near-dup pair sharing rare shingles is still found.
+    val hotDocs = (1L to (cap + 16L)).map(i =>
+      (i, s"hot stop shingle plus unique word$i tail$i"))
+    val nearDup = Seq(
+      (9001L, "rare alpha beta gamma delta epsilon zeta"),
+      (9002L, "rare alpha beta gamma delta epsilon eta"))
+    val dir = java.nio.file.Files.createTempDirectory("dfcap").toString
+    (hotDocs ++ nearDup).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.queries.Dedup.jaccardPairs(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9001L, 9002L)), pairs)
+    // hot docs share ONLY the capped shingle -> no pair between them
+    assert(!pairs.exists { case (a, b) => a <= cap + 16 && b <= cap + 16 },
+      pairs)
+  }
 }
