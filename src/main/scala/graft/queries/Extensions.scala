@@ -53,6 +53,12 @@ object Extensions {
           org.apache.spark.sql.functions.col("byte_len")), None),
     QueryDef("q90_stream_tumbling",
       (s, d) => EventStreams.tumblingBatch(s, d), Some(EventStreams.tumblingSql)),
+    // Same aggregation executed as a REAL bounded micro-batch streaming run
+    // (readStream -> AvailableNow -> foreachBatch parquet -> read back):
+    // the driver gate thereby checks MicroBatchExecution output, not just
+    // the batch DAG. Same oracle as q90 by construction.
+    QueryDef("q97_stream_microbatch",
+      (s, d) => EventStreams.tumblingStreamRun(s, d), Some(EventStreams.tumblingSql)),
     QueryDef("q94_stream_sliding",
       (s, d) => EventStreams.slidingBatch(s, d), Some(EventStreams.slidingSql)),
     QueryDef("q95_funnel",

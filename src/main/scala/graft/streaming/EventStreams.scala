@@ -278,6 +278,35 @@ object EventStreams {
         col("a_type"), col("b_type"))
   }
 
+  /** Executes the tumbling-window aggregation as a REAL bounded streaming
+    * run — `readStream` over a directory, `Trigger.AvailableNow`, complete
+    * mode, `foreachBatch` to parquet — then reads the final result back.
+    * This drives `MicroBatchExecution` + the state store end-to-end (not
+    * just the batch DAG), and on a finite input its output is exactly
+    * [[tumblingBatch]], so the same DuckDB oracle checks it in the driver
+    * gate. Complete mode overwrites the sink each micro-batch; the last
+    * overwrite is the full aggregate. */
+  def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      inDir.resolve("events.parquet"))
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ck = Files.createTempDirectory("graft_stream_ck").toString
+    val q = tumblingStream(spark, inDir.toString)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   val sessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,
