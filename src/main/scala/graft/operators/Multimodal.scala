@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, plus batched per-partition
-  * decode / frame-sample / feature-extract.
+  * decode / frame-sample / feature-extract / resize.
   *
   * The Spark-side shape is real and tested: schema (binary + struct
   * metadata), partition-preserving batched processing via `mapPartitions`
@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   * real decoder amortizes codec init per partition, not per row), and
   * columnar-friendly fixed-size feature output.
   *
-  * The decode step itself is a clearly-marked DETERMINISTIC STUB — this
-  * container has no image/audio codecs. `decodeStub` stands in for
-  * "decode media, sample frames, embed each frame": it frame-samples the
-  * byte stream at a fixed stride and emits one scalar per frame window,
-  * which exercises exactly the data movement a real decoder would.
+  * Image payloads are REALLY decoded: `javax.imageio` (JDK-only — PNG,
+  * BMP, JPEG, GIF) feeds grid-luminance feature extraction and true
+  * nearest-neighbor resize, both exact integer/float pixel math with
+  * golden-hash tests (`MultimodalSpec`). Payloads whose magic bytes are
+  * not a known image format (e.g. the text blobs of the `documents`
+  * stand-in table, or audio/video codecs absent from the JDK) take the
+  * documented deterministic byte-path fallback: frame-sample the byte
+  * stream at a fixed stride, one scalar per frame window — the same data
+  * movement, bytes instead of pixels.
   */
 object Multimodal {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
 
   final case class MediaRecord(
       doc_id: Long,
@@ -46,40 +53,125 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode+embed: deterministic fake of a codec. Frame = `stride`
-    * bytes; per-frame "embedding" = mean byte value. Batched per partition
-    * like a real decoder would be. */
+  /** True iff the payload's magic bytes are an image format the JDK's
+    * ImageIO decodes (PNG / BMP / JPEG / GIF). */
+  private[graft] def isImage(blob: Array[Byte]): Boolean =
+    blob.length >= 4 && (
+      (blob(0) == 0x89.toByte && blob(1) == 'P' && blob(2) == 'N' &&
+        blob(3) == 'G') ||
+      (blob(0) == 'B' && blob(1) == 'M') ||
+      (blob(0) == 0xff.toByte && blob(1) == 0xd8.toByte) ||
+      (blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F'))
+
+  /** Real JDK decode. None when the payload is not a decodable image. */
+  private[graft] def decodeImage(blob: Array[Byte]): Option[BufferedImage] =
+    if (!isImage(blob)) None
+    else Option(ImageIO.read(new ByteArrayInputStream(blob)))
+
+  /** Rec. 601 luma of a packed RGB pixel — exact float math. */
+  private def luma(rgb: Int): Float =
+    0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
+      0.114f * (rgb & 0xff)
+
+  /** Image embedding: mean luminance per horizontal band (up to `maxFrames`
+    * bands) — deterministic pixel math over the real decoded image. */
+  private def imageFeatures(img: BufferedImage, maxFrames: Int): Array[Float] = {
+    val bands = math.min(maxFrames, img.getHeight)
+    Array.tabulate(bands) { b =>
+      val y0 = b * img.getHeight / bands
+      val y1 = math.max(y0 + 1, (b + 1) * img.getHeight / bands)
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < img.getWidth) { sum += luma(img.getRGB(x, y)); n += 1; x += 1 }
+        y += 1
+      }
+      (sum / n).toFloat
+    }
+  }
+
+  /** Decode + embed, batched per partition. Image payloads (per magic
+    * bytes) are REALLY decoded via ImageIO: feature = mean luminance per
+    * horizontal band, n_frames = band count. Non-image payloads take the
+    * deterministic byte path: frame = `stride` bytes, per-frame scalar =
+    * mean byte value. */
   def extractFeatures(ds: Dataset[MediaRecord], stride: Int = 16,
       maxFrames: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { records =>
-      // real impl: initialize codec once per partition here
+      // ImageIO plugin lookup is JVM-global; per-partition iterator means
+      // any per-codec init cost is amortized across the partition's rows.
       records.map { r =>
-        val frames = r.blob.grouped(stride).toArray
-        val feat = frames.take(maxFrames)
-          .map(f => f.map(_.toInt & 0xff).sum.toFloat / f.length)
-        MediaFeatures(r.doc_id, frames.length.toLong, feat)
+        decodeImage(r.blob) match {
+          case Some(img) =>
+            val feat = imageFeatures(img, maxFrames)
+            MediaFeatures(r.doc_id, feat.length.toLong, feat)
+          case None =>
+            val frames = r.blob.grouped(stride).toArray
+            val feat = frames.take(maxFrames)
+              .map(f => f.map(_.toInt & 0xff).sum.toFloat / f.length)
+            MediaFeatures(r.doc_id, frames.length.toLong, feat)
+        }
       }
     }
   }
 
-  /** STUB resize: nearest-neighbor downsample of the payload to
-    * `targetBytes` (stand-in for image resize — same contract: bounded
-    * output size, deterministic, per-record, batched per partition).
-    * Payloads already under the target pass through untouched. */
-  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+  /** True nearest-neighbor resize to exactly (w, h). Exact integer source
+    * indexing (x * srcW / w) — no interpolation, so output pixels are
+    * bit-deterministic across JVMs. */
+  private[graft] def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Bounded-size payload resize, batched per partition. Image payloads are
+    * really resized: nearest-neighbor scale so the pixel buffer fits
+    * `targetBytes` (3 bytes/pixel), re-encoded as PNG (lossless, so the
+    * pixel content — what the tests golden-hash — round-trips exactly).
+    * Non-image payloads are nearest-neighbor byte-downsampled to
+    * `targetBytes`; payloads already under the target pass through. */
+  def resizeMedia(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { records =>
       records.map { r =>
         val src = r.blob
-        val out =
-          if (src.length <= targetBytes) src
-          else Array.tabulate(targetBytes)(i =>
-            src((i.toLong * src.length / targetBytes).toInt))
+        val out = decodeImage(src) match {
+          case Some(img) =>
+            val pixels = img.getWidth.toLong * img.getHeight
+            val scale = math.sqrt(targetBytes.toDouble / (3.0 * pixels))
+            if (scale >= 1.0) src
+            else {
+              val w = math.max(1, (img.getWidth * scale).toInt)
+              val h = math.max(1, (img.getHeight * scale).toInt)
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(resizeImage(img, w, h), "png", bos)
+              bos.toByteArray
+            }
+          case None =>
+            if (src.length <= targetBytes) src
+            else Array.tabulate(targetBytes)(i =>
+              src((i.toLong * src.length / targetBytes).toInt))
+        }
         r.copy(blob = out, byte_len = out.length.toLong)
       }
     }
   }
+
+  /** Former name of [[resizeMedia]], kept for source compatibility. */
+  @deprecated("image payloads are really resized now - use resizeMedia", "r2")
+  def resizeStub(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] =
+    resizeMedia(ds, targetBytes)
 
   /** Frame sampling as a row-multiplying column op (the video shape: one
     * input row -> one row per sampled frame). Pure built-ins — the frame

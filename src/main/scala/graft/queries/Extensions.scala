@@ -48,7 +48,7 @@ object Extensions {
           |  md5(substring(text, CAST(k * 16 + 1 AS INT), 16)) AS frame_md5
           |FROM f WHERE k % 4 = 0""".stripMargin)),
     QueryDef("q83_media_resize",
-      (s, d) => Multimodal.resizeStub(Multimodal.mediaTable(s, d), 64)
+      (s, d) => Multimodal.resizeMedia(Multimodal.mediaTable(s, d), 64)
         .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("byte_len")), None),
     QueryDef("q90_stream_tumbling",
