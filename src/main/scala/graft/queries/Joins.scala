@@ -147,6 +147,29 @@ object Joins {
       .agg(dsum2(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
   }
 
+  /** Bucketed co-located join: both sides written bucketBy(8) + sortBy on
+    * the join key, then joined as SMJ (merge hint, so the test-SF data
+    * doesn't broadcast) — bucketing satisfies the join's distribution
+    * requirement, so the plan has NO shuffle exchange on either side. The
+    * 100 TB pattern for repeatedly-joined tables: pay the shuffle once at
+    * write time, never again per query. The write is part of the query so
+    * the driver exercises the full path (idempotent overwrite). */
+  def revenueBySegmentBucketed(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables(spark, dir, "customer")
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    spark.table("graft_orders_bucketed").hint("merge")
+      .join(spark.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum2(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_join_broadcast", revenueBySegment, Some(
       s"""SELECT c_mktsegment, ${sqlSum2("o_totalprice")} AS revenue, count(*) AS n_orders
@@ -193,6 +216,10 @@ object Joins {
          |SELECT e.event_id, e.user_id, d.t AS asof_day, d.day_spend AS asof_spend
          |FROM events e ASOF LEFT JOIN d
          |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
+    QueryDef("q29_join_bucketed", revenueBySegmentBucketed, Some(
+      s"""SELECT c_mktsegment, ${sqlSum2("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin)),
     QueryDef("q28_join_salted", revenueByPrioritySalted, Some(
       s"""SELECT o_orderpriority, ${sqlSum2("l_quantity")} AS qty, count(*) AS n
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

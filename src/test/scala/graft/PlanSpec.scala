@@ -79,6 +79,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q29 bucketed join plans with no shuffle exchange on either side") {
+    val p = plan("q29_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+  }
+
   test("q28 salting is differentiated: hot-set joins broadcast, one shuffle join") {
     val p = plan("q28_join_salted")
     // both hot-set membership joins broadcast the (small) hot-key set;
