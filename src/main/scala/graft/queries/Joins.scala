@@ -155,6 +155,15 @@ object Joins {
     * write time, never again per query. The write is part of the query so
     * the driver exercises the full path (idempotent overwrite). */
   def revenueBySegmentBucketed(spark: SparkSession, dir: String): DataFrame = {
+    // A fresh session's catalog doesn't know tables left in the warehouse
+    // dir by a previous JVM, and saveAsTable(overwrite) then fails with
+    // LOCATION_ALREADY_EXISTS — drop both catalog entry and location.
+    for (t <- Seq("graft_orders_bucketed", "graft_customer_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     Tables(spark, dir, "orders")
       .write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")

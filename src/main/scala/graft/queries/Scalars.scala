@@ -113,6 +113,34 @@ object Scalars {
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
         expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_qty"))
 
+  /** Error-bound companion to q47: the sketches are GRADED, not just
+    * smoke-tested. Spark computes both the exact answers and the sketch
+    * estimates, and emits booleans asserting the estimates sit inside
+    * their published bounds (HLL++ within the 5% rsd it was configured
+    * with; approx_percentile(.., 1000)'s rank guarantee keeps its p50
+    * inside the exact p45..p55 value band). The oracle recomputes the
+    * exact columns and expects literal TRUE for the bound columns — a
+    * drifting sketch flips a boolean and fails the driver's hash compare. */
+  def sketchBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_exact"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("nd_approx"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(l_quantity, 0.45)").as("p45"),
+        expr("percentile(l_quantity, 0.55)").as("p55"))
+      .select(col("l_returnflag"), col("nd_exact"),
+        (abs(col("nd_approx") - col("nd_exact")).cast("double") /
+          col("nd_exact") < 0.05).as("nd_within_rsd"),
+        (col("p50_approx") >= col("p45") &&
+          col("p50_approx") <= col("p55")).as("p50_in_band"))
+
+  private val sketchBoundsSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+      |  TRUE AS nd_within_rsd, TRUE AS p50_in_band
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Exact interpolated percentiles (median + quartiles) per group. Unlike
     * q47's sketches this buffers the group's values — right only when the
     * per-group cardinality is bounded; the oracle works because both engines
@@ -206,5 +234,6 @@ object Scalars {
         |  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
         |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
-    QueryDef("q47_sketch_aggs", sketchAggs, None))
+    QueryDef("q47_sketch_aggs", sketchAggs, None),
+    QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)))
 }
