@@ -26,20 +26,27 @@ object Bench {
     // the shape a long-lived cluster sees; default 1 = cold, driver-graded.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
     var results = Seq.empty[(String, Double)]
-    for (_ <- 1 to passes) {
+    var failed = Seq.empty[String]
+    for (pass <- 1 to passes) {
+      // A warm pass must re-pay memoized work (the q55/q57/q99 cluster map)
+      // or its timings would exclude the clustering compute entirely.
+      if (pass > 1) queries.Dedup.clearCcCache()
+      failed = Seq.empty
       results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed :+= name
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -285,9 +285,24 @@ object Dedup {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop all memoized cluster maps. `Bench` calls this between passes so a
+    * warm pass re-pays the clustering compute instead of reusing the first
+    * pass's checkpointed result. */
+  private[graft] def clearCcCache(): Unit = ccCache.clear()
+
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent((spark, dir),
-      _ => computeDupClusters(spark, dir))
+    ccCache.computeIfAbsent((spark, dir), { _ =>
+      // Evict this session's entries when its SparkContext stops so the map
+      // is bounded by live sessions and checkpointed RDDs become collectable.
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit =
+            ccCache.keySet.removeIf(_._1 eq spark)
+        })
+      computeDupClusters(spark, dir)
+    })
 
   private def computeDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Every iteration output is localCheckpoint'd: iterative plans otherwise
