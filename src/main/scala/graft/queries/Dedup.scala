@@ -88,8 +88,14 @@ object Dedup {
   /** Distinct (doc_id, shingle-hash) pairs with hot shingles removed —
     * exposed for the spec that asserts the df cap holds. */
   private[graft] def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
+    // The inverted index is consumed three times downstream (doc sizes +
+    // both sides of the self-join), and the hot-shingle count reads it too:
+    // without materialization the explode+distinct pipeline runs 4x.
+    // Checkpoint the deduped (doc_id, h) pairs once — on a cluster this is
+    // persist()/checkpoint() of the inverted index, the standard shape.
     val all = shingles(spark, dir)
       .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
+      .localCheckpoint()
     val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select(col("h"))
     all.join(broadcast(hot), Seq("h"), "left_anti")
