@@ -71,6 +71,22 @@ final class MRPairs[K, V](val pairs: Dataset[(K, V)]) {
   def reduceByKey(merge: (V, V) => V)(
       implicit ek: Encoder[K], ekv: Encoder[(K, V)],
       ekkv: Encoder[(K, (K, V))]): MRPairs[K, V] =
+    reduceByKeyArrivalOrder(merge)
+
+  /** Reference-exact arrival-order merge — the unsorted `Text.add` parity
+    * mode. The reference folds per-chunk results in whatever order chunks
+    * complete (`framework-src/ReduceRunner.java:154-172` calling `Text.java:
+    * 29-32` concat), so for non-commutative `merge` its output depends on
+    * chunk scheduling, run to run. `reduceGroups` has exactly those
+    * semantics on Spark: values fold in iterator order within each input
+    * partition and partials merge in completion order. With a single input
+    * partition the fold order is the input order (deterministic); with many,
+    * the result is some association of the inputs — faithful to the
+    * reference, non-determinism included. Prefer [[reduceGroupsSorted]]
+    * unless bit-parity with a reference run matters. */
+  def reduceByKeyArrivalOrder(merge: (V, V) => V)(
+      implicit ek: Encoder[K], ekv: Encoder[(K, V)],
+      ekkv: Encoder[(K, (K, V))]): MRPairs[K, V] =
     new MRPairs(
       pairs
         .groupByKey(_._1)

@@ -69,6 +69,30 @@ class MRJobSpec extends AnyFunSuite {
     assert(results.distinct.size == 1)
   }
 
+  test("arrival-order concat: sequential fold with one partition, " +
+      "same multiset always (Text.add parity mode)") {
+    val kvs = (0 until 40).map(i => (i % 3).toString -> s"v$i")
+    val sequential = kvs.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).mkString("|") }
+    // one input partition + non-commutative merge: fold order IS input
+    // order, exactly a single-chunk reference run
+    val one = MRJob(spark.createDataset(kvs).coalesce(1))
+      .mapToPairs(Iterator.single(_))
+      .reduceByKeyArrivalOrder(_ + "|" + _)
+      .pairs.collect().toMap
+    assert(one == sequential)
+    // many partitions: association varies (reference non-determinism), but
+    // the merged multiset of values per key is invariant
+    val many = MRJob(spark.createDataset(kvs).repartition(7))
+      .mapToPairs(Iterator.single(_))
+      .reduceByKeyArrivalOrder(_ + "|" + _)
+      .pairs.collect().toMap
+    assert(many.keySet == sequential.keySet)
+    for ((k, v) <- many)
+      assert(v.split('|').sorted.toSeq ==
+        sequential(k).split('|').sorted.toSeq)
+  }
+
   test("reduceGroupsSorted is deterministic under repartitioning") {
     val ds = spark.range(100)
       .map(i => (i % 7, s"v${i}"))
