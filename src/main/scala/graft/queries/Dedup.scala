@@ -133,16 +133,41 @@ object Dedup {
 
   // ---- q52: MinHash + LSH candidates -------------------------------------
 
+  /** MinHash signatures are computed per-row, shuffle-free: min over an
+    * affine-permuted multiset equals min over the distinct set, so each doc
+    * derives its 16-slot signature from its own shingle array in one narrow
+    * projection (`transform` + `array_min`, all codegen'd) — no explode, no
+    * 16-min aggregation. The old shape shuffled O(docs × shingles) rows to
+    * group shingles by doc; this one shuffles exactly 4 (doc_id, band-hash)
+    * rows per doc into the LSH bucket join, which at 100 TB is the
+    * difference between shuffling the corpus and shuffling a fingerprint
+    * table. Oracle SQL is unchanged — the signature values are identical. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val x = hashInt(col("s"))
+    val hs = expr(
+      "transform(" +
+        "transform(sequence(0, size(w) - 3), " +
+        "  i -> concat_ws(' ', w[i], w[i+1], w[i+2])), " +
+        s"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${P}L)")
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * x + lit(b)) % P).as(s"m$i")
+      array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P)).as(s"m$i")
     }
-    val sig = shingles(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*)).as("bh"))
-    }.reduce(_ union _)
+    // Small-file re-fan: a single-file local scan is one partition, which
+    // would serialize the per-doc signature math; at real scale the scan
+    // already has thousands of splits and this repartition is a no-op-sized
+    // round-robin of raw docs (still far cheaper than the old exploded
+    // doc×shingle shuffle).
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("hs", hs)
+      .select(col("doc_id") +: sigCols: _*)
+    val bandHashes = (0 until 4).map { b =>
+      md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .toDF("doc_id", "band", "bh")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
