@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: 16 permutations -> 4 bands of 4 -> candidates share a
   *    band bucket. The scale path: cost is O(docs × shingles) + a join on
   *    band buckets, never all-pairs;
-  *  - SimHash: 16-bit sign-of-weighted-bit-sums fingerprint; near-dups land
-  *    on equal/adjacent fingerprints.
+  *  - SimHash: 64-bit sign-of-weighted-bit-sums fingerprint; near-dups land
+  *    on fingerprints within a small Hamming distance.
   *
   * The shingle->int64 base hash is the first 15 hex digits of md5 (fits in
   * 60 bits; Spark `conv`, DuckDB `('0x'||…)::BIGINT`), reduced mod the
@@ -195,30 +195,53 @@ object Dedup {
 
   // ---- q53: SimHash fingerprints -----------------------------------------
 
+  /** 64-bit SimHash (the published Manku/Google width). Per-token bits come
+    * from TWO 60-bit md5 prefixes — hex digits 1-15 supply fingerprint bits
+    * 0-59, hex digits 16-30 supply bits 60-63 — so both engines derive the
+    * identical bit stream with only `conv`/`::BIGINT` arithmetic. Bit 63 is
+    * recombined as Long.MinValue (the only power of two that is negative in
+    * a signed 64-bit word); the addition chain runs bits ascending, so every
+    * partial sum stays representable (<= 2^63-1 before the final signed
+    * term) — no overflow under ANSI arithmetic in either engine. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .where(col("t") =!= "")
-      .select(col("doc_id"), hashInt(col("t")).as("x"))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(shiftright(col("x"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("x1"),
+        conv(substring(md5(col("t")), 16, 15), 16, 10).cast("long").as("x2"))
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 60) shiftright(col("x1"), j)
+                else shiftright(col("x2"), j - 60)
+      sum(when(src % 2 === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val recombined = (0 until 16)
-      .map(j => when(col(s"b$j") > 0, 1L << j).otherwise(0L))
+    val recombined = (0 until 64)
+      .map(j => when(col(s"b$j") > 0,
+        lit(if (j < 63) 1L << j else Long.MinValue)).otherwise(0L))
       .reduce(_ + _)
     toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), recombined.as("simhash"))
   }
 
   private val simhashSql = {
-    val bitSums = (0 until 16)
-      .map(j => s"sum(CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+    val bitSums = (0 until 64)
+      .map { j =>
+        val src = if (j < 60) s"(x1 >> $j)" else s"(x2 >> ${j - 60})"
+        s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+      }
       .mkString(", ")
-    val recombined = (0 until 16)
-      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+    // DuckDB parses the bit-63 literal as HUGEINT; the ascending chain is
+    // promoted and the final CAST back to BIGINT is exact (bits set once).
+    val recombined = (0 until 64)
+      .map(j => s"CASE WHEN b$j > 0 THEN " +
+        (if (j < 63) (1L << j).toString else "-9223372036854775807 - 1") +
+        " ELSE 0 END")
       .mkString(" + ")
     s"""WITH toks AS (
-       |  SELECT doc_id, ${hashIntSql("t")} AS x FROM (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS x1,
+       |    ('0x' || substr(md5(t), 16, 15))::BIGINT AS x2
+       |  FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
        |  WHERE t <> ''),
        |bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
@@ -260,41 +283,71 @@ object Dedup {
 
   // ---- q56: SimHash near-dup pairs (banded Hamming join) -----------------
 
-  /** Near-dup pairs from the q53 SimHash fingerprints: Hamming distance
-    * <= 2 on the 16-bit prints. Banding makes it scale: split the print
-    * into 3 bands — any pair within distance 2 shares at least one intact
-    * band (pigeonhole), so candidates come from 3 equi-joins on (band id,
-    * band bits), never an all-pairs scan; the exact `bit_count(xor)` test
-    * then filters. Same LSH-shaped cost model as q52: shuffle on band
-    * buckets, pair work bucket-local. */
+  /** Per-band bucket-membership cap for the SimHash band self-join: a band
+    * value shared by k docs contributes k^2/2 candidate rows, so one
+    * degenerate bucket (e.g. a boilerplate-dominated corpus slice that
+    * collapses to one band value) would go quadratic. Buckets with more
+    * than [[maxBandBucket]] members are dropped before the join — the same
+    * bound (and the same broadcast left_anti shape) as q51's shingle-df
+    * cap. The hot-bucket set is tiny by construction. */
+  val maxBandBucket = 128
+
+  /** (doc_id, simhash, band, bits) with 4 bands of 16 bits and hot buckets
+    * removed — exposed for the spec that asserts the cap holds. With 2^16
+    * bucket values per band, expected occupancy is N/65536 per bucket (vs
+    * N/64 with the old 16-bit fingerprint's 6-bit bands — the r2 verdict's
+    * scale-killer); the cap bounds the worst case. The fingerprint table is
+    * checkpointed once: it is consumed three times (hot-bucket count + both
+    * join sides) and is 4 fixed-width rows per doc — a fingerprint index,
+    * not the corpus. */
+  private[graft] def cappedSimhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val bandVals = (0 until 4).map(i =>
+      shiftright(col("simhash"), i * 16).bitwiseAND(lit(65535L)))
+    val bands = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash"), posexplode(array(bandVals: _*)))
+      .toDF("doc_id", "simhash", "band", "bits")
+      .localCheckpoint()
+    val hot = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBandBucket)
+      .select(col("band"), col("bits"))
+    bands.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+  }
+
+  /** Near-dup pairs from 64-bit SimHash fingerprints: Hamming distance <= 3
+    * (the published 64-bit/k=3 operating point). Banding makes it scale:
+    * split the print into 4 bands of 16 bits — any pair within distance 3
+    * leaves at least one band intact (pigeonhole), so candidates come from
+    * equi-joins on (band id, band bits), never an all-pairs scan; the exact
+    * `bit_count(xor)` test then filters. Same LSH-shaped cost model as q52:
+    * shuffle on band buckets, pair work bucket-local, bucket size capped. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir)
-    val bands = (0 until 3).map { i =>
-      fp.select(col("doc_id"), col("simhash"), lit(i).as("band"),
-        shiftright(col("simhash"), i * 6).bitwiseAND(lit(63L)).as("bits"))
-    }.reduce(_ union _)
+    val bands = cappedSimhashBands(spark, dir)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
-      .where(col("hamming") <= 2)
+      .where(col("hamming") <= 3)
       .distinct()
   }
 
   private val simhashPairsSql = {
-    val bandSelects = (0 until 3)
+    val bandSelects = (0 until 4)
       .map(i => s"SELECT doc_id, simhash, $i AS band, " +
-        s"(simhash >> ${i * 6}) & 63 AS bits FROM fp")
+        s"(simhash >> ${i * 16}) & 65535 AS bits FROM fp")
       .mkString(" UNION ALL ")
     s"""WITH fp AS ($simhashSql),
-       |bands AS ($bandSelects)
+       |allbands AS ($bandSelects),
+       |hot AS (SELECT band, bits FROM allbands
+       |  GROUP BY band, bits HAVING count(*) > $maxBandBucket),
+       |bands AS (SELECT * FROM allbands ab WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h WHERE h.band = ab.band AND h.bits = ab.bits))
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
   // ---- q55: duplicate clusters (connected components) --------------------
@@ -316,6 +369,14 @@ object Dedup {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Sessions whose eviction listener is already registered: the listener
+    * must be installed once per session, not once per cache miss —
+    * `Bench`'s clearCcCache() between passes would otherwise stack a
+    * duplicate listener on the same context every pass. */
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Drop all memoized cluster maps. `Bench` calls this between passes so a
     * warm pass re-pays the clustering compute instead of reusing the first
     * pass's checkpointed result. */
@@ -325,13 +386,14 @@ object Dedup {
     ccCache.computeIfAbsent((spark, dir), { _ =>
       // Evict this session's entries when its SparkContext stops so the map
       // is bounded by live sessions and checkpointed RDDs become collectable.
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit =
-            ccCache.keySet.removeIf(_._1 eq spark)
-        })
+      if (evictionHooked.add(spark))
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit =
+              ccCache.keySet.removeIf(_._1 eq spark)
+          })
       computeDupClusters(spark, dir)
     })
 

@@ -71,4 +71,31 @@ class PropertySpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a <= cap + 16 && b <= cap + 16 },
       pairs)
   }
+
+  test("q56 SimHash bands are 4x16-bit with bounded bucket membership") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
+    val cap = graft.queries.Dedup.maxBandBucket
+    val bands = graft.queries.Dedup.cappedSimhashBands(spark, TestSpark.sf)
+    // 1. After capping, no (band, bits) bucket exceeds the membership cap —
+    //    the band self-join's pair space is bounded by cap^2/2 per bucket.
+    val stats = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("maxN")).head
+    assert(stats.getLong(0) <= cap, s"bucket of ${stats.getLong(0)} > cap $cap")
+    // 2. Band values fit 16 bits and there are 4 bands per doc: the bucket
+    //    key space is 4 * 65536, so expected occupancy at corpus size N is
+    //    N/65536 per band — not the 64-value buckets of a 16-bit print.
+    val shape = bands.agg(
+      max(col("bits")).as("maxBits"),
+      countDistinct(col("band")).as("nBands")).head
+    assert(shape.getLong(0) <= 65535L)
+    assert(shape.getLong(1) == 4L)
+    // 3. A degenerate corpus (many identical docs -> one bucket per band)
+    //    is capped out instead of going quadratic.
+    val dir = java.nio.file.Files.createTempDirectory("bandcap").toString
+    (1L to (cap + 64L)).map(i => (i, "same text in every document"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
+  }
 }
