@@ -135,6 +135,112 @@ object Similarity {
        |  FROM p) t
        |WHERE rn <= 3""".stripMargin
 
+  /** Candidate depth for the re-ranked ANN: the exact pass re-scores this
+    * many sketch-ranked candidates per query. Measured recall@3 vs the q60
+    * ground truth is 15/15 at every test scale with depth 20; 50 gives
+    * margin at negligible cost (the exact pass is 50 rows per query). */
+  val rerankDepth = 50
+
+  /** Re-ranked scalar-quantization ANN (the SQ8 + re-rank pattern): stage 1
+    * scores the WHOLE corpus with an int8-quantized dot product — at scale
+    * that's a quarter of the memory bandwidth of the float scan, and in a
+    * real deployment the quantized column is the only one the scan reads —
+    * and keeps the top [[rerankDepth]] per query; stage 2 re-ranks only
+    * those with exact cosine. Unlike bucketing ANN (q61/q62), recall does
+    * not depend on the corpus having cluster structure: the sketch score is
+    * correlated with the true score on ANY data (quantization error is
+    * bounded per component), which is why this is the variant the recall
+    * gate (q64) holds to a hard threshold. Quantization uses floor (not
+    * round) so both engines produce identical integer-valued doubles. */
+  def knnRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir).withColumn("vq",
+      expr("transform(v, x -> CAST(floor(greatest(-1.0D, least(1.0D, x)) * 127) AS DOUBLE))"))
+    val q = base.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("vq").as("qq"))
+    val wSketch = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").desc, col("neighbor_id").asc)
+    val cand = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("qn"), col("v"), col("nrm"),
+        dot_d(col("qq"), col("vq")).as("sq"))
+      .withColumn("crn", row_number().over(wSketch))
+      .where(col("crn") <= rerankDepth)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"),
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(wExact).cast("long"))
+      .where(col("rn") <= 3)
+  }
+
+  private val knnRerankSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_transform(v,
+       |      x -> CAST(floor(greatest(-1.0, least(1.0, x)) * 127) AS DOUBLE)) AS vq
+       |  FROM ($vectorsSql) t),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      q.v AS qv, q.nrm AS qn, c.v AS cv, c.nrm AS cnrm,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.vq, c.vq) DESC, c.vec_id) AS crn
+       |    FROM b q, b c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) z
+       |  WHERE crn <= $rerankDepth)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(qv, cv) / (qn * cnrm) AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(qv, cv) / (qn * cnrm) DESC, neighbor_id) AS rn
+       |  FROM cand) t2
+       |WHERE rn <= 3""".stripMargin
+
+  /** Recall@3 gate for the ANN variants against q60's exact ground truth —
+    * the q47b pattern applied to similarity search. Per query: the hit
+    * counts of the IVF (q62) and re-ranked (q63) top-3 against the exact
+    * top-3. Both counts are VALUE-pinned by the oracle (it recomputes the
+    * same deterministic pipelines, so any drift in either ANN's output
+    * hash-fails the gate), and the re-ranked variant additionally carries a
+    * hard TRUE-literal quality bar: `rerank_ok` asserts >= 2 of 3 exact
+    * neighbors found (measured: 3 of 3 at every test scale). The IVF's
+    * hits are reported but NOT thresholded — on cluster-free data a
+    * single-probe bucketing index has no recall guarantee to assert, and
+    * this gate is what makes that visible instead of unmeasured. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact3 = knnBrute(spark, dir).where(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf3 = knnIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("ivf_hit"))
+    val rr3 = knnRerank(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("rr_hit"))
+    exact3
+      .join(ivf3, Seq("query_id", "neighbor_id"), "left")
+      .join(rr3, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("ivf_hit")).as("ivf_hits"),
+        count(col("rr_hit")).as("rr_hits"))
+      .select(col("query_id"), col("n_exact"), col("ivf_hits"), col("rr_hits"),
+        (col("rr_hits") >= 2).as("rerank_ok"))
+  }
+
+  private val annRecallSql =
+    s"""WITH ex AS (
+       |  SELECT query_id, neighbor_id FROM ($knnBruteSql) WHERE rn <= 3),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($knnIvfSql)),
+       |rr AS (SELECT query_id, neighbor_id FROM ($knnRerankSql))
+       |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS ivf_hits,
+       |  CAST(count(r.neighbor_id) AS BIGINT) AS rr_hits,
+       |  TRUE AS rerank_ok
+       |FROM ex e
+       |LEFT JOIN ivf i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |LEFT JOIN rr r
+       |  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** Embedding-cosine near-dup, blocked by `label`: all pairs within a block
     * with cosine >= 0.3 -> (keep_id=min, dup_id=max). The blocked self-join
     * is the scale shape for semantic dedup: the shuffle key is the block, so
@@ -166,5 +272,7 @@ object Similarity {
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
     QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)),
+    QueryDef("q63_ann_rerank", knnRerank, Some(knnRerankSql)),
+    QueryDef("q64_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q54_dedup_cosine", dedupCosine, Some(dedupCosineSql)))
 }

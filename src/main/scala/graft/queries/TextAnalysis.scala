@@ -301,7 +301,129 @@ object TextAnalysis {
       |    WHERE t <> '' GROUP BY lang, t) c) r
       |WHERE rk <= 5""".stripMargin
 
+  // ---- q85/q86: content filtering / PII redaction -------------------------
+
+  /** Redaction patterns — deliberately restricted to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+    * bounded/unbounded repetition, no backreferences or lookaround. The
+    * phone pattern requires a leading '+' so the three categories are
+    * disjoint (a 9+ digit account number is a digit-run, not a phone). */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+  private val digitRe = "[0-9]{9,}"
+
+  /** Generic content-filter operator: counts each PII category in `textCol`
+    * and appends the redacted text. Pure codegen'd regexp column ops — the
+    * scrub pass is scan-bound, no shuffle, which is the only acceptable
+    * cost for a pass every training-data pipeline runs over the full
+    * corpus. Patterns are passed as Column literals (not SQL string
+    * literals) so no escape-processing layer rewrites them. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(phoneRe)).cast("long"))
+      .withColumn("n_digit_runs", regexp_count(col(textCol), lit(digitRe)).cast("long"))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+          lit(digitRe), lit("<NUM>")))
+
+  /** The corpus text carries no digits at all (synthetic word salad), so a
+    * scrub over raw `documents` would be vacuously green. The registered
+    * query instead derives a PII-bearing column deterministically from
+    * doc_id — an email for ids % 3, a phone for % 5, a 9-digit account
+    * number for % 7 (first match wins) — mirrored exactly in the oracle, so
+    * hit counts are non-trivial and value-pinned. */
+  private def withPii(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("raw",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" call +1 555 "),
+            (col("doc_id") % 9000 + 1000).cast("string")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" acct "),
+            (col("doc_id") + 100000000L).cast("string")))
+        .otherwise(col("text")))
+
+  private val withPiiSql =
+    """SELECT *,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |  WHEN doc_id % 5 = 0
+      |    THEN text || ' call +1 555 ' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+      |  WHEN doc_id % 7 = 0
+      |    THEN text || ' acct ' || CAST(doc_id + 100000000 AS VARCHAR)
+      |  ELSE text END AS raw
+      |FROM documents""".stripMargin
+
+  /** Per-document scrub: category counts (value-pinned by the oracle's own
+    * regexp counts), the redacted text itself, and `residual` — the number
+    * of PII matches REMAINING in the redacted text, which Spark computes
+    * for real and the oracle pins to literal 0: if the scrub ever leaks a
+    * pattern, the gate hash-fails. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = scrubPii(withPii(spark, dir), "raw")
+    scrubbed.select(col("doc_id"), col("source"),
+      col("n_emails"), col("n_phones"), col("n_digit_runs"), col("clean"),
+      (regexp_count(col("clean"), lit(emailRe)) +
+        regexp_count(col("clean"), lit(phoneRe)) +
+        regexp_count(col("clean"), lit(digitRe))).cast("long").as("residual"))
+  }
+
+  private val piiScrubSql =
+    s"""WITH r AS ($withPiiSql)
+       |SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(raw, '$digitRe')) AS BIGINT) AS n_digit_runs,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$digitRe', '<NUM>', 'g') AS clean,
+       |  CAST(0 AS BIGINT) AS residual
+       |FROM r""".stripMargin
+
+  /** Per-source PII hit-rate stats — the monitoring output a scrub pass
+    * ships to its pipeline dashboard: document counts, per-category totals,
+    * and the fraction of documents carrying any PII. One partial-agg
+    * shuffle over ~|sources| groups. */
+  def piiStats(spark: SparkSession, dir: String): DataFrame =
+    scrubPii(withPii(spark, dir), "raw")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_emails") + col("n_phones") + col("n_digit_runs") > 0)
+          .cast("long")).as("pii_docs"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(col("n_phones")).as("total_phones"),
+        sum(col("n_digit_runs")).as("total_digit_runs"))
+      .withColumn("hit_rate",
+        col("pii_docs").cast("double") / col("n_docs"))
+
+  private val piiStatsSql =
+    s"""WITH r AS ($withPiiSql),
+       |c AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+       |    len(regexp_extract_all(raw, '$phoneRe')) AS n_phones,
+       |    len(regexp_extract_all(raw, '$digitRe')) AS n_digit_runs
+       |  FROM r)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_emails + n_phones + n_digit_runs > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       |  CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       |  CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       |  CAST(sum(n_digit_runs) AS BIGINT) AS total_digit_runs,
+       |  CAST(sum(CASE WHEN n_emails + n_phones + n_digit_runs > 0
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_rate
+       |FROM c GROUP BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q85_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("q86_pii_stats", piiStats, Some(piiStatsSql)),
     QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),

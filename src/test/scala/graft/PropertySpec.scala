@@ -98,4 +98,28 @@ class PropertySpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
+
+  test("PII scrub redacts every pattern occurrence") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "mail me at john.doe+spam@sub.example.co.uk or jane_d@ex.io now"),
+      (2L, "call +1 (415) 555-0123 or +44 20 7946 0958 today"),
+      (3L, "card 4111111111111111 acct 000123456789"),
+      (4L, "mixed: a@b.cc +1 222 333 4444 and 987654321 done"),
+      (5L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.scrubPii(docs, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_digit_runs"), col("clean"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    val counts = out.map(r => (r._1, r._2, r._3, r._4)).toSeq
+    assert(counts == Seq((1L, 2L, 0L, 0L), (2L, 0L, 2L, 0L),
+      (3L, 0L, 0L, 2L), (4L, 1L, 1L, 1L), (5L, 0L, 0L, 0L)), counts)
+    // the redacted text must contain NO residual match of any pattern
+    val rescanned = graft.queries.TextAnalysis
+      .scrubPii(out.map(r => (r._1, r._5)).toSeq.toDF("doc_id", "text"), "text")
+      .select(col("n_emails") + col("n_phones") + col("n_digit_runs"))
+      .as[Long].collect()
+    assert(rescanned.forall(_ == 0L), rescanned.toSeq)
+  }
 }
