@@ -135,12 +135,23 @@ object Multimodal {
     out
   }
 
+  /** Nearest-neighbor byte downsample to exactly `targetBytes`. */
+  private def byteDownsample(src: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (src.length <= targetBytes) src
+    else Array.tabulate(targetBytes)(i =>
+      src((i.toLong * src.length / targetBytes).toInt))
+
   /** Bounded-size payload resize, batched per partition. Image payloads are
     * really resized: nearest-neighbor scale so the pixel buffer fits
     * `targetBytes` (3 bytes/pixel), re-encoded as PNG (lossless, so the
     * pixel content — what the tests golden-hash — round-trips exactly).
     * Non-image payloads are nearest-neighbor byte-downsampled to
-    * `targetBytes`; payloads already under the target pass through. */
+    * `targetBytes`; payloads already under the target pass through. The
+    * bound is HARD for every payload class: if the PNG container overhead
+    * (or a scale>=1 passthrough) still exceeds the target, the encoded
+    * bytes take the byte-downsample fallback — the output is then no
+    * longer decodable, but a size contract that silently exceeds its bound
+    * is worse than a degraded payload. */
   def resizeMedia(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { records =>
@@ -150,18 +161,18 @@ object Multimodal {
           case Some(img) =>
             val pixels = img.getWidth.toLong * img.getHeight
             val scale = math.sqrt(targetBytes.toDouble / (3.0 * pixels))
-            if (scale >= 1.0) src
-            else {
-              val w = math.max(1, (img.getWidth * scale).toInt)
-              val h = math.max(1, (img.getHeight * scale).toInt)
-              val bos = new ByteArrayOutputStream()
-              ImageIO.write(resizeImage(img, w, h), "png", bos)
-              bos.toByteArray
-            }
+            val encoded =
+              if (scale >= 1.0) src
+              else {
+                val w = math.max(1, (img.getWidth * scale).toInt)
+                val h = math.max(1, (img.getHeight * scale).toInt)
+                val bos = new ByteArrayOutputStream()
+                ImageIO.write(resizeImage(img, w, h), "png", bos)
+                bos.toByteArray
+              }
+            byteDownsample(encoded, targetBytes)
           case None =>
-            if (src.length <= targetBytes) src
-            else Array.tabulate(targetBytes)(i =>
-              src((i.toLong * src.length / targetBytes).toInt))
+            byteDownsample(src, targetBytes)
         }
         r.copy(blob = out, byte_len = out.length.toLong)
       }
@@ -200,4 +211,97 @@ object Multimodal {
   /** Feature extraction as a DataFrame (for the rows-only query check). */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF()
+
+  // ---- q84: the REAL image path, driver-gated ----------------------------
+
+  /** Number of generated PNG payloads in [[imageDecodeCheck]]. */
+  val nGenImages = 32
+
+  private val genW = 64
+  private val genH = 32
+
+  /** Deterministic 64x32 gradient PNG parameterized by `seed`:
+    * R = (x*4 + seed) % 256, G = (y*8 + seed) % 256, B = (x+y+seed) % 256.
+    * Encoded with ImageIO's PNG writer (lossless — pixels round-trip). */
+  private[graft] def gradientPng(seed: Int): Array[Byte] = {
+    val img = new BufferedImage(genW, genH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < genH) {
+      var x = 0
+      while (x < genW) {
+        img.setRGB(x, y, (((x * 4 + seed) % 256) << 16) |
+          (((y * 8 + seed) % 256) << 8) | ((x + y + seed) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Expected band-luminance features of [[gradientPng]] from the
+    * closed-form pixel definition — pure arithmetic, NO ImageIO involved,
+    * so agreement with [[extractFeatures]] proves the decode branch ran
+    * and produced exact pixel math. */
+  private[graft] def gradientExpected(seed: Int, maxFrames: Int = 8): Array[Float] = {
+    val bands = math.min(maxFrames, genH)
+    Array.tabulate(bands) { b =>
+      val y0 = b * genH / bands
+      val y1 = math.max(y0 + 1, (b + 1) * genH / bands)
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < genW) {
+          sum += 0.299f * ((x * 4 + seed) % 256) +
+            0.587f * ((y * 8 + seed) % 256) + 0.114f * ((x + y + seed) % 256)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      (sum / n).toFloat
+    }
+  }
+
+  /** Driver-gated proof that the ImageIO branch executes: generate
+    * [[nGenImages]] deterministic PNGs ON THE EXECUTORS (a `range` ->
+    * `mapPartitions`, the distributed-media-generation shape), run the real
+    * decode + feature extraction and the bounded resize over them, and emit
+    * per-row booleans the oracle pins to literal TRUE:
+    *  - `decode_exact`: extracted features equal the closed-form band
+    *    luminance of the generated gradient (computed WITHOUT ImageIO) —
+    *    fails if decode is skipped (byte path yields ~30 frames of byte
+    *    means, nothing like the pixel luminance) or pixel math drifts;
+    *  - `resize_bounded`: the resized payload honors the byte bound.
+    * The oracle needs no input table — every column is a constant of the
+    * construction — so the whole query is hash-checked, not rows-only. */
+  def imageDecodeCheck(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val media = spark.range(nGenImages.toLong)
+      .as[Long]
+      .mapPartitions(_.map { i =>
+        val png = gradientPng(i.toInt)
+        MediaRecord(i, "image/png", png, png.length.toLong)
+      })
+    val feats = extractFeatures(media, maxFrames = 8).toDF()
+    val resized = resizeMedia(media, targetBytes = 1024).toDF()
+      .select(col("doc_id"), col("byte_len").as("resized_len"))
+    val expected = (0 until nGenImages)
+      .map(i => (i.toLong, gradientExpected(i)))
+      .toDF("doc_id", "expected")
+    feats.join(expected, "doc_id").join(resized, "doc_id")
+      .select(col("doc_id"), col("n_frames"),
+        (size(col("feature")) === size(col("expected")) &&
+          expr("forall(zip_with(feature, expected, (a, b) -> abs(a - b) < 0.01), x -> x)"))
+          .as("decode_exact"),
+        (col("resized_len") <= 1024L).as("resize_bounded"))
+  }
+
+  /** Oracle for [[imageDecodeCheck]]: every column is a constant of the
+    * construction (32 ids, 8 bands, both booleans TRUE). */
+  val imageDecodeCheckSql: String =
+    s"""SELECT CAST(i AS BIGINT) AS doc_id, CAST(8 AS BIGINT) AS n_frames,
+       |  TRUE AS decode_exact, TRUE AS resize_bounded
+       |FROM range(0, $nGenImages) t(i)""".stripMargin
 }

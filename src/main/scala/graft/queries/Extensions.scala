@@ -51,6 +51,11 @@ object Extensions {
       (s, d) => Multimodal.resizeMedia(Multimodal.mediaTable(s, d), 64)
         .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("byte_len")), None),
+    // The REAL ImageIO path in the driver gate: generated deterministic PNG
+    // payloads, decode + feature-extract + bounded resize on executors, with
+    // every output column a constant of the construction -> full hash check.
+    QueryDef("q84_image_decode",
+      (s, _) => Multimodal.imageDecodeCheck(s), Some(Multimodal.imageDecodeCheckSql)),
     QueryDef("q90_stream_tumbling",
       (s, d) => EventStreams.tumblingBatch(s, d), Some(EventStreams.tumblingSql)),
     // Same aggregation executed as a REAL bounded micro-batch streaming run
