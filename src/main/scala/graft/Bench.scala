@@ -22,31 +22,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_PASSES=2 reports the warm pass (JIT/codegen amortized) —
-    // the shape a long-lived cluster sees; default 1 = cold, driver-graded.
+    // SPARK_GRAFT_PASSES>=2 adds warm passes (JIT/codegen amortized) — the
+    // shape a long-lived cluster sees; default 1 = cold, driver-graded.
+    // With multiple passes, per-query times are the MIN across passes (a
+    // one-off host-contention spike on any single pass then can't
+    // masquerade as a regression) and per-pass totals are reported
+    // alongside so cold-vs-warm remains visible.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
-    var results = Seq.empty[(String, Double)]
-    var failed = Seq.empty[String]
+    var passResults = Seq.empty[Seq[(String, Double)]]
+    var failed = Seq.empty[String] // accumulated across passes, tagged @p<N>
     for (pass <- 1 to passes) {
       // A warm pass must re-pay memoized work (the q55/q57/q99 cluster map)
       // or its timings would exclude the clustering compute entirely.
       if (pass > 1) queries.Dedup.clearCcCache()
-      failed = Seq.empty
-      results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      passResults :+= SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed :+= name
+          failed :+= (if (passes == 1) name else s"$name@p$pass")
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // min across passes, in the stable pass-1 query order
+    val results = passResults.head.map { case (name, _) =>
+      name -> passResults.map(_.toMap.apply(name)).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passTotals = passResults.map(r => f"${r.map(_._2).sum}%.3f")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"pass_totals":$passTotals,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

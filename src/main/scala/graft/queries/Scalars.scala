@@ -116,11 +116,15 @@ object Scalars {
   /** Error-bound companion to q47: the sketches are GRADED, not just
     * smoke-tested. Spark computes both the exact answers and the sketch
     * estimates, and emits booleans asserting the estimates sit inside
-    * their published bounds (HLL++ within the 5% rsd it was configured
-    * with; approx_percentile(.., 1000)'s rank guarantee keeps its p50
-    * inside the exact p45..p55 value band). The oracle recomputes the
-    * exact columns and expects literal TRUE for the bound columns — a
-    * drifting sketch flips a boolean and fails the driver's hash compare. */
+    * their published bounds (HLL++ within 3x the 5% rsd it was configured
+    * with — rsd is ONE standard deviation of the estimator, not a hard
+    * bound, so ~1/3 of dataset/group draws land outside 1 rsd and a
+    * 1-rsd gate would deterministically fail on some inputs; 3 rsd keeps
+    * false-failure odds negligible while still catching a broken sketch.
+    * approx_percentile(.., 1000)'s rank guarantee keeps its p50 inside
+    * the exact p45..p55 value band). The oracle recomputes the exact
+    * columns and expects literal TRUE for the bound columns — a drifting
+    * sketch flips a boolean and fails the driver's hash compare. */
   def sketchBounds(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     // Mixing countDistinct with object-hash agg functions (HLL, percentile)
@@ -141,7 +145,7 @@ object Scalars {
     exact.join(broadcast(sketch), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("nd_exact"),
         (abs(col("nd_approx") - col("nd_exact")).cast("double") /
-          col("nd_exact") < 0.05).as("nd_within_rsd"),
+          col("nd_exact") < 0.15).as("nd_within_rsd"),
         (col("p50_approx") >= col("p45") &&
           col("p50_approx") <= col("p55")).as("p50_in_band"))
   }

@@ -278,6 +278,23 @@ object EventStreams {
         col("a_type"), col("b_type"))
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** Sink dirs whose lazily-read DataFrames are still live — deleted by one
+    * JVM shutdown hook, so repeated runs (multi-pass bench, driver re-runs)
+    * don't accumulate temp trees. */
+  private val pendingSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val sinkCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pendingSinkDirs.iterator().forEachRemaining(deleteTree)
+    }))
+
   /** Executes the tumbling-window aggregation as a REAL bounded streaming
     * run — `readStream` over a directory, `Trigger.AvailableNow`, complete
     * mode, `foreachBatch` to parquet — then reads the final result back.
@@ -285,26 +302,32 @@ object EventStreams {
     * just the batch DAG), and on a finite input its output is exactly
     * [[tumblingBatch]], so the same DuckDB oracle checks it in the driver
     * gate. Complete mode overwrites the sink each micro-batch; the last
-    * overwrite is the full aggregate. */
+    * overwrite is the full aggregate. The input copy and checkpoint trees
+    * are deleted as soon as the query terminates; the sink dir must
+    * outlive the returned (lazy) DataFrame, so it is deleted on JVM exit. */
   def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       inDir.resolve("events.parquet"))
-    val outDir = Files.createTempDirectory("graft_stream_out").toString
-    val ck = Files.createTempDirectory("graft_stream_ck").toString
+    val outDir = Files.createTempDirectory("graft_stream_out")
+    val ck = Files.createTempDirectory("graft_stream_ck")
     val q = tumblingStream(spark, inDir.toString)
       .writeStream
       .outputMode("complete")
-      .option("checkpointLocation", ck)
+      .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
+        batch.write.mode("overwrite").parquet(outDir.toString)
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    deleteTree(inDir)
+    deleteTree(ck)
+    sinkCleanupHook
+    pendingSinkDirs.add(outDir)
+    spark.read.parquet(outDir.toString)
   }
 
   val sessionSql: String =
