@@ -64,6 +64,12 @@ object Extensions {
     // the batch DAG. Same oracle as q90 by construction.
     QueryDef("q97_stream_microbatch",
       (s, d) => EventStreams.tumblingStreamRun(s, d), Some(EventStreams.tumblingSql)),
+    // Stateful streaming dedup as a real micro-batch run (append mode —
+    // dropDuplicates state store emits each key on first arrival); the
+    // emitted key set is exactly the batch DISTINCT.
+    QueryDef("q98_stream_dedup",
+      (s, d) => EventStreams.dedupStreamRun(s, d),
+      Some("SELECT DISTINCT user_id FROM events")),
     QueryDef("q94_stream_sliding",
       (s, d) => EventStreams.slidingBatch(s, d), Some(EventStreams.slidingSql)),
     QueryDef("q95_funnel",

@@ -268,7 +268,82 @@ object Similarity {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
+  // ---- q65: distributed k-means over embeddings ---------------------------
+
+  private val kmK = 8
+  private val kmIters = 4
+
+  /** One Lloyd assignment pass with ALL centroids broadcast as a single
+    * array row: each point scores every centroid with higher-order array
+    * functions and keeps the argmin — entirely map-side, ZERO shuffle of
+    * the corpus. (The alternative — explode points×centroids and
+    * groupBy(point) — re-shuffles the full vector column every iteration;
+    * at 100 TB that shuffle IS the cost of k-means done wrong.) d2 uses
+    * ||x-c||² = x·x + c·c - 2x·c with both squared norms precomputed.
+    * Ties break on cid via the struct ordering of array_min. */
+  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cid"), col("cv"), col("csq"))).as("cs"))))
+      .withColumn("s", expr(
+        """array_min(transform(cs, c -> struct(
+          |  sq + c.csq - 2.0D * aggregate(zip_with(v, c.cv, (a, b) -> a * b),
+          |    0.0D, (acc, x) -> acc + x) AS d2,
+          |  c.cid AS cid)))""".stripMargin))
+      .select(col("vec_id"), col("v"),
+        col("s.cid").as("cid"), col("s.d2").as("d2"))
+
+  /** Centroid update: per-dimension mean via posexplode → partial-agg
+    * avg per (cid, pos) — the shuffle carries only k×d×partitions partial
+    * sums, never the corpus — then reassembled in dimension order. */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
+        .as("cv"))
+      .withColumn("csq", dot_d(col("cv"), col("cv")))
+
+  /** Distributed k-means (Lloyd's) over the embedding corpus — the
+    * clustering step of embedding-based data curation. Deterministic
+    * seeding (the first k vectors by id), [[kmIters]] fixed iterations,
+    * per-round `localCheckpoint` to truncate lineage (the q55 lesson: an
+    * iterative plan that references itself doubles per round). Centroid
+    * float values are aggregation-order-sensitive at the ULP level, so the
+    * gate follows the q47b pattern: the oracle pins the exact row count
+    * and the structural constants, and TRUE-literal booleans assert the
+    * properties Lloyd guarantees — final inertia strictly below the
+    * seed-assignment inertia, and a non-empty bounded cluster set. */
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val pts = vectors(spark, dir)
+      .withColumn("sq", dot_d(col("v"), col("v")))
+      .select(col("vec_id"), col("v"), col("sq"))
+    val cents0 = pts.where(col("vec_id") < kmK)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("v").as("cv"), col("sq").as("csq"))
+    var cents = cents0
+    for (_ <- 1 to kmIters)
+      cents = kmUpdate(kmAssign(pts, cents)).localCheckpoint()
+    val a0 = kmAssign(pts, cents0)
+    val aF = kmAssign(pts, cents)
+    val i0 = a0.agg(sum(col("d2")).as("i0"))
+    aF.agg(count(lit(1)).as("n_points"),
+        countDistinct(col("cid")).as("k_used"),
+        sum(col("d2")).as("i_final"))
+      .crossJoin(broadcast(i0))
+      .select(col("n_points"),
+        lit(kmK.toLong).as("k"), lit(kmIters.toLong).as("n_iters"),
+        (col("i_final") < col("i0")).as("inertia_improved"),
+        col("k_used").between(1, kmK).as("clusters_ok"))
+  }
+
+  private val kmeansFitSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST($kmK AS BIGINT) AS k, CAST($kmIters AS BIGINT) AS n_iters,
+       |  TRUE AS inertia_improved, TRUE AS clusters_ok
+       |FROM embeddings""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
     QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)),

@@ -421,7 +421,108 @@ object TextAnalysis {
        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hit_rate
        |FROM c GROUP BY source""".stripMargin
 
+  // ---- q87: sequence packing ----------------------------------------------
+
+  private val packBudget = 512L
+
+  /** Sequence packing — the concat-and-chunk dataloader step: documents are
+    * laid end-to-end in deterministic (lang, doc_id) order and cut into
+    * fixed `packBudget`-token training sequences. One window cumsum gives
+    * every document its global start offset; pack id / offset-in-pack /
+    * straddle flag are integer arithmetic on that offset. At 100 TB the
+    * only shuffle is the window's partition-by-lang sort — the same cost
+    * profile as q59's budget selection — and a real pipeline would swap the
+    * lang partition key for a (lang, shard) composite to bound per-window
+    * data; the per-document math is unchanged. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $packBudget").as("pack_id"),
+        (col("start_off") % packBudget).as("off_in_pack"),
+        (col("start_off") % packBudget + col("n_tokens") > packBudget)
+          .as("straddles"))
+  }
+
+  private val seqPackingSql =
+    s"""SELECT doc_id, lang, n_tokens, start_off,
+       |  start_off // $packBudget AS pack_id,
+       |  start_off % $packBudget AS off_in_pack,
+       |  start_off % $packBudget + n_tokens > $packBudget AS straddles
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS start_off
+       |  FROM (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |    FROM documents) x) t""".stripMargin
+
+  // ---- q88: repetition-based quality (Gopher-style) -----------------------
+
+  /** Repetition filters from the Gopher/C4 rule family: duplicate-token
+    * fraction, most-frequent-token fraction, most-frequent-bigram fraction,
+    * and the keep flag combining them. All computed as higher-order array
+    * functions on the tokenized document — per-doc cost is O(len·distinct),
+    * fine for documents (bounded length), and the whole pass is codegen'd
+    * with zero shuffle, which is what lets it run over the full corpus. */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      // >= 2 tokens: below that the bigram sequence is empty (and Spark's
+      // sequence(0, -1) would run DESCENDING, not empty) — single-token
+      // docs carry no repetition signal anyway.
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("dup_token_frac"),
+        (expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d))))")
+          .cast("double") / size(col("toks"))).as("top_token_frac"),
+        expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
+          .as("bigrams"))
+      .withColumn("top_bigram_frac",
+        expr("array_max(transform(array_distinct(bigrams), d -> size(filter(bigrams, x -> x = d))))")
+          .cast("double") / size(col("bigrams")))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_token_frac"), col("top_bigram_frac"),
+        (col("dup_token_frac") <= 0.6 && col("top_token_frac") <= 0.2 &&
+          col("top_bigram_frac") <= 0.1).as("keep"))
+
+  private val repetitionQualitySql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 2),
+      |m AS (
+      |  SELECT doc_id, toks,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+      |    CAST(list_max(list_transform(list_distinct(toks),
+      |      d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+      |      / len(toks) AS top_token_frac,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      |  FROM t)
+      |SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+      |  CAST(list_max(list_transform(list_distinct(bigrams),
+      |    d -> len(list_filter(bigrams, x -> x = d)))) AS DOUBLE)
+      |    / len(bigrams) AS top_bigram_frac,
+      |  dup_token_frac <= 0.6 AND top_token_frac <= 0.2
+      |    AND CAST(list_max(list_transform(list_distinct(bigrams),
+      |      d -> len(list_filter(bigrams, x -> x = d)))) AS DOUBLE)
+      |      / len(bigrams) <= 0.1 AS keep
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
+    QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
     QueryDef("q85_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q86_pii_stats", piiStats, Some(piiStatsSql)),
     QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),

@@ -295,17 +295,18 @@ object EventStreams {
       pendingSinkDirs.iterator().forEachRemaining(deleteTree)
     }))
 
-  /** Executes the tumbling-window aggregation as a REAL bounded streaming
-    * run — `readStream` over a directory, `Trigger.AvailableNow`, complete
-    * mode, `foreachBatch` to parquet — then reads the final result back.
-    * This drives `MicroBatchExecution` + the state store end-to-end (not
-    * just the batch DAG), and on a finite input its output is exactly
-    * [[tumblingBatch]], so the same DuckDB oracle checks it in the driver
-    * gate. Complete mode overwrites the sink each micro-batch; the last
-    * overwrite is the full aggregate. The input copy and checkpoint trees
-    * are deleted as soon as the query terminates; the sink dir must
-    * outlive the returned (lazy) DataFrame, so it is deleted on JVM exit. */
-  def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame = {
+  /** Executes `transform` over the events table as a REAL bounded streaming
+    * run — `readStream` over a directory copy, `Trigger.AvailableNow`,
+    * `foreachBatch` to parquet — then reads the final result back. This
+    * drives `MicroBatchExecution` + the state store end-to-end (not just
+    * the batch DAG). Complete-mode transforms overwrite the sink each
+    * micro-batch (the last overwrite is the full result); append-mode
+    * transforms accumulate each batch's emitted rows. The input copy and
+    * checkpoint trees are deleted as soon as the query terminates; the
+    * sink dir must outlive the returned (lazy) DataFrame, so it is deleted
+    * on JVM exit. */
+  private def boundedStreamRun(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, outputMode: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -313,13 +314,14 @@ object EventStreams {
       inDir.resolve("events.parquet"))
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
-    val q = tumblingStream(spark, inDir.toString)
+    val saveMode = if (outputMode == "complete") "overwrite" else "append"
+    val q = transform(readEventsStream(spark, inDir.toString))
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir.toString)
+        batch.write.mode(saveMode).parquet(outDir.toString)
       }
       .start()
     q.awaitTermination()
@@ -329,6 +331,32 @@ object EventStreams {
     pendingSinkDirs.add(outDir)
     spark.read.parquet(outDir.toString)
   }
+
+  /** The tumbling-window aggregation as a bounded micro-batch run — on a
+    * finite input its output is exactly [[tumblingBatch]], so the same
+    * DuckDB oracle checks it in the driver gate. */
+  def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedStreamRun(spark, dir,
+      _.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("v")),
+      "complete")
+
+  /** Stateful streaming deduplication as a bounded micro-batch run:
+    * `dropDuplicates` keeps one row per key in the state store and emits
+    * each key the first time it arrives (append mode). Projected to the
+    * key alone, the emitted set is the exact distinct key set — order- and
+    * partitioning-independent — so the batch `SELECT DISTINCT` is its
+    * oracle. At 100 TB the unbounded-state form here becomes
+    * `dropDuplicatesWithinWatermark`, which evicts keys older than the
+    * watermark — same plan shape, bounded state (`StreamingSpec` covers the
+    * watermarked streaming-dedup variant). */
+  def dedupStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedStreamRun(spark, dir,
+      _.select(col("user_id")).dropDuplicates("user_id"), "append")
 
   val sessionSql: String =
     """WITH marked AS (
