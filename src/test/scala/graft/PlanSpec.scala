@@ -130,6 +130,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 packing is one window pass over one shuffle") {
+    val p = plan("q87_seq_packing")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q88 repetition filter is a single shuffle-free scan pass") {
+    val p = plan("q88_rep_quality")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q65 k-means assignment never shuffles the corpus") {
+    val p = plan("q65_kmeans")
+    // centroids arrive as one broadcast array row (BNLJ against the scan);
+    // the only exchanges are the k x d centroid partial-agg and the final
+    // single-row stats — never a hashpartitioning on the corpus key
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

@@ -122,4 +122,52 @@ class PropertySpec extends AnyFunSuite {
       .as[Long].collect()
     assert(rescanned.forall(_ == 0L), rescanned.toSeq)
   }
+
+  test("q87 sequence packing: offsets are a per-lang cumsum cut at the budget") {
+    val rows = graft.queries.TextAnalysis.seqPacking(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_._2)) {
+      var cum = 0L
+      for ((docId, lang, nTok, startOff, packId, offInPack, straddles)
+           <- rs.sortBy(_._1)) {
+        assert(startOff == cum, s"$lang/$docId start offset")
+        assert(packId == startOff / 512 && offInPack == startOff % 512,
+          s"$lang/$docId pack arithmetic")
+        assert(straddles == (offInPack + nTok > 512), s"$lang/$docId straddle")
+        cum += nTok
+      }
+    }
+  }
+
+  test("q88 repetition filter drops degenerate docs, keeps diverse ones") {
+    val dir = java.nio.file.Files.createTempDirectory("repq").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // one token repeated
+      (2L, "ab cd ab cd ab cd ab cd ab cd"),           // one bigram repeated
+      (3L, "all words in this sentence are totally different tokens now ok"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.repetitionQuality(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._6)).toSeq ==
+      Seq((1L, false), (2L, false), (3L, true)), out.toSeq)
+    // metrics are consistent fractions and keep is exactly the conjunction
+    for ((_, n, dup, top, big, keep) <- out) {
+      assert(n >= 2 && dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0 && big > 0.0 && big <= 1.0)
+      assert(keep == (dup <= 0.6 && top <= 0.2 && big <= 0.1))
+    }
+  }
+
+  test("q65 k-means improves inertia and assigns every point") {
+    val rows = graft.queries.Similarity.kmeansFit(spark, TestSpark.sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = graft.Tables(spark, TestSpark.sf, "embeddings").count()
+    assert(r.getAs[Long]("n_points") == n)
+    assert(r.getAs[Boolean]("inertia_improved"))
+    assert(r.getAs[Boolean]("clusters_ok"))
+  }
 }

@@ -151,4 +151,13 @@ class StreamingSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(sTotal == bTotal && sTotal > 0)
   }
+
+  test("bounded streaming dedup run emits exactly the batch distinct key set") {
+    import spark.implicits._
+    val streamed = EventStreams.dedupStreamRun(spark, sf)
+      .as[Long].collect().toSet
+    val batch = Tables(spark, sf, "events")
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
