@@ -281,6 +281,66 @@ object Dedup {
        |WHERE d.doc_id % 100 <> 0
        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  // ---- q67: Bloom-filter decontamination ---------------------------------
+
+  /** Decontamination through a Bloom filter of the held-out shingle set —
+    * the space-bounded scale path for q77: the exact broadcast set costs
+    * 8 bytes per held-out shingle (gigabytes when the held-out corpus is
+    * large), while the Bloom filter's size depends only on |held| and the
+    * target fpp and stays in the megabytes. The trade is one-sided error:
+    * NO contaminated document ever escapes (a Bloom filter has no false
+    * negatives — `bloom_catches_all` asserts it against the exact ground
+    * truth), and a bounded handful of clean documents are over-dropped
+    * (`bloom_fp_bounded`; shingle-level fpp 1e-4 → ~1-2% doc-level with
+    * ~100-200 shingles/doc, gated at 5%). The filter build is Spark's
+    * `stat.bloomFilter` (distributed treeAggregate, driver merge of a
+    * fixed-size bitset — the legitimate driver-sized object, like a
+    * broadcast dim); the probe is a broadcast + per-row `mightContain`.
+    * Both build and probe hash with fixed-seed Murmur3 and bit-OR is
+    * order-independent, so the flagged set is deterministic. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h"))
+    val held = sh.where(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+    val train = sh.where(col("doc_id") % 100 =!= 0)
+    val exactContaminated = train.join(broadcast(held), "h")
+      .select(col("doc_id")).distinct()
+    val bf = held.stat.bloomFilter("h", math.max(held.count(), 1024L), 1e-4)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
+    val flagged = train.where(mightContain(col("h")))
+      .select(col("doc_id")).distinct()
+    val nTrain = Tables(spark, dir, "documents")
+      .where(col("doc_id") % 100 =!= 0)
+      .agg(count(lit(1)).as("n_train"))
+    val nExact = exactContaminated.agg(count(lit(1)).as("n_contaminated"))
+    val nMissed = exactContaminated
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val nFlagged = flagged.agg(count(lit(1)).as("n_flagged"))
+    nTrain.crossJoin(broadcast(nExact))
+      .crossJoin(broadcast(nMissed))
+      .crossJoin(broadcast(nFlagged))
+      .select(col("n_train"), col("n_contaminated"),
+        (col("n_missed") === 0L).as("bloom_catches_all"),
+        ((col("n_flagged") - col("n_contaminated")).cast("double") <=
+          col("n_train").cast("double") * 0.05).as("bloom_fp_bounded"))
+  }
+
+  private val bloomDecontaminateSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |held AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN held ON s.h = held.h
+       |  WHERE s.doc_id % 100 <> 0)
+       |SELECT
+       |  CAST((SELECT count(*) FROM documents WHERE doc_id % 100 <> 0)
+       |    AS BIGINT) AS n_train,
+       |  CAST((SELECT count(*) FROM contaminated) AS BIGINT) AS n_contaminated,
+       |  TRUE AS bloom_catches_all, TRUE AS bloom_fp_bounded""".stripMargin
+
   // ---- q56: SimHash near-dup pairs (banded Hamming join) -----------------
 
   /** Per-band bucket-membership cap for the SimHash band self-join: a band
@@ -507,6 +567,8 @@ object Dedup {
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
     QueryDef("q77_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q67_bloom_decontaminate", bloomDecontaminate,
+      Some(bloomDecontaminateSql)),
     QueryDef("q50_dedup_exact", exact, Some(
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
