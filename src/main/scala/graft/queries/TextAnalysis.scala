@@ -520,7 +520,83 @@ object TextAnalysis {
       |      / len(bigrams) <= 0.1 AS keep
       |FROM m""".stripMargin
 
+  // ---- q68: heavy-hitter tokens via the Misra-Gries sketch ----------------
+
+  private val hhSupport = 0.005
+
+  /** Corpus heavy hitters through Spark's `stat.freqItems` (Misra-Gries /
+    * Karp): a fixed-size sketch — at most 1/support counters per partition,
+    * merged on the driver — instead of the full token-count shuffle, the
+    * scale path for "which tokens dominate a 100 TB corpus". The sketch's
+    * guarantee is one-sided (every item above the support threshold IS in
+    * the candidate set; false positives possible), so the gate emits the
+    * EXACT heavy hitters (integer comparison cnt*200 > n — no float
+    * threshold the two engines could round differently) with `in_sketch`
+    * asserting containment and `sketch_bounded` the 1/support size bound;
+    * the oracle recomputes the exact set and pins both booleans TRUE. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val sketch = toks.stat.freqItems(Seq("t"), hhSupport)
+      .head.getSeq[String](0)
+    val totals = toks.agg(count(lit(1)).as("n"))
+    toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .where(col("cnt") * 200 > col("n")) // 0.005 = 1/200, exact in integers
+      .select(col("t"), col("cnt"),
+        col("t").isin(sketch: _*).as("in_sketch"),
+        lit(sketch.size <= math.round(1.0 / hhSupport)).as("sketch_bounded"))
+  }
+
+  private val heavyHittersSql =
+    """WITH tt AS (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |n AS (SELECT count(*) AS n FROM tt)
+      |SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+      |  TRUE AS in_sketch, TRUE AS sketch_bounded
+      |FROM tt, n GROUP BY t, n.n HAVING count(*) * 200 > n.n""".stripMargin
+
+  // ---- q89: IQR length-outlier filter -------------------------------------
+
+  /** Per-language Tukey outlier filter on document length: keep documents
+    * inside [p25 - 1.5·IQR, p75 + 1.5·IQR] — the standard "drop truncated
+    * and runaway documents" curation pass. The quartiles are computed once
+    * per language (tiny aggregate, broadcast back onto the scan), so the
+    * whole filter is one corpus pass plus a broadcast join. Quartiles of
+    * integer-valued data at binary-exact fractions (.25/.75) interpolate to
+    * exactly representable values, and both engines evaluate the identical
+    * expression tree, so the bounds (and the keep flag) hash-match. */
+  def lengthFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bounds = docs.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.25D)").as("p25"),
+      expr("percentile(n_chars, 0.75D)").as("p75"))
+    docs.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("p25") - (col("p75") - col("p25")) * 1.5).as("lo"),
+        (col("p75") + (col("p75") - col("p25")) * 1.5).as("hi"))
+      .withColumn("keep", col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+  }
+
+  private val lengthFilterSql =
+    """WITH b AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.25) AS p25,
+      |    quantile_cont(n_chars, 0.75) AS p75
+      |  FROM documents GROUP BY lang)
+      |SELECT doc_id, d.lang, n_chars,
+      |  p25 - (p75 - p25) * 1.5 AS lo,
+      |  p75 + (p75 - p25) * 1.5 AS hi,
+      |  n_chars >= p25 - (p75 - p25) * 1.5
+      |    AND n_chars <= p75 + (p75 - p25) * 1.5 AS keep
+      |FROM documents d JOIN b ON d.lang = b.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
     QueryDef("q85_pii_scrub", piiScrub, Some(piiScrubSql)),
