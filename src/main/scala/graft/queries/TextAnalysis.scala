@@ -594,7 +594,85 @@ object TextAnalysis {
       |    AND n_chars <= p75 + (p75 - p25) * 1.5 AS keep
       |FROM documents d JOIN b ON d.lang = b.lang""".stripMargin
 
+  // ---- q66: salient terms (TF-IDF, log-free) ------------------------------
+
+  /** Top-3 salient terms per document by a log-free TF-IDF score:
+    * score = tf × N / df (document frequency from a corpus-wide partial
+    * agg, broadcast back onto the per-doc term counts). The usual log()
+    * is deliberately absent — libm log is not correctly-rounded and may
+    * differ between engines at the ULP, while a single IEEE division of
+    * exact integers is bit-identical everywhere; the score is monotone in
+    * the same ordering for fixed tf. Two shuffles total: the (token)
+    * df agg and the (doc, token) tf agg — both partial-aggregated, both
+    * ∝ distinct keys, never ∝ corpus bytes. */
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val nDocs = Tables(spark, dir, "documents")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t").asc)
+    tf.join(broadcast(df), "t")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("t"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+  }
+
+  private val salientTermsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |dfreq AS (
+      |  SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM toks) y
+      |  GROUP BY t),
+      |tfreq AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t)
+      |SELECT doc_id, t, tf, df, score, rk FROM (
+      |  SELECT f.doc_id, f.t, f.tf, d.df,
+      |    CAST(f.tf * nd.n_docs AS DOUBLE) / d.df AS score,
+      |    row_number() OVER (PARTITION BY f.doc_id
+      |      ORDER BY CAST(f.tf * nd.n_docs AS DOUBLE) / d.df DESC, f.t) AS rk
+      |  FROM tfreq f JOIN dfreq d ON f.t = d.t, nd) r
+      |WHERE rk <= 3""".stripMargin
+
+  // ---- q69: deterministic stratified sample -------------------------------
+
+  /** Exactly-k-per-stratum sampling: rank documents inside each language by
+    * the deterministic doc-id hash (the same seedless recipe as q37/q58)
+    * and keep the first 25. Unlike rate sampling, the output size per
+    * stratum is fixed — the "balanced eval slice" op. One window shuffle on
+    * the stratum key; only k rows per stratum survive the rank filter. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 25)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, source, rk FROM (
+      |  SELECT doc_id, lang, source, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+      |  ) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
+    QueryDef("q69_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
