@@ -670,7 +670,111 @@ object TextAnalysis {
       |  FROM documents) t
       |WHERE rk <= 25""".stripMargin
 
+  // ---- q100: curation pipeline v2 (scrub -> filter -> dedup -> pack) ------
+
+  /** End-to-end curation of the round-3 operator family in ONE DAG — the
+    * composition proof that the pieces chain: PII scrub (q85) → quality
+    * filter (q71's rules on the scrubbed text) → per-language IQR length
+    * fences (q89) → exact dedup keep-first (q50 shape) → sequence packing
+    * (q87) → per-language corpus stats. Every step is the same
+    * deterministic arithmetic its standalone query uses, so the whole
+    * pipeline is hash-checked. Plan shape: two scans (documents + the
+    * docs_in count), one tiny fence aggregate broadcast back, one window
+    * per dedup/packing — nothing quadratic, nothing driver-side. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = scrubPii(withPii(spark, dir), "raw")
+      .select(col("doc_id"), col("lang"), col("source"), col("clean"),
+        size(split(col("clean"), " ")).cast("long").as("n_tokens"),
+        length(col("clean")).cast("long").as("n_chars"),
+        (length(regexp_replace(col("clean"), "[^a-z]", "")).cast("double") /
+          length(col("clean"))).as("alpha_ratio"))
+    val qual = metrics.where(
+      col("n_tokens").between(20, 200) && col("alpha_ratio") >= 0.7)
+    val fences = qual.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.25D)").as("p25"),
+      expr("percentile(n_chars, 0.75D)").as("p75"))
+    val fenced = qual.join(broadcast(fences), "lang")
+      .where(col("n_chars") >= col("p25") - (col("p75") - col("p25")) * 1.5 &&
+        col("n_chars") <= col("p75") + (col("p75") - col("p25")) * 1.5)
+    val kept = fenced
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(lower(trim(col("clean"))))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    val packed = kept
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      .withColumn("pack_id", expr("start_off div 512"))
+      .withColumn("straddles",
+        col("start_off") % 512 + col("n_tokens") > 512)
+    val docsIn = Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
+    packed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"),
+        sum(col("straddles").cast("long")).as("n_straddled"))
+      .join(broadcast(docsIn), "lang")
+      .select(col("lang"), col("docs_in"), col("docs_kept"),
+        col("total_tokens"), col("n_packs"), col("n_straddled"))
+  }
+
+  private val curationPipelineSql =
+    s"""WITH r AS ($withPiiSql),
+       |c AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(regexp_replace(regexp_replace(raw,
+       |      '$emailRe', '<EMAIL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g'),
+       |      '$digitRe', '<NUM>', 'g') AS clean
+       |  FROM r),
+       |m AS (
+       |  SELECT doc_id, lang, source, clean,
+       |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(clean) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(clean, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / length(clean) AS alpha_ratio
+       |  FROM c),
+       |q AS (SELECT * FROM m
+       |  WHERE n_tokens BETWEEN 20 AND 200 AND alpha_ratio >= 0.7),
+       |f AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25,
+       |    quantile_cont(n_chars, 0.75) AS p75
+       |  FROM q GROUP BY lang),
+       |fe AS (
+       |  SELECT q.* FROM q JOIN f ON q.lang = f.lang
+       |  WHERE n_chars >= p25 - (p75 - p25) * 1.5
+       |    AND n_chars <= p75 + (p75 - p25) * 1.5),
+       |k AS (SELECT * FROM (
+       |    SELECT fe.*, row_number() OVER (
+       |      PARTITION BY md5(lower(trim(clean))) ORDER BY doc_id) AS rn
+       |    FROM fe) z
+       |  WHERE rn = 1),
+       |p AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS start_off
+       |  FROM k),
+       |p2 AS (
+       |  SELECT lang, n_tokens, start_off // 512 AS pack_id,
+       |    start_off % 512 + n_tokens > 512 AS straddles
+       |  FROM p),
+       |agg AS (
+       |  SELECT lang, count(*) AS docs_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       |    CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_straddled
+       |  FROM p2 GROUP BY lang),
+       |i AS (SELECT lang, count(*) AS docs_in FROM documents GROUP BY lang)
+       |SELECT a.lang, i.docs_in, a.docs_kept, a.total_tokens, a.n_packs,
+       |  a.n_straddled
+       |FROM agg a JOIN i ON a.lang = i.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
     QueryDef("q69_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
