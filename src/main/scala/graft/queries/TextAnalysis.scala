@@ -616,7 +616,11 @@ object TextAnalysis {
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("t").asc)
-    tf.join(broadcast(df), "t")
+    // df joins by SHUFFLE on the token key, deliberately un-hinted: the
+    // document-frequency table is the full vocabulary — unbounded at corpus
+    // scale, so forcing a broadcast would be the 100 TB mistake. AQE still
+    // broadcasts it when it measures small.
+    tf.join(df, "t")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("t"), col("tf"), col("df"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
