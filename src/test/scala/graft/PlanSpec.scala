@@ -150,6 +150,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
   }
 
+  test("ranked top-k windows run with partial WindowGroupLimit (q63, q69)") {
+    // Spark's WindowGroupLimit pushes rank<=k filters below the exchange:
+    // only ~k rows per group per input partition cross the wire — what lets
+    // per-group top-k survive a 100 TB corpus.
+    assert(plan("q63_ann_rerank").contains("WindowGroupLimit"))
+    assert(plan("q69_stratified_sample").contains("WindowGroupLimit"))
+  }
+
+  test("q100 pipeline broadcasts its fence and docs-in aggregates") {
+    val p = plan("q100_curation")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p) // dedup keep-first rank
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

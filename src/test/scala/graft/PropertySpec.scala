@@ -161,6 +161,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q69 stratified sample takes exactly min(k, stratum size) per language") {
+    import org.apache.spark.sql.functions.col
+    val sample = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
+      .as[(Long, String, String, Long)].collect()
+    val strata = graft.Tables(spark, TestSpark.sf, "documents")
+      .groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val got = sample.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(got == strata.map { case (l, n) => l -> math.min(25L, n) }, got)
+    // deterministic: a second evaluation returns the identical id set
+    val again = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
+      .as[(Long, String, String, Long)].collect()
+    assert(sample.map(_._1).toSet == again.map(_._1).toSet)
+  }
+
   test("q65 k-means improves inertia and assigns every point") {
     val rows = graft.queries.Similarity.kmeansFit(spark, TestSpark.sf).collect()
     assert(rows.length == 1)
