@@ -86,7 +86,52 @@ object TimeSeries {
        |FROM types t CROSS JOIN hours
        |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = hours.h""".stripMargin
 
+  // ---- q101: statistical anomaly detection (z-score outliers) ------------
+
+  /** Per-type z-score outlier detection — the monitoring pass of an event
+    * pipeline: flag events more than 3σ from their type's mean. The
+    * moments are computed EXACTLY (decimal-cast sums of the 2-dp values
+    * and their 4-dp squares — the `graft.Exact` technique, immune to
+    * float aggregation order), then mean/variance derive from the exact
+    * sums through an identical IEEE expression tree in both engines, so
+    * the flag (and the emitted stats) hash-match. The 3σ test compares
+    * squared deviation against 9·variance — no sqrt, whose libm rounding
+    * is the one non-portable step. One partial-agg shuffle over
+    * |event_types| groups; the stats broadcast back onto the scan. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val d2 = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val mean = col("s1").cast("double") / col("n")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(d2).as("s1"), sum(d2 * d2).as("s2"))
+      .select(col("event_type"), col("n"), mean.as("mean"),
+        (col("s2").cast("double") / col("n") - mean * mean).as("variance"))
+    ev.join(broadcast(stats), "event_type")
+      .where((col("value") - col("mean")) * (col("value") - col("mean")) >
+        col("variance") * 9.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mean"), col("variance"))
+  }
+
+  private val anomaliesSql =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS s1,
+      |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / n AS mean,
+      |    CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, e.value, st.mean, st.variance
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE (e.value - st.mean) * (e.value - st.mean) > st.variance * 9.0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),
     QueryDef("q92_resample", resample, Some(resampleSql)),
     QueryDef("q93_forward_fill", forwardFill, Some(forwardFillSql)))
 }
