@@ -28,8 +28,9 @@ object Bench {
     // one-off host-contention spike on any single pass then can't
     // masquerade as a regression) and per-pass totals are reported
     // alongside so cold-vs-warm remains visible.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
-    var passResults = Seq.empty[Seq[(String, Double)]]
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt)
+    // per pass: name -> (elapsed, succeeded)
+    var passResults = Seq.empty[Seq[(String, (Double, Boolean))]]
     var failed = Seq.empty[String] // accumulated across passes, tagged @p<N>
     for (pass <- 1 to passes) {
       // A warm pass must re-pay memoized work (the q55/q57/q99 cluster map)
@@ -37,22 +38,28 @@ object Bench {
       if (pass > 1) queries.Dedup.clearCcCache()
       passResults :+= SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed :+= (if (passes == 1) name else s"$name@p$pass")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed :+= (if (passes == 1) name else s"$name@p$pass")
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    // min across passes, in the stable pass-1 query order
+    // min across SUCCESSFUL passes, in the stable pass-1 query order — a
+    // pass that threw early must not report its short elapsed as a speedup;
+    // a query that never succeeded falls back to min over all its passes.
     val results = passResults.head.map { case (name, _) =>
-      name -> passResults.map(_.toMap.apply(name)).min
+      val runs = passResults.map(_.toMap.apply(name))
+      val good = runs.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val passTotals = passResults.map(r => f"${r.map(_._2).sum}%.3f")
+    val passTotals = passResults.map(r => f"${r.map(_._2._1).sum}%.3f")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"pass_totals":$passTotals,"sf":"$sfDir"}""")

@@ -299,8 +299,13 @@ object Dedup {
     * Both build and probe hash with fixed-seed Murmur3 and bit-OR is
     * order-independent, so the flagged set is deterministic. */
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the shingle index once: it feeds five consumers (held
+    // count, bloom build, exact ground truth, bloom probe, missed/flagged
+    // counts) — without this the explode pipeline re-runs per action, the
+    // same reason cappedShingles checkpoints.
     val sh = shingles(spark, dir)
       .select(col("doc_id"), hashInt(col("s")).as("h"))
+      .localCheckpoint()
     val held = sh.where(col("doc_id") % 100 === 0)
       .select(col("h")).distinct()
     val train = sh.where(col("doc_id") % 100 =!= 0)
@@ -451,8 +456,12 @@ object Dedup {
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit =
+                : Unit = {
               ccCache.keySet.removeIf(_._1 eq spark)
+              // also drop the hook-registry entry, or the stopped session
+              // object stays strongly referenced for the JVM's lifetime
+              evictionHooked.remove(spark)
+            }
           })
       computeDupClusters(spark, dir)
     })

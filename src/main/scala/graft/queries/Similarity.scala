@@ -311,8 +311,12 @@ object Similarity {
     * float values are aggregation-order-sensitive at the ULP level, so the
     * gate follows the q47b pattern: the oracle pins the exact row count
     * and the structural constants, and TRUE-literal booleans assert the
-    * properties Lloyd guarantees — final inertia strictly below the
-    * seed-assignment inertia, and a non-empty bounded cluster set. */
+    * properties Lloyd guarantees — final inertia NO GREATER than the
+    * seed-assignment inertia (non-strict: Lloyd's guarantees non-increase,
+    * and on a degenerate input whose seeds already cover every distinct
+    * vector both inertias are exactly 0 — a strict < would deterministically
+    * fail there, the same trap as a 1-rsd sketch gate), and a non-empty
+    * bounded cluster set. */
   def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
     val pts = vectors(spark, dir)
       .withColumn("sq", dot_d(col("v"), col("v")))
@@ -332,7 +336,7 @@ object Similarity {
       .crossJoin(broadcast(i0))
       .select(col("n_points"),
         lit(kmK.toLong).as("k"), lit(kmIters.toLong).as("n_iters"),
-        (col("i_final") < col("i0")).as("inertia_improved"),
+        (col("i_final") <= col("i0")).as("inertia_improved"),
         col("k_used").between(1, kmK).as("clusters_ok"))
   }
 

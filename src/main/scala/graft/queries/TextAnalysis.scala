@@ -710,9 +710,9 @@ object TextAnalysis {
           Window.partitionBy(col("lang")).orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("n_tokens"))
-      .withColumn("pack_id", expr("start_off div 512"))
+      .withColumn("pack_id", expr(s"start_off div $packBudget"))
       .withColumn("straddles",
-        col("start_off") % 512 + col("n_tokens") > 512)
+        col("start_off") % packBudget + col("n_tokens") > packBudget)
     val docsIn = Tables(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
     packed.groupBy(col("lang"))
@@ -762,8 +762,8 @@ object TextAnalysis {
        |      - n_tokens AS BIGINT) AS start_off
        |  FROM k),
        |p2 AS (
-       |  SELECT lang, n_tokens, start_off // 512 AS pack_id,
-       |    start_off % 512 + n_tokens > 512 AS straddles
+       |  SELECT lang, n_tokens, start_off // $packBudget AS pack_id,
+       |    start_off % $packBudget + n_tokens > $packBudget AS straddles
        |  FROM p),
        |agg AS (
        |  SELECT lang, count(*) AS docs_kept,

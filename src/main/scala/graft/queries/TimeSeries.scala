@@ -96,8 +96,11 @@ object TimeSeries {
     * sums through an identical IEEE expression tree in both engines, so
     * the flag (and the emitted stats) hash-match. The 3σ test compares
     * squared deviation against 9·variance — no sqrt, whose libm rounding
-    * is the one non-portable step. One partial-agg shuffle over
-    * |event_types| groups; the stats broadcast back onto the scan. */
+    * is the one non-portable step — and requires variance > 0: s2/n - mean²
+    * of a CONSTANT group can land an ulp below zero, and without the guard
+    * every row of e.g. a heartbeat-valued event type would be "3σ out".
+    * One partial-agg shuffle over |event_types| groups; the stats
+    * broadcast back onto the scan. */
   def anomalies(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
@@ -108,8 +111,9 @@ object TimeSeries {
       .select(col("event_type"), col("n"), mean.as("mean"),
         (col("s2").cast("double") / col("n") - mean * mean).as("variance"))
     ev.join(broadcast(stats), "event_type")
-      .where((col("value") - col("mean")) * (col("value") - col("mean")) >
-        col("variance") * 9.0)
+      .where(col("variance") > 0.0 &&
+        (col("value") - col("mean")) * (col("value") - col("mean")) >
+          col("variance") * 9.0)
       .select(col("event_id"), col("event_type"), col("value"),
         col("mean"), col("variance"))
   }
@@ -128,7 +132,8 @@ object TimeSeries {
       |  FROM s)
       |SELECT e.event_id, e.event_type, e.value, st.mean, st.variance
       |FROM events e JOIN st ON e.event_type = st.event_type
-      |WHERE (e.value - st.mean) * (e.value - st.mean) > st.variance * 9.0""".stripMargin
+      |WHERE st.variance > 0.0
+      |  AND (e.value - st.mean) * (e.value - st.mean) > st.variance * 9.0""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),

@@ -38,24 +38,24 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Streaming tumbling 1-hour aggregation with a 2-hour watermark. */
-  def tumblingStream(spark: SparkSession, dir: String): DataFrame =
-    readEventsStream(spark, dir)
-      .withWatermark("ts", "2 hours")
+  /** The tumbling 1-hour aggregation — ONE definition shared by the
+    * streaming form, the batch twin, and the bounded micro-batch run, so
+    * the "same oracle by construction" claim cannot desynchronize. */
+  private def tumblingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("v"))
 
+  /** Streaming tumbling 1-hour aggregation with a 2-hour watermark. */
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame =
+    tumblingAgg(readEventsStream(spark, dir).withWatermark("ts", "2 hours"))
+
   /** Batch equivalent of [[tumblingStream]] (identical agg semantics). */
   def tumblingBatch(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("v"))
+    tumblingAgg(Tables(spark, dir, "events"))
 
   val tumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -337,13 +337,7 @@ object EventStreams {
     * DuckDB oracle checks it in the driver gate. */
   def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame =
     boundedStreamRun(spark, dir,
-      _.withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-          col("n"), col("v")),
-      "complete")
+      s => tumblingAgg(s.withWatermark("ts", "2 hours")), "complete")
 
   /** Stateful streaming deduplication as a bounded micro-batch run:
     * `dropDuplicates` keeps one row per key in the state store and emits
