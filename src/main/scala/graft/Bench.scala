@@ -56,13 +56,28 @@ object Bench {
       val good = runs.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of output and parses the
+    // JSON line out of that tail; with ~100 queries the full-name map blows
+    // that budget and the line arrives truncated (unparseable). stdout gets
+    // short keys (the unique qNN prefix before the first underscore) to stay
+    // well under the window; the full-name map goes to bench_full.json.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fsShort = (if (failed.size > 10) failed.take(10) :+ s"+${failed.size - 10}_more" else failed)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val passTotals = passResults.map(r => f"${r.map(_._2._1).sum}%.3f")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"pass_totals":$passTotals,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
