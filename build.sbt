@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNTOUCHED instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which breaks
+// any line-anchored parse of Bench's single JSON result line (the driver
+// tails stdout and parses that line out).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

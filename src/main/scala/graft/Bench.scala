@@ -63,6 +63,12 @@ object Bench {
     // that budget and the line arrives truncated (unparseable). stdout gets
     // short keys (the unique qNN prefix before the first underscore) to stay
     // well under the window; the full-name map goes to bench_full.json.
+    // qNN prefixes must stay unique or two queries would silently share a
+    // JSON key on the stdout line (one timing dropped, no error anywhere).
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate short query keys: " +
+        shortKeys.diff(shortKeys.distinct).distinct.mkString(", "))
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
@@ -74,9 +80,15 @@ object Bench {
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }
+    // Full-fidelity copy with long query names; SPARK_GRAFT_OUT_DIR anchors
+    // it (default: cwd) so running from another directory doesn't scatter it.
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), "bench_full.json")
+    try {
+      java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full results: ${fullPath.toAbsolutePath}")
+    }
+    catch { case e: Throwable => System.err.println(s"[bench] ${fullPath.toAbsolutePath} write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

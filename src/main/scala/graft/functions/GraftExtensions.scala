@@ -19,9 +19,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "dot_d takes exactly 2 arguments")
-        DotProduct(children.head, children(1))
-      }))
+      GraftExtensions.dotDBuilder))
   }
+}
+
+object GraftExtensions {
+
+  private val dotDBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "dot_d takes exactly 2 arguments")
+    DotProduct(children.head, children(1))
+  }
+
+  /** Registers `dot_d` directly in `spark`'s FunctionRegistry so `expr(...)`
+    * and SQL text resolve it in sessions built WITHOUT
+    * `spark.sql.extensions=GraftExtensions` — e.g. the driver's own session.
+    * Needed wherever dot_d must appear INSIDE a lambda (higher-order
+    * function) — the Column-level [[graft.functions.dot_d]] can't reach
+    * lambda variables, only expr() text can. Idempotent (re-registering
+    * replaces with the same builder). */
+  def registerDotD(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
+      dotDBuilder)
 }

@@ -151,30 +151,41 @@ object Multimodal {
     * (or a scale>=1 passthrough) still exceeds the target, the encoded
     * bytes take the byte-downsample fallback — the output is then no
     * longer decodable, but a size contract that silently exceeds its bound
-    * is worse than a degraded payload. */
+    * is worse than a degraded payload. Degradation is never MASKED,
+    * though: an image payload that was re-encoded carries `image/png`,
+    * and one whose encoded bytes had to be truncated (no longer a
+    * decodable image) is rewritten to `application/octet-stream` — a
+    * record whose `media_type` still promised an image while its blob is
+    * a byte-sliced PNG would poison every downstream decode
+    * (`MultimodalSpec` asserts the rewrite). */
   def resizeMedia(ds: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { records =>
       records.map { r =>
         val src = r.blob
-        val out = decodeImage(src) match {
+        decodeImage(src) match {
           case Some(img) =>
             val pixels = img.getWidth.toLong * img.getHeight
             val scale = math.sqrt(targetBytes.toDouble / (3.0 * pixels))
-            val encoded =
-              if (scale >= 1.0) src
+            val (encoded, encType) =
+              if (scale >= 1.0) (src, r.media_type)
               else {
                 val w = math.max(1, (img.getWidth * scale).toInt)
                 val h = math.max(1, (img.getHeight * scale).toInt)
                 val bos = new ByteArrayOutputStream()
                 ImageIO.write(resizeImage(img, w, h), "png", bos)
-                bos.toByteArray
+                (bos.toByteArray, "image/png")
               }
-            byteDownsample(encoded, targetBytes)
+            val out = byteDownsample(encoded, targetBytes)
+            val outType =
+              if (out.length < encoded.length) "application/octet-stream"
+              else encType
+            r.copy(media_type = outType, blob = out,
+              byte_len = out.length.toLong)
           case None =>
-            byteDownsample(src, targetBytes)
+            val out = byteDownsample(src, targetBytes)
+            r.copy(blob = out, byte_len = out.length.toLong)
         }
-        r.copy(blob = out, byte_len = out.length.toLong)
       }
     }
   }

@@ -297,7 +297,20 @@ object Dedup {
     * fixed-size bitset — the legitimate driver-sized object, like a
     * broadcast dim); the probe is a broadcast + per-row `mightContain`.
     * Both build and probe hash with fixed-seed Murmur3 and bit-OR is
-    * order-independent, so the flagged set is deterministic. */
+    * order-independent, so the flagged set is deterministic.
+    *
+    * SCALE-VALIDATED gates: `bloom_catches_all` / `bloom_fp_bounded` are
+    * pinned TRUE by the oracle. `bloom_catches_all` is a THEOREM (no false
+    * negatives) — holds at any sf. `bloom_fp_bounded` is empirical:
+    * measured over-drop is ~1-2% of train docs at sf0.001/sf0.01/sf0.1
+    * against the 5% bound, and the filter is sized from the ACTUAL held
+    * count at the queried sf, so the shingle-level fpp (1e-4) — and hence
+    * the doc-level over-drop rate — does not grow with scale. Re-measure
+    * rule: when a new sf is added, run q67 there once and confirm
+    * (n_flagged − n_contaminated)/n_train stays well under 0.05 before
+    * trusting the gate; if a corpus with far longer documents (more
+    * shingles/doc multiplies doc-level fpp) ever breaks it, tighten the
+    * build fpp, not the gate. */
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     // Materialize the shingle index once: it feeds five consumers (held
     // count, bloom build, exact ground truth, bloom probe, missed/flagged

@@ -92,28 +92,49 @@ object TimeSeries {
     * pipeline: flag events more than 3σ from their type's mean. The
     * moments are computed EXACTLY (decimal-cast sums of the 2-dp values
     * and their 4-dp squares — the `graft.Exact` technique, immune to
-    * float aggregation order), then mean/variance derive from the exact
-    * sums through an identical IEEE expression tree in both engines, so
-    * the flag (and the emitted stats) hash-match. The 3σ test compares
-    * squared deviation against 9·variance — no sqrt, whose libm rounding
-    * is the one non-portable step — and requires variance > 0: s2/n - mean²
-    * of a CONSTANT group can land an ulp below zero, and without the guard
-    * every row of e.g. a heartbeat-valued event type would be "3σ out".
-    * One partial-agg shuffle over |event_types| groups; the stats
-    * broadcast back onto the scan. */
+    * float aggregation order), and the 3σ TEST itself is exact integer
+    * arithmetic: with xi = 100·value and integer moments s1 = Σxi,
+    * s2 = Σxi², the predicate (n·xi − s1)² > 9·(n·s2 − s1²) is
+    * (value−mean)² > 9·variance with both sides scaled by (100n)² — no
+    * sqrt (libm, non-portable) and no division to double anywhere in the
+    * flag, so the flagged row set is engine-exact at ANY sum magnitude.
+    * The variance>0 guard is the exact n·s2 − s1² > 0 (a constant group is
+    * exactly 0, never an ulp below). The emitted mean/variance are doubles
+    * derived from the exact sums through an identical IEEE expression tree
+    * in both engines. One partial-agg shuffle over |event_types| groups;
+    * the stats broadcast back onto the scan. */
   def anomalies(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     val d2 = col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    // xi = value scaled to an exact integer (2-dp * 100). The 3σ PREDICATE
+    // runs entirely on integer moments of xi — (n·xi − s1)² > 9·(n·s2 − s1²)
+    // is the σ test with both sides multiplied by n² (and by 100² via the
+    // scaling), so no division-to-double happens before the comparison and
+    // the flagged row set cannot diverge cross-engine even when the scaled
+    // sums grow beyond double's 2^53 integer window. Spark side: products
+    // via DECIMAL(19,0)/(38,0) (exact up to 10^38); DuckDB side: HUGEINT
+    // (exact int128) — magnitudes stay ~10^22 at any realistic per-type
+    // count, far inside both. The emitted mean/variance stay derived from
+    // the decimal sums through the identical single-IEEE-op expression tree
+    // in both engines, as before.
+    val xi = (d2 * 100).cast("long")
     val mean = col("s1").cast("double") / col("n")
     val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(d2).as("s1"), sum(d2 * d2).as("s2"))
+      .agg(count(lit(1)).as("n"), sum(d2).as("s1"), sum(d2 * d2).as("s2"),
+        sum(xi).as("s1i"), sum(xi * xi).as("s2i"))
       .select(col("event_type"), col("n"), mean.as("mean"),
-        (col("s2").cast("double") / col("n") - mean * mean).as("variance"))
-    ev.join(broadcast(stats), "event_type")
-      .where(col("variance") > 0.0 &&
-        (col("value") - col("mean")) * (col("value") - col("mean")) >
-          col("variance") * 9.0)
+        (col("s2").cast("double") / col("n") - mean * mean).as("variance"),
+        col("s1i"), col("s2i"))
+    val nD = col("n").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val dev = nD * col("xi").cast(org.apache.spark.sql.types.DecimalType(19, 0)) -
+      col("s1i").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val varN2 = nD * col("s2i").cast(org.apache.spark.sql.types.DecimalType(19, 0)) -
+      col("s1i").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+        col("s1i").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    ev.withColumn("xi", xi)
+      .join(broadcast(stats), "event_type")
+      .where(varN2 > 0 && dev * dev > varN2 * 9)
       .select(col("event_id"), col("event_type"), col("value"),
         col("mean"), col("variance"))
   }
@@ -122,18 +143,26 @@ object TimeSeries {
     """WITH s AS (
       |  SELECT event_type, count(*) AS n,
       |    sum(CAST(value AS DECIMAL(12,2))) AS s1,
-      |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+      |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s1i,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s2i
       |  FROM events GROUP BY event_type),
       |st AS (
       |  SELECT event_type, n,
       |    CAST(s1 AS DOUBLE) / n AS mean,
       |    CAST(s2 AS DOUBLE) / n
-      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS variance,
+      |    s1i, s2i
       |  FROM s)
-      |SELECT e.event_id, e.event_type, e.value, st.mean, st.variance
-      |FROM events e JOIN st ON e.event_type = st.event_type
-      |WHERE st.variance > 0.0
-      |  AND (e.value - st.mean) * (e.value - st.mean) > st.variance * 9.0""".stripMargin
+      |SELECT event_id, event_type, value, mean, variance FROM (
+      |  SELECT e.event_id, e.event_type, e.value, st.mean, st.variance,
+      |    CAST(st.n AS HUGEINT) * CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      - CAST(st.s1i AS HUGEINT) AS dev,
+      |    CAST(st.n AS HUGEINT) * CAST(st.s2i AS HUGEINT)
+      |      - CAST(st.s1i AS HUGEINT) * CAST(st.s1i AS HUGEINT) AS varn2
+      |  FROM events e JOIN st ON e.event_type = st.event_type) t
+      |WHERE varn2 > 0 AND dev * dev > varn2 * 9""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),

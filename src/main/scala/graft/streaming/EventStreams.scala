@@ -301,10 +301,29 @@ object EventStreams {
     * drives `MicroBatchExecution` + the state store end-to-end (not just
     * the batch DAG). Complete-mode transforms overwrite the sink each
     * micro-batch (the last overwrite is the full result); append-mode
-    * transforms accumulate each batch's emitted rows. The input copy and
-    * checkpoint trees are deleted as soon as the query terminates; the
-    * sink dir must outlive the returned (lazy) DataFrame, so it is deleted
-    * on JVM exit. */
+    * transforms write each batch to its own `batch_<id>` subdirectory in
+    * OVERWRITE mode — `foreachBatch` is at-least-once (a batch that fails
+    * after a partial write is retried under the SAME batchId), so a plain
+    * append would duplicate the retried batch's rows, while the
+    * batchId-keyed overwrite replaces them: the sink is idempotent under
+    * retry (`StreamingSpec` exercises a re-delivered batch). The input
+    * copy and checkpoint trees are deleted as soon as the query
+    * terminates; the sink dir must outlive the returned (lazy) DataFrame,
+    * so it is deleted on JVM exit. */
+  /** The `foreachBatch` writer of [[boundedStreamRun]], idempotent under
+    * batch retry by construction: complete mode overwrites the whole sink
+    * (re-delivery re-overwrites), append mode overwrites a `batch_<id>`
+    * subdirectory keyed by the batchId (re-delivery of the same batch
+    * replaces its own subdir; it can never append a second copy).
+    * Exposed for the `StreamingSpec` retry test. */
+  private[graft] def batchSink(outDir: java.nio.file.Path, complete: Boolean)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val target =
+      if (complete) outDir.toString
+      else outDir.resolve(s"batch_$batchId").toString
+    batch.write.mode("overwrite").parquet(target)
+  }
+
   private def boundedStreamRun(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, outputMode: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -314,22 +333,22 @@ object EventStreams {
       inDir.resolve("events.parquet"))
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
-    val saveMode = if (outputMode == "complete") "overwrite" else "append"
+    val complete = outputMode == "complete"
+    val sink = batchSink(outDir, complete)
     val q = transform(readEventsStream(spark, inDir.toString))
       .writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(saveMode).parquet(outDir.toString)
-      }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
       .start()
     q.awaitTermination()
     deleteTree(inDir)
     deleteTree(ck)
     sinkCleanupHook
     pendingSinkDirs.add(outDir)
-    spark.read.parquet(outDir.toString)
+    spark.read.parquet(
+      if (complete) outDir.toString else s"$outDir/batch_*")
   }
 
   /** The tumbling-window aggregation as a bounded micro-batch run — on a

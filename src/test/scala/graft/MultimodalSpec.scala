@@ -143,6 +143,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(resized.blob, again.blob))
   }
 
+  test("resize flags truncated image payloads instead of masking them") {
+    val img = gradientImage()
+    // A target below any decodable PNG's container overhead forces the
+    // byte-truncation fallback: the bound holds AND the record says so.
+    val truncated = Multimodal.resizeMedia(
+        mediaDs(Seq(1L -> encode(img, "png"))), targetBytes = 64)
+      .collect().head
+    assert(truncated.blob.length <= 64)
+    assert(truncated.media_type == "application/octet-stream")
+    // A comfortable target yields a decodable PNG and declares it.
+    val ok = Multimodal.resizeMedia(
+        mediaDs(Seq(1L -> encode(img, "png"))), targetBytes = 1024)
+      .collect().head
+    assert(ok.media_type == "image/png")
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ok.blob)) != null)
+    // Non-image payloads keep their declared type: they were never
+    // decodable, so truncation does not change what the type promises.
+    val bytes = Multimodal.resizeMedia(
+        mediaDs(Seq(2L -> Array.fill[Byte](200)(3))), targetBytes = 64)
+      .collect().head
+    assert(bytes.blob.length <= 64 && bytes.media_type == "image")
+  }
+
   test("feature extraction preserves rows and bounds frame count") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaTable(spark, sf), stride = 16, maxFrames = 8)

@@ -150,6 +150,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
   }
 
+  test("q65 assignment scores with native dot_d, not per-row zip_with") {
+    val p = plan("q65_kmeans")
+    // The inner product inside the transform() lambda must be the codegen'd
+    // DotProduct expression (registered into the FunctionRegistry at build
+    // time, so this holds in extension-less sessions too) — the
+    // aggregate(zip_with(...)) form allocates an intermediate array per
+    // point×centroid in the hottest loop of the fit.
+    assert(p.contains("dot_d"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("q61 candidate generation joins on capped band buckets, then keys") {
+    val p = plan("q61_neardup_lsh")
+    // hot-bucket removal is a broadcast anti join on the slim band index;
+    // the exact-cosine verify pulls vectors by key — equi-joins throughout
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ranked top-k windows run with partial WindowGroupLimit (q63, q69)") {
     // Spark's WindowGroupLimit pushes rank<=k filters below the exchange:
     // only ~k rows per group per input partition cross the wire — what lets

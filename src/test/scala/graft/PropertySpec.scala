@@ -99,6 +99,46 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
 
+  test("q61 sign-LSH bands are 4x16-bit with bounded bucket membership") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
+    val cap = graft.queries.Similarity.maxSignBucket
+    val bands = graft.queries.Similarity.cappedSignBands(spark, TestSpark.sf)
+    // 1. After capping, no (band, bits) bucket exceeds the membership cap —
+    //    the candidate self-join's pair space is bounded by cap^2/2 per
+    //    bucket (the r2/q56 scale defect cannot recur here).
+    val stats = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("maxN")).head
+    assert(stats.getLong(0) <= cap, s"bucket of ${stats.getLong(0)} > cap $cap")
+    // 2. Band values fit 16 bits and there are 4 bands per vector: 2^16
+    //    bucket values per band, expected occupancy N/65536 — not the 256
+    //    uncapped buckets of the old 8-bit signature.
+    val shape = bands.agg(
+      max(col("bits")).as("maxBits"),
+      countDistinct(col("band")).as("nBands")).head
+    assert(shape.getLong(0) <= 65535L)
+    assert(shape.getLong(1) == 4L)
+    // 3. A degenerate corpus (many identical vectors -> one bucket per band)
+    //    is capped out instead of going quadratic.
+    val dir = java.nio.file.Files.createTempDirectory("signcap").toString
+    (1L to (cap + 64L)).map(i => (i, Array.fill(64)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.queries.Similarity.nearDupLsh(spark, dir).count() == 0L)
+    // 4. Pigeonhole guarantee: a pair differing in <= 3 of the 64 sign bits
+    //    keeps at least one band intact and IS surfaced (uncapped buckets).
+    val dir2 = java.nio.file.Files.createTempDirectory("signpair").toString
+    val base = Array.fill(64)(1.0f)
+    val flipped = base.clone(); flipped(0) = -1.0f; flipped(1) = -1.0f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    Seq((1L, base, 0), (2L, flipped, 0), (3L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val pairs = graft.queries.Similarity.nearDupLsh(spark, dir2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), pairs)
+  }
+
   test("PII scrub redacts every pattern occurrence") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

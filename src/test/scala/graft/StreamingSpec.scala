@@ -152,6 +152,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(sTotal == bTotal && sTotal > 0)
   }
 
+  test("append-mode micro-batch sink is idempotent under batch retry") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a batch that fails mid-write is
+    // re-delivered under the SAME batchId. The sink writes batch_<id>
+    // subdirs in overwrite mode, so the retry replaces its own output
+    // instead of appending a second copy.
+    val out = java.nio.file.Files.createTempDirectory("graft_retry")
+    val sink = EventStreams.batchSink(out, complete = false)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    sink(b0, 0L)
+    sink(b0, 0L) // re-delivery of batch 0
+    sink(Seq((3L, "c")).toDF("k", "v"), 1L)
+    val got = spark.read.parquet(s"$out/batch_*").collect()
+    assert(got.length == 3, got.toSeq) // retry contributed no duplicates
+  }
+
   test("bounded streaming dedup run emits exactly the batch distinct key set") {
     import spark.implicits._
     val streamed = EventStreams.dedupStreamRun(spark, sf)
