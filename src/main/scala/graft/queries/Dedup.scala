@@ -142,7 +142,10 @@ object Dedup {
     * rows per doc into the LSH bucket join, which at 100 TB is the
     * difference between shuffling the corpus and shuffling a fingerprint
     * table. Oracle SQL is unchanged — the signature values are identical. */
-  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 16-slot MinHash signature (m0..m15), computed shuffle-free
+    * from the doc's own shingle array — shared by q52 and its q52b
+    * accuracy companion. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     val hs = expr(
       "transform(" +
         "transform(sequence(0, size(w) - 3), " +
@@ -156,12 +159,16 @@ object Dedup {
     // already has thousands of splits and this repartition is a no-op-sized
     // round-robin of raw docs (still far cheaper than the old exploded
     // doc×shingle shuffle).
-    val sig = Tables(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("hs", hs)
       .select(col("doc_id") +: sigCols: _*)
+  }
+
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
     val bandHashes = (0 until 4).map { b =>
       md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))
     }
@@ -191,6 +198,91 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  // ---- q52b: MinHash estimate accuracy ------------------------------------
+
+  /** q52b: per q52 candidate pair, the MinHash Jaccard ESTIMATE (fraction
+    * of the 16 signature slots that agree — the statistic LSH actually
+    * thresholds) next to the exact n-gram Jaccard — the q47b/q61b/q64
+    * accuracy-companion pattern applied to MinHash: both columns are
+    * value-pinned by the oracle (identical deterministic pipelines in both
+    * engines), so any drift in the signature math or the banding
+    * hash-fails, and the sketch's real error on this corpus is a visible
+    * number instead of folklore. Both fractions are single IEEE divisions
+    * of exact integers (n_match/16 is even dyadic — exact); the exact side
+    * joins full shingle sets ONLY for the banded candidate pairs, so the
+    * pair-bounded cost shape survives scale. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidates(spark, dir)
+    val sig = minhashSig(spark, dir)
+    val s1 = sig.select(col("doc_id").as("d1") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val s2 = sig.select(col("doc_id").as("d2") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"), nMatch.as("n_match"))
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val com = cand
+      .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
+      .join(sh.select(col("doc_id").as("dd2"), col("h").as("h2")),
+        col("d2") === col("dd2") && col("h") === col("h2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    val cc = coalesce(col("c"), lit(0L))
+    est
+      .join(com, Seq("d1", "d2"), "left")
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("n_match"),
+        (col("n_match").cast("double") / 16).as("jac_est"),
+        (cc.cast("double") / (col("n1") + col("n2") - cc)).as("jac_exact"))
+  }
+
+  private val minhashAccuracySql = {
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(j => s"m${4 * b + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('_', $cols)) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN s1.m$i = s2.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh0 AS ($shinglesSql),
+       |hx AS (SELECT doc_id, ${hashIntSql("s")} AS x FROM sh0),
+       |sig AS (SELECT doc_id, $sigExprs FROM hx GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |dx AS (SELECT DISTINCT doc_id, x FROM hx),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dx GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.d1, c.d2, count(*) AS cc
+       |  FROM cand c
+       |  JOIN dx a ON a.doc_id = c.d1
+       |  JOIN dx b ON b.doc_id = c.d2 AND b.x = a.x
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT c.d1, c.d2, $matchSum AS n_match
+       |  FROM cand c
+       |  JOIN sig s1 ON s1.doc_id = c.d1
+       |  JOIN sig s2 ON s2.doc_id = c.d2)
+       |SELECT e.d1, e.d2, CAST(e.n_match AS BIGINT) AS n_match,
+       |  CAST(e.n_match AS DOUBLE) / 16 AS jac_est,
+       |  CAST(COALESCE(com.cc, 0) AS DOUBLE)
+       |    / (x.n + y.n - COALESCE(com.cc, 0)) AS jac_exact
+       |FROM est e
+       |LEFT JOIN com ON com.d1 = e.d1 AND com.d2 = e.d2
+       |JOIN sz x ON x.doc_id = e.d1
+       |JOIN sz y ON y.doc_id = e.d2""".stripMargin
   }
 
   // ---- q53: SimHash fingerprints -----------------------------------------
@@ -269,6 +361,45 @@ object Dedup {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
   }
+
+  // ---- q102: graded contamination scoring --------------------------------
+
+  /** Graded decontamination: per training document, the FRACTION of its
+    * distinct shingles that appear anywhere in the held-out set — the
+    * overlap metric real pipelines threshold (a doc quoting one common
+    * phrase is not the same as a verbatim benchmark copy; q77's binary
+    * any-overlap drop is the conservative special case). Same cost shape
+    * as q77: held-out shingle hashes broadcast, one corpus scan, then a
+    * per-doc partial-agg count — the fraction is a single IEEE division of
+    * two exact integers and the `contaminated` flag (> 5% overlap) is the
+    * integer comparison n_overlap·20 > n_shingles, so both are
+    * engine-exact. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h"))
+    val heldOut = sh.where(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    sh.where(col("doc_id") % 100 =!= 0)
+      .join(broadcast(heldOut), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"),
+        (col("n_overlap") * 20L > col("n_shingles")).as("contaminated"))
+  }
+
+  private val contaminationScoreSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |held AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(held.h) AS BIGINT) AS n_overlap,
+       |  CAST(count(held.h) AS DOUBLE) / count(*) AS overlap_frac,
+       |  count(held.h) * 20 > count(*) AS contaminated
+       |FROM sh s LEFT JOIN held ON s.h = held.h
+       |WHERE s.doc_id % 100 <> 0
+       |GROUP BY s.doc_id""".stripMargin
 
   private val decontaminateSql =
     s"""WITH sh AS (
@@ -589,6 +720,8 @@ object Dedup {
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
     QueryDef("q77_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q102_contamination", contaminationScore,
+      Some(contaminationScoreSql)),
     QueryDef("q67_bloom_decontaminate", bloomDecontaminate,
       Some(bloomDecontaminateSql)),
     QueryDef("q50_dedup_exact", exact, Some(
@@ -597,5 +730,6 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin)),
     QueryDef("q51_dedup_jaccard", jaccardPairs, Some(jaccardSql)),
     QueryDef("q52_dedup_minhash", minhashCandidates, Some(minhashSql)),
+    QueryDef("q52b_minhash_acc", minhashAccuracy, Some(minhashAccuracySql)),
     QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)))
 }
