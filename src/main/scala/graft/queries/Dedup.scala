@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` — the core of an LLM training-data
@@ -715,6 +716,175 @@ object Dedup {
        |FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
        |GROUP BY 1""".stripMargin
 
+  // ---- q103: duplicate-span detection ------------------------------------
+
+  /** Positional 3-word shingles: one row per (doc, position), NOT distinct —
+    * q103 needs every occurrence with its offset to locate duplicated runs.
+    * Same hash as [[shingles]] so both engines agree bit-for-bit. */
+  private def posShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+      .select(col("doc_id"), col("pos"), hashInt(col("col")).as("h"))
+
+  /** DuckDB equivalent of [[posShingles]] (struct unnest carries the
+    * 0-based position alongside the shingle hash). */
+  private val posShinglesSql =
+    s"""SELECT doc_id, u.p AS pos, u.h AS h FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |    i -> {'p': i - 1,
+       |          'h': ${hashIntSql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}})) AS u
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  /** A duplicated span of >= [[minDupRun]] consecutive shingle positions
+    * (i.e. minDupRun + 2 consecutive tokens) flags the document for
+    * span-level dedup. */
+  val minDupRun = 8
+
+  /** q103: exact duplicate-SPAN detection — the substring-level view of
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): a document is problematic not only when it is a whole-text
+    * near-copy (q51-q56) but when any long run of its tokens appears
+    * verbatim elsewhere in the corpus (license boilerplate, quoted articles,
+    * templated spans). Per document: total shingle positions, how many sit
+    * on a shingle shared with ANOTHER doc, the longest CONSECUTIVE such run
+    * (gaps-and-islands: pos - row_number over duplicated positions is
+    * constant within a run), and a flag when that run reaches [[minDupRun]].
+    *
+    * Scale shape: the duplicated-shingle set is derived from distinct
+    * (doc, hash) pairs — one hash-key agg; membership is a shuffle join on
+    * the 8-byte hash (NOT broadcast: at corpus scale the shared-shingle set
+    * is itself huge); the run analysis is one window per doc partition.
+    * Nothing is quadratic — no doc-pair space is ever materialized, which
+    * is exactly why span-level dedup scales where pairwise methods need
+    * sketches. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    // Consumed twice (shared-set build + position marking) — materialize,
+    // like cappedShingles: on a cluster this is the persisted position index.
+    val ps = posShingles(spark, dir).localCheckpoint()
+    val shared = ps.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    val marked = ps.join(shared, Seq("h"), "left")
+    val totals = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("dup")).as("n_dup"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = marked.where(col("dup") === 1)
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+    totals.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_pos")).as("dup_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        (coalesce(col("max_run"), lit(0L)) >= minDupRun).as("flagged"))
+  }
+
+  private val dupSpansSql =
+    s"""WITH ps AS ($posShinglesSql),
+       |shared AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ps)
+       |  GROUP BY h HAVING count(*) >= 2),
+       |marked AS (
+       |  SELECT ps.doc_id, ps.pos, s.h IS NOT NULL AS dup
+       |  FROM ps LEFT JOIN shared s ON ps.h = s.h),
+       |totals AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |    CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup
+       |  FROM marked GROUP BY doc_id),
+       |runs AS (
+       |  SELECT doc_id, max(run) AS max_run FROM (
+       |    SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run FROM (
+       |      SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS island
+       |      FROM marked WHERE dup)
+       |    GROUP BY doc_id, island)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_pos, t.n_dup,
+       |  CAST(t.n_dup AS DOUBLE) / t.n_pos AS dup_frac,
+       |  coalesce(r.max_run, 0) AS max_run,
+       |  coalesce(r.max_run, 0) >= $minDupRun AS flagged
+       |FROM totals t LEFT JOIN runs r ON t.doc_id = r.doc_id""".stripMargin
+
+  // ---- q104: shingle novelty / boilerplate scoring ------------------------
+
+  /** q104: per-document NOVELTY — the fraction of its distinct shingles
+    * seen nowhere else in the corpus (document frequency 1). Low novelty
+    * means the doc is assembled almost entirely from corpus-common text
+    * (boilerplate, templates) even when no single span is long enough for
+    * q103 — the standard companion signal in curation stacks. Flag when
+    * fewer than 20% of shingles are novel (exact integer test 5·novel < n).
+    *
+    * Cost: the distinct (doc, hash) index, one df agg on the hash, one
+    * shuffle join back on the hash, one per-doc agg — all linear, keyed on
+    * 8-byte hashes. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      .select(col("doc_id"), hashInt(col("s")).as("h"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty_frac"),
+        (col("n_novel") * 5L < col("n_shingles")).as("boilerplate"))
+  }
+
+  private val noveltySql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+       |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(CASE WHEN dfreq.df = 1 THEN 1 END) AS BIGINT) AS n_novel,
+       |  CAST(count(CASE WHEN dfreq.df = 1 THEN 1 END) AS DOUBLE) / count(*)
+       |    AS novelty_frac,
+       |  count(CASE WHEN dfreq.df = 1 THEN 1 END) * 5 < count(*)
+       |    AS boilerplate
+       |FROM sh JOIN dfreq ON sh.h = dfreq.h
+       |GROUP BY sh.doc_id""".stripMargin
+
+  // ---- q105: cross-source priority dedup -----------------------------------
+
+  /** q105: cross-corpus dedup with source PRIORITY — when the same text
+    * appears in several sources, keep the copy from the most trusted one
+    * (the "dedupe CommonCrawl against Wikipedia, keep Wikipedia" op every
+    * mixture pipeline runs before weighting). Priority here is the numeric
+    * source suffix (src0 ranks above src19); ties break to the smallest
+    * doc_id via an exact composite integer key, so argmin is deterministic
+    * in both engines (q57's pattern, inverted). One shuffle on the 128-bit
+    * text fingerprint — text itself never moves. */
+  def crossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = substring(col("source"), 4, 10).cast("long") *
+      lit(1099511627776L) + col("doc_id") // prio * 2^40 + id, exact in i64
+    Tables(spark, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min_by(col("doc_id"), ordKey).as("keep_id"),
+        min_by(col("source"), ordKey).as("keep_source"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  private val crossDedupSql =
+    """SELECT md5(lower(trim(text))) AS fp,
+      |  arg_min(doc_id,
+      |    CAST(substr(source, 4) AS BIGINT) * 1099511627776 + doc_id)
+      |    AS keep_id,
+      |  arg_min(source,
+      |    CAST(substr(source, 4) AS BIGINT) * 1099511627776 + doc_id)
+      |    AS keep_source,
+      |  count(*) AS n_copies,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
@@ -731,5 +901,8 @@ object Dedup {
     QueryDef("q51_dedup_jaccard", jaccardPairs, Some(jaccardSql)),
     QueryDef("q52_dedup_minhash", minhashCandidates, Some(minhashSql)),
     QueryDef("q52b_minhash_acc", minhashAccuracy, Some(minhashAccuracySql)),
-    QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)))
+    QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("q103_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q104_novelty", novelty, Some(noveltySql)),
+    QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }

@@ -99,6 +99,57 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
 
+  test("q103 dup spans / q104 novelty / q105 cross-dedup semantics") {
+    // q103: docs 1-2 share a 12-token verbatim block -> 10 consecutive
+    // duplicated shingle positions (boundary shingles differ); doc 3 is
+    // fully unique. Docs 4-5 are exact copies (novelty 0 -> boilerplate).
+    val block = (1 to 12).map(i => s"block$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one lead tokens $block trailing unique1 text1", "src2"),
+      (2L, s"two other start $block different unique2 tail2", "src2"),
+      (3L, "entirely unique document with no duplicated spans at all", "src2"),
+      (4L, "copy of common text repeated verbatim across the whole corpus body today", "src9"),
+      (5L, "copy of common text repeated verbatim across the whole corpus body today", "src1"))
+    val dir = java.nio.file.Files.createTempDirectory("spans").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val spans = graft.queries.Dedup.dupSpans(spark, dir)
+      .select("doc_id", "n_dup", "max_run", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(spans(1L)._3 == 10L && spans(1L)._4, spans(1L)) // run of 10 >= 8
+    assert(spans(2L)._3 == 10L && spans(2L)._4, spans(2L))
+    assert(spans(3L) == ((3L, 0L, 0L, false)), spans(3L))  // nothing shared
+    assert(spans(4L)._4 && spans(5L)._4)                   // whole-doc copy
+
+    val nov = graft.queries.Dedup.novelty(spark, dir)
+      .select("doc_id", "n_shingles", "n_novel", "boilerplate")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(nov(3L)._3 == nov(3L)._2 && !nov(3L)._4, nov(3L)) // all novel
+    assert(nov(4L)._3 == 0L && nov(4L)._4, nov(4L)) // exact copy: 0 novel
+    assert(nov(5L)._3 == 0L && nov(5L)._4, nov(5L))
+
+    // q105: exact copies in src9/src1 -> keep the src1 copy (priority =
+    // numeric suffix, lower wins); singletons keep themselves.
+    val keep = graft.queries.Dedup.crossDedup(spark, dir)
+      .select("keep_id", "keep_source", "n_copies", "n_sources")
+      .as[(Long, String, Long, Long)].collect()
+    val dup = keep.find(_._3 == 2L).get
+    assert(dup == ((5L, "src1", 2L, 2L)), dup)
+    assert(keep.map(_._3).sum == docs.size) // every doc in exactly one group
+
+    // Invariants on the real table: counts nest and the flag matches the
+    // threshold arithmetic exactly.
+    val real = graft.queries.Dedup.dupSpans(spark, TestSpark.sf)
+      .select("n_pos", "n_dup", "max_run", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (nPos, nDup, maxRun, flagged) =>
+      assert(nDup <= nPos && maxRun <= nDup)
+      assert(flagged == (maxRun >= graft.queries.Dedup.minDupRun))
+    }
+  }
+
   test("q61 sign-LSH bands are 4x16-bit with bounded bucket membership") {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
     val cap = graft.queries.Similarity.maxSignBucket
