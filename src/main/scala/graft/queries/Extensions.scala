@@ -77,5 +77,11 @@ object Extensions {
     QueryDef("q96_retention",
       (s, d) => EventStreams.retention(s, d), Some(EventStreams.retentionSql)),
     QueryDef("q91_sessionize",
-      (s, d) => EventStreams.sessionBatch(s, d), Some(EventStreams.sessionSql)))
+      (s, d) => EventStreams.sessionBatch(s, d), Some(EventStreams.sessionSql)),
+    // Session windows as a real micro-batch run: drives the session-window
+    // state store (merge/extend on arrival) end-to-end; complete mode on a
+    // finite input converges to the batch gaps-and-islands session set.
+    QueryDef("q106_stream_session",
+      (s, d) => EventStreams.sessionStreamRun(s, d),
+      Some(EventStreams.sessionStreamSql)))
 }

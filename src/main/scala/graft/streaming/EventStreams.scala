@@ -371,6 +371,45 @@ object EventStreams {
     boundedStreamRun(spark, dir,
       _.select(col("user_id")).dropDuplicates("user_id"), "append")
 
+  /** Session-window aggregation as a bounded micro-batch run — the state
+    * store merges/extends per-user sessions as batches arrive (the
+    * session-window-specific `SessionWindowStateStoreRestore/SaveExec`
+    * pair, a different state layout than tumbling's keyed aggregation).
+    * Complete mode: a finite input's final overwrite is the fully-merged
+    * session set, identical to the batch gaps-and-islands formulation —
+    * `s_end` is the session's last event + the 30-minute gap, per
+    * session_window semantics. (Append mode would need the watermark to
+    * pass each session's end, which never happens for sessions in the
+    * final 2 hours of a finite stream — they would be silently dropped.) */
+  def sessionStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedStreamRun(spark, dir,
+      s => s
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n_events")),
+      "complete")
+
+  /** Oracle for [[sessionStreamRun]]: the batch session derivation
+    * ([[sessionSql]]'s CTE chain) re-keyed to session_window's output
+    * shape — start = first event, end = last event + gap. */
+  val sessionStreamSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0
+      |    END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
+
   val sessionSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,

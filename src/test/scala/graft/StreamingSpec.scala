@@ -168,6 +168,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 3, got.toSeq) // retry contributed no duplicates
   }
 
+  test("bounded session-window run equals the batch session_window agg") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val streamed = EventStreams.sessionStreamRun(spark, sf)
+      .collect().map(_.toSeq).toSet
+    // Same aggregation on the batch DAG — the micro-batch run must converge
+    // to it exactly (session-window state store merge == batch merge).
+    val batch = Tables(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("bounded streaming dedup run emits exactly the batch distinct key set") {
     import spark.implicits._
     val streamed = EventStreams.dedupStreamRun(spark, sf)
