@@ -247,6 +247,65 @@ object Similarity {
        |  FROM p) t
        |WHERE rn <= 3""".stripMargin
 
+  /** Probes per query for the multi-probe IVF variant. */
+  val nProbe = 2
+
+  /** q107: MULTI-probe IVF — the standard fix for single-probe recall
+    * (q62's honestly-reported weakness: with no cluster structure, a
+    * query's true neighbors often live one bucket over). Each query ranks
+    * the coarse-quantizer cells by its own component values (descending,
+    * index-ascending tiebreak — `0.0 - x` instead of `-x` canonicalizes
+    * -0.0 so both engines sort identically) and probes the top [[nProbe]];
+    * the candidate set is a strict superset of q62's, so per-query top-3
+    * cosine mass can only improve (`PropertySpec` pins that theorem).
+    * Scale: cost per query rises from O(corpus/nlist) to
+    * O(nProbe·corpus/nlist), still partition-pruned bucket scans — the
+    * recall/latency dial every IVF deployment exposes. */
+  def knnIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = vectors(spark, dir)
+      .withColumn("bucket",
+        expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))"))
+    val q = vectors(spark, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        expr("slice(transform(array_sort(zip_with(slice(v, 1, 4), " +
+          "sequence(1, 4), (x, i) -> named_struct('negv', 0.0D - x, " +
+          s"'idx', CAST(i AS BIGINT)))), s -> s.idx), 1, $nProbe)")
+          .as("probes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    bucketed.join(broadcast(q),
+        array_contains(col("probes"), col("bucket")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+  }
+
+  private val knnIvfMultiprobeSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_position(v[1:4], list_max(v[1:4])) AS bucket
+       |  FROM ($vectorsSql) t),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+       |    list_transform(list_sort(list_transform(range(1, 5),
+       |      i -> {'negv': 0.0 - v[i], 'idx': i})), s -> s.idx)[1:$nProbe]
+       |      AS probes
+       |  FROM ($vectorsSql) t2 WHERE vec_id < 5),
+       |p AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cos
+       |  FROM q JOIN n c
+       |    ON list_contains(q.probes, c.bucket) AND c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT)
+       |    AS rn
+       |  FROM p) t
+       |WHERE rn <= 3""".stripMargin
+
   /** Candidate depth for the re-ranked ANN: the exact pass re-scores this
     * many sketch-ranked candidates per query. Measured recall@3 vs the q60
     * ground truth is 15/15 at every test scale with depth 20; 50 gives
@@ -494,6 +553,8 @@ object Similarity {
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
     QueryDef("q61b_lsh_recall", lshRecall, Some(lshRecallSql)),
     QueryDef("q62_knn_ivf", knnIvf, Some(knnIvfSql)),
+    QueryDef("q107_ivf_multiprobe", knnIvfMultiprobe,
+      Some(knnIvfMultiprobeSql)),
     QueryDef("q63_ann_rerank", knnRerank, Some(knnRerankSql)),
     QueryDef("q64_ann_recall", annRecall, Some(annRecallSql)),
     QueryDef("q54_dedup_cosine", dedupCosine, Some(dedupCosineSql)))

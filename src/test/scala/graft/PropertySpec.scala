@@ -99,6 +99,23 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
 
+  test("q107 multi-probe IVF candidates subsume q62's single probe") {
+    // Multi-probe's candidate set is a strict superset (probes[1] == the
+    // single-probe bucket), so its per-query top-3 cosine mass can only be
+    // >= single-probe's — a theorem of the construction, pinned here on the
+    // real embeddings table.
+    val single = graft.queries.Similarity.knnIvf(spark, TestSpark.sf)
+      .groupBy("query_id").sum("cos")
+      .as[(Long, Double)].collect().toMap
+    val multi = graft.queries.Similarity.knnIvfMultiprobe(spark, TestSpark.sf)
+      .groupBy("query_id").sum("cos")
+      .as[(Long, Double)].collect().toMap
+    assert(multi.nonEmpty && single.keySet == multi.keySet)
+    single.foreach { case (q, s) =>
+      assert(multi(q) >= s - 1e-12, s"query $q: multi ${multi(q)} < single $s")
+    }
+  }
+
   test("q103 dup spans / q104 novelty / q105 cross-dedup semantics") {
     // q103: docs 1-2 share a 12-token verbatim block -> 10 consecutive
     // duplicated shingle positions (boundary shingles differ); doc 3 is
