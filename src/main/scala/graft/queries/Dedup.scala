@@ -762,7 +762,9 @@ object Dedup {
     * Nothing is quadratic — no doc-pair space is ever materialized, which
     * is exactly why span-level dedup scales where pairwise methods need
     * sketches. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Positional shingles with a `dup` mark on every position whose shingle
+    * appears in >= 2 distinct docs — the shared input of q103/q103b. */
+  private def markedDupPositions(spark: SparkSession, dir: String): DataFrame = {
     // Consumed twice (shared-set build + position marking) — materialize,
     // like cappedShingles: on a cluster this is the persisted position index.
     val ps = posShingles(spark, dir).localCheckpoint()
@@ -770,14 +772,24 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .where(col("ndocs") >= 2)
       .select(col("h"), lit(1).as("dup"))
-    val marked = ps.join(shared, Seq("h"), "left")
-    val totals = marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pos"), count(col("dup")).as("n_dup"))
+    ps.join(shared, Seq("h"), "left")
+  }
+
+  /** Duplicated-position runs (gaps-and-islands) per doc: one row per
+    * maximal consecutive run, with its start offset and length. */
+  private def dupRuns(marked: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = marked.where(col("dup") === 1)
+    marked.where(col("dup") === 1)
       .withColumn("island", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("island"))
-      .agg(count(lit(1)).as("run"))
+      .agg(count(lit(1)).as("run"), min(col("pos")).cast("long").as("span_start"))
+  }
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val marked = markedDupPositions(spark, dir)
+    val totals = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("dup")).as("n_dup"))
+    val runs = dupRuns(marked)
       .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
     totals.join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_pos"), col("n_dup"),
@@ -786,14 +798,30 @@ object Dedup {
         (coalesce(col("max_run"), lit(0L)) >= minDupRun).as("flagged"))
   }
 
-  private val dupSpansSql =
-    s"""WITH ps AS ($posShinglesSql),
+  /** q103b: the ACTIONABLE form of q103 — one row per duplicated span of
+    * >= [[minDupRun]] shingle positions, with its token offset and length,
+    * so a curation pipeline can CUT the span (Lee et al. remove the
+    * duplicated substring, not the document) instead of dropping the doc.
+    * `span_start` is the 0-based token offset of the run's first shingle;
+    * `n_tokens` = run + 2 is the length of the duplicated token stretch. */
+  def dupSpanExtract(spark: SparkSession, dir: String): DataFrame =
+    dupRuns(markedDupPositions(spark, dir))
+      .where(col("run") >= minDupRun)
+      .select(col("doc_id"), col("span_start"),
+        col("run").as("n_shingles"), (col("run") + 2L).as("n_tokens"))
+
+  /** Shared CTE prefix of the q103/q103b oracles: positions marked dup. */
+  private val dupMarkedCtes =
+    s"""ps AS ($posShinglesSql),
        |shared AS (
        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ps)
        |  GROUP BY h HAVING count(*) >= 2),
        |marked AS (
        |  SELECT ps.doc_id, ps.pos, s.h IS NOT NULL AS dup
-       |  FROM ps LEFT JOIN shared s ON ps.h = s.h),
+       |  FROM ps LEFT JOIN shared s ON ps.h = s.h)""".stripMargin
+
+  private val dupSpansSql =
+    s"""WITH $dupMarkedCtes,
        |totals AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
        |    CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup
@@ -812,6 +840,19 @@ object Dedup {
        |  coalesce(r.max_run, 0) AS max_run,
        |  coalesce(r.max_run, 0) >= $minDupRun AS flagged
        |FROM totals t LEFT JOIN runs r ON t.doc_id = r.doc_id""".stripMargin
+
+  private val dupSpanExtractSql =
+    s"""WITH $dupMarkedCtes,
+       |islands AS (
+       |  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run,
+       |    CAST(min(pos) AS BIGINT) AS span_start FROM (
+       |    SELECT doc_id, pos,
+       |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |        AS island
+       |    FROM marked WHERE dup)
+       |  GROUP BY doc_id, island)
+       |SELECT doc_id, span_start, run AS n_shingles, run + 2 AS n_tokens
+       |FROM islands WHERE run >= $minDupRun""".stripMargin
 
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
@@ -903,6 +944,8 @@ object Dedup {
     QueryDef("q52b_minhash_acc", minhashAccuracy, Some(minhashAccuracySql)),
     QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("q103_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q103b_dup_span_extract", dupSpanExtract,
+      Some(dupSpanExtractSql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }

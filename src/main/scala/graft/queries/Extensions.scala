@@ -83,5 +83,11 @@ object Extensions {
     // finite input converges to the batch gaps-and-islands session set.
     QueryDef("q106_stream_session",
       (s, d) => EventStreams.sessionStreamRun(s, d),
-      Some(EventStreams.sessionStreamSql)))
+      Some(EventStreams.sessionStreamSql)),
+    // Stream-stream interval self-join as a real micro-batch run: the
+    // symmetric hash join's per-side state stores, driven end-to-end;
+    // inner-join emission is eager, so the finite run equals the batch join.
+    QueryDef("q108_stream_join",
+      (s, d) => EventStreams.streamStreamJoinRun(s, d),
+      Some(EventStreams.streamStreamSql)))
 }

@@ -325,7 +325,7 @@ object EventStreams {
   }
 
   private def boundedStreamRun(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, outputMode: String): DataFrame = {
+      transform: (DataFrame, String) => DataFrame, outputMode: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -335,7 +335,10 @@ object EventStreams {
     val ck = Files.createTempDirectory("graft_stream_ck")
     val complete = outputMode == "complete"
     val sink = batchSink(outDir, complete)
-    val q = transform(readEventsStream(spark, inDir.toString))
+    // The transform also receives the input-copy dir so multi-input
+    // topologies (stream-stream joins) can open their second stream on
+    // the same bounded source.
+    val q = transform(readEventsStream(spark, inDir.toString), inDir.toString)
       .writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", ck.toString)
@@ -356,7 +359,7 @@ object EventStreams {
     * DuckDB oracle checks it in the driver gate. */
   def tumblingStreamRun(spark: SparkSession, dir: String): DataFrame =
     boundedStreamRun(spark, dir,
-      s => tumblingAgg(s.withWatermark("ts", "2 hours")), "complete")
+      (s, _) => tumblingAgg(s.withWatermark("ts", "2 hours")), "complete")
 
   /** Stateful streaming deduplication as a bounded micro-batch run:
     * `dropDuplicates` keeps one row per key in the state store and emits
@@ -369,7 +372,7 @@ object EventStreams {
     * watermarked streaming-dedup variant). */
   def dedupStreamRun(spark: SparkSession, dir: String): DataFrame =
     boundedStreamRun(spark, dir,
-      _.select(col("user_id")).dropDuplicates("user_id"), "append")
+      (s, _) => s.select(col("user_id")).dropDuplicates("user_id"), "append")
 
   /** Session-window aggregation as a bounded micro-batch run — the state
     * store merges/extends per-user sessions as batches arrive (the
@@ -383,12 +386,44 @@ object EventStreams {
     * final 2 hours of a finite stream — they would be silently dropped.) */
   def sessionStreamRun(spark: SparkSession, dir: String): DataFrame =
     boundedStreamRun(spark, dir,
-      s => s
+      (s, _) => s
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"), col("n_events")),
       "complete")
+
+  /** Stream-stream interval self-join as a bounded micro-batch run — the
+    * symmetric hash join with per-side state stores, end-to-end. Unlike
+    * windowed aggregation, an INNER stream-stream join emits matches as
+    * soon as both rows have arrived (the watermark only bounds state
+    * retention, not emission), so append mode on a finite input produces
+    * exactly the batch join — no tail loss. */
+  def streamStreamJoinRun(spark: SparkSession, dir: String): DataFrame =
+    boundedStreamRun(spark, dir, (s, inDir) => {
+      val a = s.withWatermark("ts", "2 hours")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("a_id"), col("event_type").as("a_type"))
+      val b = readEventsStream(spark, inDir).withWatermark("ts", "2 hours")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"), col("event_type").as("b_type"))
+      a.join(b,
+        col("a_user") === col("b_user") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("interval 30 minutes") &&
+          col("a_type") =!= col("b_type"))
+        .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
+          col("a_type"), col("b_type"))
+    }, "append")
+
+  /** Oracle for [[streamStreamJoinRun]]: the plain batch interval join. */
+  val streamStreamSql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  a.event_type AS a_type, b.event_type AS b_type
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      |  AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |  AND a.event_type <> b.event_type""".stripMargin
 
   /** Oracle for [[sessionStreamRun]]: the batch session derivation
     * ([[sessionSql]]'s CTE chain) re-keyed to session_window's output

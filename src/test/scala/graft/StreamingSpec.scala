@@ -183,6 +183,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("bounded stream-stream join run emits exactly the batch join") {
+    val streamed = EventStreams.streamStreamJoinRun(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = EventStreams.streamStreamJoinBatch(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("bounded streaming dedup run emits exactly the batch distinct key set") {
     import spark.implicits._
     val streamed = EventStreams.dedupStreamRun(spark, sf)
