@@ -629,7 +629,7 @@ object Dedup {
     // changes anything (labels only ever decrease), so one cheap aggregate
     // replaces a join-based changed-row check.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+      df.agg(sum(col("label"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

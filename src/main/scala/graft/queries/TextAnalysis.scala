@@ -539,7 +539,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("t"))
       .where(col("t") =!= "")
     val sketch = toks.stat.freqItems(Seq("t"), hhSupport)
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     val totals = toks.agg(count(lit(1)).as("n"))
     toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(totals))
