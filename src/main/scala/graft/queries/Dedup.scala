@@ -132,6 +132,55 @@ object Dedup {
        |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5""".stripMargin
 
+  // ---- q109: shingle-containment pairs -----------------------------------
+
+  /** q109: CONTAINMENT near-dup pairs — |A∩B| / min(|A|,|B|) >= 0.8. The
+    * asymmetric companion to q51's Jaccard: a short document quoted whole
+    * inside a long aggregator page has high containment but low Jaccard
+    * (the union is dominated by the long doc), so symmetric similarity
+    * misses exactly the subset-duplication case curation cares about.
+    * Same inverted-index join and df cap as q51 — one extra aggregate
+    * column, zero extra shuffles; the 0.8 filter is the exact integer test
+    * 5·c >= 4·min(n) so the pair set cannot diverge at the boundary.
+    * `contained_id` names the smaller-shingle-set doc (tie: the larger id,
+    * matching min-by-(n, -id) in both engines via an exact composite). */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
+      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
+      .where(col("c") * 5L >= least(col("x.n"), col("y.n")) * 4L)
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / least(col("x.n"), col("y.n")))
+          .as("containment"),
+        when(col("x.n") * lit(10000000000L) - col("d1") <
+          col("y.n") * lit(10000000000L) - col("d2"), col("d1"))
+          .otherwise(col("d2")).as("contained_id"))
+  }
+
+  private val containmentSql =
+    s"""WITH allsh AS (
+       |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |hot AS (SELECT h FROM allsh GROUP BY h HAVING count(*) > $maxShingleDf),
+       |sh AS (SELECT * FROM allsh WHERE h NOT IN (SELECT h FROM hot)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  CAST(c AS DOUBLE) / least(x.n, y.n) AS containment,
+       |  CASE WHEN x.n * 10000000000 - d1 < y.n * 10000000000 - d2
+       |    THEN d1 ELSE d2 END AS contained_id
+       |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE c * 5 >= least(x.n, y.n) * 4""".stripMargin
+
   // ---- q52: MinHash + LSH candidates -------------------------------------
 
   /** MinHash signatures are computed per-row, shuffle-free: min over an
@@ -854,6 +903,82 @@ object Dedup {
        |SELECT doc_id, span_start, run AS n_shingles, run + 2 AS n_tokens
        |FROM islands WHERE run >= $minDupRun""".stripMargin
 
+  // ---- q110: surgical span removal ----------------------------------------
+
+  /** q110: the CUT step of span-level dedup — rebuild every document's text
+    * with its q103b duplicated spans removed (Lee et al. remove the
+    * duplicated substring and keep the rest; dropping whole documents for
+    * one boilerplate block wastes data). A span of n_shingles positions
+    * starting at s covers tokens [s, s + n_shingles + 1]; tokens inside any
+    * flagged span are filtered out with higher-order array functions (no
+    * explode, no window — one projection per doc), documents without spans
+    * pass through an anti-join branch untouched. Spans per doc are collected
+    * as a set (order-irrelevant membership test), so the collect_list
+    * shuffle-order nondeterminism cannot affect the output.
+    *
+    * Scale: q103b's cost + one groupBy over flagged spans (tiny), one join
+    * of the span lists onto the doc scan keyed by doc_id, and a linear
+    * token filter per doc — text is rewritten in a single pass and the
+    * pair space stays un-materialized end to end. */
+  def spanCut(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dupSpanExtract(spark, dir)
+      .select(col("doc_id"), struct(col("span_start").as("s"),
+        (col("span_start") + col("n_shingles") + 1L).as("e")).as("sp"))
+      .groupBy(col("doc_id")).agg(collect_list(col("sp")).as("spans"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val cut = docs.join(spans, Seq("doc_id"))
+      .withColumn("kept", expr(
+        "filter(transform(w, (t, i) -> named_struct('t', t, 'i', " +
+          "CAST(i AS BIGINT))), " +
+          "p -> NOT exists(spans, sp -> p.i >= sp.s AND p.i <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_before"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, k -> k.t))").as("clean_text"))
+    val untouched = docs.join(spans, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_before"),
+        lit(0L).as("n_removed"),
+        concat_ws(" ", col("w")).as("clean_text"))
+    cut.unionByName(untouched)
+  }
+
+  private val spanCutSql =
+    s"""WITH $dupMarkedCtes,
+       |islands AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS run,
+       |    CAST(min(pos) AS BIGINT) AS span_start FROM (
+       |    SELECT doc_id, pos,
+       |      pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |        AS island
+       |    FROM marked WHERE dup)
+       |  GROUP BY doc_id, island),
+       |spans AS (
+       |  SELECT doc_id,
+       |    list({'s': span_start, 'e': span_start + run + 1}) AS spans
+       |  FROM islands WHERE run >= $minDupRun GROUP BY doc_id),
+       |docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |cut AS (
+       |  SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_before,
+       |    list_filter(list_transform(range(1, len(d.w) + 1),
+       |      i -> {'t': d.w[i], 'i': i - 1}),
+       |      p -> len(list_filter(s.spans,
+       |        sp -> p.i >= sp.s AND p.i <= sp.e)) = 0) AS kept
+       |  FROM docs d JOIN spans s ON d.doc_id = s.doc_id)
+       |SELECT doc_id, n_before,
+       |  n_before - CAST(len(kept) AS BIGINT) AS n_removed,
+       |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+       |  -- Spark's concat_ws is '' — a fully-cut doc must agree on ''
+       |  coalesce(array_to_string(list_transform(kept, k -> k.t), ' '), '')
+       |    AS clean_text
+       |FROM cut
+       |UNION ALL
+       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_before,
+       |  CAST(0 AS BIGINT) AS n_removed,
+       |  array_to_string(w, ' ') AS clean_text
+       |FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM spans)""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -946,6 +1071,8 @@ object Dedup {
     QueryDef("q103_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q103b_dup_span_extract", dupSpanExtract,
       Some(dupSpanExtractSql)),
+    QueryDef("q109_containment", containmentPairs, Some(containmentSql)),
+    QueryDef("q110_span_cut", spanCut, Some(spanCutSql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }

@@ -126,7 +126,8 @@ class PropertySpec extends AnyFunSuite {
       (2L, s"two other start $block different unique2 tail2", "src2"),
       (3L, "entirely unique document with no duplicated spans at all", "src2"),
       (4L, "copy of common text repeated verbatim across the whole corpus body today", "src9"),
-      (5L, "copy of common text repeated verbatim across the whole corpus body today", "src1"))
+      (5L, "copy of common text repeated verbatim across the whole corpus body today", "src1"),
+      (6L, block, "src5")) // doc 6 = the block alone: contained in 1 and 2
     val dir = java.nio.file.Files.createTempDirectory("spans").toString
     docs.toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -145,6 +146,30 @@ class PropertySpec extends AnyFunSuite {
     assert(nov(3L)._3 == nov(3L)._2 && !nov(3L)._4, nov(3L)) // all novel
     assert(nov(4L)._3 == 0L && nov(4L)._4, nov(4L)) // exact copy: 0 novel
     assert(nov(5L)._3 == 0L && nov(5L)._4, nov(5L))
+
+    // q109: containment catches the subset cases Jaccard misses — doc 6's
+    // shingles are ALL inside docs 1 and 2 (containment 1.0, contained_id
+    // = the smaller-set doc 6) while the 1-2 overlap itself (10 of 16
+    // shingles) stays under the 0.8 bar; exact copies 4-5 hit 1.0.
+    val contain = graft.queries.Dedup.containmentPairs(spark, dir)
+      .select("d1", "d2", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect()
+    val c16 = contain.find(p => p._1 == 1L && p._2 == 6L).get
+    assert(c16._3 == 1.0 && c16._4 == 6L, c16)
+    assert(contain.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 1.0))
+    assert(!contain.exists(p => p._1 == 1L && p._2 == 2L), contain.toSeq)
+
+    // q110: the span cut removes exactly the duplicated block from doc 1
+    // (span of 10 positions covers tokens 3..14), empties the whole-doc
+    // copies, and leaves the span-free doc 3 untouched.
+    val cutRes = graft.queries.Dedup.spanCut(spark, dir)
+      .select("doc_id", "n_before", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(cutRes(1L)._4 == "one lead tokens trailing unique1 text1", cutRes(1L))
+    assert(cutRes(4L)._4 == "" && cutRes(4L)._3 == 12L, cutRes(4L))
+    assert(cutRes(3L)._3 == 0L &&
+      cutRes(3L)._4 == "entirely unique document with no duplicated spans at all")
+    assert(cutRes.size == docs.size)
 
     // q105: exact copies in src9/src1 -> keep the src1 copy (priority =
     // numeric suffix, lower wins); singletons keep themselves.
