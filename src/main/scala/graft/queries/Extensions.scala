@@ -89,5 +89,11 @@ object Extensions {
     // inner-join emission is eager, so the finite run equals the batch join.
     QueryDef("q108_stream_join",
       (s, d) => EventStreams.streamStreamJoinRun(s, d),
-      Some(EventStreams.streamStreamSql)))
+      Some(EventStreams.streamStreamSql)),
+    // Arbitrary-state streaming (mapGroupsWithState) in UPDATE mode with a
+    // last-writer-wins compacting sink read — the final compacted state of
+    // a finite run is the batch per-key count.
+    QueryDef("q111_stream_state",
+      (s, d) => EventStreams.runningCountsStreamRun(s, d),
+      Some(EventStreams.runningCountsSql)))
 }

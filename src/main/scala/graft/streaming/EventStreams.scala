@@ -177,10 +177,10 @@ object EventStreams {
     * window()/session_window can't express the logic. State is one long per
     * key, partitioned by the grouping key in the state store — the same
     * shuffle a batch groupBy does, but persistent across micro-batches. */
-  def runningUserCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+  private def runningCountsAgg(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    readEventsStream(spark, eventsDir)
+    events
       .select(col("user_id")).as[Long]
       .groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -191,6 +191,9 @@ object EventStreams {
       }
       .toDF("user_id", "n_events")
   }
+
+  def runningUserCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    runningCountsAgg(spark, readEventsStream(spark, eventsDir))
 
   /** Multi-output stateful streaming via `flatMapGroupsWithState`: emits one
     * alert row each time a user's cumulative event count crosses a multiple
@@ -312,16 +315,22 @@ object EventStreams {
     * so it is deleted on JVM exit. */
   /** The `foreachBatch` writer of [[boundedStreamRun]], idempotent under
     * batch retry by construction: complete mode overwrites the whole sink
-    * (re-delivery re-overwrites), append mode overwrites a `batch_<id>`
-    * subdirectory keyed by the batchId (re-delivery of the same batch
-    * replaces its own subdir; it can never append a second copy).
+    * (re-delivery re-overwrites), append/update modes overwrite a
+    * `batch_<id>` subdirectory keyed by the batchId (re-delivery of the
+    * same batch replaces its own subdir; it can never append a second
+    * copy). Update mode additionally stamps every row with its batchId —
+    * an update-mode sink holds one row per (key, emitting batch) and the
+    * reader compacts last-writer-wins, so the stamp IS the version column.
     * Exposed for the `StreamingSpec` retry test. */
-  private[graft] def batchSink(outDir: java.nio.file.Path, complete: Boolean)
+  private[graft] def batchSink(outDir: java.nio.file.Path, mode: String)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     val target =
-      if (complete) outDir.toString
+      if (mode == "complete") outDir.toString
       else outDir.resolve(s"batch_$batchId").toString
-    batch.write.mode("overwrite").parquet(target)
+    val stamped =
+      if (mode == "update") batch.withColumn("batch_id", lit(batchId))
+      else batch
+    stamped.write.mode("overwrite").parquet(target)
   }
 
   private def boundedStreamRun(spark: SparkSession, dir: String,
@@ -334,7 +343,7 @@ object EventStreams {
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
     val complete = outputMode == "complete"
-    val sink = batchSink(outDir, complete)
+    val sink = batchSink(outDir, outputMode)
     // The transform also receives the input-copy dir so multi-input
     // topologies (stream-stream joins) can open their second stream on
     // the same bounded source.
@@ -415,6 +424,26 @@ object EventStreams {
         .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),
           col("a_type"), col("b_type"))
     }, "append")
+
+  /** Arbitrary-state streaming (`mapGroupsWithState`) as a bounded
+    * UPDATE-mode micro-batch run — the third output mode in the driver
+    * gate. Update mode emits one row per key per batch in which the key's
+    * state changed; the sink stamps each row with its batchId, and the
+    * read side compacts LAST-WRITER-WINS per key (max_by over the stamp) —
+    * the standard upsert-compaction read of an update-mode sink, correct
+    * for ANY micro-batch split of the input, not just single-batch runs.
+    * On a finite input the compacted state is exactly the batch per-key
+    * count. */
+  def runningCountsStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    val raw = boundedStreamRun(spark, dir,
+      (s, _) => runningCountsAgg(spark, s), "update")
+    raw.groupBy(col("user_id"))
+      .agg(max_by(col("n_events"), col("batch_id")).as("n_events"))
+  }
+
+  /** Oracle for [[runningCountsStreamRun]]: final state = batch count. */
+  val runningCountsSql: String =
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
 
   /** Oracle for [[streamStreamJoinRun]]: the plain batch interval join. */
   val streamStreamSql: String =

@@ -159,7 +159,7 @@ class StreamingSpec extends AnyFunSuite {
     // subdirs in overwrite mode, so the retry replaces its own output
     // instead of appending a second copy.
     val out = java.nio.file.Files.createTempDirectory("graft_retry")
-    val sink = EventStreams.batchSink(out, complete = false)
+    val sink = EventStreams.batchSink(out, "append")
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     sink(b0, 0L)
     sink(b0, 0L) // re-delivery of batch 0
