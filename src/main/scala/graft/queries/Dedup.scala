@@ -938,10 +938,14 @@ object Dedup {
     * token filter per doc — text is rewritten in a single pass and the
     * pair space stays un-materialized end to end. */
   def spanCut(spark: SparkSession, dir: String): DataFrame = {
+    // The span-list table is consumed by BOTH branches (cut join + anti
+    // join); without materialization the islands window would run twice.
+    // It holds only flagged spans — tiny at any scale.
     val spans = dupSpanExtract(spark, dir)
       .select(col("doc_id"), struct(col("span_start").as("s"),
         (col("span_start") + col("n_shingles") + 1L).as("e")).as("sp"))
       .groupBy(col("doc_id")).agg(collect_list(col("sp")).as("spans"))
+      .localCheckpoint()
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val cut = docs.join(spans, Seq("doc_id"))

@@ -265,17 +265,24 @@ object Similarity {
     val bucketed = vectors(spark, dir)
       .withColumn("bucket",
         expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))"))
+    // One query row per probed cell (explode of the nProbe ranked cells):
+    // the bucket match becomes an EQUI key, so the plan is a broadcast HASH
+    // join on bucket — at scale that key is the partition column and the
+    // probe list prunes to nProbe bucket scans. (An array_contains join
+    // would plan as a nested-loop over the whole corpus instead.) A corpus
+    // vector has one bucket, so it matches at most one probe per query —
+    // the explode cannot duplicate pairs.
     val q = vectors(spark, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"),
-        expr("slice(transform(array_sort(zip_with(slice(v, 1, 4), " +
+        explode(expr("slice(transform(array_sort(zip_with(slice(v, 1, 4), " +
           "sequence(1, 4), (x, i) -> named_struct('negv', 0.0D - x, " +
-          s"'idx', CAST(i AS BIGINT)))), s -> s.idx), 1, $nProbe)")
-          .as("probes"))
+          s"'idx', CAST(i AS BIGINT)))), s -> s.idx), 1, $nProbe)"))
+          .as("probe"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     bucketed.join(broadcast(q),
-        array_contains(col("probes"), col("bucket")) &&
+        col("bucket") === col("probe") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
