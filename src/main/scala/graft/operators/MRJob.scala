@@ -39,6 +39,22 @@ object MRJob {
   def textDir(spark: SparkSession, dir: String): MRInput[String] =
     new MRInput(spark.read.textFile(dir))
 
+  /** O2+O3 with the reference's RECORD-COUNT chunk split made explicit:
+    * the `graft-chunks` DSV2 connector plans one Spark input partition per
+    * reference chunk (`MasterNode.splitInputFile` numbering), so the
+    * facade's partial aggregation runs once per chunk — exactly the
+    * reference's per-(key, chunk) mini-reduce before add-merge
+    * (`ReduceRunner.java:154-172`, SURVEY §1.3.3). `textDir` gets the same
+    * semantics from Spark's byte-range splits (the scale path); this entry
+    * is for bit-faithful chunk granularity. */
+  def chunkedTextDir(spark: SparkSession, dir: String,
+      recordsPerChunk: Int): MRInput[String] = {
+    import spark.implicits._
+    new MRInput(spark.read.format("graft-chunks")
+      .option("recordsPerChunk", recordsPerChunk)
+      .load(dir).select(col("value")).as[String])
+  }
+
   /** Any dataset as job input (the engine is a library, not a JAR runner). */
   def apply[I](input: Dataset[I]): MRInput[I] = new MRInput(input)
 }

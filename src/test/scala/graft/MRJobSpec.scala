@@ -38,6 +38,19 @@ class MRJobSpec extends AnyFunSuite {
     assert(got == expectedCounts)
   }
 
+  test("chunkedTextDir: same WordCount, one partition per reference chunk") {
+    val dir = writeTextDir(lines)
+    val in = MRJob.chunkedTextDir(spark, dir, recordsPerChunk = 2)
+    val got = in
+      .mapToPairs(l => l.split(" ", -1).iterator.filter(_.nonEmpty).map(_ -> 1L))
+      .reduceByKey(_ + _)
+      .pairs.collect().toMap
+    assert(got == expectedCounts)
+    // part0 holds 2 lines -> 1 chunk (+1 empty id), part1 holds 3 -> 2
+    // chunks: the facade's partial reduce granularity IS the chunk
+    assert(in.mapToPairs(l => Iterator(l -> 1L)).pairs.rdd.getNumPartitions == 3)
+  }
+
   test("TSV sink writes one file per reducer with key\\tvalue rows") {
     val dir = writeTextDir(lines)
     val out = Files.createTempDirectory("mrjob_out").toString + "/wc"
