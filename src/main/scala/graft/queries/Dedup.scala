@@ -1000,6 +1000,56 @@ object Dedup {
        |  array_to_string(w, ' ') AS clean_text
        |FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM spans)""".stripMargin
 
+  // ---- q112: winnowing fingerprints ---------------------------------------
+
+  /** Winnowing window: each run of [[winnowW]] consecutive k-gram positions
+    * contributes (at least) one selected fingerprint. */
+  val winnowW = 4
+
+  /** q112: WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): slide a window of [[winnowW]] consecutive shingle hashes
+    * over each document and select the window minimum, rightmost on ties;
+    * identical selections from overlapping windows dedupe. Selection is
+    * position-local, so two documents sharing a long span select the SAME
+    * fingerprints from it — guaranteed-overlap matching at a fraction of
+    * the positions (expected density 2/(w+1)), which is what q73/q74's
+    * whole-doc fingerprints can't give.
+    *
+    * Shape: one shuffle to assemble each doc's sorted (pos, hash) array,
+    * then a per-doc higher-order pass (windows × w comparisons, linear in
+    * doc length) — no joins, no pair space. Both engines fold each window
+    * left-to-right with the same tie rule, so the selected set is exact. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val arr = posShingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+      .where(size(col("ph")) >= winnowW)
+    arr.select(col("doc_id"), explode(expr(
+      s"""array_distinct(transform(sequence(0, size(ph) - $winnowW),
+         |  i -> aggregate(slice(ph, i + 1, $winnowW),
+         |         named_struct('pos', -1, 'h', 9223372036854775807L),
+         |         (acc, x) -> CASE WHEN x.h < acc.h
+         |             OR (x.h = acc.h AND x.pos > acc.pos)
+         |           THEN x ELSE acc END)))""".stripMargin)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").cast("long").as("fp_pos"),
+        col("fp.h").as("fp_h"))
+  }
+
+  private val winnowSql =
+    s"""WITH ps AS ($posShinglesSql),
+       |arr AS (
+       |  SELECT doc_id, list_sort(list({'pos': pos, 'h': h})) AS ph
+       |  FROM ps GROUP BY doc_id HAVING count(*) >= $winnowW)
+       |SELECT DISTINCT doc_id, u.pos AS fp_pos, u.h AS fp_h FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, len(ph) - ${winnowW - 1}),
+       |    i -> list_reduce(ph[i+1:i+$winnowW],
+       |      (acc, x) -> CASE WHEN x.h < acc.h
+       |          OR (x.h = acc.h AND x.pos > acc.pos)
+       |        THEN x ELSE acc END))) AS u
+       |  FROM arr)""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1094,6 +1144,7 @@ object Dedup {
       Some(dupSpanExtractSql)),
     QueryDef("q109_containment", containmentPairs, Some(containmentSql)),
     QueryDef("q110_span_cut", spanCut, Some(spanCutSql)),
+    QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }

@@ -183,6 +183,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p) // dedup keep-first rank
   }
 
+  test("q107 multi-probe joins on the bucket equi key, not a nested loop") {
+    val p = plan("q107_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

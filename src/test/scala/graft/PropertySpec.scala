@@ -99,6 +99,23 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
 
+  test("q112 winnowing guarantee: adjacent fingerprints within one window") {
+    // Schleimer et al. Thm: every window of w consecutive positions
+    // contains a selected fingerprint, so consecutive selections in a doc
+    // are at most w positions apart. Pinned on the real table.
+    val w = graft.queries.Dedup.winnowW
+    val fps = graft.queries.Dedup.winnowFingerprints(spark, TestSpark.sf)
+      .select("doc_id", "fp_pos").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(fps.nonEmpty)
+    fps.foreach { case (d, ps) =>
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= w, s"doc $d gap $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q107 multi-probe IVF candidates subsume q62's single probe") {
     // Multi-probe's candidate set is a strict superset (probes[1] == the
     // single-probe bucket), so its per-query top-3 cosine mass can only be
