@@ -1050,6 +1050,40 @@ object Dedup {
        |        THEN x ELSE acc END))) AS u
        |  FROM arr)""".stripMargin
 
+  // ---- q112b: winnow-based candidate pairs --------------------------------
+
+  /** q112b: the MOSS MATCHING step — candidate pairs sharing >= 2 winnowed
+    * fingerprints, ranked by shared count. Identical inverted-index shape
+    * to q51's ground-truth join, but the index is the winnowed selection
+    * (expected density 2/(w+1) ≈ 40% of positions, and far fewer DISTINCT
+    * hashes after dedup) instead of every shingle — the scale argument for
+    * winnowing: same guaranteed-overlap detection for long shared spans at
+    * a fraction of the join input. Hot fingerprints are df-capped like
+    * q51's shingles (same quadratic-bucket defense). */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+      .select(col("doc_id"), col("fp_h").as("h")).distinct()
+      .localCheckpoint()
+    val hot = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select(col("h"))
+    val capped = fp.join(broadcast(hot), Seq("h"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= 2)
+  }
+
+  private val winnowPairsSql =
+    s"""WITH wfp AS ($winnowSql),
+       |fp AS (SELECT DISTINCT doc_id, fp_h AS h FROM wfp),
+       |hot AS (SELECT h FROM fp GROUP BY h HAVING count(*) > $maxShingleDf),
+       |capped AS (SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
+       |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1145,6 +1179,7 @@ object Dedup {
     QueryDef("q109_containment", containmentPairs, Some(containmentSql)),
     QueryDef("q110_span_cut", spanCut, Some(spanCutSql)),
     QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
+    QueryDef("q112b_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }
