@@ -86,13 +86,15 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
       override def planInputPartitions(): Array[InputPartition] = {
         val p = Paths.get(path)
         val files: Seq[Path] =
-          if (Files.isDirectory(p))
-            Files.list(p).iterator().asScala.toSeq
+          if (Files.isDirectory(p)) {
+            val listing = Files.list(p)
+            try listing.iterator().asScala.toSeq
               .filter(f => Files.isRegularFile(f) &&
                 !f.getFileName.toString.startsWith(".") &&
                 !f.getFileName.toString.startsWith("_"))
               .sortBy(_.getFileName.toString)
-          else Seq(p)
+            finally listing.close()
+          } else Seq(p)
         var nextId = 0
         val parts = Seq.newBuilder[InputPartition]
         for (f <- files) {
