@@ -920,6 +920,56 @@ object Dedup {
        |SELECT doc_id, span_start, run AS n_shingles, run + 2 AS n_tokens
        |FROM islands WHERE run >= $minDupRun""".stripMargin
 
+  // ---- q113: per-source duplication dashboard ------------------------------
+
+  /** q113: the per-source DUPLICATION DASHBOARD — for every source: doc
+    * count, how many docs are exact duplicates (share a text fingerprint
+    * with any other doc), how many sit in at least one MinHash-LSH
+    * candidate pair, and the two rates. This is the rollup a mixture
+    * pipeline reads before weighting sources: a source that is 40%
+    * duplicated contributes far fewer effective tokens than its raw count
+    * suggests. Cost: the q50 fingerprint agg + the q52 candidate pipeline
+    * (both already scale-shaped) + two semi-join flags + one per-source
+    * agg; rates are single IEEE divisions of exact integers. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("fp"))
+    val dupFp = docs.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select(col("fp"))
+    val cand = minhashCandidates(spark, dir)
+    val nearIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    docs
+      .join(dupFp.withColumn("is_exact", lit(1)), Seq("fp"), "left")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("is_exact")).as("n_exact_dup"),
+        count(col("is_near")).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        (col("n_exact_dup").cast("double") / col("n_docs")).as("exact_rate"),
+        (col("n_near_dup").cast("double") / col("n_docs")).as("near_rate"))
+  }
+
+  private def sourceQualitySql =
+    s"""WITH cand AS ($minhashSql),
+       |d AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp
+       |      FROM documents),
+       |dupfp AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+       |near AS (SELECT d1 AS doc_id FROM cand
+       |         UNION SELECT d2 AS doc_id FROM cand)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN d.fp IN (SELECT fp FROM dupfp) THEN 1 END)
+       |    AS BIGINT) AS n_exact_dup,
+       |  CAST(count(n.doc_id) AS BIGINT) AS n_near_dup,
+       |  CAST(count(CASE WHEN d.fp IN (SELECT fp FROM dupfp) THEN 1 END)
+       |    AS DOUBLE) / count(*) AS exact_rate,
+       |  CAST(count(n.doc_id) AS DOUBLE) / count(*) AS near_rate
+       |FROM d LEFT JOIN near n ON d.doc_id = n.doc_id
+       |GROUP BY d.source""".stripMargin
+
   // ---- q110: surgical span removal ----------------------------------------
 
   /** q110: the CUT step of span-level dedup — rebuild every document's text
@@ -1180,6 +1230,7 @@ object Dedup {
     QueryDef("q110_span_cut", spanCut, Some(spanCutSql)),
     QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
     QueryDef("q112b_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
+    QueryDef("q113_source_quality", sourceQuality, Some(sourceQualitySql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }
