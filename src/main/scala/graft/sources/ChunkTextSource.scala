@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,9 +74,16 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      // Column pruning pushdown: a chunk-count query (`groupBy(chunk_id)`)
+      // must not materialize a UTF8String per line. The planner still has
+      // to WALK every line (chunk boundaries are record-count-defined),
+      // but a pruned `value` skips per-row string allocation.
+      private var required: StructType = ChunkTextSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = ChunkTextSource.schema
+      override def readSchema(): StructType = required
       override def description(): String = name()
       override def toBatch: Batch = this
 
@@ -114,7 +121,7 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        ChunkReaderFactory
+        ChunkReaderFactory(required.fieldNames)
     }
 
   private def countLines(f: Path): Long = {
@@ -123,13 +130,16 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
   }
 }
 
-object ChunkReaderFactory extends PartitionReaderFactory {
+case class ChunkReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ChunkReader(p.asInstanceOf[ChunkPartition])
+    new ChunkReader(p.asInstanceOf[ChunkPartition], fields)
 }
 
-/** Streams one chunk: skip to `startLine`, emit `numLines` records. */
-class ChunkReader(cp: ChunkPartition) extends PartitionReader[InternalRow] {
+/** Streams one chunk: skip to `startLine`, emit `numLines` records in the
+  * pruned column order. Lines are always walked (chunk boundaries are
+  * record-count-defined) but a pruned `value` skips string conversion. */
+class ChunkReader(cp: ChunkPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
   private val br = Files.newBufferedReader(Paths.get(cp.file))
   (0L until cp.startLine).foreach(_ => br.readLine())
   private var remaining = cp.numLines
@@ -144,7 +154,10 @@ class ChunkReader(cp: ChunkPartition) extends PartitionReader[InternalRow] {
     }
 
   override def get(): InternalRow =
-    InternalRow(cp.chunkId, UTF8String.fromString(current))
+    InternalRow(fields.map {
+      case "chunk_id" => cp.chunkId
+      case "value" => UTF8String.fromString(current)
+    }.toIndexedSeq: _*)
 
   override def close(): Unit = br.close()
 }

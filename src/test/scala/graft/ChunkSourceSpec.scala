@@ -39,6 +39,18 @@ class ChunkSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 5) // 5 non-empty chunks
   }
 
+  test("column pruning reaches the chunk scan") {
+    import org.apache.spark.sql.functions.col
+    val pruned = df.select(col("chunk_id"))
+    val plan = pruned.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the scan's output must be the single pruned column (DSV2 BatchScan
+    // prints `Output [n]` instead of the V1 ReadSchema line)
+    assert(plan.contains("Output [1]: [chunk_id"), plan)
+    assert(pruned.collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 0, 1, 1, 2, 3, 3, 4, 4)))
+  }
+
   test("chunk rows flow into the standard aggregation surface") {
     import org.apache.spark.sql.functions._
     // per-chunk counts — the facade's (key, chunk)-grained shape (SURVEY
