@@ -970,6 +970,57 @@ object Dedup {
        |FROM d LEFT JOIN near n ON d.doc_id = n.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ---- q114: effective token accounting ------------------------------------
+
+  /** q114: EFFECTIVE-TOKEN accounting per source — raw token count, tokens
+    * surviving exact dedup (q50's keep-min representative per text
+    * fingerprint), and tokens surviving near-dup clustering (q57's
+    * quality-aware keep-best per connected component). Raw counts overstate
+    * a duplicated source's contribution; the effective number is what
+    * mixture weighting should divide by. All three sums are exact integers
+    * over the same one-pass token-length projection; the keep sets are the
+    * (already scale-shaped, memoized) q50/q55/q57 pipelines joined back by
+    * doc id. */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val exactKeep = exact(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(1).as("ek"))
+    val nearKeep = keepBest(spark, dir)
+      .select(col("keep_id").as("doc_id"), lit(1).as("nk"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearKeep, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(when(col("ek") === 1, col("n_tokens")).otherwise(0L))
+          .as("exact_tokens"),
+        sum(when(col("nk") === 1, col("n_tokens")).otherwise(0L))
+          .as("effective_tokens"))
+  }
+
+  private def effectiveTokensSql =
+    s"""WITH keepbest AS ($keepBestSql),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ek AS (SELECT min(doc_id) AS doc_id
+       |       FROM (SELECT md5(lower(trim(text))) AS fp, doc_id
+       |             FROM documents) GROUP BY fp),
+       |nk AS (SELECT DISTINCT keep_id AS doc_id FROM keepbest)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_tokens) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(CASE WHEN ek.doc_id IS NOT NULL THEN d.n_tokens ELSE 0 END)
+       |    AS BIGINT) AS exact_tokens,
+       |  CAST(sum(CASE WHEN nk.doc_id IS NOT NULL THEN d.n_tokens ELSE 0 END)
+       |    AS BIGINT) AS effective_tokens
+       |FROM d LEFT JOIN ek ON d.doc_id = ek.doc_id
+       |       LEFT JOIN nk ON d.doc_id = nk.doc_id
+       |GROUP BY d.source""".stripMargin
+
   // ---- q110: surgical span removal ----------------------------------------
 
   /** q110: the CUT step of span-level dedup — rebuild every document's text
@@ -1231,6 +1282,8 @@ object Dedup {
     QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
     QueryDef("q112b_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("q113_source_quality", sourceQuality, Some(sourceQualitySql)),
+    QueryDef("q114_effective_tokens", effectiveTokens,
+      Some(effectiveTokensSql)),
     QueryDef("q104_novelty", novelty, Some(noveltySql)),
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)))
 }
