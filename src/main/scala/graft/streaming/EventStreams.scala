@@ -344,16 +344,27 @@ object EventStreams {
     val ck = Files.createTempDirectory("graft_stream_ck")
     val complete = outputMode == "complete"
     val sink = batchSink(outDir, outputMode)
+    // Right-size the stream's state parallelism: stateful-operator commit
+    // cost scales with shuffle partitions (one state-store file sync per
+    // partition per operator per batch), and a bounded replay of one input
+    // file carries nothing that needs the session's full width. The stream
+    // locks the value at start, so the session setting is restored
+    // immediately after; a production stream sizes this to throughput.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt).toString)
     // The transform also receives the input-copy dir so multi-input
     // topologies (stream-stream joins) can open their second stream on
     // the same bounded source.
-    val q = transform(readEventsStream(spark, inDir.toString), inDir.toString)
-      .writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", ck.toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
-      .start()
+    val q =
+      try transform(readEventsStream(spark, inDir.toString), inDir.toString)
+        .writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     deleteTree(inDir)
     deleteTree(ck)
