@@ -99,6 +99,32 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.queries.Dedup.simhashPairs(spark, dir).count() == 0L)
   }
 
+  test("span family handles degenerate corpora without failing") {
+    // All-identical corpus: every position duplicated, every doc fully cut.
+    val same = java.nio.file.Files.createTempDirectory("spans_same").toString
+    (1L to 6L).map(i => (i, "every doc is exactly this same twelve token sentence here now", "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$same/documents.parquet")
+    val cut = graft.queries.Dedup.spanCut(spark, same)
+      .select("n_removed", "clean_text")
+      .as[(Long, String)].collect()
+    assert(cut.length == 6 && cut.forall(r => r._1 == 11L && r._2.isEmpty), cut.toSeq)
+
+    // All-tiny corpus (< 3 tokens): no shingles exist — span stats are
+    // empty, the cut passes every doc through untouched.
+    val tiny = java.nio.file.Files.createTempDirectory("spans_tiny").toString
+    Seq((1L, "one two", "src1"), (2L, "x", "src2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    assert(graft.queries.Dedup.dupSpans(spark, tiny).count() == 0L)
+    assert(graft.queries.Dedup.dupSpanExtract(spark, tiny).count() == 0L)
+    val through = graft.queries.Dedup.spanCut(spark, tiny)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(through(1L) == ((1L, 0L, "one two")) &&
+      through(2L) == ((2L, 0L, "x")), through)
+  }
+
   test("q112 winnowing guarantee: adjacent fingerprints within one window") {
     // Schleimer et al. Thm: every window of w consecutive positions
     // contains a selected fingerprint, so consecutive selections in a doc
