@@ -26,6 +26,41 @@ class RulesSpec extends AnyFunSuite {
       SparkEntry.queries("q76_edit_distance")(spark, sf).count())
   }
 
+  test("array_contains join is rewritten to an exploded equi join") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, Seq(2, 3)), (2L, Seq(3, 3, 9)), // duplicate element: one pair
+      (3L, Seq.empty[Int]), (4L, null)     // empty + null arrays: no pairs
+    ).toDF("qid", "buckets")
+    val corpus = Seq((10L, 2), (11L, 3), (12L, 7)).toDF("vid", "bucket")
+
+    val joined = corpus.join(probes,
+      array_contains(col("buckets"), col("bucket")))
+      .select(col("qid"), col("vid"))
+
+    // logical: the Generate(explode) replaced the non-equi predicate
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Generate explode"), opt.take(800))
+    // physical: a hash join, not a nested loop
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(800))
+
+    val got = joined.as[(Long, Long)].collect().toSet
+    // reference semantics, computed driver-side
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L)), got)
+
+    // an existing cross-side equi key suppresses the rewrite (hash join on
+    // it + post-filter beats exploding the build side)
+    val keyed = corpus.join(probes,
+      col("vid") === col("qid") * 5L &&
+        array_contains(col("buckets"), col("bucket")))
+    assert(!keyed.queryExecution.optimizedPlan.toString
+      .contains("Generate explode"))
+    // qid=2 -> vid=10 is the only equi match, but bucket 2 is not in
+    // [3,3,9], so the post-filter drops it: empty result in both forms
+    assert(keyed.count() == 0L)
+  }
+
   test("rewrite preserves semantics on random string pairs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
