@@ -1185,6 +1185,48 @@ object Dedup {
        |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  // ---- q112c: match localization ------------------------------------------
+
+  /** q112c: MOSS-style match LOCALIZATION — for every q112b candidate pair,
+    * where the overlap sits: the count of shared fingerprint hashes and the
+    * [min, max] fingerprint position of the shared region in EACH document
+    * (matched fingerprints carry their positions, so the aligned region
+    * bounds fall out of the same join that finds the pair — no extra scan).
+    * This is what a review tool renders as highlighted spans; combined with
+    * q103b offsets it feeds surgical cutting of cross-document overlap.
+    * Cost: identical join to q112b plus four min/max aggregates. */
+  def winnowMatches(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+      .select(col("doc_id"), col("fp_h").as("h"), col("fp_pos")).distinct()
+      .localCheckpoint()
+    val hot = fp.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select(col("h"))
+    val capped = fp.join(broadcast(hot), Seq("h"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(countDistinct(col("a.h")).as("shared_fps"),
+        min(col("a.fp_pos")).as("d1_from"), max(col("a.fp_pos")).as("d1_to"),
+        min(col("b.fp_pos")).as("d2_from"), max(col("b.fp_pos")).as("d2_to"))
+      .where(col("shared_fps") >= 2)
+  }
+
+  private val winnowMatchesSql =
+    s"""WITH wfp AS ($winnowSql),
+       |fp AS (SELECT DISTINCT doc_id, fp_h AS h, fp_pos FROM wfp),
+       |hot AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM fp)
+       |  GROUP BY h HAVING count(*) > $maxShingleDf),
+       |capped AS (SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(count(DISTINCT a.h) AS BIGINT) AS shared_fps,
+       |  min(a.fp_pos) AS d1_from, max(a.fp_pos) AS d1_to,
+       |  min(b.fp_pos) AS d2_from, max(b.fp_pos) AS d2_to
+       |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 2""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1281,6 +1323,7 @@ object Dedup {
     QueryDef("q110_span_cut", spanCut, Some(spanCutSql)),
     QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
     QueryDef("q112b_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
+    QueryDef("q112c_winnow_matches", winnowMatches, Some(winnowMatchesSql)),
     QueryDef("q113_source_quality", sourceQuality, Some(sourceQualitySql)),
     QueryDef("q114_effective_tokens", effectiveTokens,
       Some(effectiveTokensSql)),
