@@ -62,6 +62,20 @@ object Dedup {
   private val perms: Seq[(Long, Long)] =
     (0 until 16).map(i => ((2L * i + 1) * 1000003L % P, i * 998244353L % P))
 
+  /** DISTINCT (doc_id, shingle-hash) inverted index — the shared input of
+    * q51's capped join, q52b's exact-Jaccard side, and q104's novelty
+    * scoring. Memoized + checkpointed once per (session, sf): on a cluster
+    * this is THE persisted inverted index every shingle-keyed consumer
+    * joins. Deduping on the HASH (not the string) in both engines keeps
+    * even hash-collision behavior bit-equal with the DuckDB oracles. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    Memo("shingle_idx", spark, dir) {
+      shingles(spark, dir)
+        .select(col("doc_id"), hashInt(col("s")).as("h"))
+        .distinct()
+        .localCheckpoint()
+    }
+
   // ---- q50: exact -------------------------------------------------------
 
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -91,32 +105,38 @@ object Dedup {
   private[graft] def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     // The inverted index is consumed three times downstream (doc sizes +
     // both sides of the self-join), and the hot-shingle count reads it too:
-    // without materialization the explode+distinct pipeline runs 4x.
-    // Checkpoint the deduped (doc_id, h) pairs once — on a cluster this is
-    // persist()/checkpoint() of the inverted index, the standard shape.
-    val all = shingles(spark, dir)
-      .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
-      .localCheckpoint()
+    // the memoized checkpointed shingleIndex keeps the explode+distinct
+    // pipeline to one run, shared with q52b and q104.
+    val all = shingleIndex(spark, dir)
     val hot = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select(col("h"))
     all.join(broadcast(hot), Seq("h"), "left_anti")
   }
 
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared overlap statistics of the capped inverted-index self-join: for
+    * every co-occurring doc pair, the common-shingle count and both docs'
+    * index sizes — q51 derives Jaccard from it, q109 containment. One
+    * definition so the df-cap/join shape can never diverge between the two
+    * (and the scale fixes of that shape apply in one place). */
+  private def pairOverlapStats(spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
-    common
       .join(sizes.as("x"), col("d1") === col("x.doc_id"))
       .join(sizes.as("y"), col("d2") === col("y.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))).as("jac"))
-      .where(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("c"),
+        col("x.n").as("n1"), col("y.n").as("n2"))
   }
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    pairOverlapStats(spark, dir)
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jac"))
+      .where(col("jac") >= 0.5)
 
   private val jaccardSql =
     s"""WITH allsh AS (
@@ -144,25 +164,15 @@ object Dedup {
     * 5·c >= 4·min(n) so the pair set cannot diverge at the boundary.
     * `contained_id` names the smaller-shingle-set doc (tie: the larger id,
     * matching min-by-(n, -id) in both engines via an exact composite). */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
-      .where(col("c") * 5L >= least(col("x.n"), col("y.n")) * 4L)
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    pairOverlapStats(spark, dir)
+      .where(col("c") * 5L >= least(col("n1"), col("n2")) * 4L)
       .select(col("d1"), col("d2"),
-        (col("c").cast("double") / least(col("x.n"), col("y.n")))
+        (col("c").cast("double") / least(col("n1"), col("n2")))
           .as("containment"),
-        when(col("x.n") * lit(10000000000L) - col("d1") <
-          col("y.n") * lit(10000000000L) - col("d2"), col("d1"))
+        when(col("n1") * lit(10000000000L) - col("d1") <
+          col("n2") * lit(10000000000L) - col("d2"), col("d1"))
           .otherwise(col("d2")).as("contained_id"))
-  }
 
   private val containmentSql =
     s"""WITH allsh AS (
@@ -195,7 +205,10 @@ object Dedup {
   /** Per-doc 16-slot MinHash signature (m0..m15), computed shuffle-free
     * from the doc's own shingle array — shared by q52 and its q52b
     * accuracy companion. */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    Memo("minhash_sig", spark, dir) { computeMinhashSig(spark, dir) }
+
+  private def computeMinhashSig(spark: SparkSession, dir: String): DataFrame = {
     val hs = expr(
       "transform(" +
         "transform(sequence(0, size(w) - 3), " +
@@ -209,12 +222,15 @@ object Dedup {
     // already has thousands of splits and this repartition is a no-op-sized
     // round-robin of raw docs (still far cheaper than the old exploded
     // doc×shingle shuffle).
+    // Checkpointed: the signature table feeds q52's banding AND q52b's
+    // slot-agreement estimate — one corpus scan, two consumers.
     Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("hs", hs)
       .select(col("doc_id") +: sigCols: _*)
+      .localCheckpoint()
   }
 
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
@@ -275,8 +291,7 @@ object Dedup {
       .reduce(_ + _)
     val est = cand.join(s1, "d1").join(s2, "d2")
       .select(col("d1"), col("d2"), nMatch.as("n_match"))
-    val sh = shingles(spark, dir)
-      .select(col("doc_id"), hashInt(col("s")).as("h")).distinct()
+    val sh = shingleIndex(spark, dir)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val com = cand
       .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
@@ -622,57 +637,18 @@ object Dedup {
     * converges in a handful of rounds at any corpus size. */
   /** The component map is deterministic per (session, dataset) and consumed
     * by three registry entries (q55, q57, q99) — memoize the checkpointed
-    * result so the candidate pipeline and label-propagation loop run once
-    * per session, exactly as a pipeline would materialize the cluster map
-    * once and join it everywhere. */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * result (via [[Memo]]) so the candidate pipeline and label-propagation
+    * loop run once per session, exactly as a pipeline would materialize the
+    * cluster map once and join it everywhere. */
 
-  /** Sessions whose eviction listener is already registered: the listener
-    * must be installed once per session, not once per cache miss —
-    * `Bench`'s clearCcCache() between passes would otherwise stack a
-    * duplicate listener on the same context every pass. */
-  private val evictionHooked =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Memo of the q103/q103b/q110 marked-position index — same lifecycle as
-    * [[ccCache]]: the three span queries share one checkpointed index per
-    * (session, sf) instead of re-exploding the corpus each. */
-  private val spanCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Drop all memoized intermediates (cluster maps + span indexes). `Bench`
-    * calls this between passes so a warm pass re-pays the compute instead
-    * of reusing the first pass's checkpointed result. */
-  private[graft] def clearCcCache(): Unit = { ccCache.clear(); spanCache.clear() }
-
-  /** Session-bounded memo: evicts this session's entries from BOTH caches
-    * when its SparkContext stops, so the maps are bounded by live sessions
-    * and checkpointed RDDs become collectable. The listener is installed
-    * once per session, not once per miss. */
-  private def memoized(
-      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
-      spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark, dir), { _ =>
-      if (evictionHooked.add(spark))
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = {
-              ccCache.keySet.removeIf(_._1 eq spark)
-              spanCache.keySet.removeIf(_._1 eq spark)
-              // also drop the hook-registry entry, or the stopped session
-              // object stays strongly referenced for the JVM's lifetime
-              evictionHooked.remove(spark)
-            }
-          })
-      compute
-    })
+  /** Drop all memoized intermediates (cluster maps, span/winnow/signature
+    * indexes — see [[Memo]]). `Bench` calls this between passes so a warm
+    * pass re-pays the compute instead of reusing the first pass's
+    * checkpointed result. */
+  private[graft] def clearCcCache(): Unit = Memo.clearAll()
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    memoized(ccCache, spark, dir)(computeDupClusters(spark, dir))
+    Memo("cc", spark, dir)(computeDupClusters(spark, dir))
 
   private def computeDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Every iteration output is localCheckpoint'd: iterative plans otherwise
@@ -827,12 +803,12 @@ object Dedup {
     * sketches. */
   /** Positional shingles with a `dup` mark on every position whose shingle
     * appears in >= 2 distinct docs — the shared input of q103/q103b/q110,
-    * memoized per (session, sf) with the ccCache lifecycle: the index is
+    * memoized per (session, sf) with the [[Memo]] lifecycle: the index is
     * checkpointed once and the three span queries (plus both consumers
     * inside each) read the materialized form. On a cluster this is a
     * persisted/checkpointed position index shared across the job DAG. */
   private def markedDupPositions(spark: SparkSession, dir: String): DataFrame =
-    memoized(spanCache, spark, dir) {
+    Memo("spans", spark, dir) {
       val ps = posShingles(spark, dir).localCheckpoint()
       val shared = ps.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
@@ -1121,21 +1097,25 @@ object Dedup {
     * then a per-doc higher-order pass (windows × w comparisons, linear in
     * doc length) — no joins, no pair space. Both engines fold each window
     * left-to-right with the same tie rule, so the selected set is exact. */
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val arr = posShingles(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
-      .where(size(col("ph")) >= winnowW)
-    arr.select(col("doc_id"), explode(expr(
-      s"""array_distinct(transform(sequence(0, size(ph) - $winnowW),
-         |  i -> aggregate(slice(ph, i + 1, $winnowW),
-         |         named_struct('pos', -1, 'h', 9223372036854775807L),
-         |         (acc, x) -> CASE WHEN x.h < acc.h
-         |             OR (x.h = acc.h AND x.pos > acc.pos)
-         |           THEN x ELSE acc END)))""".stripMargin)).as("fp"))
-      .select(col("doc_id"), col("fp.pos").cast("long").as("fp_pos"),
-        col("fp.h").as("fp_h"))
-  }
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    // Memoized + checkpointed: the selection feeds q112 directly and is the
+    // join input of q112b/q112c — three consumers, one winnowing pass.
+    Memo("winnow", spark, dir) {
+      val arr = posShingles(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"))
+        .where(size(col("ph")) >= winnowW)
+      arr.select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(ph) - $winnowW),
+           |  i -> aggregate(slice(ph, i + 1, $winnowW),
+           |         named_struct('pos', -1, 'h', 9223372036854775807L),
+           |         (acc, x) -> CASE WHEN x.h < acc.h
+           |             OR (x.h = acc.h AND x.pos > acc.pos)
+           |           THEN x ELSE acc END)))""".stripMargin)).as("fp"))
+        .select(col("doc_id"), col("fp.pos").cast("long").as("fp_pos"),
+          col("fp.h").as("fp_h"))
+        .localCheckpoint()
+    }
 
   private val winnowSql =
     s"""WITH ps AS ($posShinglesSql),
@@ -1240,9 +1220,10 @@ object Dedup {
     * shuffle join back on the hash, one per-doc agg — all linear, keyed on
     * 8-byte hashes. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-      .select(col("doc_id"), hashInt(col("s")).as("h"))
-      .localCheckpoint()
+    // the DISTINCT index: its oracle dedups on (doc_id, h), and deduping on
+    // the hash in Spark too keeps collision behavior bit-equal (the one
+    // asymmetry a review found — every sibling pipeline already did this)
+    val sh = shingleIndex(spark, dir)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))

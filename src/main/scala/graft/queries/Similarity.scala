@@ -87,22 +87,27 @@ object Similarity {
     * vector, NOT the vector data — with hot buckets removed; exposed for
     * the spec that asserts the cap holds. Checkpointed once: consumed three
     * times (hot-bucket count + both candidate-join sides). */
-  private[graft] def cappedSignBands(spark: SparkSession, dir: String): DataFrame = {
-    val bandVals = (0 until lshBands).map { b =>
-      (0 until lshBandBits)
-        .map(j => when(expr(s"v[${b * lshBandBits + j}]") >= 0, 1L << j)
-          .otherwise(0L))
-        .reduce(_ + _)
+  private[graft] def cappedSignBands(spark: SparkSession, dir: String): DataFrame =
+    // Memoized: the band index feeds q61's candidate join AND q61b's recall
+    // companion — one fingerprint pass + hot-bucket agg for both.
+    Memo("sign_bands", spark, dir) {
+      val bandVals = (0 until lshBands).map { b =>
+        (0 until lshBandBits)
+          .map(j => when(expr(s"v[${b * lshBandBits + j}]") >= 0, 1L << j)
+            .otherwise(0L))
+          .reduce(_ + _)
+      }
+      val bands = vectors(spark, dir)
+        .select(col("vec_id"), posexplode(array(bandVals: _*)))
+        .toDF("vec_id", "band", "bits")
+        .localCheckpoint()
+      val hot = bands.groupBy(col("band"), col("bits"))
+        .agg(count(lit(1)).as("n")).where(col("n") > maxSignBucket)
+        .select(col("band"), col("bits"))
+      // the anti join itself stays in the consumer plans (PlanSpec gates
+      // its shape); only the fingerprint pass above is materialized
+      bands.join(broadcast(hot), Seq("band", "bits"), "left_anti")
     }
-    val bands = vectors(spark, dir)
-      .select(col("vec_id"), posexplode(array(bandVals: _*)))
-      .toDF("vec_id", "band", "bits")
-      .localCheckpoint()
-    val hot = bands.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxSignBucket)
-      .select(col("band"), col("bits"))
-    bands.join(broadcast(hot), Seq("band", "bits"), "left_anti")
-  }
 
   private val cappedSignBandsSql = {
     val bandSelects = (0 until lshBands).map { b =>

@@ -125,8 +125,26 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
     }
 
   private def countLines(f: Path): Long = {
-    val s = Files.lines(f)
-    try s.count() finally s.close()
+    val r = ChunkLineIO.lenientReader(f)
+    try {
+      var n = 0L
+      while (r.readLine() != null) n += 1
+      n
+    } finally r.close()
+  }
+}
+
+private[sources] object ChunkLineIO {
+  /** UTF-8 reader with REPLACE on malformed bytes — `spark.read.text`
+    * semantics (Hadoop's Text decoding): one bad byte in one file must
+    * degrade to U+FFFD, not fail the whole scan (the strict `Files.lines`
+    * would throw MalformedInputException). */
+  def lenientReader(f: Path): java.io.BufferedReader = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    new java.io.BufferedReader(
+      new java.io.InputStreamReader(Files.newInputStream(f), dec))
   }
 }
 
@@ -140,8 +158,12 @@ case class ChunkReaderFactory(fields: Array[String]) extends PartitionReaderFact
   * record-count-defined) but a pruned `value` skips string conversion. */
 class ChunkReader(cp: ChunkPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  private val br = Files.newBufferedReader(Paths.get(cp.file))
-  (0L until cp.startLine).foreach(_ => br.readLine())
+  // fd-safe skip: if seeking to startLine fails, the reader must not leak
+  private val br = {
+    val r = ChunkLineIO.lenientReader(Paths.get(cp.file))
+    try { (0L until cp.startLine).foreach(_ => r.readLine()); r }
+    catch { case t: Throwable => r.close(); throw t }
+  }
   private var remaining = cp.numLines
   private var current: String = _
 
