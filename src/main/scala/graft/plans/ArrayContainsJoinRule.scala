@@ -51,8 +51,11 @@ object ArrayContainsJoinRule extends Rule[LogicalPlan] {
       case j @ Join(left, right, jt, Some(cond), hint)
           if j.resolved && (jt == Inner || jt == LeftSemi) =>
         val cs = conjuncts(cond)
+        // Equality matches both `=` and `<=>`: an EqualNullSafe cross-side
+        // key is just as usable by the hash-join planner, so it must
+        // suppress the rewrite too (exploding would only multiply rows)
         val crossEqui = cs.exists {
-          case EqualTo(l, r) =>
+          case Equality(l, r) =>
             val (lr, rr) = (l.references, r.references)
             (lr.subsetOf(left.outputSet) && rr.subsetOf(right.outputSet) &&
               lr.nonEmpty && rr.nonEmpty) ||

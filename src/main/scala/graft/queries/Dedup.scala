@@ -1207,6 +1207,39 @@ object Dedup {
        |FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 2""".stripMargin
 
+  // ---- q112d: winnow recall vs exact Jaccard ------------------------------
+
+  /** q112d: honest RECALL of the winnowed candidate generator against q51's
+    * exact n-gram Jaccard ground truth — the q61b/q64 accuracy-gate pattern
+    * applied to the one candidate generator that lacked one. Ground truth =
+    * q51's pairs (Jaccard >= 0.5 over the df-capped shingle index); caught =
+    * the pairs q112b's winnowed inverted index surfaces (>= 2 shared
+    * fingerprints). Both sides are deterministic pipelines the oracle
+    * recomputes, so BOTH counts are value-pinned — drift anywhere in the
+    * winnowing selection, the df caps, or the pair joins hash-fails here.
+    *
+    * Winnowing guarantees a selected fingerprint in every shared run of
+    * w+k-1 positions, so high-Jaccard pairs (long shared spans) are exactly
+    * the pairs it must catch — the fraction REPORTED here is the measured
+    * version of that guarantee at this corpus' span lengths.
+    *
+    * Cost: both inputs ride their memoized indexes ([[Memo]]); the gate
+    * itself is one broadcast-sized left join over pair lists. */
+  def winnowRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir).select(col("d1"), col("d2"))
+    val caught = winnowPairs(spark, dir)
+      .select(col("d1"), col("d2"), lit(1).as("hit"))
+    truth.join(caught, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_caught"))
+  }
+
+  private val winnowRecallSql =
+    s"""WITH truth AS ($jaccardSql),
+       |caught AS ($winnowPairsSql)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(c.d1) AS BIGINT) AS n_caught
+       |FROM truth t LEFT JOIN caught c ON c.d1 = t.d1 AND c.d2 = t.d2""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1305,6 +1338,7 @@ object Dedup {
     QueryDef("q112_winnow", winnowFingerprints, Some(winnowSql)),
     QueryDef("q112b_winnow_pairs", winnowPairs, Some(winnowPairsSql)),
     QueryDef("q112c_winnow_matches", winnowMatches, Some(winnowMatchesSql)),
+    QueryDef("q112d_winnow_recall", winnowRecall, Some(winnowRecallSql)),
     QueryDef("q113_source_quality", sourceQuality, Some(sourceQualitySql)),
     QueryDef("q114_effective_tokens", effectiveTokens,
       Some(effectiveTokensSql)),

@@ -3,11 +3,12 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,11 +34,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * NAME order, not directory-listing order — the reference's listing order
   * is filesystem-dependent, i.e. nondeterministic.
   *
-  * Scale note: planning reads each file once on the driver to count lines
-  * — exactly what the reference's master does when it splits and ships
-  * chunks. That is the faithful facade, not the 100 TB path; at scale the
-  * line-count contract must be dropped for byte-range splits (Spark's own
-  * text source), which the reference cannot express.
+  * Scale design (the reference's master reads every file line-by-line on
+  * one node to split it — `MasterNode.java:89-126`; we keep the chunk
+  * CONTRACT but not that cost):
+  *  - the per-file layout (line count + the byte offset of each chunk's
+  *    first line) is computed by ONE distributed Spark job, one task per
+  *    file — the driver loops only over per-file summaries;
+  *  - layouts are memoized per (path, listing fingerprint, recordsPerChunk),
+  *    so repeated queries over the same data plan from metadata alone;
+  *  - readers SEEK to their chunk's byte offset — no re-reading a file
+  *    from line 0 per chunk (was O(chunks²) line reads per file);
+  *  - `chunk_id` predicates push down to partition pruning, and a
+  *    `value`-pruned scan (e.g. per-chunk counts) emits rows without
+  *    opening the files at all (line counts are exact from planning).
   */
 class ChunkTextSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-chunks"
@@ -58,11 +67,106 @@ object ChunkTextSource {
   val schema: StructType = StructType(Seq(
     StructField("chunk_id", IntegerType, nullable = false),
     StructField("value", StringType, nullable = true)))
+
+  /** Per-file chunk layout: total line count plus the byte offset of the
+    * first line of each (non-empty) chunk, in chunk order. */
+  private[sources] case class FileLayout(file: String, lines: Long,
+      chunkStartBytes: Array[Long])
+
+  private case class LayoutKey(path: String, recPerChunk: Int,
+      fingerprint: Long)
+
+  /** Memoized split lists. Keyed on a metadata fingerprint (names, sizes,
+    * mtimes) so a changed directory re-plans; bounded LRU so long sessions
+    * over many inputs don't grow without limit. */
+  private val layoutCache =
+    new java.util.LinkedHashMap[LayoutKey, Seq[FileLayout]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LayoutKey, Seq[FileLayout]]): Boolean =
+        size() > 128
+    }
+
+  private[sources] def listFiles(path: String): Seq[Path] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.iterator().asScala.toSeq
+        .filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith(".") &&
+          !f.getFileName.toString.startsWith("_"))
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    } else Seq(p)
+  }
+
+  /** File layouts for `path`, computed distributed on a cache miss: one
+    * Spark task per file scans bytes once, recording line count and the
+    * offsets of chunk-boundary lines (a fixed few words per chunk — the
+    * task output is proportional to chunks, not lines). */
+  private[sources] def layouts(path: String, recPerChunk: Int): Seq[FileLayout] = {
+    val files = listFiles(path)
+    val fp = files.foldLeft(17L) { (h, f) =>
+      ((h * 31 + f.getFileName.toString.hashCode) * 31 +
+        Files.size(f)) * 31 + Files.getLastModifiedTime(f).toMillis
+    }
+    val key = LayoutKey(path, recPerChunk, fp)
+    layoutCache.synchronized(Option(layoutCache.get(key))) match {
+      case Some(cached) => cached
+      case None =>
+        val names = files.map(_.toString)
+        val computed: Seq[FileLayout] =
+          if (names.isEmpty) Seq.empty
+          else SparkSession.active.sparkContext
+            .parallelize(names, names.size)
+            .map(f => analyzeFile(f, recPerChunk))
+            .collect().toSeq.sortBy(l => names.indexOf(l.file))
+        layoutCache.synchronized(layoutCache.put(key, computed))
+        computed
+    }
+  }
+
+  /** One sequential byte pass over a file (runs on an executor). Line
+    * terminator semantics match `BufferedReader.readLine` — `\n`, `\r`,
+    * `\r\n` — which is how both the reference's master and our readers
+    * consume the file; byte-level scanning sidesteps charset decoding
+    * (malformed UTF-8 cannot contain a 0x0A/0x0D byte mid-sequence). */
+  private[sources] def analyzeFile(file: String, recPerChunk: Int): FileLayout = {
+    val in = new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(file)), 1 << 16)
+    try {
+      val starts = Array.newBuilder[Long]
+      var lines = 0L
+      var pos = 0L
+      var atLineStart = true
+      var prevCR = false
+      var b = in.read()
+      while (b != -1) {
+        if (prevCR && b == '\n') {
+          // second byte of a \r\n pair: not a new line
+          prevCR = false
+          atLineStart = true
+        } else {
+          if (atLineStart) {
+            if (lines % recPerChunk == 0) starts += pos
+            lines += 1
+            atLineStart = false
+          }
+          if (b == '\n') { atLineStart = true; prevCR = false }
+          else if (b == '\r') { atLineStart = true; prevCR = true }
+          else prevCR = false
+        }
+        pos += 1
+        b = in.read()
+      }
+      FileLayout(file, lines, starts.result())
+    } finally in.close()
+  }
 }
 
-/** One reference chunk: `numLines` lines of `file` starting at line
-  * `startLine` (0-based), carrying its global `chunkId`. */
-case class ChunkPartition(file: String, startLine: Long, numLines: Long,
+/** One reference chunk: `numLines` lines of `file` starting at byte
+  * `startByte` (a line-start offset recorded at planning), carrying its
+  * global `chunkId`. */
+case class ChunkPartition(file: String, startByte: Long, numLines: Long,
     chunkId: Int) extends InputPartition
 
 class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead {
@@ -74,77 +178,101 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
-      // Column pruning pushdown: a chunk-count query (`groupBy(chunk_id)`)
-      // must not materialize a UTF8String per line. The planner still has
-      // to WALK every line (chunk boundaries are record-count-defined),
-      // but a pruned `value` skips per-row string allocation.
-      private var required: StructType = ChunkTextSource.schema
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
-      override def build(): Scan = this
-      override def readSchema(): StructType = required
-      override def description(): String = name()
-      override def toBatch: Batch = this
+    new ChunkScanBuilder(path, recPerChunk, name())
+}
 
-      /** Driver-side split, mirroring `MasterNode.splitInputFile`: one pass
-        * per file counting records, chunk ids advancing globally. Empty
-        * trailing chunks consume an id but plan no partition. */
-      override def planInputPartitions(): Array[InputPartition] = {
-        val p = Paths.get(path)
-        val files: Seq[Path] =
-          if (Files.isDirectory(p)) {
-            val listing = Files.list(p)
-            try listing.iterator().asScala.toSeq
-              .filter(f => Files.isRegularFile(f) &&
-                !f.getFileName.toString.startsWith(".") &&
-                !f.getFileName.toString.startsWith("_"))
-              .sortBy(_.getFileName.toString)
-            finally listing.close()
-          } else Seq(p)
-        var nextId = 0
-        val parts = Seq.newBuilder[InputPartition]
-        for (f <- files) {
-          val lines = countLines(f)
-          var start = 0L
-          while (start < lines) {
-            val n = math.min(recPerChunk.toLong, lines - start)
-            parts += ChunkPartition(f.toString, start, n, nextId)
-            nextId += 1
-            start += n
-          }
-          // the reference numbers a trailing empty chunk when the file
-          // length divides evenly (and for an empty file)
-          if (lines % recPerChunk == 0) nextId += 1
-        }
-        parts.result().toArray
-      }
+/** Scan over the memoized chunk layout with two pushdowns:
+  *  - column pruning: a `value`-pruned scan never opens the files
+  *    (line counts are exact from planning) — chunk-count queries are
+  *    metadata-only;
+  *  - `chunk_id` filters prune PARTITIONS (the id is constant per chunk,
+  *    so partition-level evaluation is exact and nothing is re-filtered
+  *    post-scan). */
+private[sources] class ChunkScanBuilder(path: String, recPerChunk: Int,
+    tableName: String) extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        ChunkReaderFactory(required.fieldNames)
-    }
+  private var required: StructType = ChunkTextSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
-  private def countLines(f: Path): Long = {
-    val r = ChunkLineIO.lenientReader(f)
-    try {
-      var n = 0L
-      while (r.readLine() != null) n += 1
-      n
-    } finally r.close()
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"$tableName PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = this
+
+  /** Accept `chunk_id` predicates we can decide per-partition; everything
+    * else stays residual for Spark to evaluate post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition(chunkIdPredicate(_).isDefined)
+    pushed = accepted
+    residual
   }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def chunkIdPredicate(f: Filter): Option[Int => Boolean] = f match {
+    case EqualTo("chunk_id", v: Number) =>
+      val n = v.intValue; Some(_ == n)
+    case In("chunk_id", vs) if vs.forall(_.isInstanceOf[Number]) =>
+      val set = vs.map(_.asInstanceOf[Number].intValue).toSet
+      Some(set.contains)
+    case GreaterThan("chunk_id", v: Number) =>
+      val n = v.intValue; Some(_ > n)
+    case GreaterThanOrEqual("chunk_id", v: Number) =>
+      val n = v.intValue; Some(_ >= n)
+    case LessThan("chunk_id", v: Number) =>
+      val n = v.intValue; Some(_ < n)
+    case LessThanOrEqual("chunk_id", v: Number) =>
+      val n = v.intValue; Some(_ <= n)
+    case _ => None
+  }
+
+  /** Global chunk-id assignment over the memoized layouts — a per-FILE
+    * driver loop over (line count, offsets) summaries; no file contents
+    * are touched here. Empty trailing chunks consume an id but plan no
+    * partition (the reference's even-division quirk). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keep: Int => Boolean = {
+      val preds = pushed.flatMap(chunkIdPredicate)
+      id => preds.forall(_(id))
+    }
+    var nextId = 0
+    val parts = Array.newBuilder[InputPartition]
+    for (l <- ChunkTextSource.layouts(path, recPerChunk)) {
+      var k = 0
+      while (k < l.chunkStartBytes.length) {
+        val startLine = k.toLong * recPerChunk
+        val n = math.min(recPerChunk.toLong, l.lines - startLine)
+        if (keep(nextId))
+          parts += ChunkPartition(l.file, l.chunkStartBytes(k), n, nextId)
+        nextId += 1
+        k += 1
+      }
+      if (l.lines % recPerChunk == 0) nextId += 1 // numbered empty chunk
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkReaderFactory(required.fieldNames)
 }
 
 private[sources] object ChunkLineIO {
   /** UTF-8 reader with REPLACE on malformed bytes — `spark.read.text`
     * semantics (Hadoop's Text decoding): one bad byte in one file must
     * degrade to U+FFFD, not fail the whole scan (the strict `Files.lines`
-    * would throw MalformedInputException). */
-  def lenientReader(f: Path): java.io.BufferedReader = {
+    * would throw MalformedInputException). Seeks to `startByte` (always a
+    * line-start boundary recorded at planning) before decoding begins. */
+  def lenientReader(f: Path, startByte: Long): java.io.BufferedReader = {
+    val in = Files.newInputStream(f)
+    try in.skipNBytes(startByte)
+    catch { case t: Throwable => in.close(); throw t }
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    new java.io.BufferedReader(
-      new java.io.InputStreamReader(Files.newInputStream(f), dec))
+    new java.io.BufferedReader(new java.io.InputStreamReader(in, dec))
   }
 }
 
@@ -153,22 +281,21 @@ case class ChunkReaderFactory(fields: Array[String]) extends PartitionReaderFact
     new ChunkReader(p.asInstanceOf[ChunkPartition], fields)
 }
 
-/** Streams one chunk: skip to `startLine`, emit `numLines` records in the
-  * pruned column order. Lines are always walked (chunk boundaries are
-  * record-count-defined) but a pruned `value` skips string conversion. */
+/** Streams one chunk: seek to the chunk's byte offset, emit `numLines`
+  * records in the pruned column order. With `value` pruned the file is
+  * never opened — the planner's line counts stand in for the rows. */
 class ChunkReader(cp: ChunkPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
-  // fd-safe skip: if seeking to startLine fails, the reader must not leak
-  private val br = {
-    val r = ChunkLineIO.lenientReader(Paths.get(cp.file))
-    try { (0L until cp.startLine).foreach(_ => r.readLine()); r }
-    catch { case t: Throwable => r.close(); throw t }
-  }
+  private val wantValue = fields.contains("value")
+  private val br: java.io.BufferedReader =
+    if (wantValue) ChunkLineIO.lenientReader(Paths.get(cp.file), cp.startByte)
+    else null
   private var remaining = cp.numLines
   private var current: String = _
 
   override def next(): Boolean =
     if (remaining <= 0) false
+    else if (!wantValue) { remaining -= 1; true }
     else {
       current = br.readLine()
       remaining -= 1
@@ -181,5 +308,5 @@ class ChunkReader(cp: ChunkPartition, fields: Array[String])
       case "value" => UTF8String.fromString(current)
     }.toIndexedSeq: _*)
 
-  override def close(): Unit = br.close()
+  override def close(): Unit = if (br != null) br.close()
 }

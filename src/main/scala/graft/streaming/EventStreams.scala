@@ -347,24 +347,24 @@ object EventStreams {
     // Right-size the stream's state parallelism: stateful-operator commit
     // cost scales with shuffle partitions (one state-store file sync per
     // partition per operator per batch), and a bounded replay of one input
-    // file carries nothing that needs the session's full width. The stream
-    // locks the value at start, so the session setting is restored
-    // immediately after; a production stream sizes this to throughput.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prevParts.toInt).toString)
+    // file carries nothing that needs the session's full width. The
+    // reduced width is scoped to a CHILD session (same SparkContext,
+    // shared state and extensions; its own runtime conf), so queries
+    // planned concurrently on the caller's session keep full parallelism.
+    val streamSpark = spark.newSession()
+    streamSpark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
     // The transform also receives the input-copy dir so multi-input
     // topologies (stream-stream joins) can open their second stream on
     // the same bounded source.
     val q =
-      try transform(readEventsStream(spark, inDir.toString), inDir.toString)
+      transform(readEventsStream(streamSpark, inDir.toString), inDir.toString)
         .writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     deleteTree(inDir)
     deleteTree(ck)
@@ -424,7 +424,7 @@ object EventStreams {
       val a = s.withWatermark("ts", "2 hours")
         .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
           col("event_id").as("a_id"), col("event_type").as("a_type"))
-      val b = readEventsStream(spark, inDir).withWatermark("ts", "2 hours")
+      val b = readEventsStream(s.sparkSession, inDir).withWatermark("ts", "2 hours")
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
           col("event_id").as("b_id"), col("event_type").as("b_type"))
       a.join(b,
@@ -447,7 +447,7 @@ object EventStreams {
     * count. */
   def runningCountsStreamRun(spark: SparkSession, dir: String): DataFrame = {
     val raw = boundedStreamRun(spark, dir,
-      (s, _) => runningCountsAgg(spark, s), "update")
+      (s, _) => runningCountsAgg(s.sparkSession, s), "update")
     raw.groupBy(col("user_id"))
       .agg(max_by(col("n_events"), col("batch_id")).as("n_events"))
   }
