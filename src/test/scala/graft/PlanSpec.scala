@@ -189,6 +189,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q116 bucketed-index self-join plans with no shuffle on the join key") {
+    val p = plan("q116_bucketed_index")
+    // both sides of the h-join read the bucketed table: the SMJ's
+    // distribution requirement is satisfied by bucketing, so NO exchange on
+    // h exists anywhere — the only exchanges left are pair-sized aggregates
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!"Exchange hashpartitioning\\(h#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q115 incremental probes: broadcast near screen, store never shuffles") {
+    val p = plan("q115_incremental_dedup")
+    // near screen: batch bands broadcast into the band-store scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exact probe: SMJ where the store side rides its bucketing — the only
+    // fp exchange is the batch side's (batch-sized); the store has none
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(fp#".r.findAllIn(p).size <= 1, p)
+    // the band store is never exchanged (probe broadcasts, store scans)
+    assert(!"Exchange hashpartitioning\\(bh#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
