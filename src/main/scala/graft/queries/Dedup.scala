@@ -208,12 +208,18 @@ object Dedup {
   private def minhashSig(spark: SparkSession, dir: String): DataFrame =
     Memo("minhash_sig", spark, dir) { computeMinhashSig(spark, dir) }
 
+  /** Row-local shingle-hash array over a tokenized column `w`: the 3-word
+    * shingles hashed to int64 mod P — the per-row core of the MinHash
+    * signature, shared by the batch signature table and q117's streaming
+    * side (which must compute bit-identical band keys per row). */
+  private val hsExpr = expr(
+    "transform(" +
+      "transform(sequence(0, size(w) - 3), " +
+      "  i -> concat_ws(' ', w[i], w[i+1], w[i+2])), " +
+      s"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${P}L)")
+
   private def computeMinhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val hs = expr(
-      "transform(" +
-        "transform(sequence(0, size(w) - 3), " +
-        "  i -> concat_ws(' ', w[i], w[i+1], w[i+2])), " +
-        s"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${P}L)")
+    val hs = hsExpr
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P)).as(s"m$i")
     }
@@ -1396,6 +1402,102 @@ object Dedup {
        |LEFT JOIN store s ON f.fp = s.fp
        |LEFT JOIN nearc n ON n.doc_id = f.doc_id""".stripMargin
 
+  // ---- q117: STREAMING ingestion dedup ------------------------------------
+
+  /** Adds MinHash band-hash columns `bh0..bh3` per ROW (null for docs with
+    * < 3 tokens — no shingles, no bands), value-identical to
+    * [[minhashBands]]'s `bh` for the same doc: the streaming ingest path
+    * computes per-row what the batch path aggregates, so both probe the
+    * same persisted store keys. All expressions are deterministic
+    * row-local built-ins — legal in a streaming plan. */
+  private def withBandCols(df: DataFrame): DataFrame = {
+    val withHs = df.withColumn("w", split(col("text"), " "))
+      .withColumn("hs", when(size(col("w")) >= 3, hsExpr))
+    val withSig = perms.zipWithIndex.foldLeft(withHs) { case (d, ((a, b), i)) =>
+      d.withColumn(s"m$i",
+        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P)))
+    }
+    val withBh = (0 until 4).foldLeft(withSig) { (d, b) =>
+      d.withColumn(s"bh$b", when(col("hs").isNotNull,
+        md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))))
+    }
+    withBh.drop("w" +: "hs" +: (0 until 16).map(i => s"m$i"): _*)
+  }
+
+  /** q117: q115's ingest screen as a REAL STREAMING query — new documents
+    * arrive as micro-batches (`readStream` over the documents table,
+    * bounded `AvailableNow` run) and every doc is screened ON ARRIVAL
+    * against the PERSISTED history stores by stream-static joins:
+    *
+    *  - exact: stream fp against the bucketed fp store (broadcast right);
+    *  - near: each of the row's 4 MinHash band hashes against the
+    *    history band SET (4 stream-static broadcast left joins — band
+    *    membership is per-row data, so the probe needs no aggregation
+    *    and stays legal in append mode).
+    *
+    * Append mode emits each arriving doc exactly once with its decision —
+    * the latency-shaped complement of q115's batch screen: same stores,
+    * same decisions (the oracle is the identical batch recompute), but
+    * rows are decided as they land instead of per ingest cycle. At scale
+    * the static sides refresh per trigger from the store tables;
+    * state-free (no watermark needed — stream-static joins keep no
+    * stream-side state). */
+  def streamingIngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isBatch = expr(batchPred)
+    materializeBucketed(spark,
+      docs.where(!isBatch)
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id")),
+      "graft_fp_store_ing", 8, Seq("fp"))
+    materializeBucketed(spark,
+      minhashBands(spark, dir).where(!isBatch)
+        .select(col("band"), col("bh")).distinct(),
+      "graft_band_set_ing", 8, Seq("bh"))
+    graft.streaming.EventStreams.boundedDocStreamRun(spark, dir, (s, _) => {
+      val ses = s.sparkSession
+      val store = ses.table("graft_fp_store_ing")
+      val bset = ses.table("graft_band_set_ing")
+      var cur = withBandCols(s.where(expr(batchPred)))
+        .withColumn("fp", md5(lower(trim(col("text")))))
+        .select(col("doc_id"), col("fp"),
+          col("bh0"), col("bh1"), col("bh2"), col("bh3"))
+        .join(broadcast(store), Seq("fp"), "left")
+      for (b <- 0 until 4)
+        cur = cur.join(
+          broadcast(bset.where(col("band") === b)
+            .select(col("bh").as(s"sbh$b"), lit(1).as(s"hit$b"))),
+          col(s"bh$b") === col(s"sbh$b"), "left")
+      cur.select(col("doc_id"),
+        col("keep_id").isNotNull.as("is_exact_dup"),
+        when(col("keep_id").isNotNull, lit("drop_exact"))
+          .when(coalesce(col("hit0"), col("hit1"), col("hit2"),
+            col("hit3")).isNotNull, lit("review_near"))
+          .otherwise(lit("keep")).as("decision"))
+    }, "append")
+  }
+
+  private val streamingIngestSql =
+    s"""WITH $minhashBandsCte,
+       |store AS (
+       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
+       |  FROM documents WHERE NOT ($batchPred) GROUP BY 1),
+       |bfp AS (
+       |  SELECT doc_id, md5(lower(trim(text))) AS fp
+       |  FROM documents WHERE $batchPred),
+       |nearflag AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b JOIN bands h
+       |    ON b.band = h.band AND b.bh = h.bh
+       |  WHERE b.$batchPred AND NOT (h.$batchPred))
+       |SELECT f.doc_id,
+       |  s.keep_id IS NOT NULL AS is_exact_dup,
+       |  CASE WHEN s.keep_id IS NOT NULL THEN 'drop_exact'
+       |       WHEN n.doc_id IS NOT NULL THEN 'review_near'
+       |       ELSE 'keep' END AS decision
+       |FROM bfp f
+       |LEFT JOIN store s ON f.fp = s.fp
+       |LEFT JOIN nearflag n ON n.doc_id = f.doc_id""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1502,5 +1604,7 @@ object Dedup {
     QueryDef("q105_cross_dedup", crossDedup, Some(crossDedupSql)),
     QueryDef("q115_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql)),
+    QueryDef("q117_stream_ingest_dedup", streamingIngestDedup,
+      Some(streamingIngestSql)),
     QueryDef("q116_bucketed_index", jaccardPairsBucketed, Some(jaccardSql)))
 }

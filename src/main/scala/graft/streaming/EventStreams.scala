@@ -334,12 +334,36 @@ object EventStreams {
   }
 
   private def boundedStreamRun(spark: SparkSession, dir: String,
+      transform: (DataFrame, String) => DataFrame, outputMode: String): DataFrame =
+    boundedRun(spark, dir, "events.parquet", readEventsStream,
+      transform, outputMode)
+
+  /** [[boundedRun]] over the documents table — the ingest-stream shape
+    * (q117: new documents arrive as micro-batches and are screened against
+    * persisted history stores). */
+  private[graft] def boundedDocStreamRun(spark: SparkSession, dir: String,
+      transform: (DataFrame, String) => DataFrame, outputMode: String): DataFrame =
+    boundedRun(spark, dir, "documents.parquet", readDocsStream,
+      transform, outputMode)
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over a directory of documents parquet files. */
+  private def readDocsStream(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(docsDir)
+
+  private def boundedRun(spark: SparkSession, dir: String, srcFile: String,
+      openStream: (SparkSession, String) => DataFrame,
       transform: (DataFrame, String) => DataFrame, outputMode: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      inDir.resolve("events.parquet"))
+    Files.copy(Paths.get(s"$dir/$srcFile"), inDir.resolve(srcFile))
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
     val complete = outputMode == "complete"
@@ -358,7 +382,7 @@ object EventStreams {
     // topologies (stream-stream joins) can open their second stream on
     // the same bounded source.
     val q =
-      transform(readEventsStream(streamSpark, inDir.toString), inDir.toString)
+      transform(openStream(streamSpark, inDir.toString), inDir.toString)
         .writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
