@@ -175,6 +175,105 @@ object Scalars {
       |  quantile_cont(l_quantity, 0.75) AS p75
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q118: bivariate statistical aggregates — corr / covar_pop /
+    * covar_samp / regr_slope / regr_intercept / regr_r2 of
+    * (l_quantity, l_extendedprice) per return flag — the q101 exact-moment
+    * technique applied to the two-variable family. Native `corr`/`covar_*`
+    * accumulate doubles in partition order (non-deterministic across
+    * engines AND across partitionings), so instead the five moments
+    * Σx, Σy, Σx², Σy², Σxy are summed EXACTLY over integer cents
+    * (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — both exact), cast to
+    * double once, and every statistic is derived through an IDENTICAL
+    * single-IEEE-op expression tree in both engines (+,−,×,÷,sqrt are all
+    * correctly rounded, so identical trees give identical bits). The
+    * degenerate-variance guards are exact integer predicates
+    * (n·Σx² − (Σx)² > 0), never an ulp off. One partial-agg shuffle over
+    * |return flags| groups; scales like any hash aggregate. */
+  def bivariateStats(spark: SparkSession, dir: String): DataFrame = {
+    val xi = (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+    val yi = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def sq(c: org.apache.spark.sql.Column) =
+      (c.cast(d19) * c.cast(d19)).cast(d38)
+    val m = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), xi.as("xi"), yi.as("yi"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(sq(col("xi"))).as("sxx"), sum(sq(col("yi"))).as("syy"),
+        sum((col("xi").cast(d19) * col("yi").cast(d19)).cast(d38)).as("sxy"))
+    val nd = col("n").cast("double")
+    // cents → units: one exact double scale per moment ( /100, /10000 )
+    val sxd = col("sx").cast("double") / 100d
+    val syd = col("sy").cast("double") / 100d
+    val sxxd = col("sxx").cast("double") / 10000d
+    val syyd = col("syy").cast("double") / 10000d
+    val sxyd = col("sxy").cast("double") / 10000d
+    val mx = sxd / nd
+    val my = syd / nd
+    val covp = sxyd / nd - mx * my
+    val varx = sxxd / nd - mx * mx
+    val vary = syyd / nd - my * my
+    val corrC = covp / sqrt(varx * vary)
+    val slope = covp / varx
+    // exact non-degeneracy guards on the integer moments
+    val varxN2 = col("n").cast(d19) * col("sxx") -
+      col("sx").cast(d19) * col("sx").cast(d19)
+    val varyN2 = col("n").cast(d19) * col("syy") -
+      col("sy").cast(d19) * col("sy").cast(d19)
+    m.where(varxN2 > 0 && varyN2 > 0)
+      .select(col("l_returnflag"), col("n"),
+        mx.as("mean_x"), my.as("mean_y"),
+        covp.as("covar_pop"),
+        ((sxyd - sxd * syd / nd) / (nd - 1.0)).as("covar_samp"),
+        corrC.as("corr"),
+        slope.as("regr_slope"),
+        (my - slope * mx).as("regr_intercept"),
+        (corrC * corrC).as("regr_r2"))
+  }
+
+  private val bivariateStatsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+      |      * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx,
+      |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS syy,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) / 100 AS sxd, CAST(sy AS DOUBLE) / 100 AS syd,
+      |    CAST(sxx AS DOUBLE) / 10000 AS sxxd,
+      |    CAST(syy AS DOUBLE) / 10000 AS syyd,
+      |    CAST(sxy AS DOUBLE) / 10000 AS sxyd,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varxn2,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS varyn2
+      |  FROM m)
+      |SELECT l_returnflag, n,
+      |  sxd / nd AS mean_x, syd / nd AS mean_y,
+      |  sxyd / nd - (sxd / nd) * (syd / nd) AS covar_pop,
+      |  (sxyd - sxd * syd / nd) / (nd - 1.0) AS covar_samp,
+      |  (sxyd / nd - (sxd / nd) * (syd / nd))
+      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
+      |         * (syyd / nd - (syd / nd) * (syd / nd))) AS corr,
+      |  (sxyd / nd - (sxd / nd) * (syd / nd))
+      |    / (sxxd / nd - (sxd / nd) * (sxd / nd)) AS regr_slope,
+      |  syd / nd - ((sxyd / nd - (sxd / nd) * (syd / nd))
+      |    / (sxxd / nd - (sxd / nd) * (sxd / nd))) * (sxd / nd) AS regr_intercept,
+      |  ((sxyd / nd - (sxd / nd) * (syd / nd))
+      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
+      |         * (syyd / nd - (syd / nd) * (syd / nd))))
+      |  * ((sxyd / nd - (sxd / nd) * (syd / nd))
+      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
+      |         * (syyd / nd - (syd / nd) * (syd / nd)))) AS regr_r2
+      |FROM d WHERE varxn2 > 0 AND varyn2 > 0""".stripMargin
+
   /** MapType + structured JSON surface: `from_json` parses the event props
     * into a typed struct (schema-on-read, codegen'd — the scalable JSON
     * path vs per-field string extraction), and a map built from arrays is
@@ -204,6 +303,7 @@ object Scalars {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q49_map_json", mapJsonFuncs, Some(mapJsonFuncsSql)),
+    QueryDef("q118_bivariate_stats", bivariateStats, Some(bivariateStatsSql)),
     QueryDef("q48_percentile_exact", percentileExact, Some(percentileExactSql)),
     QueryDef("q40_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
