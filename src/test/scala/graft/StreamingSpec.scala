@@ -199,4 +199,18 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").distinct().as[Long].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming ingest screen decides exactly like the batch screen (q115/q117)") {
+    import org.apache.spark.sql.functions.col
+    // same stores, same semantics: the per-doc (is_exact_dup, decision)
+    // pair must be identical whether the batch is screened in one pass
+    // (q115) or doc-by-doc as a stream (q117)
+    val batch = SparkEntry.queries("q115_incremental_dedup")(spark, sf)
+      .select(col("doc_id"), col("is_exact_dup"), col("decision"))
+      .collect().map(_.toSeq).toSet
+    val streamed = SparkEntry.queries("q117_stream_ingest_dedup")(spark, sf)
+      .select(col("doc_id"), col("is_exact_dup"), col("decision"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
