@@ -1316,8 +1316,35 @@ object Dedup {
   // ---- q115: incremental ingestion dedup ----------------------------------
 
   /** Deterministic ingest-batch membership: every 10th doc_id arrives in
-    * the "new" batch, the rest are the persisted history. */
-  private val batchPred = "doc_id % 10 = 7"
+    * the "new" batch, the rest are the persisted history. Oracle SQL that
+    * needs the predicate inside a self-join qualifies EVERY column
+    * reference through [[batchPredFor]] — extend the predicate there, not
+    * by string-prefixing the whole expression. */
+  private def batchPredFor(alias: String): String = {
+    val q = if (alias.isEmpty) "" else alias + "."
+    s"${q}doc_id % 10 = 7"
+  }
+  private val batchPred = batchPredFor("")
+
+  /** The historical exact-fingerprint store — one row per normalized-text
+    * md5 seen in history with the kept (minimum) doc_id. ONE definition
+    * shared by q115's batch screen and q117's streaming screen (and, as
+    * [[histStoreCte]], by both oracles), so the two paths can never
+    * fingerprint differently. */
+  private def historyFpStore(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").where(!expr(batchPred))
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+
+  private val histStoreCte =
+    s"""store AS (
+       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
+       |  FROM documents WHERE NOT ($batchPred) GROUP BY 1)""".stripMargin
+
+  private val batchFpCte =
+    s"""bfp AS (
+       |  SELECT doc_id, md5(lower(trim(text))) AS fp
+       |  FROM documents WHERE $batchPred)""".stripMargin
 
   /** q115: INCREMENTAL ingestion dedup — the production shape none of
     * q50-q114 covers: a NEW batch of documents is deduped against the
@@ -1346,10 +1373,7 @@ object Dedup {
     val isBatch = expr(batchPred)
     // the persisted history stores (one write per ingest cycle)
     val fpStore = materializeBucketed(spark,
-      docs.where(!isBatch)
-        .groupBy(md5(lower(trim(col("text")))).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id")),
-      "graft_fp_store", 8, Seq("fp"))
+      historyFpStore(spark, dir), "graft_fp_store", 8, Seq("fp"))
     val bandStore = materializeBucketed(spark,
       minhashBands(spark, dir).where(!isBatch),
       "graft_band_store", 8, Seq("bh"))
@@ -1380,16 +1404,12 @@ object Dedup {
 
   private val incrementalDedupSql =
     s"""WITH $minhashBandsCte,
-       |store AS (
-       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
-       |  FROM documents WHERE NOT ($batchPred) GROUP BY 1),
-       |bfp AS (
-       |  SELECT doc_id, md5(lower(trim(text))) AS fp
-       |  FROM documents WHERE $batchPred),
+       |$histStoreCte,
+       |$batchFpCte,
        |nearc AS (
        |  SELECT b.doc_id, CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_near
        |  FROM bands b JOIN bands h ON b.band = h.band AND b.bh = h.bh
-       |  WHERE b.$batchPred AND NOT (h.$batchPred)
+       |  WHERE ${batchPredFor("b")} AND NOT (${batchPredFor("h")})
        |  GROUP BY 1)
        |SELECT f.doc_id,
        |  s.keep_id IS NOT NULL AS is_exact_dup,
@@ -1443,13 +1463,9 @@ object Dedup {
     * state-free (no watermark needed — stream-static joins keep no
     * stream-side state). */
   def streamingIngestDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
     val isBatch = expr(batchPred)
     materializeBucketed(spark,
-      docs.where(!isBatch)
-        .groupBy(md5(lower(trim(col("text")))).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id")),
-      "graft_fp_store_ing", 8, Seq("fp"))
+      historyFpStore(spark, dir), "graft_fp_store_ing", 8, Seq("fp"))
     materializeBucketed(spark,
       minhashBands(spark, dir).where(!isBatch)
         .select(col("band"), col("bh")).distinct(),
@@ -1479,16 +1495,12 @@ object Dedup {
 
   private val streamingIngestSql =
     s"""WITH $minhashBandsCte,
-       |store AS (
-       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
-       |  FROM documents WHERE NOT ($batchPred) GROUP BY 1),
-       |bfp AS (
-       |  SELECT doc_id, md5(lower(trim(text))) AS fp
-       |  FROM documents WHERE $batchPred),
+       |$histStoreCte,
+       |$batchFpCte,
        |nearflag AS (
        |  SELECT DISTINCT b.doc_id FROM bands b JOIN bands h
        |    ON b.band = h.band AND b.bh = h.bh
-       |  WHERE b.$batchPred AND NOT (h.$batchPred))
+       |  WHERE ${batchPredFor("b")} AND NOT (${batchPredFor("h")}))
        |SELECT f.doc_id,
        |  s.keep_id IS NOT NULL AS is_exact_dup,
        |  CASE WHEN s.keep_id IS NOT NULL THEN 'drop_exact'

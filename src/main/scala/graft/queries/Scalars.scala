@@ -186,9 +186,9 @@ object Scalars {
     * double once, and every statistic is derived through an IDENTICAL
     * single-IEEE-op expression tree in both engines (+,−,×,÷,sqrt are all
     * correctly rounded, so identical trees give identical bits). The
-    * degenerate-variance guards are exact integer predicates
-    * (n·Σx² − (Σx)² > 0), never an ulp off. One partial-agg shuffle over
-    * |return flags| groups; scales like any hash aggregate. */
+    * degenerate-variance guards are exact and overflow-free at ANY scale:
+    * a variance is zero iff min = max within the group. One partial-agg
+    * shuffle over |return flags| groups; scales like any hash aggregate. */
   def bivariateStats(spark: SparkSession, dir: String): DataFrame = {
     val xi = (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
     val yi = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
@@ -200,9 +200,14 @@ object Scalars {
       .select(col("l_returnflag"), xi.as("xi"), yi.as("yi"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        // first moments as DECIMAL(38,0) too: a plain long sum wraps
+        // silently past 2^63 (~1e12 rows of 1e7-cent values) while the
+        // oracle's HUGEINT does not
+        sum(col("xi").cast(d38)).as("sx"), sum(col("yi").cast(d38)).as("sy"),
         sum(sq(col("xi"))).as("sxx"), sum(sq(col("yi"))).as("syy"),
-        sum((col("xi").cast(d19) * col("yi").cast(d19)).cast(d38)).as("sxy"))
+        sum((col("xi").cast(d19) * col("yi").cast(d19)).cast(d38)).as("sxy"),
+        min(col("xi")).as("xmin"), max(col("xi")).as("xmax"),
+        min(col("yi")).as("ymin"), max(col("yi")).as("ymax"))
     val nd = col("n").cast("double")
     // cents → units: one exact double scale per moment ( /100, /10000 )
     val sxd = col("sx").cast("double") / 100d
@@ -217,12 +222,10 @@ object Scalars {
     val vary = syyd / nd - my * my
     val corrC = covp / sqrt(varx * vary)
     val slope = covp / varx
-    // exact non-degeneracy guards on the integer moments
-    val varxN2 = col("n").cast(d19) * col("sxx") -
-      col("sx").cast(d19) * col("sx").cast(d19)
-    val varyN2 = col("n").cast(d19) * col("syy") -
-      col("sy").cast(d19) * col("sy").cast(d19)
-    m.where(varxN2 > 0 && varyN2 > 0)
+    // exact, overflow-free non-degeneracy guards: variance = 0 iff the
+    // group is constant (n·Σx² − (Σx)² products would overflow 38 digits
+    // exactly at the scales where the exactness matters most)
+    m.where(col("xmin") < col("xmax") && col("ymin") < col("ymax"))
       .select(col("l_returnflag"), col("n"),
         mx.as("mean_x"), my.as("mean_y"),
         covp.as("covar_pop"),
@@ -243,7 +246,11 @@ object Scalars {
       |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
       |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS syy,
       |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
-      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy,
+      |    min(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS xmin,
+      |    max(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS xmax,
+      |    min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ymin,
+      |    max(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ymax
       |  FROM lineitem GROUP BY l_returnflag),
       |d AS (
       |  SELECT l_returnflag, n,
@@ -252,8 +259,7 @@ object Scalars {
       |    CAST(sxx AS DOUBLE) / 10000 AS sxxd,
       |    CAST(syy AS DOUBLE) / 10000 AS syyd,
       |    CAST(sxy AS DOUBLE) / 10000 AS sxyd,
-      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS varxn2,
-      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS varyn2
+      |    xmin, xmax, ymin, ymax
       |  FROM m)
       |SELECT l_returnflag, n,
       |  sxd / nd AS mean_x, syd / nd AS mean_y,
@@ -272,7 +278,7 @@ object Scalars {
       |  * ((sxyd / nd - (sxd / nd) * (syd / nd))
       |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
       |         * (syyd / nd - (syd / nd) * (syd / nd)))) AS regr_r2
-      |FROM d WHERE varxn2 > 0 AND varyn2 > 0""".stripMargin
+      |FROM d WHERE xmin < xmax AND ymin < ymax""".stripMargin
 
   /** MapType + structured JSON surface: `from_json` parses the event props
     * into a typed struct (schema-on-read, codegen'd — the scalable JSON

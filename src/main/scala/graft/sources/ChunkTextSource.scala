@@ -114,12 +114,13 @@ object ChunkTextSource {
       case Some(cached) => cached
       case None =>
         val names = files.map(_.toString)
+        val nameIdx = names.zipWithIndex.toMap
         val computed: Seq[FileLayout] =
           if (names.isEmpty) Seq.empty
           else SparkSession.active.sparkContext
             .parallelize(names, names.size)
             .map(f => analyzeFile(f, recPerChunk))
-            .collect().toSeq.sortBy(l => names.indexOf(l.file))
+            .collect().toSeq.sortBy(l => nameIdx(l.file))
         layoutCache.synchronized(layoutCache.put(key, computed))
         computed
     }
