@@ -68,7 +68,51 @@ object Windows {
       cume_dist().over(w).as("cd"))
   }
 
+  /** q119: the frame-spec surface the other window queries don't touch —
+    * a true RANGE frame (trailing 1 hour by event time: the frame is
+    * VALUE-bounded, so each row aggregates a data-dependent row count) and
+    * the navigation functions first/nth/last over ROWS frames. Range
+    * frames include order-value PEERS wholesale, so only tie-safe
+    * AGGREGATES run over the range frame (sum/count are peer-order
+    * independent); the navigation functions run over ROWS frames keyed by
+    * the unique (ts, event_id) order, where their row choice is exact.
+    * Both engines compute the range key as epoch millis, so peer groups
+    * are identical by construction. One shuffle on user_id, like every
+    * window here. */
+  def frameSpecs(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    val wf = byUserTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = byUserTs.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(wr)
+          .cast("double").as("hr_sum"),
+        count(lit(1)).over(wr).as("hr_n"),
+        first(col("value")).over(wf).as("first_val"),
+        nth_value(col("value"), 2).over(wf).as("second_val"),
+        last(col("value")).over(wl).as("last_val"))
+  }
+
+  private val frameSpecsSql =
+    """SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS hr_sum,
+      |  count(*) OVER wr AS hr_n,
+      |  first_value(value) OVER wf AS first_val,
+      |  nth_value(value, 2) OVER wf AS second_val,
+      |  last_value(value) OVER wl AS last_val
+      |FROM events
+      |WINDOW
+      |  wr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wl AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q119_window_frames", frameSpecs, Some(frameSpecsSql)),
     QueryDef("q30_window_topk", topEventsPerUser, Some(
       """SELECT event_id, user_id, value, rn FROM (
         |  SELECT event_id, user_id, value,

@@ -70,7 +70,7 @@ object ChunkTextSource {
 
   /** Per-file chunk layout: total line count plus the byte offset of the
     * first line of each (non-empty) chunk, in chunk order. */
-  private[sources] case class FileLayout(file: String, lines: Long,
+  private[graft] case class FileLayout(file: String, lines: Long,
       chunkStartBytes: Array[Long])
 
   private case class LayoutKey(path: String, recPerChunk: Int,
@@ -131,7 +131,7 @@ object ChunkTextSource {
     * `\r\n` — which is how both the reference's master and our readers
     * consume the file; byte-level scanning sidesteps charset decoding
     * (malformed UTF-8 cannot contain a 0x0A/0x0D byte mid-sequence). */
-  private[sources] def analyzeFile(file: String, recPerChunk: Int): FileLayout = {
+  private[graft] def analyzeFile(file: String, recPerChunk: Int): FileLayout = {
     val in = new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(file)), 1 << 16)
     try {

@@ -133,4 +133,44 @@ class ChunkSourceSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getString(1))
     assert(rows.toSet == Set(0 -> "x1", 0 -> "x2", 0 -> "x3", 1 -> "x4"), rows.toSeq)
   }
+
+  test("byte scanner matches BufferedReader.readLine on adversarial inputs") {
+    // the planner's byte-level line scan must agree with the readers'
+    // BufferedReader view for EVERY terminator mix, malformed byte, and
+    // chunk size — line count, and chunk contents via the seek offsets
+    import graft.sources.{ChunkPartition, ChunkReader, ChunkTextSource}
+    val rnd = new scala.util.Random(42)
+    val alphabet: Array[Byte] =
+      "ab\n\r ".getBytes("UTF-8") ++ Array(0xFF.toByte, 0xC3.toByte)
+    for (trial <- 0 until 60) {
+      val n = rnd.nextInt(40)
+      val bytes = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val d = Files.createTempDirectory("chunkprop")
+      val f = d.resolve("t.bin")
+      Files.write(f, bytes)
+      // reference: BufferedReader over the same lenient decoding
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.ByteArrayInputStream(bytes),
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)))
+      val expected = Iterator.continually(br.readLine()).takeWhile(_ != null).toList
+      for (rec <- Seq(1, 2, 3, 7)) {
+        val layout = ChunkTextSource.analyzeFile(f.toString, rec)
+        assert(layout.lines == expected.size.toLong,
+          s"trial=$trial rec=$rec bytes=${bytes.mkString(",")}")
+        // every chunk read via its seek offset yields exactly its lines
+        val got = layout.chunkStartBytes.zipWithIndex.flatMap { case (off, k) =>
+          val nLines = math.min(rec.toLong, layout.lines - k.toLong * rec)
+          val r = new ChunkReader(
+            ChunkPartition(f.toString, off, nLines, k), Array("value"))
+          try Iterator.continually(r)
+            .takeWhile(_.next()).map(_.get().getString(0)).toList
+          finally r.close()
+        }.toList
+        assert(got == expected, s"trial=$trial rec=$rec")
+      }
+      Files.delete(f); Files.delete(d)
+    }
+  }
 }
