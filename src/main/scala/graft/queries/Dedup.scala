@@ -1334,11 +1334,13 @@ object Dedup {
   private def historyFpStore(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").where(!expr(batchPred))
       .groupBy(md5(lower(trim(col("text")))).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
 
   private val histStoreCte =
     s"""store AS (
-       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
+       |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+       |    count(*) AS n_copies
        |  FROM documents WHERE NOT ($batchPred) GROUP BY 1)""".stripMargin
 
   private val batchFpCte =
@@ -1510,6 +1512,42 @@ object Dedup {
        |LEFT JOIN store s ON f.fp = s.fp
        |LEFT JOIN nearflag n ON n.doc_id = f.doc_id""".stripMargin
 
+  // ---- q120: incremental store COMMIT --------------------------------------
+
+  /** q120: the WRITE side of incremental ingestion — after q115/q117
+    * screen a batch, the cycle ends by COMMITTING it: merge the batch's
+    * per-fp aggregate into the persisted history store and write the next
+    * store generation (bucketed on `fp` like its predecessor). The
+    * invariant that makes incremental maintenance trustworthy: min() and
+    * count() are commutative monoids, so merging partial aggregates per fp
+    * IS the total aggregate — merge(history store, batch) must equal the
+    * q50 store recomputed over the FULL corpus, and the oracle is exactly
+    * that full-corpus SQL.
+    *
+    * Scale shape: merge cost ∝ store + batch fingerprints, both sides
+    * grouped on `fp` with the store side pre-bucketed (the LSM-style
+    * compaction of a bucketed table); the corpus text is never re-read —
+    * only 16-byte fingerprints move. The next generation is written
+    * bucketed for the next cycle's probes; returning the read-back table
+    * proves the round trip. */
+  def storeCommit(spark: SparkSession, dir: String): DataFrame = {
+    val store = materializeBucketed(spark,
+      historyFpStore(spark, dir), "graft_fp_store_gen0", 8, Seq("fp"))
+    val batch = Tables(spark, dir, "documents").where(expr(batchPred))
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val merged = store.unionByName(batch)
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_copies")).as("n_copies"))
+    materializeBucketed(spark, merged, "graft_fp_store_gen1", 8, Seq("fp"))
+  }
+
+  private val storeCommitSql =
+    """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- q104: shingle novelty / boilerplate scoring ------------------------
 
   /** q104: per-document NOVELTY — the fraction of its distinct shingles
@@ -1618,5 +1656,6 @@ object Dedup {
       Some(incrementalDedupSql)),
     QueryDef("q117_stream_ingest_dedup", streamingIngestDedup,
       Some(streamingIngestSql)),
+    QueryDef("q120_store_commit", storeCommit, Some(storeCommitSql)),
     QueryDef("q116_bucketed_index", jaccardPairsBucketed, Some(jaccardSql)))
 }
