@@ -17,6 +17,14 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  /** Tree-form physical plan: unlike FormattedMode (which splits a node
+    * and its arguments across lines), the tree string renders
+    * `Exchange hashpartitioning(key#...)` inline — REQUIRED for any
+    * exchange-key assertion; a FormattedMode `contains` on that pattern
+    * is vacuous. */
+  private def treePlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
   test("q11 pushes filter and prunes columns at the parquet scan") {
     val p = plan("q11_filter_project")
     assert(p.contains("PushedFilters: ["), p)
@@ -80,7 +88,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q29 bucketed join plans with no shuffle exchange on either side") {
-    val p = plan("q29_join_bucketed")
+    val p = treePlan("q29_join_bucketed")
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
     assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
@@ -190,24 +198,39 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q116 bucketed-index self-join plans with no shuffle on the join key") {
-    val p = plan("q116_bucketed_index")
+    val p = treePlan("q116_bucketed_index")
     // both sides of the h-join read the bucketed table: the SMJ's
     // distribution requirement is satisfied by bucketing, so NO exchange on
     // h exists anywhere — the only exchanges left are pair-sized aggregates
     assert(p.contains("SortMergeJoin"), p)
     assert(!"Exchange hashpartitioning\\(h#".r.findFirstIn(p).isDefined, p)
+    assert("Exchange".r.findFirstIn(p).isDefined, p) // pattern sanity: tree form renders exchanges
   }
 
   test("q115 incremental probes: broadcast near screen, store never shuffles") {
-    val p = plan("q115_incremental_dedup")
+    val p = treePlan("q115_incremental_dedup")
     // near screen: batch bands broadcast into the band-store scan
     assert(p.contains("BroadcastHashJoin"), p)
     // exact probe: SMJ where the store side rides its bucketing — the only
     // fp exchange is the batch side's (batch-sized); the store has none
     assert(p.contains("SortMergeJoin"), p)
-    assert("Exchange hashpartitioning\\(fp#".r.findAllIn(p).size <= 1, p)
+    assert("Exchange hashpartitioning\\(fp#".r.findAllIn(p).size == 1, p)
     // the band store is never exchanged (probe broadcasts, store scans)
     assert(!"Exchange hashpartitioning\\(bh#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q119 window frames share one shuffle on the partition key") {
+    val p = treePlan("q119_window_frames")
+    // three frame specs (range + two rows), all partitioned by user_id:
+    // one exchange feeds every window pass — per-spec sorts are fine,
+    // per-spec shuffles are not
+    assert("Exchange hashpartitioning\\(user_id#".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q118 moments aggregate partial+final (map-side combine)") {
+    val p = plan("q118_bivariate_stats")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p) // decimal sums combine map-side
   }
 
   test("no accidental cartesian products in any registered query") {
