@@ -303,11 +303,18 @@ class ChunkReader(cp: ChunkPartition, fields: Array[String])
       current != null
     }
 
-  override def get(): InternalRow =
-    InternalRow(fields.map {
-      case "chunk_id" => cp.chunkId
-      case "value" => UTF8String.fromString(current)
-    }.toIndexedSeq: _*)
+  override def get(): InternalRow = {
+    // tight per-row path: no iterator/Seq allocation per record
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) =
+        if (fields(i) == "chunk_id") cp.chunkId
+        else UTF8String.fromString(current)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
 
   override def close(): Unit = if (br != null) br.close()
 }
