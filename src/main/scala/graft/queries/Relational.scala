@@ -78,6 +78,32 @@ object Relational {
         .select(col("o_custkey").as("ck")).distinct())
   }
 
+  /** q121: the MULTISET set operations — `EXCEPT ALL` / `INTERSECT ALL`
+    * keep per-row multiplicity (a partkey returned 3 times and kept 1 time
+    * survives EXCEPT ALL twice), a different operator from the DISTINCT
+    * forms of q15/q16: Spark plans them as a count-aggregate + replicate
+    * (Generate) instead of a dedup join. Both branches in one result via
+    * an op tag; multiplicities are engine-exact because both engines
+    * implement the identical bag semantics. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val a = li.where(col("l_returnflag") === "A").select(col("l_partkey"))
+    val r = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+    a.exceptAll(r).withColumn("op", lit("except_all"))
+      .unionByName(a.intersectAll(r).withColumn("op", lit("intersect_all")))
+  }
+
+  private val setOpsAllSql =
+    """SELECT l_partkey, 'except_all' AS op FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      |UNION ALL
+      |SELECT l_partkey, 'intersect_all' AS op FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
+
   def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -198,6 +224,7 @@ object Relational {
       """SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) >= 1999""".stripMargin)),
+    QueryDef("q121_setops_all", setOpsAll, Some(setOpsAllSql)),
     QueryDef("q17_rollup", rollupLineitem, Some(
       s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
          |  count(*) AS cnt
