@@ -104,6 +104,46 @@ object Relational {
       |  INTERSECT ALL
       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
 
+  /** q122: DATA-QUALITY AUDIT — the validation pass every production
+    * pipeline runs before trusting a table: row count, key cardinality,
+    * per-column null counts, domain-rule violations, and a referential
+    * integrity check (lineitems whose order does not exist, via left
+    * anti join). Every output is an exact integer count, so the audit is
+    * bit-identical cross-engine with no float laundering. Plan shape: one
+    * partial+final aggregate over the fact scan, one broadcast-side
+    * anti-join count folded in by a 1×1 broadcast cross join — the fact
+    * table is scanned twice and shuffled never. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val stats = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orderkeys"),
+      count(when(col("l_quantity").isNull, 1)).as("n_null_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+        .as("n_bad_discount"),
+      count(when(col("l_shipdate").isNull, 1)).as("n_null_shipdate"))
+    val orphans = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    stats.crossJoin(broadcast(orphans))
+  }
+
+  private val dqAuditSql =
+    """SELECT s.n_rows, s.n_orderkeys, s.n_null_qty, s.n_bad_discount,
+      |  s.n_null_shipdate, o.n_orphans
+      |FROM (
+      |  SELECT count(*) AS n_rows,
+      |    count(DISTINCT l_orderkey) AS n_orderkeys,
+      |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null_qty,
+      |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+      |      AS n_bad_discount,
+      |    count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS n_null_shipdate
+      |  FROM lineitem) s,
+      |  (SELECT count(*) AS n_orphans FROM lineitem l
+      |   WHERE NOT EXISTS (
+      |     SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) o""".stripMargin
+
   def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -225,6 +265,7 @@ object Relational {
         |EXCEPT
         |SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) >= 1999""".stripMargin)),
     QueryDef("q121_setops_all", setOpsAll, Some(setOpsAllSql)),
+    QueryDef("q122_dq_audit", dqAudit, Some(dqAuditSql)),
     QueryDef("q17_rollup", rollupLineitem, Some(
       s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
          |  count(*) AS cnt
