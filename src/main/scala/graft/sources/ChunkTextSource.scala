@@ -68,10 +68,11 @@ object ChunkTextSource {
     StructField("chunk_id", IntegerType, nullable = false),
     StructField("value", StringType, nullable = true)))
 
-  /** Per-file chunk layout: total line count plus the byte offset of the
-    * first line of each (non-empty) chunk, in chunk order. */
+  /** Per-file chunk layout: total line count, total byte length, and the
+    * byte offset of the first line of each (non-empty) chunk, in chunk
+    * order. */
   private[graft] case class FileLayout(file: String, lines: Long,
-      chunkStartBytes: Array[Long])
+      byteLen: Long, chunkStartBytes: Array[Long])
 
   private case class LayoutKey(path: String, recPerChunk: Int,
       fingerprint: Long)
@@ -159,16 +160,16 @@ object ChunkTextSource {
         pos += 1
         b = in.read()
       }
-      FileLayout(file, lines, starts.result())
+      FileLayout(file, lines, pos, starts.result())
     } finally in.close()
   }
 }
 
-/** One reference chunk: `numLines` lines of `file` starting at byte
-  * `startByte` (a line-start offset recorded at planning), carrying its
-  * global `chunkId`. */
+/** One reference chunk: `numLines` lines (`numBytes` bytes) of `file`
+  * starting at byte `startByte` (a line-start offset recorded at
+  * planning), carrying its global `chunkId`. */
 case class ChunkPartition(file: String, startByte: Long, numLines: Long,
-    chunkId: Int) extends InputPartition
+    numBytes: Long, chunkId: Int) extends InputPartition
 
 class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead {
   require(recPerChunk > 0, s"recordsPerChunk must be positive: $recPerChunk")
@@ -191,7 +192,8 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
   *    post-scan). */
 private[sources] class ChunkScanBuilder(path: String, recPerChunk: Int,
     tableName: String) extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private var required: StructType = ChunkTextSource.schema
   private var pushed: Array[Filter] = Array.empty
@@ -234,26 +236,49 @@ private[sources] class ChunkScanBuilder(path: String, recPerChunk: Int,
     * driver loop over (line count, offsets) summaries; no file contents
     * are touched here. Empty trailing chunks consume an id but plan no
     * partition (the reference's even-division quirk). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def plannedChunks(): Array[ChunkPartition] = {
     val keep: Int => Boolean = {
       val preds = pushed.flatMap(chunkIdPredicate)
       id => preds.forall(_(id))
     }
     var nextId = 0
-    val parts = Array.newBuilder[InputPartition]
+    val parts = Array.newBuilder[ChunkPartition]
     for (l <- ChunkTextSource.layouts(path, recPerChunk)) {
+      val starts = l.chunkStartBytes
       var k = 0
-      while (k < l.chunkStartBytes.length) {
+      while (k < starts.length) {
         val startLine = k.toLong * recPerChunk
         val n = math.min(recPerChunk.toLong, l.lines - startLine)
+        val end = if (k + 1 < starts.length) starts(k + 1) else l.byteLen
         if (keep(nextId))
-          parts += ChunkPartition(l.file, l.chunkStartBytes(k), n, nextId)
+          parts += ChunkPartition(l.file, starts(k), n,
+            end - starts(k), nextId)
         nextId += 1
         k += 1
       }
       if (l.lines % recPerChunk == 0) nextId += 1 // numbered empty chunk
     }
     parts.result()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedChunks().toArray[InputPartition]
+
+  /** Pruning-aware statistics from the memoized layouts: exact row and
+    * byte totals of the PLANNED partitions (chunk_id pushdown shrinks
+    * them), so Catalyst sizes chunk scans from real numbers — e.g. a
+    * filtered chunk table on a join's build side can qualify for
+    * broadcast. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val parts = plannedChunks()
+    val rows = parts.map(_.numLines).sum
+    val bytes = parts.map(_.numBytes).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -97,7 +97,7 @@ class ChunkSourceSpec extends AnyFunSuite {
     // a chunk_id-only projection answers from the planned line count — the
     // reader must not touch the file at all (here it cannot: none exists)
     val r = new ChunkReader(
-      ChunkPartition("/nonexistent/graft_chunk_meta_only", 0L, 3L, 7),
+      ChunkPartition("/nonexistent/graft_chunk_meta_only", 0L, 3L, 0L, 7),
       Array("chunk_id"))
     try {
       var n = 0
@@ -134,6 +134,17 @@ class ChunkSourceSpec extends AnyFunSuite {
     assert(rows.toSet == Set(0 -> "x1", 0 -> "x2", 0 -> "x3", 1 -> "x4"), rows.toSeq)
   }
 
+  test("scan statistics are exact and shrink under chunk_id pruning") {
+    import org.apache.spark.sql.functions.col
+    def leafStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats
+    val full = leafStats(df)
+    assert(full.rowCount.contains(BigInt(9)), full) // 5 + 4 lines
+    val pruned = leafStats(df.where(col("chunk_id") === 3))
+    assert(pruned.rowCount.contains(BigInt(2)), pruned) // chunk 3 = b1 b2
+    assert(pruned.sizeInBytes < full.sizeInBytes, (pruned, full))
+  }
+
   test("byte scanner matches BufferedReader.readLine on adversarial inputs") {
     // the planner's byte-level line scan must agree with the readers'
     // BufferedReader view for EVERY terminator mix, malformed byte, and
@@ -163,7 +174,7 @@ class ChunkSourceSpec extends AnyFunSuite {
         val got = layout.chunkStartBytes.zipWithIndex.flatMap { case (off, k) =>
           val nLines = math.min(rec.toLong, layout.lines - k.toLong * rec)
           val r = new ChunkReader(
-            ChunkPartition(f.toString, off, nLines, k), Array("value"))
+            ChunkPartition(f.toString, off, nLines, 0L, k), Array("value"))
           try Iterator.continually(r)
             .takeWhile(_.next()).map(_.get().getString(0)).toList
           finally r.close()
