@@ -121,6 +121,9 @@ object ChunkTextSource {
           else SparkSession.active.sparkContext
             .parallelize(names, names.size)
             .map(f => analyzeFile(f, recPerChunk))
+            // planning metadata, not data: one fixed-size summary PER FILE
+            // (line count + chunk offsets) comes back to the driver — the
+            // per-line work stays on the executors
             .collect().toSeq.sortBy(l => nameIdx(l.file))
         layoutCache.synchronized(layoutCache.put(key, computed))
         computed
