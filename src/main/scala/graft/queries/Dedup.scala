@@ -78,10 +78,18 @@ object Dedup {
 
   // ---- q50: exact -------------------------------------------------------
 
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+  /** Normalized-text fingerprint (q50's dedup key) — ONE definition for
+    * every store builder and probe (q50, q115, q117, q120). */
+  private val docFp: Column = md5(lower(trim(col("text"))))
+
+  /** Per-fp exact-dedup aggregate: kept (minimum) doc_id + copy count.
+    * q50 over the full corpus; the history/batch stores over slices. */
+  private def fpAggregate(docs: DataFrame): DataFrame =
+    docs.groupBy(docFp.as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    fpAggregate(Tables(spark, dir, "documents"))
 
   // ---- q51: n-gram Jaccard ---------------------------------------------
 
@@ -118,8 +126,10 @@ object Dedup {
     * index sizes — q51 derives Jaccard from it, q109 containment. One
     * definition so the df-cap/join shape can never diverge between the two
     * (and the scale fixes of that shape apply in one place). */
-  private def pairOverlapStats(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(spark, dir)
+  /** The overlap-stats join over ANY (doc_id, h) inverted index — the
+    * memoized in-session one (q51/q109) or the persisted bucketed table
+    * (q116): one shape, so the df-cap/join fixes apply in one place. */
+  private def pairOverlapStatsOf(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"),
@@ -132,11 +142,18 @@ object Dedup {
         col("x.n").as("n1"), col("y.n").as("n2"))
   }
 
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    pairOverlapStats(spark, dir)
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jac"))
+  private def pairOverlapStats(spark: SparkSession, dir: String): DataFrame =
+    pairOverlapStatsOf(cappedShingles(spark, dir))
+
+  /** Jaccard >= 0.5 pairs from overlap stats (|∩| / |∪| via inclusion-
+    * exclusion). */
+  private def jaccardOf(stats: DataFrame): DataFrame =
+    stats.select(col("d1"), col("d2"),
+      (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jac"))
       .where(col("jac") >= 0.5)
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardOf(pairOverlapStats(spark, dir))
 
   private val jaccardSql =
     s"""WITH allsh AS (
@@ -218,11 +235,21 @@ object Dedup {
       "  i -> concat_ws(' ', w[i], w[i+1], w[i+2])), " +
       s"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % ${P}L)")
 
+  /** MinHash slot i over a `hs` hash-array column: the array minimum under
+    * the i-th affine permutation. Shared by the batch signature table and
+    * q117's per-row streaming computation. */
+  private def sigCol(i: Int): Column = {
+    val (a, b) = perms(i)
+    array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P))
+  }
+
+  /** Band b's LSH bucket hash over signature columns m{4b}..m{4b+3}. */
+  private def bandHash(b: Int): Column =
+    md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))
+
   private def computeMinhashSig(spark: SparkSession, dir: String): DataFrame = {
     val hs = hsExpr
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P)).as(s"m$i")
-    }
+    val sigCols = (0 until 16).map(i => sigCol(i).as(s"m$i"))
     // Small-file re-fan: a single-file local scan is one partition, which
     // would serialize the per-doc signature math; at real scale the scan
     // already has thousands of splits and this repartition is a no-op-sized
@@ -242,14 +269,10 @@ object Dedup {
   /** Banded LSH buckets of the MinHash signatures: one (doc_id, band, bh)
     * row per band — the probe key of every MinHash consumer (q52's
     * candidate self-join, q115's batch-vs-history probe). */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val bandHashes = (0 until 4).map { b =>
-      md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))
-    }
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashSig(spark, dir)
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(bandHash): _*)))
       .toDF("doc_id", "band", "bh")
-  }
 
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
@@ -1260,32 +1283,12 @@ object Dedup {
 
   // ---- q116: the shingle index as a persisted BUCKETED table --------------
 
-  /** Idempotent warehouse-table reset (the q29 dance): a fresh session's
-    * catalog doesn't know tables left in the warehouse dir by a previous
-    * JVM, and `saveAsTable(overwrite)` then fails with
-    * LOCATION_ALREADY_EXISTS — drop both the catalog entry and the
-    * location. */
-  private def resetTable(spark: SparkSession, t: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-  }
-
-  /** Write `df` as a bucketed+sorted warehouse table and read it back —
-    * the production materialization of the index family ([[Memo]] is the
-    * session-scoped stand-in; this is the cross-session shape a 100 TB
-    * pipeline persists: pay the distribution once at write time, consume
-    * it shuffle-free forever after). */
+  /** [[Warehouse.materializeBucketed]] — the production materialization of
+    * the index family ([[Memo]] is the session-scoped stand-in; this is
+    * the cross-session shape a 100 TB pipeline persists). */
   private def materializeBucketed(spark: SparkSession, df: DataFrame,
-      table: String, nBuckets: Int, keys: Seq[String]): DataFrame = {
-    resetTable(spark, table)
-    df.write.mode("overwrite")
-      .bucketBy(nBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
-    spark.table(table)
-  }
+      table: String, nBuckets: Int, keys: Seq[String]): DataFrame =
+    Warehouse.materializeBucketed(spark, df, table, nBuckets, keys)
 
   /** q116: q51's exact-Jaccard pairs recomputed from the shingle inverted
     * index PERSISTED as a table bucketed on the join key `h` — the VERDICT
@@ -1300,17 +1303,9 @@ object Dedup {
   def jaccardPairsBucketed(spark: SparkSession, dir: String): DataFrame = {
     val idx = materializeBucketed(spark, cappedShingles(spark, dir),
       "graft_shingle_idx", 8, Seq("h"))
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    idx.as("a").hint("merge")
-      .join(idx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.as("x"), col("d1") === col("x.doc_id"))
-      .join(sizes.as("y"), col("d2") === col("y.doc_id"))
-      .select(col("d1"), col("d2"),
-        (col("c").cast("double") / (col("x.n") + col("y.n") - col("c"))).as("jac"))
-      .where(col("jac") >= 0.5)
+    // merge hint: at test SF the table is broadcast-sized, which would
+    // bypass the bucketed-SMJ path the query demonstrates
+    jaccardOf(pairOverlapStatsOf(idx.hint("merge")))
   }
 
   // ---- q115: incremental ingestion dedup ----------------------------------
@@ -1332,10 +1327,7 @@ object Dedup {
     * [[histStoreCte]], by both oracles), so the two paths can never
     * fingerprint differently. */
   private def historyFpStore(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").where(!expr(batchPred))
-      .groupBy(md5(lower(trim(col("text")))).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"),
-        count(lit(1)).as("n_copies"))
+    fpAggregate(Tables(spark, dir, "documents").where(!expr(batchPred)))
 
   private val histStoreCte =
     s"""store AS (
@@ -1386,8 +1378,7 @@ object Dedup {
     // so it rides the store's bucketing instead: SMJ where the store side
     // needs NO exchange (bucketed on fp) and only the batch pays a
     // batch-sized shuffle.
-    val bfp = docs.where(isBatch)
-      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+    val bfp = docs.where(isBatch).select(col("doc_id"), docFp.as("fp"))
     val nearCand = bandStore.as("h")
       .join(broadcast(minhashBands(spark, dir).where(isBatch).as("b")),
         col("b.band") === col("h.band") && col("b.bh") === col("h.bh"))
@@ -1435,13 +1426,11 @@ object Dedup {
   private def withBandCols(df: DataFrame): DataFrame = {
     val withHs = df.withColumn("w", split(col("text"), " "))
       .withColumn("hs", when(size(col("w")) >= 3, hsExpr))
-    val withSig = perms.zipWithIndex.foldLeft(withHs) { case (d, ((a, b), i)) =>
-      d.withColumn(s"m$i",
-        array_min(transform(col("hs"), x => (lit(a) * x + lit(b)) % P)))
+    val withSig = (0 until 16).foldLeft(withHs) { (d, i) =>
+      d.withColumn(s"m$i", sigCol(i))
     }
     val withBh = (0 until 4).foldLeft(withSig) { (d, b) =>
-      d.withColumn(s"bh$b", when(col("hs").isNotNull,
-        md5(concat_ws("_", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))))
+      d.withColumn(s"bh$b", when(col("hs").isNotNull, bandHash(b)))
     }
     withBh.drop("w" +: "hs" +: (0 until 16).map(i => s"m$i"): _*)
   }
@@ -1477,7 +1466,7 @@ object Dedup {
       val store = ses.table("graft_fp_store_ing")
       val bset = ses.table("graft_band_set_ing")
       var cur = withBandCols(s.where(expr(batchPred)))
-        .withColumn("fp", md5(lower(trim(col("text")))))
+        .withColumn("fp", docFp)
         .select(col("doc_id"), col("fp"),
           col("bh0"), col("bh1"), col("bh2"), col("bh3"))
         .join(broadcast(store), Seq("fp"), "left")
@@ -1533,9 +1522,8 @@ object Dedup {
   def storeCommit(spark: SparkSession, dir: String): DataFrame = {
     val store = materializeBucketed(spark,
       historyFpStore(spark, dir), "graft_fp_store_gen0", 8, Seq("fp"))
-    val batch = Tables(spark, dir, "documents").where(expr(batchPred))
-      .groupBy(md5(lower(trim(col("text")))).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val batch =
+      fpAggregate(Tables(spark, dir, "documents").where(expr(batchPred)))
     val merged = store.unionByName(batch)
       .groupBy(col("fp"))
       .agg(min(col("keep_id")).as("keep_id"),

@@ -155,26 +155,14 @@ object Joins {
     * write time, never again per query. The write is part of the query so
     * the driver exercises the full path (idempotent overwrite). */
   def revenueBySegmentBucketed(spark: SparkSession, dir: String): DataFrame = {
-    // A fresh session's catalog doesn't know tables left in the warehouse
-    // dir by a previous JVM, and saveAsTable(overwrite) then fails with
-    // LOCATION_ALREADY_EXISTS — drop both catalog entry and location.
-    for (t <- Seq("graft_orders_bucketed", "graft_customer_bucketed")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    Tables(spark, dir, "orders")
-      .write.mode("overwrite")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft_orders_bucketed")
-    Tables(spark, dir, "customer")
-      .write.mode("overwrite")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft_customer_bucketed")
-    spark.table("graft_orders_bucketed").hint("merge")
-      .join(spark.table("graft_customer_bucketed"),
-        col("o_custkey") === col("c_custkey"))
+    val orders = Warehouse.materializeBucketed(spark,
+      Tables(spark, dir, "orders"),
+      "graft_orders_bucketed", 8, Seq("o_custkey"))
+    val customer = Warehouse.materializeBucketed(spark,
+      Tables(spark, dir, "customer"),
+      "graft_customer_bucketed", 8, Seq("c_custkey"))
+    orders.hint("merge")
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(dsum2(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
   }

@@ -236,49 +236,46 @@ object Scalars {
         (corrC * corrC).as("regr_r2"))
   }
 
-  private val bivariateStatsSql =
-    """WITH m AS (
-      |  SELECT l_returnflag, count(*) AS n,
-      |    sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx,
-      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy,
-      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
-      |      * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx,
-      |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
-      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS syy,
-      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS HUGEINT)
-      |      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy,
-      |    min(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS xmin,
-      |    max(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS xmax,
-      |    min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ymin,
-      |    max(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS ymax
-      |  FROM lineitem GROUP BY l_returnflag),
-      |d AS (
-      |  SELECT l_returnflag, n,
-      |    CAST(n AS DOUBLE) AS nd,
-      |    CAST(sx AS DOUBLE) / 100 AS sxd, CAST(sy AS DOUBLE) / 100 AS syd,
-      |    CAST(sxx AS DOUBLE) / 10000 AS sxxd,
-      |    CAST(syy AS DOUBLE) / 10000 AS syyd,
-      |    CAST(sxy AS DOUBLE) / 10000 AS sxyd,
-      |    xmin, xmax, ymin, ymax
-      |  FROM m)
-      |SELECT l_returnflag, n,
-      |  sxd / nd AS mean_x, syd / nd AS mean_y,
-      |  sxyd / nd - (sxd / nd) * (syd / nd) AS covar_pop,
-      |  (sxyd - sxd * syd / nd) / (nd - 1.0) AS covar_samp,
-      |  (sxyd / nd - (sxd / nd) * (syd / nd))
-      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
-      |         * (syyd / nd - (syd / nd) * (syd / nd))) AS corr,
-      |  (sxyd / nd - (sxd / nd) * (syd / nd))
-      |    / (sxxd / nd - (sxd / nd) * (sxd / nd)) AS regr_slope,
-      |  syd / nd - ((sxyd / nd - (sxd / nd) * (syd / nd))
-      |    / (sxxd / nd - (sxd / nd) * (sxd / nd))) * (sxd / nd) AS regr_intercept,
-      |  ((sxyd / nd - (sxd / nd) * (syd / nd))
-      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
-      |         * (syyd / nd - (syd / nd) * (syd / nd))))
-      |  * ((sxyd / nd - (sxd / nd) * (syd / nd))
-      |    / sqrt((sxxd / nd - (sxd / nd) * (sxd / nd))
-      |         * (syyd / nd - (syd / nd) * (syd / nd)))) AS regr_r2
-      |FROM d WHERE xmin < xmax AND ymin < ymax""".stripMargin
+  /** Built from named fragments so every repetition of a moment or
+    * statistic is LITERALLY the same expression tree — the bit-exactness
+    * contract (identical IEEE trees in both engines) is then maintained
+    * by construction, not by hand-synchronizing eight copies. */
+  private val bivariateStatsSql = {
+    val xc = "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    val yc = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    val covp = "sxyd / nd - (sxd / nd) * (syd / nd)"
+    val varx = "(sxxd / nd - (sxd / nd) * (sxd / nd))"
+    val vary = "(syyd / nd - (syd / nd) * (syd / nd))"
+    val corr = s"($covp) / sqrt($varx * $vary)"
+    val slope = s"($covp) / $varx"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum($xc) AS sx, sum($yc) AS sy,
+       |    sum(CAST($xc AS HUGEINT) * $xc) AS sxx,
+       |    sum(CAST($yc AS HUGEINT) * $yc) AS syy,
+       |    sum(CAST($xc AS HUGEINT) * $yc) AS sxy,
+       |    min($xc) AS xmin, max($xc) AS xmax,
+       |    min($yc) AS ymin, max($yc) AS ymax
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n,
+       |    CAST(n AS DOUBLE) AS nd,
+       |    CAST(sx AS DOUBLE) / 100 AS sxd, CAST(sy AS DOUBLE) / 100 AS syd,
+       |    CAST(sxx AS DOUBLE) / 10000 AS sxxd,
+       |    CAST(syy AS DOUBLE) / 10000 AS syyd,
+       |    CAST(sxy AS DOUBLE) / 10000 AS sxyd,
+       |    xmin, xmax, ymin, ymax
+       |  FROM m)
+       |SELECT l_returnflag, n,
+       |  sxd / nd AS mean_x, syd / nd AS mean_y,
+       |  $covp AS covar_pop,
+       |  (sxyd - sxd * syd / nd) / (nd - 1.0) AS covar_samp,
+       |  $corr AS corr,
+       |  $slope AS regr_slope,
+       |  syd / nd - ($slope) * (sxd / nd) AS regr_intercept,
+       |  ($corr) * ($corr) AS regr_r2
+       |FROM d WHERE xmin < xmax AND ymin < ymax""".stripMargin
+  }
 
   /** MapType + structured JSON surface: `from_json` parses the event props
     * into a typed struct (schema-on-read, codegen'd — the scalable JSON
