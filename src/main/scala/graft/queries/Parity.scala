@@ -71,6 +71,45 @@ object Parity {
       .agg(sortedConcat(col("c_name")).as("names"))
   }
 
+  /** q123: the `graft-chunks` DSV2 connector inside the ORACLE gate (it
+    * was previously spec-tested only). The documents table is staged as
+    * ONE text file in doc_id order, re-read through the connector with an
+    * awkward chunk size (37 — exercises the uneven tail chunk), and
+    * aggregated per chunk: line count plus an md5-derived line-hash sum.
+    * The oracle never sees the connector — it derives each line's chunk id
+    * ARITHMETICALLY ((row_number − 1) / 37 over the same order) and
+    * recomputes the same aggregates, so the distributed layout job, the
+    * global id assignment, the byte-offset seeks, and the reader all have
+    * to be bit-right for the hash to match. The single-file staging is
+    * gate harness, not the operator (the connector plans one partition
+    * per chunk regardless of file count). */
+  def chunkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_chunk_gate")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val txtDir = s"$out/txt"
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(1).sortWithinPartitions("doc_id")
+      .select(col("text"))
+      .write.mode("overwrite").text(txtDir)
+    spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 37).load(txtDir)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          % 2147483647L).as("h_sum"))
+  }
+
+  private val chunkRoundtripSql =
+    """WITH lines AS (
+      |  SELECT text,
+      |    (row_number() OVER (ORDER BY doc_id) - 1) // 37 AS chunk_id
+      |  FROM documents)
+      |SELECT CAST(chunk_id AS INT) AS chunk_id, count(*) AS n_lines,
+      |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483647)
+      |    AS BIGINT) AS h_sum
+      |FROM lines GROUP BY 1""".stripMargin
+
   private val wcOracle =
     s"SELECT word, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY word"
   private val wlOracle =
@@ -86,5 +125,6 @@ object Parity {
         "FROM nation GROUP BY n_regionkey")),
     QueryDef("q06_concat_agg", concatAggregator, Some(
       "SELECT c_nationkey AS key, string_agg(c_name, ',' ORDER BY c_name) AS names " +
-        "FROM customer GROUP BY c_nationkey")))
+        "FROM customer GROUP BY c_nationkey")),
+    QueryDef("q123_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)))
 }

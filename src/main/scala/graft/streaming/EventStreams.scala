@@ -298,6 +298,14 @@ object EventStreams {
       pendingSinkDirs.iterator().forEachRemaining(deleteTree)
     }))
 
+  /** Register a temp tree for JVM-exit deletion (the sink-dir discipline,
+    * shared with any query whose lazy result must outlive its temp input —
+    * q123's chunk round-trip uses it for the staged text dir). */
+  private[graft] def deleteTreeOnExit(p: java.nio.file.Path): Unit = {
+    sinkCleanupHook
+    pendingSinkDirs.add(p)
+  }
+
   /** Executes `transform` over the events table as a REAL bounded streaming
     * run — `readStream` over a directory copy, `Trigger.AvailableNow`,
     * `foreachBatch` to parquet — then reads the final result back. This
