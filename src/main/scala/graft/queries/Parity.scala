@@ -110,6 +110,65 @@ object Parity {
       |    AS BIGINT) AS h_sum
       |FROM lines GROUP BY 1""".stripMargin
 
+  /** q124: the connector's GLOBAL chunk-id assignment across MULTIPLE
+    * files — the reference's `MasterNode.assignChunkID` counter — inside
+    * the oracle gate. One text file per language (name order = lang
+    * order), chunk-read as one directory; the oracle computes each file's
+    * consumed-id count arithmetically (`c/37 + 1`: ceil for a partial
+    * tail OR the even-division empty chunk — the reference numbers one
+    * extra either way) and prefix-sums it in name order to reproduce the
+    * ids without ever seeing the connector. */
+  def chunkMultifile(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_chunk_multi")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val txt = Files.createDirectories(out.resolve("txt"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("text"))
+    // bounded label set (a handful of languages) — harness staging, not a
+    // data-plane collect
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    for (l <- langs) {
+      val stage = s"$out/stage_$l"
+      docs.where(col("lang") === l)
+        .repartition(1).sortWithinPartitions("doc_id")
+        .select(col("text"))
+        .write.mode("overwrite").text(stage)
+      val part = {
+        val listing = Files.list(Paths.get(stage))
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      }
+      Files.move(part, txt.resolve(s"$l.txt"))
+    }
+    spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 37).load(txt.toString)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          % 2147483647L).as("h_sum"))
+  }
+
+  private val chunkMultifileSql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+      |offs AS (
+      |  SELECT lang, CAST(coalesce(sum(c // 37 + 1) OVER (
+      |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS off
+      |  FROM counts),
+      |lines AS (
+      |  SELECT lang, text,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+      |  FROM documents)
+      |SELECT CAST(o.off + l.rn // 37 AS INT) AS chunk_id,
+      |  count(*) AS n_lines,
+      |  CAST(sum(('0x' || substr(md5(l.text), 1, 15))::BIGINT % 2147483647)
+      |    AS BIGINT) AS h_sum
+      |FROM lines l JOIN offs o ON l.lang = o.lang GROUP BY 1""".stripMargin
+
   private val wcOracle =
     s"SELECT word, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY word"
   private val wlOracle =
@@ -126,5 +185,6 @@ object Parity {
     QueryDef("q06_concat_agg", concatAggregator, Some(
       "SELECT c_nationkey AS key, string_agg(c_name, ',' ORDER BY c_name) AS names " +
         "FROM customer GROUP BY c_nationkey")),
-    QueryDef("q123_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)))
+    QueryDef("q123_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
+    QueryDef("q124_chunk_multifile", chunkMultifile, Some(chunkMultifileSql)))
 }
