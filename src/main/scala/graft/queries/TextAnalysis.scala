@@ -277,6 +277,57 @@ object TextAnalysis {
       |    ' +', ' ', 'g')) AS canon
       |  FROM documents) t""".stripMargin
 
+  /** q126: collocation mining — bigrams whose corpus frequency exceeds what
+    * their parts predict (integer-scaled lift, the PMI workhorse for phrase
+    * detection in tokenizer training). Adjacency is built scan-locally with
+    * higher-order functions (`transform` over index `sequence`) — no
+    * per-token shuffle, no window over a doc_id partition; the only
+    * shuffles are the two map-side-combined vocabulary-sized counts and the
+    * token-keyed joins of the thresholded (tiny) bigram side against them.
+    * Lift stays in exact integers (`cnt12·N·1000 div cnt1·cnt2`; ≤1e16 at
+    * sf1, no overflow, identical floor division in both engines) so the
+    * query is hash-gated — no IEEE log/division ever computed. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("n"))
+    val bg = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt12"))
+      .where(col("cnt12") >= 5)
+    bg.join(uni.select(col("w").as("w1"), col("cnt").as("cnt1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cnt12"), col("cnt1"), col("cnt2"),
+        expr("(cnt12 * n * 1000) div (cnt1 * cnt2)").cast("long").as("lift_k"))
+  }
+
+  private val collocationsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t,
+      |    unnest(range(1, len(list_filter(string_split(text, ' '), t -> t <> '')) + 1)) AS ord
+      |  FROM documents),
+      |bg AS (
+      |  SELECT t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      |  FROM toks),
+      |b12 AS (
+      |  SELECT w1, w2, count(*) AS cnt12 FROM bg WHERE w2 IS NOT NULL
+      |  GROUP BY 1, 2),
+      |uni AS (SELECT t AS w, count(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT b.w1, b.w2, b.cnt12, u1.cnt AS cnt1, u2.cnt AS cnt2,
+      |  CAST((b.cnt12 * t.n * 1000) // (u1.cnt * u2.cnt) AS BIGINT) AS lift_k
+      |FROM b12 b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+      |CROSS JOIN tot t
+      |WHERE b.cnt12 >= 5""".stripMargin
+
   /** Per-language top-5 vocabulary: exact heavy hitters via partial-agg
     * count + per-group top-k (row_number + filter — only k rows per group
     * survive the rank shuffle; the token count agg is map-side combined). */
@@ -788,6 +839,7 @@ object TextAnalysis {
     QueryDef("q85_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q86_pii_stats", piiStats, Some(piiStatsSql)),
     QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),
+    QueryDef("q126_collocations", collocations, Some(collocationsSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

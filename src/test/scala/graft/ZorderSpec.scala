@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the Morton interleave against an independent per-bit
+  * model, and the pruning theorem the layout exists for — dropping the low
+  * 2k Z-bits leaves at most k free low bits per dimension, so every cell
+  * bounds BOTH keys (double-sided min-max prunability). */
+class ZorderSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Independent model: interleave bit-by-bit. */
+  private def mortonRef(a: Int, b: Int): Long =
+    (0 until 16).foldLeft(0L) { (z, i) =>
+      z | (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))
+    }
+
+  test("zValue matches the bit-by-bit model on random and edge inputs") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)) ++
+      Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val df = pairs.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b").as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
+  test("zValue masks inputs to 16 bits (documented aliasing above 65535)") {
+    val df = Seq((65536 + 7, 3)).toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z"))
+    assert(df.head.getLong(0) == mortonRef(7, 3))
+  }
+
+  test("every z>>10 cell spans at most 32 values of EACH dimension") {
+    val cells = Layout.zorderCells(spark, TestSpark.sf).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      val (pLo, pHi) = (r.getLong(2), r.getLong(3))
+      val (sLo, sHi) = (r.getLong(4), r.getLong(5))
+      assert(pHi - pLo <= 31, s"cell ${r.getLong(0)} part span")
+      assert(sHi - sLo <= 31, s"cell ${r.getLong(0)} supp span")
+    }
+  }
+
+  test("Z-cells bound both dims where a single-key sort cannot (16-bit grid)") {
+    // Deterministic scrambled grid over the FULL 16-bit range of both keys
+    // (the sf0.001 tables are too narrow to show the contrast): a-sorted
+    // 1024-row blocks leak almost the whole b range, while every z>>10 cell
+    // still bounds both dims to <= 31.
+    val df = spark.range(16384).toDF("id")
+      .withColumn("a", (col("id") * 2654435761L % 65536L).cast("int"))
+      .withColumn("b", ((col("id") + 9L) * 40503L % 65536L).cast("int"))
+    val blocked = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"a", $"id")) - 1)
+      .withColumn("blk", ($"rn" / 1024).cast("long"))
+      .groupBy($"blk").agg((max($"b") - min($"b")).as("b_span"))
+    val avgSpan = blocked.agg(avg($"b_span")).head.getDouble(0)
+    assert(avgSpan > 1000,
+      s"a-sorted blocks should leak the b range, got avg $avgSpan")
+    val cells = df
+      .withColumn("cell", shiftright(Layout.zValue($"a", $"b"), 10))
+      .groupBy($"cell")
+      .agg((max($"a") - min($"a")).as("a_span"),
+        (max($"b") - min($"b")).as("b_span"))
+    assert(cells.where($"a_span" > 31 || $"b_span" > 31).count() == 0)
+  }
+}
