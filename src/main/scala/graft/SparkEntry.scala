@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extensions, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, TextAnalysis, TimeSeries, Windows}
+import graft.queries.{Dedup, Extensions, Graph, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, TextAnalysis, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -21,6 +21,7 @@ object SparkEntry {
       TimeSeries.defs ++
       Pipeline.defs ++
       Layout.defs ++
+      Graph.defs ++
       Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
