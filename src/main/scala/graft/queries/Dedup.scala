@@ -208,6 +208,58 @@ object Dedup {
        |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        |WHERE c * 5 >= least(x.n, y.n) * 4""".stripMargin
 
+  // ---- q129: train/val/test split leakage --------------------------------
+
+  /** Deterministic split assignment — the md5-bucket idiom (80/10/10), a
+    * pure scan-local expression both engines compute identically. */
+  private def splitOf(id: Column): Column = {
+    val b = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100L
+    when(b < 80, lit("train")).when(b < 90, lit("val")).otherwise(lit("test"))
+  }
+
+  private def splitOfSql(id: String): String =
+    s"""CASE WHEN ('0x' || substr(md5($id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+       | THEN 'train'
+       | WHEN ('0x' || substr(md5($id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+       | THEN 'val' ELSE 'test' END""".stripMargin.replace("\n", "")
+
+  /** q129: split-leakage audit — near-duplicate pairs that cross the
+    * train/val/test boundary (the eval-contamination check run before any
+    * release; a val doc with a train near-dup inflates the benchmark).
+    * Rides the SAME memoized capped inverted-index join as q51 — the split
+    * label is a scan-local expression, so the audit costs zero shuffles
+    * beyond the pair machinery it shares. The ≥0.5 Jaccard threshold is
+    * the exact integer test 2c ≥ n1+n2−c, so the pair set cannot diverge
+    * at the boundary; within-split pair counts are reported too (the
+    * denominator context an auditor wants). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    pairOverlapStats(spark, dir)
+      .where(col("c") * 2L >= col("n1") + col("n2") - col("c"))
+      .select(splitOf(col("d1")).as("s1"), splitOf(col("d2")).as("s2"))
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  private val splitLeakageSql =
+    s"""WITH allsh AS (
+       |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |hot AS (SELECT h FROM allsh GROUP BY h HAVING count(*) > $maxShingleDf),
+       |sh AS (SELECT * FROM allsh WHERE h NOT IN (SELECT h FROM hot)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |lk AS (
+       |  SELECT ${splitOfSql("d1")} AS s1, ${splitOfSql("d2")} AS s2
+       |  FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE c * 2 >= x.n + y.n - c)
+       |SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+       |  count(*) AS n_pairs
+       |FROM lk GROUP BY 1, 2""".stripMargin
+
   // ---- q52: MinHash + LSH candidates -------------------------------------
 
   /** MinHash signatures are computed per-row, shuffle-free: min over an
@@ -1623,6 +1675,7 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin)),
     QueryDef("q51_dedup_jaccard", jaccardPairs, Some(jaccardSql)),
+    QueryDef("q129_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q52_dedup_minhash", minhashCandidates, Some(minhashSql)),
     QueryDef("q52b_minhash_acc", minhashAccuracy, Some(minhashAccuracySql)),
     QueryDef("q53_dedup_simhash", simhash, Some(simhashSql)),

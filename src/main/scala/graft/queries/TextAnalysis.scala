@@ -255,6 +255,65 @@ object TextAnalysis {
       |    FROM documents) x) t
       |WHERE cum - n_tokens < 5000""".stripMargin
 
+  /** q128: data-mixing resample — rebalance the corpus toward a uniform
+    * per-source token budget (the "temperature sampling" step every
+    * LLM-pretraining mix runs, here at temperature → uniform). Each
+    * source's keep-rate is `min(1, target/actual)` in exact ppm integers;
+    * membership is the deterministic md5 threshold (no RNG, reproducible
+    * across engines/runs/partitionings). Plan shape: one partial+final agg
+    * for per-source totals (∣sources∣ rows), the rate table broadcast back
+    * onto the scan, one final per-source agg — the corpus shuffles only
+    * into |sources| groups, never by doc. */
+  def mixResample(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+    val src = tok.groupBy(col("source")).agg(sum(col("t")).as("actual"))
+    val tot = src.agg(sum(col("actual")).as("total"),
+      count(lit(1)).as("ns"))
+    val rates = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("actual"),
+        expr("total div ns").as("target"),
+        least(lit(1000000L), expr("(total div ns) * 1000000 div actual"))
+          .as("rate_ppm"))
+    val kept = tok
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))), Seq("source"))
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kd"), sum(col("t")).as("kt"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("rate_ppm").cast("long").as("rate_ppm"),
+        col("target").cast("long").as("target_tokens"),
+        col("actual").as("actual_tokens"),
+        coalesce(col("kd"), lit(0L)).as("kept_docs"),
+        coalesce(col("kt"), lit(0L)).as("kept_tokens"))
+  }
+
+  private val mixResampleSql =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      |  FROM documents),
+      |src AS (SELECT source, sum(t) AS actual FROM tok GROUP BY 1),
+      |tot AS (SELECT sum(actual) AS total, count(*) AS ns FROM src),
+      |rates AS (
+      |  SELECT source, actual, total // ns AS target,
+      |    least(1000000, (total // ns) * 1000000 // actual) AS rate_ppm
+      |  FROM src CROSS JOIN tot),
+      |kept AS (
+      |  SELECT d.source, count(*) AS kd, sum(d.t) AS kt
+      |  FROM tok d JOIN rates r ON d.source = r.source
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+      |    % 1000000 < r.rate_ppm
+      |  GROUP BY 1)
+      |SELECT r.source, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+      |  CAST(r.target AS BIGINT) AS target_tokens,
+      |  CAST(r.actual AS BIGINT) AS actual_tokens,
+      |  CAST(coalesce(k.kd, 0) AS BIGINT) AS kept_docs,
+      |  CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens
+      |FROM rates r LEFT JOIN kept k ON r.source = k.source""".stripMargin
+
   /** Canonical text normalization — the step that runs before any hash:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
     * trim; emits the canonical md5 so downstream exact-dedup keys are
@@ -840,6 +899,7 @@ object TextAnalysis {
     QueryDef("q86_pii_stats", piiStats, Some(piiStatsSql)),
     QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),
     QueryDef("q126_collocations", collocations, Some(collocationsSql)),
+    QueryDef("q128_mix_resample", mixResample, Some(mixResampleSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),
