@@ -233,6 +233,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p) // decimal sums combine map-side
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the build side's selective predicate should reach the fact
+    // scan as a bloom probe (InjectRuntimeFilter) so most rows die before
+    // the exchange. The size thresholds are tuned for the tiny local
+    // tables; the capability and plan shape are what is gated.
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val scanKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = Seq(scanKey, bcKey).map(k => k -> c.getOption(k))
+    try {
+      c.set(scanKey, "0")
+      c.set(bcKey, "-1") // force a shuffle join: the filter must carry alone
+      val li = Tables(spark, sf, "lineitem")
+      val ord = Tables(spark, sf, "orders")
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(li("l_returnflag")).count()
+      val p = j.queryExecution.executedPlan.toString
+      // probe side filtered by the bloom subquery built from the dim side
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
