@@ -109,6 +109,25 @@ object Joins {
         col("asof_day"), col("asof_spend"))
   }
 
+  /** q27b: the SAME as-of semantics through the engine's native physical
+    * operator (graft.plans.AsOfJoinExec — logical node + strategy + exec):
+    * both sides co-partition on the key (one exchange each, the
+    * distribution a shuffle join pays anyway), sort locally by (key, time),
+    * and a single forward merge streams the match — no union row-blowup, no
+    * window state carrying payload columns, per-partition memory = one
+    * buffered build row. Gated by the same DuckDB ASOF JOIN oracle as q27,
+    * so the two implementations can never drift. */
+  def lastOrderAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val dayOrders = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin(ev, dayOrders, "user_id", "key", "ts", "t")
+      .select(col("event_id"), col("user_id"),
+        col("t").as("asof_day"), col("day_spend").as("asof_spend"))
+  }
+
   /** Skew-mitigated join via DIFFERENTIATED salting: only detected hot
     * keys are treated. A seeded sample of the probe side estimates per-key
     * frequency (at 100 TB you never full-scan just to find skew); keys over
@@ -206,6 +225,14 @@ object Joins {
         |  AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |GROUP BY o_orderpriority""".stripMargin)),
     QueryDef("q27_join_asof", lastOrderAsOf, Some(
+      s"""WITH d AS (
+         |  SELECT o_custkey AS key, o_orderdate AS t,
+         |    ${sqlSum2("o_totalprice")} AS day_spend
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, d.t AS asof_day, d.day_spend AS asof_spend
+         |FROM events e ASOF LEFT JOIN d
+         |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
+    QueryDef("q27b_asof_native", lastOrderAsOfNative, Some(
       s"""WITH d AS (
          |  SELECT o_custkey AS key, o_orderdate AS t,
          |    ${sqlSum2("o_totalprice")} AS day_spend
