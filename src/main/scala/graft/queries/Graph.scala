@@ -37,9 +37,9 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** q127: per-node triangle counts of the part co-purchase graph. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables(spark, dir, "lineitem")
+  /** Distinct co-purchase edges (u < v), built per order group. */
+  private def edgesOf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
       .select(explode(expr(
@@ -47,10 +47,15 @@ object Graph {
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
           |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    val edges = pairs.distinct()
-    val deg = edges.select(col("u").as("node"))
+      .distinct()
+
+  private def degOf(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+
+  /** Per-node triangle counts via the oriented wedge join. */
+  private def triCounts(edges: DataFrame, deg: DataFrame): DataFrame = {
     val rank = deg.select(col("node"), (col("d") * 1000000L + col("node")).as("rk"))
     val oriented = edges
       .join(rank.select(col("node").as("u"), col("rk").as("ru")), Seq("u"))
@@ -68,6 +73,29 @@ object Graph {
       .select(col("x"), col("y"), col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** q127: per-node triangle counts of the part co-purchase graph. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    triCounts(edges, degOf(edges))
+  }
+
+  /** q127b: local clustering coefficient — the fraction of a node's
+    * neighbor pairs that are themselves connected, as the exact integer
+    * `2·tri·10⁶ div d·(d−1)` (ppm; no float ever computed). Nodes with
+    * degree ≥ 2 but NO triangles appear with 0 — the left join against the
+    * degree table is what q127 alone cannot express. Same m^{3/2}-bounded
+    * wedge machinery; one extra |V|-sized join. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    val deg = degOf(edges)
+    deg.where(col("d") >= 2)
+      .join(triCounts(edges, deg), Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        expr("coalesce(tri_cnt, 0) * 2 * 1000000 div (d * (d - 1))")
+          .as("cc_ppm"))
   }
 
   private val trianglesSql =
@@ -98,6 +126,41 @@ object Graph {
       |  UNION ALL SELECT z AS node FROM tri) t
       |GROUP BY 1""".stripMargin
 
+  private val clusteringCoeffSql =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM edges
+      |    UNION ALL SELECT v AS node FROM edges) n GROUP BY 1),
+      |rk AS (SELECT node, d * 1000000 + node AS rk FROM deg),
+      |orient AS (
+      |  SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS src,
+      |         CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS dst,
+      |         greatest(ru.rk, rv.rk) AS rdst
+      |  FROM edges e
+      |  JOIN rk ru ON e.u = ru.node JOIN rk rv ON e.v = rv.node),
+      |tri AS (
+      |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |  FROM orient e1
+      |  JOIN orient e2 ON e1.src = e2.src AND e1.rdst < e2.rdst
+      |  JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |tc AS (
+      |  SELECT node, count(*) AS tri_cnt FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y AS node FROM tri
+      |    UNION ALL SELECT z AS node FROM tri) t
+      |  GROUP BY 1)
+      |SELECT g.node, g.d, CAST(coalesce(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+      |  CAST(coalesce(tc.tri_cnt, 0) * 2 * 1000000 // (g.d * (g.d - 1))
+      |    AS BIGINT) AS cc_ppm
+      |FROM deg g LEFT JOIN tc ON g.node = tc.node
+      |WHERE g.d >= 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q127_triangles", triangles, Some(trianglesSql)))
+    QueryDef("q127_triangles", triangles, Some(trianglesSql)),
+    QueryDef("q127b_clustering", clusteringCoeff, Some(clusteringCoeffSql)))
 }
