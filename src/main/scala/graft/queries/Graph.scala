@@ -153,6 +153,57 @@ object Graph {
       |  UNION ALL SELECT z AS node FROM tri) t
       |GROUP BY 1""".stripMargin
 
+  /** q130: multi-source BFS hop distances (≤ 3 hops) from a deterministic
+    * seed set over the undirected co-purchase graph — the iterative-
+    * traversal pattern (reachability, blast-radius, influence fronts)
+    * driven from the driver loop the way every Pregel-style computation
+    * is. Each round: frontier ⋈ edges (one shuffle keyed on the node),
+    * minus already-labeled nodes (anti join) so the frontier NEVER regrows
+    * into visited territory — on a high-diameter graph that pruning is the
+    * difference between |V| total frontier work and |V|·rounds. Hop count
+    * bounded (3) keeps the driver loop fixed-length — plan size is static,
+    * no lineage growth (each round is a fresh DataFrame off the memoized
+    * checkpointed edge list). */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val seeds = degOf(edges).select(col("node"))
+      .where(col("node") % 500 === 0)
+    var labeled = seeds.withColumn("dist", lit(0L))
+    var frontier = seeds
+    for (k <- 1 to 3) {
+      val next = und.join(frontier, col("a") === col("node"))
+        .select(col("b").as("node")).distinct()
+        .join(labeled.select(col("node")), Seq("node"), "left_anti")
+      frontier = next
+      labeled = labeled.unionAll(next.withColumn("dist", lit(k.toLong)))
+    }
+    labeled
+  }
+
+  private val bfsHopsSql =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |und AS (
+      |  SELECT u AS a, v AS b FROM edges
+      |  UNION ALL SELECT v AS a, u AS b FROM edges),
+      |nodes AS (
+      |  SELECT DISTINCT a AS node FROM und),
+      |d0 AS (SELECT node FROM nodes WHERE node % 500 = 0),
+      |d1 AS (SELECT DISTINCT e.b AS node FROM und e JOIN d0 ON e.a = d0.node),
+      |d2 AS (SELECT DISTINCT e.b AS node FROM und e JOIN d1 ON e.a = d1.node),
+      |d3 AS (SELECT DISTINCT e.b AS node FROM und e JOIN d2 ON e.a = d2.node)
+      |SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |  SELECT node, 0 AS dist FROM d0
+      |  UNION ALL SELECT node, 1 FROM d1
+      |  UNION ALL SELECT node, 2 FROM d2
+      |  UNION ALL SELECT node, 3 FROM d3) t
+      |GROUP BY node""".stripMargin
+
   private val clusteringCoeffSql =
     """WITH op AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -189,5 +240,6 @@ object Graph {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q127_triangles", triangles, Some(trianglesSql)),
-    QueryDef("q127b_clustering", clusteringCoeff, Some(clusteringCoeffSql)))
+    QueryDef("q127b_clustering", clusteringCoeff, Some(clusteringCoeffSql)),
+    QueryDef("q130_bfs_hops", bfsHops, Some(bfsHopsSql)))
 }
