@@ -169,6 +169,54 @@ object Parity {
       |    AS BIGINT) AS h_sum
       |FROM lines l JOIN offs o ON l.lang = o.lang GROUP BY 1""".stripMargin
 
+  /** q131: the chunk store consumed INCREMENTALLY through the connector's
+    * micro-batch stream — half the files staged before the stream starts,
+    * half arriving mid-run — with the SAME arithmetic oracle as q124: after
+    * full consumption the complete-mode aggregate must equal the batch
+    * read, proving the offset (the global chunk-id counter) hands every
+    * chunk to exactly one batch, ids continuing across arrivals. */
+  def chunkStreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_chunk_stream")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val txt = Files.createDirectories(out.resolve("txt"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("text"))
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    def stage(l: String, idx: Int): Unit = {
+      val stageDir = s"$out/stage_$l"
+      docs.where(col("lang") === l)
+        .repartition(1).sortWithinPartitions("doc_id")
+        .select(col("text"))
+        .write.mode("overwrite").text(stageDir)
+      val part = {
+        val listing = Files.list(Paths.get(stageDir))
+        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().get()
+        finally listing.close()
+      }
+      Files.move(part, txt.resolve(f"$idx%03d_$l.txt"))
+    }
+    val half = langs.length / 2
+    for ((l, i) <- langs.zipWithIndex.take(half)) stage(l, i)
+    spark.catalog.dropTempView("q131_sink")
+    val q = spark.readStream.format("graft-chunks")
+      .option("recordsPerChunk", 37).load(txt.toString)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          % 2147483647L).as("h_sum"))
+      .writeStream.format("memory").queryName("q131_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      for ((l, i) <- langs.zipWithIndex.drop(half)) stage(l, i)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q131_sink")
+  }
+
   private val wcOracle =
     s"SELECT word, count(*) AS cnt FROM ($wordsSql) t WHERE word <> '' GROUP BY word"
   private val wlOracle =
@@ -186,5 +234,6 @@ object Parity {
       "SELECT c_nationkey AS key, string_agg(c_name, ',' ORDER BY c_name) AS names " +
         "FROM customer GROUP BY c_nationkey")),
     QueryDef("q123_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
-    QueryDef("q124_chunk_multifile", chunkMultifile, Some(chunkMultifileSql)))
+    QueryDef("q124_chunk_multifile", chunkMultifile, Some(chunkMultifileSql)),
+    QueryDef("q131_chunk_stream", chunkStreamIngest, Some(chunkMultifileSql)))
 }

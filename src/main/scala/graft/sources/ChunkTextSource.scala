@@ -130,6 +130,31 @@ object ChunkTextSource {
     }
   }
 
+  /** Enumerate every chunk of `path` with its global id (empty trailing
+    * chunks consume an id but yield no partition — the reference's
+    * even-division quirk), plus the total id count. A per-FILE driver loop
+    * over memoized (line count, offsets) summaries; file contents are
+    * never touched. Shared by the batch scan and the micro-batch stream. */
+  private[sources] def enumerateChunks(path: String, recPerChunk: Int)
+      : (Array[ChunkPartition], Long) = {
+    var nextId = 0
+    val parts = Array.newBuilder[ChunkPartition]
+    for (l <- layouts(path, recPerChunk)) {
+      val starts = l.chunkStartBytes
+      var k = 0
+      while (k < starts.length) {
+        val startLine = k.toLong * recPerChunk
+        val n = math.min(recPerChunk.toLong, l.lines - startLine)
+        val end = if (k + 1 < starts.length) starts(k + 1) else l.byteLen
+        parts += ChunkPartition(l.file, starts(k), n, end - starts(k), nextId)
+        nextId += 1
+        k += 1
+      }
+      if (l.lines % recPerChunk == 0) nextId += 1 // numbered empty chunk
+    }
+    (parts.result(), nextId.toLong)
+  }
+
   /** One sequential byte pass over a file (runs on an executor). Line
     * terminator semantics match `BufferedReader.readLine` — `\n`, `\r`,
     * `\r\n` — which is how both the reference's master and our readers
@@ -180,7 +205,8 @@ class ChunkTable(path: String, recPerChunk: Int) extends Table with SupportsRead
   override def name(): String = s"graft-chunks(`$path`)"
   override def schema(): StructType = ChunkTextSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkScanBuilder(path, recPerChunk, name())
@@ -235,33 +261,14 @@ private[sources] class ChunkScanBuilder(path: String, recPerChunk: Int,
     case _ => None
   }
 
-  /** Global chunk-id assignment over the memoized layouts — a per-FILE
-    * driver loop over (line count, offsets) summaries; no file contents
-    * are touched here. Empty trailing chunks consume an id but plan no
-    * partition (the reference's even-division quirk). */
+  /** Planned partitions = enumerated chunks surviving chunk_id pushdown. */
   private def plannedChunks(): Array[ChunkPartition] = {
     val keep: Int => Boolean = {
       val preds = pushed.flatMap(chunkIdPredicate)
       id => preds.forall(_(id))
     }
-    var nextId = 0
-    val parts = Array.newBuilder[ChunkPartition]
-    for (l <- ChunkTextSource.layouts(path, recPerChunk)) {
-      val starts = l.chunkStartBytes
-      var k = 0
-      while (k < starts.length) {
-        val startLine = k.toLong * recPerChunk
-        val n = math.min(recPerChunk.toLong, l.lines - startLine)
-        val end = if (k + 1 < starts.length) starts(k + 1) else l.byteLen
-        if (keep(nextId))
-          parts += ChunkPartition(l.file, starts(k), n,
-            end - starts(k), nextId)
-        nextId += 1
-        k += 1
-      }
-      if (l.lines % recPerChunk == 0) nextId += 1 // numbered empty chunk
-    }
-    parts.result()
+    ChunkTextSource.enumerateChunks(path, recPerChunk)._1
+      .filter(p => keep(p.chunkId))
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -286,6 +293,55 @@ private[sources] class ChunkScanBuilder(path: String, recPerChunk: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     ChunkReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChunkMicroBatchStream(path, recPerChunk, required.fieldNames)
+}
+
+/** Micro-batch streaming over the chunk store: the OFFSET is the global
+  * chunk-id counter, so a batch is a contiguous id range [start, end) and
+  * the reference's ingestion model ("the master splits newly arrived files
+  * into chunks and hands them out") becomes a Structured Streaming source.
+  * Each trigger re-lists the directory (memoized per listing fingerprint —
+  * an unchanged directory re-plans from metadata alone) and any NEW files'
+  * chunks extend the id sequence. Exactly-once follows from id
+  * determinism: ids replay identically from a checkpointed offset as long
+  * as ingestion is append-only in NAME order (monotonically named files —
+  * the same contract the reference's deterministic-order fix imposes,
+  * since a file sorting before existing ones would renumber history). */
+private[sources] class ChunkMicroBatchStream(path: String, recPerChunk: Int,
+    fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class ChunkOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = ChunkOffset(0L)
+
+  override def latestOffset(): Offset =
+    ChunkOffset(ChunkTextSource.enumerateChunks(path, recPerChunk)._2)
+
+  override def deserializeOffset(json: String): Offset =
+    ChunkOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val lo = start.asInstanceOf[ChunkOffset].n
+    val hi = end.asInstanceOf[ChunkOffset].n
+    ChunkTextSource.enumerateChunks(path, recPerChunk)._1
+      .filter(p => p.chunkId >= lo && p.chunkId < hi)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkReaderFactory(fields)
+
+  override def stop(): Unit = ()
 }
 
 private[sources] object ChunkLineIO {
