@@ -111,7 +111,52 @@ object Windows {
       |  wl AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin
 
+  /** q132: per-priority SKYLINE (Pareto frontier) of orders maximizing
+    * (price, recency) — the dominance query (best-tradeoff shortlists,
+    * non-dominated configurations). The O(n²) dominance anti-join is
+    * replaced by the 2-D window formulation: sorted by price within the
+    * group, an order is dominated iff a STRICTLY-higher-priced order is at
+    * least as recent (running max over the strict-predecessor RANGE frame)
+    * or an equal-priced one is strictly more recent (group max over the
+    * price peers) — one shuffle on the group key, linear scan, no pair
+    * space. Price compares as exact integer cents (round, not cast-
+    * truncate: the *100 product carries float noise in 2% of rows and the
+    * two engines truncate differently, but never near a half). Both max
+    * frames are tie-safe (RANGE frames include order-value peers). */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+    val wStrict = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wPeer = Window.partitionBy(col("o_orderpriority"), col("cents"))
+    cents
+      .withColumn("dx", max(col("o_orderdate")).over(wStrict))
+      .withColumn("dp", max(col("o_orderdate")).over(wPeer))
+      .where((col("dx").isNull || col("dx") < col("o_orderdate")) &&
+        col("dp") === col("o_orderdate"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+        col("o_orderdate"))
+  }
+
+  private val skylineSql =
+    """SELECT o_orderpriority, o_orderkey, cents, o_orderdate FROM (
+      |  SELECT o_orderpriority, o_orderkey, cents, o_orderdate,
+      |    max(o_orderdate) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dx,
+      |    max(o_orderdate) OVER (
+      |      PARTITION BY o_orderpriority, cents) AS dp
+      |  FROM (
+      |    SELECT o_orderpriority, o_orderkey,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate
+      |    FROM orders) t) s
+      |WHERE (dx IS NULL OR dx < o_orderdate) AND dp = o_orderdate""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_skyline", skyline, Some(skylineSql)),
     QueryDef("q119_window_frames", frameSpecs, Some(frameSpecsSql)),
     QueryDef("q30_window_topk", topEventsPerUser, Some(
       """SELECT event_id, user_id, value, rn FROM (
