@@ -128,6 +128,28 @@ object Joins {
         col("t").as("asof_day"), col("day_spend").as("asof_spend"))
   }
 
+  /** q133: STREAMING point-in-time enrichment — each arriving micro-batch
+    * of events is as-of joined against the static day-spend table through
+    * the native operator, inside `foreachBatch` (the feature-store lookup
+    * every online-training pipeline runs). Stateless per batch: append
+    * mode, idempotent batchId-keyed sink, no watermark, no stream state —
+    * the static side would be a broadcast-cached table on a cluster. The
+    * union of per-batch joins over a finite replay IS the batch as-of
+    * join, so q27's DuckDB ASOF oracle gates the whole streaming path. */
+  def streamAsOf(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.boundedEventPerBatchRun(spark, dir,
+      batch => {
+        val s = batch.sparkSession
+        val dayOrders = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("t"))
+          .agg(dsum2(col("o_totalprice")).as("day_spend"))
+        graft.plans.AsOfJoin(
+          batch.select(col("event_id"), col("user_id"), col("ts")),
+          dayOrders, "user_id", "key", "ts", "t")
+          .select(col("event_id"), col("user_id"),
+            col("t").as("asof_day"), col("day_spend").as("asof_spend"))
+      })
+
   /** Skew-mitigated join via DIFFERENTIATED salting: only detected hot
     * keys are treated. A seeded sample of the probe side estimates per-key
     * frequency (at 100 TB you never full-scan just to find skew); keys over
@@ -233,6 +255,14 @@ object Joins {
          |FROM events e ASOF LEFT JOIN d
          |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
     QueryDef("q27b_asof_native", lastOrderAsOfNative, Some(
+      s"""WITH d AS (
+         |  SELECT o_custkey AS key, o_orderdate AS t,
+         |    ${sqlSum2("o_totalprice")} AS day_spend
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, d.t AS asof_day, d.day_spend AS asof_spend
+         |FROM events e ASOF LEFT JOIN d
+         |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
+    QueryDef("q133_stream_asof", streamAsOf, Some(
       s"""WITH d AS (
          |  SELECT o_custkey AS key, o_orderdate AS t,
          |    ${sqlSum2("o_totalprice")} AS day_spend

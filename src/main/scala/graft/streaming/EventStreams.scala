@@ -365,9 +365,20 @@ object EventStreams {
   private def readDocsStream(spark: SparkSession, docsDir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(docsDir)
 
+  /** [[boundedRun]] over events with a BATCH-LEVEL transform applied inside
+    * `foreachBatch` — the per-micro-batch enrichment shape (q133: each
+    * arriving batch is point-in-time joined against a static table through
+    * the native as-of operator; stateless, so append mode and the
+    * batchId-keyed idempotent sink apply unchanged). */
+  private[graft] def boundedEventPerBatchRun(spark: SparkSession, dir: String,
+      perBatch: DataFrame => DataFrame): DataFrame =
+    boundedRun(spark, dir, "events.parquet", readEventsStream,
+      (s, _) => s, "append", perBatch)
+
   private def boundedRun(spark: SparkSession, dir: String, srcFile: String,
       openStream: (SparkSession, String) => DataFrame,
-      transform: (DataFrame, String) => DataFrame, outputMode: String): DataFrame = {
+      transform: (DataFrame, String) => DataFrame, outputMode: String,
+      perBatch: DataFrame => DataFrame = identity): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -395,7 +406,8 @@ object EventStreams {
         .outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          sink(perBatch(batch), batchId) }
         .start()
     q.awaitTermination()
     deleteTree(inDir)
