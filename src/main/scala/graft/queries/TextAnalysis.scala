@@ -314,6 +314,35 @@ object TextAnalysis {
       |  CAST(coalesce(k.kt, 0) AS BIGINT) AS kept_tokens
       |FROM rates r LEFT JOIN kept k ON r.source = k.source""".stripMargin
 
+  /** q134: equi-depth histogram construction — per-source deciles of
+    * document length (the statistics a cost-based optimizer's ANALYZE
+    * collects, and the length-distribution audit every corpus report
+    * shows). `ntile` over a deterministic total order (n_chars, doc_id —
+    * the tiebreak makes bucket assignment partition-invariant), then one
+    * small aggregate per (source, decile): bucket count and value bounds.
+    * One shuffle on the partition key; the aggregate rides the window's
+    * sort. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+  }
+
+  private val lengthHistogramSql =
+    """SELECT source, decile, count(*) AS n,
+      |  min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CAST(ntile(10) OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+      |  FROM documents) t
+      |GROUP BY source, decile""".stripMargin
+
   /** Canonical text normalization — the step that runs before any hash:
     * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
     * trim; emits the canonical md5 so downstream exact-dedup keys are
@@ -900,6 +929,7 @@ object TextAnalysis {
     QueryDef("q79_top_tokens", topTokens, Some(topTokensSql)),
     QueryDef("q126_collocations", collocations, Some(collocationsSql)),
     QueryDef("q128_mix_resample", mixResample, Some(mixResampleSql)),
+    QueryDef("q134_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

@@ -233,6 +233,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p) // decimal sums combine map-side
   }
 
+  test("global sort plans as RangePartitioning, never a single partition") {
+    // total order at 100 TB = sampled range boundaries + parallel local
+    // sorts; a SinglePartition sort is the shape that cannot scale
+    import org.apache.spark.sql.functions.col
+    val p = Tables(spark, sf, "orders")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB the build side's selective predicate should reach the fact
     // scan as a bloom probe (InjectRuntimeFilter) so most rows die before
