@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -97,7 +97,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
-      val resultProj = UnsafeProjection.create(out, lOut ++ rOut)
+      // bind against NULLABLE right attributes: BindReferences takes null
+      // checks from the INPUT side, and unmatched left rows project the
+      // all-null row through right columns the child declared non-nullable
+      // (SortMergeJoinExec does the same for its outer sides)
+      val resultProj =
+        UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
@@ -108,7 +113,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rHeadKey = 0L
         private var rHeadTime = 0L
         private var rHeadValid = false
-        private var lastMatch: UnsafeRow = _
+        private var lastMatch: InternalRow = _
         private var lastMatchKey = 0L
 
         private def advanceRight(): Unit = {
@@ -141,7 +146,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             while (rHeadValid && (rHeadKey < key ||
                 (rHeadKey == key && rHeadTime <= time))) {
               if (rHeadKey == key) {
-                lastMatch = rHead.asInstanceOf[UnsafeRow].copy()
+                // InternalRow.copy, not an UnsafeRow cast: a child whose
+                // ordering already satisfies ours may emit generic rows
+                lastMatch = rHead.copy()
                 lastMatchKey = key
               }
               advanceRight()
@@ -173,8 +180,27 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n"))
+    val (lkA, rkA) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (ltA, rtA) = (attr(lp, leftTime), attr(rp, rightTime))
+    // mixed representations fail SILENTLY otherwise: Date-vs-Timestamp
+    // compares days against micros (every row "matches" the key's latest
+    // build row), and Int-vs-Long keys hash to different partitions and
+    // never meet. Same 8-byte class is fine (TIMESTAMP vs TIMESTAMP_NTZ
+    // under one session zone — both micros, hashed as the same long).
+    def rep(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => 8
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => 4
+      case other =>
+        throw new IllegalArgumentException(s"as-of key/time type $other")
+    }
+    require(rep(lkA.dataType) == rep(rkA.dataType),
+      s"as-of key types differ: ${lkA.dataType} vs ${rkA.dataType}")
+    require(rep(ltA.dataType) == rep(rtA.dataType),
+      s"as-of time types differ: ${ltA.dataType} vs ${rtA.dataType}")
     org.apache.spark.sql.graft.ColumnBridge.dataset(spark,
-      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+      AsOfJoinPlan(lp, rp, lkA, rkA, ltA, rtA))
   }
 }

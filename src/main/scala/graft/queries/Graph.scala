@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   *      WWW'11), expressed as three declarative joins Catalyst plans with
   *      partial aggregation and AQE.
   *
-  * Everything is exact integer arithmetic (composite rank = deg·10⁶ + id,
-  * unique while id < 10⁶ — partkey ≤ 2·10⁵ at sf1), reproduced
+  * Everything is exact integer arithmetic (composite rank = deg·2⁴⁰ + id,
+  * unique while id < 2⁴⁰ and deg < 2²³), reproduced
   * operator-for-operator in DuckDB, so the per-node triangle counts are
   * hash-gated.
   */
@@ -67,8 +67,13 @@ object Graph {
   private def orientedOf(spark: SparkSession, dir: String): DataFrame =
     Memo("graph_oriented", spark, dir) {
       val edges = edgesOf(spark, dir)
+      // composite (deg, id) rank as d·2^40 + node — unique while
+      // node < 2^40 and deg < 2^23 (a 10^6 multiplier breaks at node ids
+      // ≥ 10^6: rank ties silently desync the strict-ordered oracle wedge
+      // join from the intersection form)
       val rank = degOf(edges)
-        .select(col("node"), (col("d") * 1000000L + col("node")).as("rk"))
+        .select(col("node"),
+          (col("d") * 1099511627776L + col("node")).as("rk"))
       edges
         .join(rank.select(col("node").as("u"), col("rk").as("ru")), Seq("u"))
         .join(rank.select(col("node").as("v"), col("rk").as("rv")), Seq("v"))
@@ -135,7 +140,7 @@ object Graph {
       |  SELECT node, count(*) AS d FROM (
       |    SELECT u AS node FROM edges
       |    UNION ALL SELECT v AS node FROM edges) n GROUP BY 1),
-      |rk AS (SELECT node, d * 1000000 + node AS rk FROM deg),
+      |rk AS (SELECT node, d * 1099511627776 + node AS rk FROM deg),
       |orient AS (
       |  SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS src,
       |         CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS dst,
@@ -173,9 +178,13 @@ object Graph {
     var labeled = seeds.withColumn("dist", lit(0L))
     var frontier = seeds
     for (k <- 1 to 3) {
+      // checkpoint each round: the anti join reads labeled_{k-1} and the
+      // next round reads frontier_k, so an unchecked plan re-embeds every
+      // prior round's join on BOTH sides — ~2^k recompute, not k
       val next = und.join(frontier, col("a") === col("node"))
         .select(col("b").as("node")).distinct()
         .join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
       frontier = next
       labeled = labeled.unionAll(next.withColumn("dist", lit(k.toLong)))
     }
@@ -214,7 +223,7 @@ object Graph {
       |  SELECT node, count(*) AS d FROM (
       |    SELECT u AS node FROM edges
       |    UNION ALL SELECT v AS node FROM edges) n GROUP BY 1),
-      |rk AS (SELECT node, d * 1000000 + node AS rk FROM deg),
+      |rk AS (SELECT node, d * 1099511627776 + node AS rk FROM deg),
       |orient AS (
       |  SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS src,
       |         CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS dst,

@@ -22,23 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Spread the low 16 bits of `c` to the even bit positions 0,2,..,30
-    * (classic Morton magic-mask spread: x, x<<8, x<<4, x<<2, x<<1 with
-    * narrowing masks). Pure codegen'd integer ops. */
-  private[queries] def spread16(c: Column): Column =
-    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
-      .foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+  /** Spread the low 31 bits of `c` to the even bit positions 0,2,..,60
+    * (classic Morton magic-mask spread: x, x<<16, x<<8, x<<4, x<<2, x<<1
+    * with narrowing masks). 31 bits per dimension covers every integer key
+    * in the schema (TPC-H partkey reaches 2·10⁵·sf — 16 bits would alias
+    * above sf≈0.33 and the per-cell min-max bounds would silently stop
+    * holding); the 62-bit z stays positive in a BIGINT in both engines.
+    * Pure codegen'd integer ops. */
+  private[queries] def spread31(c: Column): Column =
+    Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+      .foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
         case (x, (s, mask)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
       }
 
-  /** 32-bit Z-value: bits of `a` on even positions, bits of `b` on odd. */
+  /** 62-bit Z-value: bits of `a` on even positions, bits of `b` on odd. */
   def zValue(a: Column, b: Column): Column =
-    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+    spread31(a).bitwiseOR(shiftleft(spread31(b), 1))
 
   /** The same spread as plain SQL, for the DuckDB oracle. */
   private def spreadSql(col: String): String = {
-    var x = s"(CAST($col AS BIGINT) & 65535)"
-    for ((s, mask) <- Seq(8 -> 16711935L, 4 -> 252645135L, 2 -> 858993459L, 1 -> 1431655765L))
+    var x = s"(CAST($col AS BIGINT) & 2147483647)"
+    for ((s, mask) <- Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+        1 -> 0x5555555555555555L))
       x = s"(($x | ($x << $s)) & $mask)"
     x
   }

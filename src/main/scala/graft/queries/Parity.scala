@@ -118,31 +118,43 @@ object Parity {
     * tail OR the even-division empty chunk — the reference numbers one
     * extra either way) and prefix-sums it in name order to reproduce the
     * ids without ever seeing the connector. */
-  def chunkMultifile(spark: SparkSession, dir: String): DataFrame = {
+  /** One text file per language under `<tmp>/txt`, named `<idx>_<lang>`
+    * with a zero-padded index so file-NAME order always equals the langs'
+    * SORT order (a bare `$lang.txt` diverges when one lang is a prefix of
+    * another — "en" sorts before "en-GB" but "en-GB.txt" < "en.txt").
+    * Returns (txt dir, sorted langs). The label set is bounded (a handful
+    * of languages) — harness staging, not a data-plane collect. */
+  private def langStager(spark: SparkSession, dir: String, tmpPrefix: String)
+      : (java.nio.file.Path, Array[String], (String, Int) => Unit) = {
     import java.nio.file.{Files, Paths}
-    val out = Files.createTempDirectory("graft_chunk_multi")
+    val out = Files.createTempDirectory(tmpPrefix)
     graft.streaming.EventStreams.deleteTreeOnExit(out)
     val txt = Files.createDirectories(out.resolve("txt"))
     val docs = Tables(spark, dir, "documents")
       .select(col("lang"), col("doc_id"), col("text"))
-    // bounded label set (a handful of languages) — harness staging, not a
-    // data-plane collect
     val langs = docs.select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted
-    for (l <- langs) {
-      val stage = s"$out/stage_$l"
+    val stage = (l: String, idx: Int) => {
+      val stageDir = s"$out/stage_$l"
       docs.where(col("lang") === l)
         .repartition(1).sortWithinPartitions("doc_id")
         .select(col("text"))
-        .write.mode("overwrite").text(stage)
+        .write.mode("overwrite").text(stageDir)
       val part = {
-        val listing = Files.list(Paths.get(stage))
+        val listing = Files.list(Paths.get(stageDir))
         try listing.filter(p => p.getFileName.toString.startsWith("part-"))
           .findFirst().get()
         finally listing.close()
       }
-      Files.move(part, txt.resolve(s"$l.txt"))
+      Files.move(part, txt.resolve(f"$idx%03d_$l.txt"))
+      ()
     }
+    (txt, langs, stage)
+  }
+
+  def chunkMultifile(spark: SparkSession, dir: String): DataFrame = {
+    val (txt, langs, stage) = langStager(spark, dir, "graft_chunk_multi")
+    for ((l, i) <- langs.zipWithIndex) stage(l, i)
     spark.read.format("graft-chunks")
       .option("recordsPerChunk", 37).load(txt.toString)
       .groupBy(col("chunk_id"))
@@ -176,28 +188,7 @@ object Parity {
     * read, proving the offset (the global chunk-id counter) hands every
     * chunk to exactly one batch, ids continuing across arrivals. */
   def chunkStreamIngest(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val out = Files.createTempDirectory("graft_chunk_stream")
-    graft.streaming.EventStreams.deleteTreeOnExit(out)
-    val txt = Files.createDirectories(out.resolve("txt"))
-    val docs = Tables(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), col("text"))
-    val langs = docs.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-    def stage(l: String, idx: Int): Unit = {
-      val stageDir = s"$out/stage_$l"
-      docs.where(col("lang") === l)
-        .repartition(1).sortWithinPartitions("doc_id")
-        .select(col("text"))
-        .write.mode("overwrite").text(stageDir)
-      val part = {
-        val listing = Files.list(Paths.get(stageDir))
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
-      }
-      Files.move(part, txt.resolve(f"$idx%03d_$l.txt"))
-    }
+    val (txt, langs, stage) = langStager(spark, dir, "graft_chunk_stream")
     val half = langs.length / 2
     for ((l, i) <- langs.zipWithIndex.take(half)) stage(l, i)
     spark.catalog.dropTempView("q131_sink")

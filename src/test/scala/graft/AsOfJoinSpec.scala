@@ -35,6 +35,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r("d") == null) // key absent entirely
   }
 
+  test("null extension nulls NON-NULLABLE build columns (not 0/epoch)") {
+    // local-relation Longs are non-nullable; an unmatched probe row must
+    // surface NULL through them, not the type's zero value (the projection
+    // must bind against nullable right attributes)
+    val probe = Seq((1L, 10L)).toDF("k", "t")
+    val build = Seq((2L, 5L, 42L)).toDF("bk", "bt", "v")
+    val r = AsOfJoin(probe, build, "k", "bk", "t", "bt").head
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), r)
+  }
+
+  test("mixed-representation key or time types are rejected loudly") {
+    val probe = Seq((1L, 10L)).toDF("k", "t")
+    val build = Seq((2, 5L, 42L)).toDF("bk", "bt", "v") // Int key
+    intercept[IllegalArgumentException] {
+      AsOfJoin(probe, build, "k", "bk", "t", "bt")
+    }
+    val buildDate = Seq((2L, java.sql.Date.valueOf("2020-01-01")))
+      .toDF("bk", "bt") // Date time vs Long time
+    intercept[IllegalArgumentException] {
+      AsOfJoin(probe, buildDate, "k", "bk", "t", "bt")
+    }
+  }
+
   test("match resets across keys (no bleed of a previous key's buffer)") {
     val probe = Seq((1L, 100L, "p1"), (2L, 100L, "p2")).toDF("k", "t", "tag")
     val build = Seq((1L, 50L, "m1")).toDF("bk", "bt", "v")

@@ -12,29 +12,36 @@ class ZorderSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  /** Independent model: interleave bit-by-bit. */
-  private def mortonRef(a: Int, b: Int): Long =
-    (0 until 16).foldLeft(0L) { (z, i) =>
-      z | (((a >> i) & 1).toLong << (2 * i)) |
-        (((b >> i) & 1).toLong << (2 * i + 1))
+  /** Independent model: interleave bit-by-bit (31 bits per dimension). */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 31).foldLeft(0L) { (z, i) =>
+      z | (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))
     }
 
   test("zValue matches the bit-by-bit model on random and edge inputs") {
     val rnd = new scala.util.Random(11)
-    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)) ++
-      Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val max31 = 0x7FFFFFFFL
+    val pairs = Seq((0L, 0L), (max31, max31), (max31, 0L), (0L, max31),
+      (1L, 2L), (200000L, 999L)) ++
+      Seq.fill(500)((rnd.nextLong(max31 + 1), rnd.nextLong(max31 + 1)))
     val df = pairs.toDF("a", "b")
       .select($"a", $"b", Layout.zValue($"a", $"b").as("z"))
     df.collect().foreach { r =>
-      assert(r.getLong(2) == mortonRef(r.getInt(0), r.getInt(1)),
-        s"(${r.getInt(0)}, ${r.getInt(1)})")
+      assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
     }
   }
 
-  test("zValue masks inputs to 16 bits (documented aliasing above 65535)") {
-    val df = Seq((65536 + 7, 3)).toDF("a", "b")
+  test("zValue masks inputs to 31 bits (no aliasing across the key domain)") {
+    val df = Seq(((1L << 31) + 7L, 3L)).toDF("a", "b")
       .select(Layout.zValue($"a", $"b").as("z"))
-    assert(df.head.getLong(0) == mortonRef(7, 3))
+    assert(df.head.getLong(0) == mortonRef(7L, 3L))
+    // a full-width key interleaves losslessly — no silent collision of
+    // distinct keys below 2^31
+    val w = Seq((200000L, 999L), (200000L + 65536L, 999L)).toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z")).collect().map(_.getLong(0))
+    assert(w(0) != w(1), "16-bit-style aliasing detected")
   }
 
   test("every z>>10 cell spans at most 32 values of EACH dimension") {
