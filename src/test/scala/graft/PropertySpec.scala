@@ -27,6 +27,34 @@ class PropertySpec extends AnyFunSuite {
       .reduceByKey(_ + _)
       .pairs.collect().toMap
 
+  test("native as-of join == brute-force model on random inputs") {
+    // the custom physical operator against an independent O(n·m) in-memory
+    // model: for every probe row, the build row with the same key and the
+    // greatest time <= probe time, ties impossible (unique build times per
+    // key by construction), absent keys null-extended
+    val rnd = new scala.util.Random(31)
+    for (round <- 1 to 5) {
+      val probe = Seq.fill(200)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
+      val build = rnd.shuffle(
+        (for (k <- 0 until 6; t <- 0 until 1000 by (7 + round))
+          yield (k.toLong, t.toLong)).toList)
+        .map { case (k, t) => (k, t, s"v${k}_$t") }
+      val model: Map[(Long, Long, Int), Option[String]] = probe.map { case (k, t, id) =>
+        (k, t, id) -> build.filter(b => b._1 == k && b._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      val rows = graft.plans.AsOfJoin(
+        probe.toDF("k", "t", "id"), build.toDF("bk", "bt", "v"),
+        "k", "bk", "t", "bt")
+        .collect()
+      assert(rows.length == probe.size, s"round $round: cardinality")
+      val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+        Option(r.getString(5))).toMap
+      assert(got == model, s"round $round")
+    }
+  }
+
   test("WordCount over a concatenation == monoid merge of per-part WordCounts") {
     for (seed <- 1L to 5L) {
       val (p1, p2) = (sample(seed), sample(seed + 100))
