@@ -128,6 +128,24 @@ object Joins {
         col("t").as("asof_day"), col("day_spend").as("asof_spend"))
   }
 
+  /** q135: SCD TYPE-2 dimension build — the warehouse versioning pattern:
+    * each (customer, day) spend observation becomes a validity INTERVAL
+    * [valid_from, valid_to) with the current row open-ended, so any fact
+    * can as-of join the version that was true at its timestamp. One
+    * window (`lead` over the change key) on one shuffle — the standard
+    * build; the intervals are exactly what q27/q27b resolve against.
+    * `is_current` as exact integer (BOOLEAN casts differ across engines'
+    * sort/hash paths less predictably than a 0/1). */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("valid_from").asc)
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("valid_from"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   /** q133: STREAMING point-in-time enrichment — each arriving micro-batch
     * of events is as-of joined against the static day-spend table through
     * the native operator, inside `foreachBatch` (the feature-store lookup
@@ -270,6 +288,17 @@ object Joins {
          |SELECT e.event_id, e.user_id, d.t AS asof_day, d.day_spend AS asof_spend
          |FROM events e ASOF LEFT JOIN d
          |  ON e.user_id = d.key AND e.ts >= d.t""".stripMargin)),
+    QueryDef("q135_scd2_build", scd2Build, Some(
+      s"""SELECT key, valid_from, day_spend,
+         |  lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+         |    AS valid_to,
+         |  CAST(CASE WHEN lead(valid_from) OVER (
+         |    PARTITION BY key ORDER BY valid_from) IS NULL
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM (
+         |  SELECT o_custkey AS key, o_orderdate AS valid_from,
+         |    ${sqlSum2("o_totalprice")} AS day_spend
+         |  FROM orders GROUP BY 1, 2) d""".stripMargin)),
     QueryDef("q29_join_bucketed", revenueBySegmentBucketed, Some(
       s"""SELECT c_mktsegment, ${sqlSum2("o_totalprice")} AS revenue, count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
