@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extensions, Graph, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, TextAnalysis, TimeSeries, Windows}
+import graft.queries.{Dedup, Extensions, Graph, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, Temporal, TextAnalysis, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -19,6 +19,7 @@ object SparkEntry {
       Similarity.defs ++
       TextAnalysis.defs ++
       TimeSeries.defs ++
+      Temporal.defs ++
       Pipeline.defs ++
       Layout.defs ++
       Graph.defs ++

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-warehouse analytics the reference's MapReduce surface has no
+  * answer to (north-star breadth, SURVEY.md §2.2): consuming a versioned
+  * SCD2 dimension point-in-time, compacting a CDC changelog, a distributed
+  * sweep-line for interval concurrency, and first-order event transition
+  * matrices. Every query is exact-integer (or raw-column passthrough) so
+  * the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Temporal {
+
+  /** q136: POINT-IN-TIME fact enrichment against the SCD2 dimension built
+    * by q135 — the canonical consumption of a versioned dimension: each
+    * event joins the ONE version whose validity interval [valid_from,
+    * valid_to) covers its timestamp (open-ended current row via the NULL
+    * guard), left-extended for events before the key's first version.
+    * Because versions partition time per key, this is semantically the
+    * q27/q27b as-of join — expressed as the interval join a warehouse
+    * would write against a stored SCD2 table. The equi conjunct on the
+    * key keeps it a hash/sort-merge join (one shuffle per side, never a
+    * nested loop); the range predicates evaluate post-match. */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Joins.scd2Build(spark, dir)
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    ev.join(dim,
+        col("user_id") === col("key") && col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"),
+        col("valid_from").as("version_day"),
+        col("day_spend").as("version_spend"))
+  }
+
+  /** q137: CDC changelog compaction (the MERGE/upsert pattern) — replay a
+    * keyed change stream to its latest state: last writer wins per key on
+    * the total (ts, event_id) order, delete ops tombstone the key. One
+    * row_number window on one shuffle; `value` passes through untouched
+    * (no arithmetic, so raw doubles compare exactly). `error` events play
+    * the delete role in the synthetic log. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables(spark, dir, "events").select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("op"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("value").as("last_value"))
+  }
+
+  /** q138: peak concurrency per day via a DISTRIBUTED sweep-line: each
+    * event occupies [ts, ts+300s); its ±1 boundaries are swept in (t,
+    * delta, event_id) order (ends close before starts open at the same
+    * instant — half-open semantics) and the running sum's max per day is
+    * the day's peak. A naive global cumsum would be one partition; here
+    * the prefix sum is TWO-PHASE, the textbook scalable form: per-day
+    * boundary totals (tiny — O(days) rows) prefix-summed into a carry-in,
+    * broadcast back onto a per-day-partitioned intra-day cumsum. The only
+    * full-data exchange is the day repartition; the global window touches
+    * O(days) rows. Intervals crossing midnight are handled exactly: their
+    * -1 lands in the next day's boundary list and the carry already
+    * counts them. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val b = ev.select(col("ts").as("t"), lit(1L).as("delta"), col("event_id"))
+      .unionByName(ev.select(
+        (col("ts") + expr("interval 300 seconds")).as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+      .withColumn("day", date_trunc("day", col("t")))
+    val wCarry = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = b.groupBy(col("day")).agg(sum(col("delta")).as("d"))
+      .withColumn("carry", coalesce(sum(col("d")).over(wCarry), lit(0L)))
+      .select(col("day"), col("carry"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(carry), Seq("day"))
+      .withColumn("conc", col("carry") + sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"))
+  }
+
+  /** q139: first-order Markov transition matrix of event types — per-user
+    * sequences in total (ts, event_id) order, counted by (from, to), with
+    * the row-conditional probability as an exact integer ppm (floor
+    * division — no float ever enters the gate). One lag window + one
+    * groupBy; the per-from normalizing window runs on |types|² rows. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val c = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div total").as("p_ppm"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q136_scd2_pit", scd2PointInTime, Some(
+      """WITH d AS (
+        |  SELECT key, valid_from, day_spend,
+        |    lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+        |      AS valid_to
+        |  FROM (
+        |    SELECT o_custkey AS key, o_orderdate AS valid_from,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        AS day_spend
+        |    FROM orders GROUP BY 1, 2) v)
+        |SELECT e.event_id, e.user_id, d.valid_from AS version_day,
+        |  d.day_spend AS version_spend
+        |FROM events e LEFT JOIN d
+        |  ON e.user_id = d.key AND e.ts >= d.valid_from
+        |    AND (d.valid_to IS NULL OR e.ts < d.valid_to)""".stripMargin)),
+    QueryDef("q137_cdc_compact", cdcCompact, Some(
+      """SELECT user_id, last_ts, last_value FROM (
+        |  SELECT user_id, ts AS last_ts, value AS last_value,
+        |    CASE WHEN event_type = 'error' THEN 'delete'
+        |      ELSE 'upsert' END AS op,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) s
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin)),
+    QueryDef("q138_peak_concurrency", peakConcurrency, Some(
+      """WITH b AS (
+        |  SELECT ts AS t, CAST(1 AS BIGINT) AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 300 SECOND, CAST(-1 AS BIGINT), event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+        |    sum(delta) OVER (ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM b)
+        |SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |FROM c GROUP BY day""".stripMargin)),
+    QueryDef("q139_transitions", eventTransitions, Some(
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // CAST(sum(n) OVER (
+        |    PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_ppm
+        |FROM c""".stripMargin)))
+}

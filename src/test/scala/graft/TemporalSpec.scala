@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.queries.Temporal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temporal family on closed-form inputs: hand-built event logs whose
+  * point-in-time matches, compacted states, concurrency peaks (including
+  * an interval crossing midnight — the carry-in case the two-phase prefix
+  * sum exists for), and transition counts are known exactly. */
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  /** Stage events.parquet (+ optionally orders.parquet) into a temp dir.
+    * The driver's events table stores `ts` as parquet TIMESTAMP(NANOS),
+    * which `Tables.events` reads as an int64 of nanos — stage the same
+    * shape (ms → nanos) so the loader's `ts div 1000` path is exercised. */
+  private def stage(events: Seq[(Long, Timestamp, Long, String, Double)],
+                    orders: Seq[(Long, Timestamp, Double)] = Nil): String = {
+    val d = Files.createTempDirectory("temporalspec")
+    events.map { case (id, ts, u, ty, v) => (id, ts.getTime * 1000000L, u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    if (orders.nonEmpty)
+      orders.toDF("o_custkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d.toString
+  }
+
+  test("q136 point-in-time picks the covering SCD2 version, left-extends before the first") {
+    // user 7 has versions at day 10 (spend 100) and day 20 (spend 50).
+    // Events: before any version -> nulls; inside v1; inside open-ended v2.
+    val dir = stage(
+      events = Seq(
+        (1L, t("2024-01-05 00:00:00"), 7L, "view", 0.0),
+        (2L, t("2024-01-15 00:00:00"), 7L, "view", 0.0),
+        (3L, t("2024-02-01 00:00:00"), 7L, "view", 0.0)),
+      orders = Seq(
+        (7L, t("2024-01-10 00:00:00"), 100.0),
+        (7L, t("2024-01-20 00:00:00"), 50.0)))
+    val got = Temporal.scd2PointInTime(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString)).toMap
+    assert(got == Map(1L -> None, 2L -> Some("100.0"), 3L -> Some("50.0")),
+      got)
+  }
+
+  test("q137 CDC compaction: last writer wins, delete tombstones the key") {
+    val dir = stage(Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "view", 10.0),
+      (2L, t("2024-01-02 00:00:00"), 1L, "click", 20.0), // user 1 latest: upsert 20
+      (3L, t("2024-01-01 00:00:00"), 2L, "view", 30.0),
+      (4L, t("2024-01-02 00:00:00"), 2L, "error", 40.0), // user 2 latest: delete
+      // same-ts tie on user 3: event_id 6 > 5 wins
+      (5L, t("2024-01-03 00:00:00"), 3L, "view", 1.0),
+      (6L, t("2024-01-03 00:00:00"), 3L, "view", 2.0)))
+    val got = Temporal.cdcCompact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 20.0, 3L -> 2.0), got)
+  }
+
+  test("q138 peak concurrency is exact, including an interval crossing midnight") {
+    // Day 1: three events within one 300s window -> peak 3.
+    // 23:58 event spills 180s into day 2: day 2 opens at concurrency 1
+    // (the carry), and its own 00:01 event overlaps -> peak 2.
+    val dir = stage(Seq(
+      (1L, t("2024-03-01 12:00:00"), 1L, "view", 0.0),
+      (2L, t("2024-03-01 12:01:00"), 1L, "view", 0.0),
+      (3L, t("2024-03-01 12:02:00"), 1L, "view", 0.0),
+      (4L, t("2024-03-01 23:58:00"), 1L, "view", 0.0),
+      (5L, t("2024-03-02 00:01:00"), 1L, "view", 0.0)))
+    val got = Temporal.peakConcurrency(spark, dir).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getLong(1)).toMap
+    assert(got == Map("2024-03-01" -> 3L, "2024-03-02" -> 2L), got)
+  }
+
+  test("q138 half-open boundary: an end at instant T closes before a start at T opens") {
+    // Event 1 occupies [0,300); event 2 starts exactly at +300s -> never
+    // concurrent; peak stays 1.
+    val dir = stage(Seq(
+      (1L, t("2024-03-01 12:00:00"), 1L, "view", 0.0),
+      (2L, t("2024-03-01 12:05:00"), 1L, "view", 0.0)))
+    val got = Temporal.peakConcurrency(spark, dir).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(got == Seq(1L), got)
+  }
+
+  test("q139 transition matrix counts and ppm are exact integers") {
+    // user 1: a->b->a ; user 2: a->b. Transitions: a->b x2, b->a x1.
+    val dir = stage(Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "a", 0.0),
+      (2L, t("2024-01-01 00:01:00"), 1L, "b", 0.0),
+      (3L, t("2024-01-01 00:02:00"), 1L, "a", 0.0),
+      (4L, t("2024-01-01 00:00:00"), 2L, "a", 0.0),
+      (5L, t("2024-01-01 00:01:00"), 2L, "b", 0.0)))
+    val got = Temporal.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)),
+      got)
+  }
+}
