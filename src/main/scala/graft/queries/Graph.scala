@@ -213,6 +213,79 @@ object Graph {
       |  UNION ALL SELECT node, 3 FROM d3) t
       |GROUP BY node""".stripMargin
 
+  /** q140: PageRank over the undirected co-purchase graph — 3 power
+    * iterations, damping 0.85, in EXACT INTEGER FIXED-POINT (rank scaled
+    * by 10⁹; contribution = rank div degree, update = 0.15·10⁹ +
+    * (85·Σcontrib) div 100). Floating-point PageRank can never hash-match
+    * across engines (partition-order accumulation); floor-division
+    * fixed-point makes every iteration a pure integer function of the
+    * previous one, bit-identical in Spark and DuckDB.
+    *
+    * Scale shape: each iteration shuffles only the |V|-row rank table
+    * (join keyed on the contributing endpoint against the memoized
+    * CHECKPOINTED edge list, then one partial-aggregated groupBy on the
+    * receiving endpoint). The corpus-sized edge list is built once and
+    * reused; rank is `localCheckpoint`ed per round so the plan stays
+    * linear in iterations instead of re-embedding every prior round.
+    * Undirected symmetry means no dangling-mass term (every node has
+    * out-degree ≥ 1) and no node misses an update. Overflow bound:
+    * 85·Σ(contrib) < 2⁶² while |V| < 10⁸ at the 10⁹ scale — DuckDB
+    * checks, Java would wrap, so the scale is chosen to keep both exact
+    * (the [[graft-oracle-determinism]] 2⁶² rule).
+    *
+    * Reference ties: the iterative refine loop is the same driver-side
+    * iteration pattern the reference's master re-runs jobs with
+    * (framework-src/MasterNode.java); PageRank itself is the canonical
+    * "MapReduce iteration" workload (Page et al. 1999; Malewicz et al.
+    * Pregel, SIGMOD'10). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = degOf(edges).select(col("node").as("dn"), col("d"))
+    var rank = deg.select(col("dn").as("node"), lit(1000000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      rank = und
+        .join(rank, col("a") === col("node"))
+        .join(deg, col("a") === col("dn"))
+        .select(col("b"), expr("pr div d").as("contrib"))
+        .groupBy(col("b"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("b").as("node"),
+          (lit(150000000L) + expr("85 * s div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
+  private val pageRankSql =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |und AS (
+      |  SELECT u AS a, v AS b FROM edges
+      |  UNION ALL SELECT v AS a, u AS b FROM edges),
+      |deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+      |r1 AS (
+      |  SELECT e.b AS node,
+      |    CAST(150000000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM und e JOIN r0 r ON e.a = r.node JOIN deg g ON e.a = g.node
+      |  GROUP BY e.b),
+      |r2 AS (
+      |  SELECT e.b AS node,
+      |    CAST(150000000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM und e JOIN r1 r ON e.a = r.node JOIN deg g ON e.a = g.node
+      |  GROUP BY e.b),
+      |r3 AS (
+      |  SELECT e.b AS node,
+      |    CAST(150000000 + (85 * sum(r.pr // g.d)) // 100 AS BIGINT) AS pr
+      |  FROM und e JOIN r2 r ON e.a = r.node JOIN deg g ON e.a = g.node
+      |  GROUP BY e.b)
+      |SELECT node, pr FROM r3""".stripMargin
+
   private val clusteringCoeffSql =
     """WITH op AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -250,5 +323,6 @@ object Graph {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q127_triangles", triangles, Some(trianglesSql)),
     QueryDef("q127b_clustering", clusteringCoeff, Some(clusteringCoeffSql)),
-    QueryDef("q130_bfs_hops", bfsHops, Some(bfsHopsSql)))
+    QueryDef("q130_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    QueryDef("q140_pagerank", pageRank, Some(pageRankSql)))
 }

@@ -916,6 +916,112 @@ object TextAnalysis {
        |  a.n_straddled
        |FROM agg a JOIN i ON a.lang = i.lang""".stripMargin
 
+  /** q141: per-source distribution shift vs the corpus — total-variation
+    * distance over the top-200 corpus tokens, in EXACT integer arithmetic.
+    * The mixture-health dashboard every large-scale curation run needs:
+    * a source whose token distribution drifts from the corpus (spam,
+    * boilerplate, wrong language) shows a high tv_ppm.
+    *
+    * Exactness: TV = ½·Σ|c_s/n_s − c/n| is computed as the integer
+    * Σ|c_s·n − c·n_s| over a common denominator, summed in DECIMAL(38,0)
+    * (HUGEINT on the DuckDB side — per-term products reach c·n ≈ 10²⁶ at
+    * 100 TB, past int64), with ONE final integral division to ppm. No
+    * doubles anywhere, so accumulation order cannot matter.
+    *
+    * Scale shape: token counts are partial-aggregated map-side; the
+    * top-200 head is a distributed TakeOrdered (deterministic
+    * (count desc, token) tie-break), then BROADCAST — the grid is
+    * |sources|·200 rows no matter how large the corpus, and the only
+    * full shuffles are the two bounded count aggregations. Restricting
+    * to the head is what keeps the grid scale-free; the head carries
+    * the bulk of the probability mass, which is the signal that matters
+    * for mixture drift. */
+  def sourceShift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val top = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(200)
+    val nTot = tok.agg(count(lit(1)).as("n"))
+    val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val sc = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+    ns.crossJoin(broadcast(top))
+      .crossJoin(broadcast(nTot))
+      .join(sc, Seq("source", "t"), "left")
+      .select(col("source"), col("n_tok"), col("n"), col("c"),
+        coalesce(col("cs"), lit(0L)).as("cs"))
+      .groupBy(col("source"), col("n_tok"), col("n"))
+      .agg(sum(expr(
+        "abs(CAST(cs AS DECIMAL(38,0)) * n - CAST(c AS DECIMAL(38,0)) * n_tok)"))
+        .as("s"))
+      .select(col("source"), col("n_tok"),
+        expr("CAST((1000000 * s) div (2 * CAST(n_tok AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("tv_ppm"))
+  }
+
+  private val sourceShiftSql =
+    """WITH tok0 AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tok AS (SELECT source, t FROM tok0 WHERE t <> ''),
+      |top AS (
+      |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+      |  ORDER BY c DESC, t LIMIT 200),
+      |n AS (SELECT count(*) AS n FROM tok),
+      |ns AS (SELECT source, count(*) AS n_tok FROM tok GROUP BY 1),
+      |sc AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT ns.source, ns.n_tok, n.n, top.t, top.c,
+      |    coalesce(sc.cs, 0) AS cs
+      |  FROM ns CROSS JOIN top CROSS JOIN n
+      |  LEFT JOIN sc ON sc.source = ns.source AND sc.t = top.t)
+      |SELECT source, n_tok,
+      |  CAST((1000000 * sum(abs(CAST(cs AS HUGEINT) * n
+      |      - CAST(c AS HUGEINT) * n_tok)))
+      |    // (2 * CAST(n_tok AS HUGEINT) * n) AS BIGINT) AS tv_ppm
+      |FROM grid GROUP BY source, n_tok, n""".stripMargin
+
+  /** q142: probability-proportional-to-size SYSTEMATIC sampling, stratified
+    * by language — the deterministic eval-set draw: walk each stratum's
+    * cumulative token weight and keep every document whose weight interval
+    * crosses a multiple of (stratum total div 50), so long documents are
+    * proportionally more likely to be picked and each stratum yields ~50
+    * docs regardless of its size. All integer (cumulative window sum +
+    * floor division): no RNG, reproducible bit-for-bit across engines and
+    * re-runs — the property an audit trail needs from a sampling step.
+    *
+    * Scale shape: one shuffle partitioned BY STRATUM for the running sum
+    * (strata process in parallel — there is deliberately no global
+    * cumsum), one map-side-combined per-stratum total joined back
+    * broadcast. Selected rows are ~50·|strata| however large the input. */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = t.groupBy(col("lang")).agg(sum(col("w")).as("wl"))
+    t.withColumn("cw", sum(col("w")).over(win))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("step", greatest(expr("wl div 50"), lit(1L)))
+      .where(expr("cw div step > (cw - w) div step"))
+      .select(col("doc_id"), col("lang"), col("w"), col("cw"))
+  }
+
+  private val ppsSampleSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, w,
+      |    sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM t),
+      |s AS (SELECT lang, greatest(sum(w) // 50, 1) AS step FROM t GROUP BY 1)
+      |SELECT c.doc_id, c.lang, c.w, CAST(c.cw AS BIGINT) AS cw
+      |FROM c JOIN s ON c.lang = s.lang
+      |WHERE c.cw // s.step > (c.cw - c.w) // s.step""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
@@ -930,6 +1036,8 @@ object TextAnalysis {
     QueryDef("q126_collocations", collocations, Some(collocationsSql)),
     QueryDef("q128_mix_resample", mixResample, Some(mixResampleSql)),
     QueryDef("q134_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
+    QueryDef("q141_source_shift", sourceShift, Some(sourceShiftSql)),
+    QueryDef("q142_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

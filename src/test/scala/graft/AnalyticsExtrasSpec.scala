@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.{Graph, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form specs for the fixed-point PageRank, the exact-integer
+  * distribution-shift, and the PPS systematic sample — each pinned to
+  * hand-computed (or brute-force-modeled) expectations on tiny graphs and
+  * corpora, the shapes where the arithmetic can be checked by eye.
+  */
+class AnalyticsExtrasSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def stageLineitem(rows: Seq[(Long, Long)]): String = {
+    val d = Files.createTempDirectory("prspec")
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d.toString
+  }
+
+  private def stageDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val d = Files.createTempDirectory("docspec")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d.toString
+  }
+
+  test("q140: K3 is a fixed point of the integer PageRank update") {
+    // complete triangle: perfect symmetry -> every iteration maps
+    // 10^9 -> 0.15*10^9 + 0.85*10^9 = 10^9 exactly (no rounding loss)
+    val dir = stageLineitem(Seq(1L, 2L, 3L).map(p => (10L, p)))
+    val pr = Graph.pageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L),
+      pr)
+  }
+
+  test("q140: star graph ranks match the hand-run fixed-point recurrence") {
+    // center 0 with leaves 1,2,3 (each order contributes one spoke edge);
+    // three rounds of r' = 15e7 + 85*(sum of r div d) div 100, floor at
+    // every division, computed by hand below
+    val dir = stageLineitem(
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 3L)))
+    val pr = Graph.pageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: leaf 433333333, center 2700000000
+    // r2: leaf 915000000, center 1254999999
+    // r3: leaf 505583333, center 2483250000
+    assert(pr == Map(0L -> 2483250000L, 1L -> 505583333L,
+      2L -> 505583333L, 3L -> 505583333L), pr)
+  }
+
+  test("q141: two disjoint-vocabulary sources each sit at TV = 0.5") {
+    // corpus is x,x,y,y; source A is all-x, B is all-y ->
+    // TV(A, corpus) = (|8-4| + |0-4|) * 1e6 / (2*2*4) = 500000 exactly
+    val dir = stageDocs(Seq(
+      (1L, "x x", "en", "A"),
+      (2L, "y y", "en", "B")))
+    val tv = TextAnalysis.sourceShift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tv == Map("A" -> 500000L, "B" -> 500000L), tv)
+  }
+
+  test("q141: a single source is indistinguishable from the corpus") {
+    val dir = stageDocs(Seq(
+      (1L, "a b c", "en", "only"),
+      (2L, "b c d", "en", "only")))
+    val tv = TextAnalysis.sourceShift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tv == Map("only" -> 0L), tv)
+  }
+
+  test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
+    // 100 unit-weight docs + one 49-token doc in a second stratum; model
+    // the stride walk in plain Scala and require the exact same pick set
+    val en = (1L to 100L).map(i => (i, "t", "en", "s"))
+    val de = Seq((200L, Seq.fill(49)("w").mkString(" "), "de", "s")) ++
+      (201L to 251L).map(i => (i, "w", "de", "s"))
+    val dir = stageDocs(en ++ de)
+    val picked = TextAnalysis.ppsSample(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+
+    def model(docs: Seq[(Long, Long)]): Set[Long] = {
+      val total = docs.map(_._2).sum
+      val step = math.max(total / 50, 1L)
+      var cw = 0L
+      docs.sortBy(_._1).flatMap { case (id, w) =>
+        val prev = cw; cw += w
+        if (cw / step > prev / step) Some(id) else None
+      }.toSet
+    }
+    val expected =
+      model(en.map(d => (d._1, 1L))).map("en" -> _) ++
+        model((200L, 49L) +: (201L to 251L).map(_ -> 1L)).map("de" -> _)
+    assert(picked == expected,
+      s"diff: ${picked.diff(expected)} / ${expected.diff(picked)}")
+    // en stratum: W=100, step=2 -> exactly the even-cumsum docs (50 picks)
+    assert(picked.count(_._1 == "en") == 50)
+  }
+}
