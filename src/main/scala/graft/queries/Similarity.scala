@@ -559,7 +559,84 @@ object Similarity {
        |  TRUE AS inertia_improved, TRUE AS clusters_ok
        |FROM embeddings""".stripMargin
 
+  /** q143: hybrid retrieval via RECIPROCAL RANK FUSION — each query's
+    * top-100 by cosine and top-100 by raw inner product (two retrievers
+    * that genuinely disagree on unnormalized vectors: cosine is
+    * direction-only, the dot product rewards magnitude) are fused by
+    * RRF(c) = Σ_lists 10⁹ div (60 + rank), the standard-constant (k=60,
+    * Cormack et al. SIGIR'09) formula in EXACT integer arithmetic —
+    * rank positions are integers, so scaled floor-division reciprocals
+    * make the fused score engine-independent, where a float 1/(60+r)
+    * sum could tie-break differently at the ULP.
+    *
+    * Scale shape: fusion consumes only the per-retriever TOP-K lists
+    * (rank windows partitioned per query — at 100 TB these are the ANN
+    * shortlists of q62/q63, not full scans), then a |queries|·≤2K-row
+    * full outer join on the candidate key; a doc missing from one list
+    * simply contributes that list's term as 0. Final top-5 per query by
+    * the exact (rrf desc, id) order. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"),
+        dot_d(col("qv"), col("v")).as("dp"))
+    def topList(score: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("neighbor_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") <= 100)
+        .select(col("query_id"), col("neighbor_id"),
+          expr("CAST(1000000000 div (60 + r) AS BIGINT)").as(s"s_$score"))
+    }
+    val fused = topList("cos")
+      .join(topList("dp"), Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(col("s_cos"), lit(0L)) + coalesce(col("s_dp"), lit(0L)))
+          .as("rrf"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rn", row_number().over(wf).cast("long"))
+      .where(col("rn") <= 5)
+  }
+
+  private val rrfFusionSql =
+    s"""WITH n AS ($vectorsSql),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+       |    list_dot_product(q.v, c.v) AS dp
+       |  FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |tc AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(1000000000 // (60 + r) AS BIGINT) AS s_cos
+       |  FROM (SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+       |    FROM p) t WHERE r <= 100),
+       |td AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(1000000000 // (60 + r) AS BIGINT) AS s_dp
+       |  FROM (SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dp DESC, neighbor_id) AS r
+       |    FROM p) t WHERE r <= 100),
+       |f AS (
+       |  SELECT coalesce(tc.query_id, td.query_id) AS query_id,
+       |    coalesce(tc.neighbor_id, td.neighbor_id) AS neighbor_id,
+       |    coalesce(tc.s_cos, 0) + coalesce(td.s_dp, 0) AS rrf
+       |  FROM tc FULL JOIN td ON tc.query_id = td.query_id
+       |    AND tc.neighbor_id = td.neighbor_id)
+       |SELECT query_id, neighbor_id, rrf, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS BIGINT)
+       |    AS rn
+       |  FROM f) z
+       |WHERE rn <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),

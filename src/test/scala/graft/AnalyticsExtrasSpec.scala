@@ -1,7 +1,8 @@
 package graft
 
 import java.nio.file.Files
-import graft.queries.{Graph, TextAnalysis}
+import java.sql.Timestamp
+import graft.queries.{Graph, Joins, Similarity, TextAnalysis}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Closed-form specs for the fixed-point PageRank, the exact-integer
@@ -70,6 +71,48 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     val tv = TextAnalysis.sourceShift(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(tv == Map("only" -> 0L), tv)
+  }
+
+  test("q143: RRF fuses disagreeing cosine/dot rankings with exact integer scores") {
+    // query [1,0]; c5=[2,0] wins cosine, c6=[30,40] wins dot, c7=[0,1]
+    // trails both -> RRF ties c5/c6 exactly (symmetric rank swap) and the
+    // deterministic id tie-break puts c5 first
+    val d = Files.createTempDirectory("rrfspec")
+    Seq((0L, Array(1f, 0f)), (5L, Array(2f, 0f)),
+      (6L, Array(30f, 40f)), (7L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.rrfFusion(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    // 1e9 div 61 + 1e9 div 62 = 16393442 + 16129032; third place gets
+    // 2 * (1e9 div 63)
+    assert(rows.toSeq == Seq(
+      (0L, 5L, 32522474L, 1L),
+      (0L, 6L, 32522474L, 2L),
+      (0L, 7L, 31746030L, 3L)), rows.toSeq)
+  }
+
+  test("q144: half-open overlap semantics and exactly-once pairs across grid cells") {
+    def ev(id: Long, ts: String, ty: String): (Long, Long, Long, String, Double) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, id, ty, 0.0)
+    val d = Files.createTempDirectory("ivspec")
+    Seq(
+      ev(1L, "2024-01-01 10:00:00", "error"),    // [10:00:00, 10:01:00)
+      ev(2L, "2024-01-01 10:00:30", "purchase"), // overlaps E1 by 30s
+      ev(3L, "2024-01-01 10:01:00", "purchase"), // touches E1 end: NOT a pair
+      ev(4L, "2024-01-01 10:05:00", "purchase"), // disjoint
+      ev(5L, "2024-01-01 10:03:30", "error"),    // spans the 10:04 cell edge
+      ev(6L, "2024-01-01 10:03:50", "purchase")) // also spans it: ONE pair
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val pairs = Joins.intervalOverlap(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // multiset equality: a pair surfacing in both shared grid cells would
+    // show up as a duplicate row here
+    assert(pairs.sorted.toSeq == Seq(
+      (1L, 2L, 30000000L),
+      (5L, 6L, 40000000L)), pairs.toSeq)
   }
 
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
