@@ -274,6 +274,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q141 head is a distributed TakeOrdered, grid sides broadcast, TV sum partial") {
+    val p = treePlan("q141_source_shift")
+    // top-200 token head: distributed top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject(limit=200"), p)
+    // head + corpus total broadcast onto the per-source spine
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    // the decimal TV sum map-side combines
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q142 cumulative walk is windowed PER STRATUM — no global cumsum partition") {
+    val p = treePlan("q142_pps_sample")
+    assert("windowspecdefinition\\(lang#\\d+".r.findFirstIn(p).isDefined, p)
+    // the stratum-total join broadcasts; event rows never funnel into one
+    // partition (the global-cumsum failure mode this query is shaped around)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q143 fuses top-k shortlists: WindowGroupLimit prunes before the outer merge") {
+    val p = treePlan("q143_rrf_fusion")
+    // both retriever rankings push partial top-k below the rank shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p)
+    // list merge is a FULL OUTER equi join on (query, candidate)
+    assert(p.contains("FullOuter"), p)
+    // the only non-equi join is the tiny broadcast query set (q60's shape)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q144 interval overlap joins on the grid cell as a HASH join, never a nested loop") {
+    val p = treePlan("q144_interval_join")
+    assert("HashJoin \\[bk#\\d+L\\], \\[bk#\\d+L\\]".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the event-type selections reach the parquet scan
+    assert(p.contains("EqualTo(event_type,error)") &&
+      p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
