@@ -155,6 +155,40 @@ object Scalars {
       |  TRUE AS nd_within_rsd, TRUE AS p50_in_band
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q145: sketch ROLLUP — the property that makes sketches matter at
+    * 100 TB is not the single estimate but MERGEABILITY: a fixed-size
+    * partial state that unions across partitions, days, and retention
+    * tiers without ever re-reading raw data. Here per-day HyperLogLog
+    * sketches of distinct users (Apache DataSketches `hll_sketch_agg`,
+    * a persistable BINARY column — the incremental-matview shape) are
+    * union-merged per ISO week (`hll_union_agg`): the weekly estimate
+    * reads |days| sketch rows, not |events| raw rows. Graded like q47b:
+    * the merged estimate must land within 5% of the exact per-week
+    * distinct (lgK=12 rsd ≈ 1.6%, so 5% ≈ 3 rsd — negligible
+    * false-failure odds, still catches a broken merge), emitted as a
+    * boolean the oracle expects to be literally TRUE — a drifting or
+    * double-counting union flips it and fails the hash compare. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val daySketch = ev.groupBy(col("week"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daySketch.groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(weekly), Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("merged_within_bound"))
+  }
+
+  private val sketchRollupSql =
+    """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |  count(DISTINCT user_id) AS exact_users, TRUE AS merged_within_bound
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Exact interpolated percentiles (median + quartiles) per group. Unlike
     * q47's sketches this buffers the group's values — right only when the
     * per-group cardinality is bounded; the oracle works because both engines
@@ -352,5 +386,6 @@ object Scalars {
         |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
     QueryDef("q47_sketch_aggs", sketchAggs, None),
-    QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)))
+    QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)),
+    QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)))
 }

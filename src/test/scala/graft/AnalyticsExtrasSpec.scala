@@ -115,6 +115,23 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       (5L, 6L, 40000000L)), pairs.toSeq)
   }
 
+  test("q145: day-sketch union counts a cross-day repeat user once") {
+    // Mon {1,2,3} + Tue {3,4}: the union must estimate 4, not 5 — at this
+    // cardinality the HLL is in exact sparse mode, so a double-counting
+    // merge is a deterministic failure, not a bounds coin-flip
+    def ev(id: Long, ts: String, u: Long) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, u, "view", 0.0)
+    val d = Files.createTempDirectory("hllspec")
+    Seq(ev(1L, "2024-01-01 10:00:00", 1L), ev(2L, "2024-01-01 11:00:00", 2L),
+      ev(3L, "2024-01-01 12:00:00", 3L), ev(4L, "2024-01-02 10:00:00", 3L),
+      ev(5L, "2024-01-02 11:00:00", 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Scalars.sketchRollup(spark, d.toString).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 4L &&
+      rows(0).getBoolean(2), rows.toSeq)
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set
