@@ -109,7 +109,48 @@ object Temporal {
         expr("(n * 1000000L) div total").as("p_ppm"))
   }
 
+  /** q147: sequential PATH MINING — the top-20 event-type trigrams over
+    * per-user time-ordered journeys ("view>click>purchase"), the n-gram
+    * generalization of q139's first-order transition matrix and the
+    * workhorse of navigation/funnel-discovery analysis.
+    *
+    * Scale shape: ONE shuffle keyed on the user assembles each journey
+    * (`collect_list` of (ts, event_id, type) structs, `array_sort`ed for
+    * a deterministic total order — per-user sequences are bounded, the
+    * q91 sessionize assumption); trigram expansion is a scan-local
+    * higher-order `transform` over index windows (never a self-join of
+    * the event table, which would square the hot users); counts partial-
+    * aggregate map-side and the global top-20 is a distributed
+    * TakeOrdered on the exact (count desc, path) order. */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("s"))
+      .select(expr("transform(s, x -> x.event_type)").as("types"))
+    seqs.where(size(col("types")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(types) - 2),
+          |  i -> concat(types[i - 1], '>', types[i], '>', types[i + 1]))"""
+          .stripMargin)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc).limit(20)
+  }
+
+  private val pathTrigramsSql =
+    """WITH s AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      |  FROM events GROUP BY 1),
+      |tri AS (
+      |  SELECT unnest(list_transform(range(2, len(types)),
+      |    i -> types[i - 1] || '>' || types[i] || '>' || types[i + 1]))
+      |    AS path
+      |  FROM s WHERE len(types) >= 3)
+      |SELECT path, count(*) AS n FROM tri GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_path_trigrams", pathTrigrams, Some(pathTrigramsSql)),
     QueryDef("q136_scd2_pit", scd2PointInTime, Some(
       """WITH d AS (
         |  SELECT key, valid_from, day_spend,

@@ -1022,6 +1022,53 @@ object TextAnalysis {
       |FROM c JOIN s ON c.lang = s.lang
       |WHERE c.cw // s.step > (c.cw - c.w) // s.step""".stripMargin
 
+  /** q146: WEIGHTED median — per source, the token-weighted median
+    * character length: the smallest n_chars value L where the documents
+    * with n_chars ≤ L carry at least half the source's token mass. The
+    * robust "typical document" statistic mixture dashboards want (a
+    * plain median over-weights short docs; token-weighting answers
+    * "what does the median TOKEN live in"). Exact integers throughout:
+    * the crossing rule is 2·cumweight ≥ total on a deterministic
+    * (n_chars, doc_id) order, so no interpolation and no floats.
+    *
+    * Scale shape: one window partitioned BY SOURCE (strata in
+    * parallel, the q142 shape), per-source totals map-side-combined and
+    * broadcast back, and the qualifying-rows min collapses in partial
+    * aggregation — the crossing row's value IS min(n_chars) over rows
+    * past the crossing, so no argmin composite is needed. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = t.groupBy(col("source")).agg(sum(col("w")).as("tw"))
+    t.withColumn("cw", sum(col("w")).over(win))
+      .join(broadcast(tot), Seq("source"))
+      .where(col("cw") * 2 >= col("tw"))
+      .groupBy(col("source"))
+      .agg(min(col("n_chars")).as("wmedian_chars"),
+        max(col("tw")).as("total_tokens"))
+  }
+
+  private val weightedMedianSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_chars,
+      |    sum(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM t),
+      |s AS (SELECT source, sum(w) AS tw FROM t GROUP BY 1)
+      |SELECT c.source, min(c.n_chars) AS wmedian_chars,
+      |  CAST(max(s.tw) AS BIGINT) AS total_tokens
+      |FROM c JOIN s ON c.source = s.source
+      |WHERE c.cw * 2 >= s.tw
+      |GROUP BY c.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
@@ -1038,6 +1085,7 @@ object TextAnalysis {
     QueryDef("q134_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("q141_source_shift", sourceShift, Some(sourceShiftSql)),
     QueryDef("q142_pps_sample", ppsSample, Some(ppsSampleSql)),
+    QueryDef("q146_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

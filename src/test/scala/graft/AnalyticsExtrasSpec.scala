@@ -132,6 +132,44 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       rows(0).getBoolean(2), rows.toSeq)
   }
 
+  test("q146: token mass pulls the weighted median past the plain median") {
+    // source A: lengths 10,20,30 with token weights 1,1,8 — half the mass
+    // (5 of 10) is crossed only at the 30-char doc, where a plain median
+    // would report 20; source B pins the exact-tie crossing (2cw == tw)
+    val d = Files.createTempDirectory("wmspec")
+    Seq(
+      (1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 20L),
+      (3L, Seq.fill(8)("t").mkString(" "), "en", "A", 30L),
+      (4L, "t t", "en", "B", 5L), (5L, "t t", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = TextAnalysis.weightedMedian(spark, d.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map("A" -> ((30L, 10L)), "B" -> ((5L, 4L))), rows)
+  }
+
+  test("q147: trigram paths count overlapping windows per ordered journey") {
+    def ev(id: Long, ts: String, u: Long, ty: String) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, u, ty, 0.0)
+    val d = Files.createTempDirectory("trispec")
+    Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "view"),
+      ev(2L, "2024-01-01 10:01:00", 1L, "click"),
+      ev(3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      ev(4L, "2024-01-01 10:03:00", 1L, "signup"),
+      ev(5L, "2024-01-01 09:00:00", 2L, "view"),
+      ev(6L, "2024-01-01 09:01:00", 2L, "click"),
+      ev(7L, "2024-01-01 09:02:00", 2L, "purchase"),
+      ev(8L, "2024-01-01 08:00:00", 3L, "view"), // 2-event journey: no trigram
+      ev(9L, "2024-01-01 08:01:00", 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Temporal.pathTrigrams(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(
+      ("view>click>purchase", 2L), ("click>purchase>signup", 1L)), rows.toSeq)
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set
