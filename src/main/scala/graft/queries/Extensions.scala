@@ -95,5 +95,11 @@ object Extensions {
     // a finite run is the batch per-key count.
     QueryDef("q111_stream_state",
       (s, d) => EventStreams.runningCountsStreamRun(s, d),
-      Some(EventStreams.runningCountsSql)))
+      Some(EventStreams.runningCountsSql)),
+    // HLL sketch buffers held in the streaming state store across
+    // micro-batches (the incremental sketch-ingest shape), union-merged
+    // and bound-gated batch-side — q145's oracle grades the whole path.
+    QueryDef("q148_stream_sketch",
+      (s, d) => EventStreams.sketchStreamRun(s, d),
+      Some(Scalars.sketchRollupSql)))
 }

@@ -184,7 +184,7 @@ object Scalars {
           col("exact_users") < 0.05).as("merged_within_bound"))
   }
 
-  private val sketchRollupSql =
+  private[queries] val sketchRollupSql =
     """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
       |  count(DISTINCT user_id) AS exact_users, TRUE AS merged_within_bound
       |FROM events GROUP BY 1""".stripMargin

@@ -457,6 +457,35 @@ object EventStreams {
           col("session_window.end").as("s_end"), col("n_events")),
       "complete")
 
+  /** q148: sketch state ACROSS micro-batches — the streaming ingest shape
+    * of q145's rollup. The streaming aggregation holds one DataSketches
+    * HLL buffer per (week, day) in the STATE STORE and folds each arriving
+    * micro-batch's users into it (a TypedImperativeAggregate buffer
+    * surviving batch boundaries — the property that lets a 100 TB ingest
+    * pipeline keep distinct-user state in kilobytes per key instead of a
+    * growing exact set). Complete mode: the finite run's final overwrite
+    * is the fully-folded day-sketch table, which then union-merges per
+    * week and is bound-gated against the exact batch distinct — q145's
+    * grading, same oracle. */
+  def sketchStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    val daySketch = boundedStreamRun(spark, dir,
+      (s, _) => s.select(
+          date_trunc("week", col("ts")).as("week"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy(col("week"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk")),
+      "complete")
+    val weekly = daySketch.groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = Tables(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(weekly), Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("merged_within_bound"))
+  }
+
   /** Stream-stream interval self-join as a bounded micro-batch run — the
     * symmetric hash join with per-side state stores, end-to-end. Unlike
     * windowed aggregation, an INNER stream-stream join emits matches as
