@@ -312,6 +312,24 @@ class PlanSpec extends AnyFunSuite {
       p.contains("EqualTo(event_type,purchase)"), p)
   }
 
+  test("q146 weighted median windows per stratum and broadcasts totals") {
+    val p = treePlan("q146_weighted_median")
+    assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the qualifying-rows min collapses map-side
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q147 trigrams: one user shuffle, scan-local expansion, TakeOrdered top-k") {
+    val p = treePlan("q147_path_trigrams")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p)
+    // journey assembly is the only data shuffle (plus the count agg);
+    // no join ever forms — hot users never square
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id#\\d+".r.findFirstIn(p).isDefined, p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
