@@ -226,15 +226,15 @@ object Joins {
       .agg(dsum2(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
   }
 
-  /** q144: GLOBAL interval-overlap join — error incidents [ts, ts+60s)
-    * against purchase activity windows [ts, ts+60s), with NO equi key:
+  /** q144: GLOBAL interval-overlap join — error incidents [ts, ts+300s)
+    * against purchase activity windows [ts, ts+300s), with NO equi key:
     * "which purchases happened while an error was live, platform-wide".
     * The interval-interval generalization of q26's point-in-interval
     * range join, and the shape (incident correlation, conflict
     * detection, co-occurring spans) that a naive planner turns into a
     * cartesian product with a post-filter.
     *
-    * Scale design — GRID BUCKETING: time is cut into 120 s cells (≥ max
+    * Scale design — GRID BUCKETING: time is cut into 600 s cells (≥ max
     * interval length, so each interval spans at most 2 cells); each side
     * explodes to its spanned cells (bounded ×2 fan-out), the join is a
     * plain EQUI join on the cell id, and each surviving pair is counted
@@ -247,13 +247,13 @@ object Joins {
     * `sa < eb AND sb < ea`, so the pair set hash-matches the oracle's
     * quadratic reference join bit-for-bit. */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val W = 120000000L // 120 s grid, micros
+    val W = 600000000L // 600 s grid, micros
     val ev = Tables(spark, dir, "events")
     def side(t: String, idName: String, s: String, e: String): DataFrame =
       ev.where(col("event_type") === t)
         .select(col("event_id").as(idName),
           unix_micros(col("ts")).as(s),
-          (unix_micros(col("ts")) + 60000000L).as(e))
+          (unix_micros(col("ts")) + 300000000L).as(e))
     val a = side("error", "err_id", "sa", "ea")
       .withColumn("bk", explode(expr(s"sequence(sa div $W, (ea - 1) div $W)")))
     val b = side("purchase", "buy_id", "sb", "eb")
@@ -269,11 +269,11 @@ object Joins {
   private val intervalOverlapSql =
     """WITH a AS (
       |  SELECT event_id AS err_id, epoch_us(ts) AS sa,
-      |    epoch_us(ts) + 60000000 AS ea
+      |    epoch_us(ts) + 300000000 AS ea
       |  FROM events WHERE event_type = 'error'),
       |b AS (
       |  SELECT event_id AS buy_id, epoch_us(ts) AS sb,
-      |    epoch_us(ts) + 60000000 AS eb
+      |    epoch_us(ts) + 300000000 AS eb
       |  FROM events WHERE event_type = 'purchase')
       |SELECT err_id, buy_id,
       |  least(ea, eb) - greatest(sa, sb) AS overlap_us

@@ -1069,6 +1069,134 @@ object TextAnalysis {
       |WHERE c.cw * 2 >= s.tw
       |GROUP BY c.source""".stripMargin
 
+  /** q149: VOCABULARY ENCODING — the tokenizer-adjacent preprocessing
+    * step of a training pipeline: build a frequency-ranked id table
+    * (top-1000 tokens, deterministic (count desc, token) rank), encode
+    * every document as its id sequence (OOV → 0), and emit per-doc
+    * audit columns: token/OOV counts and an md5 fingerprint of the
+    * exact encoded sequence — the thing a byte-stable data pipeline
+    * checkpoints so a vocab or tokenizer change is a visible diff, not
+    * a silent drift.
+    *
+    * Scale shape: the vocab head is a distributed TakeOrdered then a
+    * 1000-row broadcast (the q141 grid pattern); encoding is a
+    * scan-local broadcast-hash left join per token; sequence reassembly
+    * is ONE doc-keyed shuffle (`collect_list` of (pos, id) structs,
+    * `array_sort`ed — bounded by document length). */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "t")
+      .where(col("t") =!= "")
+    val counts = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("t").asc).limit(1000)
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("cnt").desc, col("t").asc)).cast("long"))
+      .select(col("t"), col("tid"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("tid") === 0L).as("n_oov"),
+        md5(expr("""array_join(
+          |  transform(array_sort(collect_list(struct(pos, tid))),
+          |    x -> cast(x.tid AS string)), ',')""".stripMargin)).as("enc_fp"))
+  }
+
+  private val vocabEncodeSql =
+    """WITH tok AS (
+      |  SELECT doc_id, t, pos FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(text, ' ')) AS t,
+      |      unnest(range(0, len(string_split(text, ' ')))) AS pos
+      |    FROM documents) x
+      |  WHERE t <> ''),
+      |counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+      |vocab AS (
+      |  SELECT t, rn AS tid FROM (
+      |    SELECT t, row_number() OVER (ORDER BY cnt DESC, t) AS rn
+      |    FROM counts) r
+      |  WHERE rn <= 1000),
+      |enc AS (
+      |  SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+      |  FROM tok LEFT JOIN vocab v USING (t))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  count(*) FILTER (WHERE tid = 0) AS n_oov,
+      |  md5(array_to_string(
+      |    list_transform(list(tid ORDER BY pos), x -> CAST(x AS VARCHAR)),
+      |    ',')) AS enc_fp
+      |FROM enc GROUP BY doc_id""".stripMargin
+
+  /** q150: LENGTH-BUCKETED BATCH SHAPING — quantify the padding saved by
+    * length-sorted batching (batch = 32 docs, padded to its max length):
+    * the exact-integer padding-waste ppm under (a) length-sorted order
+    * and (b) naive arrival order, per language. The sorted number is why
+    * every serious training loader length-buckets; emitting both makes
+    * the saving an auditable, hash-gated quantity instead of folklore.
+    *
+    * Scale shape: both orders are windows partitioned BY LANGUAGE (the
+    * q142 stratum-parallel shape, one exchange feeding two sorts); batch
+    * stats partial-aggregate; the final per-language join is
+    * |langs|-sized. The ppm arithmetic runs the (padded − total) product
+    * through DECIMAL(38,0) — 10⁶·tokens passes int64 at ~10 TB. */
+  def batchShaping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    def wastePpm(orderCols: Seq[org.apache.spark.sql.Column],
+                 alias: String): DataFrame = {
+      val win = Window.partitionBy(col("lang")).orderBy(orderCols: _*)
+      t.withColumn("rn", row_number().over(win))
+        .withColumn("bid", expr("CAST((rn - 1) div 32 AS BIGINT)"))
+        .groupBy(col("lang"), col("bid"))
+        .agg(count(lit(1)).as("bsz"), sum(col("w")).as("toks"),
+          max(col("w")).as("mx"))
+        .groupBy(col("lang"))
+        .agg(sum(col("toks")).as("total_tokens"),
+          sum(col("mx") * col("bsz")).as("padded"),
+          count(lit(1)).as("n_batches"))
+        .select(col("lang"), col("n_batches"), col("total_tokens"),
+          expr("""CAST(1000000 * CAST(padded - total_tokens AS DECIMAL(38,0))
+            |  div padded AS BIGINT)""".stripMargin).as(alias))
+    }
+    val sorted = wastePpm(Seq(col("w").asc, col("doc_id").asc), "sorted_ppm")
+    val naive = wastePpm(Seq(col("doc_id").asc), "naive_ppm")
+      .select(col("lang"), col("naive_ppm"))
+    sorted.join(naive, Seq("lang"))
+  }
+
+  private val batchShapingSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |rs AS (
+      |  SELECT lang, w, (row_number() OVER (
+      |    PARTITION BY lang ORDER BY w, doc_id) - 1) // 32 AS bid FROM t),
+      |bs AS (
+      |  SELECT lang, bid, count(*) AS bsz, sum(w) AS toks, max(w) AS mx
+      |  FROM rs GROUP BY 1, 2),
+      |s AS (
+      |  SELECT lang, count(*) AS n_batches,
+      |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |    CAST((1000000 * (sum(mx * bsz) - sum(toks))) // sum(mx * bsz)
+      |      AS BIGINT) AS sorted_ppm
+      |  FROM bs GROUP BY 1),
+      |rn AS (
+      |  SELECT lang, w, (row_number() OVER (
+      |    PARTITION BY lang ORDER BY doc_id) - 1) // 32 AS bid FROM t),
+      |bn AS (
+      |  SELECT lang, bid, count(*) AS bsz, sum(w) AS toks, max(w) AS mx
+      |  FROM rn GROUP BY 1, 2),
+      |n AS (
+      |  SELECT lang,
+      |    CAST((1000000 * (sum(mx * bsz) - sum(toks))) // sum(mx * bsz)
+      |      AS BIGINT) AS naive_ppm
+      |  FROM bn GROUP BY 1)
+      |SELECT s.lang, s.n_batches, s.total_tokens, s.sorted_ppm, n.naive_ppm
+      |FROM s JOIN n ON s.lang = n.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
@@ -1086,6 +1214,8 @@ object TextAnalysis {
     QueryDef("q141_source_shift", sourceShift, Some(sourceShiftSql)),
     QueryDef("q142_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q146_weighted_median", weightedMedian, Some(weightedMedianSql)),
+    QueryDef("q149_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
+    QueryDef("q150_batch_shaping", batchShaping, Some(batchShapingSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
     QueryDef("q59_token_budget", tokenBudget, Some(tokenBudgetSql)),

@@ -98,12 +98,12 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       (id, Timestamp.valueOf(ts).getTime * 1000000L, id, ty, 0.0)
     val d = Files.createTempDirectory("ivspec")
     Seq(
-      ev(1L, "2024-01-01 10:00:00", "error"),    // [10:00:00, 10:01:00)
-      ev(2L, "2024-01-01 10:00:30", "purchase"), // overlaps E1 by 30s
-      ev(3L, "2024-01-01 10:01:00", "purchase"), // touches E1 end: NOT a pair
-      ev(4L, "2024-01-01 10:05:00", "purchase"), // disjoint
-      ev(5L, "2024-01-01 10:03:30", "error"),    // spans the 10:04 cell edge
-      ev(6L, "2024-01-01 10:03:50", "purchase")) // also spans it: ONE pair
+      ev(1L, "2024-01-01 10:00:00", "error"),    // [10:00:00, 10:05:00)
+      ev(2L, "2024-01-01 10:02:30", "purchase"), // overlaps E1 by 150s
+      ev(3L, "2024-01-01 10:05:00", "purchase"), // touches E1 end: NOT a pair
+      ev(4L, "2024-01-01 10:30:00", "purchase"), // disjoint
+      ev(5L, "2024-01-01 10:18:00", "error"),    // spans the 10:20 cell edge
+      ev(6L, "2024-01-01 10:19:00", "purchase")) // also spans it: ONE pair
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val pairs = Joins.intervalOverlap(spark, d.toString).collect()
@@ -111,8 +111,8 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     // multiset equality: a pair surfacing in both shared grid cells would
     // show up as a duplicate row here
     assert(pairs.sorted.toSeq == Seq(
-      (1L, 2L, 30000000L),
-      (5L, 6L, 40000000L)), pairs.toSeq)
+      (1L, 2L, 150000000L),
+      (5L, 6L, 240000000L)), pairs.toSeq)
   }
 
   test("q145: day-sketch union counts a cross-day repeat user once") {
@@ -168,6 +168,43 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(rows.toSeq == Seq(
       ("view>click>purchase", 2L), ("click>purchase>signup", 1L)), rows.toSeq)
+  }
+
+  test("q149: frequency-ranked ids, ordered fingerprint, and OOV past the cap") {
+    // corpus a:3 b:1 c:1 -> ids a=1, b=2, c=3 ((count desc, token) rank);
+    // doc 3 carries 1100 distinct once-tokens, so exactly the 100 ranked
+    // past the 1000-cap encode as OOV id 0
+    val rare = (1 to 1100).map(i => f"t$i%04d")
+    val dir = stageDocs(Seq(
+      (1L, "a a b", "en", "s"),
+      (2L, "a c", "en", "s"),
+      (3L, rare.mkString(" "), "en", "s")))
+    val rows = TextAnalysis.vocabEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // vocab: a=1, then the 999 smallest once-tokens in (count, token) rank
+    // order b, c, t0001..t0997 -> doc1 = 1,1,2; doc2 = 1,3
+    assert(rows(1L) == ((3L, 0L, md5("1,1,2"))), rows(1L))
+    assert(rows(2L) == ((2L, 0L, md5("1,3"))), rows(2L))
+    assert(rows(3L)._1 == 1100L && rows(3L)._2 == 103L, rows(3L))
+  }
+
+  test("q150: length-sorted batching eliminates the padding the naive order pays") {
+    // 32 one-token docs interleaved with 32 five-token docs: naive batches
+    // mix lengths (every batch pads to 5), sorted batches are homogeneous
+    val docs = (1L to 64L).map { i =>
+      val w = if (i % 2 == 1) 1 else 5
+      (i, Seq.fill(w)("t").mkString(" "), "en", "s")
+    }
+    val rows = TextAnalysis.batchShaping(spark, stageDocs(docs)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // total = 32*1 + 32*5 = 192; naive padded = 2 batches * 32*5 = 320
+    // -> (320-192)/320 = 400000 ppm; sorted padded = 32*1 + 32*5 = 192 -> 0
+    assert(rows.toSeq == Seq(("en", 2L, 192L, 0L, 400000L)), rows.toSeq)
   }
 
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
