@@ -189,6 +189,56 @@ object Scalars {
       |  count(DISTINCT user_id) AS exact_users, TRUE AS merged_within_bound
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q151: SLIDING-window distinct via pane-merged sketches — the
+    * dashboard query ("7-day active users, daily") that naively
+    * reprocesses every event 7 times. The pane decomposition: one HLL
+    * sketch per day (the q145 panes), then a WINDOW aggregate unions the
+    * trailing 7 panes per row — |days| rows and |days|·7 kilobyte-sized
+    * merges total, with raw events read exactly once, at any scale. The
+    * union runs as `hll_union_agg` OVER a ROWS frame: a
+    * TypedImperativeAggregate evaluated in a window frame, the
+    * sketch-state counterpart of q33's moving average. Graded like
+    * q145: the pane-merged estimate must sit within 5% (≈3 rsd) of the
+    * exact trailing-7-day distinct, as an oracle-checked TRUE. */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val panes = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // the un-partitioned window runs over the PANE table — |days| rows,
+    // calendar-sized — never over event rows (the q142 gate's concern).
+    // RANGE over the epoch-day number, NOT a ROWS frame: with gaps in
+    // the calendar, "6 preceding rows" would union panes older than 7
+    // days (the AnalyticsExtrasSpec gapped-calendar case pins this).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dn")).rangeBetween(-6, 0)
+    val approx = panes
+      .withColumn("dn", expr("unix_date(CAST(day AS DATE))").cast("long"))
+      .withColumn("approx_7d",
+        expr("hll_union_agg(sk)").over(w))
+      .withColumn("approx_7d", expr("hll_sketch_estimate(approx_7d)"))
+      .select(col("day"), col("approx_7d"))
+    val days = ev.select(col("day")).distinct()
+    val exact = days.join(ev.select(col("day").as("d2"), col("user_id")),
+        col("d2") <= col("day") && col("d2") >= col("day") - expr("INTERVAL 6 DAYS"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+    exact.join(broadcast(approx), Seq("day"))
+      .select(col("day"), col("exact_users_7d"),
+        (abs(col("approx_7d") - col("exact_users_7d")).cast("double") /
+          col("exact_users_7d") < 0.05).as("pane_within_bound"))
+  }
+
+  private val slidingDistinctSql =
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      |  FROM events),
+      |d AS (SELECT DISTINCT day FROM e)
+      |SELECT d.day, count(DISTINCT e.user_id) AS exact_users_7d,
+      |  TRUE AS pane_within_bound
+      |FROM d JOIN e ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+      |GROUP BY d.day""".stripMargin
+
   /** Exact interpolated percentiles (median + quartiles) per group. Unlike
     * q47's sketches this buffers the group's values — right only when the
     * per-group cardinality is bounded; the oracle works because both engines
@@ -387,5 +437,7 @@ object Scalars {
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
     QueryDef("q47_sketch_aggs", sketchAggs, None),
     QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)),
-    QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)))
+    QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
+    QueryDef("q151_sliding_distinct", slidingDistinct,
+      Some(slidingDistinctSql)))
 }

@@ -207,6 +207,28 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("en", 2L, 192L, 0L, 400000L)), rows.toSeq)
   }
 
+  test("q151: pane-merged sliding distinct unions exactly the trailing 7 days") {
+    def ev(id: Long, ts: String, u: Long) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, u, "view", 0.0)
+    val d = Files.createTempDirectory("slidespec")
+    // Mon {1,2}, Tue {2,3}, and a day 9 days later {4}: the trailing
+    // window must carry Mon into Tue (3 distinct) but NOT into the far
+    // day (1 distinct) — sparse-mode HLL makes both checks exact
+    Seq(ev(1L, "2024-01-01 10:00:00", 1L), ev(2L, "2024-01-01 11:00:00", 2L),
+      ev(3L, "2024-01-02 10:00:00", 2L), ev(4L, "2024-01-02 11:00:00", 3L),
+      ev(5L, "2024-01-10 10:00:00", 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Scalars.slidingDistinct(spark, d.toString)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2L, true),
+      ("2024-01-02 00:00:00.0", 3L, true),
+      ("2024-01-10 00:00:00.0", 1L, true)), rows.toSeq)
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set
