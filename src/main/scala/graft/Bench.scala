@@ -29,6 +29,26 @@ object Bench {
     // masquerade as a regression) and per-pass totals are reported
     // alongside so cold-vs-warm remains visible.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt)
+    // Measured shuffle attribution: a stage listener accumulates shuffle
+    // write + spill bytes; the bus is DRAINED at each query boundary
+    // (ListenerBridge — async delivery would otherwise credit a query's
+    // tail stages to its successor) and pass-1 deltas are recorded per
+    // query. This turns SCALE.md's shuffle-shape claims into numbers the
+    // bench artifact carries (bench_full.json "shuffle_w_mb"/"spill_mb").
+    val shufW = new java.util.concurrent.atomic.AtomicLong(0)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    var shuffleMb = Map.empty[String, (Double, Double)] // pass-1 (write, spill)
     // per pass: name -> (elapsed, succeeded)
     var passResults = Seq.empty[Seq[(String, (Double, Boolean))]]
     var failed = Seq.empty[String] // accumulated across passes, tagged @p<N>
@@ -37,6 +57,8 @@ object Bench {
       // or its timings would exclude the clustering compute entirely.
       if (pass > 1) queries.Dedup.clearCcCache()
       passResults :+= SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val (w0, s0) = (shufW.get, spill.get)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -45,7 +67,12 @@ object Bench {
             failed :+= (if (passes == 1) name else s"$name@p$pass")
             false
           }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (pass == 1) {
+          org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+          shuffleMb += name -> (((shufW.get - w0) / 1e6, (spill.get - s0) / 1e6))
+        }
+        name -> ((elapsed, ok))
       }
     }
     // min across SUCCESSFUL passes, in the stable pass-1 query order — a
@@ -78,8 +105,12 @@ object Bench {
     val passTotals = passResults.map(r => f"${r.map(_._2._1).sum}%.3f")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val shufJson = results.map { case (k, _) =>
+      val (w, s) = shuffleMb.getOrElse(k, (0.0, 0.0))
+      "\"" + k + "\":" + f"[$w%.1f,$s%.1f]"
+    }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"shuffle_w_spill_mb":$shufJson,"sf":"$sfDir"}"""
     // Full-fidelity copy with long query names; SPARK_GRAFT_OUT_DIR anchors
     // it (default: cwd) so running from another directory doesn't scatter it.
     val fullPath = java.nio.file.Paths.get(
