@@ -56,7 +56,13 @@ object Bench {
       // A warm pass must re-pay memoized work (the q55/q57/q99 cluster map)
       // or its timings would exclude the clustering compute entirely.
       if (pass > 1) queries.Dedup.clearCcCache()
-      passResults :+= SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // SPARK_GRAFT_ONLY (same contract as Verify): comma-separated names,
+      // for timing a query in isolation while iterating on its plan.
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      passResults :+= SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         val (w0, s0) = (shufW.get, spill.get)
         val t0 = System.nanoTime()

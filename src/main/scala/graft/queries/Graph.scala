@@ -243,11 +243,23 @@ object Graph {
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
     val deg = degOf(edges).select(col("node").as("dn"), col("d"))
+    // Degree-annotated edges built ONCE, hash-partitioned on the
+    // contributing endpoint and checkpointed: every iteration's
+    // rank⋈edges join then reuses this layout (LogicalRDD preserves the
+    // partitioning across the checkpoint), so per iteration only the
+    // |V|-row rank table moves — the corpus-sized edge list never
+    // re-shuffles and the per-round deg join is gone. The Pregel layout,
+    // declaratively.
+    val contribEdges = Memo("graph_contrib", spark, dir) {
+      und.join(deg, col("a") === col("dn"))
+        .select(col("a"), col("b"), col("d"))
+        .repartition(col("a"))
+        .localCheckpoint()
+    }
     var rank = deg.select(col("dn").as("node"), lit(1000000000L).as("pr"))
     for (_ <- 1 to 3) {
-      rank = und
+      rank = contribEdges
         .join(rank, col("a") === col("node"))
-        .join(deg, col("a") === col("dn"))
         .select(col("b"), expr("pr div d").as("contrib"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("s"))
