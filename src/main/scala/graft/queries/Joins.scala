@@ -279,8 +279,51 @@ object Joins {
       |  least(ea, eb) - greatest(sa, sb) AS overlap_us
       |FROM a JOIN b ON sa < eb AND sb < ea""".stripMargin
 
+  /** q152: LAST-TOUCH ATTRIBUTION — each purchase credited to the same
+    * user's most recent click if it happened within the 7-day window,
+    * otherwise organic; daily conversion totals. The canonical funnel
+    * workload, and the second consumer of the engine's NATIVE as-of
+    * physical operator (q27b's `AsOfJoinExec`: co-partitioned streaming
+    * merge, one buffered build row per partition) — the windowing is a
+    * post-match filter on the matched TIME, so hot users never expand
+    * into an equi+range pair space. Only the matched time (not the click
+    * row) feeds the output, so build-side timestamp ties cannot
+    * introduce nondeterminism. All counts exact integers. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("ck"), col("ts").as("ct"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val within7d = col("ct").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("ct")) <= 604800000000L)
+    graft.plans.AsOfJoin(purchases, clicks, "user_id", "ck", "ts", "ct")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count_if(within7d).as("n_attributed"),
+        count_if(!within7d).as("n_organic"))
+  }
+
+  private val attributionSql =
+    """WITH c AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+      |  count(*) AS n_purchases,
+      |  count(*) FILTER (WHERE c.ts IS NOT NULL
+      |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000)
+      |    AS n_attributed,
+      |  count(*) FILTER (WHERE c.ts IS NULL
+      |    OR epoch_us(p.ts) - epoch_us(c.ts) > 604800000000) AS n_organic
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
+    QueryDef("q152_attribution", attribution, Some(attributionSql)),
     QueryDef("q20_join_broadcast", revenueBySegment, Some(
       s"""SELECT c_mktsegment, ${sqlSum2("o_totalprice")} AS revenue, count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey

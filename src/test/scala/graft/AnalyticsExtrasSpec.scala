@@ -229,6 +229,27 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       ("2024-01-10 00:00:00.0", 1L, true)), rows.toSeq)
   }
 
+  test("q152: attribution credits only clicks within the trailing 7-day window") {
+    def ev(id: Long, ts: String, u: Long, ty: String) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, u, ty, 0.0)
+    val d = Files.createTempDirectory("attrspec")
+    Seq(
+      ev(1L, "2024-01-08 09:00:00", 1L, "click"),    // 2d before: attributed
+      ev(2L, "2024-01-01 09:00:00", 2L, "click"),    // 9d before: organic
+      ev(3L, "2024-01-11 09:00:00", 4L, "click"),    // after purchase: organic
+      ev(10L, "2024-01-10 12:00:00", 1L, "purchase"),
+      ev(11L, "2024-01-10 12:00:00", 2L, "purchase"),
+      ev(12L, "2024-01-10 12:00:00", 3L, "purchase"), // no click at all
+      ev(13L, "2024-01-10 12:00:00", 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Joins.attribution(spark, d.toString).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.toSeq == Seq(("2024-01-10 00:00:00.0", 4L, 1L, 3L)),
+      rows.toSeq)
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set

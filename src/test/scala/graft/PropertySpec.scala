@@ -55,6 +55,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q144 grid interval join == brute-force quadratic model on random inputs") {
+    // the 600s-cell equi-join decomposition against the O(n·m) definition:
+    // same pair set, same half-open overlap lengths, and NO duplicate
+    // pairs (the first-shared-cell rule under random cell-edge straddles)
+    val rnd = new scala.util.Random(47)
+    for (round <- 1 to 3) {
+      val base = 1704100000L + round
+      val errs = (1 to 60).map(i => (i.toLong, base + rnd.nextInt(7200).toLong))
+      val buys = (1 to 60).map(i => (100L + i, base + rnd.nextInt(7200).toLong))
+      val dir = java.nio.file.Files.createTempDirectory("ivprop")
+      (errs.map { case (id, s) => (id, s * 1000000000L, id, "error", 0.0) } ++
+        buys.map { case (id, s) => (id, s * 1000000000L, id, "purchase", 0.0) })
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val model = (for {
+        (ei, es) <- errs; (bi, bs) <- buys
+        if es < bs + 300 && bs < es + 300
+      } yield (ei, bi,
+        (math.min(es, bs) + 300 - math.max(es, bs)) * 1000000L)).toSet
+      val got = graft.queries.Joins.intervalOverlap(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, s"round $round: duplicate pairs")
+      assert(got.toSet == model, s"round $round")
+    }
+  }
+
   test("WordCount over a concatenation == monoid merge of per-part WordCounts") {
     for (seed <- 1L to 5L) {
       val (p1, p2) = (sample(seed), sample(seed + 100))
