@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       GraftExtensions.dotDBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      GraftExtensions.topKBuilder))
   }
 }
 
@@ -31,6 +35,25 @@ object GraftExtensions {
     require(children.length == 2, "dot_d takes exactly 2 arguments")
     DotProduct(children.head, children(1))
   }
+
+  private val topKBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 3,
+      "top_k_pairs takes exactly 3 arguments: (score, id, k)")
+    val k = children(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"top_k_pairs: k must be an integer literal, got $other")
+    }
+    TopKPairs(children.head, children(1), k)
+  }
+
+  /** `top_k_pairs` counterpart of [[registerDotD]] — resolves the native
+    * top-k aggregate in sessions built without GraftExtensions. */
+  def registerTopK(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      topKBuilder)
 
   /** Registers `dot_d` directly in `spark`'s FunctionRegistry so `expr(...)`
     * and SQL text resolve it in sessions built WITHOUT

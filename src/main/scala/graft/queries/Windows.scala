@@ -155,8 +155,33 @@ object Windows {
       |    FROM orders) t) s
       |WHERE (dx IS NULL OR dx < o_orderdate) AND dp = o_orderdate""".stripMargin
 
+  /** q153: q30's per-user top-3 through the engine's NATIVE top-k
+    * AGGREGATE (`graft.functions.TopKPairs`, a TypedImperativeAggregate)
+    * instead of the window. The semantic twin is the point: the window
+    * form must shuffle and sort EVERY event row (no partial step exists
+    * for `row_number`); the aggregate form is mergeable, so map-side
+    * partial aggregation reduces each partition to ≤ k pairs per user
+    * BEFORE the exchange and the shuffle carries |users|·k pairs at any
+    * corpus size. Same (value desc, event_id) total order, same DuckDB
+    * oracle as q30 — the two implementations can never drift. */
+  def topEventsPerUserNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    graft.functions.GraftExtensions.registerTopK(ev.sparkSession)
+    ev.groupBy(col("user_id"))
+      .agg(expr("top_k_pairs(value, event_id, 3)").as("tk"))
+      .select(col("user_id"), posexplode(col("tk")))
+      .select(col("col.id").as("event_id"), col("user_id"),
+        col("col.score").as("value"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q132_skyline", skyline, Some(skylineSql)),
+    QueryDef("q153_topk_native", topEventsPerUserNative, Some(
+      """SELECT event_id, user_id, value, rn FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin)),
     QueryDef("q119_window_frames", frameSpecs, Some(frameSpecsSql)),
     QueryDef("q30_window_topk", topEventsPerUser, Some(
       """SELECT event_id, user_id, value, rn FROM (

@@ -46,4 +46,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), p) // inside a WholeStageCodegen subtree
     assert(df.collect().map(_.getDouble(0)).sum > 0)
   }
+
+  test("top_k_pairs: order, ties, k bound, null skipping — any partitioning") {
+    graft.functions.GraftExtensions.registerTopK(spark)
+    // group 1: 5 candidates incl. a score tie (id asc breaks it) and a
+    // null score (skipped); group 2: fewer rows than k
+    val rows = Seq[(Long, java.lang.Double, Long)](
+      (1L, 5.0, 101L), (1L, 7.0, 102L), (1L, 5.0, 100L), (1L, null, 99L),
+      (1L, 1.0, 103L), (2L, 2.0, 201L))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = spark.createDataFrame(rows).toDF("g", "s", "i")
+        .repartition(parts)
+        .groupBy($"g")
+        .agg(expr("top_k_pairs(s, i, 3)").as("tk"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getDouble(0), p.getLong(1))))
+        .toMap
+      assert(got(1L) == Seq((7.0, 102L), (5.0, 100L), (5.0, 101L)),
+        s"parts=$parts: ${got(1L)}")
+      assert(got(2L) == Seq((2.0, 201L)), s"parts=$parts")
+    }
+  }
+
+  test("top_k_pairs survives a serialize/deserialize/merge round trip") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKPairs(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 2)
+    val a = agg.createAggregationBuffer()
+    Seq((3.0, 1L), (9.0, 2L), (1.0, 3L)).foreach(p =>
+      agg.merge(a, scala.collection.mutable.ArrayBuffer(p)))
+    val b = agg.deserialize(agg.serialize(a))
+    assert(b == scala.collection.mutable.ArrayBuffer((9.0, 2L), (3.0, 1L)))
+    val c = agg.merge(b, scala.collection.mutable.ArrayBuffer((5.0, 9L)))
+    assert(c == scala.collection.mutable.ArrayBuffer((9.0, 2L), (5.0, 9L)))
+  }
 }

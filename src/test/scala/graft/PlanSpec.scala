@@ -330,6 +330,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id#\\d+".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q153 native top-k aggregates partial+final — the window form cannot") {
+    val p = treePlan("q153_topk_native")
+    // map-side partial top-k: each partition sends <= k pairs per group
+    assert(p.contains("partial_top_k_pairs"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // and no per-row window machinery anywhere
+    assert(!p.contains("Window ["), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
