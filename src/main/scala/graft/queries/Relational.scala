@@ -245,7 +245,67 @@ object Relational {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** q154: LATERAL correlated subquery — each customer cross-applied to
+    * their 2 most recent orders ("top-N per key" in its SQL-standard
+    * form). Exercises the planner's lateral-join decorrelation: Spark
+    * rewrites the correlated LIMIT subquery into a join + per-key limit
+    * (the same shape q30 writes by hand), so the declarative form pays
+    * the declarative price — no nested loop per customer at scale. Total
+    * (o_orderdate desc, o_orderkey) order makes the picked rows exact. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.o_orderdate
+        |FROM customer_v c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_orderdate FROM orders_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) l""".stripMargin)
+  }
+
+  private val lateralTopOrdersSql =
+    """SELECT c.c_custkey, l.o_orderkey, l.o_orderdate
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_orderdate FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) l""".stripMargin
+
+  /** q155: RECURSIVE CTE (Spark 4 `WITH RECURSIVE`) — climb the decimal
+    * trie of part keys (parent = key div 10) from every part to its
+    * single-digit root: the org-chart/bill-of-materials traversal shape,
+    * executed by the engine's iterative recursion operator rather than a
+    * driver loop (contrast q130, which drives the iteration by hand for
+    * the frontier-pruning a dense graph needs). UNION ALL recursion is
+    * safe here because the climb is strictly decreasing — acyclic by
+    * construction; each step is one join-free projection, so the
+    * recursion cost is depth × |parts| rows. Exact integers throughout. */
+  def recursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """WITH RECURSIVE h(p, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part_v
+        |  UNION ALL
+        |  SELECT p, node div 10, depth + 1 FROM h WHERE node >= 10)
+        |SELECT p AS p_partkey, max(depth) AS chain_len,
+        |  min(CASE WHEN node < 10 THEN node END) AS root_digit
+        |FROM h GROUP BY p""".stripMargin)
+  }
+
+  private val recursiveHierarchySql =
+    """WITH RECURSIVE h(p, node, depth) AS (
+      |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT) FROM part
+      |  UNION ALL
+      |  SELECT p, node // 10, depth + 1 FROM h WHERE node >= 10)
+      |SELECT p AS p_partkey, max(depth) AS chain_len,
+      |  min(CASE WHEN node < 10 THEN node END) AS root_digit
+      |FROM h GROUP BY p""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q154_lateral_topn", lateralTopOrders, Some(lateralTopOrdersSql)),
+    QueryDef("q155_recursive_cte", recursiveHierarchy,
+      Some(recursiveHierarchySql)),
     QueryDef("q10_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q11_filter_project", filterProject, Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate

@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), p)
   }
 
+  test("q154 lateral subquery decorrelates to WindowGroupLimit, never a per-row loop") {
+    val p = treePlan("q154_lateral_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q155 recursive CTE executes on the native UnionLoop operator") {
+    val p = treePlan("q155_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+    // and the post-recursion aggregate still partial+final combines
+    assert(p.contains("partial_max"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
