@@ -239,6 +239,32 @@ object Scalars {
       |FROM d JOIN e ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
       |GROUP BY d.day""".stripMargin
 
+  /** q156: the VARIANT type (Spark 4's open semi-structured column) —
+    * `parse_json` into a binary-encoded variant once, then typed
+    * `variant_get` path extraction, replacing repeated string re-parsing
+    * (`get_json_object`, q43's path) with a parse-once/extract-many
+    * encoding: at 100 TB the JSON text is decoded a single time per row
+    * however many fields downstream operators pull. The aggregate
+    * (per event type: row count, sum/max of the extracted key, count of
+    * rows where the path is absent) is exact integers, so the DuckDB
+    * JSON-function oracle hash-matches. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max"),
+        count_if(col("k").isNull).as("n_missing"))
+
+  private val variantExtractSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+      |  count(*) FILTER (WHERE props->>'$.k' IS NULL) AS n_missing
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Exact interpolated percentiles (median + quartiles) per group. Unlike
     * q47's sketches this buffers the group's values — right only when the
     * per-group cardinality is bounded; the oracle works because both engines
@@ -439,5 +465,6 @@ object Scalars {
     QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)),
     QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     QueryDef("q151_sliding_distinct", slidingDistinct,
-      Some(slidingDistinctSql)))
+      Some(slidingDistinctSql)),
+    QueryDef("q156_variant", variantExtract, Some(variantExtractSql)))
 }
