@@ -243,17 +243,18 @@ object Graph {
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
     val deg = degOf(edges).select(col("node").as("dn"), col("d"))
-    // Degree-annotated edges built ONCE, hash-partitioned on the
-    // contributing endpoint and checkpointed: every iteration's
-    // rank⋈edges join then reuses this layout (LogicalRDD preserves the
-    // partitioning across the checkpoint), so per iteration only the
-    // |V|-row rank table moves — the corpus-sized edge list never
-    // re-shuffles and the per-round deg join is gone. The Pregel layout,
-    // declaratively.
+    // Degree-annotated edges built ONCE and checkpointed — referenced by
+    // all three iterations, so without the checkpoint the union+join
+    // pipeline would recompute per round. No explicit repartition: the
+    // |V|-row rank table BROADCASTS onto the edge scan (AQE picks it at
+    // any realistic |V|; a deliberate shuffle layout would only pay off
+    // once rank outgrows the broadcast threshold, at which point
+    // co-partitioning both sides on `a` — the Pregel layout — is the
+    // switch to flip). Per iteration the only exchange is the partial-
+    // aggregated groupBy on the receiving endpoint.
     val contribEdges = Memo("graph_contrib", spark, dir) {
       und.join(deg, col("a") === col("dn"))
         .select(col("a"), col("b"), col("d"))
-        .repartition(col("a"))
         .localCheckpoint()
     }
     var rank = deg.select(col("dn").as("node"), lit(1000000000L).as("pr"))
@@ -265,8 +266,12 @@ object Graph {
         .agg(sum(col("contrib")).as("s"))
         .select(col("b").as("node"),
           (lit(150000000L) + expr("85 * s div 100")).as("pr"))
-        .localCheckpoint()
     }
+    // No per-round checkpoint, deliberately: each round references the
+    // previous rank exactly ONCE, so the lazy plan grows linearly in
+    // iterations (contrast q130's BFS, where labeled+frontier double-
+    // reference forces per-round cuts) and the whole 3-round pipeline
+    // runs as one job with no intermediate materialization.
     rank
   }
 
