@@ -603,12 +603,29 @@ object TextAnalysis {
 
   // ---- q88: repetition-based quality (Gopher-style) -----------------------
 
+  /** Max multiplicity of an array's elements as a SORT + RUN-LENGTH fold:
+    * O(n log n) per document where the naive
+    * `array_max(transform(array_distinct(a), d -> size(filter(a, d))))`
+    * is O(n·distinct) ≈ O(n²) — on long documents that quadratic WAS the
+    * corpus-scan bottleneck (2.5× DuckDB, measured; the fold closed it).
+    * Produces the identical integer, so the hash-gated fractions are
+    * unchanged. */
+  private def maxRunLen(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING),
+       |    'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+       |  (s, x) -> named_struct('prev', x,
+       |    'run', IF(x <=> s.prev, s.run + 1, CAST(1 AS BIGINT)),
+       |    'best', GREATEST(s.best,
+       |      IF(x <=> s.prev, s.run + 1, CAST(1 AS BIGINT)))),
+       |  s -> s.best)""".stripMargin
+
   /** Repetition filters from the Gopher/C4 rule family: duplicate-token
     * fraction, most-frequent-token fraction, most-frequent-bigram fraction,
     * and the keep flag combining them. All computed as higher-order array
-    * functions on the tokenized document — per-doc cost is O(len·distinct),
-    * fine for documents (bounded length), and the whole pass is codegen'd
-    * with zero shuffle, which is what lets it run over the full corpus. */
+    * functions on the tokenized document — per-doc cost is O(len·log len)
+    * via [[maxRunLen]], and the whole pass runs with zero shuffle, which
+    * is what lets it run over the full corpus. */
   def repetitionQuality(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"),
@@ -621,12 +638,12 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"),
         (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
           size(col("toks"))).as("dup_token_frac"),
-        (expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d))))")
+        (expr(maxRunLen("toks"))
           .cast("double") / size(col("toks"))).as("top_token_frac"),
         expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
           .as("bigrams"))
       .withColumn("top_bigram_frac",
-        expr("array_max(transform(array_distinct(bigrams), d -> size(filter(bigrams, x -> x = d))))")
+        expr(maxRunLen("bigrams"))
           .cast("double") / size(col("bigrams")))
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
         col("top_token_frac"), col("top_bigram_frac"),
