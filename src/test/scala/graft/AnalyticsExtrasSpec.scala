@@ -250,6 +250,43 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       rows.toSeq)
   }
 
+  test("the whole new-operator wave yields empty results on an empty corpus, no crash") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("emptyspec")
+    def empty(file: String, schema: StructType): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$d/$file")
+    empty("lineitem.parquet", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType))))
+    empty("documents.parquet", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    empty("events.parquet", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+    empty("embeddings.parquet", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    val dir = d.toString
+    val fns: Seq[(String, () => Long)] = Seq(
+      "q140" -> (() => Graph.pageRank(spark, dir).count()),
+      "q141" -> (() => TextAnalysis.sourceShift(spark, dir).count()),
+      "q142" -> (() => TextAnalysis.ppsSample(spark, dir).count()),
+      "q143" -> (() => Similarity.rrfFusion(spark, dir).count()),
+      "q144" -> (() => Joins.intervalOverlap(spark, dir).count()),
+      "q145" -> (() => graft.queries.Scalars.sketchRollup(spark, dir).count()),
+      "q146" -> (() => TextAnalysis.weightedMedian(spark, dir).count()),
+      "q147" -> (() => graft.queries.Temporal.pathTrigrams(spark, dir).count()),
+      "q149" -> (() => TextAnalysis.vocabEncode(spark, dir).count()),
+      "q150" -> (() => TextAnalysis.batchShaping(spark, dir).count()),
+      "q151" -> (() => graft.queries.Scalars.slidingDistinct(spark, dir).count()),
+      "q152" -> (() => Joins.attribution(spark, dir).count()))
+    for ((name, f) <- fns)
+      assert(f() == 0L, s"$name should be empty on an empty corpus")
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set
