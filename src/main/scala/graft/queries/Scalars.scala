@@ -265,6 +265,45 @@ object Scalars {
       |  count(*) FILTER (WHERE props->>'$.k' IS NULL) AS n_missing
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q157: MULTI-LEVEL sketch rollup — `ROLLUP(week, day)` over the
+    * stored day panes: one grouping pass yields the day, week, and
+    * grand-total distinct-user estimates, every coarser level a UNION
+    * of the same fixed-size HLL buffers (never a re-scan of events) —
+    * the OLAP-hierarchy composition that makes sketch panes a
+    * materialized-view substrate rather than a one-off. The exact
+    * side rolls up with `countDistinct` under the same grouping; a
+    * null-safe key join lines up the (NULL) subtotal rows, and every
+    * level must sit inside the q145 5% bound, oracle-checked as
+    * literal TRUEs. */
+  def sketchCube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val approx = ev
+      .groupBy(col("week"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .rollup(col("week"), col("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      .select(col("week").as("wa"), col("day").as("da"),
+        col("approx_users"))
+    val exact = ev.rollup(col("week"), col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(approx),
+        col("week") <=> col("wa") && col("day") <=> col("da"))
+      .select(col("week"), col("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.05).as("rollup_within_bound"))
+  }
+
+  private val sketchCubeSql =
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      |  FROM events)
+      |SELECT week, day, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS rollup_within_bound
+      |FROM e GROUP BY ROLLUP(week, day)""".stripMargin
+
   /** Exact interpolated percentiles (median + quartiles) per group. Unlike
     * q47's sketches this buffers the group's values — right only when the
     * per-group cardinality is bounded; the oracle works because both engines
@@ -466,5 +505,6 @@ object Scalars {
     QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     QueryDef("q151_sliding_distinct", slidingDistinct,
       Some(slidingDistinctSql)),
-    QueryDef("q156_variant", variantExtract, Some(variantExtractSql)))
+    QueryDef("q156_variant", variantExtract, Some(variantExtractSql)),
+    QueryDef("q157_sketch_cube", sketchCube, Some(sketchCubeSql)))
 }

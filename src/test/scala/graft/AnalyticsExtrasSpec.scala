@@ -287,6 +287,32 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       assert(f() == 0L, s"$name should be empty on an empty corpus")
   }
 
+  test("q157: rollup levels dedup across panes — day, week, and grand total") {
+    def ev(id: Long, ts: String, u: Long) =
+      (id, Timestamp.valueOf(ts).getTime * 1000000L, u, "view", 0.0)
+    val d = Files.createTempDirectory("cubespec")
+    // week of Jan 1: Mon {1,2}, Tue {2,3}; week of Jan 8: Thu {3,4}.
+    // week subtotals 3 and 2; grand total 4 — user 3 spans weeks and
+    // must collapse in the top-level union (sparse HLL => exact)
+    Seq(ev(1L, "2024-01-01 10:00:00", 1L), ev(2L, "2024-01-01 11:00:00", 2L),
+      ev(3L, "2024-01-02 10:00:00", 2L), ev(4L, "2024-01-02 11:00:00", 3L),
+      ev(5L, "2024-01-11 10:00:00", 3L), ev(6L, "2024-01-11 11:00:00", 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Scalars.sketchCube(spark, d.toString).collect()
+      .map(r => (Option(r.getTimestamp(0)).map(_.toString).getOrElse("-"),
+        Option(r.getTimestamp(1)).map(_.toString).getOrElse("-"),
+        r.getLong(2), r.getBoolean(3))).sortBy(t => (t._1, t._2))
+    assert(rows.forall(_._4), rows.toSeq)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      ("-", "-", 4L),
+      ("2024-01-01 00:00:00.0", "-", 3L),
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 00:00:00.0", "2024-01-02 00:00:00.0", 2L),
+      ("2024-01-08 00:00:00.0", "-", 2L),
+      ("2024-01-08 00:00:00.0", "2024-01-11 00:00:00.0", 2L)), rows.toSeq)
+  }
+
   test("q142: selection matches a brute-force stride walk, ~50 per stratum") {
     // 100 unit-weight docs + one 49-token doc in a second stratum; model
     // the stride walk in plain Scala and require the exact same pick set
