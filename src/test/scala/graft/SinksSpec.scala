@@ -41,6 +41,42 @@ class SinksSpec extends AnyFunSuite {
         Ordering.by((s: Seq[Any]) => s.head.asInstanceOf[Long])).toSeq)
   }
 
+  test("graft-tsv DSV2 sink: round trip, file-per-partition, clean commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsv_sink").toString + "/out"
+    val df = Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", null))
+      .toDF("k", "v").repartition(3)
+    df.write.format("graft-tsv").mode("append").save(dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName).sorted
+    // reference shape: one part-<id>.tsv per partition, nothing else
+    assert(parts.forall(_.matches("part-\\d{5}\\.tsv")), parts.toSeq)
+    assert(parts.length == 3, parts.toSeq)
+    val lines = parts.flatMap(p =>
+      scala.io.Source.fromFile(s"$dir/$p").getLines()).toSet
+    assert(lines == Set("a\t1", "b\t2", "c\t3", "d\t"), lines)
+    // no _temporary residue after a successful commit
+    assert(!new java.io.File(s"$dir/_temporary").exists())
+  }
+
+  test("graft-tsv overwrite truncates previous parts; non-strings rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsv_sink2").toString + "/out"
+    Seq(("x", "9")).toDF("k", "v").repartition(4)
+      .write.format("graft-tsv").mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles().length == 4)
+    Seq(("y", "1")).toDF("k", "v").coalesce(1)
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+    assert(parts.length == 1 && parts.head == "part-00000.tsv", parts.toSeq)
+    assert(scala.io.Source.fromFile(s"$dir/${parts.head}").getLines().toSeq
+      == Seq("y\t1"))
+    val err = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "v").write.format("graft-tsv")
+        .mode("append").save(dir + "2")
+    }
+    assert(err.getMessage.contains("string columns only"), err.getMessage)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("part_w").toString
     val orders = Tables(spark, sf, "orders")
