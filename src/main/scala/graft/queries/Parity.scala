@@ -100,6 +100,39 @@ object Parity {
           % 2147483647L).as("h_sum"))
   }
 
+  /** q158: the reference's COMPLETE job lifecycle through both custom
+    * connectors — reducer output becomes the next job's chunked input
+    * (MapReduce chaining: ReduceRunner's per-reducer TSV part files are
+    * exactly what a follow-up job's master re-splits,
+    * framework-src/ReduceRunner.java:154-172 →
+    * framework-src/MasterNode.java:89-126). An aggregate is written
+    * through the `graft-tsv` DSV2 BatchWrite (per-attempt temp files,
+    * atomic commit renames), read back through the `graft-chunks` DSV2
+    * source (global chunk ids over the part files), parsed, and
+    * re-aggregated — the oracle computes the aggregate directly, so any
+    * loss, duplication, or corruption across the write/read boundary
+    * (a broken commit protocol, a leftover temp file, a mis-split
+    * chunk) breaks the hash. */
+  def sinkChainRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_tsv_gate")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val tsvDir = s"$out/wc"
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("string").as("n"))
+      .select(col("o_orderpriority"), col("n"))
+      .write.format("graft-tsv").mode("overwrite").save(tsvDir)
+    spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 2).load(tsvDir)
+      .select(split(col("value"), "\t").as("kv"))
+      .select(col("kv").getItem(0).as("o_orderpriority"),
+        col("kv").getItem(1).cast("long").as("n"))
+  }
+
+  private val sinkChainRoundtripSql =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   private val chunkRoundtripSql =
     """WITH lines AS (
       |  SELECT text,
@@ -226,5 +259,7 @@ object Parity {
         "FROM customer GROUP BY c_nationkey")),
     QueryDef("q123_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
     QueryDef("q124_chunk_multifile", chunkMultifile, Some(chunkMultifileSql)),
-    QueryDef("q131_chunk_stream", chunkStreamIngest, Some(chunkMultifileSql)))
+    QueryDef("q131_chunk_stream", chunkStreamIngest, Some(chunkMultifileSql)),
+    QueryDef("q158_sink_chain", sinkChainRoundtrip,
+      Some(sinkChainRoundtripSql)))
 }
