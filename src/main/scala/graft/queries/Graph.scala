@@ -84,30 +84,89 @@ object Graph {
         .localCheckpoint()
     }
 
-  /** Per-node triangle counts via ADJACENCY-SET INTERSECTION over the
-    * oriented DAG: a triangle with rank order a<b<c is found exactly once,
-    * at its lowest edge a→b, as c ∈ N⁺(a) ∩ N⁺(b). The per-src
-    * out-neighbor arrays are bounded by the orientation (out-degree ≤
-    * O(√m), 97 at sf0.1), so the adjacency table is |V| rows and
-    * BROADCASTS; the intersection then runs scan-local over the edge list
-    * — the Σ outdeg² wedge stream (41M rows at sf0.1) is never shuffled,
-    * only the |triangles| closures materialize. On a graph whose
-    * |V|·√m adjacency outgrows the broadcast threshold, fall back to the
-    * equivalent three-way oriented wedge join (the oracle SQL's form —
-    * same triple set, provably). */
+  /** Conservative bytes-per-oriented-edge estimate for the broadcast
+    * adjacency table: each oriented edge contributes one 8-byte long to
+    * some node's out-neighbor array, and the |V| ≤ m+1 rows carry array +
+    * row headers — 32 B/edge over-counts both on every JVM layout we can
+    * hit, so the gate errs toward the shuffle-safe wedge join. */
+  private val AdjBytesPerEdge = 32L
+
+  /** Default broadcast budget for the adjacency table (per exchange; the
+    * plan ships it twice). 128 MB stays an order of magnitude under
+    * typical executor/driver headroom while letting every realistic
+    * single-node graph (m ≲ 4M oriented edges) take the fast path. */
+  private val DefaultAdjBroadcastBytes = 128L << 20
+
+  /** Per-node triangle counts, with the physical strategy SIZE-GATED at
+    * plan time: below the broadcast budget, ADJACENCY-SET INTERSECTION
+    * over the oriented DAG — a triangle with rank order a<b<c is found
+    * exactly once, at its lowest edge a→b, as c ∈ N⁺(a) ∩ N⁺(b). The
+    * per-src out-neighbor arrays are bounded by the orientation
+    * (out-degree ≤ O(√m), 97 at sf0.1), so the adjacency table is |V|
+    * rows and BROADCASTS; the intersection then runs scan-local over the
+    * edge list — the Σ outdeg² wedge stream (41M rows at sf0.1) is never
+    * shuffled, only the |triangles| closures materialize.
+    *
+    * Past the budget (m·32 B > `graft.graph.adjacencyBroadcastBytes`,
+    * default 128 MB — the |V|·√m cliff the broadcast path hits at ~100×
+    * sf0.1), the plan AUTOMATICALLY falls back to the equivalent
+    * three-way oriented wedge join (the oracle SQL's own form): all
+    * exchanges are hash shuffles that scale horizontally, total work
+    * still m^{3/2}-bounded by the orientation. The two paths enumerate
+    * provably the same triple set {(a,b,c) : rank a<b<c, all edges
+    * present}; `GraphSpec` executes BOTH against closed-form graphs and
+    * the gate itself. `graft.graph.triangleImpl` = auto|broadcast|wedge
+    * pins a path explicitly (tests; operators who know their graph). The
+    * sizing count is one cheap job over the memoized CHECKPOINTED
+    * oriented edge list — no extra lineage, no full recompute. */
   private def triCounts(spark: SparkSession, dir: String): DataFrame = {
     val oriented = orientedOf(spark, dir)
+    val impl = spark.conf.get("graft.graph.triangleImpl", "auto")
+    val useBroadcast = impl match {
+      case "broadcast" => true
+      case "wedge"     => false
+      case _ =>
+        val budget = spark.conf
+          .get("graft.graph.adjacencyBroadcastBytes",
+            DefaultAdjBroadcastBytes.toString).toLong
+        oriented.count() * AdjBytesPerEdge <= budget
+    }
+    val tri =
+      if (useBroadcast) triplesByIntersection(oriented)
+      else triplesByWedgeJoin(oriented)
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Broadcast path: (x, y, z) triangle triples via set intersection of
+    * the two endpoints' broadcast out-neighbor arrays. */
+  private def triplesByIntersection(oriented: DataFrame): DataFrame = {
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    val tri = oriented
+    oriented
       .join(broadcast(adj.select(col("src").as("au"), col("nbrs").as("nu"))),
         col("src") === col("au"))
       .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
         col("dst") === col("av"))
       .select(col("src").as("x"), col("dst").as("y"),
         explode(array_intersect(col("nu"), col("nv"))).as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Shuffle path: the same (x, y, z) triple set by the three-way
+    * oriented wedge join — wedges (x→y, x→z with rank y < z) closed by
+    * probing the y→z edge. Every join is a plain hash shuffle on graph
+    * keys; no broadcast, no driver-sized structure, so the path survives
+    * any |V|. Work bound: Σ outdeg² ≤ m^{3/2} wedge rows (Suri &
+    * Vassilvitskii, WWW'11), shuffled once for the closing probe. */
+  private def triplesByWedgeJoin(oriented: DataFrame): DataFrame = {
+    val e1 = oriented.select(
+      col("src").as("x"), col("dst").as("y"), col("rdst").as("r1"))
+    val e2 = oriented.select(
+      col("src").as("s2"), col("dst").as("z"), col("rdst").as("r2"))
+    val closing = oriented.select(col("src").as("cy"), col("dst").as("cz"))
+    e1.join(e2, col("x") === col("s2") && col("r1") < col("r2"))
+      .join(closing, col("y") === col("cy") && col("z") === col("cz"))
+      .select(col("x"), col("y"), col("z"))
   }
 
   /** q127: per-node triangle counts of the part co-purchase graph. */

@@ -60,4 +60,35 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), dist)
   }
+
+  /** The size gate's two physical strategies must enumerate the SAME
+    * triple set — the scale contract: whichever side of the broadcast
+    * budget a graph lands on, the answer is identical. Exercised on an
+    * irregular multi-order graph (overlapping cliques + a pendant path)
+    * where a single-once-per-triangle bug in either path would show. */
+  test("broadcast and wedge-join triangle paths agree, and auto gates on size") {
+    val dir = stage(
+      Seq(1L, 2L, 3L, 4L).map(p => (1L, p)) ++    // K4 on {1,2,3,4}
+      Seq(3L, 4L, 5L, 6L).map(p => (2L, p)) ++    // K4 on {3,4,5,6}
+      Seq((3L, 6L), (3L, 7L), (4L, 7L), (4L, 8L)) // pendant path 6-7-8
+    )
+    def run(impl: String): Map[Long, Long] = {
+      spark.conf.set("graft.graph.triangleImpl", impl)
+      try Graph.triangles(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.graph.triangleImpl")
+    }
+    val viaBroadcast = run("broadcast")
+    val viaWedge = run("wedge")
+    assert(viaBroadcast == viaWedge, s"$viaBroadcast vs $viaWedge")
+    assert(viaBroadcast.nonEmpty && viaBroadcast.values.sum % 3 == 0,
+      viaBroadcast) // node-incidences triple-count each triangle
+    // auto must take the wedge path when the budget excludes the
+    // adjacency table (1-byte budget) and still return the same counts
+    spark.conf.set("graft.graph.adjacencyBroadcastBytes", "1")
+    try assert(run("auto") == viaBroadcast)
+    finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
+    // ...and the broadcast path under the default budget
+    assert(run("auto") == viaBroadcast)
+  }
 }
