@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables (TESTDATA.md). Every query takes
   * the scale-factor directory as a parameter so identical code runs at
@@ -17,13 +18,42 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for — read it as a long (nanosAsLong) and truncate to
-    * microseconds, matching DuckDB's nanos->micros truncation exactly. */
+  /** Normalize an `events.ts` column to `TimestampType` regardless of how
+    * the producer wrote it. Three shapes exist in the wild:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark has no nanos type, so with
+    *    `spark.sql.legacy.parquet.nanosAsLong` the column arrives as a
+    *    `LongType` of nanoseconds — truncate to micros (matching DuckDB's
+    *    nanos->micros truncation) and convert.
+    *  - parquet timestamp[us] (isAdjustedToUTC=false): Spark resolves it as
+    *    `TIMESTAMP_NTZ`. Under the UTC session timezone a cast to
+    *    `TimestampType` is value-preserving (same micros), and keeps every
+    *    downstream consumer on the single timestamp flavor the engine and
+    *    its oracles were built against.
+    *  - already `TimestampType`: pass through.
+    *
+    * Branching on the RESOLVED type (not an assumed file layout) means a
+    * producer-side schema change is absorbed here once instead of breaking
+    * 35 consumers at analysis time.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val tsCol: Column = df.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected nanos-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+    df.withColumn("ts", tsCol)
+  }
+
+  /** `events` loader: enable the legacy nanos-as-long read (a no-op for
+    * files that don't use TIMESTAMP(NANOS)), then normalize `ts` by its
+    * resolved type via [[normalizeTs]]. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 }

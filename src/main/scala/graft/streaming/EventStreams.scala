@@ -11,31 +11,31 @@ import org.apache.spark.sql.types._
   * share the aggregation semantics, so the batch form IS the oracle of the
   * streaming form on a finite input).
   *
-  * Streaming reads go through `readStream` with an explicit schema (ts as
-  * long nanos, converted to timestamp — same NANOS workaround as
-  * `graft.Tables`), watermarked on `ts`; tumbling windows via `window()`,
-  * sessions via `session_window()`. At scale the state store partitions by
-  * the grouping key — same shuffle the batch plan does.
+  * Streaming reads go through `readStream` with the schema resolved from a
+  * one-off batch read of the same directory (FileStreamSource requires an
+  * explicit schema; resolving it from the files themselves, instead of
+  * hard-coding a layout, means a producer-side change to how `ts` is
+  * written — nanos-long vs native timestamp — cannot silently corrupt
+  * stream event times). `ts` is then normalized through the SAME
+  * `Tables.normalizeTs` the batch loader uses, watermarked downstream;
+  * tumbling windows via `window()`, sessions via `session_window()`. At
+  * scale the state store partitions by the grouping key — same shuffle the
+  * batch plan does.
   */
 object EventStreams {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) via nanosAsLong
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming source over a DIRECTORY of events parquet files (the
     * production shape: new files land, each becomes a micro-batch;
-    * FileStreamSource rejects a bare single-file path). */
+    * FileStreamSource rejects a bare single-file path). The schema is
+    * resolved from the files present at start (driver-side footer read,
+    * planning-time cost only) and `ts` normalized exactly as in batch. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val resolved = spark.read.parquet(eventsDir).schema
+    Tables.normalizeTs(
+      spark.readStream
+        .schema(resolved)
+        .parquet(eventsDir))
   }
 
   /** The tumbling 1-hour aggregation — ONE definition shared by the

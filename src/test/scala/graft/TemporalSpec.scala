@@ -16,14 +16,18 @@ class TemporalSpec extends AnyFunSuite {
   private def t(s: String) = Timestamp.valueOf(s)
 
   /** Stage events.parquet (+ optionally orders.parquet) into a temp dir.
-    * The driver's events table stores `ts` as parquet TIMESTAMP(NANOS),
-    * which `Tables.events` reads as an int64 of nanos — stage the same
-    * shape (ms → nanos) so the loader's `ts div 1000` path is exercised. */
+    * The driver's events table stores `ts` as native parquet
+    * `timestamp[us]` (TIMESTAMP_NTZ to Spark) — stage that same shape so
+    * these suites pin the production contract. The legacy nanos-long shape
+    * is covered by `LoaderSpec` and `AnalyticsExtrasSpec`. */
   private def stage(events: Seq[(Long, Timestamp, Long, String, Double)],
                     orders: Seq[(Long, Timestamp, Double)] = Nil): String = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
     val d = Files.createTempDirectory("temporalspec")
-    events.map { case (id, ts, u, ty, v) => (id, ts.getTime * 1000000L, u, ty, v) }
+    events
       .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     if (orders.nonEmpty)
       orders.toDF("o_custkey", "o_orderdate", "o_totalprice")
