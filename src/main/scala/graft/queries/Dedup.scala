@@ -581,12 +581,13 @@ object Dedup {
     * negatives — `bloom_catches_all` asserts it against the exact ground
     * truth), and a bounded handful of clean documents are over-dropped
     * (`bloom_fp_bounded`; shingle-level fpp 1e-4 → ~1-2% doc-level with
-    * ~100-200 shingles/doc, gated at 5%). The filter build is Spark's
-    * `stat.bloomFilter` (distributed treeAggregate, driver merge of a
-    * fixed-size bitset — the legitimate driver-sized object, like a
-    * broadcast dim); the probe is a broadcast + per-row `mightContain`.
-    * Both build and probe hash with fixed-seed Murmur3 and bit-OR is
-    * order-independent, so the flagged set is deterministic.
+    * ~100-200 shingles/doc, gated at 5%). The filter build is the native
+    * `BloomFilterAggregate` (partial per-partition filters, bit-OR merge —
+    * the same expression Spark's runtime join filtering injects); the
+    * collected binary is a fixed-size driver object like a broadcast dim,
+    * and the probe is the codegen'd `might_contain` against that constant
+    * — zero Scala UDFs. Both sides hash with fixed-seed Murmur3 and bit-OR
+    * is order-independent, so the flagged set is deterministic.
     *
     * SCALE-VALIDATED gates: `bloom_catches_all` / `bloom_fp_bounded` are
     * pinned TRUE by the oracle. `bloom_catches_all` is a THEOREM (no false
@@ -613,10 +614,12 @@ object Dedup {
     val train = sh.where(col("doc_id") % 100 =!= 0)
     val exactContaminated = train.join(broadcast(held), "h")
       .select(col("doc_id")).distinct()
-    val bf = held.stat.bloomFilter("h", math.max(held.count(), 1024L), 1e-4)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContain(h))
-    val flagged = train.where(mightContain(col("h")))
+    val bfBytes = held
+      .agg(graft.functions.bloom_filter_agg(
+        col("h"), math.max(held.count(), 1024L), 1e-4).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val flagged = train
+      .where(graft.functions.might_contain(lit(bfBytes), col("h")))
       .select(col("doc_id")).distinct()
     val nTrain = Tables(spark, dir, "documents")
       .where(col("doc_id") % 100 =!= 0)

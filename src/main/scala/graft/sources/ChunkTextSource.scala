@@ -90,11 +90,22 @@ object ChunkTextSource {
   private[sources] def listFiles(path: String): Seq[Path] = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
+      // A NON-EMPTY _SUCCESS file is a graft-tsv commit manifest: it lists
+      // exactly the committed part files, so stray files from a crashed or
+      // concurrent job commit are invisible. An EMPTY _SUCCESS (Hadoop's
+      // plain marker) imposes no restriction.
+      val success = p.resolve("_SUCCESS")
+      val manifest: Option[Set[String]] =
+        if (Files.isRegularFile(success)) {
+          val names = Files.readAllLines(success).asScala.filter(_.nonEmpty)
+          if (names.nonEmpty) Some(names.toSet) else None
+        } else None
       val listing = Files.list(p)
       try listing.iterator().asScala.toSeq
         .filter(f => Files.isRegularFile(f) &&
           !f.getFileName.toString.startsWith(".") &&
-          !f.getFileName.toString.startsWith("_"))
+          !f.getFileName.toString.startsWith("_") &&
+          manifest.forall(_.contains(f.getFileName.toString)))
         .sortBy(_.getFileName.toString)
       finally listing.close()
     } else Seq(p)

@@ -19,21 +19,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * here).
   *
   * The part that matters at scale is the COMMIT/ABORT contract, which is
-  * what makes the sink correct under task retry and speculative
-  * execution on a 1000-executor cluster:
+  * what makes the sink correct under task retry, speculative execution,
+  * AND a driver crash mid-commit on a 1000-executor cluster:
   *  - each task writes to a UNIQUE temp file (`_temporary/<uuid>`) —
   *    two attempts of the same partition can never clobber each other;
-  *  - the task's `commit()` returns the temp path + final name as its
-  *    commit message; only the driver's job-level `commit(messages)`
-  *    MOVES the winning attempt of each partition into place (atomic
-  *    rename on a real filesystem), so exactly one attempt per
-  *    partition is ever visible;
+  *  - the task's `commit()` returns the temp path + partition id as its
+  *    commit message; the driver's job-level `commit(messages)` MOVES the
+  *    winning attempt of each partition to an ATTEMPT-UNIQUE final name
+  *    (`part-<pid>-<jobTag>.tsv` — a crashed earlier commit's leftovers
+  *    can never be confused with this job's files), then atomically
+  *    renames a manifest listing exactly those files onto `_SUCCESS`;
+  *  - the `_SUCCESS` manifest IS the commit point: readers (the
+  *    `graft-chunks` source) that find a non-empty manifest read ONLY the
+  *    files it lists, so a driver crash anywhere before the manifest
+  *    rename leaves the PREVIOUS committed state visible and the new
+  *    half-renamed files invisible — snapshot semantics from two atomic
+  *    renames, no distributed coordination;
   *  - `abort()` (task or job level) deletes temp files, leaving the
   *    target directory untouched — a failed job is invisible.
-  * Output naming is the reference's file-per-reducer shape:
-  * `part-<partitionId>.tsv`. NULL fields serialize as the empty string
-  * (the reference never emits nulls; the choice is documented, not
-  * load-bearing).
+  * Values are escaped (`\` `\t` `\n` `\r` → backslash sequences, see
+  * [[TsvEscape]]) so arbitrary strings survive the tab-separated,
+  * line-oriented layout; the reference never emits such values, so on its
+  * own outputs the escaping is byte-invisible. NULL fields serialize as
+  * the empty string. Output naming keeps the reference's file-per-reducer
+  * shape with the attempt tag appended.
   */
 class TsvSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-tsv"
@@ -87,7 +96,54 @@ private[sources] class TsvWriteBuilder(path: String, schema: StructType,
   }
 }
 
-private[sources] case class TsvCommit(tempPath: String, finalName: String)
+/** Escaping that makes arbitrary strings representable in a tab-separated,
+  * line-oriented file: `\` `\t` `\n` `\r` become two-character backslash
+  * sequences. Invertible (`unescape(escape(s)) == s`) and identity on
+  * strings without those characters — the reference's own outputs are
+  * byte-unchanged. */
+object TsvEscape {
+  def escape(s: String): String =
+    if (s.indexOf('\\') < 0 && s.indexOf('\t') < 0 &&
+      s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+    else {
+      val sb = new StringBuilder(s.length + 8)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c    => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
+  def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 't'  => sb.append('\t')
+            case 'n'  => sb.append('\n')
+            case 'r'  => sb.append('\r')
+            case o    => sb.append('\\').append(o) // unknown: literal
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+}
+
+private[sources] case class TsvCommit(tempPath: String, partitionId: Int)
     extends WriterCommitMessage
 
 private[sources] class TsvBatchWrite(path: String, schema: StructType,
@@ -99,18 +155,44 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    if (truncate) {
-      val old = Files.list(dir).iterator()
-      while (old.hasNext) {
-        val p = old.next()
-        if (p.getFileName.toString.startsWith("part-")) Files.delete(p)
-      }
-    }
-    messages.foreach { case TsvCommit(temp, finalName) =>
-      Files.move(Paths.get(temp), dir.resolve(finalName),
+    // 1. Move winners to ATTEMPT-UNIQUE final names. Nothing is committed
+    //    yet: until the manifest rename below, readers still see the
+    //    previous manifest's files (or nothing, for a fresh directory).
+    val jobTag = UUID.randomUUID().toString.take(8)
+    val newFiles = messages.map { case TsvCommit(temp, pid) =>
+      val name = f"part-$pid%05d-$jobTag.tsv"
+      Files.move(Paths.get(temp), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      name
+    }.sorted
+    // 2. Compose the manifest: this job's files, plus — in append mode —
+    //    the surviving files of the previous committed state.
+    val success = dir.resolve("_SUCCESS")
+    val carried: Seq[String] =
+      if (truncate || !Files.isRegularFile(success)) Seq.empty
+      else readManifest(success).filter(n => Files.isRegularFile(dir.resolve(n)))
+    val manifest = (carried ++ newFiles).distinct.sorted
+    // 3. THE commit point: atomic rename of the manifest onto _SUCCESS.
+    val mTmp = dir.resolve(s"_temporary-manifest-$jobTag")
+    Files.write(mTmp, manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(mTmp, success,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // 4. Garbage-collect part files the new manifest doesn't reference
+    //    (truncated previous state, crashed-commit leftovers). Best-effort:
+    //    a crash here leaves stray files that the manifest already hides.
+    val keep = manifest.toSet
+    val listing = Files.list(dir).iterator()
+    while (listing.hasNext) {
+      val p = listing.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("part-") && !keep.contains(n)) Files.deleteIfExists(p)
     }
     cleanTemp()
+  }
+
+  private def readManifest(success: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(success).asScala.toSeq.filter(_.nonEmpty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -155,7 +237,7 @@ private[sources] class TsvWriter(path: String, nFields: Int, partitionId: Int)
     val sb = new StringBuilder
     while (i < nFields) {
       if (i > 0) sb.append('\t')
-      if (!row.isNullAt(i)) sb.append(row.getString(i))
+      if (!row.isNullAt(i)) sb.append(TsvEscape.escape(row.getString(i)))
       i += 1
     }
     sb.append('\n')
@@ -164,7 +246,7 @@ private[sources] class TsvWriter(path: String, nFields: Int, partitionId: Int)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    TsvCommit(temp.toString, f"part-$partitionId%05d.tsv")
+    TsvCommit(temp.toString, partitionId)
   }
 
   override def abort(): Unit = {

@@ -47,10 +47,15 @@ class SinksSpec extends AnyFunSuite {
     val df = Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", null))
       .toDF("k", "v").repartition(3)
     df.write.format("graft-tsv").mode("append").save(dir)
-    val parts = new java.io.File(dir).listFiles().map(_.getName).sorted
-    // reference shape: one part-<id>.tsv per partition, nothing else
-    assert(parts.forall(_.matches("part-\\d{5}\\.tsv")), parts.toSeq)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val parts = files.filter(_.startsWith("part-"))
+    // reference shape + attempt tag: one part-<id>-<tag>.tsv per
+    // partition, plus the _SUCCESS commit manifest listing exactly them
+    assert(parts.forall(_.matches("part-\\d{5}-[0-9a-f]{8}\\.tsv")), parts.toSeq)
     assert(parts.length == 3, parts.toSeq)
+    assert(files.contains("_SUCCESS"), files.toSeq)
+    assert(scala.io.Source.fromFile(s"$dir/_SUCCESS").getLines().toSeq.sorted
+      == parts.toSeq, "manifest lists exactly the committed parts")
     val lines = parts.flatMap(p =>
       scala.io.Source.fromFile(s"$dir/$p").getLines()).toSet
     assert(lines == Set("a\t1", "b\t2", "c\t3", "d\t"), lines)
@@ -63,11 +68,14 @@ class SinksSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("tsv_sink2").toString + "/out"
     Seq(("x", "9")).toDF("k", "v").repartition(4)
       .write.format("graft-tsv").mode("append").save(dir)
-    assert(new java.io.File(dir).listFiles().length == 4)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-")) == 4)
     Seq(("y", "1")).toDF("k", "v").coalesce(1)
       .write.format("graft-tsv").mode("overwrite").save(dir)
     val parts = new java.io.File(dir).listFiles().map(_.getName)
-    assert(parts.length == 1 && parts.head == "part-00000.tsv", parts.toSeq)
+      .filter(_.startsWith("part-"))
+    assert(parts.length == 1 && parts.head.startsWith("part-00000-"),
+      parts.toSeq)
     assert(scala.io.Source.fromFile(s"$dir/${parts.head}").getLines().toSeq
       == Seq("y\t1"))
     val err = intercept[Exception] {
@@ -75,6 +83,25 @@ class SinksSpec extends AnyFunSuite {
         .mode("append").save(dir + "2")
     }
     assert(err.getMessage.contains("string columns only"), err.getMessage)
+  }
+
+  test("graft-tsv values with tabs/newlines survive the q158 sink->chunk-source round trip") {
+    import spark.implicits._
+    import graft.sources.TsvEscape
+    val dir = Files.createTempDirectory("tsv_esc").toString + "/out"
+    val rows = Seq(("k1", "tab\there"), ("k2", "line1\nline2"), ("k3", "plain"))
+    rows.toDF("k", "v").coalesce(1)
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    // q158's read path: chunk source lines -> split on tab -> fields
+    val got = spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 2).load(dir)
+      .select(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("value"), "\t").as("kv"))
+      .collect()
+      .map(r => r.getSeq[String](0))
+      .map(kv => (TsvEscape.unescape(kv(0)), TsvEscape.unescape(kv(1))))
+      .toSet
+    assert(got == rows.toSet, got)
   }
 
   test("partitioned parquet write prunes partitions on read") {

@@ -6,14 +6,20 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The commit/abort contract at the unit level — the piece the
-  * end-to-end SinksSpec round trip cannot isolate: SPECULATIVE
-  * EXECUTION, where two attempts of the same partition both run and
-  * exactly one may become visible. */
+/** The commit/abort contract at the unit level — the pieces the
+  * end-to-end SinksSpec round trip cannot isolate: SPECULATIVE EXECUTION
+  * (two attempts of one partition, exactly one visible) and a DRIVER
+  * CRASH MID-COMMIT (renames done, manifest not yet swapped — the
+  * previous committed state must stay visible). */
 class TsvSinkUnitSpec extends AnyFunSuite {
 
   private def row(a: String, b: String): InternalRow =
     InternalRow(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  private def committedLines(dir: String): Seq[String] =
+    ChunkTextSource.listFiles(dir).flatMap { p =>
+      scala.io.Source.fromFile(p.toFile).getLines().toSeq
+    }
 
   test("two attempts of one partition: the committed winner is the only visible file") {
     val dir = Files.createTempDirectory("tsvu").toString + "/out"
@@ -27,10 +33,10 @@ class TsvSinkUnitSpec extends AnyFunSuite {
     w2.abort() // the speculation loser is killed; its abort runs
     new TsvBatchWrite(dir, null, truncate = false)
       .commit(Array(m1))
-    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
-    assert(files == Seq("part-00000.tsv"), files)
-    assert(scala.io.Source.fromFile(s"$dir/part-00000.tsv").getLines().toSeq
-      == Seq("winner\t1"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq.sorted
+    assert(files.count(_.startsWith("part-00000-")) == 1, files)
+    assert(files.contains("_SUCCESS"), files)
+    assert(committedLines(dir) == Seq("winner\t1"))
     assert(!Files.exists(Paths.get(dir, "_temporary")))
   }
 
@@ -48,5 +54,69 @@ class TsvSinkUnitSpec extends AnyFunSuite {
       residue.map(_.getName).toSeq == Seq(), // no part files, no temps
       residue.map(_.getName).toSeq)
     assert(!Files.exists(Paths.get(dir, "_temporary")))
+  }
+
+  test("driver crash between renames and manifest swap leaves job A's state visible") {
+    val dir = Files.createTempDirectory("tsvu3").toString + "/out"
+    // job A commits normally
+    val fa = TsvWriterFactory(dir, 2)
+    val wa = fa.createWriter(0, 1L)
+    wa.write(row("committed", "A"))
+    new TsvBatchWrite(dir, null, truncate = true).commit(Array(wa.commit()))
+    assert(committedLines(dir) == Seq("committed\tA"))
+    // job B "crashes" after step 1 (temp moved to an attempt-unique final
+    // name) but BEFORE the manifest swap: simulate by dropping B's
+    // half-committed part file into the directory directly
+    Files.write(Paths.get(dir, "part-00000-deadbeef.tsv"),
+      "halfway\tB\n".getBytes("UTF-8"))
+    // readers still see exactly job A's snapshot
+    assert(committedLines(dir) == Seq("committed\tA"))
+    // and a later successful commit (job C, truncate) garbage-collects the
+    // stray file and swaps the snapshot atomically
+    val fc = TsvWriterFactory(dir, 2)
+    val wc = fc.createWriter(0, 9L)
+    wc.write(row("committed", "C"))
+    new TsvBatchWrite(dir, null, truncate = true).commit(Array(wc.commit()))
+    assert(committedLines(dir) == Seq("committed\tC"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!names.contains("part-00000-deadbeef.tsv"), names)
+  }
+
+  test("append-mode commit carries the previous manifest's files forward") {
+    val dir = Files.createTempDirectory("tsvu4").toString + "/out"
+    val f1 = TsvWriterFactory(dir, 2)
+    val w1 = f1.createWriter(0, 1L)
+    w1.write(row("first", "1"))
+    new TsvBatchWrite(dir, null, truncate = false).commit(Array(w1.commit()))
+    val f2 = TsvWriterFactory(dir, 2)
+    val w2 = f2.createWriter(0, 2L)
+    w2.write(row("second", "2"))
+    new TsvBatchWrite(dir, null, truncate = false).commit(Array(w2.commit()))
+    assert(committedLines(dir).sorted == Seq("first\t1", "second\t2"))
+  }
+
+  test("escape/unescape round-trips hostile values and is identity on clean ones") {
+    val hostile = Seq("a\tb", "line1\nline2", "cr\rhere", "back\\slash",
+      "\\t literal", "mix\\\t\n\r", "", "plain")
+    hostile.foreach { s =>
+      assert(TsvEscape.unescape(TsvEscape.escape(s)) == s, s"round trip of $s")
+      assert(!TsvEscape.escape(s).exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"escaped form of $s must be tab/newline-free")
+    }
+    assert(TsvEscape.escape("clean value") == "clean value")
+  }
+
+  test("a written row with tabs and newlines in values re-reads to the original") {
+    val dir = Files.createTempDirectory("tsvu5").toString + "/out"
+    val f = TsvWriterFactory(dir, 2)
+    val w = f.createWriter(0, 1L)
+    w.write(row("key with\ttab", "value\nwith newline"))
+    new TsvBatchWrite(dir, null, truncate = false).commit(Array(w.commit()))
+    val lines = committedLines(dir)
+    assert(lines.size == 1, lines) // newline in a value must NOT split rows
+    val fields = lines.head.split('\t') // tab in a value must NOT split fields
+    assert(fields.length == 2, fields.toSeq)
+    assert(fields.map(TsvEscape.unescape).toSeq ==
+      Seq("key with\ttab", "value\nwith newline"))
   }
 }
