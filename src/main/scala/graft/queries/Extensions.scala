@@ -8,9 +8,6 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal + streaming query registrations.
   *
-  * `q81_media_features` deliberately has NO oracle: its per-partition
-  * batched decode stub (`Multimodal.extractFeatures`) is the one op in the
-  * engine SQL can't express — the driver records a rows-only check for it.
   * The streaming queries are registered through their batch equivalents
   * (identical aggregation semantics on a finite input; the `readStream`
   * forms are exercised by the scalatest suite).
@@ -20,15 +17,60 @@ object Extensions {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMeta(spark, dir)
 
-  /** q81 registration projects the Array[Float] feature vector to scalars
-    * (dim + md5 of its JSON form): the driver's pandas row sorter cannot
-    * hash array cells. The typed `Dataset[MediaFeatures]` API keeps the
-    * full vector; `MultimodalSpec` tests it directly. */
+  /** q81 registration explodes the Array[Float] feature vector to one row
+    * per frame (the driver's pandas row sorter cannot hash array cells;
+    * the typed `Dataset[MediaFeatures]` API keeps the full vector —
+    * `MultimodalSpec` tests it directly). On the ASCII text payloads of
+    * `documents` the byte-path feature is the per-frame mean byte value,
+    * a FLOAT whose division the oracle reproduces bit-exactly (DuckDB
+    * FLOAT/FLOAT is the same IEEE-754 single division), so the frame
+    * means hash-compare exactly — the mapPartitions operator output is
+    * fully oracle-graded, not rows-only. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFeatures(spark, dir)
       .select(col("doc_id"), col("n_frames"),
-        size(col("feature")).cast("long").as("feature_dim"),
-        md5(to_json(col("feature"))).as("feature_md5"))
+        posexplode(col("feature")).as(Seq("frame_idx", "mean_byte")))
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_idx").cast("int").as("frame_idx"), col("mean_byte"))
+
+  /** DuckDB twin of the byte-path feature extraction: 16-byte frames, up
+    * to 8, mean byte value per frame in single-precision. `documents.text`
+    * is ASCII (pinned by `n_frames` re-derivation from octet_length), so
+    * `ord` per char IS the byte value. */
+  private val mediaFeaturesSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS blen,
+      |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_frames, blen, text,
+      |    unnest(range(0, least(n_frames, 8))) AS k FROM d)
+      |SELECT doc_id, n_frames, CAST(k AS INT) AS frame_idx,
+      |  CAST(list_sum(list_transform(
+      |      range(1, CAST(least(16, blen - k * 16) AS BIGINT) + 1),
+      |      i -> ord(substr(text, CAST(k * 16 + i AS INT), 1)))) AS FLOAT)
+      |    / CAST(least(16, blen - k * 16) AS FLOAT) AS mean_byte
+      |FROM f""".stripMargin
+
+  /** q83 registration: the resize operator's OUTPUT BYTES are graded, not
+    * just their length — md5 of the resampled blob, which the oracle
+    * recomputes by the same nearest-neighbor index arithmetic
+    * (`src[(i*len)/target]`, exact integer division in both engines). */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMedia(Multimodal.mediaTable(spark, dir), 64).toDF()
+      .select(col("doc_id"), col("byte_len"),
+        md5(col("blob")).as("blob_md5"), col("media_type"))
+
+  private val mediaResizeSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents)
+      |SELECT doc_id, CAST(least(len, 64) AS BIGINT) AS byte_len,
+      |  md5(CASE WHEN len <= 64 THEN text
+      |    ELSE array_to_string(list_transform(range(0, 64),
+      |      i -> substr(text, CAST((i * len) // 64 AS INT) + 1, 1)), '')
+      |    END) AS blob_md5,
+      |  'text/plain' AS media_type
+      |FROM d""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q80_media_meta", mediaMeta, Some(
@@ -37,7 +79,7 @@ object Extensions {
         |  CAST(floor((octet_length(encode(text)) + 15) / 16) AS BIGINT) AS n_frames,
         |  CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_code
         |FROM documents""".stripMargin)),
-    QueryDef("q81_media_features", mediaFeatures, None),
+    QueryDef("q81_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("q82_frame_sample",
       (s, d) => Multimodal.sampleFrames(s, d), Some(
         """WITH f AS (
@@ -47,10 +89,7 @@ object Extensions {
           |SELECT doc_id, k AS frame_idx,
           |  md5(substring(text, CAST(k * 16 + 1 AS INT), 16)) AS frame_md5
           |FROM f WHERE k % 4 = 0""".stripMargin)),
-    QueryDef("q83_media_resize",
-      (s, d) => Multimodal.resizeMedia(Multimodal.mediaTable(s, d), 64)
-        .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("byte_len")), None),
+    QueryDef("q83_media_resize", mediaResize, Some(mediaResizeSql)),
     // The REAL ImageIO path in the driver gate: generated deterministic PNG
     // payloads, decode + feature-extract + bounded resize on executors, with
     // every output column a constant of the construction -> full hash check.

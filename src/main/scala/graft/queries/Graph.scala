@@ -86,10 +86,13 @@ object Graph {
 
   /** Conservative bytes-per-oriented-edge estimate for the broadcast
     * adjacency table: each oriented edge contributes one 8-byte long to
-    * some node's out-neighbor array, and the |V| ≤ m+1 rows carry array +
-    * row headers — 32 B/edge over-counts both on every JVM layout we can
-    * hit, so the gate errs toward the shuffle-safe wedge join. */
-  private val AdjBytesPerEdge = 32L
+    * some node's out-neighbor array, plus its amortized share of row +
+    * array headers. On a degree-1-heavy graph every adjacency row is
+    * header-dominated (~48 B serialized per UnsafeRow + array header) and
+    * the in-memory HashedRelation expands further, so 64 B/edge keeps the
+    * estimate above the true footprint on every layout — the gate errs
+    * toward the shuffle-safe wedge join. */
+  private val AdjBytesPerEdge = 64L
 
   /** Default broadcast budget for the adjacency table (per exchange; the
     * plan ships it twice). 128 MB stays an order of magnitude under
@@ -107,7 +110,7 @@ object Graph {
     * edge list — the Σ outdeg² wedge stream (41M rows at sf0.1) is never
     * shuffled, only the |triangles| closures materialize.
     *
-    * Past the budget (m·32 B > `graft.graph.adjacencyBroadcastBytes`,
+    * Past the budget (m·64 B > `graft.graph.adjacencyBroadcastBytes`,
     * default 128 MB — the |V|·√m cliff the broadcast path hits at ~100×
     * sf0.1), the plan AUTOMATICALLY falls back to the equivalent
     * three-way oriented wedge join (the oracle SQL's own form): all
@@ -125,11 +128,20 @@ object Graph {
     val useBroadcast = impl match {
       case "broadcast" => true
       case "wedge"     => false
-      case _ =>
-        val budget = spark.conf
-          .get("graft.graph.adjacencyBroadcastBytes",
-            DefaultAdjBroadcastBytes.toString).toLong
+      case "auto" =>
+        val key = "graft.graph.adjacencyBroadcastBytes"
+        val raw = spark.conf.get(key, DefaultAdjBroadcastBytes.toString)
+        val budget =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          catch { case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$key must be a byte count (plain or suffixed, e.g. " +
+                s"134217728 or 128m); got '$raw'", e)
+          }
         oriented.count() * AdjBytesPerEdge <= budget
+      case other => throw new IllegalArgumentException(
+        s"graft.graph.triangleImpl must be auto, broadcast, or wedge; " +
+          s"got '$other'")
     }
     val tri =
       if (useBroadcast) triplesByIntersection(oriented)

@@ -105,13 +105,39 @@ object Scalars {
     * sketches. No SQL oracle: sketch estimates are engine-specific, so the
     * driver records a rows-only check; `QueriesSmokeSpec` bounds the error
     * against exact values. */
-  def sketchAggs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** q47: the sketch-aggregate surface (HLL++ distinct count +
+    * approx_percentile), oracle-gated on the properties COMPLEMENTARY to
+    * q47b's: the p99 estimate must sit inside the exact p97..p995 value
+    * band (approx_percentile's 1/1000 rank guarantee makes the true band
+    * p989..p991 — p97..p995 leaves slack without weakening the gate on a
+    * broken sketch), the estimates must be internally consistent
+    * (p50 ≤ p99), and the HLL estimate within 3 rsd of exact. The exact
+    * columns re-compute in DuckDB; the booleans are literal TRUE — any
+    * sketch drift flips one and fails the hash compare. */
+  def sketchAggs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_exact"),
+        expr("percentile(l_quantity, 0.97)").as("p97"),
+        expr("percentile(l_quantity, 0.995)").as("p995"))
+    val sketch = li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("nd_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("nd_parts"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
         expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_qty"))
+    exact.join(broadcast(sketch), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("nd_exact"),
+        (col("p99_qty") >= col("p97") && col("p99_qty") <= col("p995"))
+          .as("p99_in_band"),
+        (col("p50_qty") <= col("p99_qty")).as("pcts_ordered"),
+        (abs(col("nd_parts") - col("nd_exact")).cast("double") /
+          col("nd_exact") < 0.15).as("nd_within_rsd"))
+  }
+
+  private val sketchAggsSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,
+      |  TRUE AS p99_in_band, TRUE AS pcts_ordered, TRUE AS nd_within_rsd
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Error-bound companion to q47: the sketches are GRADED, not just
     * smoke-tested. Spark computes both the exact answers and the sketch
@@ -500,7 +526,7 @@ object Scalars {
         |  CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
         |  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
-    QueryDef("q47_sketch_aggs", sketchAggs, None),
+    QueryDef("q47_sketch_aggs", sketchAggs, Some(sketchAggsSql)),
     QueryDef("q47b_sketch_bounds", sketchBounds, Some(sketchBoundsSql)),
     QueryDef("q145_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
     QueryDef("q151_sliding_distinct", slidingDistinct,

@@ -1121,6 +1121,91 @@ object TextAnalysis {
           |    x -> cast(x.tid AS string)), ',')""".stripMargin)).as("enc_fp"))
   }
 
+  /** Merges learned per (session, sf) — the trained artifact, like a saved
+    * tokenizer. 16 merges keeps the K driver-coordinated iterations cheap
+    * while still exercising multi-level merges (merged symbols re-merging). */
+  private val BpeMerges = 16
+
+  /** q159: REAL BPE TOKENIZER — `Bpe.train` learns [[BpeMerges]] merges
+    * from the word-frequency table (one distributed pair-count job per
+    * rank, one row collected each), then the broadcast rank table encodes
+    * every word with the standard greedy lowest-rank loop. Graded the
+    * q47b way: the exact corpus measures (word/char instance totals,
+    * distinct character count) recompute in DuckDB, and the learned
+    * tokenizer's defining invariants are emitted as booleans the oracle
+    * pins TRUE —
+    *   - `all_roundtrip`: concat(encode(w)) == w for EVERY vocabulary word
+    *     (BPE merges only ever concatenate adjacent spans, so a broken
+    *     merge table or encoder loop flips this);
+    *   - `tokens_lt_chars`: the encoded corpus is strictly shorter than
+    *     its characters (the top-ranked merge occurs by construction);
+    *   - `tokens_ge_words`: no word encodes to zero tokens;
+    *   - `vocab_bounded`: distinct output symbols ≤ distinct chars + K
+    *     (each merge introduces exactly one new symbol type);
+    * plus `n_merges`, pinned to K — if the corpus ever fails to support K
+    * merges the early-stop surfaces here as a hash mismatch instead of
+    * silently shipping a smaller tokenizer. The closed-form merge
+    * sequence itself is pinned in `AnalyticsExtrasSpec`. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val words = toks.groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .select(col("t").as("w"), col("freq"))
+    val mergesDf = Memo("bpe_merges", spark, dir) {
+      val m = graft.operators.Bpe.train(spark, words, BpeMerges)
+      m.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "a", "b").coalesce(1).localCheckpoint()
+    }
+    val merges = mergesDf.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val rank = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    val enc = words.as[(String, Long)].map { case (w, f) =>
+      val ts = graft.operators.Bpe.encode(w, bc.value)
+      (w, f, ts.length.toLong, ts.mkString == w, ts)
+    }.toDF("w", "freq", "n_toks", "rt", "toks")
+      .localCheckpoint() // three consumers below; vocab-sized
+    val types = enc.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("n_token_types"))
+    val charTypes = toks
+      .select(explode(split(col("t"), "")).as("c"))
+      .where(col("c") =!= "")
+      .agg(countDistinct(col("c")).as("n_char_types"))
+    enc.agg(
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w"))).as("n_chars"),
+        sum(col("freq") * col("n_toks")).as("n_toks_total"),
+        min(col("rt").cast("int")).as("rt_min"))
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(charTypes))
+      .select(
+        col("n_words").cast("long").as("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_char_types").cast("long").as("n_char_types"),
+        lit(merges.length.toLong).as("n_merges"),
+        (col("rt_min") === 1).as("all_roundtrip"),
+        (col("n_toks_total") < col("n_chars")).as("tokens_lt_chars"),
+        (col("n_toks_total") >= col("n_words")).as("tokens_ge_words"),
+        (col("n_token_types") <= col("n_char_types") + lit(BpeMerges))
+          .as("vocab_bounded"))
+  }
+
+  private val bpeTokenizeSql =
+    """WITH tok AS (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |chars AS (SELECT unnest(string_split(t, '')) AS c FROM tok)
+      |SELECT CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(t)) AS BIGINT) AS n_chars,
+      |  (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM chars) AS n_char_types,
+      |  CAST(16 AS BIGINT) AS n_merges,
+      |  TRUE AS all_roundtrip, TRUE AS tokens_lt_chars,
+      |  TRUE AS tokens_ge_words, TRUE AS vocab_bounded
+      |FROM tok""".stripMargin
+
   private val vocabEncodeSql =
     """WITH tok AS (
       |  SELECT doc_id, t, pos FROM (
@@ -1232,6 +1317,7 @@ object TextAnalysis {
     QueryDef("q142_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q146_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q149_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
+    QueryDef("q159_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("q150_batch_shaping", batchShaping, Some(batchShapingSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),

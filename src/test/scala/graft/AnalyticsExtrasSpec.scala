@@ -340,4 +340,30 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     // en stratum: W=100, step=2 -> exactly the even-cumsum docs (50 picks)
     assert(picked.count(_._1 == "en") == 50)
   }
+
+  test("q159: BPE learns the hand-computed merge sequence; encode is greedy lowest-rank") {
+    import graft.operators.Bpe
+    // corpus {abab x2, ab x1}: pair counts (a,b)=5, (b,a)=2 -> merge 1 is
+    // (a,b); then (ab,ab)=2 is the only pair -> merge 2; then every word
+    // is a single symbol -> early stop despite k=5
+    val merges = Bpe.train(spark,
+      Seq(("abab", 2L), ("ab", 1L)).toDF("w", "freq"), k = 5)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")), merges)
+    val rank = merges.zipWithIndex.toMap
+    // rank-0 merge applies everywhere first, then the rank-1 fuse;
+    // leftover "ab" stays (no (abab,ab) merge was learned)
+    assert(Bpe.encode("ababab", rank) == Seq("abab", "ab"))
+    assert(Bpe.encode("ba", rank) == Seq("b", "a")) // nothing applies
+    assert(Bpe.encode("aab", rank) == Seq("a", "ab"))
+    assert(Bpe.encode("", rank) == Seq.empty)
+    // encode round-trips by construction: merges only concatenate
+    Seq("ababab", "ba", "aab", "abba", "a").foreach { w =>
+      assert(Bpe.encode(w, rank).mkString == w)
+    }
+    // deterministic tie-break: equal pair counts -> lexicographically
+    // first pair wins, on any partitioning
+    val tie = Bpe.train(spark,
+      Seq(("xy", 1L), ("yz", 1L)).toDF("w", "freq").repartition(4), k = 1)
+    assert(tie == Seq(("x", "y")), tie)
+  }
 }

@@ -90,5 +90,17 @@ class GraphSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
     // ...and the broadcast path under the default budget
     assert(run("auto") == viaBroadcast)
+    // suffixed budgets parse ("128m"); typo'd impl values fail loudly
+    spark.conf.set("graft.graph.adjacencyBroadcastBytes", "128m")
+    try assert(run("auto") == viaBroadcast)
+    finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
+    val badImpl = intercept[IllegalArgumentException] { run("braodcast") }
+    assert(badImpl.getMessage.contains("triangleImpl"), badImpl.getMessage)
+    spark.conf.set("graft.graph.adjacencyBroadcastBytes", "lots")
+    try {
+      val badBudget = intercept[IllegalArgumentException] { run("auto") }
+      assert(badBudget.getMessage.contains("adjacencyBroadcastBytes"),
+        badBudget.getMessage)
+    } finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
   }
 }
