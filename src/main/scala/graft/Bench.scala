@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": session-conf pins for measurement runs
+    // (e.g. graft.graph.triangleImpl=wedge to time the fallback path).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // Default TWO passes: pass 1 cold (JIT + codegen compile included),
     // pass 2 warm — the shape a long-lived cluster sees. Per-query times
     // are the MIN across passes (a one-off host-contention spike on any
