@@ -21,9 +21,13 @@ object Windows {
   private val byUserTs = Window.partitionBy(col("user_id"))
     .orderBy(col("ts").asc, col("event_id").asc)
 
-  /** Top-3 events per user by value (rank + filter — the scalable top-k). */
+  /** Top-3 events per user by value (rank + filter — the scalable top-k).
+    * `value IS NOT NULL` is pinned on both sides: Spark and DuckDB agree
+    * on nulls-last for DESC today, but the q153 aggregate twin excludes
+    * nulls by construction, and all three must rank the same row set. */
   def topEventsPerUser(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
+      .where(col("value").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("value").desc, col("event_id").asc)).cast("long"))
@@ -163,9 +167,17 @@ object Windows {
     * partial aggregation reduces each partition to ≤ k pairs per user
     * BEFORE the exchange and the shuffle carries |users|·k pairs at any
     * corpus size. Same (value desc, event_id) total order, same DuckDB
-    * oracle as q30 — the two implementations can never drift. */
+    * oracle as q30 — the two implementations can never drift.
+    *
+    * NULL contract, made explicit on every side: `TopKPairs` EXCLUDES
+    * null scores (a null can't participate in a desc ranking without an
+    * engine-specific nulls-order convention), so the query filters
+    * `value IS NOT NULL` and the oracle pins the same predicate — the
+    * testdata has no null values today, but without the pin a future
+    * regeneration with nulls would silently diverge from the window
+    * form's nulls-last placement. q30 carries the identical pin. */
   def topEventsPerUserNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    val ev = events(spark, dir).where(col("value").isNotNull)
     graft.functions.GraftExtensions.registerTopK(ev.sparkSession)
     ev.groupBy(col("user_id"))
       .agg(expr("top_k_pairs(value, event_id, 3)").as("tk"))
@@ -180,14 +192,14 @@ object Windows {
       """SELECT event_id, user_id, value, rn FROM (
         |  SELECT event_id, user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-        |  FROM events) t
+        |  FROM events WHERE value IS NOT NULL) t
         |WHERE rn <= 3""".stripMargin)),
     QueryDef("q119_window_frames", frameSpecs, Some(frameSpecsSql)),
     QueryDef("q30_window_topk", topEventsPerUser, Some(
       """SELECT event_id, user_id, value, rn FROM (
         |  SELECT event_id, user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-        |  FROM events) t
+        |  FROM events WHERE value IS NOT NULL) t
         |WHERE rn <= 3""".stripMargin)),
     QueryDef("q31_window_running", runningValue, Some(
       """SELECT event_id, user_id,

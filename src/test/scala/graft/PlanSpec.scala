@@ -352,6 +352,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max"), p)
   }
 
+  test("q81/q83 multimodal ops are shuffle-free pruned-scan passes") {
+    for (name <- Seq("q81_media_features", "q83_media_resize")) {
+      val p = treePlan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffles: $p")
+      val f = plan(name)
+      // the 5-column documents table reads as exactly (doc_id, text)
+      assert(f.contains("ReadSchema: struct<doc_id:bigint,text:string>"), f)
+    }
+  }
+
+  test("q47 sketch gate joins its 3-row sketch side broadcast with partial aggs") {
+    val p = treePlan("q47_sketch_aggs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial"), p) // map-side combine on both aggregates
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
