@@ -1192,6 +1192,64 @@ object TextAnalysis {
           .as("vocab_bounded"))
   }
 
+  /** q160: LINEAR QUALITY CLASSIFIER INFERENCE — the fasttext-shaped
+    * model-scoring pass every production curation pipeline runs over its
+    * full corpus (quality/toxicity/domain classifiers): bag of hashed
+    * unigram+bigram features, a weight per hash bucket, document score =
+    * Σ w(bucket(feature)).
+    *
+    * The Spark-first point is the PLAN: the whole inference is one
+    * codegen'd scan pass — features, hashing, bucket lookup, and the
+    * weighted sum all run INSIDE higher-order array functions on the
+    * projected `text` column. Zero shuffles, zero UDFs, no explode (the
+    * per-feature row blowup never materializes); at 100 TB this is the
+    * optimal shape — embarrassingly parallel, bandwidth-bound, and a real
+    * trained model drops in as a broadcast weight array without touching
+    * the plan. Here the weight table is the deterministic function
+    * `w(b) = (b·31 + 7) mod 1999 − 999` of the bucket id (integer in
+    * [−999, 999]) so the oracle reproduces the scores EXACTLY — integer
+    * feature hashing (the md5 trick shared with the dedup family) and
+    * integer weights make the whole inference hash-comparable, which a
+    * float model would never be cross-engine. */
+  def linearQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .select(col("doc_id"),
+        expr("""concat(ws, CASE WHEN size(ws) >= 2
+                THEN transform(sequence(0, size(ws) - 2),
+                  i -> concat(ws[i], '_', ws[i+1]))
+                ELSE array() END)""").as("feats"))
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        expr("""aggregate(
+                transform(feats,
+                  t -> conv(substring(md5(t), 1, 15), 16, 10) % 1024L),
+                0L,
+                (acc, b) -> acc + ((b * 31L + 7L) % 1999L - 999L))""")
+          .as("score"))
+      .select(col("doc_id"), col("n_feats"), col("score"),
+        (col("score") > 0L).as("keep"))
+
+  private val linearQualitySql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_concat(ws, list_transform(range(1, len(ws)),
+      |      i -> ws[i] || '_' || ws[i+1])) AS feats
+      |  FROM f)
+      |SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+      |  CAST(coalesce(list_sum(list_transform(feats,
+      |    t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 31 + 7)
+      |      % 1999 - 999)), 0) AS BIGINT) AS score,
+      |  CAST(coalesce(list_sum(list_transform(feats,
+      |    t -> ((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 31 + 7)
+      |      % 1999 - 999)), 0) AS BIGINT) > 0 AS keep
+      |FROM g""".stripMargin
+
   private val bpeTokenizeSql =
     """WITH tok AS (
       |  SELECT t FROM (
@@ -1318,6 +1376,7 @@ object TextAnalysis {
     QueryDef("q146_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q149_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("q159_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
+    QueryDef("q160_linear_quality", linearQuality, Some(linearQualitySql)),
     QueryDef("q150_batch_shaping", batchShaping, Some(batchShapingSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),

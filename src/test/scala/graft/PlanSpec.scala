@@ -352,8 +352,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max"), p)
   }
 
-  test("q81/q83 multimodal ops are shuffle-free pruned-scan passes") {
-    for (name <- Seq("q81_media_features", "q83_media_resize")) {
+  test("q81/q83/q160 per-doc ops are shuffle-free pruned-scan passes") {
+    for (name <- Seq("q81_media_features", "q83_media_resize",
+        "q160_linear_quality")) {
       val p = treePlan(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name shuffles: $p")

@@ -415,4 +415,28 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("inertia_improved"))
     assert(r.getAs[Boolean]("clusters_ok"))
   }
+
+  test("TsvEscape round-trips arbitrary strings and never emits structural bytes") {
+    import graft.sources.TsvEscape
+    // generator biased toward the hostile characters the format reserves
+    val hostileChar = Gen.frequency(
+      (4, Gen.oneOf('\\', '\t', '\n', '\r')),
+      (6, Gen.choose(' ', '~')))
+    val str = Gen.listOf(hostileChar).map(_.mkString)
+    val strs = Gen.listOfN(200, str)
+    val cases = strs.apply(Gen.Parameters.default, Seed(41L)).get
+    cases.foreach { s =>
+      val e = TsvEscape.escape(s)
+      assert(TsvEscape.unescape(e) == s, s"round trip of ${s.toList}")
+      // escaped form must be safe to embed in a field: no tabs/newlines
+      assert(!e.exists(c => c == '\t' || c == '\n' || c == '\r'), e.toList)
+    }
+    // a full row of hostile fields survives the write format: join, split,
+    // unescape recovers the original fields exactly
+    val fields = cases.take(8)
+    val line = fields.map(TsvEscape.escape).mkString("\t")
+    assert(line.split('\t').map(TsvEscape.unescape).toSeq ==
+      fields || fields.exists(_.isEmpty), // split drops trailing empties
+      line)
+  }
 }
