@@ -530,18 +530,34 @@ object Similarity {
     * sf0.01/sf0.1. Re-measure rule for a new sf: none required beyond the
     * standard verify run — a failure would indicate a code defect, not a
     * scale effect. */
-  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
-    val pts = vectors(spark, dir)
+  /** Shared corpus-point view for the k-means family. */
+  private def kmPoints(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
       .withColumn("sq", dot_d(col("v"), col("v")))
       .select(col("vec_id"), col("v"), col("sq"))
-    val cents0 = pts.where(col("vec_id") < kmK)
+
+  /** Deterministic seeds: the first k vectors by id. */
+  private def kmSeeds(pts: DataFrame): DataFrame =
+    pts.where(col("vec_id") < kmK)
       .select(col("vec_id").cast("int").as("cid"),
         col("v").as("cv"), col("sq").as("csq"))
-    var cents = cents0
-    for (_ <- 1 to kmIters)
-      cents = kmUpdate(kmAssign(pts, cents)).localCheckpoint()
-    val a0 = kmAssign(pts, cents0)
-    val aF = kmAssign(pts, cents)
+
+  /** The trained centroid table, memoized per (session, sf): q65 grades
+    * the fit and q161 consumes it for semantic dedup — training runs once
+    * per pass, like the q127/q140 shared edge list. */
+  private[graft] def kmCentroids(spark: SparkSession, dir: String): DataFrame =
+    Memo("km_cents", spark, dir) {
+      val pts = kmPoints(spark, dir)
+      var cents = kmSeeds(pts)
+      for (_ <- 1 to kmIters)
+        cents = kmUpdate(kmAssign(pts, cents)).localCheckpoint()
+      cents
+    }
+
+  def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
+    val pts = kmPoints(spark, dir)
+    val a0 = kmAssign(pts, kmSeeds(pts))
+    val aF = kmAssign(pts, kmCentroids(spark, dir))
     val i0 = a0.agg(sum(col("d2")).as("i0"))
     aF.agg(count(lit(1)).as("n_points"),
         countDistinct(col("cid")).as("k_used"),
@@ -558,6 +574,83 @@ object Similarity {
        |  CAST($kmK AS BIGINT) AS k, CAST($kmIters AS BIGINT) AS n_iters,
        |  TRUE AS inertia_improved, TRUE AS clusters_ok
        |FROM embeddings""".stripMargin
+
+  /** Minimum fraction (percent) of exact label-blocked near-dup pairs the
+    * learned clustering must co-cluster. MEASURED: 34/31/29% at
+    * sf0.001/0.01/0.1 — k=8 centroids over 10 overlapping label clouds
+    * structurally split some label mass across clusters (SemDeDup accepts
+    * exactly this loss; production raises k, it does not chase 100%).
+    * Random assignment co-clusters ~1/k ≈ 12%, so the 20% floor is the
+    * meaningful half-way gate: a broken/degenerate fit fails it, the real
+    * fit clears it with ~1.5× headroom at every sf. Re-measure rule: new
+    * sf → run q161 once, confirm n_co/n_true_pairs stays ≥ 0.25 before
+    * trusting the gate. */
+  private val semRecallPct = 20L
+
+  /** q161: SEMANTIC DEDUP, SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the LEARNED
+    * k-means fit (the q65 centroids, memoized), then prune near-duplicate
+    * pairs WITHIN clusters only — the pair space collapses from corpus²
+    * to Σ|cluster|², which is the entire reason semantic dedup runs at
+    * 100 TB (the within-cluster self-join shuffles on cid; centroid
+    * assignment is the q65 map-side pass, so the corpus shuffles exactly
+    * once, on the cluster key).
+    *
+    * Graded the q47b way, with the q61b/q64 recall twist: the exact
+    * ground truth is q54's label-blocked cosine pairs (oracle-computable;
+    * labels play the role of known-duplicate groups), and the output pins
+    *  - `n_true_pairs` exactly (the oracle recomputes q54's join);
+    *  - `subset_ok`: co-clustered true pairs ≤ true pairs (theorem);
+    *  - `drop_covers_ok`: every co-clustered true pair's higher id is
+    *    among the dropped ids (theorem — such a pair IS a within-cluster
+    *    pair above threshold, so its max endpoint gets dropped);
+    *  - `recall_ok`: the learned clusters co-locate ≥ [[semRecallPct]]%
+    *    of the true pairs — the empirical gate that fails on a broken or
+    *    degenerate fit (random assignment co-clusters ~1/k). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pts = kmPoints(spark, dir)
+    val assigned = kmAssign(pts, kmCentroids(spark, dir))
+      .select(col("vec_id"), col("cid"), col("v"),
+        sqrt(dot_d(col("v"), col("v"))).as("nrm"))
+      .localCheckpoint() // three consumers: pair join (both sides) + recall
+    val clusterPairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("drop_id"),
+        (dot_d(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .where(col("cos") >= 0.3)
+    val nDropped = clusterPairs.agg(
+      countDistinct(col("drop_id")).as("n_dropped"))
+    val truth = dedupCosine(spark, dir)
+      .join(assigned.select(col("vec_id").as("keep_id"), col("cid").as("ca")),
+        Seq("keep_id"))
+      .join(assigned.select(col("vec_id").as("dup_id"), col("cid").as("cb")),
+        Seq("dup_id"))
+    val dropSet = clusterPairs.select(col("drop_id")).distinct()
+    val truthAgg = truth
+      .join(dropSet.withColumnRenamed("drop_id", "dup_id")
+        .withColumn("dropped", lit(1)), Seq("dup_id"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count_if(col("ca") === col("cb")).as("n_co"),
+        count_if(col("ca") === col("cb") && col("dropped").isNull)
+          .as("n_co_undropped"))
+    truthAgg.crossJoin(broadcast(nDropped))
+      .select(col("n_true_pairs"),
+        (col("n_co") <= col("n_true_pairs")).as("subset_ok"),
+        (col("n_co_undropped") === 0L &&
+          col("n_dropped") >= 0L).as("drop_covers_ok"),
+        (col("n_co") * 100L >= col("n_true_pairs") * semRecallPct)
+          .as("recall_ok"))
+  }
+
+  private val semanticDedupSql =
+    """WITH n AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))
+      |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+      |  TRUE AS subset_ok, TRUE AS drop_covers_ok, TRUE AS recall_ok
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""".stripMargin
 
   /** q143: hybrid retrieval via RECIPROCAL RANK FUSION — each query's
     * top-100 by cosine and top-100 by raw inner product (two retrievers
@@ -638,6 +731,7 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
+    QueryDef("q161_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
     QueryDef("q61b_lsh_recall", lshRecall, Some(lshRecallSql)),
