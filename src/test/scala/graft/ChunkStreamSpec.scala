@@ -69,4 +69,40 @@ class ChunkStreamSpec extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS chunk_stable")
     }
   }
+
+  test("restart from checkpoint is exactly-once: no re-emit, ids continue") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("chunkrestart")
+    val cp = Files.createTempDirectory("chunkrestart_cp").toString
+    val out = Files.createTempDirectory("chunkrestart_out").toString + "/sink"
+    Files.writeString(d.resolve("000.txt"),
+      (1 to 5).map(i => s"a$i").mkString("\n") + "\n") // chunks 0,1,2
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-chunks")
+        .option("recordsPerChunk", 2).load(d.toString)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+
+    runOnce() // batch 1: file 000
+    // the query is STOPPED; a new file lands while nothing is running
+    Files.writeString(d.resolve("001.txt"),
+      (1 to 4).map(i => s"b$i").mkString("\n") + "\n") // chunks 3,4
+    runOnce() // a NEW query resumes from the checkpointed global offset
+
+    val rows = spark.read.parquet(out)
+      .select(col("chunk_id"), col("value")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSeq
+    // exactly-once across the restart: the first file's rows appear ONCE
+    // (a lost offset would re-emit chunks 0-2; a corrupted one would
+    // renumber the new file's chunks)
+    assert(rows.size == rows.toSet.size, s"duplicated rows: $rows")
+    assert(rows.toSet == Set(0 -> "a1", 0 -> "a2", 1 -> "a3", 1 -> "a4",
+      2 -> "a5", 3 -> "b1", 3 -> "b2", 4 -> "b3", 4 -> "b4"), rows.toSet)
+  }
 }
