@@ -354,16 +354,14 @@ object EventStreams {
     boundedRun(spark, dir, "documents.parquet", readDocsStream,
       transform, outputMode)
 
-  private val docSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
-  /** Streaming source over a directory of documents parquet files. */
+  /** Streaming source over a directory of documents parquet files. Schema
+    * resolved from the files at start, exactly like [[readEventsStream]] —
+    * a hard-coded layout here is the same producer-drift trap the events
+    * stream fell into when the testdata's `ts` type changed. */
   private def readDocsStream(spark: SparkSession, docsDir: String): DataFrame =
-    spark.readStream.schema(docSchema).parquet(docsDir)
+    spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
 
   /** [[boundedRun]] over events with a BATCH-LEVEL transform applied inside
     * `foreachBatch` — the per-micro-batch enrichment shape (q133: each

@@ -200,6 +200,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("dropDuplicates state survives a restart: overlapping keys are not re-emitted") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val d = Files.createTempDirectory("evrestart")
+    val ev = Files.createDirectory(d.resolve("ev")).toString
+    val cp = Files.createTempDirectory("evrestart_cp").toString
+    val out = Files.createTempDirectory("evrestart_out").toString + "/sink"
+    // write each batch to scratch, then move its part file INTO the
+    // watched directory (FileStreamSource does not recurse)
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("evrestart_stage")
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast(TimestampNTZType))
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      var moved = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(ev, s"$name.parquet")); moved = true
+        }
+      }
+      assert(moved, "no part file staged")
+    }
+    stage("b0", Seq((1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 10:01:00", 2L), (3L, "2024-01-01 10:02:00", 3L)))
+    def runOnce(): Unit = {
+      val q = EventStreams.readEventsStream(spark, ev)
+        .dropDuplicates("user_id")
+        .select(col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runOnce()
+    // while stopped: a new file with OVERLAPPING users (2,3) + new user 4
+    stage("b1", Seq((4L, "2024-01-01 11:00:00", 2L),
+      (5L, "2024-01-01 11:01:00", 3L), (6L, "2024-01-01 11:02:00", 4L)))
+    runOnce()
+    val users = spark.read.parquet(out).as[Long].collect().toSeq
+    // lost state would re-emit users 2 and 3 on the second run
+    assert(users.sorted == Seq(1L, 2L, 3L, 4L), users.sorted)
+  }
+
   test("streaming ingest screen decides exactly like the batch screen (q115/q117)") {
     import org.apache.spark.sql.functions.col
     // same stores, same semantics: the per-doc (is_exact_dup, decision)
