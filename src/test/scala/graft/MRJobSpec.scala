@@ -153,4 +153,37 @@ class MRJobSpec extends AnyFunSuite {
     }
     assert(runs.distinct.size == 1)
   }
+
+  test("startjob CLI loads a client jar's manifest Main-Class (reference jar path)") {
+    // Package the test-compiled CharCountJob class into a REAL jar with a
+    // manifest Main-Class — the reference's client.jar shape
+    // (MapRunner.java:42-48) — and resolve it by the non-built-in path.
+    import java.util.jar.{JarEntry, JarOutputStream, Manifest => JarManifest}
+    val clsName = classOf[CharCountJob].getName
+    val clsPath = clsName.replace('.', '/') + ".class"
+    val bytes = getClass.getClassLoader.getResourceAsStream(clsPath).readAllBytes()
+    val jarPath = Files.createTempDirectory("clijar").resolve("client.jar")
+    val mf = new JarManifest()
+    mf.getMainAttributes.putValue("Manifest-Version", "1.0")
+    mf.getMainAttributes.putValue("Main-Class", clsName)
+    val jos = new JarOutputStream(Files.newOutputStream(jarPath), mf)
+    jos.putNextEntry(new JarEntry(clsPath)); jos.write(bytes); jos.closeEntry()
+    jos.close()
+
+    val job = Driver.resolveJob("charcount", jarPath.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    job.map("ab cd", (k, v) => out += ((k, v)))
+    assert(out.toSeq == Seq(("chars", "4")), out)
+    assert(job.merge("4", "3") == "7")
+  }
+}
+
+/** A client job compiled into test-classes, packaged into a jar at test
+  * time to exercise [[graft.Driver]]'s manifest Main-Class loading. Counts
+  * non-space characters per line under the single key "chars". */
+class CharCountJob extends graft.MRClientJob {
+  override def map(line: String, collect: (String, String) => Unit): Unit =
+    collect("chars", line.count(_ != ' ').toString)
+  override def merge(a: String, b: String): String =
+    (a.toLong + b.toLong).toString
 }
