@@ -37,6 +37,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    renames, no distributed coordination;
   *  - `abort()` (task or job level) deletes temp files, leaving the
   *    target directory untouched — a failed job is invisible.
+  * Read-during-commit caveat (documented, not defended): a reader that
+  * loads the OLD manifest in the instant before a truncating commit's
+  * swap may find its listed files garbage-collected moments later —
+  * overwrite-while-reading needs generation-numbered directories, which
+  * is a warehouse-layout concern above this sink. Readers that start
+  * after the swap always see a consistent snapshot.
   * Values are escaped (`\` `\t` `\n` `\r` → backslash sequences, see
   * [[TsvEscape]]) so arbitrary strings survive the tab-separated,
   * line-oriented layout; the reference never emits such values, so on its
