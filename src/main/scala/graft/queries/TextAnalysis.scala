@@ -1126,6 +1126,27 @@ object TextAnalysis {
     * while still exercising multi-level merges (merged symbols re-merging). */
   private val BpeMerges = 16
 
+  /** The trained merge table as a broadcastable rank map, memoized per
+    * (session, sf) — q159 grades the training, q162 applies it to the
+    * corpus; both read this one artifact. */
+  private def bpeRankTable(spark: SparkSession, dir: String)
+      : Map[(String, String), Int] = {
+    import spark.implicits._
+    val mergesDf = Memo("bpe_merges", spark, dir) {
+      val ws = Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        .select(col("t").as("w"), col("freq"))
+      val m = graft.operators.Bpe.train(spark, ws, BpeMerges)
+      m.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "a", "b").coalesce(1).localCheckpoint()
+    }
+    mergesDf.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .zipWithIndex.toMap
+  }
+
   /** q159: REAL BPE TOKENIZER — `Bpe.train` learns [[BpeMerges]] merges
     * from the word-frequency table (one distributed pair-count job per
     * rank, one row collected each), then the broadcast rank table encodes
@@ -1153,14 +1174,7 @@ object TextAnalysis {
       .where(col("t") =!= "")
     val words = toks.groupBy(col("t")).agg(count(lit(1)).as("freq"))
       .select(col("t").as("w"), col("freq"))
-    val mergesDf = Memo("bpe_merges", spark, dir) {
-      val m = graft.operators.Bpe.train(spark, words, BpeMerges)
-      m.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-        .toDF("rank", "a", "b").coalesce(1).localCheckpoint()
-    }
-    val merges = mergesDf.collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    val rank = merges.zipWithIndex.toMap
+    val rank = bpeRankTable(spark, dir)
     val bc = spark.sparkContext.broadcast(rank)
     val enc = words.as[(String, Long)].map { case (w, f) =>
       val ts = graft.operators.Bpe.encode(w, bc.value)
@@ -1184,13 +1198,57 @@ object TextAnalysis {
         col("n_words").cast("long").as("n_words"),
         col("n_chars").cast("long").as("n_chars"),
         col("n_char_types").cast("long").as("n_char_types"),
-        lit(merges.length.toLong).as("n_merges"),
+        lit(rank.size.toLong).as("n_merges"),
         (col("rt_min") === 1).as("all_roundtrip"),
         (col("n_toks_total") < col("n_chars")).as("tokens_lt_chars"),
         (col("n_toks_total") >= col("n_words")).as("tokens_ge_words"),
         (col("n_token_types") <= col("n_char_types") + lit(BpeMerges))
           .as("vocab_bounded"))
   }
+
+  /** q162: TOKENIZER APPLICATION AT CORPUS SCALE — the step between
+    * training a tokenizer (q159) and consuming token budgets (q59/q87):
+    * per-document BPE token counts for every document. The scale shape is
+    * the point: each DISTINCT word is encoded exactly once (the q159
+    * vocabulary pass, already memoized with the merge table), and
+    * documents get their counts by exploding to words and joining the
+    * BROADCAST word→token-count map — the corpus is never re-encoded per
+    * occurrence, and the only shuffle is the per-doc sum. At 100 TB the
+    * word-count map stays dimension-sized while the doc side streams
+    * through scan+join+partial-agg.
+    *
+    * Graded per document: `n_words`/`n_chars` recompute exactly in the
+    * oracle, and the learned-artifact columns collapse to per-doc
+    * THEOREM booleans pinned TRUE (every word is 1..len(word) tokens, so
+    * n_words ≤ n_tokens ≤ n_chars; a corrupt merge table or encode loop
+    * breaks one inequality for some doc and flips that row's hash). */
+  def bpeDocTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpeRankTable(spark, dir))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val wordTokens = toks.select(col("t")).distinct().as[String]
+      .map(w => (w, graft.operators.Bpe.encode(w, bc.value).length.toLong))
+      .toDF("t", "w_tokens")
+    toks.join(broadcast(wordTokens), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("t"))).cast("long").as("n_chars"),
+        sum(col("w_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        (col("n_tokens") >= col("n_words")).as("tokens_ge_words"),
+        (col("n_tokens") <= col("n_chars")).as("tokens_le_chars"))
+  }
+
+  private val bpeDocTokensSql =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(t)) AS BIGINT) AS n_chars,
+      |  TRUE AS tokens_ge_words, TRUE AS tokens_le_chars
+      |FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+      |WHERE t <> ''
+      |GROUP BY doc_id""".stripMargin
 
   /** q160: LINEAR QUALITY CLASSIFIER INFERENCE — the fasttext-shaped
     * model-scoring pass every production curation pipeline runs over its
@@ -1377,6 +1435,7 @@ object TextAnalysis {
     QueryDef("q149_vocab_encode", vocabEncode, Some(vocabEncodeSql)),
     QueryDef("q159_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     QueryDef("q160_linear_quality", linearQuality, Some(linearQualitySql)),
+    QueryDef("q162_bpe_doc_tokens", bpeDocTokens, Some(bpeDocTokensSql)),
     QueryDef("q150_batch_shaping", batchShaping, Some(batchShapingSql)),
     QueryDef("q78_normalize", normalize, Some(normalizeSql)),
     QueryDef("q58_source_mix", sourceMix, Some(sourceMixSql)),
