@@ -364,6 +364,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 joins the word->token map broadcast; doc agg is partial+final") {
+    val p = treePlan("q162_bpe_doc_tokens")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial"), p)
+  }
+
   test("q47 sketch gate joins its 3-row sketch side broadcast with partial aggs") {
     val p = treePlan("q47_sketch_aggs")
     assert(p.contains("BroadcastHashJoin"), p)
