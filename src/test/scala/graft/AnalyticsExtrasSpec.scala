@@ -341,6 +341,36 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(picked.count(_._1 == "en") == 50)
   }
 
+  test("q160: linear scorer matches an independent JVM reimplementation of the model") {
+    // Reimplement hash->bucket->weight in plain Scala (MessageDigest, not
+    // Spark's conv/md5) — agreement proves the SQL expression computes the
+    // intended model, not merely something self-consistent.
+    def bucket(t: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16) % 1024L
+    }
+    def weight(b: Long): Long = (b * 31L + 7L) % 1999L - 999L
+    def model(text: String): (Long, Long) = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val feats = ws.toSeq ++ ws.toSeq.sliding(2).filter(_.size == 2)
+        .map(p => p(0) + "_" + p(1))
+      (feats.size.toLong, feats.map(t => weight(bucket(t))).sum)
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "one", "en", "web"),           // single word: no bigrams
+      (3L, "a a a", "en", "web"))         // repeated features count per occurrence
+    val dir = stageDocs(docs)
+    val got = TextAnalysis.linearQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    docs.foreach { case (id, text, _, _) =>
+      val (nf, sc) = model(text)
+      assert(got(id) == ((nf, sc, sc > 0L)), s"doc $id: ${got(id)} vs ($nf,$sc)")
+    }
+  }
+
   test("q159: BPE learns the hand-computed merge sequence; encode is greedy lowest-rank") {
     import graft.operators.Bpe
     // corpus {abab x2, ab x1}: pair counts (a,b)=5, (b,a)=2 -> merge 1 is

@@ -22,6 +22,26 @@ class ChunkSourceSpec extends AnyFunSuite {
   private lazy val df = spark.read.format("graft-chunks")
     .option("recordsPerChunk", 2).load(dir)
 
+  test("a _SUCCESS manifest restricts reads; stale entries and strays are tolerated") {
+    val d = Files.createTempDirectory("chunkmanifest")
+    Files.writeString(d.resolve("part-a.tsv"), "x1\nx2\n")
+    Files.writeString(d.resolve("part-b.tsv"), "y1\n")
+    Files.writeString(d.resolve("part-stray.tsv"), "STRAY\n")
+    // manifest: lists a+b (not the stray) PLUS an entry whose file is gone
+    Files.writeString(d.resolve("_SUCCESS"),
+      "part-a.tsv\npart-b.tsv\npart-gone.tsv\n")
+    val rows = spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 10).load(d.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(rows == Set("x1", "x2", "y1"), rows) // stray invisible, no crash
+    // an EMPTY _SUCCESS (Hadoop's plain marker) imposes no restriction
+    Files.writeString(d.resolve("_SUCCESS"), "")
+    val all = spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 10).load(d.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(all == Set("x1", "x2", "y1", "STRAY"), all)
+  }
+
   test("rows match spark.read.text and chunk assignment is the reference's") {
     val got = df.collect().map(r => r.getInt(0) -> r.getString(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
