@@ -81,6 +81,25 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a trained merge list as a tiny parquet table `(rank, a, b)` —
+    * the saved-tokenizer artifact a production pipeline trains once and
+    * ships to every consumer (the in-session analogue is the memoized
+    * merge table in `TextAnalysis`). */
+  def save(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d merge list, rank order restored. */
+  def load(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("a"), col("b"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Greedy encode: repeatedly merge the present pair with the LOWEST rank
     * until none of the learned merges applies. */
   def encode(word: String, rank: Map[(String, String), Int]): Seq[String] = {

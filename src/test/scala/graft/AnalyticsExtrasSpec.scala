@@ -395,5 +395,35 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     val tie = Bpe.train(spark,
       Seq(("xy", 1L), ("yz", 1L)).toDF("w", "freq").repartition(4), k = 1)
     assert(tie == Seq(("x", "y")), tie)
+    // the saved-tokenizer artifact round-trips with rank order intact
+    val p = Files.createTempDirectory("bpesave").toString + "/merges"
+    Bpe.save(spark, merges, p)
+    assert(Bpe.load(spark, p) == merges)
+  }
+
+  test("q161: two exact-duplicate clusters co-locate 100% with full drop coverage") {
+    // ids 0-4 are EXACTLY e1, ids 5-9 EXACTLY e2 (zero jitter, so the
+    // outcome is closed-form): seeds 0-7 duplicate e1 five times and e2
+    // three times; the (d2, cid) tie-break sends every e1 point to cid 0
+    // and every e2 point to cid 5, empty centroids vanish at the first
+    // update, and Lloyd is stable — co-location is exactly 100% and every
+    // within-cluster pair's larger id is dropped. (With per-point jitter
+    // and k near the point count, Lloyd keeps singleton clusters and
+    // recall collapses — the k-vs-recall trade the operator documents;
+    // the first draft of this test proved it empirically.)
+    val d = Files.createTempDirectory("semspec")
+    val rows = (0 until 10).map { i =>
+      val c = i / 5
+      val base = if (c == 0) Array(1.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, s"c$c", base.toSeq)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r = Similarity.semanticDedup(spark, d.toString).collect().head
+    assert(r.getAs[Long]("n_true_pairs") == 20L, r) // 2 * C(5,2)
+    assert(r.getAs[Boolean]("subset_ok"), r)
+    assert(r.getAs[Boolean]("drop_covers_ok"), r)
+    assert(r.getAs[Boolean]("recall_ok"), r)
   }
 }
