@@ -218,6 +218,48 @@ object EventStreams {
       .toDF("user_id", "threshold")
   }
 
+  /** Idle-session finalization with STATE EVICTION — the lifecycle piece
+    * `NoTimeout` operators don't exercise: per-user session state
+    * accumulates (count, start, end) and registers an event-time timeout
+    * at `last event + gap`; when the WATERMARK passes it, the timeout
+    * callback emits the one final session row and REMOVES the state. At
+    * 100 TB this is the difference between a state store bounded by
+    * ACTIVE users and one that grows with all users ever seen — eviction
+    * is driven by the same watermark that bounds every other stateful op.
+    * Append mode: each session emits exactly once, at close. */
+  def idleSessionFinalize(spark: SparkSession, eventsDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    // the WATERMARKED timestamp column must flow into the stateful op
+    // itself (projecting it to millis first hides the watermark from the
+    // analyzer), so the tuple keeps ts as a Timestamp
+    readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, start, end) = state.get
+            state.remove() // EVICT: closed sessions hold no state
+            Iterator.single((uid, n, start, end))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val (n0, s0, e0) = state.getOption.getOrElse((0L, Long.MaxValue, 0L))
+            val merged = (n0 + ts.size, math.min(s0, ts.min), math.max(e0, ts.max))
+            state.update(merged)
+            state.setTimeoutTimestamp(merged._3 + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_events", "start_ms", "end_ms")
+  }
+
   /** Stream-static join: enrich the event stream with a static dimension
     * (user -> nation via customer). The static side is a broadcast hash
     * join re-resolved per micro-batch — no state store, no shuffle of the

@@ -251,6 +251,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.sorted == Seq(1L, 2L, 3L, 4L), users.sorted)
   }
 
+  test("event-time timeout closes idle sessions and evicts their state") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val d = Files.createTempDirectory("evtimeout")
+    val ev = Files.createDirectory(d.resolve("ev")).toString
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("evtimeout_stage")
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast(TimestampNTZType))
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(ev, s"$name.parquet"))
+      }
+    }
+    // user 1's session: two events a minute apart
+    stage("b0", Seq((1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 10:01:00", 1L)))
+    val q = EventStreams.idleSessionFinalize(spark, ev, gapMinutes = 30)
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").count() == 0) // still open
+      // user 2 events far in the future push the watermark past
+      // 10:01 + 30min -> user 1's timeout fires, session finalizes
+      stage("b1", Seq((3L, "2024-01-01 12:00:00", 2L)))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the PREVIOUS
+      // batch's watermark) is guaranteed to have run
+      stage("b2", Seq((4L, "2024-01-01 12:30:00", 2L)))
+      q.processAllAvailable()
+      val rows = spark.table("idle_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)), rows) // user 1: 2-event session closed
+      assert(!rows.exists(_._1 == 2L), rows) // user 2 still active: no emit
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS idle_sessions")
+    }
+  }
+
   test("streaming ingest screen decides exactly like the batch screen (q115/q117)") {
     import org.apache.spark.sql.functions.col
     // same stores, same semantics: the per-doc (is_exact_dup, decision)
