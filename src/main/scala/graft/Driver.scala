@@ -85,7 +85,13 @@ object Driver {
         .appName(s"graft-$jobName")
         .config("spark.sql.shuffle.partitions", "32")
         .getOrCreate()
-      try startJob(spark, jobName, jarPath, inDir, outDir, nStr.toInt)
+      val n =
+        try nStr.toInt
+        catch { case e: NumberFormatException =>
+          System.err.println(s"numReducers must be an integer; got '$nStr'")
+          spark.stop(); sys.exit(2)
+        }
+      try startJob(spark, jobName, jarPath, inDir, outDir, n)
       finally spark.stop()
     case Some("master") | Some("slave") =>
       System.err.println(
@@ -108,8 +114,15 @@ object Driver {
       case None => math.max(1, numReducers)
     }
     val job = resolveJob(jobName, jarPath)
-    val input = conf.get("NUM_RECORDS_PER_CHUNK").map(_.trim.toInt) match {
-      case Some(rpc) if rpc > 0 => MRJob.chunkedTextDir(spark, inDir, rpc)
+    val rpc = conf.get("NUM_RECORDS_PER_CHUNK").map { raw =>
+      try raw.trim.toInt
+      catch { case e: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"config NUM_RECORDS_PER_CHUNK must be an integer; got '$raw'", e)
+      }
+    }
+    val input = rpc match {
+      case Some(n) if n > 0 => MRJob.chunkedTextDir(spark, inDir, n)
       case _ => MRJob.textDir(spark, inDir)
     }
     input
