@@ -19,14 +19,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2": session-conf pins for measurement runs
     // (e.g. graft.graph.triangleImpl=wedge to time the fallback path).
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF: segment '$kv' is not key=value")
+      }
     })
     // Default TWO passes: pass 1 cold (JIT + codegen compile included),
     // pass 2 warm — the shape a long-lived cluster sees. Per-query times

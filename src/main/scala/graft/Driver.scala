@@ -84,6 +84,7 @@ object Driver {
         .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
         .appName(s"graft-$jobName")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
       val n =
         try nStr.toInt

@@ -28,8 +28,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end LLM data pipeline (quality/lang gates -> exact dedup ->
     * near-dup clustering -> representatives -> corpus stats, q99). */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // The driver owns this session (no graft builder ran), so apply the
+    // required session conf here — the one harness-boundary exception to
+    // "set it at session construction".
+    Tables.sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
     Pipeline.run(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,11 +49,18 @@ object Tables {
     df.withColumn("ts", tsCol)
   }
 
-  /** `events` loader: enable the legacy nanos-as-long read (a no-op for
-    * files that don't use TIMESTAMP(NANOS)), then normalize `ts` by its
-    * resolved type via [[normalizeTs]]. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session conf every graft entry point must carry: the legacy
+    * nanos-as-long parquet read (a no-op for files that don't use
+    * TIMESTAMP(NANOS) — without it Spark REJECTS such files at scan
+    * planning). Set once at session construction ([[Verify]], [[Bench]],
+    * [[Driver]], [[SparkEntry.entry]], the test harness) so loaders stay
+    * side-effect-free. */
+  val sessionConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** `events` loader: normalize `ts` by its resolved type via
+    * [[normalizeTs]]. Assumes [[sessionConf]] was applied at session
+    * construction (all graft entry points do). */
+  private def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
-  }
 }

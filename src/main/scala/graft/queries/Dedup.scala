@@ -614,10 +614,25 @@ object Dedup {
     val train = sh.where(col("doc_id") % 100 =!= 0)
     val exactContaminated = train.join(broadcast(held), "h")
       .select(col("doc_id")).distinct()
-    val bfBytes = held
-      .agg(graft.functions.bloom_filter_agg(
-        col("h"), math.max(held.count(), 1024L), 1e-4).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    // ONE action builds the filter AND counts the held set: the build is
+    // sized by a conservative static estimate (64k distinct shingle hashes
+    // covers 1% held-out splits well past sf1; ~160 KB serialized at
+    // fpp 1e-4 — broadcast-literal scale), and the count comes back in the
+    // same aggregate row. Only if the estimate is actually exceeded —
+    // where the fpp guarantee would silently degrade — does a second,
+    // exactly-sized build pass run (the old always-two-action shape).
+    val estHeld = 64L * 1024
+    val firstPass = held
+      .agg(graft.functions.bloom_filter_agg(col("h"), estHeld, 1e-4).as("bf"),
+        count(lit(1)).as("n_held"))
+      .head()
+    val bfBytes =
+      if (firstPass.getAs[Long]("n_held") <= estHeld)
+        firstPass.getAs[Array[Byte]]("bf")
+      else held
+        .agg(graft.functions.bloom_filter_agg(
+          col("h"), firstPass.getAs[Long]("n_held"), 1e-4).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
     val flagged = train
       .where(graft.functions.might_contain(lit(bfBytes), col("h")))
       .select(col("doc_id")).distinct()

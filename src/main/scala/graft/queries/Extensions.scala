@@ -140,5 +140,12 @@ object Extensions {
     // and bound-gated batch-side — q145's oracle grades the whole path.
     QueryDef("q148_stream_sketch",
       (s, d) => EventStreams.sketchStreamRun(s, d),
-      Some(Scalars.sketchRollupSql)))
+      Some(Scalars.sketchRollupSql)),
+    // Event-time-timeout state EVICTION (flatMapGroupsWithState) as a real
+    // micro-batch run: a staged watermark-flush sentinel closes every real
+    // session, so the emitted set equals batch gaps-and-islands
+    // sessionization — the timeout/eviction lifecycle is hash-graded.
+    QueryDef("q163_idle_session_evict",
+      (s, d) => EventStreams.idleSessionStreamRun(s, d),
+      Some(EventStreams.idleSessionSql)))
 }

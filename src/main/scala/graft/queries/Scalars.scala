@@ -114,24 +114,54 @@ object Scalars {
     * (p50 ≤ p99), and the HLL estimate within 3 rsd of exact. The exact
     * columns re-compute in DuckDB; the booleans are literal TRUE — any
     * sketch drift flips one and fails the hash compare. */
-  def sketchAggs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("nd_exact"),
-        expr("percentile(l_quantity, 0.97)").as("p97"),
-        expr("percentile(l_quantity, 0.995)").as("p995"))
-    val sketch = li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.05).as("nd_parts"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_qty"),
-        expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_qty"))
-    exact.join(broadcast(sketch), Seq("l_returnflag"))
+  def sketchAggs(spark: SparkSession, dir: String): DataFrame =
+    sketchCompanion(spark, dir)
       .select(col("l_returnflag"), col("nd_exact"),
-        (col("p99_qty") >= col("p97") && col("p99_qty") <= col("p995"))
+        (col("p99_approx") >= col("p97") && col("p99_approx") <= col("p995"))
           .as("p99_in_band"),
-        (col("p50_qty") <= col("p99_qty")).as("pcts_ordered"),
-        (abs(col("nd_parts") - col("nd_exact")).cast("double") /
+        (col("p50_approx") <= col("p99_approx")).as("pcts_ordered"),
+        (abs(col("nd_approx") - col("nd_exact")).cast("double") /
           col("nd_exact") < 0.15).as("nd_within_rsd"))
+
+  /** ONE exact+sketch companion shared by q47 and q47b (via [[Memo]], so
+    * whichever runs first pays the scans and the other reuses the 3-row
+    * checkpointed result — `Bench` clears the memo between passes). The
+    * two gates previously re-ran overlapping exact `count(distinct)` +
+    * exact-percentile subplans per query (the one >2x per-query cost
+    * regression of round 8); here every exact percentile the two gates
+    * need comes out of a single `percentile(.., array(...))` buffer —
+    * one value buffering per group for all four ranks — and the exact
+    * distinct stays in its own hash-aggregate pair. (Mixing countDistinct
+    * with object-hash agg functions in ONE aggregate would force
+    * Catalyst's Expand rewrite: every input row duplicated and the whole
+    * aggregate falls back to sort-based exec over 2x rows — measured
+    * 4.3s vs 1.5s. Two clean aggregates + a 3-row broadcast join keeps
+    * each path in its fast operator.) */
+  private def sketchCompanion(spark: SparkSession, dir: String): DataFrame =
+    Memo("sketch_companion", spark, dir) {
+      sketchCompanionPlan(spark, dir).localCheckpoint()
+    }
+
+  /** The companion's un-checkpointed plan, exposed for `PlanSpec`'s shape
+    * gate (broadcast join + partial aggregation — invisible from the
+    * consumers once checkpointed to a LogicalRDD). */
+  private[graft] def sketchCompanionPlan(spark: SparkSession,
+      dir: String): DataFrame = {
+      val li = Tables(spark, dir, "lineitem")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_exact"))
+      val rest = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("nd_approx"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.99, 1000)").as("p99_approx"),
+          expr("percentile(l_quantity, array(0.45, 0.55, 0.97, 0.995))")
+            .as("pct"))
+      exact.join(broadcast(rest), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("nd_exact"), col("nd_approx"),
+          col("p50_approx"), col("p99_approx"),
+          col("pct")(0).as("p45"), col("pct")(1).as("p55"),
+          col("pct")(2).as("p97"), col("pct")(3).as("p995"))
   }
 
   private val sketchAggsSql =
@@ -151,30 +181,13 @@ object Scalars {
     * the exact p45..p55 value band). The oracle recomputes the exact
     * columns and expects literal TRUE for the bound columns — a drifting
     * sketch flips a boolean and fails the driver's hash compare. */
-  def sketchBounds(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-    // Mixing countDistinct with object-hash agg functions (HLL, percentile)
-    // in ONE aggregate forces Catalyst's Expand rewrite: every input row is
-    // duplicated and the whole aggregate falls back to sort-based exec over
-    // 2x rows (measured 4.3s vs 1.5s for the parts). Two clean aggregates —
-    // a hash-agg pair for the exact distinct, one ObjectHashAggregate for
-    // the sketches — then a 3-row broadcast join, keeps each path in its
-    // fast operator and scans prune to the 2-3 columns each side needs.
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("nd_exact"))
-    val sketch = li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.05).as("nd_approx"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
-        expr("percentile(l_quantity, 0.45)").as("p45"),
-        expr("percentile(l_quantity, 0.55)").as("p55"))
-    exact.join(broadcast(sketch), Seq("l_returnflag"))
+  def sketchBounds(spark: SparkSession, dir: String): DataFrame =
+    sketchCompanion(spark, dir)
       .select(col("l_returnflag"), col("nd_exact"),
         (abs(col("nd_approx") - col("nd_exact")).cast("double") /
           col("nd_exact") < 0.15).as("nd_within_rsd"),
         (col("p50_approx") >= col("p45") &&
           col("p50_approx") <= col("p55")).as("p50_in_band"))
-  }
 
   private val sketchBoundsSql =
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_exact,

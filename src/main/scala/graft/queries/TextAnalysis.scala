@@ -1282,7 +1282,7 @@ object TextAnalysis {
         size(col("feats")).cast("long").as("n_feats"),
         expr("""aggregate(
                 transform(feats,
-                  t -> conv(substring(md5(t), 1, 15), 16, 10) % 1024L),
+                  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint) % 1024L),
                 0L,
                 (acc, b) -> acc + ((b * 31L + 7L) % 1999L - 999L))""")
           .as("score"))

@@ -43,6 +43,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * overwrite-while-reading needs generation-numbered directories, which
   * is a warehouse-layout concern above this sink. Readers that start
   * after the swap always see a consistent snapshot.
+  * SINGLE-WRITER assumption (documented, not defended): two jobs
+  * committing into the same directory concurrently race on the
+  * read-manifest → write-manifest window — committer A can carry a
+  * stale listing that omits B's just-committed files and then GC them.
+  * One writer per directory at a time is the contract, same as the
+  * reference's one-job-per-output-dir layout (Driver.java assigns each
+  * job its own reducer output directory); concurrent multi-writer
+  * commit needs a log-structured table format (Delta/Iceberg-style),
+  * which is above this sink.
   * Values are escaped (`\` `\t` `\n` `\r` → backslash sequences, see
   * [[TsvEscape]]) so arbitrary strings survive the tab-separated,
   * line-oriented layout; the reference never emits such values, so on its
@@ -172,11 +181,28 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
       name
     }.sorted
     // 2. Compose the manifest: this job's files, plus — in append mode —
-    //    the surviving files of the previous committed state.
+    //    the surviving files of the previous committed state. A directory
+    //    with committed data but NO (or an empty, Hadoop-marker-style)
+    //    manifest — e.g. written by an older sink version or a plain
+    //    Hadoop committer — must not lose that data to step 4's GC: seed
+    //    the carry-over from the part-* files actually present instead.
     val success = dir.resolve("_SUCCESS")
+    val newSet = newFiles.toSet
     val carried: Seq[String] =
-      if (truncate || !Files.isRegularFile(success)) Seq.empty
-      else readManifest(success).filter(n => Files.isRegularFile(dir.resolve(n)))
+      if (truncate) Seq.empty
+      else {
+        val fromManifest =
+          if (Files.isRegularFile(success)) readManifest(success) else Seq.empty
+        if (fromManifest.nonEmpty)
+          fromManifest.filter(n => Files.isRegularFile(dir.resolve(n)))
+        else {
+          import scala.jdk.CollectionConverters._
+          Files.list(dir).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.startsWith("part-") && !newSet.contains(n))
+            .toSeq
+        }
+      }
     val manifest = (carried ++ newFiles).distinct.sorted
     // 3. THE commit point: atomic rename of the manifest onto _SUCCESS.
     val mTmp = dir.resolve(s"_temporary-manifest-$jobTag")

@@ -30,13 +30,27 @@ object EventStreams {
     * resolved from the files present at start (driver-side footer read,
     * planning-time cost only) and `ts` normalized exactly as in batch. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val resolved = spark.read.parquet(eventsDir).schema
+    val resolved = resolveSchema(spark, eventsDir, "events")
     Tables.normalizeTs(
       spark.readStream
         .schema(resolved)
         .parquet(eventsDir))
   }
+
+  /** Resolve a stream's schema from a one-off batch read of its directory.
+    * An EMPTY directory (no files yet — legal at stream start in the
+    * new-files-land production shape) cannot yield a schema; fail with an
+    * actionable message instead of Spark's bare 'Unable to infer schema'. */
+  private def resolveSchema(spark: SparkSession, dir: String,
+      what: String): StructType =
+    try spark.read.parquet(dir).schema
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"cannot start $what stream over '$dir': no parquet files present " +
+          "to resolve the schema from. Either land at least one file first " +
+          "or open the stream with an explicit schema " +
+          s"(readStream.schema(...).parquet). Underlying: ${e.getMessage}")
+    }
 
   /** The tumbling 1-hour aggregation — ONE definition shared by the
     * streaming form, the batch twin, and the bounded micro-batch run, so
@@ -219,23 +233,41 @@ object EventStreams {
   }
 
   /** Idle-session finalization with STATE EVICTION — the lifecycle piece
-    * `NoTimeout` operators don't exercise: per-user session state
-    * accumulates (count, start, end) and registers an event-time timeout
-    * at `last event + gap`; when the WATERMARK passes it, the timeout
-    * callback emits the one final session row and REMOVES the state. At
-    * 100 TB this is the difference between a state store bounded by
-    * ACTIVE users and one that grows with all users ever seen — eviction
-    * is driven by the same watermark that bounds every other stateful op.
-    * Append mode: each session emits exactly once, at close. */
+    * `NoTimeout` operators don't exercise: per-user session state holds
+    * only the OPEN tail session (count, start, end) and registers an
+    * event-time timeout at `last event + gap`; when the WATERMARK passes
+    * it, the timeout callback emits the final session row and REMOVES the
+    * state. At 100 TB this is the difference between a state store
+    * bounded by ACTIVE users and one that grows with all users ever seen
+    * — eviction is driven by the same watermark that bounds every other
+    * stateful op. Append mode: each session emits exactly once.
+    *
+    * Full gaps-and-islands semantics, so the batch sessionization oracle
+    * (q91/q106's CTE chain) grades it: a batch's events for a user are
+    * sorted by event-time millis and folded onto the open session —
+    * a gap > `gapMinutes` CLOSES the session (emitted immediately: a
+    * later in-watermark event proves no earlier event can reopen it) and
+    * starts the next; only the open tail stays in state. The in-memory
+    * sort is per (user, micro-batch) — bounded by a micro-batch's time
+    * horizon, not corpus size. Cross-batch, correctness relies on the
+    * watermark having passed delivered data (the same contract every
+    * watermarked stateful op has); the timeout registration is clamped
+    * above the current watermark, so a straggler session closes at the
+    * watermark instead of throwing. */
   def idleSessionFinalize(spark: SparkSession, eventsDir: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30): DataFrame =
+    idleSessionAgg(readEventsStream(spark, eventsDir), gapMinutes)
+
+  private[graft] def idleSessionAgg(events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMs = gapMinutes * 60000L
     // the WATERMARKED timestamp column must flow into the stateful op
     // itself (projecting it to millis first hides the watermark from the
     // analyzer), so the tuple keeps ts as a Timestamp
-    readEventsStream(spark, eventsDir)
+    events
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
@@ -249,12 +281,20 @@ object EventStreams {
             state.remove() // EVICT: closed sessions hold no state
             Iterator.single((uid, n, start, end))
           } else {
-            val ts = rows.map(_._2.getTime).toSeq
-            val (n0, s0, e0) = state.getOption.getOrElse((0L, Long.MaxValue, 0L))
-            val merged = (n0 + ts.size, math.min(s0, ts.min), math.max(e0, ts.max))
-            state.update(merged)
-            state.setTimeoutTimestamp(merged._3 + gapMs)
-            Iterator.empty
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[(Long, Long, Long, Long)]
+            var (n, s, e) = state.getOption.getOrElse((0L, 0L, 0L))
+            ts.foreach { t =>
+              if (n == 0L) { n = 1L; s = t; e = t }
+              else if (t - e > gapMs) {
+                closed = (uid, n, s, e) :: closed
+                n = 1L; s = t; e = t
+              } else { n += 1L; e = math.max(e, t) }
+            }
+            state.update((n, s, e))
+            state.setTimeoutTimestamp(
+              math.max(e + gapMs, state.getCurrentWatermarkMs() + 1L))
+            closed.reverseIterator
           }
       }
       .toDF("user_id", "n_events", "start_ms", "end_ms")
@@ -402,7 +442,7 @@ object EventStreams {
     * stream fell into when the testdata's `ts` type changed. */
   private def readDocsStream(spark: SparkSession, docsDir: String): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(docsDir).schema)
+      .schema(resolveSchema(spark, docsDir, "documents"))
       .parquet(docsDir)
 
   /** [[boundedRun]] over events with a BATCH-LEVEL transform applied inside
@@ -415,14 +455,51 @@ object EventStreams {
     boundedRun(spark, dir, "events.parquet", readEventsStream,
       (s, _) => s, "append", perBatch)
 
+  /** Stage a one-row watermark-flush file next to the copied source: a
+    * sentinel event (`user_id`/`event_id` = −1) `pastMinutes` beyond the
+    * real maximum event time. Processing it advances the watermark past
+    * every real session's timeout, so event-time-timeout operators emit
+    * and evict ALL real state before the bounded run terminates — the
+    * bounded-input stand-in for a production stream's ever-advancing
+    * watermark. The sentinel's own state never times out and its key is
+    * filtered from the result. Written in the source's OWN resolved `ts`
+    * shape (nanos-long / NTZ / timestamp — the [[graft.Tables.normalizeTs]]
+    * trichotomy) so the stream's file-resolved schema stays consistent. */
+  private def stageWatermarkFlush(spark: SparkSession,
+      inDir: java.nio.file.Path, srcFile: String, pastMinutes: Int): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val raw = spark.read.parquet(inDir.resolve(srcFile).toString)
+    val maxTs = raw.agg(max(col("ts")).as("m")).head().get(0)
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType => // nanos-long shape: add minutes in nanoseconds
+        lit(maxTs.asInstanceOf[Long] + pastMinutes * 60L * 1000000000L)
+      case _ => lit(maxTs) + expr(s"INTERVAL $pastMinutes MINUTES")
+    }
+    val sentinel = raw.limit(1)
+      .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
+      .withColumn("event_id", lit(-1L).cast(raw.schema("event_id").dataType))
+      .withColumn("ts", tsCol.cast(raw.schema("ts").dataType))
+    val tmp = Files.createTempDirectory("graft_flush")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no parquet part written under $tmp"))
+    Files.copy(part, inDir.resolve(s"zz-flush-$srcFile"))
+    deleteTree(tmp)
+  }
+
   private def boundedRun(spark: SparkSession, dir: String, srcFile: String,
       openStream: (SparkSession, String) => DataFrame,
       transform: (DataFrame, String) => DataFrame, outputMode: String,
-      perBatch: DataFrame => DataFrame = identity): DataFrame = {
+      perBatch: DataFrame => DataFrame = identity,
+      flushPastMinutes: Option[Int] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
     Files.copy(Paths.get(s"$dir/$srcFile"), inDir.resolve(srcFile))
+    flushPastMinutes.foreach(stageWatermarkFlush(spark, inDir, srcFile, _))
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
     val complete = outputMode == "complete"
@@ -496,6 +573,43 @@ object EventStreams {
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"), col("n_events")),
       "complete")
+
+  /** [[idleSessionFinalize]] as a bounded micro-batch run (q163): append
+    * mode, with a watermark-flush sentinel staged 35 minutes past the real
+    * maximum event time so every real session's event-time timeout fires
+    * — and its state is EVICTED — before the run terminates. On a finite
+    * input the emitted set is exactly the batch gaps-and-islands
+    * sessionization (q91's oracle chain, in epoch-millis form), so the
+    * driver hash-grades the whole timeout/eviction lifecycle. The
+    * sentinel's own key (−1) is the one session still open at
+    * termination; it is filtered here. */
+  def idleSessionStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedRun(spark, dir, "events.parquet", readEventsStream,
+      (s, _) => idleSessionAgg(s, 30), "append",
+      flushPastMinutes = Some(35))
+      .where(col("user_id") =!= -1L)
+
+  /** Oracle for [[idleSessionStreamRun]]: batch sessionization with the
+    * same 30-minute gap over event-time MILLIS (the stateful operator
+    * compares `Timestamp.getTime` values, so the oracle's gap test and
+    * emitted bounds are epoch_ms — truncation is monotone, so min/max
+    * commute with it). */
+  val idleSessionSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0
+      |    END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+      |FROM sessions GROUP BY user_id, sid""".stripMargin
 
   /** q148: sketch state ACROSS micro-batches — the streaming ingest shape
     * of q145's rollup. The streaming aggregation holds one DataSketches

@@ -370,10 +370,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), p)
   }
 
-  test("q47 sketch gate joins its 3-row sketch side broadcast with partial aggs") {
-    val p = treePlan("q47_sketch_aggs")
+  test("q47/q47b share ONE broadcast-joined exact companion, checkpointed") {
+    // the join + partial aggregates live in the shared companion subplan...
+    val p = graft.queries.Scalars.sketchCompanionPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial"), p) // map-side combine on both aggregates
+    // ...and both gates scan the SAME checkpointed companion RDD — the
+    // round-8 regression (each gate re-running overlapping exact subplans)
+    // cannot silently come back
+    def rddIds(name: String): Set[Int] =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        .collect { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }
+        .toSet
+    val (a, b) = (rddIds("q47_sketch_aggs"), rddIds("q47b_sketch_bounds"))
+    assert(a.nonEmpty && a == b, s"$a vs $b")
   }
 
   test("no accidental cartesian products in any registered query") {

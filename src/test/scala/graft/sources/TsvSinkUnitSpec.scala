@@ -95,6 +95,27 @@ class TsvSinkUnitSpec extends AnyFunSuite {
     assert(committedLines(dir).sorted == Seq("first\t1", "second\t2"))
   }
 
+  test("append into a committed-but-unmanifested dir keeps the existing data") {
+    // A directory written by a plain Hadoop-style committer: part files
+    // present, _SUCCESS an EMPTY marker (or absent). Append must seed the
+    // carry-over from the files on disk — not GC them as unreferenced.
+    for (marker <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("tsvu6").toString + "/out"
+      Files.createDirectories(Paths.get(dir))
+      Files.write(Paths.get(dir, "part-00000-legacy.tsv"),
+        "legacy\tX\n".getBytes("UTF-8"))
+      if (marker) Files.write(Paths.get(dir, "_SUCCESS"), Array.empty[Byte])
+      val f = TsvWriterFactory(dir, 2)
+      val w = f.createWriter(0, 1L)
+      w.write(row("appended", "1"))
+      new TsvBatchWrite(dir, null, truncate = false).commit(Array(w.commit()))
+      assert(committedLines(dir).sorted == Seq("appended\t1", "legacy\tX"),
+        s"marker=$marker")
+      val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      assert(names.contains("part-00000-legacy.tsv"), names)
+    }
+  }
+
   test("escape/unescape round-trips hostile values and is identity on clean ones") {
     val hostile = Seq("a\tb", "line1\nline2", "cr\rhere", "back\\slash",
       "\\t literal", "mix\\\t\n\r", "", "plain")
