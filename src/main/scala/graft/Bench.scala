@@ -14,8 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = Sessions.master(s"local[$cpus]")
+    val spark = Sessions.forMaster(SparkSession.builder(), master)
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -25,13 +26,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2": session-conf pins for measurement runs
     // (e.g. graft.graph.triangleImpl=wedge to time the fallback path).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      if (kv.trim.nonEmpty) kv.split("=", 2) match {
-        case Array(k, v) => spark.conf.set(k.trim, v.trim)
-        case _ => throw new IllegalArgumentException(
-          s"SPARK_GRAFT_CONF: segment '$kv' is not key=value")
-      }
-    })
+    Sessions.applyEnvConf(spark)
     // Default TWO passes: pass 1 cold (JIT + codegen compile included),
     // pass 2 warm — the shape a long-lived cluster sees. Per-query times
     // are the MIN across passes (a one-off host-contention spike on any

@@ -80,8 +80,11 @@ object Driver {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("startjob") if args.length == 6 =>
       val Array(_, jobName, jarPath, inDir, outDir, nStr) = args
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      val master = sys.env.getOrElse("SPARK_MASTER", Sessions.master("local[*]"))
+      val clientJars =
+        if (new java.io.File(jarPath).isFile) Seq(jarPath) else Nil
+      val spark = Sessions.forMaster(SparkSession.builder(), master, clientJars)
+        .master(master)
         .appName(s"graft-$jobName")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -115,6 +118,13 @@ object Driver {
       case None => math.max(1, numReducers)
     }
     val job = resolveJob(jobName, jarPath)
+    // A non-built-in job's class bytes live only in the client jar: ship it
+    // to executors (the programmatic `spark-submit --jars` — reference
+    // contract MapRunner.java:42-53 copies the jar to every worker) so the
+    // closure's instance DESERIALIZES there. A no-op on local[*]; required
+    // the moment a real executor boundary exists.
+    if (!builtins.contains(jobName.toLowerCase))
+      spark.sparkContext.addJar(jarPath)
     val rpc = conf.get("NUM_RECORDS_PER_CHUNK").map { raw =>
       try raw.trim.toInt
       catch { case e: NumberFormatException =>

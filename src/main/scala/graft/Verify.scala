@@ -7,8 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = Sessions.master(s"local[$cpus]")
+    val spark = Sessions.forMaster(SparkSession.builder(), master)
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -16,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated name filter for fast single-query iteration;
     // the driver never sets it, so the full dump is unchanged.

@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Executor-boundary smoke: runs the engine's oracle gate and the CLI across
+# REAL executor JVMs (local-cluster master — separate processes launched
+# from SPARK_HOME, the standalone-worker path), so closure serialization,
+# connector commit messages, broadcasts, and streaming state all cross a
+# process boundary instead of staying inside one local[*] JVM.
+#
+# Covers the round-8 verdict's ask:
+#   - q03  (MRJob facade: typed closures over the executor boundary)
+#   - q158 (graft-tsv sink-chain: DSV2 commit messages from executor tasks)
+#   - q127 BOTH paths (broadcast-adjacency + wedge shuffle fallback)
+#   - q127b/q131/q163 (clustering, chunk-stream connector offsets,
+#     stateful event-time-timeout eviction — state stores on executors)
+#   - CLI built-in + manifest-Main-Class CLIENT JAR (closure classes that
+#     exist only in a user jar must deserialize on executors)
+# Every query is graded by the SAME DuckDB oracle as the driver gate.
+#
+# Usage: tools/cluster_smoke.sh   (from the repo root; ~4 min)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+# binary distributions carry no launcher build dirs; the worker's command
+# builder needs the scala suffix pinned to find the jars classpath
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
+MASTER="${GRAFT_SMOKE_MASTER:-local-cluster[2,2,1024]}"
+SF="${GRAFT_SMOKE_SF:-/root/testdata/sf0.01}"
+WORK="$(mktemp -d /tmp/graft_cluster_smoke.XXXXXX)"
+trap 'rm -rf "$WORK"' EXIT
+echo "== cluster smoke: master=$MASTER sf=$SF work=$WORK"
+
+echo "== [1/4] oracle gate over the executor boundary"
+SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=4 \
+SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict \
+  sbt -batch "runMain graft.Verify $SF $WORK/verify" >"$WORK/verify.log" 2>&1 \
+  || { tail -30 "$WORK/verify.log"; exit 1; }
+python3 tools/check.py "$WORK/verify" "$SF" | tail -3
+
+echo "== [2/4] q127 wedge (shuffle-only) path over the executor boundary"
+SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=4 \
+SPARK_GRAFT_CONF='graft.graph.triangleImpl=wedge' \
+SPARK_GRAFT_ONLY=q127_triangles \
+  sbt -batch "runMain graft.Verify $SF $WORK/verify_wedge" >"$WORK/wedge.log" 2>&1 \
+  || { tail -30 "$WORK/wedge.log"; exit 1; }
+python3 tools/check.py "$WORK/verify_wedge" "$SF" | tail -3
+
+echo "== [3/4] CLI built-in job (startjob argv contract)"
+mkdir -p "$WORK/cli_in"
+printf 'hello world hello\nfoo ba r foo\n' > "$WORK/cli_in/input.txt"
+SPARK_MASTER="$MASTER" \
+  sbt -batch "runMain graft.Driver startjob wordcount - $WORK/cli_in $WORK/cli_wc 3" \
+  >"$WORK/cli_wc.log" 2>&1 || { tail -30 "$WORK/cli_wc.log"; exit 1; }
+got=$(cat "$WORK"/cli_wc/part-*.tsv | LC_ALL=C sort)
+want=$(printf 'ba\t1\nfoo\t2\nhello\t2\nr\t1\nworld\t1')
+[ "$got" = "$want" ] || { echo "wordcount mismatch:"; diff <(echo "$want") <(echo "$got"); exit 1; }
+echo "wordcount: 5 keys OK"
+
+echo "== [4/4] CLI client jar (manifest Main-Class closure on executors)"
+sbt -batch "Test/compile" >"$WORK/testc.log" 2>&1
+jar --create --file "$WORK/client.jar" --main-class graft.CharCountJob \
+  -C target/scala-2.13/test-classes graft/CharCountJob.class
+SPARK_MASTER="$MASTER" \
+  sbt -batch "runMain graft.Driver startjob charcount $WORK/client.jar $WORK/cli_in $WORK/cli_cc 3" \
+  >"$WORK/cli_cc.log" 2>&1 || { tail -30 "$WORK/cli_cc.log"; exit 1; }
+got=$(cat "$WORK"/cli_cc/part-*.tsv)
+want=$(awk '{for(i=1;i<=NF;i++)n+=length($i)}END{printf "chars\t%d",n}' "$WORK/cli_in/input.txt")
+[ "$got" = "$want" ] || { echo "charcount mismatch: got '$got' want '$want'"; exit 1; }
+echo "charcount: $got OK"
+
+echo "== cluster smoke PASSED"
