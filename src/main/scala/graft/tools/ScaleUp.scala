@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger-scale slice from an existing testdata directory for
+  * scaling measurements (SCALE.md's decade table):
+  *
+  *   runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  *
+  * writes `factor`× versions of the tables the heavy-query set reads
+  * (`lineitem` for the graph family, `documents` for the dedup family),
+  * scaled the way the REAL workload grows — not by naive row duplication,
+  * which would corrupt the density properties the algorithms' costs
+  * depend on:
+  *
+  *  - `lineitem`: `factor` DISJOINT copies (order and part keys offset
+  *    per copy past the source maxima). TPC-H scale factors grow orders
+  *    AND parts together, so a part's co-purchase degree is
+  *    scale-invariant; keeping part keys fixed would instead multiply
+  *    every degree by `factor` and the wedge count by `factor`² — a
+  *    super-linear artifact no real corpus has.
+  *  - `documents`: `factor` copies with doc_ids offset and every token
+  *    suffixed `_i` in copies i>0. Cross-copy shingles are then disjoint,
+  *    so each document keeps exactly its original near-duplicates — the
+  *    duplication RATE (what the LSH/cap bounds depend on) is preserved;
+  *    verbatim copies would instead make every document a member of a
+  *    `factor`-sized exact-dup cluster and square the candidate space.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, fStr) = args
+    val f = fStr.toInt
+    require(f >= 1, s"factor must be >= 1, got $f")
+    val spark = SparkSession.builder()
+      .master(graft.Sessions.master("local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val okMax = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1L
+    val pkMax = li.agg(max(col("l_partkey"))).head().getLong(0) + 1L
+    copies(li, f) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * pkMax))
+    }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val idMax = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    copies(docs, f) { (df, i) =>
+      val tagged =
+        if (i == 0L) df
+        else df.withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), x -> concat(x, '_$i')), ' ')"))
+      tagged.withColumn("doc_id", col("doc_id") + lit(i * idMax))
+    }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    println(s"[scaleup] wrote ${f}x lineitem + documents from $src to $dst")
+    spark.stop()
+  }
+
+  private def copies(df: DataFrame, f: Int)(
+      tag: (DataFrame, Long) => DataFrame): DataFrame =
+    (0 until f).map(i => tag(df, i.toLong)).reduce(_ union _)
+}

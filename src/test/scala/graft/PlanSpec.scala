@@ -387,6 +387,69 @@ class PlanSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b, s"$a vs $b")
   }
 
+  test("AQE skew-join splits q28's hot key at runtime when salting is off") {
+    // q28's hand-salted rewrite targets PATHOLOGICAL keys; this gate pins
+    // the complementary claim — MODERATE skew needs no hand-salting
+    // because AQE's OptimizeSkewedJoin splits the hot reduce partition at
+    // runtime. Same join shape as q28 (lineitem ⋈ orders on orderkey),
+    // with a hot key induced on the probe side and the skew thresholds
+    // scaled down to test-SF sizes. The preconditions this test documents
+    // (each was individually observed to suppress the rule when violated):
+    //  - the SMJ's children must be plain shuffles (an intervening
+    //    aggregate — e.g. dropDuplicates on the build side — makes the
+    //    split illegal and the rule skip);
+    //  - the hot partition is split at MAP-OUTPUT granularity, so the
+    //    probe side needs real upstream parallelism (one mapper = nothing
+    //    to regroup — the repartition(8) below stands in for the many
+    //    upstream tasks any 100 TB input has);
+    //  - the split target is clamped by coalescePartitions.minPartitionSize
+    //    (default 1m — larger than this test's whole hot partition);
+    //  - AQE prefers its runtime SMJ→broadcast conversion when the build
+    //    side fits adaptive.autoBroadcastJoinThreshold; disabled here to
+    //    exercise the split (in production that conversion is the better
+    //    outcome when available).
+    // When each side applies: AQE covers skew that SURFACES at shuffle
+    // time on an equi-join; q28's differentiated salting remains for
+    // pathological keys (single key >> one executor's memory) and for
+    // shapes AQE won't touch (see SCALE.md round-9 note).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, when}
+    val sf01 = "/root/testdata/sf0.01"
+    val li = Tables(s, sf01, "lineitem")
+      .select(when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      .repartition(8)
+    val orders = Tables(s, sf01, "orders")
+      .select(col("o_orderkey").as("bk"), col("o_orderpriority"))
+    val j = li.join(orders, col("k") === col("bk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val rows = j.collect() // AQE finalizes the plan only on execution
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), p)
+    assert(p.contains("AQEShuffleRead"), p)
+    // and the split is pure execution strategy: result equals the plain run
+    val plain = Tables(spark, sf01, "lineitem")
+      .select(when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      .join(Tables(spark, sf01, "orders")
+        .select(col("o_orderkey").as("bk"), col("o_orderpriority")),
+        col("k") === col("bk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      plain.map(r => (r.getString(0), r.getDouble(1))).toSet)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
