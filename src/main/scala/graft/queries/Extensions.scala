@@ -147,5 +147,11 @@ object Extensions {
     // sessionization — the timeout/eviction lifecycle is hash-graded.
     QueryDef("q163_idle_session_evict",
       (s, d) => EventStreams.idleSessionStreamRun(s, d),
-      Some(EventStreams.idleSessionSql)))
+      Some(EventStreams.idleSessionSql)),
+    // transformWithState (Spark 4's typed-state-variable API) on the
+    // RocksDB provider: ValueState + MapState per user, update-mode with
+    // batchId compaction; final state = batch GROUP BY (user, type).
+    QueryDef("q164_typed_state",
+      (s, d) => EventStreams.typedStateCountsRun(s, d),
+      Some(EventStreams.typedStateSql)))
 }

@@ -494,7 +494,8 @@ object EventStreams {
       openStream: (SparkSession, String) => DataFrame,
       transform: (DataFrame, String) => DataFrame, outputMode: String,
       perBatch: DataFrame => DataFrame = identity,
-      flushPastMinutes: Option[Int] = None): DataFrame = {
+      flushPastMinutes: Option[Int] = None,
+      sessionConf: Map[String, String] = Map.empty): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
@@ -514,6 +515,7 @@ object EventStreams {
     val streamSpark = spark.newSession()
     streamSpark.conf.set("spark.sql.shuffle.partitions",
       math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    sessionConf.foreach { case (k, v) => streamSpark.conf.set(k, v) }
     // The transform also receives the input-copy dir so multi-input
     // topologies (stream-stream joins) can open their second stream on
     // the same bounded source.
@@ -682,6 +684,97 @@ object EventStreams {
   /** Oracle for [[runningCountsStreamRun]]: final state = batch count. */
   val runningCountsSql: String =
     "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+
+  /** q164: `transformWithState` — Spark 4's arbitrary-state API, the
+    * successor to `mapGroupsWithState` (q111) and `flatMapGroupsWithState`
+    * (q163). What the old APIs cannot express and this operator
+    * exercises: MULTIPLE NAMED, TYPED state variables per key, managed
+    * individually in the state store (here a `ValueState[Long]` running
+    * total beside a `MapState[String, Long]` of per-type counts — with
+    * the single-state old APIs, touching one type would rewrite the whole
+    * per-user blob; `MapState` updates only the touched entries). Requires
+    * the RocksDB state-store provider (multiple column families — one per
+    * state variable), which the bounded run pins on its child session.
+    *
+    * Update-mode emission: one row per (user, type touched in the batch)
+    * carrying the new per-type count and the user's new running total;
+    * the batchId-stamped sink compacts last-writer-wins (the q111
+    * pattern), so the final compacted state equals the batch
+    * GROUP BY user_id, event_type — the DuckDB oracle below. */
+  private class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var perType: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+      perType = getHandle.getMapState[String, Long](
+        "perType", E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      val batchCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var n = 0L
+      rows.foreach { case (_, t) =>
+        batchCounts.update(t, batchCounts.getOrElse(t, 0L) + 1L); n += 1L
+      }
+      val newTotal = (if (total.exists()) total.get() else 0L) + n
+      total.update(newTotal)
+      batchCounts.iterator.map { case (t, d) =>
+        val c = (if (perType.containsKey(t)) perType.getValue(t) else 0L) + d
+        perType.updateValue(t, c)
+        (user, t, c, newTotal)
+      }.toList.iterator
+    }
+  }
+
+  /** The transformWithState pipeline over an open events stream — shared
+    * by the registry run and the multi-batch spec. Caller must run it on
+    * a session with the RocksDB state-store provider pinned. */
+  private[graft] def typedStateAgg(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "event_type", "n", "n_total")
+  }
+
+  /** The RocksDB provider conf transformWithState requires (one column
+    * family per state variable — the HDFS-backed default store has no
+    * column families). */
+  private[graft] val rocksDbProviderConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  def typedStateCountsRun(spark: SparkSession, dir: String): DataFrame = {
+    val raw = boundedRun(spark, dir, "events.parquet", readEventsStream,
+      (s, _) => typedStateAgg(s), "update",
+      sessionConf = rocksDbProviderConf)
+    // last-writer-wins compaction per (user, type); the user's final
+    // running total comes from their last emitted row of any type
+    val counts = raw.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("n"), col("batch_id")).as("n"))
+    val totals = raw.groupBy(col("user_id"))
+      .agg(max_by(col("n_total"), col("batch_id")).as("user_total"))
+    counts.join(totals, Seq("user_id"))
+      .select(col("user_id"), col("event_type"), col("n"), col("user_total"))
+  }
+
+  /** Oracle for [[typedStateCountsRun]]: final MapState entry = batch
+    * per-(user, type) count; final ValueState = the user's event total. */
+  val typedStateSql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+      |FROM events GROUP BY user_id, event_type""".stripMargin
 
   /** Oracle for [[streamStreamJoinRun]]: the plain batch interval join. */
   val streamStreamSql: String =

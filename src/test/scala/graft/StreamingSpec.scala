@@ -251,6 +251,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(users.sorted == Seq(1L, 2L, 3L, 4L), users.sorted)
   }
 
+  test("transformWithState MapState/ValueState persist across micro-batches") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val d = Files.createTempDirectory("evtws")
+    val ev = Files.createDirectory(d.resolve("ev")).toString
+    def stage(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val scratch = Files.createTempDirectory("evtws_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("ts", col("ts").cast(TimestampNTZType))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(ev, s"$name.parquet"))
+      }
+    }
+    // the cross-batch claim: batch 1's click count for user 1 must come
+    // from the PERSISTED MapState (2 prior clicks), and the running total
+    // from the persisted ValueState — losing either yields 1 and 1
+    stage("b0", Seq((1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "click"),
+      (3L, "2024-01-01 10:02:00", 1L, "view")))
+    val s = spark.newSession()
+    graft.streaming.EventStreams.rocksDbProviderConf
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    val q = graft.streaming.EventStreams.typedStateAgg(
+        graft.streaming.EventStreams.readEventsStream(s, ev))
+      .writeStream.format("memory").queryName("tws_counts")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      stage("b1", Seq((4L, "2024-01-01 11:00:00", 1L, "click"),
+        (5L, "2024-01-01 11:05:00", 2L, "view")))
+      q.processAllAvailable()
+      // counts only grow, so max(n) per (user, type) is the final MapState
+      // entry; max(n_total) per USER is the final ValueState (an untouched
+      // type's row keeps its older total — update mode only re-emits
+      // touched types, which is the point of per-entry MapState updates)
+      val t = s.table("tws_counts")
+      val fin = t.groupBy(col("user_id"), col("event_type"))
+        .agg(org.apache.spark.sql.functions.max(col("n")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(fin == Set((1L, "click", 3L), (1L, "view", 1L),
+        (2L, "view", 1L)), fin)
+      val totals = t.groupBy(col("user_id"))
+        .agg(org.apache.spark.sql.functions.max(col("n_total")).as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(totals == Set((1L, 4L), (2L, 1L)), totals)
+    } finally {
+      q.stop()
+      s.sql("DROP VIEW IF EXISTS tws_counts")
+    }
+  }
+
   test("event-time timeout closes idle sessions and evicts their state") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.TimestampNTZType
