@@ -35,16 +35,17 @@ class LoaderSpec extends AnyFunSuite {
   private def base: DataFrame =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  private def shaped(shape: String): DataFrame = shape match {
+    case "nanos" => base.withColumn("ts",
+      (col("ts").cast("long") * 1000000000L).cast(LongType))
+    case "ntz" => base.withColumn("ts", col("ts").cast(TimestampNTZType))
+    case "ltz" => base // TimestampType as written
+  }
+
   /** Write the fixture with `ts` in one of the three shapes. */
   private def stage(shape: String): String = {
     val d = Files.createTempDirectory(s"loaderspec_$shape")
-    val df = shape match {
-      case "nanos" => base.withColumn("ts",
-        (col("ts").cast("long") * 1000000000L).cast(LongType))
-      case "ntz" => base.withColumn("ts", col("ts").cast(TimestampNTZType))
-      case "ltz" => base // TimestampType as written
-    }
-    df.write.mode("overwrite").parquet(s"$d/events.parquet")
+    shaped(shape).write.mode("overwrite").parquet(s"$d/events.parquet")
     d.toString
   }
 
@@ -80,6 +81,37 @@ class LoaderSpec extends AnyFunSuite {
       assert(streamed == batch, s"shape=$s")
       assert(batch.nonEmpty)
     }
+  }
+
+  /** Like [[stage]] but with `events.parquet` as ONE FILE holding ALL rows
+    * (the driver's testdata layout, which the bounded-run harness
+    * `Files.copy`s). */
+  private def stageSingleFile(shape: String): String = {
+    import scala.jdk.CollectionConverters._
+    val scratch = Files.createTempDirectory(s"loaderspec_w_$shape")
+    shaped(shape).coalesce(1).write.parquet(s"$scratch/w")
+    val part = Files.list(scratch.resolve("w")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val flat = Files.createTempDirectory(s"loaderspec_file_$shape")
+    Files.copy(part, flat.resolve("events.parquet"))
+    flat.toString
+  }
+
+  test("q163's bounded run incl. its watermark-flush sentinel is shape-invariant") {
+    // the flush sentinel is constructed in the source's RAW ts shape
+    // (nanos-long arithmetic vs timestamp interval) — a drifted testdata
+    // regeneration must flow through BOTH branches identically
+    val results = Seq("nanos", "ntz").map { s =>
+      s -> EventStreams.idleSessionStreamRun(spark, stageSingleFile(s))
+        .collect().map(_.toSeq).toSet
+    }.toMap
+    assert(results("nanos") == results("ntz"))
+    // 10:00+10:30 is EXACTLY the 30-min gap — not > gap, so one session
+    assert(results("ntz") == Set(
+      Seq(7L, 2L, Timestamp.valueOf("2024-01-01 10:00:00").getTime,
+        Timestamp.valueOf("2024-01-01 10:30:00").getTime),
+      Seq(8L, 1L, Timestamp.valueOf("2024-01-02 09:00:00").getTime,
+        Timestamp.valueOf("2024-01-02 09:00:00").getTime)), results("ntz"))
   }
 
   test("a representative events query is shape-invariant end-to-end") {
