@@ -1415,7 +1415,193 @@ object TextAnalysis {
       |SELECT s.lang, s.n_batches, s.total_tokens, s.sorted_ppm, n.naive_ppm
       |FROM s JOIN n ON s.lang = n.lang""".stripMargin
 
+  // ---- q165: temperature-scaled source mixing -----------------------------
+
+  /** q165: temperature-scaled multinomial source mixing — the data-mixing
+    * rule from the GPT-3 / XLM-R recipes: sample source s with probability
+    * proportional to (tokens_s)^alpha, alpha = 0.5, which up-weights small
+    * sources relative to their natural share. One map-side-combined
+    * groupBy over the corpus produces the per-source token totals (a
+    * #sources-row table); everything after is arithmetic on that tiny
+    * table, so the op is scan-bound at any corpus size.
+    *
+    * Exactness: alpha = 0.5 is computed as IEEE `sqrt`, which (unlike
+    * log/exp) is CORRECTLY ROUNDED and therefore bit-identical in Spark and
+    * DuckDB; the sqrt is taken of a micro-scaled integer and floored back
+    * to BIGINT, and all normalization (`p_ppm`, `upsample_k`) stays in
+    * exact integer division — the whole result hash-gates with zero
+    * float-accumulation risk. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+          .as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok"))
+      // milli-scaled integer sqrt: floor(sqrt(tok) * 1000). Both engines
+      // compute the identical correctly-rounded sqrt double, so the scaled
+      // floor is identical too; scaling OUTSIDE the sqrt keeps the chain
+      // overflow-free for any BIGINT token total (tok is cast to double,
+      // exact below 2^53 — i.e. for any corpus under ~9e15 tokens).
+      .withColumn("w_sqrt",
+        floor(sqrt(col("tok").cast("double")) * lit(1000)).cast("long"))
+      // materialize the #sources-row table: without this, the totals
+      // branch below re-derives it from the corpus and the plan scans +
+      // shuffles the full corpus TWICE (caught by the PlanSpec gate)
+      .localCheckpoint()
+    val totals = perSource.agg(
+      sum(col("w_sqrt")).as("w_total"), sum(col("tok")).as("tok_total"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tok"), col("w_sqrt"),
+        expr("(w_sqrt * 1000000) div w_total").cast("long").as("p_ppm"),
+        // upsample factor vs natural share, milli-scaled:
+        // (p_s / (tok_s / T)) * 1000 = (w_s/W) * (T/tok_s) * 1000.
+        // Computed as a LEFT-ASSOCIATIVE double chain (each step is a
+        // single IEEE op on bit-identical inputs, so the floor is
+        // cross-engine deterministic) rather than integer products, which
+        // would overflow BIGINT once W * T * 1000 passes 2^63 — doubles
+        // never overflow, and every operand here is an exact integer
+        // below 2^53.
+        floor(col("w_sqrt").cast("double") / col("w_total") *
+          col("tok_total") / col("tok") * lit(1000)).cast("long")
+          .as("upsample_k"))
+  }
+
+  private val temperatureMixSql =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+      |      AS BIGINT) AS tok
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, tok,
+      |    CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000) AS BIGINT) AS w_sqrt
+      |  FROM per_source),
+      |tot AS (
+      |  SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total,
+      |    CAST(sum(tok) AS BIGINT) AS tok_total FROM w)
+      |SELECT w.source, w.n_docs, w.tok, w.w_sqrt,
+      |  CAST((w.w_sqrt * 1000000) // t.w_total AS BIGINT) AS p_ppm,
+      |  CAST(floor(CAST(w.w_sqrt AS DOUBLE) / t.w_total * t.tok_total
+      |    / w.tok * 1000) AS BIGINT) AS upsample_k
+      |FROM w CROSS JOIN tot t""".stripMargin
+
+  // ---- q166: lexical diversity (Simpson index) ----------------------------
+
+  /** q166: per-document lexical diversity via the Simpson index
+    * 1 - sum(c_i^2)/N^2 over the token histogram — the exact-arithmetic
+    * member of the diversity-filter family (Shannon entropy needs log,
+    * which is not cross-engine deterministic; Simpson is a pure integer
+    * ratio and gives the same ordering signal). Computed entirely with
+    * higher-order array functions on the tokenized document — zero
+    * shuffles, scan-bound at any corpus size, same discipline as the q88
+    * repetition filters. The keep flag (diversity >= 0.5 with >= 5 tokens)
+    * is the "not dominated by few types" gate. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(toks),
+            |    d -> cast(size(filter(toks, x -> x = d)) AS bigint)),
+            |  cast(0 AS bigint), (acc, c) -> acc + c * c)""".stripMargin)
+          .as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens"))).as("simpson"),
+        (col("n_tokens") >= 5 &&
+          (lit(1.0) - col("sum_sq").cast("double") /
+            (col("n_tokens") * col("n_tokens"))) >= 0.5).as("keep"))
+
+  private val lexicalDiversitySql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+      |    CAST(list_sum(list_transform(list_distinct(toks),
+      |      d -> len(list_filter(toks, x -> x = d))
+      |           * len(list_filter(toks, x -> x = d)))) AS BIGINT) AS sum_sq
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_types, sum_sq,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS simpson,
+      |  n_tokens >= 5 AND
+      |    1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) >= 0.5 AS keep
+      |FROM m""".stripMargin
+
+  // ---- q167: bigram familiarity (linear-space LM scoring) -----------------
+
+  /** q167: corpus-bigram-model document scoring — the linear-space
+    * perplexity proxy: train bigram counts over the whole corpus (one
+    * map-side-combined groupBy), then score each document by the MEAN
+    * corpus frequency of its bigram occurrences. Low scores mark documents
+    * whose word transitions are rare in the corpus (boilerplate, noise,
+    * wrong-language) — the same signal the CCNet/KenLM perplexity filter
+    * uses, kept in exact integer space (a true log-prob needs log, which
+    * is not cross-engine deterministic).
+    *
+    * Plan shape: doc-side bigram occurrences are PRE-AGGREGATED per
+    * (doc_id, bigram) before the model join, so the join input is the
+    * distinct-bigrams-per-doc table, not the raw token stream; the join is
+    * key-partitioned on the bigram (both sides shuffle once on the same
+    * key — no broadcast, the model is corpus-vocabulary-sized), and the
+    * final per-doc reduce is map-side combined. At 100 TB this is two
+    * keyed shuffles of token-derived tables and nothing quadratic. */
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin)).as("b"))
+    val model = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val perDoc = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    perDoc.join(model, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("k")).as("sum_cnt"),
+        sum(col("k")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_cnt"),
+        expr("(sum_cnt * 1000) div n_bigrams").cast("long").as("fam_k"),
+        (col("sum_cnt").cast("double") / col("n_bigrams")).as("fam_mean"))
+  }
+
+  private val bigramFamiliaritySql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t,
+      |    unnest(range(1, len(list_filter(string_split(lower(text), ' '), t -> t <> '')) + 1)) AS ord
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t || ' ' || lead(t) OVER (
+      |    PARTITION BY doc_id ORDER BY ord) AS b
+      |  FROM toks),
+      |occ AS (SELECT doc_id, b FROM bg WHERE b IS NOT NULL),
+      |model AS (SELECT b, count(*) AS cnt FROM occ GROUP BY b),
+      |per_doc AS (SELECT doc_id, b, count(*) AS k FROM occ GROUP BY doc_id, b),
+      |agg AS (
+      |  SELECT p.doc_id, CAST(sum(m.cnt * p.k) AS BIGINT) AS sum_cnt,
+      |    CAST(sum(p.k) AS BIGINT) AS n_bigrams
+      |  FROM per_doc p JOIN model m ON p.b = m.b
+      |  GROUP BY p.doc_id)
+      |SELECT doc_id, n_bigrams, sum_cnt,
+      |  CAST((sum_cnt * 1000) // n_bigrams AS BIGINT) AS fam_k,
+      |  CAST(sum_cnt AS DOUBLE) / n_bigrams AS fam_mean
+      |FROM agg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    QueryDef("q166_lexical_diversity", lexicalDiversity, Some(lexicalDiversitySql)),
+    QueryDef("q167_bigram_familiarity", bigramFamiliarity, Some(bigramFamiliaritySql)),
     QueryDef("q100_curation", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
     QueryDef("q69_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

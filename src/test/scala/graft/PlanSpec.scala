@@ -450,6 +450,28 @@ class PlanSpec extends AnyFunSuite {
       plain.map(r => (r.getString(0), r.getDouble(1))).toSet)
   }
 
+  test("q166 lexical diversity is a single shuffle-free scan pass") {
+    val p = plan("q166_lexical_diversity")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q165 temperature mix shuffles once (source agg), then broadcasts") {
+    val p = treePlan("q165_temperature_mix")
+    // one corpus shuffle for the per-source token totals; the #sources-row
+    // totals table comes back as a broadcast — never a corpus re-shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("q167 familiarity pre-aggregates doc bigrams before the model join") {
+    val p = treePlan("q167_bigram_familiarity")
+    // the join input must be the (doc_id, bigram) pre-agg, not the raw
+    // exploded token stream: partial aggregates on both join inputs
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

@@ -391,6 +391,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q166 Simpson diversity separates degenerate from diverse docs") {
+    val dir = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    Seq(
+      (1L, "spam spam spam spam spam"),            // one type: simpson = 0
+      (2L, "one two three four five six seven"),   // all distinct: max
+      (3L, "a a b b"))                             // two types: 1 - 8/16
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.lexicalDiversity(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5 == 0.0 && !byId(1L)._6, byId(1L))
+    assert(byId(2L)._5 == 1.0 - 7.0 / 49 && byId(2L)._6, byId(2L))
+    assert(byId(3L)._5 == 0.5 && !byId(3L)._6, byId(3L)) // n_tokens < 5
+    // structural invariants: N <= sum_sq <= N^2, types consistent
+    for ((_, n, types, ss, simpson, _) <- out) {
+      assert(ss >= n && ss <= n * n)
+      assert(types >= 1 && types <= n)
+      assert(simpson == 1.0 - ss.toDouble / (n * n))
+    }
+  }
+
+  test("q165 temperature mix up-weights small sources, ppm sums to ~1e6") {
+    val rows = graft.queries.TextAnalysis.temperatureMix(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per-source floor rounding loses < 1 ppm each
+    val ppmSum = rows.map(_._5).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length, ppmSum)
+    // sqrt temperature flattens the distribution: the smallest source's
+    // upsample factor must be >= the largest source's
+    val bySize = rows.sortBy(_._3)
+    assert(bySize.head._6 >= bySize.last._6, bySize.mkString("; "))
+    // natural-share-weighted upsample factors average to ~1 by construction
+    for ((_, _, tok, w, _, up) <- rows) {
+      assert(w == math.floor(math.sqrt(tok.toDouble) * 1000).toLong)
+      assert(up > 0)
+    }
+  }
+
+  test("q167 bigram familiarity: counts, floors, and degenerate docs") {
+    val dir = java.nio.file.Files.createTempDirectory("bfam").toString
+    Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b"x3, "b a"x2
+      (2L, "a b c"),         // "a b", "b c"
+      (3L, "zz qq"),         // "zz qq" unique in corpus
+      (4L, "solo"))          // < 2 tokens: excluded
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.bigramFamiliarity(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(4L))
+    // corpus counts: "a b"=4, "b a"=2, "b c"=1, "zz qq"=1
+    assert(byId(1L) == (1L, 5L, 4L * 3 + 2L * 2, (16L * 1000) / 5,
+      16.0 / 5), byId(1L))
+    assert(byId(2L) == (2L, 2L, 4L + 1L, (5L * 1000) / 2, 5.0 / 2), byId(2L))
+    assert(byId(3L) == (3L, 1L, 1L, 1000L, 1.0), byId(3L))
+    // every doc's mean corpus frequency >= 1 (its own occurrences count)
+    for ((_, nb, sc, famK, _) <- out) { assert(sc >= nb && famK >= 1000L) }
+  }
+
   test("q69 stratified sample takes exactly min(k, stratum size) per language") {
     import org.apache.spark.sql.functions.col
     val sample = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
