@@ -728,7 +728,79 @@ object Similarity {
        |  FROM f) z
        |WHERE rn <= 5""".stripMargin
 
+  // ---- q168: STREAMING ANN-index ingest -----------------------------------
+
+  /** q168: the ANN complement of q117's streaming ingest screen — new
+    * embedding vectors arrive as micro-batches and each is screened ON
+    * ARRIVAL against the PERSISTED bucketed IVF index: assign the
+    * arrival's coarse cell row-locally (q62's deterministic quantizer),
+    * probe ONLY that cell of the history store for the exact top-1 cosine
+    * neighbor, and emit an insert/near-dup decision per arrival. The
+    * per-arrival rank needs a window, so the screen runs per micro-batch
+    * inside `foreachBatch` (q133's stateless enrichment shape, append
+    * mode, zero stream-side state).
+    *
+    * Scale: the store is bucketed on the cell key, so a probe touches one
+    * cell's partition, O(corpus/nlist) per arrival; the history side
+    * refreshes per trigger from the store table and the q120-style
+    * commit absorbs accepted arrivals back into the index. Hash-exact
+    * because per-pair dot products are fixed-order folds (bit-identical
+    * to DuckDB's `list_dot_product`, as q60 proves) and top-1 is a MAX —
+    * order-insensitive, no float accumulation across rows. */
+  def streamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val cell = expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))")
+    Warehouse.materializeBucketed(spark,
+      vectors(spark, dir).where(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("hv"),
+          col("nrm").as("hn"), cell.cast("long").as("bucket")),
+      "graft_ivf_store", 8, Seq("bucket"))
+    graft.streaming.EventStreams.boundedVecPerBatchRun(spark, dir, batch => {
+      val st = batch.sparkSession.table("graft_ivf_store")
+      val arr = batch.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+        .withColumn("bucket", cell.cast("long"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      arr.join(broadcast(st), Seq("bucket"), "left")
+        .withColumn("cos", dot_d(col("v"), col("hv")) / (col("nrm") * col("hn")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cos"),
+          when(col("cos") >= 0.9, lit("near_dup"))
+            .when(col("cos").isNull, lit("insert_new_cell"))
+            .otherwise(lit("insert")).as("decision"))
+    })
+  }
+
+  private val streamAnnIngestSql =
+    s"""WITH n AS ($vectorsSql),
+       |b AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(list_position(v[1:4], list_max(v[1:4])) AS BIGINT) AS bucket
+       |  FROM n),
+       |hist AS (
+       |  SELECT vec_id AS neighbor_id, v AS hv, nrm AS hn, bucket
+       |  FROM b WHERE vec_id % 10 <> 0),
+       |arr AS (SELECT vec_id, v, nrm, bucket FROM b WHERE vec_id % 10 = 0),
+       |p AS (
+       |  SELECT a.vec_id, a.bucket, h.neighbor_id,
+       |    list_dot_product(a.v, h.hv) / (a.nrm * h.hn) AS cos
+       |  FROM arr a LEFT JOIN hist h ON h.bucket = a.bucket),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, bucket, neighbor_id, cos,
+       |  CASE WHEN cos >= 0.9 THEN 'near_dup'
+       |       WHEN cos IS NULL THEN 'insert_new_cell'
+       |       ELSE 'insert' END AS decision
+       |FROM r WHERE rn = 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_stream_ann_ingest", streamAnnIngest,
+      Some(streamAnnIngestSql)),
     QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
     QueryDef("q161_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

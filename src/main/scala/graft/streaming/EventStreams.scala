@@ -445,6 +445,24 @@ object EventStreams {
       .schema(resolveSchema(spark, docsDir, "documents"))
       .parquet(docsDir)
 
+  /** [[boundedRun]] over the embeddings table with a BATCH-LEVEL transform
+    * — the vector-ingest shape (q168: arriving embeddings are assigned
+    * their IVF cell and screened against the persisted bucketed index;
+    * the per-arrival top-1 rank needs a window, so it runs inside
+    * `foreachBatch` like q133's enrichment, stateless in append mode). */
+  private[graft] def boundedVecPerBatchRun(spark: SparkSession, dir: String,
+      perBatch: DataFrame => DataFrame): DataFrame =
+    boundedRun(spark, dir, "embeddings.parquet", readVecsStream,
+      (s, _) => s, "append", perBatch)
+
+  /** Streaming source over a directory of embeddings parquet files —
+    * schema resolved from the files at start, same producer-drift
+    * discipline as [[readEventsStream]]/[[readDocsStream]]. */
+  private def readVecsStream(spark: SparkSession, vecsDir: String): DataFrame =
+    spark.readStream
+      .schema(resolveSchema(spark, vecsDir, "embeddings"))
+      .parquet(vecsDir)
+
   /** [[boundedRun]] over events with a BATCH-LEVEL transform applied inside
     * `foreachBatch` — the per-micro-batch enrichment shape (q133: each
     * arriving batch is point-in-time joined against a static table through

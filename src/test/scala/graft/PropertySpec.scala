@@ -454,6 +454,39 @@ class PropertySpec extends AnyFunSuite {
     for ((_, nb, sc, famK, _) <- out) { assert(sc >= nb && famK >= 1000L) }
   }
 
+  test("q168 stream ANN ingest: one decision per arrival, true in-cell top-1") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = graft.queries.Similarity.streamAnnIngest(spark, TestSpark.sf)
+      .as[(Long, Long, Option[Long], Option[Double], String)].collect()
+    // exactly one output row per arriving vector (vec_id % 10 == 0)
+    val nArr = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .where(col("vec_id") % 10 === 0).count()
+    assert(out.length == nArr && out.map(_._1).distinct.length == out.length)
+    // each decision's neighbor is a history vector in the same cell, and
+    // its cosine equals the batch-computed in-cell maximum
+    val all = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cell(v: Array[Double]): Long = {
+      val h = v.take(4); h.indexOf(h.max).toLong + 1
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((vid, bucket, Some(nb), Some(c), decision) <- out) {
+      assert(nb % 10 != 0 && cell(all(nb)) == bucket && cell(all(vid)) == bucket)
+      val best = all.collect {
+        case (hid, hv) if hid % 10 != 0 && cell(hv) == bucket => cos(all(vid), hv)
+      }.max
+      assert(math.abs(c - best) < 1e-12, s"$vid: $c vs $best")
+      assert(decision == (if (c >= 0.9) "near_dup" else "insert"))
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+  }
+
   test("q69 stratified sample takes exactly min(k, stratum size) per language") {
     import org.apache.spark.sql.functions.col
     val sample = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
