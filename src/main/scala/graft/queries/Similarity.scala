@@ -798,7 +798,76 @@ object Similarity {
        |       ELSE 'insert' END AS decision
        |FROM r WHERE rn = 1""".stripMargin
 
+  // ---- q169: ANN store COMMIT ----------------------------------------------
+
+  /** q169: the WRITE side closing q168's vector-ingest cycle (q120's
+    * commit applied to the ANN index): screen the arrival batch against
+    * the gen0 bucketed store — accept when the in-cell best cosine is
+    * under the near-dup bar (or the cell is empty) — then write gen1 =
+    * gen0 ∪ accepted, bucketed on the cell key for the next cycle's
+    * probes. Returns per-cell stats of the READ-BACK gen1 table with an
+    * exact `sum(vec_id)` membership checksum, so the oracle (a
+    * full-corpus recompute of the same accept rule) pins the committed
+    * membership itself, not just counts.
+    *
+    * Scale: the screen joins arrivals to one cell each (bucket-pruned);
+    * the merge moves only the store and the accepted batch — corpus
+    * vectors are never re-read; max() over deterministic per-pair dots is
+    * order-insensitive, so the accept decision is hash-exact. */
+  def annStoreCommit(spark: SparkSession, dir: String): DataFrame = {
+    val cell = expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))")
+    val bucketed = vectors(spark, dir).withColumn("bucket", cell.cast("long"))
+    val gen0 = Warehouse.materializeBucketed(spark,
+      bucketed.where(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket")),
+      "graft_ivf_gen0", 8, Seq("bucket"))
+    val arr = bucketed.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("v").as("av"), col("nrm").as("an"),
+        col("bucket"))
+    val best = arr
+      .join(broadcast(gen0.select(col("v").as("hv"), col("nrm").as("hn"),
+        col("bucket"))), Seq("bucket"), "left")
+      .groupBy(col("vec_id"))
+      .agg(max(dot_d(col("av"), col("hv")) / (col("an") * col("hn")))
+        .as("best"))
+    val accepted = arr.join(best, Seq("vec_id"))
+      .where(col("best").isNull || col("best") < 0.9)
+      .select(col("vec_id"), col("av").as("v"), col("an").as("nrm"),
+        col("bucket"))
+    val gen1 = Warehouse.materializeBucketed(spark,
+      gen0.unionByName(accepted), "graft_ivf_gen1", 8, Seq("bucket"))
+    gen1.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("vec_id")).as("id_checksum"),
+        count(when(col("vec_id") % 10 === 0, 1)).as("n_inserted"))
+  }
+
+  private val annStoreCommitSql =
+    s"""WITH n AS ($vectorsSql),
+       |b AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(list_position(v[1:4], list_max(v[1:4])) AS BIGINT) AS bucket
+       |  FROM n),
+       |hist AS (SELECT vec_id, v, nrm, bucket FROM b WHERE vec_id % 10 <> 0),
+       |arr AS (SELECT vec_id, v, nrm, bucket FROM b WHERE vec_id % 10 = 0),
+       |best AS (
+       |  SELECT a.vec_id, a.bucket,
+       |    max(list_dot_product(a.v, h.v) / (a.nrm * h.nrm)) AS best
+       |  FROM arr a LEFT JOIN hist h ON h.bucket = a.bucket
+       |  GROUP BY a.vec_id, a.bucket),
+       |gen1 AS (
+       |  SELECT vec_id, bucket FROM hist
+       |  UNION ALL
+       |  SELECT vec_id, bucket FROM best WHERE best IS NULL OR best < 0.9)
+       |SELECT bucket, count(*) AS n_vectors,
+       |  CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+       |  CAST(count(CASE WHEN vec_id % 10 = 0 THEN 1 END) AS BIGINT)
+       |    AS n_inserted
+       |FROM gen1 GROUP BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_ann_store_commit", annStoreCommit,
+      Some(annStoreCommitSql)),
     QueryDef("q168_stream_ann_ingest", streamAnnIngest,
       Some(streamAnnIngestSql)),
     QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
