@@ -12,6 +12,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class RobustnessSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  test("q168 ingest: an arrival in a cell with no history inserts as new") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ann_empty_cell").toString
+    // cell = 1-based argmax of the first 4 components
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0.5f), 0),   // arrival -> cell 1 (EMPTY)
+      (10L, Array(0f, 1f, 0f, 0f, 0.5f), 0),  // arrival -> cell 2 (dup of 1)
+      (1L, Array(0f, 1f, 0f, 0f, 0.5f), 0),   // history, cell 2
+      (2L, Array(0f, 0f, 1f, 0f, 0.5f), 0))   // history, cell 3
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/emb_stage")
+    // the testdata layout is a single FILE named embeddings.parquet (the
+    // stream harness copies it as such), not a Spark output directory
+    val part = Files.list(java.nio.file.Paths.get(s"$dir/emb_stage"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val out = graft.queries.Similarity.streamAnnIngest(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Double], String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 10L))
+    assert(out(0L) == ((0L, 1L, None, None, "insert_new_cell")), out(0L))
+    val (_, b10, n10, c10, d10) = out(10L)
+    assert(b10 == 2L && n10.contains(1L) && d10 == "near_dup")
+    assert(math.abs(c10.get - 1.0) < 1e-12)
+  }
+
   test("PERMISSIVE json read quarantines corrupt rows instead of failing") {
     val dir = Files.createTempDirectory("robust_json")
     Files.write(dir.resolve("a.json"),
