@@ -1598,7 +1598,67 @@ object TextAnalysis {
       |  CAST(sum_cnt AS DOUBLE) / n_bigrams AS fam_mean
       |FROM agg""".stripMargin
 
+  // ---- q170: global exact-k uniform sample ---------------------------------
+
+  /** q170: exactly-k uniform corpus sample — the global companion of q69's
+    * per-stratum exact-k: order by the seedless md5 hash (doc_id tiebreak,
+    * though the hash is already injective-in-practice) and keep the first
+    * k. The plan MUST be TakeOrderedAndProject — per-partition top-k
+    * heaps, k rows to the driver-side merge — never a full global sort,
+    * which is the difference between O(k) memory and a corpus shuffle at
+    * 100 TB (`PlanSpec` pins the operator). Same deterministic recipe as
+    * q37/q58/q69, so any cluster shape reproduces the same sample. */
+  def exactKSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(100)
+
+  private val exactKSampleSql =
+    """SELECT doc_id, source,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |FROM documents
+      |ORDER BY h, doc_id
+      |LIMIT 100""".stripMargin
+
+  // ---- q171: streaming mix monitor -----------------------------------------
+
+  /** q171: q165's STREAMING twin — the mixing weights recomputed as data
+    * lands: per-source document/token totals accumulate in the streaming
+    * aggregation state store across micro-batches (complete mode — the
+    * running-dashboard shape), and the temperature arithmetic is applied
+    * to the FINAL state, so a bounded run must equal the q165 batch
+    * computation exactly (the oracle IS q165's SQL). At scale the state
+    * is one row per source — the smallest state any monitor can carry —
+    * and each micro-batch shuffles only its own per-source partials. */
+  def streamMixMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val totals = graft.streaming.EventStreams.boundedDocStreamRun(spark, dir,
+      (s, _) => s
+        .select(col("source"),
+          expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+            .as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok")),
+      "complete")
+      .withColumn("w_sqrt",
+        floor(sqrt(col("tok").cast("double")) * lit(1000)).cast("long"))
+      .localCheckpoint()
+    val tot = totals.agg(
+      sum(col("w_sqrt")).as("w_total"), sum(col("tok")).as("tok_total"))
+    totals.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok"), col("w_sqrt"),
+        expr("(w_sqrt * 1000000) div w_total").cast("long").as("p_ppm"),
+        floor(col("w_sqrt").cast("double") / col("w_total") *
+          col("tok_total") / col("tok") * lit(1000)).cast("long")
+          .as("upsample_k"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q170_exact_k_sample", exactKSample, Some(exactKSampleSql)),
+    QueryDef("q171_stream_mix_monitor", streamMixMonitor,
+      Some(temperatureMixSql)),
     QueryDef("q165_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     QueryDef("q166_lexical_diversity", lexicalDiversity, Some(lexicalDiversitySql)),
     QueryDef("q167_bigram_familiarity", bigramFamiliarity, Some(bigramFamiliaritySql)),

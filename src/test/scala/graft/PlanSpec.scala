@@ -472,6 +472,12 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q170 exact-k sample plans as TakeOrderedAndProject, not a sort") {
+    val p = treePlan("q170_exact_k_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
