@@ -1655,7 +1655,58 @@ object TextAnalysis {
           .as("upsample_k"))
   }
 
+  // ---- q172: stride chunking -----------------------------------------------
+
+  /** q172: fixed-length sequence chunking with overlap — the pretraining
+    * staple q87's packing does NOT cover: a document longer than the
+    * context window is split into L-token windows advancing by stride S
+    * (overlap L−S), so no token is lost at window boundaries. Chunk count
+    * and offsets are closed-form exact integers
+    * (n_win = 1 if n ≤ L else ⌈(n−L)/S⌉+1, start = i·S,
+    * len = min(L, n−start)), generated scan-locally by exploding an index
+    * `sequence` — zero shuffles, row growth ≈ n/S per doc, the only
+    * acceptable cost for a pass over the full corpus. The last window
+    * always reaches the final token ((n_win−1)·S + L ≥ n by
+    * construction — pinned in `PropertySpec`). */
+  def chunkStride(spark: SparkSession, dir: String): DataFrame = {
+    val L = 128L
+    val S = 96L
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long")
+          .as("n_tok"))
+      .where(col("n_tok") >= 1)
+      .withColumn("n_win",
+        when(col("n_tok") <= L, lit(1L))
+          .otherwise(expr(s"((n_tok - $L + $S - 1) div $S) + 1")))
+      .select(col("doc_id"), col("n_tok"), col("n_win"),
+        explode(expr("sequence(0, n_win - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("n_tok"), col("n_win"), col("chunk_id"),
+        (col("chunk_id") * S).as("tok_start"),
+        least(lit(L), col("n_tok") - col("chunk_id") * S).as("tok_len"),
+        (col("chunk_id") === col("n_win") - 1).as("is_last"))
+  }
+
+  private val chunkStrideSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+      |w AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok <= 128 THEN 1
+      |         ELSE (n_tok - 128 + 95) // 96 + 1 END AS n_win
+      |  FROM t)
+      |SELECT doc_id, n_tok, n_win, g.chunk_id,
+      |  g.chunk_id * 96 AS tok_start,
+      |  least(128, n_tok - g.chunk_id * 96) AS tok_len,
+      |  g.chunk_id = n_win - 1 AS is_last
+      |FROM w, LATERAL unnest(generate_series(0, n_win - 1)) AS g(chunk_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_chunk_stride", chunkStride, Some(chunkStrideSql)),
     QueryDef("q170_exact_k_sample", exactKSample, Some(exactKSampleSql)),
     QueryDef("q171_stream_mix_monitor", streamMixMonitor,
       Some(temperatureMixSql)),

@@ -472,6 +472,12 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q172 stride chunking is a shuffle-free scan + explode") {
+    val p = treePlan("q172_chunk_stride")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("q170 exact-k sample plans as TakeOrderedAndProject, not a sort") {
     val p = treePlan("q170_exact_k_sample")
     assert(p.contains("TakeOrderedAndProject"), p)

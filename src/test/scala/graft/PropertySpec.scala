@@ -487,6 +487,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q172 stride chunking covers every token; overlap and tail are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkstride").toString
+    // 1-token, exactly-L, L+1 (first multi-chunk), and a long 500-token doc
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, doc(1)), (2L, doc(128)), (3L, doc(129)), (4L, doc(500)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.chunkStride(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    val (bigL, s) = (128L, 96L)
+    assert(out(1L).map(r => (r._3, r._6)).toSeq == Seq((1L, 1L)))
+    assert(out(2L).map(r => (r._3, r._6)).toSeq == Seq((1L, 128L)))
+    // 129 tokens: ceil((129-128)/96)+1 = 2 windows; tail = 129-96 = 33
+    assert(out(3L).map(r => (r._5, r._6)).toSeq == Seq((0L, 128L), (96L, 33L)))
+    // 500 tokens: ceil(372/96)+1 = 5 windows
+    assert(out(4L).length == 5)
+    for ((id, rows) <- out; n = rows.head._2) {
+      // starts advance by exactly the stride; every chunk inside the doc
+      assert(rows.map(_._5).toSeq == rows.indices.map(_ * s).toSeq)
+      for ((_, _, nw, ci, st, ln, last) <- rows) {
+        assert(ln >= 1 && ln <= bigL && st + ln <= n)
+        assert(last == (ci == nw - 1))
+        // consecutive windows overlap by L - S (except a short tail)
+        if (ci < nw - 1) assert(ln == bigL)
+      }
+      // the LAST window reaches the final token: full coverage
+      val lastRow = rows.last
+      assert(lastRow._5 + lastRow._6 == n, s"doc $id tail coverage")
+    }
+  }
+
   test("q69 stratified sample takes exactly min(k, stratum size) per language") {
     import org.apache.spark.sql.functions.col
     val sample = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
