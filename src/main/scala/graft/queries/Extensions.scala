@@ -153,5 +153,12 @@ object Extensions {
     // batchId compaction; final state = batch GROUP BY (user, type).
     QueryDef("q164_typed_state",
       (s, d) => EventStreams.typedStateCountsRun(s, d),
-      Some(EventStreams.typedStateSql)))
+      Some(EventStreams.typedStateSql)),
+    // transformWithState EVENT-TIME TIMERS (the API half q164 doesn't
+    // touch): q163's idle-session eviction re-expressed with
+    // registerTimer/deleteTimer + handleExpiredTimer; same oracle as q163
+    // hash-grades the whole timer lifecycle.
+    QueryDef("q173_tws_timers",
+      (s, d) => EventStreams.timerSessionStreamRun(s, d),
+      Some(EventStreams.idleSessionSql)))
 }

@@ -751,6 +751,94 @@ object EventStreams {
     }
   }
 
+  /** q173: the OTHER half of the transformWithState API — EVENT-TIME
+    * TIMERS. q164 exercises the typed state variables; this processor
+    * re-expresses q163's idle-session eviction through the timer surface:
+    * `registerTimer`/`deleteTimer` on the handle replace
+    * `GroupState.setTimeoutTimestamp` (plural timers per key are now
+    * possible; this op needs exactly one, so it re-registers — delete old,
+    * register new — as the session extends), and the open session is
+    * emitted from `handleExpiredTimer` when the watermark passes the
+    * registered expiry, with BOTH state variables cleared — the eviction
+    * contract that bounds the store by active keys. Same emitted set as
+    * q163 on a finite run, so the same batch sessionization oracle
+    * hash-grades the whole timer lifecycle. */
+  private class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    @transient private var timerAt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt", E.scalaLong,
+        TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._2.getTime).toArray.sorted
+      var closed = List.empty[(Long, Long, Long, Long)]
+      var (n, s, e) = if (sess.exists()) sess.get() else (0L, 0L, 0L)
+      ts.foreach { t =>
+        if (n == 0L) { n = 1L; s = t; e = t }
+        else if (t - e > gapMs) {
+          closed = (uid, n, s, e) :: closed
+          n = 1L; s = t; e = t
+        } else { n += 1L; e = math.max(e, t) }
+      }
+      sess.update((n, s, e))
+      // single-timer discipline: drop the previous registration before
+      // arming the new expiry (floored above the watermark so stragglers
+      // still close instead of registering an already-expired timer)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val expiry = math.max(e + gapMs,
+        timerValues.getCurrentWatermarkInMs() + 1L)
+      getHandle.registerTimer(expiry)
+      timerAt.update(expiry)
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val (n, s, e) = sess.get()
+      sess.clear() // EVICT both variables: closed sessions hold no state
+      timerAt.clear()
+      Iterator.single((uid, n, s, e))
+    }
+  }
+
+  /** [[TimerSessionProcessor]] over an open events stream. */
+  private[graft] def timerSessionAgg(events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_events", "start_ms", "end_ms")
+  }
+
+  /** [[timerSessionAgg]] as a bounded micro-batch run (q173): the q163
+    * harness — watermark-flush sentinel, sentinel key filtered — on the
+    * RocksDB provider the timer API requires. */
+  def timerSessionStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedRun(spark, dir, "events.parquet", readEventsStream,
+      (s, _) => timerSessionAgg(s, 30), "append",
+      flushPastMinutes = Some(35),
+      sessionConf = rocksDbProviderConf)
+      .where(col("user_id") =!= -1L)
+
   /** The transformWithState pipeline over an open events stream — shared
     * by the registry run and the multi-batch spec. Caller must run it on
     * a session with the RocksDB state-store provider pinned. */

@@ -357,6 +357,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers re-register as sessions extend (q173)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val d = Files.createTempDirectory("evtimer")
+    val ev = Files.createDirectory(d.resolve("ev")).toString
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("evtimer_stage")
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast(TimestampNTZType))
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+        .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+        .coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(ev, s"$name.parquet"))
+      }
+    }
+    def ms(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    stage("b0", Seq((1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 10:01:00", 1L)))
+    val s = spark.newSession()
+    graft.streaming.EventStreams.rocksDbProviderConf
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    val q = graft.streaming.EventStreams.timerSessionAgg(
+        graft.streaming.EventStreams.readEventsStream(s, ev), 30)
+      .writeStream.format("memory").queryName("timer_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // b1 EXTENDS user 1's session (10:20 within the 30-min gap): the
+      // 10:31 timer must be DELETED and re-armed at 10:50
+      stage("b1", Seq((3L, "2024-01-01 10:20:00", 1L),
+        (4L, "2024-01-01 10:25:00", 9L)))
+      q.processAllAvailable()
+      // b2 pushes the watermark to 10:45 — PAST the stale 10:31 expiry but
+      // BEFORE the re-registered 10:50. A surviving stale timer would fire
+      // here: the session would emit early (2 or 3 events, end 10:20) and
+      // evict, then the 10:50 timer would fire on cleared state and crash.
+      stage("b2", Seq((5L, "2024-01-01 10:45:00", 9L)))
+      q.processAllAvailable()
+      val early = s.table("timer_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!early.exists(_._1 == 1L), s"stale timer fired: $early")
+      // b3 pushes the watermark past 10:50: user 1 closes exactly once,
+      // with the MERGED 3-event session
+      stage("b3", Seq((6L, "2024-01-01 11:30:00", 9L)))
+      q.processAllAvailable()
+      stage("b4", Seq((7L, "2024-01-01 11:35:00", 9L)))
+      q.processAllAvailable()
+      val u1 = s.table("timer_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).filter(_._1 == 1L).toSeq
+      assert(u1 == Seq((1L, 3L,
+        ms("2024-01-01T10:00:00Z"), ms("2024-01-01T10:20:00Z"))), u1)
+    } finally {
+      q.stop()
+      s.sql("DROP VIEW IF EXISTS timer_sessions")
+    }
+  }
+
   test("streaming ingest screen decides exactly like the batch screen (q115/q117)") {
     import org.apache.spark.sql.functions.col
     // same stores, same semantics: the per-doc (is_exact_dup, decision)
