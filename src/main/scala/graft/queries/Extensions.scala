@@ -160,5 +160,11 @@ object Extensions {
     // hash-grades the whole timer lifecycle.
     QueryDef("q173_tws_timers",
       (s, d) => EventStreams.timerSessionStreamRun(s, d),
-      Some(EventStreams.idleSessionSql)))
+      Some(EventStreams.idleSessionSql)),
+    // transformWithState ListState (the third typed state variable):
+    // bounded last-k event buffer per user — O(k) state per entity on an
+    // unbounded stream; oracle = batch top-k-recent per user.
+    QueryDef("q174_list_state_lastk",
+      (s, d) => EventStreams.lastKStreamRun(s, d),
+      Some(EventStreams.lastKSql)))
 }

@@ -839,6 +839,76 @@ object EventStreams {
       sessionConf = rocksDbProviderConf)
       .where(col("user_id") =!= -1L)
 
+  /** q174: the THIRD typed state variable — `ListState` — completing the
+    * transformWithState triad (q164 Value+Map, q173 timers): a BOUNDED
+    * per-key buffer of the k most recent events, the online
+    * feature-extraction shape ("last-k user actions" behavioral features
+    * for training-data generation). The store holds ≤k entries per key
+    * FOREVER — `put` rewrites only this key's list — which is the whole
+    * point: an unbounded stream, O(k) state per entity. Batch rows are
+    * sorted on (ts, event_id) before merging (iterator order within a
+    * micro-batch is not event-time order), so the buffer is
+    * deterministic; update-mode emission + batchId compaction (the
+    * q111/q164 pattern) makes the final row per user the true last-k. */
+  private class LastKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String), (Long, String)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Long, String)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, String)]("recent",
+        E.tuple(E.scalaLong, E.scalaLong, E.STRING), TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String)] = {
+      val prev = if (recent.exists()) recent.get().toArray
+                 else Array.empty[(Long, Long, String)]
+      // merge + keep the k MOST RECENT by (ts_ms, event_id)
+      val merged = (prev ++ rows).sortBy(r => (r._1, r._2)).takeRight(k)
+      recent.put(merged)
+      Iterator.single((uid, merged.map(_._3).mkString(",")))
+    }
+  }
+
+  /** [[LastKProcessor]] over an open events stream. */
+  private[graft] def lastKAgg(events: DataFrame, k: Int): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .map(r => (r._3, (r._1, r._2, r._4)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .transformWithState(new LastKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "last_types")
+  }
+
+  def lastKStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    val raw = boundedRun(spark, dir, "events.parquet", readEventsStream,
+      (s, _) => lastKAgg(s, 3), "update",
+      sessionConf = rocksDbProviderConf)
+    raw.groupBy(col("user_id"))
+      .agg(max_by(col("last_types"), col("batch_id")).as("last_types"))
+  }
+
+  /** Oracle for [[lastKStreamRun]]: the 3 most recent event types per
+    * user, oldest-to-newest. */
+  val lastKSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, string_agg(event_type, ',' ORDER BY rn DESC)
+      |  AS last_types
+      |FROM r WHERE rn <= 3 GROUP BY user_id""".stripMargin
+
   /** The transformWithState pipeline over an open events stream — shared
     * by the registry run and the multi-batch spec. Caller must run it on
     * a session with the RocksDB state-store provider pinned. */

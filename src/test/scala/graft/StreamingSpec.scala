@@ -357,6 +357,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState buffer persists and trims across batches (q174)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val d = Files.createTempDirectory("evlastk")
+    val ev = Files.createDirectory(d.resolve("ev")).toString
+    def stage(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val scratch = Files.createTempDirectory("evlastk_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("ts", col("ts").cast(TimestampNTZType))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(ev, s"$name.parquet"))
+      }
+    }
+    stage("b0", Seq((1L, "2024-01-01 10:00:00", 1L, "a"),
+      (2L, "2024-01-01 10:01:00", 1L, "b")))
+    val s = spark.newSession()
+    graft.streaming.EventStreams.rocksDbProviderConf
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    val q = graft.streaming.EventStreams.lastKAgg(
+        graft.streaming.EventStreams.readEventsStream(s, ev), 3)
+      .writeStream.format("memory").queryName("lastk")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("lastk").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a,b")))
+      // b1: two more events -> the PERSISTED buffer must carry a,b and
+      // trim to the 3 most recent (losing the list means "c,d"; losing
+      // the trim means "a,b,c,d")
+      stage("b1", Seq((3L, "2024-01-01 10:02:00", 1L, "c"),
+        (4L, "2024-01-01 10:03:00", 1L, "d")))
+      q.processAllAvailable()
+      // final update row for user 1 is the cross-batch last-3
+      val rows = s.table("lastk").collect().map(_.getString(1)).toSet
+      assert(rows.contains("b,c,d"), rows)
+      assert(!rows.contains("a,b,c,d"), rows)
+    } finally {
+      q.stop()
+      s.sql("DROP VIEW IF EXISTS lastk")
+    }
+  }
+
   test("transformWithState timers re-register as sessions extend (q173)") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.TimestampNTZType
