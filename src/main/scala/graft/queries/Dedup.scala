@@ -1679,7 +1679,65 @@ object Dedup {
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- q176: cross-source overlap matrix -----------------------------------
+
+  /** q176: the pairwise SOURCE OVERLAP MATRIX — for every pair of sources,
+    * how many exact fingerprints they share, with each side's distinct-fp
+    * size and a min-normalized overlap ppm (the containment-style
+    * normalization: a small source fully contained in a big one scores
+    * 1e6, which is the signal a mixture designer needs). The data-card
+    * companion of q113's per-source rates and q105's priority dedup:
+    * WHICH sources duplicate WHICH decides what to dedup against what.
+    *
+    * Scale: the (fp, source)-distinct table is keyed on fp and
+    * self-joined on fp — the same bucketable shape as every fp store;
+    * per-fp fan-out is bounded by the source count (≤ |sources|² pairs
+    * per fp, tens not millions), and the output is |sources|² rows. Text
+    * never moves — only 32-char fingerprints. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(spark, dir, "documents")
+      .select(docFp.as("fp"), col("source")).distinct()
+      // the (fp, source) index and the |sources|-row size table both feed
+      // two consumers; materialize once
+      .localCheckpoint()
+    val sizes = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val shared = fps.as("a").join(fps.as("b"), Seq("fp"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    // EVERY pair reports, shared or not — an all-zero matrix is itself the
+    // data-card answer (and the gate result on clean corpora); the pair
+    // space is |sources|², broadcast-joined, driver-scale by construction
+    sizes.select(col("source").as("s1"), col("n").as("n1"))
+      .join(broadcast(sizes.select(col("source").as("s2"),
+        col("n").as("n2"))), col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n1"), col("n2"),
+        expr("(coalesce(n_shared, 0) * 1000000) div least(n1, n2)")
+          .cast("long").as("overlap_ppm"))
+  }
+
+  private val sourceOverlapSql =
+    """WITH f AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents),
+      |s AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT x.source AS s1, y.source AS s2,
+      |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+      |  CAST((coalesce(p.n_shared, 0) * 1000000) // least(x.n, y.n)
+      |    AS BIGINT) AS overlap_ppm
+      |FROM s x JOIN s y ON x.source < y.source
+      |LEFT JOIN p ON p.s1 = x.source AND p.s2 = y.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q176_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),

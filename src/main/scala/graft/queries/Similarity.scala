@@ -865,7 +865,60 @@ object Similarity {
        |    AS n_inserted
        |FROM gen1 GROUP BY bucket""".stripMargin
 
+  // ---- q175: hard-negative mining ------------------------------------------
+
+  /** q175: hard-negative mining for contrastive training (DPR/SimCSE prep)
+    * — for each query vector, the top-k most similar candidates with a
+    * DIFFERENT label: similar enough to be hard, wrong by construction.
+    * Same partition-pruned IVF shape as q62 (the label filter rides the
+    * join predicate, so candidates never leave their cell), broadcast
+    * query set, exact cosine rank — at 100 TB this is nProbe bucket scans
+    * per query batch, nothing corpus-wide. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"),
+        col("label"))
+      .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
+      .withColumn("bucket",
+        expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))"))
+    val q = b.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    b.join(broadcast(q),
+        col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+        (dot_d(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+  }
+
+  private val hardNegativesSql =
+    """WITH n AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, label,
+      |    list_position(v[1:4], list_max(v[1:4])) AS bucket
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+      |    c.vec_id AS neighbor_id, c.label AS nlabel,
+      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      |  FROM n q JOIN n c ON c.bucket = q.bucket
+      |    AND c.vec_id <> q.vec_id AND c.label <> q.label
+      |  WHERE q.vec_id < 5)
+      |SELECT query_id, qlabel, neighbor_id, nlabel, cos, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM p) t
+      |WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q169_ann_store_commit", annStoreCommit,
       Some(annStoreCommitSql)),
     QueryDef("q168_stream_ann_ingest", streamAnnIngest,

@@ -519,6 +519,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q176 source overlap counts shared fingerprints, zero-fills the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("srcovl").toString
+    Seq(
+      (1L, "dup one", "s1"),
+      (2L, "DUP ONE  ", "s2"),   // same fp as doc 1 (lower+trim normalize)
+      (3L, "uniq two", "s2"),
+      (4L, "other", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Dedup.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // s1 (1 fp) fully contained in s2 (2 fps): ppm = 1e6
+    assert(out(("s1", "s2")) == (("s1", "s2", 1L, 1L, 2L, 1000000L)))
+    assert(out(("s1", "s3")) == (("s1", "s3", 0L, 1L, 1L, 0L)))
+    assert(out(("s2", "s3")) == (("s2", "s3", 0L, 2L, 1L, 0L)))
+  }
+
   test("q69 stratified sample takes exactly min(k, stratum size) per language") {
     import org.apache.spark.sql.functions.col
     val sample = graft.queries.TextAnalysis.stratifiedSample(spark, TestSpark.sf)
