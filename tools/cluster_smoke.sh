@@ -15,6 +15,8 @@
 #   - q168/q169 (vector-ingest cycle: bucketed warehouse store written by
 #     executor tasks, broadcast-probed from a foreachBatch micro-batch,
 #     then the gen1 commit re-bucketed across the boundary)
+#   - q173/q174 (transformWithState timers + ListState on RocksDB stores
+#     living in executor JVMs) and q176 (fp-keyed self-join matrix)
 #   - CLI built-in + manifest-Main-Class CLIENT JAR (closure classes that
 #     exist only in a user jar must deserialize on executors)
 # Every query is graded by the SAME DuckDB oracle as the driver gate.
@@ -35,7 +37,7 @@ echo "== cluster smoke: master=$MASTER sf=$SF work=$WORK"
 
 echo "== [1/4] oracle gate over the executor boundary"
 SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=4 \
-SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit \
+SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit,q173_tws_timers,q174_list_state_lastk,q176_source_overlap \
   sbt -batch "runMain graft.Verify $SF $WORK/verify" >"$WORK/verify.log" 2>&1 \
   || { tail -30 "$WORK/verify.log"; exit 1; }
 python3 tools/check.py "$WORK/verify" "$SF" | tail -3
