@@ -1705,7 +1705,97 @@ object TextAnalysis {
       |  g.chunk_id = n_win - 1 AS is_last
       |FROM w, LATERAL unnest(generate_series(0, n_win - 1)) AS g(chunk_id)""".stripMargin
 
+  // ---- q177: curation filter funnel ----------------------------------------
+
+  /** q177: the FILTER FUNNEL — the survival report every curation pipeline
+    * publishes: how many documents pass each successive quality gate
+    * (length → repetition → lexical diversity → language), with the drop
+    * at each stage. The gates are the exact-integer rules of the
+    * component queries (q89/q88/q166/q70 family), all evaluated in ONE
+    * scan pass (every flag is a higher-order array expression over the
+    * same tokenization); the funnel itself is one global aggregate of
+    * flag conjunctions, so the whole report costs a single corpus scan +
+    * a 1-row reduce at any scale. Stages are cumulative (a doc counts at
+    * stage k only if it passed 1..k) — that is what makes it a funnel. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = expr("filter(split(lower(text), ' '), x -> x <> '')")
+    val flagged = Tables(spark, dir, "documents")
+      .select(toks.as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(toks),
+            |    d -> cast(size(filter(toks, x -> x = d)) AS bigint)),
+            |  cast(0 AS bigint), (acc, c) -> acc + c * c)""".stripMargin)
+          .as("sum_sq"),
+        expr(s"size(filter(toks, x -> x IN (${inList(stopwords)})))")
+          .cast("long").as("n_stop"))
+      .select(
+        (col("n_tok") >= 5 && col("n_tok") <= 10000).as("f_len"),
+        // dup-token fraction <= 0.6  <=>  5 * n_types >= 2 * n_tok
+        (col("n_types") * 5L >= col("n_tok") * 2L).as("f_rep"),
+        // simpson >= 0.5  <=>  2 * sum_sq <= n_tok^2 (exact integer form)
+        (col("sum_sq") * 2L <= col("n_tok") * col("n_tok")).as("f_div"),
+        // stopword ratio >= 0.04  <=>  25 * n_stop >= n_tok
+        (col("n_stop") * 25L >= col("n_tok")).as("f_lang"))
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f_len"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f_len") && col("f_rep"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f_len") && col("f_rep") && col("f_div"), 1L)
+        .otherwise(0L)).as("n3"),
+      sum(when(col("f_len") && col("f_rep") && col("f_div") && col("f_lang"),
+        1L).otherwise(0L)).as("n4"))
+    agg.select(expr(
+      """stack(5,
+        |  0L, 'total',      n0, cast(0 AS bigint),
+        |  1L, 'length',     n1, n0 - n1,
+        |  2L, 'repetition', n2, n1 - n2,
+        |  3L, 'diversity',  n3, n2 - n3,
+        |  4L, 'language',   n4, n3 - n4)
+        |AS (stage_id, stage, n_surviving, n_dropped)""".stripMargin))
+  }
+
+  private val filterFunnelSql =
+    s"""WITH f AS (
+       |  SELECT
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |    CAST(list_sum(list_transform(list_distinct(toks),
+       |      d -> len(list_filter(toks, x -> x = d))
+       |           * len(list_filter(toks, x -> x = d)))) AS BIGINT) AS sum_sq,
+       |    CAST(len(list_filter(toks, x -> x IN (${inList(stopwords)})))
+       |      AS BIGINT) AS n_stop
+       |  FROM (SELECT list_filter(string_split(lower(text), ' '),
+       |    x -> x <> '') AS toks FROM documents)),
+       |g AS (
+       |  SELECT n_tok >= 5 AND n_tok <= 10000 AS f_len,
+       |    n_types * 5 >= n_tok * 2 AS f_rep,
+       |    sum_sq * 2 <= n_tok * n_tok AS f_div,
+       |    n_stop * 25 >= n_tok AS f_lang
+       |  FROM f),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN f_len AND f_rep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(sum(CASE WHEN f_len AND f_rep AND f_div THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN f_len AND f_rep AND f_div AND f_lang
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM g)
+       |SELECT s.stage_id, s.stage, s.n_surviving, s.n_dropped FROM a,
+       |LATERAL (VALUES
+       |  (CAST(0 AS BIGINT), 'total',      a.n0, CAST(0 AS BIGINT)),
+       |  (CAST(1 AS BIGINT), 'length',     a.n1, a.n0 - a.n1),
+       |  (CAST(2 AS BIGINT), 'repetition', a.n2, a.n1 - a.n2),
+       |  (CAST(3 AS BIGINT), 'diversity',  a.n3, a.n2 - a.n3),
+       |  (CAST(4 AS BIGINT), 'language',   a.n4, a.n3 - a.n4))
+       |  AS s(stage_id, stage, n_surviving, n_dropped)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q172_chunk_stride", chunkStride, Some(chunkStrideSql)),
     QueryDef("q170_exact_k_sample", exactKSample, Some(exactKSampleSql)),
     QueryDef("q171_stream_mix_monitor", streamMixMonitor,
