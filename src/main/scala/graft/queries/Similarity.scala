@@ -5,6 +5,7 @@ import graft.functions.dot_d
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over `embeddings.embedding` (Array[Float]).
   *
@@ -917,7 +918,188 @@ object Similarity {
       |  FROM p) t
       |WHERE rn <= 3""".stripMargin
 
+  // ---- q179: embedding moment matrix (fixed-point exact) -------------------
+
+  /** The final double-space moment formulas shared verbatim by both
+    * engines (one correctly-rounded IEEE op per step over exact integer
+    * inputs — the q118 discipline). Scale: values are floor(x·2^20)
+    * integers, so means divide by 2^20 and second moments by 2^40. */
+  private val momentExprs = Seq(
+    "CAST(n AS BIGINT) AS n",
+    "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0D AS mean_i",
+    "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 1048576.0D AS mean_j",
+    """(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      | - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1099511627776.0D
+      | AS var_i""".stripMargin,
+    """(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      | - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 1099511627776.0D
+      | AS var_j""".stripMargin,
+    """(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      | - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) / 1099511627776.0D
+      | AS cov_pop""".stripMargin)
+
+  /** q179: the dimension-pair moment matrix of the embedding table —
+    * per-pair means, variances, and population covariance, the input to
+    * whitening / PCA / feature-drift monitoring on a vector corpus.
+    *
+    * Exactness: each float component is quantized to floor(x·2^20) (a
+    * float32 times a power of two is exact in double, floor has no tie
+    * cases — both engines produce the identical integer), so every moment
+    * is an integer sum carried in DECIMAL(38,0)/HUGEINT — accumulation
+    * order cannot matter, unlike a naive double sum which would diverge
+    * between engines (and between Spark partitions) at the ULP. One
+    * final shared double formula per statistic (q118's recipe) converts
+    * to embedding units.
+    *
+    * Plan shape: d·(d−1)/2 pair rows are generated per vector INSIDE the
+    * scan by a nested array transform (no self-join — a join of the
+    * exploded (vec, dim) table with itself would shuffle the corpus
+    * twice and is the classic quadratic mistake), then one map-side-
+    * combined aggregation over exactly 2016 keys. At 100 TB the shuffle
+    * carries |partitions|·2016 partial rows, nothing ∝ corpus size. */
+  def embedMoments(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def sq(c: org.apache.spark.sql.Column) =
+      (c.cast(d19) * c.cast(d19)).cast(d38)
+    Tables(spark, dir, "embeddings")
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+        .as("q"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 2), i ->
+          |  transform(sequence(i + 1, size(q) - 1), j ->
+          |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+          |      'vi', q[i], 'vj', q[j]))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.vi").as("vi"), col("p.vj").as("vj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vi").cast(d38)).as("sx"), sum(col("vj").cast(d38)).as("sy"),
+        sum(sq(col("vi"))).as("sxx"), sum(sq(col("vj"))).as("syy"),
+        sum((col("vi").cast(d19) * col("vj").cast(d19)).cast(d38)).as("sxy"))
+      .select(col("i") +: col("j") +: momentExprs.map(expr): _*)
+  }
+
+  private val embedMomentsSql =
+    s"""WITH v AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |a AS (SELECT q, unnest(range(0, len(q) - 1)) AS i FROM v),
+       |b AS (SELECT q, i, unnest(range(i + 1, len(q))) AS j FROM a),
+       |p AS (
+       |  SELECT i, j, q[CAST(i + 1 AS INTEGER)] AS vi,
+       |    q[CAST(j + 1 AS INTEGER)] AS vj FROM b),
+       |m AS (
+       |  SELECT i, j, count(*) AS n,
+       |    sum(vi::HUGEINT) AS sx, sum(vj::HUGEINT) AS sy,
+       |    sum(vi::HUGEINT * vi::HUGEINT) AS sxx,
+       |    sum(vj::HUGEINT * vj::HUGEINT) AS syy,
+       |    sum(vi::HUGEINT * vj::HUGEINT) AS sxy
+       |  FROM p GROUP BY i, j)
+       |SELECT i, j,
+       |  ${momentExprs.map(_.replace("\n", "\n|  ").replace("1048576.0D", "1048576.0").replace("1099511627776.0D", "1099511627776.0")).mkString(",\n|  ")}
+       |FROM m""".stripMargin
+
+  // ---- q181: greedy k-center coreset (farthest-first traversal) ------------
+
+  /** q181: diverse coreset selection over the embedding corpus — the
+    * greedy k-center / farthest-first traversal (Gonzalez 1985), the
+    * standard "pick k maximally-spread exemplars" op for eval-set and
+    * curriculum curation. Seed = the smallest vec_id; each round selects
+    * the point FARTHEST from the chosen set (max–min squared distance,
+    * vec_id tie-break) and emits its distance-at-selection — a 2-approx
+    * of the optimal k-center radius.
+    *
+    * Determinism: distances are squared L2 over floor(x·2^20) integer
+    * components — Δ ≤ 2^21 per dim, Δ² ≤ 2^42, ×64 dims ≤ 2^48: exact in
+    * int64 on the Spark side and HUGEINT-safe in the oracle, so the
+    * argmax and its tie-break are integer comparisons both engines
+    * resolve identically (the same reason q54/q60 quantize before
+    * comparing).
+    *
+    * Plan shape: the k−1 rounds each broadcast ONE center vector into a
+    * per-row least(dmin, d²(p, c)) update — a codegen'd scan with no
+    * shuffle — and take the global argmax via TakeOrdered(1)
+    * (per-partition maxima, one row to the driver): O(k·n·d) total work,
+    * k driver round-trips of one row each (the q130/q140 iterative-
+    * fitter discipline), lineage bounded by a localCheckpoint per round.
+    * The oracle unrolls the same k rounds as chained CTEs — greedy
+    * selection is inherently sequential, so an unrolled plan IS the
+    * algorithm, not a scale compromise. */
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val pts0 = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+        .as("q"))
+    def d2(center: Seq[Long]) = {
+      val c = center.mkString("array(", "L, ", "L)")
+      expr(s"aggregate(zip_with(q, $c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+    }
+    val seed = pts0.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("q")).head()
+    var centers = Vector[(Long, Seq[Long], Option[Long])](
+      (seed.getLong(0), seed.getSeq[Long](1), None))
+    var cur = pts0.withColumn("dmin", lit(Long.MaxValue)).localCheckpoint(true)
+    for (_ <- 2 to k) {
+      cur = cur
+        .withColumn("dmin", least(col("dmin"), d2(centers.last._2)))
+        .localCheckpoint(true)
+      val next = cur.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("q"), col("dmin")).head()
+      centers :+= ((next.getLong(0), next.getSeq[Long](1),
+        Some(next.getLong(2))))
+    }
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, d), ix) => (ix + 1L, id, d) }
+      .toDF("sel_order", "vec_id", "d2_sel")
+  }
+
+  private val kcenterCoresetSql = {
+    def dist(p: String, c: String) =
+      s"""CAST(list_sum(list_transform(range(1, len($p.q) + 1),
+         |    i -> ($p.q[CAST(i AS INTEGER)] - $c.q[CAST(i AS INTEGER)])
+         |         * ($p.q[CAST(i AS INTEGER)] - $c.q[CAST(i AS INTEGER)])))
+         |  AS BIGINT)""".stripMargin
+    val steps = (2 to 8).map { t =>
+      val prevD = if (t == 2) "e1" else s"e${t - 1}"
+      val distE = dist("d", s"c$t")
+      s"""c$t AS (
+         |  SELECT vec_id, q, dmin FROM $prevD ORDER BY dmin DESC, vec_id LIMIT 1),
+         |e$t AS (
+         |  SELECT d.vec_id, d.q,
+         |    least(d.dmin, ${distE.replace("\n", "\n|    ")}) AS dmin
+         |  FROM $prevD d, c$t)""".stripMargin
+    }
+    val d1 = dist("v", "c")
+    val selects = (2 to 8).map(t =>
+      s"UNION ALL SELECT CAST($t AS BIGINT), vec_id, dmin FROM c$t")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1),
+       |e1 AS (
+       |  SELECT v.vec_id, v.q,
+       |    ${d1.replace("\n", "\n|    ")} AS dmin
+       |  FROM v, c1 c),
+       |${steps.mkString(",\n")}
+       |SELECT sel_order, vec_id, d2_sel FROM (
+       |  SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,
+       |    CAST(NULL AS BIGINT) AS d2_sel FROM c1
+       |  ${selects.mkString("\n|  ")}
+       |) u""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_embed_moments", embedMoments, Some(embedMomentsSql)),
+    QueryDef("q181_kcenter_coreset", kcenterCoreset, Some(kcenterCoresetSql)),
     QueryDef("q175_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q169_ann_store_commit", annStoreCommit,
       Some(annStoreCommitSql)),

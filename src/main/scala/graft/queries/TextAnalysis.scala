@@ -1794,7 +1794,228 @@ object TextAnalysis {
        |  (CAST(4 AS BIGINT), 'language',   a.n4, a.n3 - a.n4))
        |  AS s(stage_id, stage, n_surviving, n_dropped)""".stripMargin
 
+  // ---- q178: BM25 ranked retrieval (linear-space idf) ----------------------
+
+  /** The BM25 per-term document score with every float literal pinned to
+    * DOUBLE (Spark and DuckDB both parse a bare `2.2` as DECIMAL, which
+    * would silently switch the arithmetic to decimal rules on one side)
+    * and every integer→double conversion written as an explicit CAST, so
+    * both engines evaluate the IDENTICAL IEEE expression tree: all inputs
+    * are exact integers ≤ 2^53 and each double op is correctly rounded,
+    * so the score is bit-deterministic. The idf factor is the Robertson
+    * ratio (2N − 2df + 1)/(2df + 1) WITHOUT the log — libm log is not
+    * cross-engine reproducible (the q66/q167 discipline); per-term
+    * rankings are unchanged since log is monotone, and the engine never
+    * sums scores ACROSS terms (each output row is one (term, doc) pair),
+    * so the missing log cannot reorder anything it emits. */
+  private val bm25ScoreExpr =
+    """(CAST(2 * nd - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      | * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |    / (CAST(tf AS DOUBLE)
+      |       + CAST(1.2 AS DOUBLE)
+      |         * (CAST(0.25 AS DOUBLE)
+      |            + CAST(0.75 AS DOUBLE)
+      |              * (CAST(dl * nd AS DOUBLE) / CAST(ltot AS DOUBLE)))))"""
+      .stripMargin
+
+  /** q178: BM25 ranked retrieval — the search-index op of the curation
+    * stack (k1 = 1.2, b = 0.75). The query set is derived from the corpus
+    * itself (top-5 document-frequency terms of length ≥ 4, (df desc, term)
+    * tie-break), so the query works at any scale factor with no hardcoded
+    * corpus literals; a real deployment passes its own term list through
+    * the same pipeline.
+    *
+    * Plan shape, 100 TB first: document length comes from the SAME scan
+    * that tokenizes (size of the token array — no separate dl shuffle);
+    * corpus totals (N docs, L tokens) are one crossJoin(broadcast(1-row
+    * agg)); the df table partial-aggregates map-side; the 5-term query
+    * set is a TakeOrdered (5 rows to the driver — planning-scale) whose
+    * terms then broadcast-semi-join the token stream, so only matching
+    * postings survive into the tf aggregation. The per-term top-10 uses
+    * the engine's NATIVE top-k aggregate (`top_k_pairs`, q153's operator)
+    * instead of a 5-partition window: map-side partials reduce every
+    * partition to ≤ k pairs per term BEFORE the exchange, so the shuffle
+    * carries |terms|·k rows at any corpus size — the window form would
+    * funnel every posting of every query term through 5 reducers. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(size(col("toks")).cast("long")).as("ltot"))
+    val toks = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
+    val dfreq = toks.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qt = dfreq.where(length(col("t")) >= 4)
+      .orderBy(col("df").desc, col("t").asc).limit(5)
+    val tf = toks.join(broadcast(qt), Seq("t"))
+      .groupBy(col("t"), col("df"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    graft.functions.GraftExtensions.registerTopK(spark)
+    tf.crossJoin(broadcast(stats))
+      .select(col("t"), col("df"), col("doc_id"),
+        expr(bm25ScoreExpr).as("score"))
+      .groupBy(col("t"), col("df"))
+      .agg(expr("top_k_pairs(score, doc_id, 10)").as("tk"))
+      .select(col("t"), col("df"), posexplode(col("tk")))
+      .select(col("t"), col("df"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  private val bm25TopKSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(len(toks)) AS BIGINT) AS ltot FROM docs),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS t
+       |  FROM docs),
+       |dfreq AS (
+       |  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM toks GROUP BY t),
+       |qt AS (
+       |  SELECT t, df FROM dfreq WHERE length(t) >= 4
+       |  ORDER BY df DESC, t LIMIT 5),
+       |tf AS (
+       |  SELECT k.t, q.df, k.doc_id, k.dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks k JOIN qt q ON k.t = q.t
+       |  GROUP BY k.t, q.df, k.doc_id, k.dl),
+       |sc AS (
+       |  SELECT t, df, doc_id,
+       |    ${bm25ScoreExpr.replace("\n", "\n|    ")} AS score
+       |  FROM tf, stats)
+       |SELECT t, df, doc_id, score, rk FROM (
+       |  SELECT t, df, doc_id, score, row_number() OVER (
+       |    PARTITION BY t ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc) r
+       |WHERE rk <= 10""".stripMargin
+
+  // ---- q180: DSIR importance weights (hashed-bigram, linear space) ---------
+
+  /** q180: data-selection importance weights, the DSIR recipe (Xie et al.
+    * 2023) kept in the engine's exact-arithmetic house style: hash each
+    * word bigram into B = 4096 buckets (the seedless md5 recipe every
+    * other hash site uses), fit Laplace-smoothed unigram-over-bucket
+    * models for the TARGET slice (sources src0/src1 — the "wiki-like"
+    * domain proxy) and the RAW corpus from ONE conditional aggregation
+    * pass, and score every document by its mean target/raw likelihood
+    * ratio. True DSIR sums log-ratios; libm log is not cross-engine
+    * deterministic, so the ratio is kept LINEAR and pre-scaled to parts
+    * per million as an exact integer — (cnt_t+1)(Nr+B)·10⁶ div
+    * (cnt_r+1)(Nt+B), products carried in DECIMAL(38,0)/HUGEINT where
+    * int64 would overflow at corpus scale — and per-doc totals are
+    * integer sums, so accumulation order cannot matter. The top-100
+    * documents by weight (the resampling pick) are selected via
+    * TakeOrdered — per-partition heaps, 100 rows to the driver merge,
+    * never a global sort — and flagged with a broadcast semi-join.
+    *
+    * Plan shape: one bigram tokenization pass feeds BOTH models (the
+    * target count is a `sum(CASE WHEN target)` beside the raw count, not
+    * a second scan); the fitted model is B = 4096 rows no matter the
+    * corpus — broadcast back onto the per-doc bucket counts; the only
+    * full shuffles are the two bounded keyed aggregations (bucket model,
+    * per-doc sum). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bg = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("tgt"),
+        (conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long") % 4096L)
+          .as("f"))
+    val model = bg.groupBy(col("f")).agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("cnt_t"))
+    val totals = model.agg(sum(col("cnt_r")).cast("long").as("nr"),
+      sum(col("cnt_t")).cast("long").as("nt"))
+    val ratio = model.crossJoin(broadcast(totals))
+      .select(col("f"), expr(
+        """CAST((CAST(cnt_t + 1 AS DECIMAL(38,0)) * CAST(nr + 4096 AS DECIMAL(38,0))
+          |  * CAST(1000000 AS DECIMAL(38,0)))
+          | div (CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(nt + 4096 AS DECIMAL(38,0)))
+          | AS BIGINT)""".stripMargin).as("ratio_ppm"))
+    val perDoc = bg.groupBy(col("doc_id"), col("tgt"), col("f"))
+      .agg(count(lit(1)).as("k"))
+      .join(broadcast(ratio), Seq("f"))
+      .groupBy(col("doc_id"), col("tgt"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum((col("k").cast(d38) * col("ratio_ppm").cast(d38)).cast(d38))
+          .cast(d38).as("snum"))
+      .select(col("doc_id"), col("tgt"), col("n_bigrams"),
+        col("snum").cast("long").as("score_ppm_sum"),
+        (col("snum").cast("double") / 1000000.0d / col("n_bigrams")
+          .cast("double")).as("weight"))
+    val top = perDoc
+      .orderBy(col("weight").desc, col("doc_id").asc).limit(100)
+      .select(col("doc_id"))
+    perDoc.join(broadcast(top.withColumn("selected", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tgt"), col("n_bigrams"),
+        col("score_ppm_sum"), col("weight"),
+        coalesce(col("selected"), lit(false)).as("selected"))
+  }
+
+  private val dsirWeightsSql =
+    """WITH bg0 AS (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, tgt,
+      |    ('0x' || substr(md5(b), 1, 15))::BIGINT % 4096 AS f
+      |  FROM (
+      |    SELECT doc_id, tgt,
+      |      unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS b
+      |    FROM bg0) x),
+      |model AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS cnt_r,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      |  FROM bg GROUP BY f),
+      |totals AS (
+      |  SELECT CAST(sum(cnt_r) AS BIGINT) AS nr,
+      |    CAST(sum(cnt_t) AS BIGINT) AS nt FROM model),
+      |ratio AS (
+      |  SELECT f, CAST(
+      |      ((cnt_t + 1)::HUGEINT * (nr + 4096)::HUGEINT * 1000000::HUGEINT)
+      |      // ((cnt_r + 1)::HUGEINT * (nt + 4096)::HUGEINT)
+      |    AS BIGINT) AS ratio_ppm
+      |  FROM model, totals),
+      |per_doc AS (
+      |  SELECT g.doc_id, g.tgt,
+      |    CAST(sum(g.k) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(g.k::HUGEINT * r.ratio_ppm::HUGEINT) AS BIGINT)
+      |      AS score_ppm_sum
+      |  FROM (
+      |    SELECT doc_id, tgt, f, CAST(count(*) AS BIGINT) AS k
+      |    FROM bg GROUP BY doc_id, tgt, f) g
+      |  JOIN ratio r ON g.f = r.f
+      |  GROUP BY g.doc_id, g.tgt),
+      |w AS (
+      |  SELECT doc_id, tgt, n_bigrams, score_ppm_sum,
+      |    CAST(score_ppm_sum AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+      |      AS weight
+      |  FROM per_doc),
+      |top AS (
+      |  SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 100)
+      |SELECT w.doc_id, w.tgt, w.n_bigrams, w.score_ppm_sum, w.weight,
+      |  w.doc_id IN (SELECT doc_id FROM top) AS selected
+      |FROM w""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    QueryDef("q180_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("q177_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q172_chunk_stride", chunkStride, Some(chunkStrideSql)),
     QueryDef("q170_exact_k_sample", exactKSample, Some(exactKSampleSql)),

@@ -484,6 +484,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p)
   }
 
+  test("q178 BM25 ranks via the native top-k aggregate, not a window") {
+    val p = treePlan("q178_bm25_topk")
+    // 5 query-term partitions through a window would funnel every posting
+    // through 5 reducers; the mergeable aggregate keeps partials map-side
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("top_k_pairs"), p)
+  }
+
+  test("q179 moment matrix is one scan + one keyed exchange, no join") {
+    val p = treePlan("q179_embed_moments")
+    assert(!p.contains("Join"), p)
+    // partial agg -> single hashpartitioning(i, j) exchange -> final agg
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q180 DSIR model and selection joins broadcast; nothing sort-merges") {
+    val p = treePlan("q180_dsir_weights")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

@@ -586,4 +586,92 @@ class PropertySpec extends AnyFunSuite {
       fields || fields.exists(_.isEmpty), // split drops trailing empties
       line)
   }
+
+  test("q178 BM25 emits ranked postings for the top-df query terms") {
+    val rows = graft.queries.TextAnalysis.bm25TopK(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val byTerm = rows.groupBy(_._1)
+    assert(byTerm.nonEmpty && byTerm.size <= 5)
+    for ((t, rs) <- byTerm) {
+      assert(t.length >= 4, t)
+      val sorted = rs.sortBy(_._5)
+      // rk dense from 1, scores weakly decreasing in rank order, all > 0
+      assert(sorted.map(_._5).toSeq == (1L to rs.length).toSeq, t)
+      assert(sorted.map(_._4).toSeq.reverse == sorted.map(_._4).toSeq.sorted, t)
+      assert(rs.forall(_._4 > 0), t)
+      assert(rs.length <= 10, t)
+    }
+    // the query terms really are the df-top-5 among length>=4 terms,
+    // recomputed independently from the raw token stream
+    import org.apache.spark.sql.functions.{col, countDistinct, length => slen, lower, split, explode}
+    val df = graft.Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") =!= "" && slen(col("t")) >= 4)
+      .groupBy("t").agg(countDistinct("doc_id").as("df"))
+      .as[(String, Long)].collect()
+    val want = df.sortBy { case (t, d) => (-d, t) }.take(5).map(_._1).toSet
+    assert(byTerm.keySet == want)
+  }
+
+  test("q179 moment matrix is exact on a hand-computed vector table") {
+    val dir = java.nio.file.Files.createTempDirectory("embmom").toString
+    // components chosen exactly representable at the 2^20 fixed point
+    Seq(
+      (0L, Array(0.5f, -0.25f), 0),
+      (1L, Array(0.25f, 0.25f), 0),
+      (2L, Array(0.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.queries.Similarity.embedMoments(spark, dir).collect()
+    assert(rows.length == 1) // d = 2 -> one (0, 1) pair
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getAs[Long]("n")) == ((0L, 1L, 3L)))
+    assert(r.getAs[Double]("mean_i") == 0.25)
+    assert(r.getAs[Double]("mean_j") == 1.0 / 6.0)
+    // var_x = E[x^2] - mean^2 = (0.25 + 0.0625)/3 - 0.0625
+    assert(math.abs(r.getAs[Double]("var_i") - (0.3125 / 3 - 0.0625)) < 1e-12)
+    // cov = E[xy] - mx*my = (-0.125 + 0.0625 + 0)/3 - 0.25/6
+    assert(math.abs(r.getAs[Double]("cov_pop") - (-0.0625 / 3 - 0.25 / 6)) < 1e-12)
+    // and on the real table: one row per dimension pair, full n everywhere
+    val real = graft.queries.Similarity.embedMoments(spark, TestSpark.sf).collect()
+    val d = 64
+    assert(real.length == d * (d - 1) / 2)
+    val n = graft.Tables(spark, TestSpark.sf, "embeddings").count()
+    assert(real.forall(_.getAs[Long]("n") == n))
+    assert(real.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(real.forall(_.getAs[Double]("var_i") > 0))
+  }
+
+  test("q180 DSIR weights are positive, consistent, and cap selection at 100") {
+    val rows = graft.queries.TextAnalysis.dsirWeights(spark, TestSpark.sf)
+      .as[(Long, Boolean, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((_, _, nBg, snum, w, _) <- rows) {
+      assert(nBg >= 1 && snum > 0)
+      assert(w == snum.toDouble / 1000000.0 / nBg.toDouble)
+    }
+    val sel = rows.filter(_._6)
+    assert(sel.length == math.min(100, rows.length))
+    // the selected set IS the top-100 by (weight desc, doc_id)
+    val expected = rows.sortBy(r => (-r._5, r._1)).take(sel.length).map(_._1).toSet
+    assert(sel.map(_._1).toSet == expected)
+  }
+
+  test("q181 k-center picks distinct spread centers with shrinking radius") {
+    val rows = graft.queries.Similarity.kcenterCoreset(spark, TestSpark.sf)
+      .orderBy(org.apache.spark.sql.functions.col("sel_order"))
+      .collect()
+    assert(rows.length == 8)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == 8)
+    // seed is the smallest vec_id
+    val minId = graft.Tables(spark, TestSpark.sf, "embeddings")
+      .agg(org.apache.spark.sql.functions.min("vec_id")).head().getLong(0)
+    assert(ids.head == minId)
+    assert(rows.head.isNullAt(2))
+    // farthest-first: the selection radius is weakly decreasing
+    val d2s = rows.tail.map(_.getLong(2))
+    assert(d2s.forall(_ > 0))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b }, d2s.toSeq)
+  }
 }
