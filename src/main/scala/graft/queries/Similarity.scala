@@ -1097,7 +1097,80 @@ object Similarity {
        |) u""".stripMargin
   }
 
+  // ---- q184: embedding standardization (z-score whitening apply) -----------
+
+  /** The per-dimension variance in quantized space, as ONE shared
+    * formula string (the q179/q118 discipline): exact integer moments →
+    * a fixed chain of correctly-rounded double ops, identical in both
+    * engines. */
+  private val dimMeanExpr = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val dimVarExpr =
+    """CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      | - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin
+
+  /** q184: per-dimension z-score standardization of the embedding corpus
+    * — the diagonal-whitening APPLY step that q179's moment matrix
+    * feeds (recomputed here as a d-key aggregate so the query is
+    * self-contained): z = (x − μ_d)/σ_d per component, the
+    * preprocessing every distance-based downstream op (k-means, k-center,
+    * IVF) wants when dimensions have unequal scales.
+    *
+    * Exactness: standardization is invariant under any common linear
+    * scaling of x, so the WHOLE computation stays in floor(x·2^20)
+    * integer space — means and variances from DECIMAL(38,0)/HUGEINT
+    * integer sums (order-free), then one shared double-formula chain;
+    * sqrt is IEEE-correctly-rounded in both engines. Degenerate
+    * (zero-variance) dimensions are dropped by an exact guard.
+    *
+    * Plan shape: two corpus scans — one map-side-combined aggregate
+    * into d keys, then the d-row moment table broadcast back onto a
+    * scan-local transform (`PlanSpec` pins the broadcast); output is the
+    * exploded (vec_id, dim, z) form the oracle can sort. */
+  def embedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val dims = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+        .as("q"))
+      .select(col("vec_id"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        col("col").as("v"))
+    val mom = dims.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sx"),
+        sum((col("v").cast(d19) * col("v").cast(d19)).cast(d38)).as("sxx"))
+      .select(col("i"), expr(dimMeanExpr).as("mean_q"),
+        expr(dimVarExpr).as("var_q"))
+      .where(col("var_q") > 0d)
+    dims.join(broadcast(mom), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        expr("(CAST(v AS DOUBLE) - mean_q) / sqrt(var_q)").as("z"))
+  }
+
+  private val embedStandardizeSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS v
+       |  FROM v),
+       |m AS (
+       |  SELECT i, count(*) AS n, sum(v::HUGEINT) AS sx,
+       |    sum(v::HUGEINT * v::HUGEINT) AS sxx
+       |  FROM d GROUP BY i),
+       |s AS (
+       |  SELECT i, ${dimMeanExpr} AS mean_q,
+       |    ${dimVarExpr.replace("\n", "\n|    ")} AS var_q
+       |  FROM m)
+       |SELECT d.vec_id, d.i, (CAST(v AS DOUBLE) - mean_q) / sqrt(var_q) AS z
+       |FROM d JOIN s ON d.i = s.i
+       |WHERE var_q > 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_embed_standardize", embedStandardize,
+      Some(embedStandardizeSql)),
     QueryDef("q179_embed_moments", embedMoments, Some(embedMomentsSql)),
     QueryDef("q181_kcenter_coreset", kcenterCoreset, Some(kcenterCoresetSql)),
     QueryDef("q175_hard_negatives", hardNegatives, Some(hardNegativesSql)),

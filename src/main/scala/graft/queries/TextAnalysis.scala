@@ -2013,7 +2013,277 @@ object TextAnalysis {
       |  w.doc_id IN (SELECT doc_id FROM top) AS selected
       |FROM w""".stripMargin
 
+  // ---- q182: cross-source quality calibration (percent_rank) ---------------
+
+  /** q182: quality-score calibration across heterogeneous sources — the
+    * fix for "one source's raw score 0.6 means something different than
+    * another's": replace the raw score with its PER-SOURCE percent rank,
+    * then apply one global survival threshold to the calibrated rank.
+    * The raw score here is the exact-integer type-token ratio in ppm
+    * (distinct tokens ·10⁶ div tokens); any per-doc integer score plugs
+    * into the same calibration.
+    *
+    * Determinism: the rank order is totalized by the (score, doc_id)
+    * tie-break, so `percent_rank` = (rank−1)/(n−1) is a single IEEE
+    * division of exact integers — bit-identical in both engines — and
+    * the keep flag is a threshold on that exact value. Scale shape: one
+    * window partitioned by source (the q79/q134 stratum-parallel window
+    * tier — strata are bounded and balanced by construction; a 100 TB
+    * deployment with a skewed stratum would swap in the q89-style
+    * broadcast quantile table instead of a full in-stratum sort). */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").asc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("source"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"))
+      .withColumn("calibrated", percent_rank().over(w))
+      .withColumn("keep", col("calibrated") >= 0.2d)
+  }
+
+  private val qualityCalibrationSql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+      |      AS score_ppm
+      |  FROM t)
+      |SELECT doc_id, source, score_ppm,
+      |  percent_rank() OVER (PARTITION BY source
+      |    ORDER BY score_ppm, doc_id) AS calibrated,
+      |  percent_rank() OVER (PARTITION BY source
+      |    ORDER BY score_ppm, doc_id) >= 0.2 AS keep
+      |FROM s""".stripMargin
+
+  // ---- q183: distribution-matching rejection sampler -----------------------
+
+  /** q183: rejection sampling the raw pool so its length distribution
+    * matches a TARGET slice's (sources src0/src1 — the domain proxy the
+    * q180 weights use): per length-bin accept probability
+    * p = min(1, target_frac / raw_frac), docs accepted when their
+    * seedless hash falls under p — the distribution-alignment op (the
+    * sampling counterpart of DSIR's reweighting) a pipeline runs to
+    * de-bias a crawl against a curated reference.
+    *
+    * Exactness: p is pre-scaled to integer ppm with DECIMAL(38,0)/
+    * HUGEINT products (t_cnt·n_raw·10⁶ div (r_cnt·n_tgt) — int64
+    * overflows exactly at the corpus sizes that matter), and acceptance
+    * compares the md5-derived hash mod 10⁶ against p_ppm in integers —
+    * no doubles anywhere. Bins with no target mass get p = 0 (nothing
+    * to match against). Scale shape: the bin histogram is a map-side-
+    * combined agg into a bounded key space, broadcast back onto ONE
+    * corpus scan; acceptance is a scan-local comparison. */
+  def distMatchSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("source").isin("src0", "src1").as("tgt"),
+        expr("CAST(n_chars div 200 AS BIGINT)").as("bin"))
+    val bins = docs.groupBy(col("bin")).agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_cnt"))
+    val totals = bins.agg(sum(col("r_cnt")).cast("long").as("nr"),
+      sum(col("t_cnt")).cast("long").as("nt"))
+    val p = bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("r_cnt"), col("t_cnt"), expr(
+        """least(CAST(1000000 AS BIGINT),
+          |  CAST((CAST(t_cnt AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0))
+          |        * CAST(1000000 AS DECIMAL(38,0)))
+          |    div (CAST(r_cnt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0)))
+          |  AS BIGINT))""".stripMargin).as("p_ppm"))
+    docs.join(broadcast(p), Seq("bin"))
+      .select(col("doc_id"), col("source"), col("bin"), col("tgt"),
+        col("p_ppm"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000L < col("p_ppm")).as("accepted"))
+  }
+
+  private val distMatchSampleSql =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_chars,
+      |    source IN ('src0', 'src1') AS tgt,
+      |    CAST(n_chars // 200 AS BIGINT) AS bin
+      |  FROM documents),
+      |bins AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS r_cnt,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+      |  FROM docs GROUP BY bin),
+      |totals AS (
+      |  SELECT CAST(sum(r_cnt) AS BIGINT) AS nr,
+      |    CAST(sum(t_cnt) AS BIGINT) AS nt FROM bins),
+      |p AS (
+      |  SELECT bin, r_cnt, t_cnt,
+      |    least(CAST(1000000 AS BIGINT), CAST(
+      |      (t_cnt::HUGEINT * nr::HUGEINT * 1000000::HUGEINT)
+      |      // (r_cnt::HUGEINT * nt::HUGEINT) AS BIGINT)) AS p_ppm
+      |  FROM bins, totals)
+      |SELECT d.doc_id, d.source, d.bin, d.tgt, p.p_ppm,
+      |  ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |    < p.p_ppm AS accepted
+      |FROM docs d JOIN p ON d.bin = p.bin""".stripMargin
+
+  // ---- q185: trained char-trigram language ID (Cavnar-Trenkle) -------------
+
+  private val ctK = 50L
+
+  /** q185: LEARNED language identification — the Cavnar-Trenkle (1994)
+    * rank-order profile classifier, trained on the corpus's own labels
+    * (q70's heuristic upgraded to a trained artifact, the q159/q160
+    * learned-artifact tier): per language, the top-50 char trigrams
+    * ranked by frequency form the profile; a document is scored against
+    * each language by the out-of-place distance Σ|rank_doc − rank_lang|
+    * (missing trigram ⇒ max penalty K) and classified to the argmin.
+    * All ranks and distances are exact integers under (count desc,
+    * trigram) total order — no floats anywhere.
+    *
+    * Honest caveat: the synthetic sf tables draw every language's text
+    * from ONE shared vocabulary, so their lang labels are independent of
+    * content and accuracy there is chance level for ANY classifier; the
+    * hash gate grades the computation, and the separability theorem
+    * (disjoint character inventories ⇒ 100% accuracy) is pinned on a
+    * crafted fixture in `PropertySpec`.
+    *
+    * Plan shape: ONE trigram extraction pass feeds both the model and
+    * the scoring side. The language model aggregates map-side into
+    * |langs|·|trigram vocab| keys, then ranks inside |langs| strata and
+    * keeps 50·|langs| rows — a broadcast-sized artifact no matter the
+    * corpus. Doc profiles rank inside per-doc windows (doc-bounded
+    * partitions). The doc×lang score grid is profile_rows × |langs| via
+    * crossJoin(broadcast(langs)) — languages are bounded — and the model
+    * lookup is a broadcast left join; the argmin is a per-doc window over
+    * |langs| rows. */
+  def langProfileId(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables(spark, dir, "documents")
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("s"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
+        .as("g"))
+    val wl = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("g").asc)
+    val langProfile = tri.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rl", row_number().over(wl).cast("long"))
+      .where(col("rl") <= ctK)
+      .select(col("lang").as("cand"), col("g"), col("rl"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("g").asc)
+    val docProfile = tri.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(wd).cast("long"))
+      .where(col("rd") <= ctK)
+    val langs = Tables(spark, dir, "documents")
+      .select(col("lang").as("cand")).distinct()
+    val wbest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dist").asc, col("cand").asc)
+    docProfile.crossJoin(broadcast(langs))
+      .join(broadcast(langProfile), Seq("cand", "g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(ctK))).as("dist"))
+      .withColumn("rk", row_number().over(wbest))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+        col("dist"), (col("lang") === col("cand")).as("correct"))
+  }
+
+  private val langProfileIdSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, lower(text) AS s FROM documents
+       |  WHERE length(text) >= 3),
+       |tri AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, length(s) - 1),
+       |      i -> substr(s, CAST(i AS INTEGER), 3))) AS g
+       |  FROM t),
+       |lp AS (
+       |  SELECT lang AS cand, g, rl FROM (
+       |    SELECT lang, g, CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY count(*) DESC, g) AS BIGINT) AS rl
+       |    FROM tri GROUP BY lang, g) x
+       |  WHERE rl <= $ctK),
+       |dp AS (
+       |  SELECT doc_id, lang, g, rd FROM (
+       |    SELECT doc_id, lang, g, CAST(row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY count(*) DESC, g) AS BIGINT) AS rd
+       |    FROM tri GROUP BY doc_id, lang, g) x
+       |  WHERE rd <= $ctK),
+       |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+       |dist AS (
+       |  SELECT d.doc_id, d.lang, l.cand,
+       |    CAST(sum(coalesce(abs(d.rd - p.rl), $ctK)) AS BIGINT) AS dist
+       |  FROM dp d CROSS JOIN langs l
+       |  LEFT JOIN lp p ON l.cand = p.cand AND d.g = p.g
+       |  GROUP BY d.doc_id, d.lang, l.cand)
+       |SELECT doc_id, lang, cand AS pred_lang, dist, lang = cand AS correct
+       |FROM (
+       |  SELECT doc_id, lang, cand, dist, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY dist, cand) AS rk
+       |  FROM dist) b
+       |WHERE rk = 1""".stripMargin
+
+  // ---- q186: token-balanced shard assignment (snake order) -----------------
+
+  private val nShards = 8L
+
+  /** q186: data-parallel shard assignment — lay each language's documents
+    * in (tokens desc, doc_id) order and deal them to 8 shards in SNAKE
+    * (boustrophedon) order: round r takes shards left-to-right when r is
+    * even, right-to-left when odd, so the longest documents spread
+    * evenly and per-shard token totals stay within one document of each
+    * other — the classic LPT-flavored static balancing a training job
+    * does before launching 8 data-parallel readers.
+    *
+    * Everything is integer arithmetic on the per-stratum row_number
+    * (shard = within if round even, else S−1−within), so the assignment
+    * is exact and reproducible on any cluster shape. Scale shape: one
+    * window per language stratum (the q87/q150 tier — a 100 TB
+    * deployment swaps in a (lang, shard-group) composite partition key
+    * to bound per-window data; the snake math is unchanged). */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(lower(text), ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_tokens"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"""CASE WHEN (pos div $nShards) % 2 = 0
+                |  THEN pos % $nShards
+                |  ELSE ${nShards - 1} - pos % $nShards END""".stripMargin)
+          .as("shard"))
+  }
+
+  private val tokenShardsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN (pos // $nShards) % 2 = 0 THEN pos % $nShards
+       |    ELSE ${nShards - 1} - pos % $nShards END AS shard
+       |FROM p""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_lang_profile_id", langProfileId, Some(langProfileIdSql)),
+    QueryDef("q186_token_shards", tokenShards, Some(tokenShardsSql)),
+    QueryDef("q182_quality_calibration", qualityCalibration,
+      Some(qualityCalibrationSql)),
+    QueryDef("q183_dist_match_sample", distMatchSample,
+      Some(distMatchSampleSql)),
     QueryDef("q178_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("q180_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     QueryDef("q177_filter_funnel", filterFunnel, Some(filterFunnelSql)),

@@ -506,6 +506,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q183/q184 broadcast their bounded model tables; nothing sort-merges") {
+    for (name <- Seq("q183_dist_match_sample", "q184_embed_standardize")) {
+      val p = treePlan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name\n$p")
+    }
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

@@ -657,6 +657,111 @@ class PropertySpec extends AnyFunSuite {
     assert(sel.map(_._1).toSet == expected)
   }
 
+  test("q182 calibrated rank is a [0,1] per-source percent rank") {
+    val rows = graft.queries.TextAnalysis.qualityCalibration(spark, TestSpark.sf)
+      .as[(Long, String, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, c, k) =>
+      c >= 0.0 && c <= 1.0 && k == (c >= 0.2) })
+    for ((_, rs) <- rows.groupBy(_._2) if rs.length >= 2) {
+      // the extremes of every stratum hit exactly 0 and 1, and the
+      // calibrated value equals (rank-1)/(n-1) under the (score, doc_id)
+      // total order — recomputed independently
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val n = rs.length
+      sorted.zipWithIndex.foreach { case (r, ix) =>
+        assert(r._4 == ix.toDouble / (n - 1), s"${r._1}")
+      }
+    }
+  }
+
+  test("q183 accept probabilities match the target/raw bin ratio, capped") {
+    val rows = graft.queries.TextAnalysis.distMatchSample(spark, TestSpark.sf)
+      .as[(Long, String, Long, Boolean, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._5 >= 0 && r._5 <= 1000000L))
+    // recompute the bin model and the acceptance decision independently
+    val byBin = rows.groupBy(_._3)
+    val nr = rows.length.toLong
+    val nt = rows.count(_._4).toLong
+    for ((bin, rs) <- byBin) {
+      val rCnt = rs.length.toLong
+      val tCnt = rs.count(_._4).toLong
+      val want = math.min(1000000L, tCnt * nr * 1000000L / (rCnt * nt))
+      assert(rs.forall(_._5 == want), s"bin $bin")
+    }
+    // a bin with no target mass accepts nothing
+    for ((_, rs) <- byBin if rs.forall(!_._4))
+      assert(rs.forall(!_._6))
+  }
+
+  test("q184 standardized dims have mean 0 and unit variance") {
+    val rows = graft.queries.Similarity.embedStandardize(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect()
+    val n = graft.Tables(spark, TestSpark.sf, "embeddings").count()
+    val byDim = rows.groupBy(_._2)
+    assert(byDim.values.forall(_.length == n))
+    for ((i, rs) <- byDim) {
+      val zs = rs.map(_._3)
+      val mean = zs.sum / zs.length
+      val varr = zs.map(z => (z - mean) * (z - mean)).sum / zs.length
+      assert(math.abs(mean) < 1e-9, s"dim $i mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-9, s"dim $i var $varr")
+    }
+  }
+
+  test("q185 trained profiles classify separable languages perfectly") {
+    val dir = java.nio.file.Files.createTempDirectory("langprof").toString
+    // two fake languages with DISJOINT character inventories — a trained
+    // rank-profile classifier must get every document right. (The sf
+    // tables can't carry this theorem: their lang labels are assigned
+    // independently of the shared synthetic vocabulary, so accuracy
+    // there is chance level by construction for ANY classifier.)
+    val aa = Seq("aaa bab abba baab", "abab baba aab bba", "aabb bbaa abab ab")
+    val zz = Seq("zzz yzy zyyz yzzy", "zyzy yzyz zzy yyz", "zzyy yyzz zyzy zy")
+    val rows = aa.zipWithIndex.map { case (t, i) => (i.toLong, t, "aa", "s") } ++
+      zz.zipWithIndex.map { case (t, i) => (100L + i, t, "zz", "s") }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextAnalysis.langProfileId(spark, dir)
+      .as[(Long, String, String, Long, Boolean)].collect()
+    assert(out.length == rows.length)
+    assert(out.forall(_._5), out.filterNot(_._5).mkString(","))
+    // and on the real table: one verdict per doc, predictions drawn from
+    // the label set
+    val real = graft.queries.TextAnalysis.langProfileId(spark, TestSpark.sf)
+      .as[(Long, String, String, Long, Boolean)].collect()
+    val nDocs = graft.Tables(spark, TestSpark.sf, "documents")
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) >= 3).count()
+    assert(real.length == nDocs)
+    val langs = graft.Tables(spark, TestSpark.sf, "documents")
+      .select("lang").distinct().as[String].collect().toSet
+    assert(real.forall(r => langs.contains(r._3)))
+    assert(real.forall(r => r._5 == (r._2 == r._3)))
+  }
+
+  test("q186 snake sharding balances docs and tokens within every stratum") {
+    val rows = graft.queries.TextAnalysis.tokenShards(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 0 && r._4 < 8))
+    for ((lang, rs) <- rows.groupBy(_._2)) {
+      val byShard = rs.groupBy(_._4).values.toSeq
+      // doc-count balance: every shard holds floor(n/8) or ceil(n/8)
+      val sizes = byShard.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // token balance: snake dealing of a descending sequence keeps the
+      // per-shard spread within the largest single document
+      if (byShard.size == 8) {
+        val sums = byShard.map(_.map(_._3).sum)
+        val maxDoc = rs.map(_._3).max
+        assert(sums.max - sums.min <= maxDoc,
+          s"$lang spread ${sums.max - sums.min} > $maxDoc")
+      }
+    }
+  }
+
   test("q181 k-center picks distinct spread centers with shrinking radius") {
     val rows = graft.queries.Similarity.kcenterCoreset(spark, TestSpark.sf)
       .orderBy(org.apache.spark.sql.functions.col("sel_order"))
