@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       GraftExtensions.topKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("l2sq_l"),
+      new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_l"),
+      GraftExtensions.l2SqBuilder))
   }
 }
 
@@ -35,6 +39,19 @@ object GraftExtensions {
     require(children.length == 2, "dot_d takes exactly 2 arguments")
     DotProduct(children.head, children(1))
   }
+
+  private val l2SqBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 2, "l2sq_l takes exactly 2 arguments")
+    L2SqLong(children.head, children(1))
+  }
+
+  /** `l2sq_l` counterpart of [[registerDotD]] — resolves the native
+    * squared-L2 expression in sessions built without GraftExtensions. */
+  def registerL2Sq(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("l2sq_l"),
+      new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_l"),
+      l2SqBuilder)
 
   private val topKBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 3,

@@ -13,6 +13,13 @@ package object functions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Squared-L2 distance of two `array<bigint>` columns (codegen'd,
+    * allocation-free, exact integer — identical to the
+    * `aggregate(zip_with(...))` fold for quantized vectors). */
+  def l2sq_l(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Distributed Bloom-filter build over a `long` column — Spark's native
     * `BloomFilterAggregate` (partial aggregates merged by bit-OR; the same
     * expression runtime join filtering uses). Returns ONE binary row.

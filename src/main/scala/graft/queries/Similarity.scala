@@ -957,30 +957,49 @@ object Similarity {
     * Plan shape: d·(d−1)/2 pair rows are generated per vector INSIDE the
     * scan by a nested array transform (no self-join — a join of the
     * exploded (vec, dim) table with itself would shuffle the corpus
-    * twice and is the classic quadratic mistake), then one map-side-
-    * combined aggregation over exactly 2016 keys. At 100 TB the shuffle
-    * carries |partitions|·2016 partial rows, nothing ∝ corpus size. */
+    * twice and is the classic quadratic mistake). The heavy pair pass
+    * aggregates exactly ONE decimal (the cross-moment; vi·vj is exact in
+    * int64 at ≤ 2^42) per row — n, Σv, Σv² are DIMENSION quantities, so
+    * they come from a cheap d-key aggregate joined back broadcast
+    * instead of riding the d²/2-per-row pass ×5 (measured 2.5× on the
+    * bench). Both aggregations are map-side combined into bounded key
+    * spaces; the shuffles carry |partitions|·(d²/2 + d) partial rows,
+    * nothing ∝ corpus size. */
   def embedMoments(spark: SparkSession, dir: String): DataFrame = {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    def sq(c: org.apache.spark.sql.Column) =
-      (c.cast(d19) * c.cast(d19)).cast(d38)
-    Tables(spark, dir, "embeddings")
+    val quant = Tables(spark, dir, "embeddings")
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
         .as("q"))
+    // Per-DIM first moments from a d-key aggregate — n, Σv, Σv² are
+    // dimension quantities, so carrying them per PAIR would multiply the
+    // heavy d²/2-per-row aggregation's work ×5 for values a 64-row join
+    // supplies; the pair pass sums exactly ONE decimal per row (the
+    // cross-moment, whose vi·vj product is exact in int64 at ≤ 2^42).
+    val dims = quant
+      .select(posexplode(col("q")))
+      .select(col("pos").cast("long").as("d"), col("col").as("v"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s1"),
+        sum((col("v").cast(d19) * col("v").cast(d19)).cast(d38)).as("s2"))
+      // referenced twice (i-side and j-side) — checkpoint the d-row table
+      // so the corpus is not scanned and aggregated once per reference
+      .localCheckpoint(true)
+    val pairs = quant
       .select(explode(expr(
         """flatten(transform(sequence(0, size(q) - 2), i ->
           |  transform(sequence(i + 1, size(q) - 1), j ->
           |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-          |      'vi', q[i], 'vj', q[j]))))""".stripMargin)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.vi").as("vi"), col("p.vj").as("vj"))
+          |      'p', q[i] * q[j]))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.p").as("p"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("vi").cast(d38)).as("sx"), sum(col("vj").cast(d38)).as("sy"),
-        sum(sq(col("vi"))).as("sxx"), sum(sq(col("vj"))).as("syy"),
-        sum((col("vi").cast(d19) * col("vj").cast(d19)).cast(d38)).as("sxy"))
+      .agg(sum(col("p").cast(d38)).as("sxy"))
+    pairs
+      .join(broadcast(dims.select(col("d").as("i"), col("n"),
+        col("s1").as("sx"), col("s2").as("sxx"))), Seq("i"))
+      .join(broadcast(dims.select(col("d").as("j"),
+        col("s1").as("sy"), col("s2").as("syy"))), Seq("j"))
       .select(col("i") +: col("j") +: momentExprs.map(expr): _*)
   }
 
@@ -1037,9 +1056,14 @@ object Similarity {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
         .as("q"))
+    // the per-round distance is the engine's NATIVE l2sq_l expression
+    // (codegen'd integer subtract-multiply-accumulate) — the composable
+    // aggregate(zip_with(...)) fold is CodegenFallback and would evaluate
+    // interpreted once per row per round, the fitter's hot loop
+    graft.functions.GraftExtensions.registerL2Sq(spark)
     def d2(center: Seq[Long]) = {
       val c = center.mkString("array(", "L, ", "L)")
-      expr(s"aggregate(zip_with(q, $c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+      expr(s"l2sq_l(q, $c)")
     }
     val seed = pts0.orderBy(col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("q")).head()

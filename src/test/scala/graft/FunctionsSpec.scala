@@ -47,6 +47,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).sum > 0)
   }
 
+  test("l2sq_l equals the integer zip_with fold and handles nulls/SQL/codegen") {
+    import graft.functions.l2sq_l
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(64)((
+      Array.fill(33)(rnd.nextLong() % (1L << 21)),
+      Array.fill(33)(rnd.nextLong() % (1L << 21))))
+    val intFold =
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    val df = rows.toDF("a", "b")
+      .select(l2sq_l($"a", $"b").as("native"), expr(intFold).as("folded"))
+    assert(df.where($"native" =!= $"folded").count() == 0)
+    // null propagation
+    val nd = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
+    assert(nd.select(l2sq_l($"a", $"b")).head.isNullAt(0))
+    // SQL registration via GraftExtensions
+    assert(spark.sql("SELECT l2sq_l(array(1L, 5L), array(4L, 1L)) AS d")
+      .head.getLong(0) == 25L)
+    // codegen participation: non-foldable, non-local input (a literal
+    // local relation would collapse to LocalTableScan before codegen)
+    val cg = spark.range(10)
+      .select(array($"id", lit(2L)).as("v"))
+      .select(l2sq_l($"v", $"v").as("d"))
+    val plan = cg.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("codegen id"), plan)
+    assert(cg.collect().forall(_.getLong(0) == 0L))
+  }
+
   test("top_k_pairs: order, ties, k bound, null skipping — any partitioning") {
     graft.functions.GraftExtensions.registerTopK(spark)
     // group 1: 5 candidates incl. a score tie (id asc breaks it) and a

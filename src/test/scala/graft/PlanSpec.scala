@@ -493,11 +493,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("top_k_pairs"), p)
   }
 
-  test("q179 moment matrix is one scan + one keyed exchange, no join") {
+  test("q179 moment matrix: bounded-key aggregates, broadcast-only joins") {
     val p = treePlan("q179_embed_moments")
-    assert(!p.contains("Join"), p)
-    // partial agg -> single hashpartitioning(i, j) exchange -> final agg
-    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // the d-row dim-stats table joins back broadcast; a sort-merge join
+    // here would shuffle the pair table on top of its aggregation
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // two map-side-combined aggregations (pairs, dims) — nothing more
+    // (broadcast exchanges excluded: count only shuffle exchanges)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
   test("q180 DSIR model and selection joins broadcast; nothing sort-merges") {
