@@ -59,7 +59,20 @@ object ScaleUp {
       tagged.withColumn("doc_id", col("doc_id") + lit(i * idMax))
     }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
-    println(s"[scaleup] wrote ${f}x lineitem + documents from $src to $dst")
+    // embeddings: factor copies with vec_id offset, vectors verbatim.
+    // The vector-tier costs under measurement (moment aggregation,
+    // standardization, per-round k-center distance scans) are functions
+    // of row count and dimensionality only — value degeneracy across
+    // copies does not change any measured pass's work. (Duplicate points
+    // are never SELECTED by k-center — dmin 0 — but every round still
+    // scans them, which is the cost being measured.)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    copies(emb, f) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * vMax))
+    }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    println(s"[scaleup] wrote ${f}x lineitem + documents + embeddings from $src to $dst")
     spark.stop()
   }
 
