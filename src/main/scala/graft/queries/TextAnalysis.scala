@@ -2277,7 +2277,63 @@ object TextAnalysis {
        |    ELSE ${nShards - 1} - pos % $nShards END AS shard
        |FROM p""".stripMargin
 
+  // ---- q187: deterministic per-epoch shuffle order -------------------------
+
+  /** q187: reproducible multi-epoch data ordering — for each training
+    * epoch, every shard's documents are re-permuted by the seedless hash
+    * of (epoch, doc_id), so (a) any cluster shape reproduces the same
+    * epoch order bit-for-bit (the property that makes training runs
+    * resumable and ablations comparable), (b) epochs are decorrelated
+    * (the hash re-keys on the epoch), and (c) a document never leaves
+    * its q186 shard — shard assignment is the expensive balanced step,
+    * the per-epoch re-shuffle is free ordering on top.
+    *
+    * Plan shape: the 3-epoch grid is a scan-local array explode (no join
+    * against an epochs table), and the rank windows are per (epoch,
+    * shard) — bounded strata, q186's tier. Everything is integer/hash
+    * arithmetic: exact in both engines. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    tokenShards(spark, dir)
+      .select(col("doc_id"), col("lang"), col("shard"),
+        explode(expr("sequence(0L, 2L)")).as("epoch"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 15),
+          16, 10).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+  }
+
+  private val epochShuffleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM d),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (pos // $nShards) % 2 = 0 THEN pos % $nShards
+       |      ELSE ${nShards - 1} - pos % $nShards END AS shard
+       |  FROM p),
+       |g AS (
+       |  SELECT s.doc_id, s.shard, e.epoch,
+       |    ('0x' || substr(md5(e.epoch::VARCHAR || ':' || s.doc_id::VARCHAR),
+       |      1, 15))::BIGINT AS h
+       |  FROM sh s CROSS JOIN (
+       |    SELECT unnest(range(0, 3)) AS epoch) e)
+       |SELECT epoch, shard, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |FROM g""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     QueryDef("q185_lang_profile_id", langProfileId, Some(langProfileIdSql)),
     QueryDef("q186_token_shards", tokenShards, Some(tokenShardsSql)),
     QueryDef("q182_quality_calibration", qualityCalibration,

@@ -762,6 +762,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q187 epoch shuffle keeps shard membership, re-permutes per epoch") {
+    val rows = graft.queries.TextAnalysis.epochShuffle(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    // same (shard -> doc set) in every epoch; pos dense from 0 per group
+    val membership = byEpoch.view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap).toMap
+    assert(membership(0L) == membership(1L) && membership(1L) == membership(2L))
+    for ((_, rs) <- rows.groupBy(r => (r._1, r._2)))
+      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length).toSeq)
+    // and the permutations genuinely differ between epochs somewhere
+    def order(e: Long) = byEpoch(e).sortBy(r => (r._2, r._4)).map(_._3).toSeq
+    assert(order(0L) != order(1L) || order(1L) != order(2L))
+    // determinism: a second evaluation reproduces the identical ordering
+    val again = graft.queries.TextAnalysis.epochShuffle(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2, r._4)).toSeq ==
+      again.sortBy(r => (r._1, r._2, r._4)).toSeq)
+  }
+
   test("q181 k-center picks distinct spread centers with shrinking radius") {
     val rows = graft.queries.Similarity.kcenterCoreset(spark, TestSpark.sf)
       .orderBy(org.apache.spark.sql.functions.col("sel_order"))
