@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectOptimizerRule(_ => graft.plans.ArrayContainsJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.VectorFoldRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),

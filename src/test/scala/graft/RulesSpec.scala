@@ -61,6 +61,50 @@ class RulesSpec extends AnyFunSuite {
     assert(keyed.count() == 0L)
   }
 
+  test("vector folds rewrite to the native dot_d / l2sq_l expressions") {
+    import spark.implicits._
+    // arrays built from non-nullable columns -> containsNull = false,
+    // the schema proof the rule requires
+    val base = spark.range(100)
+      .select(col("id"),
+        array(col("id").cast("double"), lit(2.0), (col("id") * 3).cast("double")).as("a"),
+        array(lit(1.0), col("id").cast("double"), lit(0.5)).as("b"),
+        array(col("id"), lit(2L)).as("la"),
+        array(lit(7L), col("id") * 2).as("lb"))
+    val dotFold =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    val l2Fold =
+      "aggregate(zip_with(la, lb, (x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)"
+    val df = base.select(col("id"),
+      expr(dotFold).as("dot"), expr(l2Fold).as("l2"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_d("), opt.take(800))
+    assert(opt.contains("l2sq_l("), opt.take(800))
+    assert(!opt.contains("aggregate("), opt.take(800))
+    // values identical to the un-rewritten folds (computed via the
+    // natives directly, which FunctionsSpec already pins to the folds)
+    val got = df.orderBy("id").collect()
+    val want = base.orderBy("id")
+      .select(graft.functions.dot_d($"a", $"b"), graft.functions.l2sq_l($"la", $"lb"))
+      .collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getDouble(1) == w.getDouble(0) && g.getLong(2) == w.getLong(1))
+    }
+    // NOT rewritten when the schema cannot prove non-null elements: a
+    // parquet-read array keeps containsNull = true
+    val emb = Tables(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (s, v2) -> s + v2)"))
+    val embOpt = emb.queryExecution.optimizedPlan.toString
+    assert(embOpt.contains("aggregate("), embOpt.take(800))
+    // unequal lengths stay null after the rewrite (zip_with pad parity)
+    val uneq = spark.range(1)
+      .select(array(lit(1.0), lit(2.0)).as("a"), array(lit(3.0)).as("b"))
+      .select(expr(dotFold))
+    assert(uneq.head.isNullAt(0))
+  }
+
   test("rewrite preserves semantics on random string pairs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
