@@ -149,7 +149,70 @@ object Temporal {
       |SELECT path, count(*) AS n FROM tri GROUP BY 1
       |ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** q188: INCREMENTAL SCD2 MERGE — the warehouse upsert completing the
+    * q135/q136/q137 temporal family with the q115/q120 incremental tier:
+    * the versioned dimension built from history (orders before the
+    * cutoff day) absorbs a new batch (orders from the cutoff on) without
+    * rebuilding — each touched key's open current row is CLOSED to the
+    * key's first new version day, the batch's versions chain among
+    * themselves, and untouched keys pass through unchanged. This is
+    * MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT in
+    * DataFrame form.
+    *
+    * The q120 trust invariant, applied to SCD2: because the batch
+    * boundary is a DAY boundary, every (key, day) spend aggregate lands
+    * wholly on one side, and version chains only ever APPEND (new days
+    * sort after all history days) — so merge(history dim, batch) must
+    * equal q135's dimension rebuilt over the FULL table, and the oracle
+    * IS that full-corpus SQL. (Out-of-order corrections would void the
+    * append property; that is the documented boundary between MERGE and
+    * rebuild.)
+    *
+    * Scale shape: history is touched ONCE, joined key-partitioned
+    * against the |touched keys|-row first-new-version table (never
+    * broadcast — touched keys are unbounded at corpus scale); the batch
+    * chains inside per-key windows; union is free. The corpus-sized
+    * fact table is never re-read — only the dimension and the batch
+    * move, the LSM-style property that makes nightly loads feasible. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    def daySpend(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("valid_from"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+    val orders = Tables(spark, dir, "orders")
+    val wh = Window.partitionBy(col("key")).orderBy(col("valid_from").asc)
+    // the persisted-history stand-in: built once from the pre-cutoff
+    // slice, checkpointed so the merge provably never re-reads facts
+    val hist = daySpend(orders.where(col("o_orderdate") < cutoff))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wh))
+      .localCheckpoint(true)
+    val batch = daySpend(orders.where(col("o_orderdate") >= cutoff))
+    val batchChained = batch
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wh))
+    val firstNew = batch.groupBy(col("key"))
+      .agg(min(col("valid_from")).as("first_new"))
+    val histClosed = hist.join(firstNew, Seq("key"), "left")
+      .select(col("key"), col("valid_from"), col("day_spend"),
+        when(col("valid_to").isNull && col("first_new").isNotNull,
+          col("first_new")).otherwise(col("valid_to")).as("valid_to"))
+    histClosed.unionByName(batchChained)
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q188_scd2_merge", scd2Merge, Some(
+      s"""SELECT key, valid_from, day_spend,
+         |  lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+         |    AS valid_to,
+         |  CAST(CASE WHEN lead(valid_from) OVER (
+         |    PARTITION BY key ORDER BY valid_from) IS NULL
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM (
+         |  SELECT o_custkey AS key, o_orderdate AS valid_from,
+         |    ${graft.Exact.sqlSum2("o_totalprice")} AS day_spend
+         |  FROM orders GROUP BY 1, 2) d""".stripMargin)),
     QueryDef("q147_path_trigrams", pathTrigrams, Some(pathTrigramsSql)),
     QueryDef("q136_scd2_pit", scd2PointInTime, Some(
       """WITH d AS (

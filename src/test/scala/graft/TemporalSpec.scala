@@ -106,4 +106,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)),
       got)
   }
+
+  test("q188 merge closes touched keys, chains the batch, passes untouched keys") {
+    // cutoff is 2000-01-01: key 1 has history + batch, key 2 history only,
+    // key 3 batch only
+    val dir = stage(
+      events = Seq((1L, t("1999-01-01 00:00:00"), 1L, "view", 1.0)),
+      orders = Seq(
+        (1L, t("1999-01-10 00:00:00"), 10.0),
+        (1L, t("1999-02-10 00:00:00"), 20.0),
+        (1L, t("2000-03-01 00:00:00"), 30.0),
+        (1L, t("2000-04-01 00:00:00"), 40.0),
+        (2L, t("1999-05-01 00:00:00"), 50.0),
+        (3L, t("2000-06-01 00:00:00"), 60.0)))
+    val got = graft.queries.Temporal.scd2Merge(spark, dir)
+      .as[(Long, Timestamp, Double, Option[Timestamp], Long)].collect()
+      .sortBy(r => (r._1, r._2.getTime))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      // key 1: two history versions; the formerly-open 02-10 row CLOSED to
+      // the first batch day; batch versions chained, last one current
+      (1L, t("1999-01-10 00:00:00"), 10.0, Some(t("1999-02-10 00:00:00")), 0L),
+      (1L, t("1999-02-10 00:00:00"), 20.0, Some(t("2000-03-01 00:00:00")), 0L),
+      (1L, t("2000-03-01 00:00:00"), 30.0, Some(t("2000-04-01 00:00:00")), 0L),
+      (1L, t("2000-04-01 00:00:00"), 40.0, None, 1L),
+      // key 2: untouched — still open
+      (2L, t("1999-05-01 00:00:00"), 50.0, None, 1L),
+      // key 3: fresh chain from the batch alone
+      (3L, t("2000-06-01 00:00:00"), 60.0, None, 1L)), got.toSeq)
+  }
 }
