@@ -2332,7 +2332,124 @@ object TextAnalysis {
        |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
        |FROM g""".stripMargin
 
+  // ---- q189: selection pipeline (calibrate -> match -> dedup -> shard) -----
+
+  /** q189: the round-9 SELECTION tier composed into ONE DAG — the q100
+    * composition proof applied to the new operators: per-source
+    * percent-rank quality calibration (q182, keep the top 80% of each
+    * source) → distribution-matching rejection sampling of the
+    * calibrated pool against the src0/src1 length profile (q183's
+    * integer-ppm accept model, refit on the POOL it samples — matching
+    * is always relative to the population that survived upstream) →
+    * exact dedup keep-first (q50 shape) → token-balanced snake sharding
+    * (q186) → per-(lang, shard) docs/tokens report. Every stage is the
+    * same deterministic arithmetic its standalone query uses, so the
+    * whole pipeline is hash-checked end to end.
+    *
+    * Plan shape: one scan feeds the calibration window (per-source
+    * strata); the bin model is a bounded agg broadcast back; dedup and
+    * sharding are one window each; the report is a |langs|·|shards|
+    * aggregate. Nothing quadratic, nothing driver-side. */
+  def selectionPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(lower(trim(col("text")))).as("fp"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"),
+        col("source").isin("src0", "src1").as("tgt"),
+        expr("CAST(n_chars div 200 AS BIGINT)").as("bin"))
+    val wcal = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").asc, col("doc_id").asc)
+    val cal = base.withColumn("pr", percent_rank().over(wcal))
+      .where(col("pr") >= 0.2d)
+    val bins = cal.groupBy(col("bin")).agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_cnt"))
+    val totals = bins.agg(sum(col("r_cnt")).cast("long").as("nr"),
+      sum(col("t_cnt")).cast("long").as("nt"))
+    val p = bins.crossJoin(broadcast(totals))
+      .select(col("bin"), expr(
+        """least(CAST(1000000 AS BIGINT),
+          |  CAST((CAST(t_cnt AS DECIMAL(38,0)) * CAST(nr AS DECIMAL(38,0))
+          |        * CAST(1000000 AS DECIMAL(38,0)))
+          |    div (CAST(r_cnt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0)))
+          |  AS BIGINT))""".stripMargin).as("p_ppm"))
+    val acc = cal.join(broadcast(p), Seq("bin"))
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000L < col("p_ppm"))
+    val ded = acc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+      .where(col("rn") === 1)
+    val wsh = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    ded.withColumn("pos", (row_number().over(wsh) - 1).cast("long"))
+      .withColumn("shard",
+        expr(s"""CASE WHEN (pos div $nShards) % 2 = 0
+                |  THEN pos % $nShards
+                |  ELSE ${nShards - 1} - pos % $nShards END""".stripMargin))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  private val selectionPipelineSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, md5(lower(trim(text))) AS fp,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+       |      AS score_ppm,
+       |    source IN ('src0', 'src1') AS tgt,
+       |    CAST(n_chars // 200 AS BIGINT) AS bin
+       |  FROM (
+       |    SELECT *, list_filter(string_split(lower(text), ' '), x -> x <> '')
+       |      AS toks
+       |    FROM documents) x
+       |  WHERE len(toks) >= 1),
+       |cal AS (
+       |  SELECT * FROM (
+       |    SELECT *, percent_rank() OVER (PARTITION BY source
+       |      ORDER BY score_ppm, doc_id) AS pr
+       |    FROM base) y
+       |  WHERE pr >= 0.2),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS r_cnt,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+       |  FROM cal GROUP BY bin),
+       |totals AS (
+       |  SELECT CAST(sum(r_cnt) AS BIGINT) AS nr,
+       |    CAST(sum(t_cnt) AS BIGINT) AS nt FROM bins),
+       |p AS (
+       |  SELECT bin, least(CAST(1000000 AS BIGINT), CAST(
+       |      (t_cnt::HUGEINT * nr::HUGEINT * 1000000::HUGEINT)
+       |      // (r_cnt::HUGEINT * nt::HUGEINT) AS BIGINT)) AS p_ppm
+       |  FROM bins, totals),
+       |acc AS (
+       |  SELECT c.* FROM cal c JOIN p ON c.bin = p.bin
+       |  WHERE ('0x' || substr(md5(c.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+       |    < p.p_ppm),
+       |ded AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM acc) z
+       |  WHERE rn = 1),
+       |sh AS (
+       |  SELECT lang, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM ded)
+       |SELECT lang,
+       |  CASE WHEN (pos // $nShards) % 2 = 0 THEN pos % $nShards
+       |    ELSE ${nShards - 1} - pos % $nShards END AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM sh GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q189_selection_pipeline", selectionPipeline,
+      Some(selectionPipelineSql)),
     QueryDef("q187_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     QueryDef("q185_lang_profile_id", langProfileId, Some(langProfileIdSql)),
     QueryDef("q186_token_shards", tokenShards, Some(tokenShardsSql)),
