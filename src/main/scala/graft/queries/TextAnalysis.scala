@@ -2160,23 +2160,32 @@ object TextAnalysis {
     * lookup is a broadcast left join; the argmin is a per-doc window over
     * |langs| rows. */
   def langProfileId(spark: SparkSession, dir: String): DataFrame = {
+    // lang.isNotNull is pinned on the SHARED stream: the model join pushes
+    // that filter into its own branch, and a one-sided filter would make
+    // the two dp0 subtrees canonically different — defeating the
+    // exchange reuse the single-tokenize plan shape depends on
     val tri = Tables(spark, dir, "documents")
-      .where(length(col("text")) >= 3)
+      .where(length(col("text")) >= 3 && col("lang").isNotNull)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("s"))
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))
         .as("g"))
+    // ONE aggregation of the trigram stream — the language model is the
+    // per-doc count table re-aggregated (Σ over docs of per-doc counts IS
+    // the per-lang count), so the corpus-scale shuffle happens once and
+    // both branches share its exchange instead of re-tokenizing the scan
+    val dp0 = tri.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
     val wl = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("g").asc)
-    val langProfile = tri.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val langProfile = dp0.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("rl", row_number().over(wl).cast("long"))
       .where(col("rl") <= ctK)
       .select(col("lang").as("cand"), col("g"), col("rl"))
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("c").desc, col("g").asc)
-    val docProfile = tri.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val docProfile = dp0
       .withColumn("rd", row_number().over(wd).cast("long"))
       .where(col("rd") <= ctK)
     val langs = Tables(spark, dir, "documents")
@@ -2196,7 +2205,7 @@ object TextAnalysis {
   private val langProfileIdSql =
     s"""WITH t AS (
        |  SELECT doc_id, lang, lower(text) AS s FROM documents
-       |  WHERE length(text) >= 3),
+       |  WHERE length(text) >= 3 AND lang IS NOT NULL),
        |tri AS (
        |  SELECT doc_id, lang,
        |    unnest(list_transform(range(1, length(s) - 1),

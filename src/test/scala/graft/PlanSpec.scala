@@ -518,6 +518,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q185 tokenizes once: both model branches share the doc-count exchange") {
+    // AQE only materializes exchange reuse at runtime — execute, then
+    // read the FINAL adaptive plan: the lang model re-aggregates the
+    // per-doc count table, so the second consumer of the corpus-scale
+    // trigram exchange must be a ReusedExchange, not a second tokenize
+    val df = SparkEntry.queries("q185_lang_profile_id")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"), p.take(1500))
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
