@@ -1564,8 +1564,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(toks) - 2),
           |  i -> concat(toks[i], ' ', toks[i + 1]))""".stripMargin)).as("b"))
-    val model = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-    val perDoc = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    // ONE tokenization: the model is the per-doc count table re-aggregated
+    // (Σ over docs of per-doc bigram counts IS the corpus count), so both
+    // join inputs share the per-doc exchange instead of exploding the
+    // corpus twice (b.isNotNull pinned so the join's pushed filter cannot
+    // de-canonicalize the shared subtree)
+    val perDoc = bg.where(col("b").isNotNull)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    val model = perDoc.groupBy(col("b")).agg(sum(col("k")).as("cnt"))
     perDoc.join(model, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("k")).as("sum_cnt"),
@@ -1844,23 +1850,39 @@ object TextAnalysis {
       .where(size(col("toks")) >= 1)
     val stats = docs.agg(count(lit(1)).as("nd"),
       sum(size(col("toks")).cast("long")).as("ltot"))
-    val toks = docs.select(col("doc_id"),
-      size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
-    val dfreq = toks.select(col("doc_id"), col("t")).distinct()
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val qt = dfreq.where(length(col("t")) >= 4)
-      .orderBy(col("df").desc, col("t").asc).limit(5)
-    val tf = toks.join(broadcast(qt), Seq("t"))
-      .groupBy(col("t"), col("df"), col("doc_id"), col("dl"))
+    // ONE posting aggregation: tf-per-(term, doc) is computed corpus-wide
+    // first; df is then its per-term ROW count (one row per posting), so
+    // the query-term selection and the scoring side share the posting
+    // exchange instead of exploding the corpus twice (t.isNotNull pinned
+    // so the broadcast join's pushed filter cannot de-canonicalize it)
+    // the length-≥4 query-term universe is pinned on the SHARED posting
+    // stream — output-invariant (the scoring side only ever sees query
+    // terms, which are length-≥4 by construction; df per term does not
+    // depend on other terms) and it keeps the two branches canonically
+    // identical, so the posting shuffle runs ONCE and the df side reads
+    // a ReusedExchange instead of re-shuffling the corpus
+    val tfAll = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
+      .where(col("t").isNotNull && length(col("t")) >= 4)
+      .groupBy(col("t"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+    // the query-term stats carry ctf (collection frequency, Σ tf — the
+    // standard df companion in an IR index); consuming tf here also keeps
+    // this branch's posting aggregate canonically identical to the
+    // scoring branch's — a keys-only df (count(1), which prunes tf into
+    // a distinct) would silently forfeit the exchange reuse
+    val dfreq = tfAll.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    val qt = dfreq.orderBy(col("df").desc, col("t").asc).limit(5)
+    val tf = tfAll.join(broadcast(qt), Seq("t"))
     graft.functions.GraftExtensions.registerTopK(spark)
     tf.crossJoin(broadcast(stats))
-      .select(col("t"), col("df"), col("doc_id"),
+      .select(col("t"), col("df"), col("ctf"), col("doc_id"),
         expr(bm25ScoreExpr).as("score"))
-      .groupBy(col("t"), col("df"))
+      .groupBy(col("t"), col("df"), col("ctf"))
       .agg(expr("top_k_pairs(score, doc_id, 10)").as("tk"))
-      .select(col("t"), col("df"), posexplode(col("tk")))
-      .select(col("t"), col("df"), col("col.id").as("doc_id"),
+      .select(col("t"), col("df"), col("ctf"), posexplode(col("tk")))
+      .select(col("t"), col("df"), col("ctf"), col("col.id").as("doc_id"),
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rk"))
   }
 
@@ -1876,22 +1898,24 @@ object TextAnalysis {
        |toks AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS t
        |  FROM docs),
+       |tfall AS (
+       |  SELECT t, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE length(t) >= 4
+       |  GROUP BY t, doc_id, dl),
        |dfreq AS (
-       |  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-       |  FROM toks GROUP BY t),
-       |qt AS (
-       |  SELECT t, df FROM dfreq WHERE length(t) >= 4
-       |  ORDER BY df DESC, t LIMIT 5),
+       |  SELECT t, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(tf) AS BIGINT) AS ctf
+       |  FROM tfall GROUP BY t),
+       |qt AS (SELECT t, df, ctf FROM dfreq ORDER BY df DESC, t LIMIT 5),
        |tf AS (
-       |  SELECT k.t, q.df, k.doc_id, k.dl, CAST(count(*) AS BIGINT) AS tf
-       |  FROM toks k JOIN qt q ON k.t = q.t
-       |  GROUP BY k.t, q.df, k.doc_id, k.dl),
+       |  SELECT a.t, q.df, q.ctf, a.doc_id, a.dl, a.tf
+       |  FROM tfall a JOIN qt q ON a.t = q.t),
        |sc AS (
-       |  SELECT t, df, doc_id,
+       |  SELECT t, df, ctf, doc_id,
        |    ${bm25ScoreExpr.replace("\n", "\n|    ")} AS score
        |  FROM tf, stats)
-       |SELECT t, df, doc_id, score, rk FROM (
-       |  SELECT t, df, doc_id, score, row_number() OVER (
+       |SELECT t, df, ctf, doc_id, score, rk FROM (
+       |  SELECT t, df, ctf, doc_id, score, row_number() OVER (
        |    PARTITION BY t ORDER BY score DESC, doc_id) AS rk
        |  FROM sc) r
        |WHERE rk <= 10""".stripMargin
@@ -1933,9 +1957,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("tgt"),
         (conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long") % 4096L)
           .as("f"))
-    val model = bg.groupBy(col("f")).agg(
-      count(lit(1)).as("cnt_r"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("cnt_t"))
+    // ONE tokenization for the whole query: the per-(doc, bucket) count
+    // table is the query's working set — model, totals, ratio, and the
+    // per-doc score all derive from it, and it is CHECKPOINTED because
+    // FIVE downstream consumers would otherwise each re-explode the
+    // corpus (measured: 9 scans → 1). Its size is docs × distinct
+    // buckets (≤ B = 4096) — the pre-aggregated feature table, orders
+    // of magnitude under the raw token stream at any corpus size.
+    val perDocF = bg.groupBy(col("doc_id"), col("tgt"), col("f"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val model = perDocF.groupBy(col("f")).agg(
+      sum(col("k")).as("cnt_r"),
+      sum(when(col("tgt"), col("k")).otherwise(0L)).as("cnt_t"))
     val totals = model.agg(sum(col("cnt_r")).cast("long").as("nr"),
       sum(col("cnt_t")).cast("long").as("nt"))
     val ratio = model.crossJoin(broadcast(totals))
@@ -1944,8 +1978,7 @@ object TextAnalysis {
           |  * CAST(1000000 AS DECIMAL(38,0)))
           | div (CAST(cnt_r + 1 AS DECIMAL(38,0)) * CAST(nt + 4096 AS DECIMAL(38,0)))
           | AS BIGINT)""".stripMargin).as("ratio_ppm"))
-    val perDoc = bg.groupBy(col("doc_id"), col("tgt"), col("f"))
-      .agg(count(lit(1)).as("k"))
+    val perDoc = perDocF
       .join(broadcast(ratio), Seq("f"))
       .groupBy(col("doc_id"), col("tgt"))
       .agg(sum(col("k")).as("n_bigrams"),

@@ -589,17 +589,19 @@ class PropertySpec extends AnyFunSuite {
 
   test("q178 BM25 emits ranked postings for the top-df query terms") {
     val rows = graft.queries.TextAnalysis.bm25TopK(spark, TestSpark.sf)
-      .as[(String, Long, Long, Double, Long)].collect()
+      .as[(String, Long, Long, Long, Double, Long)].collect()
     val byTerm = rows.groupBy(_._1)
     assert(byTerm.nonEmpty && byTerm.size <= 5)
     for ((t, rs) <- byTerm) {
       assert(t.length >= 4, t)
-      val sorted = rs.sortBy(_._5)
+      val sorted = rs.sortBy(_._6)
       // rk dense from 1, scores weakly decreasing in rank order, all > 0
-      assert(sorted.map(_._5).toSeq == (1L to rs.length).toSeq, t)
-      assert(sorted.map(_._4).toSeq.reverse == sorted.map(_._4).toSeq.sorted, t)
-      assert(rs.forall(_._4 > 0), t)
+      assert(sorted.map(_._6).toSeq == (1L to rs.length).toSeq, t)
+      assert(sorted.map(_._5).toSeq.reverse == sorted.map(_._5).toSeq.sorted, t)
+      assert(rs.forall(_._5 > 0), t)
       assert(rs.length <= 10, t)
+      // ctf >= df: a term occurs at least once in each doc that has it
+      assert(rs.forall(r => r._3 >= r._2), t)
     }
     // the query terms really are the df-top-5 among length>=4 terms,
     // recomputed independently from the raw token stream
