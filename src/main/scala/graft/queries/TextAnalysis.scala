@@ -758,8 +758,10 @@ object TextAnalysis {
     * is deliberately absent — libm log is not correctly-rounded and may
     * differ between engines at the ULP, while a single IEEE division of
     * exact integers is bit-identical everywhere; the score is monotone in
-    * the same ordering for fixed tf. Two shuffles total: the (token)
-    * df agg and the (doc, token) tf agg — both partial-aggregated, both
+    * the same ordering for fixed tf. Two shuffles total: the (doc,
+    * token) tf agg and, derived FROM it, the (token) df agg (df = the
+    * posting row count, so the corpus is tokenized once and the df
+    * branch reads the tf exchange back) — both partial-aggregated, both
     * ∝ distinct keys, never ∝ corpus bytes. */
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
@@ -767,9 +769,15 @@ object TextAnalysis {
       .where(col("t") =!= "")
     val nDocs = Tables(spark, dir, "documents")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = toks.select(col("doc_id"), col("t")).distinct()
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // ONE tokenization: df is the per-term ROW count of the (doc, term)
+    // tf table (one row per posting), so both join inputs share the tf
+    // exchange instead of exploding the corpus twice. The tf > 0 guard is
+    // a no-op semantically (counts are >= 1) but keeps tf CONSUMED in
+    // this branch — without it Catalyst prunes the count into a keys-only
+    // distinct and the subtrees stop canonicalizing (the q178 lesson).
     val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.where(col("tf") > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("t").asc)
     // df joins by SHUFFLE on the token key, deliberately un-hinted: the
