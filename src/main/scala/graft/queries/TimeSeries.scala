@@ -164,7 +164,58 @@ object TimeSeries {
       |  FROM events e JOIN st ON e.event_type = st.event_type) t
       |WHERE varn2 > 0 AND dev * dev > varn2 * 9""".stripMargin
 
+  /** q190: exponentially-decayed counts — the trending/monitoring
+    * primitive (recency-weighted activity per key, half-life = 1 day):
+    * score(type) = Σ_days count(type, day) · 2^(day − newest_day). Every
+    * weight is a POWER OF TWO, which is the whole determinism design:
+    * 2^(−k) is exactly representable, each product count·2^(−k) is exact
+    * in double (counts ≪ 2^53), and over the 20-day trending window the
+    * sum has common denominator 2^20 with an integer numerator below
+    * 2^53 for any count total under 2^33 — so the accumulation is EXACT
+    * and order-independent, where any other decay base (or an unbounded
+    * window, whose numerator needs max-age bits) would make the sum
+    * partition-order-dependent and break the cross-engine gate (the
+    * q165 sqrt lesson applied to decay). The window is also the
+    * semantics: trending is recency by definition, and 2^-20 ≈ 1e-6
+    * is already noise weight.
+    *
+    * Plan shape: one map-side-combined (type, day) aggregation, the
+    * 1-row newest-day anchor broadcast back, and a |types|-row final
+    * reduce. The decayed score is an incremental-maintenance-friendly
+    * quantity: tomorrow's score = today's · 2^(−Δdays) + new counts —
+    * the same monoid-merge property the q120/q188 incremental tier is
+    * built on. */
+  def decayedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+    val anchor = daily.agg(max(col("d")).as("dmax"))
+    daily.crossJoin(broadcast(anchor))
+      .select(col("event_type"), col("n"),
+        expr("CAST(datediff(dmax, d) AS BIGINT)").as("age"))
+      .where(col("age") <= 20)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_window"),
+        sum(expr("CAST(n AS DOUBLE) * power(CAST(2.0 AS DOUBLE), CAST(-age AS DOUBLE))"))
+          .as("decayed"))
+  }
+
+  private val decayedCountsSql =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |anchor AS (SELECT max(d) AS dmax FROM daily)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_window,
+      |  sum(CAST(n AS DOUBLE)
+      |      * power(CAST(2.0 AS DOUBLE),
+      |              CAST(-date_diff('day', d, dmax) AS DOUBLE))) AS decayed
+      |FROM daily, anchor
+      |WHERE date_diff('day', d, dmax) <= 20
+      |GROUP BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q190_decayed_counts", decayedCounts, Some(decayedCountsSql)),
     QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),
     QueryDef("q92_resample", resample, Some(resampleSql)),
     QueryDef("q93_forward_fill", forwardFill, Some(forwardFillSql)))

@@ -785,6 +785,29 @@ class PropertySpec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._2, r._4)).toSeq)
   }
 
+  test("q190 decayed counts are exactly the rational power-of-two sum") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max}
+    val got = graft.queries.TimeSeries.decayedCounts(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // independent recomputation in exact rational arithmetic: the engine
+    // value must equal numerator / 2^20 EXACTLY — that is the point of
+    // the power-of-two decay design
+    val daily = graft.Tables(spark, TestSpark.sf, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val dmax = daily.map(_._2.getTime).max
+    for ((t, rs) <- daily.groupBy(_._1)) {
+      val withAge = rs.map { case (_, d, n) =>
+        (((dmax - d.getTime) / 86400000L), n) }.filter(_._1 <= 20)
+      val num = withAge.map { case (age, n) => n * (1L << (20 - age.toInt)) }.sum
+      val (_, nWin, decayed) = got(t)
+      assert(nWin == withAge.map(_._2).sum, t)
+      assert(decayed == num.toDouble / (1L << 20).toDouble, t)
+    }
+  }
+
   test("q181 k-center picks distinct spread centers with shrinking radius") {
     val rows = graft.queries.Similarity.kcenterCoreset(spark, TestSpark.sf)
       .orderBy(org.apache.spark.sql.functions.col("sel_order"))
