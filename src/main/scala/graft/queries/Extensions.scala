@@ -141,6 +141,12 @@ object Extensions {
     QueryDef("q148_stream_sketch",
       (s, d) => EventStreams.sketchStreamRun(s, d),
       Some(Scalars.sketchRollupSql)),
+    // q190's decayed-count monitor as a real micro-batch run: daily counts
+    // accumulate in the streaming agg state store, the shared power-of-two
+    // decay arithmetic runs on the final state — graded by q190's oracle.
+    QueryDef("q191_stream_decayed",
+      (s, d) => EventStreams.decayedCountsStreamRun(s, d),
+      Some(TimeSeries.decayedCountsSql)),
     // Event-time-timeout state EVICTION (flatMapGroupsWithState) as a real
     // micro-batch run: a staged watermark-flush sentinel closes every real
     // session, so the emitted set equals batch gaps-and-islands

@@ -185,10 +185,16 @@ object TimeSeries {
     * quantity: tomorrow's score = today's · 2^(−Δdays) + new counts —
     * the same monoid-merge property the q120/q188 incremental tier is
     * built on. */
-  def decayedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def decayedCounts(spark: SparkSession, dir: String): DataFrame =
+    decayFromDaily(Tables(spark, dir, "events")
       .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
-      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n")))
+
+  /** The decay arithmetic over a (event_type, d, n) daily-count table —
+    * shared by the batch query and its STREAMING twin (q191), so the two
+    * can never drift: anchor at the newest day, window to 20 days,
+    * exact power-of-two weighted sum. */
+  private[graft] def decayFromDaily(daily: DataFrame): DataFrame = {
     val anchor = daily.agg(max(col("d")).as("dmax"))
     daily.crossJoin(broadcast(anchor))
       .select(col("event_type"), col("n"),
@@ -200,7 +206,7 @@ object TimeSeries {
           .as("decayed"))
   }
 
-  private val decayedCountsSql =
+  private[graft] val decayedCountsSql =
     """WITH daily AS (
       |  SELECT event_type, date_trunc('day', ts) AS d,
       |    CAST(count(*) AS BIGINT) AS n

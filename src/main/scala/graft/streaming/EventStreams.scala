@@ -631,6 +631,25 @@ object EventStreams {
       |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
       |FROM sessions GROUP BY user_id, sid""".stripMargin
 
+  /** q191: q190's decayed-count monitor as a REAL streaming run — the
+    * (event_type, day) counts accumulate in the streaming aggregation
+    * state store across micro-batches (complete mode, |types|·|days|
+    * state rows — the smallest state a trending monitor can carry), and
+    * the power-of-two decay arithmetic is applied to the FINAL state
+    * through the SAME shared helper as the batch query
+    * (`TimeSeries.decayFromDaily`), so a bounded run must equal the
+    * batch computation exactly and q190's oracle grades the whole path
+    * (the q171 pattern). The decayed score's monoid-merge property
+    * (tomorrow = today·2^-Δ + new counts) is what makes this the
+    * natural streaming-maintenance shape. */
+  def decayedCountsStreamRun(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.TimeSeries.decayFromDaily(
+      boundedStreamRun(spark, dir,
+        (s, _) => s
+          .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+          .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n")),
+        "complete").localCheckpoint())
+
   /** q148: sketch state ACROSS micro-batches — the streaming ingest shape
     * of q145's rollup. The streaming aggregation holds one DataSketches
     * HLL buffer per (week, day) in the STATE STORE and folds each arriving
