@@ -40,7 +40,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, f)
+    spark.stop()
+  }
 
+  /** The scaling itself, session-injected so specs can pin the density
+    * contracts (disjoint key copies, suffixed-token documents, verbatim
+    * vectors) without spawning a second session. */
+  def run(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val okMax = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1L
     val pkMax = li.agg(max(col("l_partkey"))).head().getLong(0) + 1L
@@ -73,7 +80,6 @@ object ScaleUp {
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"[scaleup] wrote ${f}x lineitem + documents + embeddings from $src to $dst")
-    spark.stop()
   }
 
   private def copies(df: DataFrame, f: Int)(

@@ -426,4 +426,34 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("drop_covers_ok"), r)
     assert(r.getAs[Boolean]("recall_ok"), r)
   }
+
+  test("ScaleUp writes factor-x slices with disjoint ids and preserved density") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val src = Files.createTempDirectory("scaleup_src").toString
+    val dst = Files.createTempDirectory("scaleup_dst").toString
+    Seq((0L, 10L, 1.0), (1L, 11L, 2.0), (2L, 10L, 3.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$src/lineitem.parquet")
+    Seq((0L, "alpha beta", "en", "s0"), (1L, "gamma", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    Seq((0L, Array(0.5f, -0.25f), 0), (1L, Array(0.25f, 0.125f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    graft.tools.ScaleUp.run(spark, src, dst, 3)
+    val li = spark.read.parquet(s"$dst/lineitem.parquet")
+    assert(li.count() == 9)
+    // disjoint keys per copy: 3x the source's 3 distinct orders — degrees flat
+    assert(li.agg(countDistinct(col("l_orderkey"))).head.getLong(0) == 9)
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+      .as[(Long, String, String, String)].collect()
+    assert(docs.length == 6 && docs.map(_._1).distinct.length == 6)
+    // copies i>0 carry suffixed tokens: cross-copy shingles disjoint
+    assert(docs.count(_._2.contains("_1")) == 2)
+    val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+      .as[(Long, Seq[Float], Int)].collect()
+    assert(emb.length == 6 && emb.map(_._1).distinct.length == 6)
+    // vectors verbatim in every copy (cost model: rows x dims only)
+    assert(emb.count(_._2 == Seq(0.5f, -0.25f)) == 3)
+  }
 }
