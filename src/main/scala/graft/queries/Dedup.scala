@@ -1601,6 +1601,65 @@ object Dedup {
     materializeBucketed(spark, merged, "graft_fp_store_gen1", 8, Seq("fp"))
   }
 
+  // ---- q192: postings-store COMMIT (the retrieval-index cycle) ------------
+
+  /** q192: the search-index member of the incremental-store family —
+    * q120 maintains the fingerprint store, q169 the ANN store; this
+    * maintains the POSTINGS store the BM25/df consumers (q178) read.
+    * The historical (term, doc, dl, tf) posting table is persisted
+    * bucketed on the term key; the new batch's postings aggregate
+    * batch-locally and MERGE in (tf sums are commutative monoids, and a
+    * document's postings live wholly in its own batch, so the merged
+    * store provably equals the index rebuilt over the full corpus — the
+    * oracle IS that full-corpus SQL, the q120/q188 trust invariant).
+    * Gen1 is written bucketed for the next cycle; the verification
+    * grain is the per-term statistics of the READ-BACK gen1 (df, ctf,
+    * and an exact sum(doc_id) membership checksum so the oracle pins
+    * committed membership, not just counts — the q169 recipe).
+    *
+    * Scale shape: the corpus text is never re-read at commit time —
+    * only 8-byte-keyed postings move; merge cost ∝ store + batch
+    * postings, both sides keyed on the term with the store side
+    * pre-bucketed (the LSM compaction shape). */
+  def postingsCommit(spark: SparkSession, dir: String): DataFrame = {
+    def postingsOf(pred: String): DataFrame =
+      Tables(spark, dir, "documents")
+        .where(expr(pred))
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+        .where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
+        .where(length(col("t")) >= 4)
+        .groupBy(col("t"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+    val store0 = materializeBucketed(spark,
+      postingsOf(s"NOT ($batchPred)"), "graft_postings_gen0", 8, Seq("t"))
+    val merged = store0.unionByName(postingsOf(batchPred))
+      .groupBy(col("t"), col("doc_id"), col("dl"))
+      .agg(sum(col("tf")).as("tf"))
+    materializeBucketed(spark, merged, "graft_postings_gen1", 8, Seq("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
+        sum(col("doc_id")).as("doc_checksum"))
+  }
+
+  private val postingsCommitSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+      |tfall AS (
+      |  SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS t FROM docs) x
+      |  WHERE length(t) >= 4
+      |  GROUP BY t, doc_id)
+      |SELECT t, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(tf) AS BIGINT) AS ctf,
+      |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+      |FROM tfall GROUP BY t""".stripMargin
+
   private val storeCommitSql =
     """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
       |  count(*) AS n_copies
@@ -1774,5 +1833,6 @@ object Dedup {
     QueryDef("q117_stream_ingest_dedup", streamingIngestDedup,
       Some(streamingIngestSql)),
     QueryDef("q120_store_commit", storeCommit, Some(storeCommitSql)),
+    QueryDef("q192_postings_commit", postingsCommit, Some(postingsCommitSql)),
     QueryDef("q116_bucketed_index", jaccardPairsBucketed, Some(jaccardSql)))
 }
