@@ -2497,7 +2497,98 @@ object TextAnalysis {
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM sh GROUP BY 1, 2""".stripMargin
 
+  // ---- q193: weak-supervision signal diagnostics ---------------------------
+
+  /** q193: labeling-function diagnostics — the weak-supervision health
+    * table: three independent quality signals vote on every document
+    * (the q71 heuristic rule, the q166 Simpson-diversity gate, the q88
+    * duplicate-token gate), the majority (≥2 of 3) is the consensus
+    * label, and each signal is scored by its AGREEMENT with that
+    * consensus — the table a Snorkel-style pipeline inspects to find
+    * the labeling function that has drifted from the committee. All
+    * three flags are exact-integer/scan-local expressions, the vote is
+    * integer addition, and agreement is an exact ppm floor-division, so
+    * the whole diagnostic is hash-deterministic.
+    *
+    * Plan shape: ONE corpus scan computes all flags and the vote; the
+    * per-signal breakdown explodes a 3-element literal-keyed array
+    * (3 rows per doc — bounded by the signal count, not content) into a
+    * 3-key aggregation. Nothing else moves. */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        // s1: the q71 heuristic (token count band + alpha ratio)
+        (size(col("toks")).between(20, 200) &&
+          length(regexp_replace(lower(col("text")), "[^a-z]", "")) * 10 >=
+            length(col("text")) * 7).as("s1"),
+        // s2: the q166 Simpson-diversity gate in exact integer form
+        expr("""size(toks) >= 5 AND
+                |  size(toks) * size(toks) - aggregate(
+                |    transform(array_distinct(toks),
+                |      d -> size(filter(toks, x -> x = d))),
+                |    CAST(0 AS BIGINT), (s, c) -> s + CAST(c AS BIGINT) * c)
+                |  >= CAST(ceil(0.5D * size(toks) * size(toks)) AS BIGINT)"""
+          .stripMargin).as("s2"),
+        // s3: the q88 duplicate-token gate (distinct fraction >= 40%)
+        expr("size(array_distinct(toks)) * 10 >= size(toks) * 4").as("s3"))
+      .withColumn("votes",
+        col("s1").cast("long") + col("s2").cast("long") + col("s3").cast("long"))
+      .withColumn("majority", col("votes") >= 2)
+      .select(col("majority"), explode(expr(
+        """array(named_struct('signal', 's1', 'flag', s1),
+          |      named_struct('signal', 's2', 'flag', s2),
+          |      named_struct('signal', 's3', 'flag', s3))""".stripMargin))
+        .as("e"))
+      .groupBy(col("e.signal").as("signal"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e.flag") === col("majority"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("e.flag"), 1L).otherwise(0L)).as("n_keep"))
+      .select(col("signal"), col("n_docs"), col("n_agree"), col("n_keep"),
+        expr("(n_agree * CAST(1000000 AS BIGINT)) div n_docs").as("agree_ppm"))
+
+  private val signalAgreementSql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+      |f AS (
+      |  SELECT doc_id,
+      |    len(toks) BETWEEN 20 AND 200 AND
+      |      length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 10 >=
+      |        length(text) * 7 AS s1,
+      |    len(toks) >= 5 AND
+      |      len(toks) * len(toks) - CAST(list_sum(list_transform(
+      |        list_distinct(toks),
+      |        d -> len(list_filter(toks, x -> x = d))
+      |             * len(list_filter(toks, x -> x = d)))) AS BIGINT)
+      |      >= CAST(ceil(0.5 * len(toks) * len(toks)) AS BIGINT) AS s2,
+      |    len(list_distinct(toks)) * 10 >= len(toks) * 4 AS s3
+      |  FROM t),
+      |v AS (
+      |  SELECT doc_id, s1, s2, s3,
+      |    (CASE WHEN s1 THEN 1 ELSE 0 END + CASE WHEN s2 THEN 1 ELSE 0 END
+      |     + CASE WHEN s3 THEN 1 ELSE 0 END) >= 2 AS majority
+      |  FROM f),
+      |e AS (
+      |  SELECT majority, 's1' AS signal, s1 AS flag FROM v
+      |  UNION ALL SELECT majority, 's2', s2 FROM v
+      |  UNION ALL SELECT majority, 's3', s3 FROM v)
+      |SELECT signal, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN flag = majority THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_agree,
+      |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(CASE WHEN flag = majority THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS agree_ppm
+      |FROM e GROUP BY signal""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_signal_agreement", signalAgreement,
+      Some(signalAgreementSql)),
     QueryDef("q189_selection_pipeline", selectionPipeline,
       Some(selectionPipelineSql)),
     QueryDef("q187_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
