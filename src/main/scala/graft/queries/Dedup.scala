@@ -1601,6 +1601,51 @@ object Dedup {
     materializeBucketed(spark, merged, "graft_fp_store_gen1", 8, Seq("fp"))
   }
 
+  // ---- q194: leakage-free split by construction ---------------------------
+
+  /** q194: the CONSTRUCTIVE complement of q129's leakage audit — instead
+    * of hashing each document into train/val/test and then auditing what
+    * leaked, assign the split to the exact-dup CLUSTER (the q50 keep_id
+    * representative) and give every member its cluster's fold: an exact
+    * duplicate can never straddle a boundary, by construction rather
+    * than by audit. (Near-dup-safe splits extend the same recipe with
+    * the q55 connected-component id as the cluster key.) Same seedless
+    * md5 recipe and 80/10/10 bands as q129's naive split, applied to
+    * the representative id, so any cluster shape reproduces the fold
+    * assignment bit-for-bit.
+    *
+    * Scale shape: the fp→rep table is the q50 aggregate (shuffle of
+    * 16-byte digests); members join it back on the fp — key-partitioned,
+    * NOT broadcast (the cluster table is corpus-sized); the fold hash is
+    * a scan-local expression on the joined rep. */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+    val reps = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"),
+      count(lit(1)).as("n_cluster"))
+    docs.join(reps, Seq("fp"))
+      .select(col("doc_id"), col("rep"), col("n_cluster"),
+        expr("""CASE
+                | WHEN CAST(conv(substring(md5(CAST(rep AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 80
+                | THEN 'train'
+                | WHEN CAST(conv(substring(md5(CAST(rep AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 < 90
+                | THEN 'val' ELSE 'test' END""".stripMargin).as("split"))
+  }
+
+  private val leakFreeSplitSql =
+    """WITH d AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      |r AS (
+      |  SELECT fp, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_cluster
+      |  FROM d GROUP BY fp)
+      |SELECT d.doc_id, r.rep, r.n_cluster,
+      |  CASE
+      |    WHEN ('0x' || substr(md5(r.rep::VARCHAR), 1, 15))::BIGINT % 100 < 80
+      |    THEN 'train'
+      |    WHEN ('0x' || substr(md5(r.rep::VARCHAR), 1, 15))::BIGINT % 100 < 90
+      |    THEN 'val' ELSE 'test' END AS split
+      |FROM d JOIN r ON d.fp = r.fp""".stripMargin
+
   // ---- q192: postings-store COMMIT (the retrieval-index cycle) ------------
 
   /** q192: the search-index member of the incremental-store family —
@@ -1834,5 +1879,6 @@ object Dedup {
       Some(streamingIngestSql)),
     QueryDef("q120_store_commit", storeCommit, Some(storeCommitSql)),
     QueryDef("q192_postings_commit", postingsCommit, Some(postingsCommitSql)),
+    QueryDef("q194_leakfree_split", leakFreeSplit, Some(leakFreeSplitSql)),
     QueryDef("q116_bucketed_index", jaccardPairsBucketed, Some(jaccardSql)))
 }

@@ -785,6 +785,34 @@ class PropertySpec extends AnyFunSuite {
       again.sortBy(r => (r._1, r._2, r._4)).toSeq)
   }
 
+  test("q194 split never separates exact duplicates, bands near 80/10/10") {
+    val dir = java.nio.file.Files.createTempDirectory("leakfree").toString
+    // crafted exact-dup cluster spanning ids that a doc-id hash split
+    // would scatter across folds
+    val rows = (0L until 200L).map { i =>
+      val text = if (i % 10 == 3) "THE duplicated text " else s"unique text $i"
+      (i, text, "en", "s")
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Dedup.leakFreeSplit(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 200)
+    // every cluster lands in exactly one fold — by construction
+    for ((_, rs) <- out.groupBy(_._2))
+      assert(rs.map(_._4).distinct.length == 1, rs.mkString(","))
+    // the 20-member dup cluster is intact and counted
+    val dup = out.filter(_._3 == 20L)
+    assert(dup.length == 20 && dup.map(_._4).distinct.length == 1)
+    // all three folds appear over the 181 clusters
+    assert(out.map(_._4).distinct.toSet == Set("train", "val", "test"))
+    // and on the sf table the same invariant holds
+    val real = graft.queries.Dedup.leakFreeSplit(spark, TestSpark.sf)
+      .as[(Long, Long, Long, String)].collect()
+    for ((_, rs) <- real.groupBy(_._2))
+      assert(rs.map(_._4).distinct.length == 1)
+  }
+
   test("q190 decayed counts are exactly the rational power-of-two sum") {
     import org.apache.spark.sql.functions.{col, count, date_trunc, lit, max}
     val got = graft.queries.TimeSeries.decayedCounts(spark, TestSpark.sf)
