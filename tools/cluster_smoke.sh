@@ -17,9 +17,10 @@
 #     then the gen1 commit re-bucketed across the boundary)
 #   - q173/q174 (transformWithState timers + ListState on RocksDB stores
 #     living in executor JVMs) and q176 (fp-keyed self-join matrix)
-#   - q178/q181/q185 (native top_k_pairs aggregate partials merged across
+#   - q178/q181/q185/q192 (native top_k_pairs aggregate partials merged across
 #     executors; native l2sq_l codegen + per-round localCheckpoint in the
-#     iterative k-center fitter; trained trigram profiles broadcast)
+#     iterative k-center fitter; trained trigram profiles broadcast; the
+#     postings store committed bucketed BY EXECUTOR TASKS and read back)
 #   - CLI built-in + manifest-Main-Class CLIENT JAR (closure classes that
 #     exist only in a user jar must deserialize on executors)
 # Every query is graded by the SAME DuckDB oracle as the driver gate.
@@ -40,7 +41,7 @@ echo "== cluster smoke: master=$MASTER sf=$SF work=$WORK"
 
 echo "== [1/4] oracle gate over the executor boundary"
 SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=4 \
-SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit,q173_tws_timers,q174_list_state_lastk,q176_source_overlap,q178_bm25_topk,q181_kcenter_coreset,q185_lang_profile_id \
+SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit,q173_tws_timers,q174_list_state_lastk,q176_source_overlap,q178_bm25_topk,q181_kcenter_coreset,q185_lang_profile_id,q192_postings_commit \
   sbt -batch "runMain graft.Verify $SF $WORK/verify" >"$WORK/verify.log" 2>&1 \
   || { tail -30 "$WORK/verify.log"; exit 1; }
 python3 tools/check.py "$WORK/verify" "$SF" | tail -3
