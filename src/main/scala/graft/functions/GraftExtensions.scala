@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2sq_l"),
       new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_l"),
       GraftExtensions.l2SqBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      GraftExtensions.cmsBuilder))
   }
 }
 
@@ -64,6 +68,25 @@ object GraftExtensions {
     }
     TopKPairs(children.head, children(1), k)
   }
+
+  private val cmsBuilder: Seq[Expression] => Expression = children => {
+    require(children.length == 4,
+      "cms_agg takes exactly 4 arguments: (word, cnt, depth, width)")
+    val lits = children.drop(2).map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"cms_agg: depth/width must be integer literals, got $other")
+    }
+    CmsAgg(children.head, children(1), lits.head, lits(1))
+  }
+
+  /** `cms_agg` counterpart of [[registerDotD]] — resolves the native
+    * count-min aggregate in sessions built without GraftExtensions. */
+  def registerCms(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      cmsBuilder)
 
   /** `top_k_pairs` counterpart of [[registerDotD]] — resolves the native
     * top-k aggregate in sessions built without GraftExtensions. */

@@ -715,6 +715,66 @@ object TextAnalysis {
       |  TRUE AS in_sketch, TRUE AS sketch_bounded
       |FROM tt, n GROUP BY t, n.n HAVING count(*) * 200 > n.n""".stripMargin
 
+  // ---- q195: count-min sketch frequencies ---------------------------------
+
+  private val cmsDepth = 4
+  private val cmsWidth = 512
+
+  /** q195: count-min sketch word frequencies — the FREQUENCY sketch
+    * completing the sketch family (HLL cardinality, quantile rank, bloom
+    * membership, freqItems support). The corpus tokenizes ONCE into the
+    * word-count table; the native mergeable [[graft.functions.CmsAgg]]
+    * folds it into a fixed 4×512 counter matrix (map-side partials, one
+    * matrix per partition over the wire — corpus- and vocabulary-size
+    * independent), and the top-20 exact words probe the matrix with the
+    * engine's shared md5 hash family evaluated in pure codegen'd SQL.
+    * Both consumers (sketch, top-k) read the SAME word-count exchange
+    * (`ReusedExchange` — the single-pass discipline of SCALE.md), and the
+    * 1-row matrix attaches by the broadcast scalar-attach idiom.
+    *
+    * Grading: because h_i(w) is the cross-engine md5 family, the oracle
+    * REBUILDS the exact counter matrix by grouping on (row, cell) and
+    * hash-grades the estimates themselves — CMS's `min_i counter[h_i(w)]`
+    * is deterministic integer arithmetic, not a bounded approximation, so
+    * no tolerance gate is needed; `no_undercount` pins the sketch's
+    * one-sided-error contract on every graded row. */
+  def cmsFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.registerCms(spark)
+    val wc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val matrix = wc.agg(expr(s"cms_agg(t, cnt, $cmsDepth, $cmsWidth)").as("m"))
+    val est = (0 until cmsDepth).map { i =>
+      s"element_at(m, CAST(CAST(conv(substring(md5(concat('$i:', t)), 1, 15), 16, 10) AS BIGINT) % $cmsWidth AS INT) + ${i * cmsWidth + 1})"
+    }.mkString("least(", ", ", ")")
+    wc.orderBy(col("cnt").desc, col("t")).limit(20)
+      .crossJoin(broadcast(matrix))
+      .select(col("t"), col("cnt"), expr(est).as("est"),
+        (expr(est) >= col("cnt")).as("no_undercount"))
+  }
+
+  private val cmsFrequenciesSql =
+    """WITH wc AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE t <> '' GROUP BY t),
+      |r AS (SELECT unnest(range(0, 4)) AS i),
+      |cells AS (
+      |  SELECT i,
+      |    (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT % 512) AS cell,
+      |    CAST(sum(cnt) AS BIGINT) AS s
+      |  FROM wc, r GROUP BY 1, 2),
+      |top AS (SELECT t, cnt FROM wc ORDER BY cnt DESC, t LIMIT 20),
+      |probes AS (
+      |  SELECT t, cnt, i,
+      |    (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT % 512) AS cell
+      |  FROM top, r)
+      |SELECT p.t, p.cnt, CAST(min(c.s) AS BIGINT) AS est,
+      |  CAST(min(c.s) AS BIGINT) >= p.cnt AS no_undercount
+      |FROM probes p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+      |GROUP BY p.t, p.cnt""".stripMargin
+
   // ---- q89: IQR length-outlier filter -------------------------------------
 
   /** Per-language Tukey outlier filter on document length: keep documents
@@ -2612,6 +2672,7 @@ object TextAnalysis {
     QueryDef("q66_salient_terms", salientTerms, Some(salientTermsSql)),
     QueryDef("q69_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q195_cms_freq", cmsFrequencies, Some(cmsFrequenciesSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),

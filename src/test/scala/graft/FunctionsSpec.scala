@@ -97,6 +97,54 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms_agg: matrix matches the SQL md5 hash family, any partitioning") {
+    graft.functions.GraftExtensions.registerCms(spark)
+    val rows = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 7L), ("alpha", 2L),
+      ("delta", 1L), (null, 9L)) // null key skipped (SQL agg convention)
+    val (depth, width) = (4, 32)
+    // Expected matrix built through Spark's OWN md5/conv SQL path — an
+    // independent implementation of the hash the native aggregate must
+    // match bit-for-bit (the cross-engine contract the oracle relies on).
+    val df = spark.createDataFrame(rows).toDF("w", "c").where($"w".isNotNull)
+    val expected = Array.fill(depth * width)(0L)
+    (0 until depth).foreach { i =>
+      df.select(
+          expr(s"CAST(conv(substring(md5(concat('$i:', w)), 1, 15), 16, 10) AS BIGINT) % $width")
+            .cast("int").as("cell"), $"c")
+        .groupBy($"cell").agg(sum($"c").as("s")).collect()
+        .foreach(r => expected(i * width + r.getInt(0)) = r.getLong(1))
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = spark.createDataFrame(rows).toDF("w", "c").repartition(parts)
+        .agg(expr(s"cms_agg(w, c, $depth, $width)").as("m"))
+        .head().getSeq[Long](0).toArray
+      assert(got.sameElements(expected), s"parts=$parts")
+      // each matrix row is a partition of the total mass
+      (0 until depth).foreach { i =>
+        assert(got.slice(i * width, (i + 1) * width).sum == 18L, s"row $i")
+      }
+    }
+  }
+
+  test("cms_agg survives a serialize/deserialize/merge round trip") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val agg = graft.functions.CmsAgg(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 2, 8)
+    val a = agg.createAggregationBuffer()
+    a(agg.cell(0, "x")) += 4L
+    a(8 + agg.cell(1, "x")) += 4L
+    val b = agg.deserialize(agg.serialize(a))
+    assert(b.sameElements(a))
+    val other = agg.createAggregationBuffer()
+    other(agg.cell(0, "y")) += 2L
+    other(8 + agg.cell(1, "y")) += 2L
+    val m = agg.merge(b, other)
+    assert(m.sum == 12L)
+    assert(m(agg.cell(0, "x")) >= 4L && m(8 + agg.cell(1, "y")) >= 2L)
+  }
+
   test("top_k_pairs survives a serialize/deserialize/merge round trip") {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.types.{DoubleType, LongType}
