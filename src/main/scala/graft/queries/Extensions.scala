@@ -172,5 +172,12 @@ object Extensions {
     // unbounded stream; oracle = batch top-k-recent per user.
     QueryDef("q174_list_state_lastk",
       (s, d) => EventStreams.lastKStreamRun(s, d),
-      Some(EventStreams.lastKSql)))
+      Some(EventStreams.lastKSql)),
+    // q195's count-min sketch as a streaming ingest: the counter matrix
+    // keyed by (row, cell) lives distributed in the streaming agg state
+    // store; the finite run's final state must reproduce the batch
+    // sketch bit-for-bit — q195's identical oracle grades it.
+    QueryDef("q196_stream_cms",
+      (s, d) => EventStreams.cmsStreamRun(s, d),
+      Some(TextAnalysis.cmsFrequenciesSql)))
 }

@@ -754,7 +754,7 @@ object TextAnalysis {
         (expr(est) >= col("cnt")).as("no_undercount"))
   }
 
-  private val cmsFrequenciesSql =
+  private[graft] val cmsFrequenciesSql =
     """WITH wc AS (
       |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) x

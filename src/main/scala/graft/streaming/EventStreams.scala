@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -927,6 +927,58 @@ object EventStreams {
       |SELECT user_id, string_agg(event_type, ',' ORDER BY rn DESC)
       |  AS last_types
       |FROM r WHERE rn <= 3 GROUP BY user_id""".stripMargin
+
+  /** q196: count-min sketch maintained IN THE STREAMING STATE STORE —
+    * q195's sketch as an ingest pipeline. The matrix is not held as one
+    * blob: it is keyed by its coordinates — each arriving token explodes
+    * to `depth` (row, cell) updates via the shared md5 hash family
+    * (evaluated in codegen'd SQL inside the stream) and a streaming
+    * aggregation owns one counter per touched coordinate. That is the
+    * cluster shape of a streaming sketch: state partitions by (row, cell)
+    * across executors, each micro-batch folds in map-side partial counts,
+    * and state size is bounded by depth×width regardless of how much
+    * stream has flowed. Complete mode on the finite run yields the final
+    * counter table, which the batch side probes for the top-20 exact
+    * words — graded by q195's identical oracle, so the whole
+    * stream-ingest path must reproduce the batch sketch bit-for-bit. */
+  private val cmsDepth = 4
+  private val cmsWidth = 512
+
+  /** The `depth` (row, cell) coordinates of a token column `t` as an
+    * explodable array — the shared md5 hash family in codegen'd SQL. */
+  private def cmsCoords: Column = {
+    val cellOf =
+      s"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', t)), 1, 15), 16, 10) AS BIGINT) % $cmsWidth"
+    expr(s"transform(sequence(0, ${cmsDepth - 1}), i -> named_struct('i', CAST(i AS BIGINT), 'cell', $cellOf))")
+  }
+
+  /** The streaming half of q196: tokens → depth (row, cell) updates →
+    * one streaming-agg counter per touched coordinate. Shared with the
+    * multi-batch spec. */
+  private[graft] def cmsCellCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(explode(cmsCoords).as("rc"))
+      .groupBy(col("rc.i").as("i"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("s"))
+
+  def cmsStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    val counters = boundedDocStreamRun(spark, dir,
+      (s, _) => cmsCellCounts(s), "complete").localCheckpoint()
+    val wc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val probes = wc.orderBy(col("cnt").desc, col("t")).limit(20)
+      .select(col("t"), col("cnt"), explode(cmsCoords).as("rc"))
+      .select(col("t"), col("cnt"), col("rc.i").as("i"), col("rc.cell").as("cell"))
+    // ≤ depth·width counter rows — broadcast the state, probe scan-side
+    probes.join(broadcast(counters), Seq("i", "cell"))
+      .groupBy(col("t"), col("cnt"))
+      .agg(min(col("s")).as("est"))
+      .select(col("t"), col("cnt"), col("est"),
+        (col("est") >= col("cnt")).as("no_undercount"))
+  }
 
   /** The transformWithState pipeline over an open events stream — shared
     * by the registry run and the multi-batch spec. Caller must run it on

@@ -483,4 +483,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming CMS counters accumulate across micro-batches to the batch matrix") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    val d = Files.createTempDirectory("cms_stream")
+    val docsDir = Files.createDirectory(d.resolve("docs")).toString
+    def stage(name: String, texts: Seq[String]): Unit = {
+      val scratch = Files.createTempDirectory("cms_stream_stage")
+      texts.toDF("text").coalesce(1).write.parquet(scratch.resolve("w").toString)
+      val part = Files.list(scratch.resolve("w")).iterator()
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(docsDir, s"$name.parquet"))
+      }
+    }
+    stage("b0", Seq("a b a", "c"))
+    val s = spark.newSession()
+    val q = EventStreams.cmsCellCounts(
+        s.readStream.schema("text STRING").parquet(docsDir))
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stage("b1", Seq("a d", "b b"))
+      q.processAllAvailable()
+      // the claim: batch 1's counters come from the PERSISTED agg state —
+      // losing it would leave a=1-ish cells instead of the union's a=3
+      val got = s.table("cms_cells").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      graft.functions.GraftExtensions.registerCms(spark)
+      val matrix = Seq("a", "b", "a", "c", "a", "d", "b", "b")
+        .toDF("t").withColumn("c", lit(1L))
+        .agg(expr("cms_agg(t, c, 4, 512)").as("m"))
+        .head().getSeq[Long](0)
+      val expected = matrix.zipWithIndex.collect {
+        case (v, idx) if v != 0L => ((idx / 512).toLong, (idx % 512).toLong) -> v
+      }.toMap
+      assert(got == expected, s"got=$got expected=$expected")
+      assert(got.values.sum == 8L * 4) // mass: 8 tokens × depth rows
+    } finally {
+      q.stop()
+      s.sql("DROP VIEW IF EXISTS cms_cells")
+    }
+  }
 }
