@@ -1666,18 +1666,23 @@ object Dedup {
     * only 8-byte-keyed postings move; merge cost ∝ store + batch
     * postings, both sides keyed on the term with the store side
     * pre-bucketed (the LSM compaction shape). */
+  /** The posting rows (t, doc_id, dl, tf) of the documents matching
+    * `pred` — ONE definition shared by the q192 commit and the q197 diff
+    * (and mirrored by both oracles), the q115/q117 can't-drift discipline. */
+  private def postingsOf(spark: SparkSession, dir: String, pred: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .where(expr(pred))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
+      .where(length(col("t")) >= 4)
+      .groupBy(col("t"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
   def postingsCommit(spark: SparkSession, dir: String): DataFrame = {
-    def postingsOf(pred: String): DataFrame =
-      Tables(spark, dir, "documents")
-        .where(expr(pred))
-        .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
-        .where(size(col("toks")) >= 1)
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("t"))
-        .where(length(col("t")) >= 4)
-        .groupBy(col("t"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
+    def postingsOf(pred: String): DataFrame = Dedup.postingsOf(spark, dir, pred)
     val store0 = materializeBucketed(spark,
       postingsOf(s"NOT ($batchPred)"), "graft_postings_gen0", 8, Seq("t"))
     val merged = store0.unionByName(postingsOf(batchPred))
@@ -1688,6 +1693,70 @@ object Dedup {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
         sum(col("doc_id")).as("doc_checksum"))
   }
+
+  // ---- q197: postings-store generation DIFF -------------------------------
+
+  /** q197: snapshot diff between two committed store generations — the
+    * audit operator of the incremental-store family (q120/q169/q192 build
+    * stores; this answers "what did the last commit change?"). Gen0 and
+    * gen1 are read back from their tables and outer-compared on the
+    * POSTING grain (t, doc_id). The comparison shuffles only 8-byte-keyed
+    * posting rows — never corpus text — and the exchange key includes
+    * doc_id, which makes it SKEW-PROOF: a stop-word term whose posting
+    * list spans millions of documents spreads uniformly across
+    * partitions, where any per-term formulation (collect posting arrays,
+    * join on t alone) concentrates it on one task. The t-bucketing the
+    * stores carry for their primary consumers cannot serve this join —
+    * Spark requires co-partitioning on the FULL join key set
+    * (`requireAllClusterKeysForCoPartition`), a measured adjudication,
+    * not an oversight; the posting-grain exchange is the plan you want
+    * at 100 TB anyway. The merge hint pins the at-scale SMJ shape that
+    * small-SF stats would otherwise replace with a broadcast (q116's
+    * rationale).
+    *
+    * Trust invariant: gen1 was committed as gen0 + batch, so the diff
+    * must reconstruct EXACTLY the batch's own postings — the oracle
+    * computes the batch index directly from `documents` and the per-term
+    * (added_df, tf_added, doc_checksum_added) must hash-match; `grown`
+    * pins that no existing posting changed (a doc's postings live wholly
+    * in its own batch). A diff that invents, loses, or double-counts a
+    * posting fails the gate. */
+  def postingsDiff(spark: SparkSession, dir: String): DataFrame = {
+    val gen0 = materializeBucketed(spark,
+      postingsOf(spark, dir, s"NOT ($batchPred)"), "graft_pdiff_gen0", 8, Seq("t"))
+    val merged = gen0.unionByName(postingsOf(spark, dir, batchPred))
+      .groupBy(col("t"), col("doc_id"), col("dl"))
+      .agg(sum(col("tf")).as("tf"))
+    val gen1 = materializeBucketed(spark, merged, "graft_pdiff_gen1", 8, Seq("t"))
+    val old = gen0.select(col("t"), col("doc_id"), col("tf").as("tf0"))
+    gen1.hint("merge").join(old, Seq("t", "doc_id"), "left_outer")
+      .groupBy(col("t"))
+      .agg(
+        count(when(col("tf0").isNull, 1)).as("added_df"),
+        sum(when(col("tf0").isNull, col("tf"))).as("tf_added"),
+        sum(when(col("tf0").isNull, col("doc_id"))).as("doc_checksum_added"),
+        count(when(col("tf0").isNotNull && col("tf0") =!= col("tf"), 1))
+          .as("grown"))
+      .where(col("added_df") > 0)
+  }
+
+  private val postingsDiffSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |  WHERE ($batchPred)
+       |    AND len(list_filter(string_split(lower(text), ' '), x -> x <> '')) >= 1),
+       |batch AS (
+       |  SELECT t, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS t FROM docs) x
+       |  WHERE length(t) >= 4
+       |  GROUP BY t, doc_id)
+       |SELECT t, CAST(count(*) AS BIGINT) AS added_df,
+       |  CAST(sum(tf) AS BIGINT) AS tf_added,
+       |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum_added,
+       |  CAST(0 AS BIGINT) AS grown
+       |FROM batch GROUP BY t""".stripMargin
 
   private val postingsCommitSql =
     """WITH docs AS (
@@ -1879,6 +1948,7 @@ object Dedup {
       Some(streamingIngestSql)),
     QueryDef("q120_store_commit", storeCommit, Some(storeCommitSql)),
     QueryDef("q192_postings_commit", postingsCommit, Some(postingsCommitSql)),
+    QueryDef("q197_postings_diff", postingsDiff, Some(postingsDiffSql)),
     QueryDef("q194_leakfree_split", leakFreeSplit, Some(leakFreeSplitSql)),
     QueryDef("q116_bucketed_index", jaccardPairsBucketed, Some(jaccardSql)))
 }

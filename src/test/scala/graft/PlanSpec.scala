@@ -207,6 +207,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findFirstIn(p).isDefined, p) // pattern sanity: tree form renders exchanges
   }
 
+  test("q197 store diff: posting-grain SMJ on the skew-proof (t, doc_id) key") {
+    val p = treePlan("q197_postings_diff")
+    // the generations compare as an SMJ exchanged on (t, doc_id) — doc_id
+    // in the key spreads a stop-word term's posting list uniformly, where
+    // a per-term formulation would concentrate it on one task; only
+    // 8-byte-keyed posting rows cross the wire, never corpus text
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning\\(t#\\d+, doc_id#".r.findFirstIn(p).isDefined, p)
+    // the join reads the committed stores, not the corpus
+    assert(p.contains("graft_pdiff_gen0") && p.contains("graft_pdiff_gen1"), p)
+  }
+
   test("q115 incremental probes: broadcast near screen, store never shuffles") {
     val p = treePlan("q115_incremental_dedup")
     // near screen: batch bands broadcast into the band-store scan
