@@ -1893,6 +1893,65 @@ object Dedup {
           .cast("long").as("overlap_ppm"))
   }
 
+  // ---- q198: theta-sketch source overlap (the q176 sketch path) -----------
+
+  /** q198: cross-source overlap by THETA SKETCH set algebra — the scale
+    * path of q176's exact matrix. HLL answers only union cardinality;
+    * theta sketches (Spark 4's DataSketches bindings) close the set
+    * algebra: one k-bounded sketch per source (mergeable map-side
+    * partials, kilobytes each), then pairwise INTERSECTION estimates on
+    * the |sources|²-sized pair table — no (fp, fp) self-join at all. At
+    * 100 TB the exact path shuffles the full fingerprint index; this
+    * path's cross-source step touches only sketch bytes, which is why
+    * data cards ship with sketched overlap numbers.
+    *
+    * Grading, q68-style: the exact matrix (same definition as q176 —
+    * shared `docFp`, same pair zero-fill) is hash-graded outright, and
+    * the sketch path is pinned by `within_bound`: |est − exact| ≤
+    * max(16, 5% · min(|A|,|B|)). Below the sketch's nominal k the theta
+    * sketch is in exact mode and the estimate IS the exact count; the
+    * bound keeps the gate honest once estimation mode engages at larger
+    * SF. */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(spark, dir, "documents")
+      .select(docFp.as("fp"), col("source")).distinct()
+      .localCheckpoint()
+    val perSource = fps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), expr("theta_sketch_agg(fp)").as("sk"))
+      .localCheckpoint()
+    val shared = fps.as("a").join(fps.as("b"), Seq("fp"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    perSource.select(col("source").as("s1"), col("n").as("n1"), col("sk").as("sk1"))
+      .join(broadcast(perSource.select(col("source").as("s2"),
+        col("n").as("n2"), col("sk").as("sk2"))), col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n1"), col("n2"),
+        expr("theta_sketch_estimate(theta_intersection(sk1, sk2))").as("est"))
+      .select(col("s1"), col("s2"), col("n_shared"), col("n1"), col("n2"),
+        (abs(col("est") - col("n_shared")) <=
+          greatest(lit(16L), expr("(least(n1, n2) * 5) div 100")))
+          .as("within_bound"))
+  }
+
+  private val thetaOverlapSql =
+    """WITH f AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents),
+      |s AS (SELECT source, count(*) AS n FROM f GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+      |  FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT x.source AS s1, y.source AS s2,
+      |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+      |  TRUE AS within_bound
+      |FROM s x JOIN s y ON x.source < y.source
+      |LEFT JOIN p ON p.s1 = x.source AND p.s2 = y.source""".stripMargin
+
   private val sourceOverlapSql =
     """WITH f AS (
       |  SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents),
@@ -1911,6 +1970,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q176_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
+    QueryDef("q198_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
