@@ -870,6 +870,63 @@ object TextAnalysis {
       |  FROM tfreq f JOIN dfreq d ON f.t = d.t, nd) r
       |WHERE rk <= 3""".stripMargin
 
+  // ---- q199: Poisson bootstrap (hash-seeded, exact) -----------------------
+
+  /** Poisson(1) CDF thresholds scaled by 2^60, floor-rounded — the
+    * inverse-CDF table shared as integer literals with the oracle, so the
+    * resample multiplicity is exact integer arithmetic in both engines. */
+  private val poissonThresh = Seq(424136118829305329L, 848272237658610659L,
+    1060340297073263324L, 1131029650211480879L, 1148701988496035267L)
+
+  /** q199: POISSON BOOTSTRAP of the mean document length — error bars on
+    * a corpus statistic without materializing B resamples. The classical
+    * bootstrap draws n docs with replacement per replica — unrunnable at
+    * corpus scale; the Poisson bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", 2012) replaces the draw with
+    * an independent Poisson(1) multiplicity per (doc, replica), which
+    * needs NO global coordination: every multiplicity is computed
+    * scan-locally, the per-replica sums partial-aggregate map-side, and
+    * the exchange carries 32 rows total regardless of corpus size.
+    *
+    * Determinism: the multiplicity is the inverse-CDF of the shared md5
+    * hash family — u = h(b:doc_id) ∈ [0, 2^60) compared against the five
+    * floor(CDF·2^60) integer literals above (mass beyond k=5 truncated,
+    * ~6e-4 of draws, identically in both engines) — so each replica's
+    * (n_eff, len_sum) is hash-graded exactly, not statistically. */
+  def bootstrapMean(spark: SparkSession, dir: String): DataFrame = {
+    val hExpr = "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', " +
+      "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val kExpr = poissonThresh
+      .map(t => s"(CASE WHEN h >= ${t}L THEN 1 ELSE 0 END)").mkString(" + ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(0L, 31L)")).as("b"))
+      .withColumn("h", expr(hExpr))
+      .withColumn("k", expr(kExpr).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("k")).as("n_eff"),
+        sum(col("k") * col("n_chars")).as("len_sum"))
+      .select(col("b"), col("n_eff"), col("len_sum"),
+        expr("(len_sum * 1000) div n_eff").as("mean_len_x1000"))
+  }
+
+  private val bootstrapMeanSql =
+    """WITH e AS (
+      |  SELECT b, n_chars,
+      |    (('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      |  FROM documents, (SELECT unnest(range(0, 32)) AS b) r),
+      |k AS (
+      |  SELECT b, n_chars,
+      |    ((h >= 424136118829305329)::INT + (h >= 848272237658610659)::INT +
+      |     (h >= 1060340297073263324)::INT + (h >= 1131029650211480879)::INT +
+      |     (h >= 1148701988496035267)::INT) AS k
+      |  FROM e)
+      |SELECT b, CAST(sum(k) AS BIGINT) AS n_eff,
+      |  CAST(sum(k * n_chars) AS BIGINT) AS len_sum,
+      |  CAST((sum(k * n_chars) * 1000) // sum(k) AS BIGINT) AS mean_len_x1000
+      |FROM k GROUP BY b""".stripMargin
+
   // ---- q69: deterministic stratified sample -------------------------------
 
   /** Exactly-k-per-stratum sampling: rank documents inside each language by
@@ -2673,6 +2730,7 @@ object TextAnalysis {
     QueryDef("q69_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q195_cms_freq", cmsFrequencies, Some(cmsFrequenciesSql)),
+    QueryDef("q199_bootstrap_mean", bootstrapMean, Some(bootstrapMeanSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
