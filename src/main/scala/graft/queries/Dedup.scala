@@ -1389,7 +1389,7 @@ object Dedup {
     val q = if (alias.isEmpty) "" else alias + "."
     s"${q}doc_id % 10 = 7"
   }
-  private val batchPred = batchPredFor("")
+  private[queries] val batchPred = batchPredFor("")
 
   /** The historical exact-fingerprint store — one row per normalized-text
     * md5 seen in history with the kept (minimum) doc_id. ONE definition

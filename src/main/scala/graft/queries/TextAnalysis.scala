@@ -775,6 +775,48 @@ object TextAnalysis {
       |FROM probes p JOIN cells c ON c.i = p.i AND c.cell = p.cell
       |GROUP BY p.t, p.cnt""".stripMargin
 
+  // ---- q200: CMS sketch-store COMMIT --------------------------------------
+
+  /** q200: incremental maintenance of the q195 sketch — the sketch-store
+    * member of the commit family (q120 fingerprints, q169 vectors, q192
+    * postings). A counter sketch is a commutative monoid, so the
+    * committed store updates by PURE ADDITION: gen0's counter table
+    * (history) and the arriving batch's counters merge elementwise and
+    * re-commit as gen1 — the historical corpus is never re-read at
+    * commit time, and the merge moves only ≤ depth·width counter rows
+    * however much corpus either side summarizes. The counter builder is
+    * ONE definition shared with the q196 stream
+    * ([[graft.streaming.EventStreams.cmsCellCounts]]), the q115/q117
+    * can't-drift discipline.
+    *
+    * Trust invariant of the family: gen1 must equal the sketch REBUILT
+    * over the full corpus; because the md5 hash family is exact in both
+    * engines, the oracle IS that full rebuild — every committed counter
+    * hash-graded, read back from the gen1 table. */
+  def cmsCommit(spark: SparkSession, dir: String): DataFrame = {
+    def countersOf(pred: String): DataFrame =
+      graft.streaming.EventStreams.cmsCellCounts(
+        Tables(spark, dir, "documents").where(expr(pred)))
+    val gen0 = Warehouse.materializeBucketed(spark,
+      countersOf(s"NOT (${Dedup.batchPred})"), "graft_cms_gen0", 4, Seq("cell"))
+    val merged = gen0.unionByName(countersOf(Dedup.batchPred))
+      .groupBy(col("i"), col("cell"))
+      .agg(sum(col("s")).as("s"))
+    Warehouse.materializeBucketed(spark, merged, "graft_cms_gen1", 4, Seq("cell"))
+  }
+
+  private val cmsCommitSql =
+    """WITH tt AS (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents) x
+      |  WHERE t <> ''),
+      |e AS (
+      |  SELECT i,
+      |    (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT % 512) AS cell
+      |  FROM tt, (SELECT unnest(range(0, 4)) AS i) r)
+      |SELECT i, cell, CAST(count(*) AS BIGINT) AS s
+      |FROM e GROUP BY i, cell""".stripMargin
+
   // ---- q89: IQR length-outlier filter -------------------------------------
 
   /** Per-language Tukey outlier filter on document length: keep documents
@@ -2731,6 +2773,7 @@ object TextAnalysis {
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q195_cms_freq", cmsFrequencies, Some(cmsFrequenciesSql)),
     QueryDef("q199_bootstrap_mean", bootstrapMean, Some(bootstrapMeanSql)),
+    QueryDef("q200_cms_commit", cmsCommit, Some(cmsCommitSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
