@@ -517,7 +517,22 @@ object EventStreams {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_stream_in")
-    Files.copy(Paths.get(s"$dir/$srcFile"), inDir.resolve(srcFile))
+    // the source table may be a single parquet file (driver testdata) or a
+    // directory of part files (anything Spark wrote, e.g. the ScaleUp sf1
+    // slice) — stage either shape; AvailableNow still drains it whole
+    val srcPath = Paths.get(s"$dir/$srcFile")
+    if (Files.isDirectory(srcPath)) {
+      val it = Files.list(srcPath).iterator()
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, inDir.resolve(f"part-$n%05d.parquet"))
+          n += 1
+        }
+      }
+      require(n > 0, s"no parquet part files under $srcPath")
+    } else Files.copy(srcPath, inDir.resolve(srcFile))
     flushPastMinutes.foreach(stageWatermarkFlush(spark, inDir, srcFile, _))
     val outDir = Files.createTempDirectory("graft_stream_out")
     val ck = Files.createTempDirectory("graft_stream_ck")
