@@ -302,7 +302,116 @@ object Relational {
       |  min(CASE WHEN node < 10 THEN node END) AS root_digit
       |FROM h GROUP BY p""".stripMargin
 
+  // ---- q201: data-quality constraint audit --------------------------------
+
+  /** q201: the Deequ-shaped DATA-QUALITY AUDIT every pipeline runs before
+    * a table feeds training — one result row per declared constraint:
+    * primary-key uniqueness, referential integrity, null rates, value
+    * domains, and derived-column consistency, across five tables.
+    *
+    * Shape discipline: each table's scalar constraints compute in ONE
+    * aggregate pass over that table (map-side-combined counts), then
+    * `stack` unpivots the 1-row aggregate into constraint rows — no scan
+    * per constraint. Referential integrity is a LEFT ANTI join counted to
+    * one row: the honest 100 TB plan (keyed shuffle on the FK; AQE may
+    * broadcast the dim side when it fits — both fine), never a collected
+    * key set. `observed` is the exact violation count, `passed` its
+    * zero-test, so the audit is fully hash-graded — and a drifted
+    * generator (a null o_custkey, an out-of-domain returnflag, an
+    * n_chars that stops matching length(text)) flips a row visibly
+    * instead of corrupting downstream queries silently. */
+  def dataAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(table: String, agg: DataFrame, n: Int): DataFrame =
+      agg.selectExpr(s"stack($n, ${(1 to n).flatMap(i =>
+        Seq(s"c$i", s"v$i")).mkString(", ")}) AS (constraint, observed)")
+        .withColumn("table_name", lit(table))
+    val cnt = (p: org.apache.spark.sql.Column) =>
+      sum(when(p, 1L).otherwise(0L))
+    val orders = one("orders", Tables(spark, dir, "orders").agg(
+      lit("pk_unique").as("c1"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v1"),
+      lit("custkey_nonnull").as("c2"), cnt(col("o_custkey").isNull).as("v2"),
+      lit("totalprice_positive").as("c3"),
+      cnt(col("o_totalprice") <= 0).as("v3")), 3)
+    val li = one("lineitem", Tables(spark, dir, "lineitem").agg(
+      lit("quantity_in_1_50").as("c1"),
+      cnt(col("l_quantity") < 1 || col("l_quantity") > 50).as("v1"),
+      lit("discount_in_0_1").as("c2"),
+      cnt(col("l_discount") < 0 || col("l_discount") > 1).as("v2"),
+      lit("returnflag_domain").as("c3"),
+      cnt(!col("l_returnflag").isin("A", "N", "R")).as("v3")), 3)
+    val docs = one("documents", Tables(spark, dir, "documents").agg(
+      lit("pk_unique").as("c1"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v1"),
+      lit("text_nonnull").as("c2"), cnt(col("text").isNull).as("v2"),
+      lit("n_chars_consistent").as("c3"),
+      cnt(col("n_chars") =!= length(col("text"))).as("v3")), 3)
+    val ev = one("events", Tables(spark, dir, "events").agg(
+      lit("ts_nonnull").as("c1"), cnt(col("ts").isNull).as("v1"),
+      lit("user_nonnull").as("c2"), cnt(col("user_id").isNull).as("v2")), 2)
+    def fk(table: String, name: String, fact: DataFrame, dim: DataFrame,
+        keys: (String, String)): DataFrame =
+      one(table, fact.join(dim,
+          fact(keys._1) === dim(keys._2), "left_anti")
+        .agg(lit(name).as("c1"), count(lit(1)).as("v1")), 1)
+    val fks = Seq(
+      fk("lineitem", "fk_orders",
+        Tables(spark, dir, "lineitem").select(col("l_orderkey")),
+        Tables(spark, dir, "orders").select(col("o_orderkey")),
+        ("l_orderkey", "o_orderkey")),
+      fk("orders", "fk_customer",
+        Tables(spark, dir, "orders").select(col("o_custkey")),
+        Tables(spark, dir, "customer").select(col("c_custkey")),
+        ("o_custkey", "c_custkey")),
+      fk("customer", "fk_nation",
+        Tables(spark, dir, "customer").select(col("c_nationkey")),
+        Tables(spark, dir, "nation").select(col("n_nationkey")),
+        ("c_nationkey", "n_nationkey")))
+    (Seq(orders, li, docs, ev) ++ fks).reduce(_.unionByName(_))
+      .select(col("table_name"), col("constraint"),
+        col("observed").cast("long").as("observed"),
+        (col("observed") === 0).as("passed"))
+  }
+
+  private val dataAuditSql =
+    """WITH x AS (
+      |  SELECT 'orders' AS table_name, 'pk_unique' AS "constraint",
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS observed
+      |  FROM orders
+      |  UNION ALL SELECT 'orders', 'custkey_nonnull',
+      |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'orders', 'totalprice_positive',
+      |    CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'lineitem', 'quantity_in_1_50',
+      |    CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'lineitem', 'discount_in_0_1',
+      |    CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'lineitem', 'returnflag_domain',
+      |    CAST(count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'documents', 'pk_unique',
+      |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+      |  UNION ALL SELECT 'documents', 'text_nonnull',
+      |    CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) FROM documents
+      |  UNION ALL SELECT 'documents', 'n_chars_consistent',
+      |    CAST(count(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT) FROM documents
+      |  UNION ALL SELECT 'events', 'ts_nonnull',
+      |    CAST(count(CASE WHEN ts IS NULL THEN 1 END) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'events', 'user_nonnull',
+      |    CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) FROM events
+      |  UNION ALL SELECT 'lineitem', 'fk_orders',
+      |    CAST(count(*) AS BIGINT) FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL SELECT 'orders', 'fk_customer',
+      |    CAST(count(*) AS BIGINT) FROM orders
+      |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL SELECT 'customer', 'fk_nation',
+      |    CAST(count(*) AS BIGINT) FROM customer
+      |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      |SELECT table_name, "constraint", observed, observed = 0 AS passed
+      |FROM x""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q201_data_audit", dataAudit, Some(dataAuditSql)),
     QueryDef("q154_lateral_topn", lateralTopOrders, Some(lateralTopOrdersSql)),
     QueryDef("q155_recursive_cte", recursiveHierarchy,
       Some(recursiveHierarchySql)),
