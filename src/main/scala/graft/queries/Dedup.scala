@@ -1893,6 +1893,63 @@ object Dedup {
           .cast("long").as("overlap_ppm"))
   }
 
+  // ---- q202: dedup burn-down timeline -------------------------------------
+
+  /** q202: the dedup BURN-DOWN — per ingest batch, how much of what
+    * arrives is genuinely new? Every ingest pipeline tracks this curve:
+    * as history accumulates, the novel fraction decays, and the curve's
+    * shape decides when a source stops being worth crawling. Batches are
+    * the deterministic `doc_id % 10` axis (batch 7 is the q115/q192
+    * commit family's "arriving batch" — this query generalizes that
+    * one-step screen to the whole timeline in ONE pass instead of ten
+    * sequential store probes): a fingerprint's first batch is a single
+    * min-aggregate, joined back onto per-(batch, fp) arrival counts, so
+    * the full 10-step history costs two fp-keyed shuffles total — no
+    * iteration, no store rebuild per step.
+    *
+    * All-exact grading: arrivals, distinct fps, first-seen fps, novel
+    * docs (arrivals carrying a fp first seen in this batch), and the
+    * integer dup_ppm all hash-match the oracle. */
+  def dedupTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(spark, dir, "documents")
+      .select((col("doc_id") % 10).as("batch"), docFp.as("fp"))
+    val perBatch = fps.groupBy(col("batch"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // (batch, fp) grain feeds both the min and the join
+    val firstSeen = perBatch.groupBy(col("fp"))
+      .agg(min(col("batch")).as("first_batch"))
+    perBatch.join(firstSeen, Seq("fp"))
+      .groupBy(col("batch"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct_fp"),
+        count(when(col("first_batch") === col("batch"), 1)).as("n_new_fp"),
+        sum(when(col("first_batch") === col("batch"), col("n"))
+          .otherwise(0L)).as("n_novel_docs"))
+      .select(col("batch"), col("n_docs"), col("n_distinct_fp"),
+        col("n_new_fp"), col("n_novel_docs"),
+        expr("((n_docs - n_novel_docs) * 1000000) div n_docs")
+          .as("dup_ppm"))
+  }
+
+  private val dedupTimelineSql =
+    """WITH f AS (
+      |  SELECT doc_id % 10 AS batch, md5(lower(trim(text))) AS fp
+      |  FROM documents),
+      |pb AS (
+      |  SELECT batch, fp, CAST(count(*) AS BIGINT) AS n
+      |  FROM f GROUP BY batch, fp),
+      |fs AS (SELECT fp, min(batch) AS first_batch FROM pb GROUP BY fp)
+      |SELECT batch, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_fp,
+      |  CAST(count(CASE WHEN first_batch = batch THEN 1 END) AS BIGINT)
+      |    AS n_new_fp,
+      |  CAST(sum(CASE WHEN first_batch = batch THEN n ELSE 0 END) AS BIGINT)
+      |    AS n_novel_docs,
+      |  CAST(((sum(n) - sum(CASE WHEN first_batch = batch THEN n ELSE 0 END))
+      |    * 1000000) // sum(n) AS BIGINT) AS dup_ppm
+      |FROM pb JOIN fs USING (fp)
+      |GROUP BY batch""".stripMargin
+
   // ---- q198: theta-sketch source overlap (the q176 sketch path) -----------
 
   /** q198: cross-source overlap by THETA SKETCH set algebra — the scale
@@ -1971,6 +2028,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q176_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q198_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
+    QueryDef("q202_dedup_timeline", dedupTimeline, Some(dedupTimelineSql)),
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
