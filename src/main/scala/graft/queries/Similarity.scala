@@ -555,6 +555,63 @@ object Similarity {
       cents
     }
 
+  // ---- q203: incremental k-means sufficient-statistics commit -------------
+
+  /** q203: INCREMENTAL maintenance of the learned clustering — the
+    * mini-batch update every production embedding-curation stack runs
+    * when new vectors arrive: the model's SUFFICIENT STATISTICS
+    * (per-cluster count and per-dimension coordinate sum under the FIXED
+    * learned centroids, the q65 memoized artifact) are a commutative
+    * monoid, so the committed gen0 statistics merge with the arriving
+    * batch's by pure addition — the historical corpus is never
+    * re-assigned, and the merge moves k·d rows however much corpus
+    * either side summarizes. Updated centroids are then means read off
+    * gen1 (one tiny division per (cid, pos)), exactly Lloyd's next step.
+    *
+    * Exactness: IEEE float addition is non-associative, so a
+    * sum-of-doubles would differ between the incremental and rebuilt
+    * paths at the ULP — the coordinate sums are therefore DECIMAL(30,15)
+    * casts (the q179/q118 Exact discipline), making the monoid claim a
+    * bit-equality, not an approximation. The gate COMPARES the committed
+    * gen1 against a full-corpus rebuild per (cid, pos): `merge_exact`
+    * pins statistic equality, `counts_match` pins membership, and the
+    * oracle grades them TRUE alongside the exact corpus count (the q65
+    * theorem-gate pattern — a float drift, a lost vector, or a
+    * double-merged partition flips a boolean). */
+  def kmeansCommit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = kmCentroids(spark, dir)
+    def statsOf(pred: org.apache.spark.sql.Column): DataFrame =
+      kmAssign(kmPoints(spark, dir).where(pred), cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(30,15)")).as("s"))
+    val gen0 = Warehouse.materializeBucketed(spark,
+      statsOf(col("vec_id") % 10 =!= 7), "graft_km_gen0", 4, Seq("cid"))
+    val merged = gen0.unionByName(statsOf(col("vec_id") % 10 === 7))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val gen1 = Warehouse.materializeBucketed(spark, merged,
+      "graft_km_gen1", 4, Seq("cid"))
+    val full = statsOf(lit(true))
+    val cmp = gen1.as("g").join(full.as("f"), Seq("cid", "pos"), "full_outer")
+      .agg(
+        min(col("g.n").isNotNull && col("f.n").isNotNull &&
+          col("g.n") === col("f.n")).as("counts_match"),
+        min(col("g.s").isNotNull && col("f.s").isNotNull &&
+          col("g.s") === col("f.s")).as("merge_exact"))
+    val d = Tables(spark, dir, "embeddings").agg(count(lit(1)).as("n_points"))
+    d.crossJoin(broadcast(cmp))
+      .select(col("n_points"), lit(kmK.toLong).as("k"),
+        col("counts_match"), col("merge_exact"))
+  }
+
+  private val kmeansCommitSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST($kmK AS BIGINT) AS k,
+       |  TRUE AS counts_match, TRUE AS merge_exact
+       |FROM embeddings""".stripMargin
+
   def kmeansFit(spark: SparkSession, dir: String): DataFrame = {
     val pts = kmPoints(spark, dir)
     val a0 = kmAssign(pts, kmSeeds(pts))
@@ -1204,6 +1261,7 @@ object Similarity {
       Some(streamAnnIngestSql)),
     QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
+    QueryDef("q203_kmeans_commit", kmeansCommit, Some(kmeansCommitSql)),
     QueryDef("q161_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
