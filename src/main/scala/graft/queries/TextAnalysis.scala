@@ -817,6 +817,42 @@ object TextAnalysis {
       |SELECT i, cell, CAST(count(*) AS BIGINT) AS s
       |FROM e GROUP BY i, cell""".stripMargin
 
+  // ---- q204: transparent materialized-view rewrite ------------------------
+
+  /** q204: MATERIALIZED-VIEW REWRITE, demonstrated end-to-end — the
+    * warehouse feature that makes a shared derived table free for every
+    * consumer. The view (long-word counts — its defining plan is
+    * deliberately unique in the registry so no other query's subtree
+    * matches it) is registered once through
+    * [[graft.plans.MatViewRule.register]], which materializes the result
+    * as a warehouse table and records the defining plan's canonical form.
+    * The consumer below is then authored FROM SCRATCH against the raw
+    * corpus — explode, filter, groupBy, top-k — and the optimizer
+    * substitutes the table scan: the corpus scan, the explode, and the
+    * aggregation exchange all vanish from the physical plan (`RulesSpec`
+    * pins both the rewrite and the no-registration control).
+    *
+    * At 100 TB this is the difference between every dashboard query
+    * re-tokenizing the corpus and all of them sharing one nightly
+    * aggregate — transparently, with no consumer code change. Graded
+    * against the from-scratch DuckDB oracle, so a wrong substitution is
+    * a correctness failure, not a plan regression. */
+  def matviewTopWords(spark: SparkSession, dir: String): DataFrame = {
+    def wc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "" && length(col("t")) >= 5)
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    graft.plans.MatViewRule.register(spark, wc, "graft_mv_longwords")
+    // consumer: written against the raw corpus, planned against the view
+    wc.orderBy(col("cnt").desc, col("t")).limit(20)
+  }
+
+  private val matviewTopWordsSql =
+    """SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents) x
+      |WHERE t <> '' AND length(t) >= 5
+      |GROUP BY t ORDER BY cnt DESC, t LIMIT 20""".stripMargin
+
   // ---- q89: IQR length-outlier filter -------------------------------------
 
   /** Per-language Tukey outlier filter on document length: keep documents
@@ -2774,6 +2810,7 @@ object TextAnalysis {
     QueryDef("q195_cms_freq", cmsFrequencies, Some(cmsFrequenciesSql)),
     QueryDef("q199_bootstrap_mean", bootstrapMean, Some(bootstrapMeanSql)),
     QueryDef("q200_cms_commit", cmsCommit, Some(cmsCommitSql)),
+    QueryDef("q204_matview_rewrite", matviewTopWords, Some(matviewTopWordsSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),

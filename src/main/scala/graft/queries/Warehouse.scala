@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Bucketed warehouse-table materialization shared by every query that
   * demonstrates the persisted-index shape (q29, q115, q116, q117, q120):
   * pay the distribution once at write time, consume it shuffle-free after. */
-private[queries] object Warehouse {
+private[graft] object Warehouse {
 
   /** Idempotent table reset: a fresh session's catalog doesn't know tables
     * left in the warehouse dir by a previous JVM, and

@@ -142,4 +142,32 @@ class RulesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("", ""), ("abc", "abc"), ("abc", "abd")))
   }
+
+  test("materialized-view rule substitutes the defining subplan exactly") {
+    def defining = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "" && length(col("t")) >= 7) // unique to this test
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    def consumer = defining.orderBy(col("cnt").desc, col("t")).limit(5)
+    // control: no registration -> the consumer plans the full pipeline
+    val before = consumer.queryExecution.executedPlan.toString
+    assert(before.contains("Generate explode"), before.take(600))
+    val baseline = consumer.collect().map(r => (r.getString(0), r.getLong(1)))
+    try {
+      graft.plans.MatViewRule.register(spark, defining, "graft_mv_rulespec")
+      val after = consumer.queryExecution.executedPlan.toString
+      assert(after.contains("graft_mv_rulespec"), after.take(600))
+      assert(!after.contains("Generate explode"), after.take(600))
+      // substitution is invisible to results
+      val got = consumer.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.sameElements(baseline))
+      // a DIFFERENT aggregate over the same source must NOT be rewritten
+      val other = Tables(spark, sf, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "" && length(col("t")) >= 7)
+        .groupBy(col("t")).agg(sum(length(col("t"))).as("chars"))
+      val otherPlan = other.queryExecution.executedPlan.toString
+      assert(!otherPlan.contains("graft_mv_rulespec"), otherPlan.take(600))
+    } finally graft.plans.MatViewRule.clear()
+  }
 }
