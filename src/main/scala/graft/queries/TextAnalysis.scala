@@ -1005,6 +1005,68 @@ object TextAnalysis {
       |  CAST((sum(k * n_chars) * 1000) // sum(k) AS BIGINT) AS mean_len_x1000
       |FROM k GROUP BY b""".stripMargin
 
+  // ---- q205: bootstrap CI of the MEDIAN -----------------------------------
+
+  /** q205: bootstrap the MEDIAN — the statistic whose sampling
+    * distribution has no closed form, i.e. the case the bootstrap exists
+    * for (the mean's CI is textbook; the median's is not). Same q199
+    * Poisson-multiplicity machinery, but the naive per-replica median
+    * (sort the resampled corpus 32 times) would be 32 corpus sorts; the
+    * scale shape is the HISTOGRAM path: aggregate multiplicities per
+    * (replica, value) — the exchange is |replicas|·|distinct lengths|
+    * rows, bounded by the value domain, not the corpus — then walk each
+    * replica's tiny cumulative histogram with a window to the first value
+    * whose doubled cumulative weight reaches the total (the lower
+    * weighted median, a pure integer definition both engines evaluate
+    * identically). Replica medians hash-grade exactly; their spread IS
+    * the CI. */
+  def bootstrapMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hExpr = "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', " +
+      "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val kExpr = poissonThresh
+      .map(t => s"(CASE WHEN h >= ${t}L THEN 1 ELSE 0 END)").mkString(" + ")
+    val hist = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("sequence(0L, 31L)")).as("b"))
+      .withColumn("h", expr(hExpr))
+      .withColumn("k", expr(kExpr).cast("long"))
+      .groupBy(col("b"), col("n_chars"))
+      .agg(sum(col("k")).as("w"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cw",
+        sum(col("w")).over(Window.partitionBy(col("b")).orderBy(col("n_chars"))))
+      .withColumn("tot",
+        sum(col("w")).over(Window.partitionBy(col("b"))))
+    cum.where(col("cw") * 2 >= col("tot"))
+      .groupBy(col("b"))
+      .agg(min(col("n_chars")).cast("long").as("median_len"),
+        max(col("tot")).as("n_eff"))
+  }
+
+  private val bootstrapMedianSql =
+    """WITH e AS (
+      |  SELECT b, n_chars,
+      |    (('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      |  FROM documents, (SELECT unnest(range(0, 32)) AS b) r),
+      |k AS (
+      |  SELECT b, n_chars,
+      |    ((h >= 424136118829305329)::INT + (h >= 848272237658610659)::INT +
+      |     (h >= 1060340297073263324)::INT + (h >= 1131029650211480879)::INT +
+      |     (h >= 1148701988496035267)::INT) AS k
+      |  FROM e),
+      |hist AS (
+      |  SELECT b, n_chars, CAST(sum(k) AS BIGINT) AS w
+      |  FROM k GROUP BY b, n_chars),
+      |cum AS (
+      |  SELECT b, n_chars, w,
+      |    sum(w) OVER (PARTITION BY b ORDER BY n_chars) AS cw,
+      |    sum(w) OVER (PARTITION BY b) AS tot
+      |  FROM hist)
+      |SELECT b, CAST(min(n_chars) AS BIGINT) AS median_len,
+      |  CAST(max(tot) AS BIGINT) AS n_eff
+      |FROM cum WHERE cw * 2 >= tot GROUP BY b""".stripMargin
+
   // ---- q69: deterministic stratified sample -------------------------------
 
   /** Exactly-k-per-stratum sampling: rank documents inside each language by
@@ -2811,6 +2873,7 @@ object TextAnalysis {
     QueryDef("q199_bootstrap_mean", bootstrapMean, Some(bootstrapMeanSql)),
     QueryDef("q200_cms_commit", cmsCommit, Some(cmsCommitSql)),
     QueryDef("q204_matview_rewrite", matviewTopWords, Some(matviewTopWordsSql)),
+    QueryDef("q205_bootstrap_median", bootstrapMedian, Some(bootstrapMedianSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),

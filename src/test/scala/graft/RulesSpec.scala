@@ -161,6 +161,13 @@ class RulesSpec extends AnyFunSuite {
       // substitution is invisible to results
       val got = consumer.collect().map(r => (r.getString(0), r.getLong(1)))
       assert(got.sameElements(baseline))
+      // containment: a consumer with ITS OWN filter above the view subtree
+      // still rewrites — the Project restores the defining plan's exprIds,
+      // so the outer filter's references resolve against the table scan
+      val filtered = defining.where(col("cnt") >= 2)
+      val fPlan = filtered.queryExecution.executedPlan.toString
+      assert(fPlan.contains("graft_mv_rulespec") &&
+        !fPlan.contains("Generate explode"), fPlan.take(600))
       // a DIFFERENT aggregate over the same source must NOT be rewritten
       val other = Tables(spark, sf, "documents")
         .select(explode(split(col("text"), " ")).as("t"))
