@@ -872,7 +872,10 @@ object Similarity {
     * the merge moves only the store and the accepted batch — corpus
     * vectors are never re-read; max() over deterministic per-pair dots is
     * order-insensitive, so the accept decision is hash-exact. */
-  def annStoreCommit(spark: SparkSession, dir: String): DataFrame = {
+  /** The committed gen1 IVF store (gen0 history + near-dup-screened
+    * arrivals), read back from its bucketed table — ONE build shared by
+    * the q169 commit summary and the q206 audit. */
+  private def ivfGen1(spark: SparkSession, dir: String): DataFrame = {
     val cell = expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))")
     val bucketed = vectors(spark, dir).withColumn("bucket", cell.cast("long"))
     val gen0 = Warehouse.materializeBucketed(spark,
@@ -892,13 +895,86 @@ object Similarity {
       .where(col("best").isNull || col("best") < 0.9)
       .select(col("vec_id"), col("av").as("v"), col("an").as("nrm"),
         col("bucket"))
-    val gen1 = Warehouse.materializeBucketed(spark,
+    Warehouse.materializeBucketed(spark,
       gen0.unionByName(accepted), "graft_ivf_gen1", 8, Seq("bucket"))
-    gen1.groupBy(col("bucket"))
+  }
+
+  def annStoreCommit(spark: SparkSession, dir: String): DataFrame =
+    ivfGen1(spark, dir).groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("vec_id")).as("id_checksum"),
         count(when(col("vec_id") % 10 === 0, 1)).as("n_inserted"))
+
+  // ---- q206: ANN index staleness / integrity audit -------------------------
+
+  /** q206: the AUDIT member of the ANN store cycle (q168 ingests, q169
+    * commits, this reconciles) — the question an index operator asks
+    * before trusting retrieval: does the committed index still account
+    * for the corpus? A full-outer compare of the current corpus against
+    * the read-back gen1 on vec_id classifies every row: indexed,
+    * rejected-as-near-dup (an EXPLAINED absence — the commit's screen
+    * dropped it by design), unexplained-missing (corpus rows the index
+    * silently lost — must be zero), stale (index rows no longer in the
+    * corpus — must be zero), and bucket drift (stored cell ≠ recomputed
+    * cell — must be zero). `account_ok` pins the partition: every corpus
+    * row is exactly one of indexed/rejected/unexplained.
+    *
+    * Scale shape: one id-keyed outer join of two 8-byte-keyed tables plus
+    * the corpus-side cell recompute (map-side) — never a vector-space
+    * operation; at 100 TB the audit costs one co-keyed shuffle. */
+  def annStoreAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cell = expr("array_position(slice(v, 1, 4), array_max(slice(v, 1, 4)))")
+    val corpus = vectors(spark, dir)
+      .select(col("vec_id"), cell.cast("long").as("bucket"))
+    val g = ivfGen1(spark, dir)
+      .select(col("vec_id"), col("bucket").as("sbucket"))
+    corpus.join(g, Seq("vec_id"), "full_outer")
+      .groupBy(coalesce(col("bucket"), col("sbucket")).as("bucket"))
+      .agg(
+        count(when(col("bucket").isNotNull, 1)).as("n_corpus"),
+        count(when(col("bucket").isNotNull && col("sbucket").isNotNull, 1))
+          .as("n_indexed"),
+        count(when(col("bucket").isNotNull && col("sbucket").isNull &&
+          col("vec_id") % 10 === 0, 1)).as("n_rejected"),
+        count(when(col("bucket").isNotNull && col("sbucket").isNull &&
+          col("vec_id") % 10 =!= 0, 1)).as("n_unexplained"),
+        count(when(col("bucket").isNull, 1)).as("n_stale"),
+        count(when(col("bucket").isNotNull && col("sbucket").isNotNull &&
+          col("bucket") =!= col("sbucket"), 1)).as("n_drift"))
+      .select(col("bucket"), col("n_corpus"), col("n_indexed"),
+        col("n_rejected"), col("n_unexplained"), col("n_stale"),
+        col("n_drift"),
+        (col("n_corpus") === col("n_indexed") + col("n_rejected") +
+          col("n_unexplained")).as("account_ok"))
   }
+
+  private val annStoreAuditSql =
+    s"""WITH n AS ($vectorsSql),
+       |b AS (
+       |  SELECT vec_id, v, nrm,
+       |    CAST(list_position(v[1:4], list_max(v[1:4])) AS BIGINT) AS bucket
+       |  FROM n),
+       |hist AS (SELECT vec_id, v, nrm, bucket FROM b WHERE vec_id % 10 <> 0),
+       |arr AS (SELECT vec_id, v, nrm, bucket FROM b WHERE vec_id % 10 = 0),
+       |best AS (
+       |  SELECT a.vec_id, a.bucket,
+       |    max(list_dot_product(a.v, h.v) / (a.nrm * h.nrm)) AS best
+       |  FROM arr a LEFT JOIN hist h ON h.bucket = a.bucket
+       |  GROUP BY a.vec_id, a.bucket),
+       |gen1 AS (
+       |  SELECT vec_id, bucket FROM hist
+       |  UNION ALL
+       |  SELECT vec_id, bucket FROM best WHERE best IS NULL OR best < 0.9)
+       |SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_corpus,
+       |  CAST(count(g.vec_id) AS BIGINT) AS n_indexed,
+       |  CAST(count(CASE WHEN g.vec_id IS NULL AND b.vec_id % 10 = 0
+       |    THEN 1 END) AS BIGINT) AS n_rejected,
+       |  CAST(0 AS BIGINT) AS n_unexplained,
+       |  CAST(0 AS BIGINT) AS n_stale,
+       |  CAST(0 AS BIGINT) AS n_drift,
+       |  TRUE AS account_ok
+       |FROM b LEFT JOIN gen1 g ON g.vec_id = b.vec_id
+       |GROUP BY b.bucket""".stripMargin
 
   private val annStoreCommitSql =
     s"""WITH n AS ($vectorsSql),
@@ -1262,6 +1338,7 @@ object Similarity {
     QueryDef("q143_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
     QueryDef("q203_kmeans_commit", kmeansCommit, Some(kmeansCommitSql)),
+    QueryDef("q206_ann_store_audit", annStoreAudit, Some(annStoreAuditSql)),
     QueryDef("q161_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),
