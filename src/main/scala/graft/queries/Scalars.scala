@@ -492,7 +492,74 @@ object Scalars {
       |  CAST(2 AS BIGINT) AS n_keys
       |FROM events""".stripMargin
 
+  // ---- q207: weekly user churn via theta DIFFERENCE -----------------------
+
+  /** q207: WEEKLY NEW-USER CHURN by theta-sketch set DIFFERENCE — the
+    * third operation of the theta algebra (q198 exercised intersection;
+    * HLL can do neither). "Users active this week who were not active
+    * last week" is a set difference per consecutive week pair: the exact
+    * path re-joins the full (week, user) index per pair, while the
+    * sketch path differences two kilobyte-sized buffers — the reason
+    * engagement dashboards over 100 TB event logs run on sketch stores.
+    * One distinct (week, user) index feeds BOTH paths (localCheckpoint —
+    * two consumers), the per-week sketch table is |weeks| rows (the lag
+    * window over it is driver-scale by construction), and the pair is
+    * pinned to strictly consecutive calendar weeks so a gap week can't
+    * masquerade as churn.
+    *
+    * Grading, q198-style: exact n_users / n_new hash-graded outright;
+    * `within_bound` pins the sketch estimate to max(16, 5%·n_users) —
+    * exact below nominal k (exact mode), honest once estimation engages. */
+  def thetaChurn(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Tables(spark, dir, "events")
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct().localCheckpoint()
+    val wk = wu.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("theta_sketch_agg(user_id)").as("sk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
+    val pairs = wk
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_sk", lag(col("sk"), 1).over(w))
+      .where(col("prev_week") === col("week") - expr("INTERVAL 7 DAYS"))
+    val prev = wu.select(
+      (col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+      col("user_id"))
+    val exactNew = wu.join(prev, Seq("week", "user_id"), "left_anti")
+      .groupBy(col("week")).agg(count(lit(1)).as("n_new"))
+    // LEFT + zero-fill: a week where every user was already active last
+    // week has NO row in exactNew — dropping it from the report is the
+    // q176 zero-fill trap (zero churn IS the answer, not a missing row)
+    pairs.join(exactNew, Seq("week"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .select(col("week"), col("n_users"), col("n_new"),
+        (abs(expr("theta_sketch_estimate(theta_difference(sk, prev_sk))") -
+          col("n_new")) <=
+          greatest(lit(16L), expr("(n_users * 5) div 100")))
+          .as("within_bound"))
+  }
+
+  private val thetaChurnSql =
+    """WITH wu AS (
+      |  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+      |    user_id FROM events),
+      |wk AS (SELECT week, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM wu GROUP BY week),
+      |pairs AS (
+      |  SELECT a.week, a.n_users FROM wk a
+      |  JOIN wk b ON b.week = a.week - INTERVAL 7 DAY),
+      |nw AS (
+      |  SELECT a.week, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM wu a LEFT JOIN wu b
+      |    ON b.user_id = a.user_id AND b.week = a.week - INTERVAL 7 DAY
+      |  WHERE b.user_id IS NULL GROUP BY a.week)
+      |SELECT p.week, p.n_users,
+      |  CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+      |  TRUE AS within_bound
+      |FROM pairs p LEFT JOIN nw ON nw.week = p.week""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_theta_churn", thetaChurn, Some(thetaChurnSql)),
     QueryDef("q49_map_json", mapJsonFuncs, Some(mapJsonFuncsSql)),
     QueryDef("q118_bivariate_stats", bivariateStats, Some(bivariateStatsSql)),
     QueryDef("q48_percentile_exact", percentileExact, Some(percentileExactSql)),
