@@ -60,19 +60,27 @@ object MatViewRule extends Rule[LogicalPlan] {
       case p if !p.isInstanceOf[LeafNode] && p.resolved =>
         views.get(p.canonicalized) match {
           case Some(table) =>
-            // the OPTIMIZED read: this rule fires after the main optimizer
-            // batches, so a spliced subtree must arrive already in
-            // post-optimization shape (SubqueryAlias eliminated, relation
-            // converted) or the planner has no strategy for it
-            val rel = SparkSession.active.table(table).queryExecution.optimizedPlan
-            val ok = rel.output.length == p.output.length &&
-              rel.output.zip(p.output).forall { case (n, o) =>
-                n.dataType == o.dataType
-              }
-            if (!ok) p
-            else Project(p.output.zip(rel.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            }, rel)
+            // A rewrite must never turn an optimization into a failure:
+            // if the table can't be read right now (dropped, mid-refresh
+            // by a concurrent re-registration, wrong session), DECLINE and
+            // let the original plan run — always correct, just unrewritten.
+            try {
+              // the OPTIMIZED read: this rule fires after the main
+              // optimizer batches, so a spliced subtree must arrive
+              // already in post-optimization shape (SubqueryAlias
+              // eliminated, relation converted) or the planner has no
+              // strategy for it
+              val rel =
+                SparkSession.active.table(table).queryExecution.optimizedPlan
+              val ok = rel.output.length == p.output.length &&
+                rel.output.zip(p.output).forall { case (n, o) =>
+                  n.dataType == o.dataType
+                }
+              if (!ok) p
+              else Project(p.output.zip(rel.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId)
+              }, rel)
+            } catch { case scala.util.control.NonFatal(_) => p }
           case None => p
         }
     }

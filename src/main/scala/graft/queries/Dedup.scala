@@ -807,6 +807,26 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  // ---- q208: CC by large-star/small-star (the q55 scale twin) -------------
+
+  /** q208: the q55 duplicate clusters recomputed by the ALTERNATING
+    * LARGE-STAR/SMALL-STAR algorithm ([[Graph.ccStarWithRounds]]) —
+    * O(log n) rounds for ANY component shape where min-label propagation
+    * needs O(diameter). On LSH candidate graphs the components are tiny
+    * and both are fast; the star path is what survives when a pathological
+    * near-dup chain (template pages each one edit apart) strings thousands
+    * of documents into one long component. Same output contract as q55 —
+    * (doc_id, component-minimum) for every doc in a candidate pair — so
+    * the SAME recursive-CTE oracle grades both implementations, and
+    * `GraphSpec` additionally pins the logarithmic round count on a
+    * 256-node path graph (8 rounds, where propagation needs 255). */
+  def dupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, dir)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    Graph.ccStar(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   private val dupClustersSql =
     s"""WITH RECURSIVE cand AS ($minhashSql),
        |edges AS (
@@ -2030,6 +2050,7 @@ object Dedup {
     QueryDef("q198_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
     QueryDef("q202_dedup_timeline", dedupTimeline, Some(dedupTimelineSql)),
     QueryDef("q55_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q208_cc_star", dupClustersStar, Some(dupClustersSql)),
     QueryDef("q56_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     QueryDef("q57_keep_best", keepBest, Some(keepBestSql)),
     QueryDef("q77_decontaminate", decontaminate, Some(decontaminateSql)),

@@ -413,4 +413,71 @@ object Graph {
     QueryDef("q127b_clustering", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("q130_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("q140_pagerank", pageRank, Some(pageRankSql)))
+
+  // ---- connected components: alternating large-star / small-star ----------
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the O(log n)-round algorithm. Min-label propagation (q55's loop)
+    * needs O(component diameter) rounds: fine when LSH keeps components
+    * tiny, quadratic-wall-clock on a long chain — a 10M-node path
+    * component needs 10M rounds. The star alternation contracts the graph
+    * toward rooted stars with doubling speed, so ANY component shape
+    * converges in a logarithmic number of rounds; each round is two
+    * grouped aggregations and a join, all edge-keyed, nothing driver-side
+    * but the fixed-point witness.
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node attaches itself and its smaller neighbors
+    *    to that minimum.
+    *
+    * Both emissions keep (bigger, smaller) orientation, so the edge set
+    * stays canonical and the fixed point (every component a star rooted
+    * at its minimum node) is detected by two-sided `except` emptiness —
+    * edge-set-sized work, exact, no hash-collision risk. Returns
+    * (node, label) for every node incident to an input pair; label is the
+    * component's minimum node — identical to min-propagation's output, so
+    * the q55 oracle grades both. */
+  private[graft] def ccStarWithRounds(pairs: DataFrame,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    def withMin(e: DataFrame): DataFrame = {
+      val b = bidir(e)
+      b.join(b.groupBy(col("a")).agg(min(col("b")).as("mb"))
+          .select(col("a"), least(col("a"), col("mb")).as("m")), "a")
+    }
+    def largeStar(e: DataFrame): DataFrame =
+      withMin(e).where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")).distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      val bm = withMin(e)
+      bm.where(col("b") < col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(bm.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    var e = pairs.select(
+        greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val e2 = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      converged = e2.except(e).isEmpty && e.except(e2).isEmpty
+      e = e2
+    }
+    require(converged,
+      s"ccStar: no fixed point within $maxRounds rounds — defect, not scale")
+    val labels = e.select(col("a").as("node"), col("b").as("label"))
+      .union(e.select(col("b").as("node"), col("b").as("label")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  private[graft] def ccStar(pairs: DataFrame): DataFrame =
+    ccStarWithRounds(pairs)._1
 }

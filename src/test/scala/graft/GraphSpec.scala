@@ -103,4 +103,38 @@ class GraphSpec extends AnyFunSuite {
         badBudget.getMessage)
     } finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
   }
+
+  test("ccStar: logarithmic rounds on a path; components match union-find") {
+    import org.apache.spark.sql.functions.col
+    // 256-node path 0-1-2-...-255: diameter 255. Min-label propagation
+    // needs 255 rounds; the star alternation must finish in O(log n).
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Graph.ccStarWithRounds(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 256 && got.forall(_._2 == 0L), got.take(5).toSeq)
+    assert(rounds <= 12, s"star alternation took $rounds rounds on a path")
+
+    // deterministic pseudo-random graph vs a reference union-find
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(n => n -> {
+        // canonical min of the component: walk every member
+        val root = find(n.toInt)
+        (0 until 200).filter(m => find(m) == root)
+          .filter(m => edges.exists { case (x, y) => x == m || y == m })
+          .min.toLong
+      }).toMap
+    val starGot = Graph.ccStar(edges.toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(starGot == expected,
+      s"diff: ${starGot.toSet.diff(expected.toSet).take(5)}")
+  }
 }
