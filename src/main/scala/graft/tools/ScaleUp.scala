@@ -48,8 +48,16 @@ object ScaleUp {
     * contracts (disjoint key copies, suffixed-token documents, verbatim
     * vectors) without spawning a second session. */
   def run(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    def has(t: String): Boolean = new java.io.File(s"$src/$t.parquet").exists
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val okMax = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1L
+    // the order-key offset is SHARED with the orders table (when present)
+    // so FK integrity survives scaling: both sides must shift by a value
+    // past BOTH maxima or copy i's high keys collide with copy i+1's lows
+    val okMax = (li.agg(max(col("l_orderkey"))).head().getLong(0) max
+      (if (has("orders"))
+        spark.read.parquet(s"$src/orders.parquet")
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+      else 0L)) + 1L
     val pkMax = li.agg(max(col("l_partkey"))).head().getLong(0) + 1L
     copies(li, f) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax))
@@ -79,7 +87,50 @@ object ScaleUp {
       df.withColumn("vec_id", col("vec_id") + lit(i * vMax))
     }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    println(s"[scaleup] wrote ${f}x lineitem + documents + embeddings from $src to $dst")
+    // events: factor copies with event_id AND user_id offset per copy —
+    // DISJOINT user populations, timestamps verbatim. Per-user event
+    // density (what sessionization, windows, and state-store costs scale
+    // with) is preserved; keeping user ids fixed would multiply every
+    // user's history by `factor` and blow up per-key state instead of key
+    // count, which is not how a user base grows.
+    if (has("events")) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val eMax = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val uMax = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+      copies(ev, f) { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * eMax))
+          .withColumn("user_id", col("user_id") + lit(i * uMax))
+      }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
+
+    // orders/customer: disjoint copies with FK-CONSISTENT offsets — the
+    // order-key offset REUSES lineitem's okMax and the customer-key offset
+    // is shared between o_custkey and c_custkey, so referential integrity
+    // (q201's audit, the join family) holds in the scaled slice exactly as
+    // in the source. TPC-H grows orders and customers together; nation/
+    // region stay fixed (copied verbatim), matching the spec's scaling.
+    if (has("orders") && has("customer")) {
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val cMax = (ord.agg(max(col("o_custkey"))).head().getLong(0) max
+        cust.agg(max(col("c_custkey"))).head().getLong(0)) + 1L
+      copies(ord, f) { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * okMax))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * cMax))
+      }.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      copies(cust, f) { (df, i) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * cMax))
+      }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    }
+    for (t <- Seq("nation", "region", "supplier", "part")) {
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists)
+        spark.read.parquet(p.getPath)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    println(s"[scaleup] wrote ${f}x lineitem + documents + embeddings + " +
+      s"events + orders + customer (dims verbatim) from $src to $dst")
   }
 
   private def copies(df: DataFrame, f: Int)(
