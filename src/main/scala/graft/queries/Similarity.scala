@@ -433,6 +433,40 @@ object Similarity {
        |  ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
 
+  // ---- q209: retrieval quality — MRR of the IVF path ----------------------
+
+  /** q209: MEAN-RECIPROCAL-RANK evaluation of the IVF index against the
+    * brute-force ground truth — index-quality measurement as a
+    * first-class operator (the q64 recall companion answers "is the true
+    * neighborhood covered"; MRR answers "how high does the TRUE nearest
+    * neighbor rank", the metric retrieval dashboards actually track).
+    * Reciprocal ranks are kept EXACT as sixths (6 = lcm(1..3), the
+    * shortlist depth): rr6 ∈ {6, 3, 2, 0} — no IEEE division, so every
+    * per-query row hash-grades; the corpus MRR is Σrr6 / (6·|Q|),
+    * derivable by the reader. A miss (true NN absent from the shortlist)
+    * scores 0, not dropped — the q176 zero-fill discipline. */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = knnIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+    truth.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id").as("true_nn"),
+        coalesce(col("rn"), lit(0L)).as("ivf_rank"),
+        expr("CASE WHEN rn IS NULL THEN 0L ELSE 6L div rn END").as("rr6"))
+  }
+
+  private val retrievalMrrSql =
+    s"""WITH ex AS (
+       |  SELECT query_id, neighbor_id FROM ($knnBruteSql) WHERE rn = 1),
+       |ivf AS (SELECT query_id, neighbor_id, rn FROM ($knnIvfSql))
+       |SELECT e.query_id, e.neighbor_id AS true_nn,
+       |  CAST(coalesce(i.rn, 0) AS BIGINT) AS ivf_rank,
+       |  CAST(CASE WHEN i.rn IS NULL THEN 0 ELSE 6 // i.rn END AS BIGINT)
+       |    AS rr6
+       |FROM ex e LEFT JOIN ivf i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id""".stripMargin
+
   /** Embedding-cosine near-dup, blocked by `label`: all pairs within a block
     * with cosine >= 0.3 -> (keep_id=min, dup_id=max). The blocked self-join
     * is the scale shape for semantic dedup: the shuffle key is the block, so
@@ -1339,6 +1373,7 @@ object Similarity {
     QueryDef("q65_kmeans", kmeansFit, Some(kmeansFitSql)),
     QueryDef("q203_kmeans_commit", kmeansCommit, Some(kmeansCommitSql)),
     QueryDef("q206_ann_store_audit", annStoreAudit, Some(annStoreAuditSql)),
+    QueryDef("q209_retrieval_mrr", retrievalMrr, Some(retrievalMrrSql)),
     QueryDef("q161_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("q60_knn_brute", knnBrute, Some(knnBruteSql)),
     QueryDef("q61_neardup_lsh", nearDupLsh, Some(nearDupLshSql)),

@@ -853,6 +853,66 @@ object TextAnalysis {
       |WHERE t <> '' AND length(t) >= 5
       |GROUP BY t ORDER BY cnt DESC, t LIMIT 20""".stripMargin
 
+  // ---- q210: the data card ------------------------------------------------
+
+  /** q210: the DATA CARD — the one-table corpus summary every released
+    * dataset ships (composition, language mix, length distribution,
+    * duplication), produced as a single query so the card can never drift
+    * from the corpus it describes. Sections are (section, k, v) rows:
+    * per-source and per-language doc counts, exact length quantiles
+    * (binary-exact fractions of integer data — the q89 argument), token
+    * totals, and the exact-duplication summary (the q50 fingerprint
+    * grain). Scalar sections compute in ONE aggregate pass stack-unpivoted
+    * (the q201 shape); groupwise sections are map-side-combined counts.
+    * Everything is exact, so the whole card hash-grades. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .select(lit("docs_per_source").as("section"), col("source").as("k"), col("v"))
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .select(lit("docs_per_lang").as("section"), col("lang").as("k"), col("v"))
+    val scalars = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("double").as("n_tokens"),
+        sum(col("n_chars")).cast("double").as("n_chars"),
+        expr("percentile(n_chars, 0.25D)").as("len_p25"),
+        expr("percentile(n_chars, 0.5D)").as("len_p50"),
+        expr("percentile(n_chars, 0.75D)").as("len_p75"),
+        countDistinct(md5(lower(trim(col("text"))))).cast("double")
+          .as("n_distinct_fp"))
+      .selectExpr("stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'len_p25', len_p25, 'len_p50', len_p50, " +
+        "'len_p75', len_p75, 'n_distinct_fp', n_distinct_fp) AS (k, v)")
+      .select(lit("corpus").as("section"), col("k"), col("v"))
+    bySource.unionByName(byLang).unionByName(scalars)
+  }
+
+  private val dataCardSql =
+    """SELECT 'docs_per_source' AS section, source AS k,
+      |  CAST(count(*) AS DOUBLE) AS v FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT 'docs_per_lang', lang, CAST(count(*) AS DOUBLE)
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT 'corpus', k, v FROM (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+      |    CAST(sum(n_chars) AS DOUBLE) AS n_chars,
+      |    quantile_cont(n_chars, 0.25) AS len_p25,
+      |    quantile_cont(n_chars, 0.5) AS len_p50,
+      |    quantile_cont(n_chars, 0.75) AS len_p75,
+      |    CAST(count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+      |      AS n_distinct_fp
+      |  FROM documents) s
+      |  CROSS JOIN (VALUES ('n_docs'), ('n_tokens'), ('n_chars'),
+      |    ('len_p25'), ('len_p50'), ('len_p75'), ('n_distinct_fp')) t(k)
+      |  , LATERAL (SELECT CASE k WHEN 'n_docs' THEN n_docs
+      |    WHEN 'n_tokens' THEN n_tokens WHEN 'n_chars' THEN n_chars
+      |    WHEN 'len_p25' THEN len_p25 WHEN 'len_p50' THEN len_p50
+      |    WHEN 'len_p75' THEN len_p75 ELSE n_distinct_fp END AS v) u""".stripMargin
+
   // ---- q89: IQR length-outlier filter -------------------------------------
 
   /** Per-language Tukey outlier filter on document length: keep documents
@@ -2874,6 +2934,7 @@ object TextAnalysis {
     QueryDef("q200_cms_commit", cmsCommit, Some(cmsCommitSql)),
     QueryDef("q204_matview_rewrite", matviewTopWords, Some(matviewTopWordsSql)),
     QueryDef("q205_bootstrap_median", bootstrapMedian, Some(bootstrapMedianSql)),
+    QueryDef("q210_data_card", dataCard, Some(dataCardSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
