@@ -853,6 +853,90 @@ object TextAnalysis {
       |WHERE t <> '' AND length(t) >= 5
       |GROUP BY t ORDER BY cnt DESC, t LIMIT 20""".stripMargin
 
+  // ---- q211: pairwise source divergence (total variation) -----------------
+
+  /** q211: PAIRWISE LEXICAL DIVERGENCE between source unigram
+    * distributions — the data-mixing diagnostic ("which sources are
+    * near-duplicates of each other distributionally, which add genuinely
+    * new text?"). The standard KL/JS divergences need logs, which are not
+    * correctly-rounded and can never hash-match across engines (the q166
+    * lesson); TOTAL VARIATION distance — ½·Σ|p−q| — is the divergence
+    * that stays in EXACT RATIONALS: with integer counts,
+    * Σ|c₁/N₁ − c₂/N₂| = Σ|c₁N₂ − c₂N₁| / (N₁N₂), so the whole metric is
+    * integer arithmetic (DECIMAL(38) sums — products reach 1e14 and
+    * corpus sums beyond long).
+    *
+    * One tokenize pass builds the (source, word) count table; the
+    * pairwise step joins it with ITSELF ON THE WORD KEY — never a
+    * corpus-scale cross product; each word expands to at most
+    * |sources-with-it|² pairs, document-frequency-bounded. Words absent
+    * from one side contribute their full mass, recovered in CLOSED FORM
+    * from the shared-word sums (N₂(N₁−S₁) + N₁(N₂−S₂)) rather than a
+    * full-outer join — and pairs sharing NO word still report (tv =
+    * 1e6 ppm exactly), the zero-fill discipline. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the totals, and both sides of the word join
+    val totals = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      .localCheckpoint()
+    val d38 = "decimal(38,0)"
+    val shared = wc.select(col("source").as("s1"), col("t"), col("c").as("c1"))
+      .join(wc.select(col("source").as("s2"), col("t"), col("c").as("c2")), Seq("t"))
+      .where(col("s1") < col("s2"))
+      .join(broadcast(totals.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")).cast(d38)).as("num_shared"),
+        sum(col("c1")).as("sh1"), sum(col("c2")).as("sh2"),
+        count(lit(1)).as("n_shared_words"))
+    totals.select(col("source").as("s1"), col("n").as("n1"))
+      .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))),
+        col("s1") < col("s2"))
+      .join(shared, Seq("s1", "s2"), "left")
+      // `div` (integral divide), NOT decimal `/`: Spark rounds a decimal
+      // quotient at the result scale where DuckDB's `//` floors — `div`
+      // truncates, matching the oracle exactly at quotient boundaries
+      .select(col("s1"), col("s2"),
+        coalesce(col("n_shared_words"), lit(0L)).as("n_shared_words"),
+        (coalesce(col("num_shared"), lit(0)).cast(d38) +
+          col("n2").cast(d38) * (col("n1") - coalesce(col("sh1"), lit(0L))).cast(d38) +
+          col("n1").cast(d38) * (col("n2") - coalesce(col("sh2"), lit(0L))).cast(d38))
+          .as("num_all"), col("n1"), col("n2"))
+      .selectExpr("s1", "s2", "n_shared_words",
+        s"CAST((num_all * 1000000) div (CAST(n1 AS $d38) * CAST(n2 AS $d38) * 2) AS BIGINT) AS tv_ppm")
+  }
+
+  private val sourceDivergenceSql =
+    """WITH wc AS (
+      |  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) x
+      |  WHERE t <> '' GROUP BY source, t),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+      |  FROM wc GROUP BY source),
+      |sh AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    sum(abs(a.c * tb.n - b.c * ta.n)) AS num_shared,
+      |    CAST(sum(a.c) AS BIGINT) AS sh1, CAST(sum(b.c) AS BIGINT) AS sh2,
+      |    CAST(count(*) AS BIGINT) AS n_shared_words
+      |  FROM wc a JOIN wc b ON a.t = b.t AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2)
+      |SELECT x.source AS s1, y.source AS s2,
+      |  CAST(coalesce(sh.n_shared_words, 0) AS BIGINT) AS n_shared_words,
+      |  CAST((coalesce(sh.num_shared, 0)
+      |    + y.n * (x.n - coalesce(sh.sh1, 0))
+      |    + x.n * (y.n - coalesce(sh.sh2, 0))) * 1000000
+      |    // (2 * x.n * y.n) AS BIGINT) AS tv_ppm
+      |FROM tot x JOIN tot y ON x.source < y.source
+      |LEFT JOIN sh ON sh.s1 = x.source AND sh.s2 = y.source""".stripMargin
+
   // ---- q210: the data card ------------------------------------------------
 
   /** q210: the DATA CARD — the one-table corpus summary every released
@@ -2935,6 +3019,7 @@ object TextAnalysis {
     QueryDef("q204_matview_rewrite", matviewTopWords, Some(matviewTopWordsSql)),
     QueryDef("q205_bootstrap_median", bootstrapMedian, Some(bootstrapMedianSql)),
     QueryDef("q210_data_card", dataCard, Some(dataCardSql)),
+    QueryDef("q211_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     QueryDef("q89_length_filter", lengthFilter, Some(lengthFilterSql)),
     QueryDef("q87_seq_packing", seqPacking, Some(seqPackingSql)),
     QueryDef("q88_rep_quality", repetitionQuality, Some(repetitionQualitySql)),
