@@ -179,5 +179,11 @@ object Extensions {
     // sketch bit-for-bit — q195's identical oracle grades it.
     QueryDef("q196_stream_cms",
       (s, d) => EventStreams.cmsStreamRun(s, d),
-      Some(TextAnalysis.cmsFrequenciesSql)))
+      Some(TextAnalysis.cmsFrequenciesSql)),
+    // the theta member of the streaming-sketch family: per-week theta
+    // buffers in the streaming agg state store, graded by q207's
+    // exact-companion churn oracle on the final state.
+    QueryDef("q212_stream_theta",
+      (s, d) => EventStreams.thetaChurnStreamRun(s, d),
+      Some(Scalars.thetaChurnOracleSql)))
 }

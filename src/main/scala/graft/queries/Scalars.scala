@@ -510,13 +510,26 @@ object Scalars {
     * Grading, q198-style: exact n_users / n_new hash-graded outright;
     * `within_bound` pins the sketch estimate to max(16, 5%·n_users) —
     * exact below nominal k (exact mode), honest once estimation engages. */
-  def thetaChurn(spark: SparkSession, dir: String): DataFrame = {
+  def thetaChurn(spark: SparkSession, dir: String): DataFrame =
+    thetaChurnWith(spark, dir, None)
+
+  /** The q207 pipeline with the weekly sketch table OPTIONALLY supplied by
+    * a caller — q212 passes the sketches accumulated in the STREAMING
+    * state store (theta is set-semantics, so sketching raw arrivals or
+    * the distinct index is the same sketch); exact companions always come
+    * from the batch index. One grading path for both executions. */
+  private[graft] def thetaChurnWith(spark: SparkSession, dir: String,
+      sketches: Option[DataFrame]): DataFrame = {
     val wu = Tables(spark, dir, "events")
       .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
       .distinct().localCheckpoint()
-    val wk = wu.groupBy(col("week"))
-      .agg(count(lit(1)).as("n_users"),
-        expr("theta_sketch_agg(user_id)").as("sk"))
+    val counts = wu.groupBy(col("week")).agg(count(lit(1)).as("n_users"))
+    val wk = sketches match {
+      case Some(sk) => counts.join(sk, Seq("week"))
+      case None => counts.join(
+        wu.groupBy(col("week"))
+          .agg(expr("theta_sketch_agg(user_id)").as("sk")), Seq("week"))
+    }
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("week"))
     val pairs = wk
       .withColumn("prev_week", lag(col("week"), 1).over(w))
@@ -538,6 +551,8 @@ object Scalars {
           greatest(lit(16L), expr("(n_users * 5) div 100")))
           .as("within_bound"))
   }
+
+  private[graft] def thetaChurnOracleSql: String = thetaChurnSql
 
   private val thetaChurnSql =
     """WITH wu AS (

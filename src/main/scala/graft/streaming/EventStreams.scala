@@ -995,6 +995,23 @@ object EventStreams {
         (col("est") >= col("cnt")).as("no_undercount"))
   }
 
+  /** q212: weekly user THETA SKETCHES accumulated in the streaming state
+    * store — the theta member of the streaming-sketch family (HLL q148,
+    * CMS q196, decayed counts q191). One DataSketches theta buffer per
+    * week lives in the streaming aggregation state and folds each
+    * arriving micro-batch's users in (set semantics: raw arrivals and
+    * the distinct index sketch identically); the finite run's final
+    * state feeds q207's exact-companion churn grading unchanged — the
+    * whole ingest path must reproduce the batch sketch's estimates. */
+  def thetaChurnStreamRun(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = boundedStreamRun(spark, dir, (s, _) =>
+      s.select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+        .groupBy(col("week"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk")),
+      "complete").localCheckpoint()
+    graft.queries.Scalars.thetaChurnWith(spark, dir, Some(weekly))
+  }
+
   /** The transformWithState pipeline over an open events stream — shared
     * by the registry run and the multi-batch spec. Caller must run it on
     * a session with the RocksDB state-store provider pinned. */
