@@ -620,9 +620,22 @@ object Similarity {
         .groupBy(col("cid"), col("pos"))
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(30,15)")).as("s"))
+    // ONE assignment pass produces BOTH sides, keyed by the disjoint
+    // history/batch split — the gate's independence is untouched: the
+    // full-corpus rebuild below is still a SEPARATE pass, so merged ==
+    // rebuilt remains a real two-computation comparison, it just no
+    // longer pays a third corpus scan to build the halves separately
+    val halves = kmAssign(kmPoints(spark, dir), cents)
+      .select((col("vec_id") % 10 === 7).as("is_batch"),
+        col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("is_batch"), col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(30,15)")).as("s"))
+      .localCheckpoint()
     val gen0 = Warehouse.materializeBucketed(spark,
-      statsOf(col("vec_id") % 10 =!= 7), "graft_km_gen0", 4, Seq("cid"))
-    val merged = gen0.unionByName(statsOf(col("vec_id") % 10 === 7))
+      halves.where(!col("is_batch")).drop("is_batch"),
+      "graft_km_gen0", 4, Seq("cid"))
+    val merged = gen0.unionByName(halves.where(col("is_batch")).drop("is_batch"))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
     val gen1 = Warehouse.materializeBucketed(spark, merged,
