@@ -321,7 +321,60 @@ object Joins {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |GROUP BY 1""".stripMargin
 
+  // ---- q214: runtime bloom-filter join pushdown ---------------------------
+
+  /** q214: RUNTIME FILTER pushdown — Spark's bloom-filter semi-join
+    * reduction, the mechanism that saves a shuffle-join's probe side at
+    * warehouse scale: the optimizer plans a `bloom_filter_agg` over the
+    * selective build side's join keys and injects `might_contain` into
+    * the PROBE SIDE'S SCAN FILTER, so probe rows that cannot match die
+    * at the scan instead of crossing the exchange. This matters exactly
+    * when the dim side is too large to broadcast (a broadcast join needs
+    * no runtime filter) — here that regime is forced scoped-ly, and the
+    * small-SF-only scan-size threshold is lowered because the feature
+    * self-selects via a 10 GB default at production scan sizes; both
+    * confs are saved and restored. `PlanSpec` pins the injected
+    * might_contain/bloom_filter_agg pair and the SMJ; the oracle is the
+    * plain join-aggregate — a filter that wrongly drops a matching row
+    * (bloom filters must never false-negative) fails the hash.
+    * Quantities are whole-valued, so the aggregate stays in exact longs. */
+  def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val ord = Tables(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val out = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      // force the plan (and thereby the runtime-filter injection) while
+      // the scoped confs are in effect; the returned frame is the
+      // already-planned one
+      out.queryExecution.executedPlan
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val runtimeFilterJoinSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),
     QueryDef("q20_join_broadcast", revenueBySegment, Some(

@@ -219,6 +219,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_pdiff_gen0") && p.contains("graft_pdiff_gen1"), p)
   }
 
+  test("q214 runtime bloom filter is injected into the probe-side scan") {
+    val p = treePlan("q214_runtime_filter")
+    // the selective build side plans a bloom_filter_agg and the probe
+    // side's scan filter carries might_contain — probe rows that cannot
+    // match die before the exchange; broadcast is forced off, so the
+    // join is the SMJ regime where runtime filters pay
+    assert(p.contains("bloom_filter_agg"), p.take(900))
+    assert(p.contains("might_contain"), p.take(900))
+    assert(p.contains("SortMergeJoin"), p.take(900))
+  }
+
   test("q115 incremental probes: broadcast near screen, store never shuffles") {
     val p = treePlan("q115_incremental_dedup")
     // near screen: batch bands broadcast into the band-store scan
