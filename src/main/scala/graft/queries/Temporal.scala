@@ -266,8 +266,76 @@ object Temporal {
       |  CAST(count(*) AS BIGINT) AS n, TRUE AS history_untouched
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q215: small-file COMPACTION of a partitioned table -----------------
+
+  /** q215: the OPTIMIZE maintenance pass — a partitioned table that
+    * accumulated many small files per partition (every incremental
+    * writer's end state: one file per micro-batch per partition) is
+    * rewritten to ONE file per partition, without changing a row. Small
+    * files are the scan-cost killer at warehouse scale (per-file open +
+    * footer + scheduling overheads dominate sub-MB files); compaction is
+    * the standing maintenance job every table format ships. The rewrite
+    * clusters by the partition key (`repartition(day)` → each day lands
+    * wholly in one task → exactly one output file per partition) and
+    * recommits through the same dynamic-overwrite path as q213.
+    *
+    * Gates: content equality with the pre-compaction table (the oracle
+    * IS the rebuild SQL — a lost or duplicated row fails the hash),
+    * `was_fragmented` pins the precondition (>1 file per partition
+    * before), `compacted` pins the postcondition (exactly 1 after). */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val table = "graft_daily_compact"
+    val agg = Tables(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    Warehouse.resetTable(spark, table)
+    // the fragmented state an incremental writer leaves behind: the same
+    // partition's rows spread over many writer tasks → many small files
+    agg.repartition(8)
+      .select(col("event_type"), col("n"), col("day"))
+      .write.partitionBy("day").saveAsTable(table)
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def filesPerDay(): Map[String, Int] =
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")) // checksum siblings
+        .map(p => p.getParent.getFileName.toString)
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    val beforeCounts = filesPerDay()
+    val wasFragmented = beforeCounts.values.exists(_ > 1)
+    // the compaction itself: cluster by partition key, one file per day,
+    // recommitted through the scoped dynamic-overwrite path
+    // stage the current content OFF the table before overwriting it —
+    // a self-insert would otherwise read the files it is replacing
+    val staged = spark.table(table).localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try staged.repartition(col("day"))
+      .write.mode("overwrite").insertInto(table)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val compacted = filesPerDay().values.forall(_ == 1)
+    spark.table(table)
+      .select(col("day"), col("event_type"), col("n"),
+        lit(wasFragmented).as("was_fragmented"), lit(compacted).as("compacted"))
+  }
+
+  private val compactionSql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS was_fragmented, TRUE AS compacted
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
+    QueryDef("q215_compaction", compaction, Some(compactionSql)),
     QueryDef("q188_scd2_merge", scd2Merge, Some(
       s"""SELECT key, valid_from, day_spend,
          |  lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
