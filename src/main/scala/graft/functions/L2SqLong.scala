@@ -21,11 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * inside whole-stage codegen. Integer arithmetic is associative — no
   * accumulation-order caveat at all, unlike the double fold.
   *
-  * Null semantics: null if either array is null; elements assumed
-  * non-null (quantized vectors), matching the composable form otherwise.
+  * Null semantics: null if either array is null, and null on a LENGTH
+  * MISMATCH — exactly what the composable form produces (`zip_with` pads
+  * the short side with nulls, the lambda turns those into null elements,
+  * and the fold's `acc + null` nulls the sum). The expression is
+  * user-callable SQL (`l2sq_l`), so the equivalence must hold at the
+  * expression itself, not only under `VectorFoldRule`'s size-guarded
+  * rewrite — a silent truncated sum here would diverge from the
+  * documented fold for any direct caller. Elements assumed non-null
+  * (quantized vectors), matching the composable form otherwise.
   */
 case class L2SqLong(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // mismatch → null even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -45,7 +55,8 @@ case class L2SqLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -63,13 +74,17 @@ case class L2SqLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $x.getLong($i) - $y.getLong($i);
-         |  $acc += $d * $d;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $x.getLong($i) - $y.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

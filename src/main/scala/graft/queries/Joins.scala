@@ -332,38 +332,32 @@ object Joins {
     * when the dim side is too large to broadcast (a broadcast join needs
     * no runtime filter) — here that regime is forced scoped-ly, and the
     * small-SF-only scan-size threshold is lowered because the feature
-    * self-selects via a 10 GB default at production scan sizes; both
-    * confs are saved and restored. `PlanSpec` pins the injected
+    * self-selects via a 10 GB default at production scan sizes. The
+    * confs live on a DEDICATED CLONED SESSION (same SparkContext, own
+    * SQLConf) that the returned frame is bound to — so EVERY consumer
+    * plan of this frame (Verify's write re-plan, AQE re-optimization)
+    * executes under them, not just a pre-forced QueryExecution; the
+    * caller's session conf is never touched, which is the same
+    * side-effect discipline as save/restore without the window where a
+    * re-plan escapes the feature. `PlanSpec` pins the injected
     * might_contain/bloom_filter_agg pair and the SMJ; the oracle is the
     * plain join-aggregate — a filter that wrongly drops a matching row
     * (bloom filters must never false-negative) fails the hash.
     * Quantities are whole-valued, so the aggregate stays in exact longs. */
   def runtimeFilterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val li = Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-      val ord = Tables(spark, dir, "orders")
-        .where(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
-      val out = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
-      // force the plan (and thereby the runtime-filter injection) while
-      // the scoped confs are in effect; the returned frame is the
-      // already-planned one
-      out.queryExecution.executedPlan
-      out
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables(s2, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val ord = Tables(s2, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
   }
 
   private val runtimeFilterJoinSql =

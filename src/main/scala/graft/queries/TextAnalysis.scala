@@ -891,7 +891,13 @@ object TextAnalysis {
       .join(broadcast(totals.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(
-        sum(abs(col("c1") * col("n2") - col("c2") * col("n1")).cast(d38)).as("num_shared"),
+        // factors cast to DECIMAL(38,0) BEFORE the multiply: per-source
+        // token totals at the 100 TB design point exceed 2^63 products —
+        // an int64 product here would overflow before the cast (ANSI
+        // failure or silent corruption), the same discipline as the
+        // closed-form terms below and q180/q183's ppm products
+        sum(abs(col("c1").cast(d38) * col("n2").cast(d38) -
+          col("c2").cast(d38) * col("n1").cast(d38))).as("num_shared"),
         sum(col("c1")).as("sh1"), sum(col("c2")).as("sh2"),
         count(lit(1)).as("n_shared_words"))
     totals.select(col("source").as("s1"), col("n").as("n1"))
@@ -921,7 +927,8 @@ object TextAnalysis {
       |  FROM wc GROUP BY source),
       |sh AS (
       |  SELECT a.source AS s1, b.source AS s2,
-      |    sum(abs(a.c * tb.n - b.c * ta.n)) AS num_shared,
+      |    sum(abs(a.c::HUGEINT * tb.n::HUGEINT
+      |      - b.c::HUGEINT * ta.n::HUGEINT)) AS num_shared,
       |    CAST(sum(a.c) AS BIGINT) AS sh1, CAST(sum(b.c) AS BIGINT) AS sh2,
       |    CAST(count(*) AS BIGINT) AS n_shared_words
       |  FROM wc a JOIN wc b ON a.t = b.t AND a.source < b.source
@@ -930,10 +937,10 @@ object TextAnalysis {
       |  GROUP BY 1, 2)
       |SELECT x.source AS s1, y.source AS s2,
       |  CAST(coalesce(sh.n_shared_words, 0) AS BIGINT) AS n_shared_words,
-      |  CAST((coalesce(sh.num_shared, 0)
-      |    + y.n * (x.n - coalesce(sh.sh1, 0))
-      |    + x.n * (y.n - coalesce(sh.sh2, 0))) * 1000000
-      |    // (2 * x.n * y.n) AS BIGINT) AS tv_ppm
+      |  CAST((coalesce(sh.num_shared, 0)::HUGEINT
+      |    + y.n::HUGEINT * (x.n - coalesce(sh.sh1, 0))::HUGEINT
+      |    + x.n::HUGEINT * (y.n - coalesce(sh.sh2, 0))::HUGEINT) * 1000000
+      |    // (2 * x.n::HUGEINT * y.n::HUGEINT) AS BIGINT) AS tv_ppm
       |FROM tot x JOIN tot y ON x.source < y.source
       |LEFT JOIN sh ON sh.s1 = x.source AND sh.s2 = y.source""".stripMargin
 

@@ -61,6 +61,16 @@ class FunctionsSpec extends AnyFunSuite {
     // null propagation
     val nd = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]])).toDF("a", "b")
     assert(nd.select(l2sq_l($"a", $"b")).head.isNullAt(0))
+    // length mismatch → null (the zip_with fold's semantics: the padded
+    // null element nulls the sum), in BOTH interpreted and codegen paths
+    val mm = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    assert(mm.select(l2sq_l($"a", $"b")).head.isNullAt(0))
+    val mmFold = mm.selectExpr(intFold + " AS f")
+    assert(mmFold.head.isNullAt(0)) // the documented equivalence itself
+    val mmCg = spark.range(3) // non-local input: exercises doGenCode
+      .select(array($"id", lit(2L), lit(3L)).as("a"), array($"id").as("b"))
+      .select(l2sq_l($"a", $"b").as("d"))
+    assert(mmCg.collect().forall(_.isNullAt(0)))
     // SQL registration via GraftExtensions
     assert(spark.sql("SELECT l2sq_l(array(1L, 5L), array(4L, 1L)) AS d")
       .head.getLong(0) == 25L)
