@@ -18,7 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
     ext.injectOptimizerRule(_ => graft.plans.ArrayContainsJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRule)
-    ext.injectOptimizerRule(_ => graft.plans.MatViewRule)
+    ext.injectOptimizerRule(s => new graft.plans.MatViewRule(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),

@@ -333,7 +333,101 @@ object Temporal {
       |  TRUE AS was_fragmented, TRUE AS compacted
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q216: the COMPLETE materialized-view lifecycle ---------------------
+
+  /** q216: register → go-stale → refresh → consume, end-to-end — the
+    * closed lifecycle of a transparent materialized view (q204 shows the
+    * rewrite; this shows the MAINTENANCE that makes the rewrite safe to
+    * leave on in production). The base is a mutable staged copy of
+    * `events` (initially missing the newest day); the view is its daily
+    * aggregate, day-partitioned.
+    *
+    *  1. REGISTER materializes the view and records the base's
+    *     file-snapshot fingerprint; a consumer authored from scratch is
+    *     substituted (`registered_substitutes`).
+    *  2. LATE DATA arrives (the newest day's rows are appended to the
+    *     base). The registration is now STALE: a fresh consumer must
+    *     DECLINE the rewrite (`stale_declined`) and its from-scratch
+    *     result must equal the full rebuild (`stale_correct`) — staleness
+    *     costs performance, never correctness.
+    *  3. REFRESH ([[graft.plans.MatViewRule.refresh]]) diffs the fresh
+    *     aggregate against the stored table and rewrites ONLY the changed
+    *     day through the q213 dynamic-partition-overwrite path —
+    *     `refresh_incremental` pins both that exactly the late day was
+    *     rewritten AND that every other partition's files survive
+    *     byte-identical (name and size).
+    *  4. The final consumer substitutes again (`resubstituted`) and its
+    *     rows ARE the refreshed table's — the oracle is the full rebuild
+    *     over `events`, so a lost partition, a double-write, or a stale
+    *     serve fails the hash.
+    *
+    * At 100 TB: registration/refresh cost ∝ changed partitions (the
+    * aggregate diff touches day-grain rows, never raw events history);
+    * the staleness guard costs one memoized file-listing compare per
+    * candidate subtree, no filesystem round trip. */
+  def matviewLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val table = "graft_mv_daily"
+    val out = java.nio.file.Files.createTempDirectory("graft_mv_life")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val baseDir = s"$out/base"
+    val ev = Tables(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .localCheckpoint() // feeds the max-day lookup, the stage, the expected
+    val maxDay = ev.agg(max(col("day"))).head().getString(0)
+    ev.where(col("day") < maxDay).write.parquet(baseDir)
+    // the defining query, ALWAYS re-derived from a fresh read (fresh file
+    // listing) — exactly how an independent dashboard consumer re-plans
+    def defining = spark.read.parquet(baseDir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.MatViewRule.register(spark, defining, table,
+      partitionBy = Seq("day"))
+    val substituted0 =
+      defining.queryExecution.executedPlan.toString.contains(table)
+    // late data arrives: the base grows the newest day's rows
+    ev.where(col("day") === maxDay).write.mode("append").parquet(baseDir)
+    val stale = defining
+    val staleDeclined =
+      !stale.queryExecution.executedPlan.toString.contains(table)
+    val expected = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val staleCorrect =
+      stale.exceptAll(expected).isEmpty && expected.exceptAll(stale).isEmpty
+    // refresh must rewrite ONLY the late day's partition
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def snapshot(): Map[String, Long] =
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".") &&
+          !p.toString.contains(s"day=$maxDay"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    val before = snapshot()
+    val refreshed = graft.plans.MatViewRule.refresh(spark, defining, table, "day")
+    val refreshIncremental = refreshed == Seq(maxDay) && snapshot() == before
+    val fin = defining
+    val resubstituted =
+      fin.queryExecution.executedPlan.toString.contains(table)
+    fin.select(col("day"), col("event_type"), col("n"),
+      lit(substituted0).as("registered_substitutes"),
+      lit(staleDeclined).as("stale_declined"),
+      lit(staleCorrect).as("stale_correct"),
+      lit(refreshIncremental).as("refresh_incremental"),
+      lit(resubstituted).as("resubstituted"))
+  }
+
+  private val matviewLifecycleSql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS registered_substitutes, TRUE AS stale_declined,
+      |  TRUE AS stale_correct, TRUE AS refresh_incremental,
+      |  TRUE AS resubstituted
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     QueryDef("q215_compaction", compaction, Some(compactionSql)),
     QueryDef("q188_scd2_merge", scd2Merge, Some(

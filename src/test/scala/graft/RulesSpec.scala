@@ -177,4 +177,84 @@ class RulesSpec extends AnyFunSuite {
       assert(!otherPlan.contains("graft_mv_rulespec"), otherPlan.take(600))
     } finally graft.plans.MatViewRule.clear()
   }
+
+  test("matview lifecycle: staleness declines, re-register, attach, sessions") {
+    import graft.plans.MatViewRule
+    val out = java.nio.file.Files.createTempDirectory("graft_mv_spec")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val baseDir = s"$out/base"
+    Tables(spark, sf, "orders")
+      .where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .write.parquet(baseDir)
+    def defining = spark.read.parquet(baseDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val t = "graft_mvlife_view"
+    try {
+      MatViewRule.register(spark, defining, t,
+        partitionBy = Seq("o_orderpriority"))
+      assert(planOf(defining).contains(t), planOf(defining).take(400))
+      val baseline = defining.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+      // STALE: the base grows a file -> a fresh consumer must DECLINE the
+      // rewrite (fingerprint mismatch) and still be correct
+      Tables(spark, sf, "orders")
+        .where(col("o_orderkey") % 3 === 1).limit(7)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("append").parquet(baseDir)
+      val stale = defining
+      assert(!planOf(stale).contains(t), planOf(stale).take(400))
+      val freshRows = stale.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(freshRows != baseline) // the declined plan sees the NEW data
+
+      // REFRESH re-validates: consumer substitutes again and reads the
+      // refreshed table (values = the fresh ones, not the stale baseline).
+      // (An UNPARTITIONED registration must refuse the incremental path —
+      // dynamic overwrite would truncate it to just the changed rows.)
+      MatViewRule.register(spark, defining, "graft_mvlife_flat")
+      intercept[IllegalArgumentException] {
+        MatViewRule.refresh(spark, defining, "graft_mvlife_flat", "o_orderpriority")
+      }
+      MatViewRule.refresh(spark, defining, t, "o_orderpriority")
+      assert(planOf(defining).contains(t), planOf(defining).take(400))
+      assert(defining.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == freshRows)
+
+      // RE-REGISTRATION must not record a self-referential key (the old
+      // entry would rewrite the defining plan to its own view scan while
+      // the key is computed): after re-register, a fresh consumer still
+      // substitutes — with a self-referential key it could not match
+      MatViewRule.register(spark, defining, t)
+      assert(planOf(defining).contains(t), planOf(defining).take(400))
+
+      // SESSION SCOPING: another session in the same JVM shares the
+      // catalog but must NOT have its plans rewritten by this session's
+      // registration
+      val s2 = spark.newSession()
+      val foreign = s2.read.parquet(baseDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!planOf(foreign).contains(t), planOf(foreign).take(400))
+
+      // PERSISTENCE: simulate a new process — the in-memory registry dies
+      // (clear), the table + sidecar survive; attach() re-enters the
+      // registration WITHOUT re-materializing iff the snapshot matches
+      MatViewRule.clear()
+      assert(!planOf(defining).contains(t))
+      assert(MatViewRule.attach(spark, defining, t))
+      assert(planOf(defining).contains(t), planOf(defining).take(400))
+
+      // attach on a STALE sidecar must refuse
+      Tables(spark, sf, "orders")
+        .where(col("o_orderkey") % 3 === 2).limit(5)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("append").parquet(baseDir)
+      MatViewRule.clear()
+      assert(!MatViewRule.attach(spark, defining, t))
+      assert(!planOf(defining).contains(t))
+    } finally MatViewRule.clear()
+  }
 }
