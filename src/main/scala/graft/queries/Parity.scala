@@ -133,6 +133,43 @@ object Parity {
     """SELECT o_orderpriority, count(*) AS n
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** q217: the STREAMING leg of the sink contract — a bounded stream
+    * committed through `graft-tsv`'s `StreamingWrite`, one EPOCH per
+    * micro-batch (the input is staged as four parquet files and drained
+    * with `maxFilesPerTrigger=1`, so four separate epoch commits append
+    * into one directory, each riding the atomic manifest+epoch-ledger
+    * rename). The committed directory is then read back through
+    * `graft-chunks` and aggregated; the oracle is q158's batch aggregate
+    * over `orders` — a lost epoch, a double-committed epoch (re-delivery
+    * must be a no-op), or a mis-carried manifest breaks the hash.
+    * Crash-mid-epoch recovery is unit-pinned in `TsvSinkUnitSpec`. */
+  def sinkStreamRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_tsv_stream")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val inDir = s"$out/in"; val tsvDir = s"$out/sink"; val ck = s"$out/ck"
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"))
+      .repartition(4) // four files -> four micro-batches -> four epochs
+      .write.parquet(inDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .format("graft-tsv")
+      .option("path", tsvDir)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft-chunks")
+      .option("recordsPerChunk", 1000).load(tsvDir)
+      .groupBy(col("value").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private val chunkRoundtripSql =
     """WITH lines AS (
       |  SELECT text,
@@ -261,5 +298,7 @@ object Parity {
     QueryDef("q124_chunk_multifile", chunkMultifile, Some(chunkMultifileSql)),
     QueryDef("q131_chunk_stream", chunkStreamIngest, Some(chunkMultifileSql)),
     QueryDef("q158_sink_chain", sinkChainRoundtrip,
+      Some(sinkChainRoundtripSql)),
+    QueryDef("q217_sink_stream", sinkStreamRoundtrip,
       Some(sinkChainRoundtripSql)))
 }

@@ -97,8 +97,13 @@ object ChunkTextSource {
       val success = p.resolve("_SUCCESS")
       val manifest: Option[Set[String]] =
         if (Files.isRegularFile(success)) {
+          // `#`-prefixed lines are sink metadata (the streaming commit's
+          // `#epochs:` ledger), not file names. A manifest with ONLY
+          // metadata lines is still a restriction (an empty committed
+          // snapshot hides stray files); a zero-byte Hadoop marker is not.
           val names = Files.readAllLines(success).asScala.filter(_.nonEmpty)
-          if (names.nonEmpty) Some(names.toSet) else None
+          if (names.nonEmpty) Some(names.filterNot(_.startsWith("#")).toSet)
+          else None
         } else None
       val listing = Files.list(p)
       try listing.iterator().asScala.toSeq

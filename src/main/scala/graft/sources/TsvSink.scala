@@ -6,6 +6,7 @@ import java.util.UUID
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage, SupportsTruncate}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -86,7 +87,8 @@ private[sources] class TsvTable(path: String, writeSchema: StructType)
   override def name(): String = path
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new TsvWriteBuilder(path, info.schema(), truncate = false)
@@ -107,6 +109,8 @@ private[sources] class TsvWriteBuilder(path: String, schema: StructType,
       s"graft-tsv writes string columns only; cast first (got ${schema.sql})")
     new Write {
       override def toBatch: BatchWrite = new TsvBatchWrite(path, schema, truncate)
+      override def toStreaming: StreamingWrite =
+        new TsvStreamingWrite(path, schema)
     }
   }
 }
@@ -161,21 +165,54 @@ object TsvEscape {
 private[sources] case class TsvCommit(tempPath: String, partitionId: Int)
     extends WriterCommitMessage
 
-private[sources] class TsvBatchWrite(path: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+/** The commit protocol shared by the batch and streaming writes. One
+  * manifest format serves both: file-name lines plus an optional
+  * `#epochs:<id,...>` metadata line — the STREAMING EPOCH LEDGER. The
+  * ledger rides the SAME atomic manifest rename as the file list, so
+  * "which files are committed" and "which epochs are committed" can never
+  * disagree: a crash after the task renames but before the manifest swap
+  * leaves the epoch unrecorded AND its files unreferenced (invisible to
+  * readers, GC'd by the next commit); Spark's re-delivery of that epoch
+  * then commits it exactly once. A re-delivered ALREADY-LEDGERED epoch
+  * drops its attempt files and returns — idempotent, the streaming
+  * contract (`ReduceRunner.java:113-122`'s sink, completed on the
+  * streaming half of the engine). */
+private[sources] object TsvCommitProtocol {
+  import scala.jdk.CollectionConverters._
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = TsvWriterFactory(path, schema.length)
+  private[sources] case class Manifest(files: Seq[String], epochs: Set[Long])
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  private[sources] def readManifest(success: Path): Manifest = {
+    val lines = Files.readAllLines(success).asScala.toSeq.filter(_.nonEmpty)
+    val epochs = lines.filter(_.startsWith("#epochs:"))
+      .flatMap(_.stripPrefix("#epochs:").split(',').toSeq)
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    Manifest(lines.filterNot(_.startsWith("#")), epochs)
+  }
+
+  /** Job-level commit: `epoch = None` for a batch job, `Some(id)` for a
+    * streaming epoch (always append semantics across epochs). */
+  def commit(path: String, messages: Array[WriterCommitMessage],
+      truncate: Boolean, epoch: Option[Long]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    val success = dir.resolve("_SUCCESS")
+    val prev =
+      if (Files.isRegularFile(success)) Some(readManifest(success)) else None
+    // 0. Idempotent epoch re-delivery: the ledger already records this
+    //    epoch, so its files are committed — this attempt's temps are a
+    //    duplicate; drop them and leave the snapshot untouched.
+    if (epoch.exists(e => prev.exists(_.epochs.contains(e)))) {
+      abort(path, messages)
+      return
+    }
     // 1. Move winners to ATTEMPT-UNIQUE final names. Nothing is committed
     //    yet: until the manifest rename below, readers still see the
     //    previous manifest's files (or nothing, for a fresh directory).
     val jobTag = UUID.randomUUID().toString.take(8)
+    val epochTag = epoch.map(e => s"e$e-").getOrElse("")
     val newFiles = messages.map { case TsvCommit(temp, pid) =>
-      val name = f"part-$pid%05d-$jobTag.tsv"
+      val name = f"part-$pid%05d-$epochTag$jobTag.tsv"
       Files.move(Paths.get(temp), dir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       name
@@ -186,56 +223,51 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
     //    manifest — e.g. written by an older sink version or a plain
     //    Hadoop committer — must not lose that data to step 4's GC: seed
     //    the carry-over from the part-* files actually present instead.
-    val success = dir.resolve("_SUCCESS")
     val newSet = newFiles.toSet
     val carried: Seq[String] =
       if (truncate) Seq.empty
-      else {
-        val fromManifest =
-          if (Files.isRegularFile(success)) readManifest(success) else Seq.empty
-        if (fromManifest.nonEmpty)
+      else prev.map(_.files) match {
+        case Some(fromManifest) if fromManifest.nonEmpty =>
           fromManifest.filter(n => Files.isRegularFile(dir.resolve(n)))
-        else {
-          import scala.jdk.CollectionConverters._
+        case _ =>
           Files.list(dir).iterator().asScala
             .map(_.getFileName.toString)
             .filter(n => n.startsWith("part-") && !newSet.contains(n))
             .toSeq
-        }
       }
-    val manifest = (carried ++ newFiles).distinct.sorted
-    // 3. THE commit point: atomic rename of the manifest onto _SUCCESS.
+    val files = (carried ++ newFiles).distinct.sorted
+    val epochs = (if (truncate) Set.empty[Long]
+      else prev.map(_.epochs).getOrElse(Set.empty)) ++ epoch
+    val lines = files ++ (if (epochs.isEmpty) Seq.empty
+      else Seq("#epochs:" + epochs.toSeq.sorted.mkString(",")))
+    // 3. THE commit point: atomic rename of the manifest onto _SUCCESS —
+    //    file list and epoch ledger land together or not at all.
     val mTmp = dir.resolve(s"_temporary-manifest-$jobTag")
-    Files.write(mTmp, manifest.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.write(mTmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(mTmp, success,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     // 4. Garbage-collect part files the new manifest doesn't reference
     //    (truncated previous state, crashed-commit leftovers). Best-effort:
     //    a crash here leaves stray files that the manifest already hides.
-    val keep = manifest.toSet
+    val keep = files.toSet
     val listing = Files.list(dir).iterator()
     while (listing.hasNext) {
       val p = listing.next()
       val n = p.getFileName.toString
       if (n.startsWith("part-") && !keep.contains(n)) Files.deleteIfExists(p)
     }
-    cleanTemp()
+    cleanTemp(path)
   }
 
-  private def readManifest(success: java.nio.file.Path): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(success).asScala.toSeq.filter(_.nonEmpty)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  def abort(path: String, messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case TsvCommit(temp, _) => Files.deleteIfExists(Paths.get(temp))
       case _ =>
     }
-    cleanTemp()
+    cleanTemp(path)
   }
 
-  private def cleanTemp(): Unit = {
+  private def cleanTemp(path: String): Unit = {
     val tmp = Paths.get(path, "_temporary")
     if (Files.isDirectory(tmp)) {
       val it = Files.list(tmp).iterator()
@@ -244,9 +276,51 @@ private[sources] class TsvBatchWrite(path: String, schema: StructType,
   }
 }
 
+private[sources] class TsvBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = TsvWriterFactory(path, schema.length)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TsvCommitProtocol.commit(path, messages, truncate, epoch = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TsvCommitProtocol.abort(path, messages)
+}
+
+/** The STREAMING write: each micro-batch commits as one epoch through
+  * [[TsvCommitProtocol]] with append semantics across epochs — the
+  * manifest accumulates every epoch's files, and the atomic epoch ledger
+  * makes re-delivered epochs no-ops (crash-mid-epoch recovery re-runs
+  * the epoch; whichever attempt reaches the manifest rename first wins,
+  * and the loser's files are dropped). Task-level mechanics (attempt-
+  * unique temps, speculative twins) are the batch writer's, reused. */
+private[sources] class TsvStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = TsvWriterFactory(path, schema.length)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    TsvCommitProtocol.commit(path, messages, truncate = false,
+      epoch = Some(epochId))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    TsvCommitProtocol.abort(path, messages)
+}
+
 private[sources] case class TsvWriterFactory(path: String, nFields: Int)
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TsvWriter(path, nFields, partitionId)
+
+  // streaming tasks write the same attempt-unique temps; the epoch enters
+  // at JOB-level commit, so the writer itself is epoch-oblivious
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new TsvWriter(path, nFields, partitionId)
 }

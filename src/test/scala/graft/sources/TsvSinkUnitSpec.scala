@@ -116,6 +116,72 @@ class TsvSinkUnitSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming epochs append atomically; a re-delivered epoch is a no-op") {
+    val dir = Files.createTempDirectory("tsvu7").toString + "/out"
+    val sw = new TsvStreamingWrite(dir, null)
+    val f = TsvWriterFactory(dir, 2)
+    def epochCommit(epoch: Long, k: String, v: String): Unit = {
+      val w = f.createWriter(0, epoch * 10, epoch)
+      w.write(row(k, v))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    epochCommit(0, "epoch0", "a")
+    epochCommit(1, "epoch1", "b")
+    assert(committedLines(dir).sorted == Seq("epoch0\ta", "epoch1\tb"))
+    // RE-DELIVERY of epoch 1 (recovery replays the batch after a crash
+    // post-commit): the ledger already records it — the duplicate attempt's
+    // rows must NOT appear, and its temp must be cleaned up
+    val wDup = f.createWriter(0, 99L, 1L)
+    wDup.write(row("epoch1", "duplicate"))
+    sw.commit(1L, Array(wDup.commit()))
+    assert(committedLines(dir).sorted == Seq("epoch0\ta", "epoch1\tb"))
+    assert(!Files.exists(Paths.get(dir, "_temporary")))
+    // the ledger itself is invisible to readers but present in the manifest
+    val manifest = TsvCommitProtocol.readManifest(Paths.get(dir, "_SUCCESS"))
+    assert(manifest.epochs == Set(0L, 1L), manifest)
+  }
+
+  test("crash mid-epoch: unswapped files invisible, recovery commits exactly once") {
+    val dir = Files.createTempDirectory("tsvu8").toString + "/out"
+    val sw = new TsvStreamingWrite(dir, null)
+    val f = TsvWriterFactory(dir, 2)
+    val w0 = f.createWriter(0, 1L, 0L)
+    w0.write(row("epoch0", "a"))
+    sw.commit(0L, Array(w0.commit()))
+    // epoch 1 CRASHES between the task-file renames and the manifest swap:
+    // simulate the half-committed state by dropping an epoch-tagged part
+    // file in directly (what step 1 of the commit leaves behind)
+    Files.write(Paths.get(dir, "part-00000-e1-deadbeef.tsv"),
+      "epoch1\tcrashed-attempt\n".getBytes("UTF-8"))
+    // readers see only the committed snapshot — the crashed attempt's file
+    // is unreferenced by the manifest
+    assert(committedLines(dir) == Seq("epoch0\ta"))
+    // recovery RE-DELIVERS epoch 1 (not in the ledger -> it commits), and
+    // the commit's GC removes the crashed attempt's unreferenced file
+    val w1 = f.createWriter(0, 2L, 1L)
+    w1.write(row("epoch1", "recovered"))
+    sw.commit(1L, Array(w1.commit()))
+    assert(committedLines(dir).sorted == Seq("epoch0\ta", "epoch1\trecovered"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!names.contains("part-00000-e1-deadbeef.tsv"), names)
+    assert(TsvCommitProtocol.readManifest(Paths.get(dir, "_SUCCESS")).epochs
+      == Set(0L, 1L))
+  }
+
+  test("streaming abort drops the epoch's temps and leaves the snapshot intact") {
+    val dir = Files.createTempDirectory("tsvu9").toString + "/out"
+    val sw = new TsvStreamingWrite(dir, null)
+    val f = TsvWriterFactory(dir, 2)
+    val w0 = f.createWriter(0, 1L, 0L)
+    w0.write(row("epoch0", "a"))
+    sw.commit(0L, Array(w0.commit()))
+    val wBad = f.createWriter(0, 2L, 1L)
+    wBad.write(row("epoch1", "failed"))
+    sw.abort(1L, Array(wBad.commit()))
+    assert(committedLines(dir) == Seq("epoch0\ta"))
+    assert(!Files.exists(Paths.get(dir, "_temporary")))
+  }
+
   test("escape/unescape round-trips hostile values and is identity on clean ones") {
     val hostile = Seq("a\tb", "line1\nline2", "cr\rhere", "back\\slash",
       "\\t literal", "mix\\\t\n\r", "", "plain")
