@@ -88,6 +88,7 @@ object Driver {
         .appName(s"graft-$jobName")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", Sessions.warehouseDir())
         .getOrCreate()
       val n =
         try nStr.toInt

@@ -47,6 +47,25 @@ object Sessions {
         (here +: extraJars).mkString(java.io.File.pathSeparator))
     } else b
 
+  /** A PER-PROCESS warehouse sandbox: every warehouse-mutating registry
+    * query (the store commits, q213/q215 refresh/compaction, the matview
+    * family) writes fixed-name tables, which is correct under the
+    * registry's serial execution but racy if two graft PROCESSES share
+    * one warehouse directory (the in-memory catalog is per-JVM; only the
+    * directory is shared — a concurrent `resetTable` would delete files
+    * the other process is mid-read on). Each main therefore gets its own
+    * warehouse under java.io.tmpdir, exactly as two production jobs own
+    * separate schemas; two concurrent Verify/Bench runs can never
+    * interfere. `SPARK_GRAFT_WAREHOUSE` overrides for workflows that
+    * WANT a shared, durable warehouse (the matview attach()-across-JVMs
+    * path), accepting the one-writer-at-a-time contract that implies. */
+  def warehouseDir(): String =
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", {
+      val d = java.nio.file.Files.createTempDirectory("graft_wh")
+      d.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** `SPARK_GRAFT_CONF="k=v;k2=v2"`: session-conf pins for measurement and
     * smoke runs (e.g. `graft.graph.triangleImpl=wedge` to force the
     * shuffle-only triangle path). Fails loudly naming a malformed

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extensions, Graph, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, Temporal, TextAnalysis, TimeSeries, Windows}
+import graft.queries.{Dedup, Extensions, Graph, Joins, Layout, Parity, Pipeline, Relational, Scalars, Similarity, SqlFront, Temporal, TextAnalysis, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -23,6 +23,7 @@ object SparkEntry {
       Pipeline.defs ++
       Layout.defs ++
       Graph.defs ++
+      SqlFront.defs ++
       Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

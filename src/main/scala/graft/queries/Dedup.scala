@@ -1621,6 +1621,69 @@ object Dedup {
     materializeBucketed(spark, merged, "graft_fp_store_gen1", 8, Seq("fp"))
   }
 
+  // ---- q218: store generation VACUUM --------------------------------------
+
+  /** q218: RETENTION for the committed-store family — the maintenance
+    * operator that completes the store lifecycle (q120 commits
+    * generations, q197 diffs them, q215 compacts partitions; without GC
+    * the warehouse keeps every generation forever). Three generations of
+    * the exact-fingerprint store are committed through the q120 merge
+    * path (gen0 = 60% slice, gen1 = +20%, gen2 = +20% — the monoid merge
+    * makes gen2 provably the full-corpus store), then
+    * [[Warehouse.vacuumGenerations]] retires all but the newest.
+    *
+    * Gates: `expired_removed` pins that exactly gen0/gen1 were dropped
+    * AND their files are gone from disk; `live_intact` pins that the
+    * live generation's file set (names and sizes) survived the vacuum
+    * byte-identical; the returned rows are the live store read back
+    * AFTER the vacuum, graded against the full-corpus rebuild — a
+    * vacuum that touched live data fails the hash. Reader safety is the
+    * retention-window argument on [[Warehouse.vacuumGenerations]]:
+    * consumers always open the max generation, live files are never
+    * touched, and `keep` bounds how far a reader may lag. */
+  def storeVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val docs = Tables(spark, dir, "documents")
+    val g0 = materializeBucketed(spark,
+      fpAggregate(docs.where(expr("doc_id % 10 <= 5"))),
+      "graft_vac_gen0", 8, Seq("fp"))
+    def commitGen(store: DataFrame, pred: String, t: String): DataFrame =
+      materializeBucketed(spark,
+        store.unionByName(fpAggregate(docs.where(expr(pred))))
+          .groupBy(col("fp"))
+          .agg(min(col("keep_id")).as("keep_id"),
+            sum(col("n_copies")).as("n_copies")),
+        t, 8, Seq("fp"))
+    val g1 = commitGen(g0, "doc_id % 10 IN (6, 7)", "graft_vac_gen1")
+    commitGen(g1, "doc_id % 10 IN (8, 9)", "graft_vac_gen2")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def filesOf(t: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(wh, t)
+      if (!java.nio.file.Files.isDirectory(root)) Map.empty
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val liveBefore = filesOf("graft_vac_gen2")
+    val expired = Warehouse.vacuumGenerations(spark, "graft_vac", keep = 1)
+    val expiredRemoved =
+      expired == Seq("graft_vac_gen0", "graft_vac_gen1") &&
+        filesOf("graft_vac_gen0").isEmpty && filesOf("graft_vac_gen1").isEmpty
+    val liveIntact = liveBefore.nonEmpty && filesOf("graft_vac_gen2") == liveBefore
+    spark.table("graft_vac_gen2")
+      .select(col("fp"), col("keep_id"), col("n_copies"),
+        lit(expiredRemoved).as("expired_removed"),
+        lit(liveIntact).as("live_intact"))
+  }
+
+  private val storeVacuumSql =
+    """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies,
+      |  TRUE AS expired_removed, TRUE AS live_intact
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- q194: leakage-free split by construction ---------------------------
 
   /** q194: the CONSTRUCTIVE complement of q129's leakage audit — instead
@@ -2086,6 +2149,7 @@ object Dedup {
     QueryDef("q117_stream_ingest_dedup", streamingIngestDedup,
       Some(streamingIngestSql)),
     QueryDef("q120_store_commit", storeCommit, Some(storeCommitSql)),
+    QueryDef("q218_store_vacuum", storeVacuum, Some(storeVacuumSql)),
     QueryDef("q192_postings_commit", postingsCommit, Some(postingsCommitSql)),
     QueryDef("q197_postings_diff", postingsDiff, Some(postingsDiffSql)),
     QueryDef("q194_leakfree_split", leakFreeSplit, Some(leakFreeSplitSql)),

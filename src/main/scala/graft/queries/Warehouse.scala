@@ -28,4 +28,32 @@ private[graft] object Warehouse {
       .saveAsTable(table)
     spark.table(table)
   }
+
+  /** VACUUM for the committed-store families (q120/q169/q192/q200/q203):
+    * each commit writes a NEW `<prefix>_gen<N>` table and leaves its
+    * predecessors on disk forever — this is the retention half of the
+    * maintenance pair (q215 compaction being the other). Drops every
+    * generation but the newest `keep`, catalog entry and files both, and
+    * returns the dropped table names (oldest first).
+    *
+    * Reader safety: consumers of a store family always open the MAXIMUM
+    * generation (the commit contract — each cycle's probes read the
+    * newest store), so no NEW reader can open an expired generation; the
+    * live generations' files are never touched, so every in-flight
+    * reader of a retained generation is unaffected. An in-flight reader
+    * of an EXPIRED generation races with the delete — that is what the
+    * retention window is for: run with `keep` ≥ (1 + the number of
+    * generations any reader can lag behind), exactly the argument
+    * log-structured table formats make for their VACUUM horizon. */
+  def vacuumGenerations(spark: SparkSession, prefix: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuumGenerations($prefix): keep must be >= 1")
+    val genRe = (java.util.regex.Pattern.quote(prefix) + "_gen(\\d+)").r
+    val gens = spark.catalog.listTables().collect().map(_.name)
+      .collect { case n @ genRe(i) => (i.toInt, n) }
+      .sortBy(_._1).map(_._2).toSeq
+    val expired = gens.dropRight(keep)
+    expired.foreach(resetTable(spark, _))
+    expired
+  }
 }
