@@ -128,6 +128,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), "bench_full.json")
     try {
+      java.nio.file.Files.createDirectories(fullPath.getParent)
       java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full results: ${fullPath.toAbsolutePath}")
     }
