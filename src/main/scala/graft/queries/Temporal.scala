@@ -426,8 +426,209 @@ object Temporal {
       |  TRUE AS resubstituted
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q222: algebraic incremental view maintenance (delta merge) ---------
+
+  /** q222: INCREMENTAL VIEW MAINTENANCE by COUNTING ALGEBRA — the delta
+    * path the partition-overwrite refresh (q213/q216) cannot take: when a
+    * change batch carries INSERTS AND DELETES that land in arbitrary
+    * groups, re-aggregating any partition means re-reading its history.
+    * Z-set maintenance (the classic counting-algebra IVM result; DBSP is
+    * its modern statement) instead represents the change as WEIGHTED rows
+    * (+1 insert, −1 retraction), aggregates the delta alone, and MERGES
+    * it into the stored view by group-wise addition — count and sum are
+    * commutative groups (not just monoids — retraction needs inverses),
+    * so merge(view, Δagg) IS the view over base∪Δ. Groups whose support
+    * reaches zero are dropped (the HAVING n > 0 of the algebra).
+    *
+    * Exactness: IEEE addition has no inverses at the ULP (x + y − y ≠ x
+    * in general), so a double-summed spend could NOT be maintained this
+    * way — the spend aggregate is DECIMAL(18,2) end-to-end (the q203
+    * sufficient-statistics discipline) and only cast to double on
+    * output, making merged == rebuilt a bit-equality.
+    *
+    * The view: per-customer order count + spend over `orders`. History =
+    * 80% of orders (okey%10 ≤ 7), committed as a bucketed gen0 store
+    * (the q120 generation shape — q218's VACUUM applies unchanged). The
+    * change batch: the remaining 20% as inserts, plus retractions of
+    * every history row with custkey%97 = 13 or okey%17 = 3 (GDPR-style
+    * per-customer erasure mixed with row-level corrections).
+    *
+    * Gates: the returned rows ARE the maintained gen1 view, graded
+    * against the oracle's from-scratch GROUP BY over the post-change
+    * base — a lost retraction, a double-merge, or an undropped empty
+    * group fails the hash; `matches_rebuild` additionally pins a
+    * full-outer bit-compare against an INDEPENDENT same-session rebuild
+    * (the q203 two-computation pattern).
+    *
+    * At 100 TB: the history corpus is read once at gen0 build; every
+    * maintenance cycle after that moves |Δ| weighted rows plus the
+    * |groups|-row store — never the base. Both sides of the merge group
+    * on the view key with map-side partial aggregation; gen1 is written
+    * bucketed on the key, so consumers (and the next cycle's merge) read
+    * it shuffle-free. */
+  def ivmDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    val histPred = col("o_orderkey") % 10 <= 7
+    val insPred = col("o_orderkey") % 10 >= 8
+    val delPred = col("o_custkey") % 97 === 13 || col("o_orderkey") % 17 === 3
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), price.as("p"))
+      .localCheckpoint() // feeds gen0, the delta, and the rebuild gate
+    val gen0 = Warehouse.materializeBucketed(spark,
+      orders.where(histPred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("s")),
+      "graft_ivm_gen0", 8, Seq("o_custkey"))
+    // the change batch as a Z-set: +1 rows for inserts, −1 for retractions
+    val delta = orders.where(insPred)
+      .select(col("o_custkey"), lit(1L).as("w"), col("p"))
+      .unionByName(orders.where(histPred && delPred)
+        .select(col("o_custkey"), lit(-1L).as("w"), (-col("p")).as("p")))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("w")).as("n"), sum(col("p")).as("s"))
+    val gen1 = Warehouse.materializeBucketed(spark,
+      gen0.unionByName(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+        .where(col("n") > 0),
+      "graft_ivm_gen1", 8, Seq("o_custkey"))
+    // the independent second computation: aggregate the post-change base
+    val rebuilt = orders.where((histPred && !delPred) || insPred)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    val cmp = gen1.as("g").join(rebuilt.as("r"), Seq("o_custkey"), "full_outer")
+      .agg(min(col("g.n").isNotNull && col("r.n").isNotNull &&
+        col("g.n") === col("r.n") && col("g.s") === col("r.s"))
+        .as("matches_rebuild"))
+    gen1.crossJoin(broadcast(cmp))
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        col("s").cast("double").as("spend"), col("matches_rebuild"))
+  }
+
+  private val ivmDeltaSql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |  TRUE AS matches_rebuild
+      |FROM orders
+      |WHERE (o_orderkey % 10 <= 7
+      |       AND NOT (o_custkey % 97 = 13 OR o_orderkey % 17 = 3))
+      |   OR o_orderkey % 10 >= 8
+      |GROUP BY 1""".stripMargin
+
+  // ---- q223: streaming IVM — a CDC stream maintains the view --------------
+
+  /** q223: the STREAMING twin of q222 — the same counting-algebra
+    * maintenance driven by a real change-data-capture STREAM instead of
+    * one batch: the weighted delta (+1 inserts, −1 retractions, q222's
+    * exact change set) arrives as micro-batches (`readStream` over a
+    * staged CDC directory, `maxFilesPerTrigger=1` so the bounded run
+    * genuinely exercises multiple `MicroBatchExecution` cycles), each
+    * batch is aggregated to its group-wise Z-set inside `foreachBatch`
+    * and committed to a batchId-keyed delta log (the [[graft.streaming
+    * .EventStreams.batchSink]] idempotent-under-retry contract — a
+    * redelivered batch overwrites its own subdir, never doubles its
+    * weights, which for RETRACTABLE aggregates is the difference between
+    * correct and silently corrupt). The final view is gen0 merged with
+    * the drained log, exactly q222's algebra, graded by the SAME
+    * from-scratch oracle.
+    *
+    * This closes the maintenance symmetry the way q212/q196/q148 closed
+    * the sketch one: partition-overwrite refresh (q213) ↔ matview
+    * lifecycle (q216) ↔ batch delta merge (q222) ↔ streaming delta
+    * merge (q223).
+    *
+    * At 100 TB: per-batch work ∝ that batch's changes; the log holds
+    * |batches|·|touched groups| pre-aggregated rows, compacted into the
+    * store by one group-keyed merge — the base corpus is never re-read
+    * after gen0. A production deployment folds the merge into each
+    * `foreachBatch` (read-merge-write of the bucketed store, q120's
+    * cycle); the drained-log form keeps the bounded run's commit points
+    * inspectable. */
+  def streamIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val price = col("o_totalprice").cast(DecimalType(18, 2))
+    val histPred = col("o_orderkey") % 10 <= 7
+    val insPred = col("o_orderkey") % 10 >= 8
+    val delPred = col("o_custkey") % 97 === 13 || col("o_orderkey") % 17 === 3
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), price.as("p"))
+      .localCheckpoint() // feeds gen0, the staged CDC files, the rebuild
+    val gen0 = Warehouse.materializeBucketed(spark,
+      orders.where(histPred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("s")),
+      "graft_sivm_gen0", 8, Seq("o_custkey"))
+    // stage the CDC: three arrival files (hash-split on the order key so
+    // every micro-batch carries a mix of inserts and retractions)
+    val zset = orders.where(insPred)
+      .select(col("o_orderkey"), col("o_custkey"), lit(1L).as("w"), col("p"))
+      .unionByName(orders.where(histPred && delPred)
+        .select(col("o_orderkey"), col("o_custkey"), lit(-1L).as("w"),
+          (-col("p")).as("p")))
+    val inDir = Files.createTempDirectory("graft_sivm_in")
+    val outDir = Files.createTempDirectory("graft_sivm_out")
+    val ck = Files.createTempDirectory("graft_sivm_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(outDir)
+    for (i <- 0 until 3) {
+      val tmp = Files.createTempDirectory(s"graft_sivm_stage$i")
+      zset.where(col("o_orderkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, inDir.resolve(f"cdc-$i%02d.parquet"))
+    }
+    val streamSpark = spark.newSession()
+    streamSpark.conf.set("spark.sql.shuffle.partitions", "8")
+    val sink = graft.streaming.EventStreams.batchSink(outDir, "append")
+    val q = streamSpark.readStream
+      .schema(zset.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batch.groupBy(col("o_custkey"))
+          .agg(sum(col("w")).as("n"), sum(col("p")).as("s")), batchId)
+      }
+      .start()
+    try q.awaitTermination() finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(inDir); rm(ck)
+    }
+    val deltaLog = spark.read.parquet(s"$outDir/batch_*")
+    val gen1 = Warehouse.materializeBucketed(spark,
+      gen0.unionByName(deltaLog)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+        .where(col("n") > 0),
+      "graft_sivm_gen1", 8, Seq("o_custkey"))
+    val rebuilt = orders.where((histPred && !delPred) || insPred)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    val cmp = gen1.as("g").join(rebuilt.as("r"), Seq("o_custkey"), "full_outer")
+      .agg(min(col("g.n").isNotNull && col("r.n").isNotNull &&
+        col("g.n") === col("r.n") && col("g.s") === col("r.s"))
+        .as("matches_rebuild"))
+    gen1.crossJoin(broadcast(cmp))
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        col("s").cast("double").as("spend"), col("matches_rebuild"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
+    QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
+    QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),
     QueryDef("q215_compaction", compaction, Some(compactionSql)),
     QueryDef("q188_scd2_merge", scd2Merge, Some(

@@ -134,4 +134,42 @@ class TemporalSpec extends AnyFunSuite {
       // key 3: fresh chain from the batch alone
       (3L, t("2000-06-01 00:00:00"), 60.0, None, 1L)), got.toSeq)
   }
+
+  /** Orders staging for the IVM pair — q222/q223 key off o_orderkey%10
+    * (history ≤7 / insert ≥8), o_orderkey%17=3 and o_custkey%97=13
+    * (retractions). */
+  private def stageIvm(rows: Seq[(Long, Long, Double)]): String = {
+    val d = Files.createTempDirectory("temporalspec_ivm")
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d.toString
+  }
+
+  test("q222 counting-algebra IVM: retraction-to-zero drops the group, money is exact") {
+    val dir = stageIvm(Seq(
+      // custkey 13 (%97=13): entire history retracted, no inserts → vanishes
+      (1L, 13L, 99.99),
+      // custkey 10: okey 2 kept, okey 3 (%17=3) retracted, okey 8 inserted
+      (2L, 10L, 10.01), (3L, 10L, 5.55), (8L, 10L, 20.02),
+      // custkey 20: untouched history
+      (4L, 20L, 7.77)))
+    val got = graft.queries.Temporal.ivmDelta(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 2L, 30.03, true), (20L, 1L, 7.77, true)), got)
+  }
+
+  test("q223 streaming IVM over micro-batched CDC equals the batch delta merge") {
+    val dir = stageIvm(Seq(
+      (1L, 13L, 99.99),
+      (2L, 10L, 10.01), (3L, 10L, 5.55), (8L, 10L, 20.02),
+      (4L, 20L, 7.77),
+      // a second insert landing in a different %3 arrival file than okey 8
+      (9L, 20L, 1.23)))
+    val batch = graft.queries.Temporal.ivmDelta(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val stream = graft.queries.Temporal.streamIvm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    assert(stream.forall(_._4), "matches_rebuild must hold")
+  }
 }
