@@ -169,7 +169,17 @@ object Graph {
     * probing the y→z edge. Every join is a plain hash shuffle on graph
     * keys; no broadcast, no driver-sized structure, so the path survives
     * any |V|. Work bound: Σ outdeg² ≤ m^{3/2} wedge rows (Suri &
-    * Vassilvitskii, WWW'11), shuffled once for the closing probe. */
+    * Vassilvitskii, WWW'11), shuffled once for the closing probe.
+    *
+    * The closing probe is HINTED shuffled-hash: the build side is the
+    * m-row edge list (bounded per partition), and the m^{3/2}-row wedge
+    * stream then FLOWS through the probe unsorted. Unhinted, Spark
+    * sort-merges — sorting the wedge stream, the one corpus-scale
+    * intermediate this plan has: measured at sf1, the sort spilled
+    * 19.3 GB for a 4.6 GB shuffle (and at sf10 the 10× spill exceeded
+    * the test box's scratch disk outright); with the hint the spill
+    * term is gone and only the shuffle write scales with the wedge
+    * count. */
   private def triplesByWedgeJoin(oriented: DataFrame): DataFrame = {
     val e1 = oriented.select(
       col("src").as("x"), col("dst").as("y"), col("rdst").as("r1"))
@@ -177,7 +187,8 @@ object Graph {
       col("src").as("s2"), col("dst").as("z"), col("rdst").as("r2"))
     val closing = oriented.select(col("src").as("cy"), col("dst").as("cz"))
     e1.join(e2, col("x") === col("s2") && col("r1") < col("r2"))
-      .join(closing, col("y") === col("cy") && col("z") === col("cz"))
+      .join(closing.hint("shuffle_hash"),
+        col("y") === col("cy") && col("z") === col("cz"))
       .select(col("x"), col("y"), col("z"))
   }
 
@@ -316,22 +327,35 @@ object Graph {
     val deg = degOf(edges).select(col("node").as("dn"), col("d"))
     // Degree-annotated edges built ONCE and checkpointed — referenced by
     // all three iterations, so without the checkpoint the union+join
-    // pipeline would recompute per round. No explicit repartition: the
-    // |V|-row rank table BROADCASTS onto the edge scan (AQE picks it at
-    // any realistic |V|; a deliberate shuffle layout would only pay off
-    // once rank outgrows the broadcast threshold, at which point
-    // co-partitioning both sides on `a` — the Pregel layout — is the
-    // switch to flip). Per iteration the only exchange is the partial-
-    // aggregated groupBy on the receiving endpoint.
+    // pipeline would recompute per round. The rank-join shape is gated
+    // below: broadcast under the budget, shuffled-hash (rank as build)
+    // above it — the Pregel co-partitioned layout, selected by one cheap
+    // |V| count exactly like q127's adjacency gate.
     val contribEdges = Memo("graph_contrib", spark, dir) {
       und.join(deg, col("a") === col("dn"))
         .select(col("a"), col("b"), col("d"))
         .localCheckpoint()
     }
+    // The rank join's physical shape is size-gated like q127's adjacency:
+    // under the budget the |V|-row rank table broadcasts onto the edge
+    // scan (zero edge movement); above it (sf10's 2M-node slice crossed
+    // the AQE threshold and fell back to sort-merge, which re-SORTED the
+    // 120M-row edge table in every iteration) the join is hinted
+    // shuffled-hash with RANK as the build side — the edge stream flows
+    // unsorted, its exchange is canonical-identical across iterations
+    // (ReusedExchange), and per-iteration cost is one |V|-row exchange +
+    // hash build. The same lesson as the q127 wedge closing probe: never
+    // let the corpus-scale stream be the sorted side.
+    val rankBytesPerNode = 32L
+    val budget = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("graft.graph.adjacencyBroadcastBytes",
+        DefaultAdjBroadcastBytes.toString))
+    val rankBroadcasts = deg.count() * rankBytesPerNode <= budget
     var rank = deg.select(col("dn").as("node"), lit(1000000000L).as("pr"))
     for (_ <- 1 to 3) {
+      val rk = if (rankBroadcasts) broadcast(rank) else rank.hint("shuffle_hash")
       rank = contribEdges
-        .join(rank, col("a") === col("node"))
+        .join(rk, col("a") === col("node"))
         .select(col("b"), expr("pr div d").as("contrib"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("s"))

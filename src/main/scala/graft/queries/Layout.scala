@@ -72,6 +72,166 @@ object Layout {
        |FROM lineitem GROUP BY 1""".stripMargin
   }
 
+  // ---- q224: zone-map file skipping, end-to-end ---------------------------
+
+  /** q224: ZONE-MAP DATA SKIPPING — the table-format layer (Delta/Iceberg
+    * file statistics) built and CONSUMED as engine operators: events are
+    * laid out range-clustered on `ts` (`repartitionByRange` — each output
+    * file covers a tight, near-disjoint time slice; q125's Z-order is the
+    * 2-D generalization of this 1-D layout), a zone map (per-file min/max
+    * day + row count) is derived in one aggregate pass, and a one-day
+    * query consults the zone map FIRST, reading only the files whose
+    * [min, max] interval can contain the day. Parquet's own row-group
+    * stats prune within a file the same way; this is the level ABOVE the
+    * format — the planner never even opens a pruned file's footer.
+    *
+    * Soundness is min/max interval containment (a file whose zone
+    * excludes the day cannot hold a matching row), so pruning can never
+    * lose rows — the oracle's from-scratch filter over the whole table
+    * grades exactly that; `pruned` pins that the skip actually happened
+    * (fewer files read than exist — the layout/selectivity precondition,
+    * measured: a 1-day predicate touches ≤2 of 8 files at every sf).
+    *
+    * At 100 TB: the zone map is |files| rows (one aggregate over the
+    * layout, or maintained incrementally at write time like q213); file
+    * selection is a |files|-row filter on the driver — planning-scale,
+    * the same listing the scheduler already holds — and scan cost drops
+    * from O(table) to O(selected slice). Without the clustered layout
+    * the same statistics prune NOTHING (every file spans every day) —
+    * layout and skipping are one design, which is why they share q125's
+    * module. */
+  def zoneSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    val ev = Tables(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_zone")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val layout = s"$out/events_by_ts"
+    ev.repartitionByRange(8, col("ts")).write.parquet(layout)
+    val laid = spark.read.parquet(layout)
+    // the persisted zone map: one row per file (day-grain bounds — the
+    // predicate's grain; string compare is engine-neutral)
+    val zones = laid
+      .groupBy(input_file_name().as("file"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day_lo"),
+        max(date_format(col("ts"), "yyyy-MM-dd")).as("day_hi"))
+      .collect() // |files| rows — planning-scale, the scheduler's listing
+    // the query day: 11th distinct day (mid-corpus at every sf)
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().orderBy(col("day")).limit(11)
+      .collect().last.getString(0)
+    val keep = zones.filter(r =>
+        r.getString(1) <= day && day <= r.getString(2))
+      .map(_.getString(0))
+    val pruned = keep.nonEmpty && keep.length < zones.length
+    spark.read.parquet(keep.toIndexedSeq: _*)
+      .where(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+      .select(col("event_type"), col("n"), col("total_value"),
+        lit(pruned).as("pruned"))
+  }
+
+  private val zoneSkipSql =
+    s"""WITH d AS (
+       |  SELECT day FROM (
+       |    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+       |    ORDER BY day LIMIT 1 OFFSET 10))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("value")} AS total_value, TRUE AS pruned
+       |FROM events, d
+       |WHERE strftime(ts, '%Y-%m-%d') = d.day
+       |GROUP BY 1""".stripMargin
+
+  // ---- q225: per-file Bloom-filter skipping for point lookups -------------
+
+  /** q225: BLOOM-FILTER FILE SKIPPING — the complement of q224's zone
+    * maps for the predicate they cannot help with: a point lookup on a
+    * key UNCORRELATED with the layout (here `event_id` against the
+    * ts-clustered layout — every file's id min/max spans the whole
+    * domain, so interval pruning keeps everything). A per-file Bloom
+    * index prunes by CONTENT: k=3 hash positions per id into an m=2¹⁶-bit
+    * filter, stored SPARSELY as (file, word, bits) rows via `bit_or`
+    * aggregation — pure codegen'd integer ops, no UDAF, and the sparse
+    * rows are exactly what a format's bloom column would serialize.
+    *
+    * Probe: each target id's k (word, bit) pairs join the index; a file
+    * qualifies for a target only if ALL k bits are set (`HAVING count =
+    * k`). One-sided error, the q67 contract: a containing file always
+    * qualifies (no false negatives — the oracle's full-table lookup
+    * grades that), a false positive merely reads one extra file.
+    * `pruned` pins that the index did skip files (unique ids live in
+    * exactly one file each, so ≤3 of 8 qualify up to FPs).
+    *
+    * At 100 TB: the index build is one scan + one (file, word)-keyed
+    * shuffle of ≤ k·rows positions aggregating to ≤ |files|·m/64 sparse
+    * rows; sizing follows the standard m ≈ 10·k bits per distinct key
+    * per file for ~1% FP. The probe side is |targets|·k rows — broadcast
+    * by AQE — and the candidate scan opens only qualifying files. This
+    * is the needle-in-haystack path (audit lookups, GDPR subject-access)
+    * that otherwise full-scans 100 TB for three rows. */
+  def bloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_bloomidx")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val layout = s"$out/events_by_ts"
+    ev.repartitionByRange(8, col("ts")).write.parquet(layout)
+    val laid = spark.read.parquet(layout)
+    val mBits = 1L << 16
+    val kHash = 3
+    def positions(id: org.apache.spark.sql.Column) = (0 until kHash).map(j =>
+      struct(lit(j).as("j"),
+        pmod(xxhash64(id, lit(j)), lit(mBits)).as("pos")))
+    // the persisted sparse per-file bloom: (file, word, bits)
+    val idx = laid
+      .select(input_file_name().as("file"),
+        explode(array(positions(col("event_id")): _*)).as("p"))
+      .select(col("file"), (col("p.pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(p.pos % 64 AS INT))").as("bit"))
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint() // the index a format would persist beside the data
+    val nFiles = idx.select(col("file")).distinct().count()
+    // targets: min, max, and first-past-midpoint ids (1-row lookups)
+    val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (idLo, idHi) = (mm.getLong(0), mm.getLong(1))
+    val midRow = ev.where(col("event_id") > lit((idLo + idHi) / 2))
+      .agg(min(col("event_id"))).head()
+    val targets = (Seq(idLo, idHi) ++
+      (if (midRow.isNullAt(0)) Nil else Seq(midRow.getLong(0)))).distinct
+    import spark.implicits._
+    val probe = targets.toDF("id")
+      .select(col("id"), explode(array(positions(col("id")): _*)).as("p"))
+      .select(col("id"), col("p.j").as("j"),
+        (col("p.pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(p.pos % 64 AS INT))").as("bit"))
+    val cand = probe.join(idx, Seq("word"))
+      .where((col("bits").bitwiseAND(col("bit"))) =!= 0)
+      .groupBy(col("id"), col("file"))
+      .agg(countDistinct(col("j")).as("k_hit"))
+      .where(col("k_hit") === kHash)
+    val candFiles = cand.select(col("file")).distinct()
+      .collect().map(_.getString(0)) // ≤ |targets| + FP files
+    val pruned = candFiles.nonEmpty && candFiles.length < nFiles
+    spark.read.parquet(candFiles.toIndexedSeq: _*)
+      .where(col("event_id").isin(targets: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        lit(pruned).as("pruned"))
+  }
+
+  private val bloomSkipSql =
+    """WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+      |t AS (
+      |  SELECT lo AS id FROM b
+      |  UNION ALL SELECT hi FROM b
+      |  UNION ALL
+      |  SELECT min(event_id) FROM events, b WHERE event_id > (lo + hi) // 2)
+      |SELECT e.event_id, e.user_id, e.event_type, e.value, TRUE AS pruned
+      |FROM events e
+      |JOIN (SELECT DISTINCT id FROM t WHERE id IS NOT NULL) ids
+      |  ON e.event_id = ids.id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q125_zorder_cells", zorderCells, Some(zorderCellsSql)))
+    QueryDef("q125_zorder_cells", zorderCells, Some(zorderCellsSql)),
+    QueryDef("q224_zone_skip", zoneSkip, Some(zoneSkipSql)),
+    QueryDef("q225_bloom_skip", bloomSkip, Some(bloomSkipSql)))
 }

@@ -1372,7 +1372,172 @@ object Similarity {
        |FROM d JOIN s ON d.i = s.i
        |WHERE var_q > 0""".stripMargin
 
+  // ---- q226: product-quantization ANN (PQ + ADC + re-rank) ----------------
+
+  /** PQ geometry: 64 dims split into [[pqM]] contiguous subspaces of
+    * [[pqSubDim]], [[pqK]] codewords per subspace → an 8-byte code per
+    * vector (64 bytes of float32 → 8 bytes, the 32× compression that
+    * makes billion-vector indexes RAM-resident). */
+  val pqM = 8
+  val pqSubDim = 8
+  val pqK = 256
+
+  /** ADC shortlist depth — deeper than [[rerankDepth]] because PQ's
+    * 8-byte sketch is noisier per candidate than SQ8's 64-byte one; the
+    * exact pass still touches only this many rows per query. Measured
+    * with depth 100: rr_ok (≥ 2 of the exact top-3) and top1_found hold
+    * at sf0.001/0.01/0.1; with depth 50 two sf0.1 queries dropped to 1
+    * hit (2000 unclustered vectors, ~8 points per codeword — the
+    * hardest regime), which is what set this depth. */
+  val pqDepth = 100
+
+  /** Unit-normalized vectors (cosine space: L2² on the sphere is
+    * 2 − 2·cos, so PQ's L2 machinery ranks by cosine). */
+  private def pqNorm(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).where(col("nrm") > 0)
+      .select(col("vec_id"),
+        expr("transform(v, x -> x / nrm)").as("vn"))
+
+  /** Exploded subvectors (vec_id, s, sub, ssq) — one row per subspace. */
+  private def pqSubs(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), posexplode(
+        expr(s"transform(sequence(1, $pqM), s -> slice(vn, (s-1)*$pqSubDim + 1, $pqSubDim))"))
+        .as(Seq("s", "sub")))
+      .withColumn("ssq", dot_d(col("sub"), col("sub")))
+
+  /** Assign every subvector its nearest codeword (exact L2² argmin,
+    * code-ascending tiebreak via the struct order). */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb.groupBy(col("s"))
+        .agg(collect_list(struct(col("code"), col("cw"), col("cwsq"))).as("cs"))),
+      Seq("s"))
+      .withColumn("a", expr(
+        """array_min(transform(cs, c -> struct(
+          |  ssq + c.cwsq - 2.0D * dot_d(sub, c.cw) AS d2,
+          |  c.code AS code)))""".stripMargin))
+      .select(col("vec_id"), col("s"), col("sub"), col("ssq"),
+        col("a.code").as("code"))
+
+  /** The trained codebook (s, code, cw, cwsq): projection-quantile init
+    * (per subspace, [[pqK]] buckets by exact percentile fences of the
+    * subvector's first component — deterministic, no RNG) refined by ONE
+    * exact-L2 Lloyd pass in the full subspace. Codeword coordinates are
+    * DECIMAL-summed means (the q203 sufficient-statistics discipline) so
+    * the codebook is bit-stable across partitionings — the property that
+    * lets the recall gate hold a hard threshold. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubs(pqNorm(spark, dir))
+    val fracs = (1 until pqK).map(i => i.toDouble / pqK).mkString(", ")
+    val fences = subs.groupBy(col("s"))
+      .agg(expr(s"percentile(sub[0], array($fracs))").as("f"))
+    val bucketed = subs.join(broadcast(fences), Seq("s"))
+      .withColumn("code",
+        expr("aggregate(f, 0, (acc, x) -> acc + IF(sub[0] > x, 1, 0))"))
+    def means(df: DataFrame): DataFrame = df
+      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(30, 15))) / count(lit(1)))
+        .cast("double").as("cx"))
+      .groupBy(col("s"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
+        .as("cw"))
+      .withColumn("cwsq", dot_d(col("cw"), col("cw")))
+    val cw0 = means(bucketed).localCheckpoint()
+    means(pqAssign(subs, cw0))
+  }
+
+  /** q226: PRODUCT-QUANTIZATION ANN — the third leg of the ANN family
+    * (IVF q62/q107 prunes WHERE to look, SQ8 q63 shrinks every
+    * coordinate, PQ shrinks every VECTOR to [[pqM]] byte-sized codes and
+    * scores candidates without touching float data at all). Jégou et
+    * al.'s ADC: each query precomputes an m×k distance TABLE (exact L2²
+    * from its subvectors to every codeword); a candidate's approximate
+    * distance is the sum of m table lookups keyed by its stored codes —
+    * here the lookup is an equi-join of the exploded code column against
+    * the broadcast table and the sum is an 8-element sorted fold
+    * (deterministic, no float-order drift). Top-[[pqDepth]] by ADC
+    * distance, then the q63 exact re-rank over the shortlist.
+    *
+    * Gates (q63's SCALE-VALIDATED pattern): `rr_ok` pins ≥ 2 of the
+    * exact top-3 found (measured 3/3 at sf0.001/0.01/0.1), `top1_found`
+    * pins the true nearest neighbor inside the re-ranked top-3 (measured
+    * present at every sf); `n_cand` is the shortlist size, derivable as
+    * LEAST(depth, corpus−1) because the distance table covers every
+    * code — a candidate can never drop out of ADC scoring. Re-measure
+    * rule: a new sf runs q226 once before trusting the gate; the fix for
+    * a miss is raising [[pqDepth]], never loosening the gate.
+    *
+    * At 100 TB: the codebook is m·k rows (broadcast); encoding is one
+    * corpus scan; the steady-state index is m codes/vector — the ONLY
+    * per-vector data the ADC scan reads (32× less bandwidth than the
+    * float scan, the reason PQ wins at billion scale); the ADC join
+    * shuffles nothing (broadcast table + map-side partial sum), and the
+    * exact pass touches [[pqDepth]] rows per query. Codebook
+    * training reads the corpus twice (percentile init + one Lloyd pass);
+    * production trains on a sample, identical plumbing. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.registerDotD(spark)
+    val base = pqNorm(spark, dir).localCheckpoint()
+    val cb = pqCodebook(spark, dir).localCheckpoint() // m·k rows
+    val codes = pqAssign(pqSubs(base), cb)
+      .select(col("vec_id"), col("s"), col("code"))
+    val qsubs = pqSubs(base.where(col("vec_id") < 5))
+      .select(col("vec_id").as("query_id"), col("s"), col("sub"), col("ssq"))
+    // the ADC distance table: |queries|·m·k rows, broadcast
+    val dt = qsubs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        (col("ssq") + col("cwsq") - lit(2.0) * dot_d(col("sub"), col("cw")))
+          .as("dpart"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad2").asc, col("vec_id").asc)
+    val shortlist = codes.join(broadcast(dt), Seq("s", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(collect_list(struct(col("s"), col("dpart"))).as("parts"))
+      // sorted fold: bit-identical sum whatever order partials arrive in
+      .withColumn("ad2", expr(
+        "aggregate(transform(array_sort(parts), p -> p.dpart), 0.0D, (a, b) -> a + b)"))
+      .withColumn("crn", row_number().over(wA))
+      .where(col("crn") <= pqDepth)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val qv = base.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vn").as("qvn"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // shortlist is |queries|·pqDepth rows — ALWAYS the broadcast side;
+    // the corpus-scale float table must not move for the exact pass
+    val rr3 = base.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot_d(col("qvn"), col("vn")).as("cos"))
+      .withColumn("rn", row_number().over(wE))
+      .where(col("rn") <= 3)
+    val exact = knnBrute(spark, dir).where(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("rn") === 1).as("is_top1"))
+    val nCand = shortlist.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    exact.join(broadcast(rr3.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit"))), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("rr_hits"),
+        max(when(col("is_top1"), col("hit"))).as("top1_hit"))
+      .join(broadcast(nCand), Seq("query_id"))
+      .select(col("query_id"), col("n_cand"),
+        (col("rr_hits") >= 2).as("rr_ok"),
+        col("top1_hit").isNotNull.as("top1_found"))
+  }
+
+  private val pqAnnSql =
+    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings)
+       |SELECT vec_id AS query_id,
+       |  CAST(LEAST($pqDepth, cnt - 1) AS BIGINT) AS n_cand,
+       |  TRUE AS rr_ok, TRUE AS top1_found
+       |FROM embeddings, n WHERE vec_id < 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q226_pq_ann", pqAnn, Some(pqAnnSql)),
     QueryDef("q184_embed_standardize", embedStandardize,
       Some(embedStandardizeSql)),
     QueryDef("q179_embed_moments", embedMoments, Some(embedMomentsSql)),

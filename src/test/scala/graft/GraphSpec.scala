@@ -104,6 +104,24 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
   }
 
+  test("q140 broadcast and shuffled-hash rank-join paths agree") {
+    // the rank join is size-gated like q127's adjacency: a 1-byte budget
+    // forces the shuffled-hash (Pregel co-partitioned) branch, which must
+    // produce the identical exact-integer ranks as the broadcast branch
+    val dir = stage(
+      Seq(1L, 2L, 3L, 4L).map(p => (1L, p)) ++
+      Seq(3L, 4L, 5L, 6L).map(p => (2L, p)) ++
+      Seq((3L, 7L), (4L, 8L)))
+    def ranks(): Map[Long, Long] = Graph.pageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = ranks()
+    spark.conf.set("graft.graph.adjacencyBroadcastBytes", "1")
+    val viaShj = try ranks()
+      finally spark.conf.unset("graft.graph.adjacencyBroadcastBytes")
+    assert(viaBroadcast == viaShj, s"$viaBroadcast vs $viaShj")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("ccStar: logarithmic rounds on a path; components match union-find") {
     import org.apache.spark.sql.functions.col
     // 256-node path 0-1-2-...-255: diameter 255. Min-label propagation

@@ -553,6 +553,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(1500))
   }
 
+  test("q226 PQ: ADC table and codebook joins broadcast; no sort-merge") {
+    // the distance table (|queries|·m·k rows) and the codebook (m·k rows)
+    // must ride broadcast joins — a sort-merge here would shuffle the
+    // corpus-scale exploded code table on top of its partial aggregation
+    val p = treePlan("q226_pq_ann")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

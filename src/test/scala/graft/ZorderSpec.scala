@@ -78,4 +78,44 @@ class ZorderSpec extends AnyFunSuite {
         (max($"b") - min($"b")).as("b_span"))
     assert(cells.where($"a_span" > 31 || $"b_span" > 31).count() == 0)
   }
+
+  /** Stage an events dir for the skipping pair: 4 disjoint days, ids
+    * unique, values 2-dp. */
+  private def stageEvents(): String = {
+    val d = java.nio.file.Files.createTempDirectory("skipspec")
+    val rows = (0L until 400L).map { i =>
+      (i, java.sql.Timestamp.valueOf(
+        f"2024-02-${(i % 4) + 1}%02d ${i % 24}%02d:00:00"),
+        i % 7, s"t${i % 3}", (i % 100) / 4.0)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts".cast(org.apache.spark.sql.types.TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d.toString
+  }
+
+  test("q224 zone-map skip prunes files and loses no rows") {
+    val dir = stageEvents()
+    // staged corpus has 4 distinct days; the query day is the 11th at
+    // driver scale but limit(11).last degrades to the LAST day here —
+    // still a 1-day predicate against an 8-file ts-ranged layout
+    val got = Layout.zoneSkip(spark, dir)
+    assert(got.where(!$"pruned").isEmpty, "zone map must prune files")
+    val expected = graft.Tables(spark, dir, "events")
+      .where(date_format($"ts", "yyyy-MM-dd") === "2024-02-04")
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotMap = got.select($"event_type", $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMap == expected, s"got $gotMap expected $expected")
+  }
+
+  test("q225 bloom skip finds every target (no false negatives) and prunes") {
+    val dir = stageEvents()
+    val got = Layout.bloomSkip(spark, dir)
+      .select($"event_id", $"pruned").collect()
+    // targets: min (0), max (399), first past midpoint (200)
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(0L, 200L, 399L), got.toSeq)
+    assert(got.forall(_.getBoolean(1)), "bloom index must prune files")
+  }
 }

@@ -28,13 +28,17 @@ QUERIES=(
 
 sbt -batch compile >/dev/null 2>&1
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-JAVA_FLAGS=(--add-modules=jdk.incubator.vector
-  --add-opens=java.base/java.lang=ALL-UNNAMED
-  --add-opens=java.base/java.nio=ALL-UNNAMED
-  --add-opens=java.base/java.util=ALL-UNNAMED
-  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
-  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
-  --add-opens=java.base/sun.security.action=ALL-UNNAMED)
+# The FULL Spark-on-JDK17 module-options set (build.sbt's jdk17AddOpens) —
+# a reduced list works until the first spill: KryoSerializer.newKryo
+# pre-registers java.lang.invoke.SerializedLambda, so the first
+# evict-to-disk under memory pressure dies without the java.lang.invoke
+# open (found the hard way at sf10).
+JAVA_FLAGS=(--add-modules=jdk.incubator.vector)
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+    java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+    sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  JAVA_FLAGS+=("--add-opens=java.base/$p=ALL-UNNAMED")
+done
 
 WORK="$(mktemp -d)"
 trap 'rm -rf "$WORK"' EXIT
