@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-quality operators: column profiling, constraint validation, and
+  * entity resolution — the governance tier a warehouse runs BEFORE any
+  * analytics query is trusted. The reference engine has no quality layer
+  * (its jobs assume clean TSV input, `MapRunner.java` just splits lines);
+  * at 100 TB nothing can be assumed, so profiling/validation become
+  * first-class scans with the same shuffle discipline as the queries they
+  * guard.
+  */
+object Quality {
+
+  // ---- q227: one-pass column profiling ------------------------------------
+
+  /** q227: COLUMN PROFILING — per-column row count, null count, distinct
+    * count, and min/max (rendered to engine-neutral strings) for every
+    * column of `orders`, computed in ONE pass: a single wide aggregate
+    * (Catalyst plans the multi-distinct via one Expand — still one scan of
+    * the table, map-side partials for every non-distinct metric), then the
+    * 1-row wide result is pivoted to the long (col_name, metrics) shape a
+    * catalog stores. Rendering discipline: integers/strings cast directly,
+    * doubles through the exact DECIMAL(18,2) contract (`graft.Exact`),
+    * timestamps through an explicit format — every rendering is
+    * bit-identical across engines, so the profile is hash-gated, not
+    * approximated.
+    *
+    * At 100 TB: one scan, no joins; the Expand multiplies rows by the
+    * number of DISTINCT metrics before the partial aggregate, which is the
+    * standard cost of exact NDV — the sketch tier (q47 HLL) is the
+    * at-scale alternative when approximate NDV suffices. Output is
+    * |columns| rows. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val wide = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+      min(col("o_orderkey")).cast("string").as("lo1"),
+      max(col("o_orderkey")).cast("string").as("hi1"),
+      count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+      min(col("o_custkey")).cast("string").as("lo2"),
+      max(col("o_custkey")).cast("string").as("hi2"),
+      count(col("o_orderstatus")).as("nn3"), countDistinct(col("o_orderstatus")).as("nd3"),
+      min(col("o_orderstatus")).as("lo3"), max(col("o_orderstatus")).as("hi3"),
+      count(col("o_totalprice")).as("nn4"), countDistinct(col("o_totalprice")).as("nd4"),
+      min(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string").as("lo4"),
+      max(col("o_totalprice")).cast(DecimalType(18, 2)).cast("string").as("hi4"),
+      count(col("o_orderdate")).as("nn5"), countDistinct(col("o_orderdate")).as("nd5"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("lo5"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("hi5"),
+      count(col("o_orderpriority")).as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"),
+      min(col("o_orderpriority")).as("lo6"), max(col("o_orderpriority")).as("hi6"))
+    def row(name: String, i: Int): Column = struct(
+      lit(name).as("col_name"), col("n").as("n_rows"),
+      (col("n") - col(s"nn$i")).as("n_null"), col(s"nd$i").as("n_distinct"),
+      col(s"lo$i").as("min_s"), col(s"hi$i").as("max_s"))
+    wide.select(explode(array(
+        row("o_orderkey", 1), row("o_custkey", 2), row("o_orderstatus", 3),
+        row("o_totalprice", 4), row("o_orderdate", 5), row("o_orderpriority", 6)))
+      .as("p")).select(col("p.*"))
+  }
+
+  private def profileColSql(name: String, minS: String, maxS: String) =
+    s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($name) AS n_null,
+       |  count(DISTINCT $name) AS n_distinct, $minS AS min_s, $maxS AS max_s
+       |FROM orders""".stripMargin
+  private val profileSql = Seq(
+    profileColSql("o_orderkey",
+      "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+    profileColSql("o_custkey",
+      "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+    profileColSql("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+    profileColSql("o_totalprice",
+      "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+      "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+    profileColSql("o_orderdate",
+      "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+      "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+    profileColSql("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+    .mkString("\nUNION ALL\n")
+
+  // ---- q228: declarative constraint validation ----------------------------
+
+  /** q228: CONSTRAINT VALIDATION (the Deequ/dbt-test shape) — a suite of
+    * declarative checks over `orders` evaluated in one scan plus one
+    * anti-join: not-null, key uniqueness, accepted-values domain, value
+    * range, and referential integrity against `customer`. Results are the
+    * long (constraint, violations, total, pass) shape a CI gate consumes;
+    * metrics are exact BIGINT counts (ratios left to the consumer — cross-
+    * engine decimal-division scales differ, counts never do).
+    *
+    * At 100 TB: the four scan-local checks share ONE aggregate (conditional
+    * `count(when)` — map-side partials, no Expand since nothing here is
+    * DISTINCT beyond the key check's single count-distinct); the FK check
+    * is a left-anti join on the key — broadcast when `customer` fits (AQE
+    * decides), shuffle-hash otherwise; both 1-row results cross-join
+    * (broadcast, the scalar-attach idiom) into the suite frame. */
+  def constraints(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val scanChecks = o.agg(
+      count(lit(1)).as("total"),
+      (count(lit(1)) - count(col("o_custkey"))).as("v_notnull"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      count(when(not(col("o_orderstatus").isin("O", "F", "P")), lit(1))).as("v_domain"),
+      count(when(col("o_totalprice") <= 0, lit(1))).as("v_range"))
+    val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    val wide = scanChecks.crossJoin(broadcast(fk))
+    def row(name: String, v: String): Column = struct(
+      lit(name).as("constraint"), col(v).as("violations"),
+      col("total").as("total"), (col(v) === 0).as("pass"))
+    wide.select(explode(array(
+        row("not_null_o_custkey", "v_notnull"),
+        row("unique_o_orderkey", "v_unique"),
+        row("accepted_values_o_orderstatus", "v_domain"),
+        row("positive_o_totalprice", "v_range"),
+        row("fk_o_custkey_customer", "v_fk")))
+      .as("p")).select(col("p.*"))
+  }
+
+  private val constraintsSql =
+    """WITH s AS (
+      |  SELECT count(*) AS total,
+      |    count(*) - count(o_custkey) AS v_notnull,
+      |    count(*) - count(DISTINCT o_orderkey) AS v_unique,
+      |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS v_domain,
+      |    count(*) FILTER (WHERE o_totalprice <= 0) AS v_range
+      |  FROM orders),
+      |f AS (
+      |  SELECT count(*) AS v_fk FROM orders o
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL),
+      |w AS (SELECT * FROM s, f)
+      |SELECT 'not_null_o_custkey' AS constraint, v_notnull AS violations,
+      |  total, v_notnull = 0 AS pass FROM w
+      |UNION ALL SELECT 'unique_o_orderkey', v_unique, total, v_unique = 0 FROM w
+      |UNION ALL SELECT 'accepted_values_o_orderstatus', v_domain, total,
+      |  v_domain = 0 FROM w
+      |UNION ALL SELECT 'positive_o_totalprice', v_range, total, v_range = 0 FROM w
+      |UNION ALL SELECT 'fk_o_custkey_customer', v_fk, total, v_fk = 0 FROM w""".stripMargin
+
+  // ---- q229: entity resolution (block -> match -> cluster) ----------------
+
+  /** q229: ENTITY RESOLUTION — the record-linkage pipeline: multi-source
+    * records -> blocking -> pairwise matching -> connected components ->
+    * golden-record rollup. Records are the customer table plus two
+    * deterministic dirty variants derived IN-ENGINE (a 'web' record with
+    * the prefix abbreviated, edit distance 4; an 'app' record with a
+    * suffix appended, edit distance 3 — the variants are never pairwise
+    * within threshold, so entities form only through their base record,
+    * exercising real transitive clustering). Blocking key = (nation, last
+    * 4 digits of the name's number): pair generation is a self-join INSIDE
+    * blocks only — the all-pairs square never exists. Match rule =
+    * banded `levenshtein <= 4` (the threshold form — O(len·k) not O(len²),
+    * the q126 discipline) AND same nation AND account balance within 1.0;
+    * matches feed the q208 large-star/small-star CC (O(log n) rounds), and
+    * the golden record aggregates per entity. Cross-entity false matches
+    * inside a block are possible BY DESIGN (that is what real ER precision
+    * < 1 means) — both engines compute the identical edge set, so the
+    * result is still hash-gated.
+    *
+    * At 100 TB: cost is Σ block² pairs, bounded by the blocking key's
+    * cardinality design (~10⁴ entities per nation-suffix cell at any
+    * scale); CC is edge-keyed with logarithmic rounds (q208's bound); the
+    * rollup is one grouped aggregate on entity_id. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val base = c.select((col("c_custkey") * 3).as("rec_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("bal"), lit("crm").as("src"))
+    val v1 = c.where(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") * 3 + 1).as("rec_id"),
+        regexp_replace(col("c_name"), "^Customer#", "Cust#").as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"), lit("web").as("src"))
+    val v2 = c.where(col("c_custkey") % 6 === 0)
+      .select((col("c_custkey") * 3 + 2).as("rec_id"),
+        concat(col("c_name"), lit(" II")).as("name"),
+        col("c_nationkey").as("nation"), col("c_acctbal").as("bal"), lit("app").as("src"))
+    val recs = base.unionByName(v1).unionByName(v2)
+      .withColumn("blk", concat_ws("|", col("nation"),
+        expr("right(regexp_extract(name, '([0-9]+)', 1), 4)")))
+      .localCheckpoint() // consumed three times (both pair sides + rollup)
+    val a = recs.select(col("rec_id").as("a"), col("name").as("na"),
+      col("blk"), col("bal").as("ba"))
+    val b = recs.select(col("rec_id").as("b"), col("name").as("nb"),
+      col("blk"), col("bal").as("bb"))
+    val pairs = a.join(b, Seq("blk"))
+      .where(col("a") < col("b"))
+      .where(levenshtein(col("na"), col("nb"), 4) >= 0)
+      .where(abs(col("ba") - col("bb")) <= 1.0)
+      .select(col("a"), col("b"))
+    val labels = Graph.ccStar(pairs)
+    recs.join(labels, recs("rec_id") === labels("node"), "left")
+      .withColumn("entity_id", coalesce(col("label"), col("rec_id")))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("src")).as("n_sources"),
+        min(col("name")).as("canonical_name"))
+  }
+
+  private val entityResolutionSql =
+    """WITH RECURSIVE recs AS (
+      |  SELECT c_custkey*3 AS rec_id, c_name AS name, c_nationkey AS nation,
+      |    c_acctbal AS bal, 'crm' AS src FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey*3+1, regexp_replace(c_name, '^Customer#', 'Cust#'),
+      |    c_nationkey, c_acctbal, 'web' FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey*3+2, c_name || ' II', c_nationkey, c_acctbal, 'app'
+      |  FROM customer WHERE c_custkey % 6 = 0),
+      |blk AS (
+      |  SELECT *, CAST(nation AS VARCHAR) || '|' ||
+      |    right(regexp_extract(name, '([0-9]+)', 1), 4) AS blk
+      |  FROM recs),
+      |pairs AS (
+      |  SELECT x.rec_id AS a, y.rec_id AS b
+      |  FROM blk x JOIN blk y ON x.blk = y.blk AND x.rec_id < y.rec_id
+      |  WHERE levenshtein(x.name, y.name) <= 4 AND abs(x.bal - y.bal) <= 1.0),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS rec_id, least(a, min(b)) AS entity_id
+      |  FROM reach GROUP BY a)
+      |SELECT coalesce(c.entity_id, r.rec_id) AS entity_id,
+      |  count(*) AS n_records, count(DISTINCT r.src) AS n_sources,
+      |  min(r.name) AS canonical_name
+      |FROM blk r LEFT JOIN comp c ON r.rec_id = c.rec_id
+      |GROUP BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q227_profile", profile, Some(profileSql)),
+    QueryDef("q228_constraints", constraints, Some(constraintsSql)),
+    QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)))
+}

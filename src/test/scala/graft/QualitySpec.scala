@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.Quality
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality tier on closed-form inputs: a hand-built customer/orders pair
+  * where every profile metric, every constraint verdict, and every entity
+  * cluster is known by construction — including the violation cases the
+  * sf corpora (clean by generation) never exercise. */
+class QualitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Stage customer + orders with KNOWN defects: a null custkey, a
+    * duplicate orderkey, a bad status, a negative price, and an orphan
+    * custkey missing from customer. */
+  private def stageDirty(): String = {
+    val d = Files.createTempDirectory("qualityspec")
+    Seq((0L, "Customer#000000000", 1, 100.0, "BUILDING"),
+      (1L, "Customer#000000001", 2, 200.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    Seq(
+      (10L, Some(0L), "O", 50.0, "1995-01-01 00:00:00", "1-URGENT"),
+      (11L, Some(1L), "F", -5.0, "1995-01-02 00:00:00", "2-HIGH"), // negative price
+      (11L, Some(1L), "X", 30.0, "1995-01-03 00:00:00", "3-MEDIUM"), // dup key + bad status
+      (12L, None, "O", 40.0, "1995-01-04 00:00:00", "4-NOT SPECIFIED"), // null custkey
+      (13L, Some(99L), "P", 60.0, "1995-01-05 00:00:00", "5-LOW")) // orphan FK
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "ts_s", "o_orderpriority")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(ts_s AS TIMESTAMP) AS o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    d.toString
+  }
+
+  test("q228 constraints: each seeded defect is counted by exactly its check") {
+    val dir = stageDirty()
+    val got = Quality.constraints(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got("not_null_o_custkey") == ((1L, 5L, false)), got)
+    assert(got("unique_o_orderkey") == ((1L, 5L, false)), got)
+    assert(got("accepted_values_o_orderstatus") == ((1L, 5L, false)), got)
+    assert(got("positive_o_totalprice") == ((1L, 5L, false)), got)
+    // orphan custkey 99; the NULL custkey row is NOT an FK violation twice —
+    // anti-join keeps it (no match), so fk counts it too: 99 and NULL = 2
+    assert(got("fk_o_custkey_customer") == ((2L, 5L, false)), got)
+  }
+
+  test("q227 profile: null/distinct/min-max per column on the dirty table") {
+    val dir = stageDirty()
+    val got = Quality.profile(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("o_orderkey") == ((5L, 0L, 4L, "10", "13")), got)
+    assert(got("o_custkey") == ((5L, 1L, 3L, "0", "99")), got)
+    assert(got("o_orderstatus") == ((5L, 0L, 4L, "F", "X")), got)
+    assert(got("o_totalprice") == ((5L, 0L, 5L, "-5.00", "60.00")), got)
+    assert(got("o_orderdate")._4 == "1995-01-01 00:00:00", got)
+    assert(got("o_orderdate")._5 == "1995-01-05 00:00:00", got)
+  }
+
+  /** Customer fixture for ER: ids chosen so variants exist (id%3==0 gets a
+    * 'web' variant, id%6==0 also an 'app' one). */
+  private def stageCustomers(rows: Seq[(Long, String, Int, Double)]): String = {
+    val d = Files.createTempDirectory("qualityspec_er")
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .withColumn("c_mktsegment", org.apache.spark.sql.functions.lit("BUILDING"))
+      .write.parquet(s"$d/customer.parquet")
+    d.toString
+  }
+
+  test("q229 ER: variants cluster to their base transitively; distinct entities stay apart") {
+    // customer 6: base + web + app variants (app<->web are 7 apart — only
+    // the base links them). customer 7: singleton. customer 16: same
+    // nation + same last-4 block as nobody (distinct suffix) -> singleton.
+    val dir = stageCustomers(Seq(
+      (6L, "Customer#000000006", 1, 100.0),
+      (7L, "Customer#000000007", 1, 100.0),
+      (16L, "Customer#000000016", 1, 500.0)))
+    val got = Quality.entityResolution(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // entity 18 = custkey 6 * 3: three records, three sources
+    assert(got(18L) == ((3L, 3L, "Cust#000000006")), got)
+    assert(got(21L) == ((1L, 1L, "Customer#000000007")), got)
+    assert(got(48L) == ((1L, 1L, "Customer#000000016")), got)
+    assert(got.size == 3, got)
+  }
+
+  test("q229 ER: same block + close names + close balances DO cross-link (precision < 1 by design)") {
+    // two distinct customers whose names differ by one digit outside the
+    // last-4 suffix, same nation, balances within 1.0: the match rule
+    // cannot tell them apart and the clusters merge — deterministically.
+    val dir = stageCustomers(Seq(
+      (1L, "Customer#000010001", 3, 100.0),
+      (2L, "Customer#000020001", 3, 100.5)))
+    // identical last-4 "0001", lev distance 1, |bal diff| 0.5 -> one entity
+    val got = Quality.entityResolution(spark, dir).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 2L, got.toSeq)
+  }
+}
