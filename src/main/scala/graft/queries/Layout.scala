@@ -230,8 +230,66 @@ object Layout {
       |JOIN (SELECT DISTINCT id FROM t WHERE id IS NOT NULL) ids
       |  ON e.event_id = ids.id""".stripMargin
 
+  // ---- q230: zone-map pruning as an optimizer rule ------------------------
+
+  /** q230: the q224 skip made TRANSPARENT — `graft.plans.ZoneMapRule`.
+    * The layout materializes a `day` column and range-clusters on `ts`
+    * (so each file spans a tight day interval); `ZoneMapRule.build`
+    * registers per-file [min, max] day bounds; and the consumer is then a
+    * PLAIN `spark.read.parquet(dir).where(day = ...)` — no zone-map code
+    * in the query. The optimizer rewrites the scan to only the files
+    * whose interval can contain the day; `pruned` is read back from the
+    * OPTIMIZED plan's own file listing, so the flag pins that the rule —
+    * not the author — did the skip, and the full-scan oracle pins that it
+    * lost nothing. `RulesSpec` covers the decline paths (unknown file,
+    * foreign session, cast-wrapped predicate).
+    *
+    * At 100 TB this is the difference between "data skipping if every
+    * author remembers to consult the index" and "data skipping": q213's
+    * matview refresh, ad-hoc exploration, and the SQL front end (q219-
+    * q221) all inherit the prune with zero query changes. */
+  def zoneRuleSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ev = Tables(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_zonerule")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val layout = s"$out/events_by_day"
+    ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(8, col("ts")).write.parquet(layout)
+    graft.plans.ZoneMapRule.build(spark, layout, "day")
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().orderBy(col("day")).limit(6)
+      .collect().last.getString(0)
+    val agg = spark.read.parquet(layout)
+      .where(col("day") === day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+    val filesRead = agg.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+    val total = spark.read.parquet(layout).inputFiles.length
+    agg.select(col("event_type"), col("n"), col("total_value"),
+      lit(filesRead > 0 && filesRead < total).as("pruned"))
+  }
+
+  private val zoneRuleSkipSql =
+    s"""WITH d AS (
+       |  SELECT day FROM (
+       |    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+       |    ORDER BY day LIMIT 1 OFFSET 5))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("value")} AS total_value, TRUE AS pruned
+       |FROM events, d
+       |WHERE strftime(ts, '%Y-%m-%d') = d.day
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q125_zorder_cells", zorderCells, Some(zorderCellsSql)),
     QueryDef("q224_zone_skip", zoneSkip, Some(zoneSkipSql)),
-    QueryDef("q225_bloom_skip", bloomSkip, Some(bloomSkipSql)))
+    QueryDef("q225_bloom_skip", bloomSkip, Some(bloomSkipSql)),
+    QueryDef("q230_zone_rule", zoneRuleSkip, Some(zoneRuleSkipSql)))
 }

@@ -257,4 +257,70 @@ class RulesSpec extends AnyFunSuite {
       assert(!planOf(defining).contains(t))
     } finally MatViewRule.clear()
   }
+
+  test("zone-map rule prunes files, keeps results, and declines correctly") {
+    import graft.plans.ZoneMapRule
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    val layout = java.nio.file.Files.createTempDirectory("zonerule").toString + "/t"
+    (0L until 100L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(layout)
+    try {
+      ZoneMapRule.build(spark, layout, "k")
+
+      // point predicate: one file survives, rows identical to the truth
+      val point = spark.read.parquet(layout).where(col("k") === 5L)
+      assert(filesIn(point) == 1, filesIn(point))
+      assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((5L, 50L)))
+
+      // range predicate prunes to the tail file(s); count is exact
+      val range = spark.read.parquet(layout).where(col("k") >= 90L)
+      assert(filesIn(range) < 4, filesIn(range))
+      assert(range.count() == 10)
+
+      // unsatisfiable predicate: every file excluded -> empty, no scan
+      val none = spark.read.parquet(layout).where(col("k") === -1L)
+      assert(filesIn(none) == 0, filesIn(none))
+      assert(none.count() == 0)
+
+      // column selection above the filter (pruning Project shape) still prunes
+      val proj = spark.read.parquet(layout).where(col("k") === 5L).select(col("v"))
+      assert(filesIn(proj) == 1, filesIn(proj))
+      assert(proj.collect().map(_.getLong(0)).toSeq == Seq(50L))
+
+      // an untyped-equal literal via coercion is FINE (Catalyst folds the
+      // string literal to a long before the rule runs) — still prunes
+      val coerced = spark.read.parquet(layout).where(col("k") === lit("5"))
+      assert(filesIn(coerced) == 1, filesIn(coerced))
+
+      // but a comparison whose zone ATTRIBUTE stays cast-wrapped declines
+      val cast = spark.read.parquet(layout)
+        .where(col("k").cast("string") === lit("5"))
+      assert(filesIn(cast) == 4, filesIn(cast))
+      assert(cast.count() == 1)
+
+      // a file APPENDED after registration is unknown to the map: it must
+      // be kept unconditionally, so its rows are never lost
+      Seq((1000L, 7L)).toDF("k", "v").write.mode("append").parquet(layout)
+      val late = spark.read.parquet(layout).where(col("k") === 1000L)
+      assert(late.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1000L, 7L)))
+      assert(filesIn(late) < 5, filesIn(late)) // known files still pruned
+
+      // a registration from ANOTHER session never fires here
+      ZoneMapRule.drop(spark, layout)
+      val other = spark.newSession()
+      ZoneMapRule.build(other, layout, "k")
+      val foreign = spark.read.parquet(layout).where(col("k") === 5L)
+      assert(filesIn(foreign) == 5, filesIn(foreign))
+    } finally ZoneMapRule.clear()
+  }
 }
