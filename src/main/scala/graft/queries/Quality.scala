@@ -234,8 +234,166 @@ object Quality {
       |FROM blk r LEFT JOIN comp c ON r.rec_id = c.rec_id
       |GROUP BY 1""".stripMargin
 
+  // ---- q231: PII detection + redaction ------------------------------------
+
+  /** q231: PII REDACTION — the scrub pass every LLM training corpus runs:
+    * detect emails and phone numbers by pattern, replace with typed
+    * placeholders, count what was found. The corpus is `documents` with
+    * deterministic PII injected IN-ENGINE for every 5th doc (the generated
+    * corpus is clean — the q229 dirty-variant discipline: derive the mess,
+    * never synthesize a table) so the detectors have real positives to
+    * find AND real negatives to leave alone. Patterns are the RE2∩Java
+    * common subset (char classes + counted repeats, no lookaround), so
+    * both engines match identically; redacted text is compared by md5 —
+    * the whole row is hash-gated, not just the counts.
+    *
+    * At 100 TB: scan-local (regexp_count + two regexp_replace per row, all
+    * codegen'd), zero shuffles before the output — the shape that saturates
+    * I/O rather than CPU; pattern-set growth (SSNs, cards, addresses) adds
+    * columns, not passes. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "555-[0-9]{4}"
+    Tables(spark, dir, "documents")
+      .withColumn("t", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@mail.com or call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).as("n_emails"),
+        regexp_count(col("t"), lit(phone)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), email, "[EMAIL]"),
+          phone, "[PHONE]")).as("clean_hash"))
+  }
+
+  private val piiRedactSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+      |    '555-[0-9]{4}', '[PHONE]', 'g')) AS clean_hash
+      |FROM (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+      |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.com or call 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+      |  ELSE text END AS t
+      |  FROM documents)""".stripMargin
+
+  // ---- q232: k-anonymity generalization -----------------------------------
+
+  /** q232: K-ANONYMITY — the release-gate shape of privacy-preserving
+    * publication: quasi-identifiers (nation, market segment, account
+    * balance generalized to a 1000-unit band) partition `customer` into
+    * equivalence classes; classes of size >= k (k=5) publish their
+    * generalized values, smaller classes are SUPPRESSED — collapsed into
+    * one '*' class so no published row is distinguishable among fewer
+    * than k individuals. The bucket arithmetic is a single IEEE divide +
+    * floor (identical bits in both engines on the raw column), everything
+    * else is integer/string — hash-gated end-to-end.
+    *
+    * At 100 TB: one grouped aggregate over the QI key (map-side partials),
+    * then a driver-free split on class size — the suppressed rollup is a
+    * second tiny aggregate over the sub-k classes only. The k-anonymity
+    * CHECK (is any published class < k?) is the `pass`-style gate a
+    * release pipeline asserts on. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val classes = Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("string").as("nation_s"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("nation_s"), col("seg"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    val published = classes.where(col("n") >= k)
+      .select(col("nation_s"), col("seg"),
+        col("bal_band").cast("string").as("band_s"), col("n"),
+        lit(false).as("suppressed"))
+    val suppressed = classes.where(col("n") < k)
+      .agg(sum(col("n")).as("n"))
+      .where(col("n").isNotNull)
+      .select(lit("*").as("nation_s"), lit("*").as("seg"),
+        lit("*").as("band_s"), col("n").cast("long").as("n"),
+        lit(true).as("suppressed"))
+    published.unionByName(suppressed)
+  }
+
+  private val kAnonymitySql =
+    """WITH cls AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nation_s, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT nation_s, seg, CAST(bal_band AS VARCHAR) AS band_s, n,
+      |  FALSE AS suppressed
+      |FROM cls WHERE n >= 5
+      |UNION ALL
+      |SELECT '*', '*', '*', CAST(sum(n) AS BIGINT), TRUE
+      |FROM cls WHERE n < 5 HAVING sum(n) IS NOT NULL""".stripMargin
+
+  // ---- q233: winsorization (robust outlier clamping) ----------------------
+
+  /** q233: WINSORIZATION — robust statistics' answer to heavy tails:
+    * per order-priority group, clamp `o_totalprice` into its own exact
+    * [p5, p95] band and report the robust mean beside the bounds. All
+    * arithmetic runs on integer CENTS (the q118 discipline): the exact
+    * interpolated percentile of integers is a multiple of 0.5 — exactly
+    * representable, so Spark's `percentile` and DuckDB's `quantile_cont`
+    * agree bitwise; the clamped sum is a sum of halves bounded far below
+    * 2^52, so double accumulation is EXACT and order-independent; the
+    * final mean/rescale are single IEEE ops. No approximation anywhere —
+    * hash-gated.
+    *
+    * At 100 TB: exact per-group percentiles need a sort-based aggregate
+    * per group (the honest cost — q47's sketch quantiles are the
+    * approximate escape hatch); the clamp pass re-joins the 5-row bounds
+    * frame by broadcast, so the second scan is shuffle-free. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("cents")
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), cents)
+    val bounds = o.groupBy(col("prio"))
+      .agg(expr("percentile(cents, 0.05)").as("p05"),
+        expr("percentile(cents, 0.95)").as("p95"))
+    o.join(broadcast(bounds), Seq("prio"))
+      .select(col("prio"),
+        greatest(col("p05"), least(col("p95"), col("cents").cast("double")))
+          .as("w"),
+        col("p05"), col("p95"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        max(col("p05")).as("p05_cents"), max(col("p95")).as("p95_cents"),
+        (sum(col("w")) / 100).as("wsum"),
+        (sum(col("w")) / count(lit(1)) / 100).as("wmean"))
+  }
+
+  private val winsorizeSql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT prio, quantile_cont(cents, 0.05) AS p05,
+      |    quantile_cont(cents, 0.95) AS p95
+      |  FROM o GROUP BY prio)
+      |SELECT o.prio, count(*) AS n,
+      |  max(b.p05) AS p05_cents, max(b.p95) AS p95_cents,
+      |  sum(greatest(b.p05, least(b.p95, CAST(o.cents AS DOUBLE)))) / 100
+      |    AS wsum,
+      |  sum(greatest(b.p05, least(b.p95, CAST(o.cents AS DOUBLE))))
+      |    / count(*) / 100 AS wmean
+      |FROM o JOIN b ON o.prio = b.prio
+      |GROUP BY o.prio""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
-    QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)))
+    QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)),
+    QueryDef("q231_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("q232_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("q233_winsorize", winsorize, Some(winsorizeSql)))
 }

@@ -2994,7 +2994,67 @@ object TextAnalysis {
       |    // count(*) AS BIGINT) AS agree_ppm
       |FROM e GROUP BY signal""".stripMargin
 
+  // ---- q234: PMI word association -----------------------------------------
+
+  /** q234: PMI CO-OCCURRENCE — pointwise mutual information over word
+    * pairs at document grain, the classic association-mining statistic
+    * (collocations, taxonomy induction, embedding evaluation). Presence
+    * sets per doc (distinct words — counts don't matter for PMI), pair
+    * generation by doc-keyed self-join with `w1 < w2` canonicalization,
+    * then PMI in EXACT integer arithmetic: pmi_ppm = n_ab·N·10⁶ div
+    * (n_a·n_b) — the ratio p(a,b)/(p(a)p(b)) in parts-per-million, with
+    * every product in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), the q211
+    * discipline, so nothing overflows at any corpus size and no
+    * transcendental log ever enters (the consumer can take the log; the
+    * ENGINES must only agree on the exact rational). A support floor
+    * (n_ab >= 5) bounds the output to genuinely co-occurring pairs.
+    *
+    * At 100 TB: the self-join is doc-keyed — pair volume is
+    * Σ_doc (distinct words per doc)², bounded by doc length, never by
+    * corpus size; word counts and pair counts are both map-side-partial
+    * aggregates; the 1-row N frame attaches by broadcast. */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .distinct()
+    val nDocs = toks.select(countDistinct(col("doc_id")).as("nd"))
+    val wc = toks.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val pairs = toks.as("a").join(toks.as("b"), Seq("doc_id"))
+      .where(col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= 5)
+    pairs
+      .join(wc.select(col("w").as("w1"), col("nw").as("n1")), Seq("w1"))
+      .join(wc.select(col("w").as("w2"), col("nw").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("nab"), col("n1"), col("n2"),
+        expr("""CAST((CAST(nab AS DECIMAL(38,0)) * nd * 1000000)
+                div (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))
+                AS BIGINT)""").as("pmi_ppm"))
+  }
+
+  private val pmiPairsSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, t AS w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) x
+      |  WHERE t <> ''),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM toks GROUP BY w),
+      |p AS (
+      |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS nab
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT w1, w2, nab, wa.nw AS n1, wb.nw AS n2,
+      |  CAST(nab::HUGEINT * nd.n::HUGEINT * 1000000
+      |    // (wa.nw::HUGEINT * wb.nw::HUGEINT) AS BIGINT) AS pmi_ppm
+      |FROM p JOIN wc wa ON p.w1 = wa.w JOIN wc wb ON p.w2 = wb.w, nd""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q234_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q193_signal_agreement", signalAgreement,
       Some(signalAgreementSql)),
     QueryDef("q189_selection_pipeline", selectionPipeline,

@@ -102,4 +102,75 @@ class QualitySpec extends AnyFunSuite {
     val got = Quality.entityResolution(spark, dir).collect()
     assert(got.length == 1 && got.head.getLong(1) == 2L, got.toSeq)
   }
+
+  /** documents fixture (doc_id, text, lang, source). */
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    val d = Files.createTempDirectory("qualityspec_docs")
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d.toString
+  }
+
+  test("q231 PII redaction: injected rows are detected and scrubbed, clean rows untouched") {
+    val dir = stageDocs(Seq((0L, "plain words here"), (1L, "no pii either")))
+    val got = Quality.piiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // doc 0 (id%5==0) gets the injected email+phone; both detected
+    assert(got(0L)._1 == 1 && got(0L)._2 == 1, got)
+    // after redaction the scrubbed text is exactly the placeholder form
+    val expect0 = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "plain words here reach [EMAIL] or call [PHONE]")
+    assert(got(0L)._3 == expect0, got)
+    // doc 1 is untouched: zero hits, hash of the original text
+    val expect1 = org.apache.commons.codec.digest.DigestUtils.md5Hex("no pii either")
+    assert(got(1L) == ((0, 0, expect1)), got)
+  }
+
+  test("q232 k-anonymity: classes >= 5 publish, smaller collapse into one '*' row") {
+    val d = Files.createTempDirectory("qualityspec_ka")
+    // 6 customers in class (1, A, band 0); 2 in (2, B, band 1)
+    val rows = (0 until 6).map(i => (i.toLong, s"Customer#$i", 1, 500.0, "A")) ++
+      Seq((10L, "Customer#10", 2, 1500.0, "B"), (11L, "Customer#11", 2, 1600.0, "B"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    val got = Quality.kAnonymity(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == Set(("1", "A", "0", 6L, false), ("*", "*", "*", 2L, true)), got)
+  }
+
+  test("q233 winsorize: exact p05/p95 clamp on a closed-form group") {
+    val d = Files.createTempDirectory("qualityspec_w")
+    // one group, values 1..100 dollars -> cents 100..10000
+    (1 to 100).map(v => (v.toLong, v * 1.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_orderpriority", org.apache.spark.sql.functions.lit("1-URGENT"))
+      .write.parquet(s"$d/orders.parquet")
+    val r = Quality.winsorize(spark, d.toString).collect().head
+    // percentile(0.05) over 100 ranks = value at rank 5.95 = 100*(5 + .95*1)
+    assert(r.getLong(1) == 100L, r)
+    assert(r.getDouble(2) == 595.0, r) // p05 cents
+    assert(r.getDouble(3) == 9505.0, r) // p95 cents
+    // clamped sum: 5*595 + sum(600..9500 step 100) + 5*9505 cents
+    val mid = (6 to 95).map(_ * 100).sum
+    val want = (5 * 595 + mid + 5 * 9505) / 100.0
+    assert(r.getDouble(4) == want, r)
+  }
+
+  test("q234 PMI: closed-form presence counts give the exact ppm ratio") {
+    import graft.queries.TextAnalysis
+    // 5 docs {x y}, 3 docs {x}, 2 docs {y}: N=10, nx=8, ny=7, nxy=5
+    val docs = (0L until 5L).map(i => (i, "x y")) ++
+      (5L until 8L).map(i => (i, "x")) ++ (8L until 10L).map(i => (i, "y"))
+    val dir = stageDocs(docs)
+    val got = TextAnalysis.pmiPairs(spark, dir).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("x", "y")), r)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((5L, 8L, 7L)), r)
+    // 5 * 10 * 1e6 div 56 = 892857 (floor)
+    assert(r.getLong(5) == 892857L, r)
+  }
 }
