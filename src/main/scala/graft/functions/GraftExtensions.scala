@@ -19,7 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ArrayContainsJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRule)
     ext.injectOptimizerRule(s => new graft.plans.MatViewRule(s))
-    ext.injectOptimizerRule(s => new graft.plans.ZoneMapRule(s))
+    ext.injectOptimizerRule(s => new graft.plans.SkippingIndexRule(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),

@@ -232,9 +232,9 @@ object Layout {
 
   // ---- q230: zone-map pruning as an optimizer rule ------------------------
 
-  /** q230: the q224 skip made TRANSPARENT — `graft.plans.ZoneMapRule`.
+  /** q230: the q224 skip made TRANSPARENT — `graft.plans.SkippingIndexRule`.
     * The layout materializes a `day` column and range-clusters on `ts`
-    * (so each file spans a tight day interval); `ZoneMapRule.build`
+    * (so each file spans a tight day interval); `buildZoneMap`
     * registers per-file [min, max] day bounds; and the consumer is then a
     * PLAIN `spark.read.parquet(dir).where(day = ...)` — no zone-map code
     * in the query. The optimizer rewrites the scan to only the files
@@ -257,7 +257,7 @@ object Layout {
     val layout = s"$out/events_by_day"
     ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .repartitionByRange(8, col("ts")).write.parquet(layout)
-    graft.plans.ZoneMapRule.build(spark, layout, "day")
+    graft.plans.SkippingIndexRule.buildZoneMap(spark, layout, "day")
     val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .distinct().orderBy(col("day")).limit(6)
       .collect().last.getString(0)
@@ -287,9 +287,59 @@ object Layout {
        |WHERE strftime(ts, '%Y-%m-%d') = d.day
        |GROUP BY 1""".stripMargin
 
+  // ---- q235: bloom-filter skipping as an optimizer rule -------------------
+
+  /** q235: the q225 bloom skip made TRANSPARENT — the second index kind of
+    * `graft.plans.SkippingIndexRule`. Same layout as q224/q230
+    * (ts-range-clustered, so `event_id` is UNCORRELATED with file
+    * boundaries and zone maps on it would prune nothing); `buildBloom`
+    * registers the q225 sparse per-file (word, bits) filter; the consumer
+    * is a PLAIN `spark.read.parquet(dir).where(event_id IN (...))` point
+    * lookup. The rule probes each target id's k hash positions against
+    * every file's filter and deletes the k-of-k-missing files from the
+    * plan. One-sided error (the q225/q67 contract): a containing file
+    * always survives — the full-table oracle grades no-false-negative —
+    * and a false positive merely reads one extra file. `pruned` is read
+    * back from the OPTIMIZED plan, so the rule, not the author, is what
+    * is graded.
+    *
+    * At 100 TB: this is the automatic needle-in-haystack path — audit and
+    * subject-access lookups over a corpus laid out for ANALYTICS (time-
+    * clustered) stop costing a full scan the moment the write path also
+    * maintains 8 KB of bloom bits per file. */
+  def bloomRuleSkip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ev = Tables(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_bloomrule")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val layout = s"$out/events_by_ts"
+    ev.repartitionByRange(8, col("ts")).write.parquet(layout)
+    graft.plans.SkippingIndexRule.buildBloom(spark, layout, "event_id")
+    // targets: min, max, and first-past-midpoint ids (the q225 probe set)
+    val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (idLo, idHi) = (mm.getLong(0), mm.getLong(1))
+    val midRow = ev.where(col("event_id") > lit((idLo + idHi) / 2))
+      .agg(min(col("event_id"))).head()
+    val targets = (Seq(idLo, idHi) ++
+      (if (midRow.isNullAt(0)) Nil else Seq(midRow.getLong(0)))).distinct
+    val lookup = spark.read.parquet(layout)
+      .where(col("event_id").isin(targets: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val filesRead = lookup.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+    val total = spark.read.parquet(layout).inputFiles.length
+    lookup.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), lit(filesRead > 0 && filesRead < total).as("pruned"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q125_zorder_cells", zorderCells, Some(zorderCellsSql)),
     QueryDef("q224_zone_skip", zoneSkip, Some(zoneSkipSql)),
     QueryDef("q225_bloom_skip", bloomSkip, Some(bloomSkipSql)),
-    QueryDef("q230_zone_rule", zoneRuleSkip, Some(zoneRuleSkipSql)))
+    QueryDef("q230_zone_rule", zoneRuleSkip, Some(zoneRuleSkipSql)),
+    QueryDef("q235_bloom_rule", bloomRuleSkip, Some(bloomSkipSql)))
 }

@@ -259,7 +259,7 @@ class RulesSpec extends AnyFunSuite {
   }
 
   test("zone-map rule prunes files, keeps results, and declines correctly") {
-    import graft.plans.ZoneMapRule
+    import graft.plans.SkippingIndexRule
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import spark.implicits._
     def filesIn(df: org.apache.spark.sql.DataFrame): Int =
@@ -273,7 +273,7 @@ class RulesSpec extends AnyFunSuite {
     (0L until 100L).map(k => (k, k * 10)).toDF("k", "v")
       .repartitionByRange(4, col("k")).write.parquet(layout)
     try {
-      ZoneMapRule.build(spark, layout, "k")
+      SkippingIndexRule.buildZoneMap(spark, layout, "k")
 
       // point predicate: one file survives, rows identical to the truth
       val point = spark.read.parquet(layout).where(col("k") === 5L)
@@ -316,11 +316,68 @@ class RulesSpec extends AnyFunSuite {
       assert(filesIn(late) < 5, filesIn(late)) // known files still pruned
 
       // a registration from ANOTHER session never fires here
-      ZoneMapRule.drop(spark, layout)
+      SkippingIndexRule.drop(spark, layout)
       val other = spark.newSession()
-      ZoneMapRule.build(other, layout, "k")
+      SkippingIndexRule.buildZoneMap(other, layout, "k")
       val foreign = spark.read.parquet(layout).where(col("k") === 5L)
       assert(filesIn(foreign) == 5, filesIn(foreign))
-    } finally ZoneMapRule.clear()
+    } finally SkippingIndexRule.clear()
+  }
+
+  test("bloom index prunes point lookups; zone + bloom indexes intersect") {
+    import graft.plans.SkippingIndexRule
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    val layout = java.nio.file.Files.createTempDirectory("bloomrule").toString + "/t"
+    // range-clustered on k; id is UNCORRELATED with the layout (reversed),
+    // so only a content index can prune id lookups
+    (0L until 100L).map(k => (k, 99L - k)).toDF("k", "id")
+      .repartitionByRange(4, col("k")).write.parquet(layout)
+    try {
+      SkippingIndexRule.buildBloom(spark, layout, "id")
+
+      // single-id lookup: the one containing file survives (up to bloom FPs
+      // at p ~1e-4 for m=2^16, n=25: none here)
+      val one = spark.read.parquet(layout).where(col("id") === 7L)
+      assert(filesIn(one) == 1, filesIn(one))
+      assert(one.collect().map(_.getLong(0)).toSeq == Seq(92L))
+
+      // IN list spanning two files keeps exactly those two
+      val two = spark.read.parquet(layout)
+        .where(col("id").isin(7L, 93L))
+      assert(filesIn(two) == 2, filesIn(two))
+      assert(two.collect().map(_.getLong(0)).toSet == Set(92L, 6L))
+
+      // an id that exists nowhere: every file's k-of-k test fails -> empty
+      val miss = spark.read.parquet(layout).where(col("id") === 1000L)
+      assert(filesIn(miss) == 0, filesIn(miss))
+      assert(miss.count() == 0)
+
+      // zone (on k) + bloom (on id) INTERSECT: k's range admits 2 files,
+      // id's bloom admits 1 — the conjunction reads their intersection
+      SkippingIndexRule.buildZoneMap(spark, layout, "k")
+      val both = spark.read.parquet(layout)
+        .where(col("k") >= 50L && col("id") === 7L)
+      assert(filesIn(both) == 1, filesIn(both))
+      assert(both.collect().map(_.getLong(0)).toSeq == Seq(92L))
+      // ...and a conjunction whose parts admit DISJOINT file sets is empty
+      val disjoint = spark.read.parquet(layout)
+        .where(col("k") < 25L && col("id") === 7L) // id 7 lives at k=92
+      assert(filesIn(disjoint) == 0, filesIn(disjoint))
+      assert(disjoint.count() == 0)
+
+      // a file appended after registration is unknown to the bloom: kept
+      Seq((1000L, 7L)).toDF("k", "id").write.mode("append").parquet(layout)
+      val late = spark.read.parquet(layout).where(col("id") === 7L)
+      assert(late.collect().map(_.getLong(0)).toSet == Set(92L, 1000L))
+      assert(filesIn(late) == 2, filesIn(late)) // known files still pruned
+    } finally SkippingIndexRule.clear()
   }
 }
