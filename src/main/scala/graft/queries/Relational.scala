@@ -410,6 +410,102 @@ object Relational {
       |SELECT table_name, "constraint", observed, observed = 0 AS passed
       |FROM x""".stripMargin
 
+  // ---- q236: skyline (Pareto frontier) ------------------------------------
+
+  /** q236: SKYLINE — the orders no other order dominates on
+    * (price, recency): b dominates a iff b is >= on BOTH axes and > on at
+    * least one. Computed distributed-skyline style — the textbook
+    * two-phase: (1) LOCAL frontiers inside price bands (window partitioned
+    * by band — fully parallel), which discards almost everything, because
+    * a point dominated within its own band is certainly dominated
+    * globally; (2) the GLOBAL frontier over the surviving candidates
+    * (expected skyline size on real data is polylog — the global pass is
+    * planning-scale). Dominance transitivity makes the composition exact:
+    * a local eliminator is itself dominated only by other candidates.
+    * Within a phase the frontier needs no self-join: group to distinct
+    * prices (max date each), then one running-max window ordered by price
+    * DESC — a point survives iff its date beats every strictly-higher
+    * price's best date and is its own price's best. Ties (equal price AND
+    * equal date) are mutually non-dominating and all kept — exactly the
+    * NOT EXISTS oracle's semantics. Prices in exact integer cents.
+    *
+    * At 100 TB: phase 1 is one band-keyed shuffle + per-band windows;
+    * phase 2 touches only candidates. The O(n²) NOT EXISTS the oracle
+    * runs is what this operator exists to avoid. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("p"),
+        col("o_orderdate").as("d"))
+      .withColumn("band", expr("p div 1000000")) // $10k bands
+    /** The frontier of `in` within each `parts` group (Nil = global). */
+    def frontier(in: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = (if (parts.isEmpty) Window.orderBy(col("p").desc)
+        else Window.partitionBy(parts.map(col): _*).orderBy(col("p").desc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perP = in.groupBy((parts :+ "p").map(col): _*)
+        .agg(max(col("d")).as("dmax_p"))
+        .withColumn("dmax_hi", max(col("dmax_p")).over(w))
+      in.join(perP, parts :+ "p")
+        .where((col("dmax_hi").isNull || col("dmax_hi") < col("d")) &&
+          col("d") === col("dmax_p"))
+        .drop("dmax_p", "dmax_hi")
+    }
+    frontier(frontier(pts, Seq("band")), Nil)
+      .select(col("o_orderkey"), col("p"),
+        date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("d_s"))
+  }
+
+  private val skylineSql =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+      |    o_orderdate AS d
+      |  FROM orders)
+      |SELECT a.o_orderkey, a.p, strftime(a.d, '%Y-%m-%d %H:%M:%S') AS d_s
+      |FROM pts a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts b
+      |  WHERE b.p >= a.p AND b.d >= a.d AND (b.p > a.p OR b.d > a.d))""".stripMargin
+
+  // ---- q239: exact equi-depth histogram -----------------------------------
+
+  /** q239: EQUI-DEPTH HISTOGRAM — ten bins with (near-)equal row counts
+    * and their exact [lo, hi] cent bounds, the optimizer-statistics shape
+    * (selectivity estimation wants equal-mass, not equal-width, bins).
+    * `ntile` over a TOTAL order (price, then orderkey as the unique
+    * tiebreak) makes bin assignment deterministic in both engines —
+    * ntile's only cross-engine hazard is tie order, and a unique key
+    * removes ties entirely. This is the sort-based exact construction
+    * (same honest cost class as q48's exact percentiles: one global
+    * sort); the sketch tier (q47 KLL-style quantiles) is the at-scale
+    * approximation when exactness isn't required. */
+  def equiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "orders")
+      .select(
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("p"),
+        col("o_orderkey"))
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("p"), col("o_orderkey"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("lo"), max(col("p")).as("hi"))
+  }
+
+  private val equiDepthHistSql =
+    """WITH pts AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+      |    o_orderkey
+      |  FROM orders),
+      |b AS (
+      |  SELECT p, ntile(10) OVER (ORDER BY p, o_orderkey) AS bin FROM pts)
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+      |  min(p) AS lo, max(p) AS hi
+      |FROM b GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q201_data_audit", dataAudit, Some(dataAuditSql)),
     QueryDef("q154_lateral_topn", lateralTopOrders, Some(lateralTopOrdersSql)),
@@ -435,6 +531,8 @@ object Relational {
         |SELECT DISTINCT o_custkey AS ck FROM orders WHERE year(o_orderdate) >= 1999""".stripMargin)),
     QueryDef("q121_setops_all", setOpsAll, Some(setOpsAllSql)),
     QueryDef("q122_dq_audit", dqAudit, Some(dqAuditSql)),
+    QueryDef("q236_skyline", skyline, Some(skylineSql)),
+    QueryDef("q239_equidepth_hist", equiDepthHist, Some(equiDepthHistSql)),
     QueryDef("q17_rollup", rollupLineitem, Some(
       s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
          |  count(*) AS cnt

@@ -3053,7 +3053,55 @@ object TextAnalysis {
       |    // (wa.nw::HUGEINT * wb.nw::HUGEINT) AS BIGINT) AS pmi_ppm
       |FROM p JOIN wc wa ON p.w1 = wa.w JOIN wc wb ON p.w2 = wb.w, nd""".stripMargin
 
+  // ---- q237: weighted systematic sampling ---------------------------------
+
+  /** q237: WEIGHTED SYSTEMATIC SAMPLING — k=10 documents per language
+    * with inclusion probability ∝ n_chars, the curation shape "sample big
+    * docs more, but keep the stratum quota". Systematic
+    * (cumulative-weight) selection instead of the
+    * Efraimidis-Spirakis exponential keys every streaming sampler uses:
+    * E-S needs ln(u)/w — a transcendental that never crosses engines
+    * bit-stably — where the systematic rule selects doc i iff
+    * floor(cum_i·k/W) > floor((cum_i − w_i)·k/W), pure integer
+    * arithmetic (q211 DECIMAL38/HUGEINT products), hash-gated. One doc is
+    * selected per k-quantile boundary CROSSED: a stratum whose weights
+    * are all ≤ W/k yields exactly k; a heavier doc is a CERTAINTY
+    * selection that absorbs every boundary inside its span (selected
+    * once, never duplicated — sample size ≤ k, the standard systematic-
+    * sampling contract; `StatsOpsSpec` pins both regimes). Determinism
+    * comes from the fixed doc_id traversal order — a seedless,
+    * reproducible sample, the q37/q186 discipline.
+    *
+    * At 100 TB: one lang-keyed shuffle; the prefix sum is the stratum-
+    * local window — for strata wider than a partition the standard
+    * two-level segmented scan (per-partition partial sums + offset join)
+    * replaces it with identical output, same as the q186 note. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val cum = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("w_tot", sum(col("n_chars")).over(Window.partitionBy(col("lang"))))
+    cum.where(expr(s"(CAST(cum AS DECIMAL(38,0)) * $k) div w_tot > " +
+        s"(CAST(cum - n_chars AS DECIMAL(38,0)) * $k) div w_tot"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+  }
+
+  private val weightedSampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n_chars) OVER (PARTITION BY lang) AS w_tot
+      |  FROM documents)
+      |SELECT lang, doc_id, n_chars FROM d
+      |WHERE (cum::HUGEINT * 10) // w_tot::HUGEINT
+      |    > ((cum - n_chars)::HUGEINT * 10) // w_tot::HUGEINT""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q234_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q193_signal_agreement", signalAgreement,
       Some(signalAgreementSql)),

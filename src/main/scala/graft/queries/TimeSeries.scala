@@ -220,7 +220,86 @@ object TimeSeries {
       |WHERE date_diff('day', d, dmax) <= 20
       |GROUP BY event_type""".stripMargin
 
+  // ---- q238: A/B experiment analysis --------------------------------------
+
+  /** q238: A/B TEST — the two-proportion z-test every experimentation
+    * platform runs, in EXACT integer arithmetic. Unit of analysis is the
+    * USER (assignment by `user_id` parity — a deterministic hash-bucket
+    * stand-in), outcome is "ever purchased"; the per-user collapse is the
+    * step naive event-level tests get wrong (within-user correlation).
+    * The pooled z² statistic is a ratio of integer polynomials in
+    * (x1, n1, x2, n2):  z² = (x1·n2 − x2·n1)²·N / (n1·n2·x·(N−x)),
+    * reported in parts-per-million via the q211 DECIMAL(38,0)/HUGEINT
+    * discipline — no IEEE division or sqrt crosses engines, and the
+    * significance verdict is an integer compare against the χ²₁ 95%
+    * critical value (3.841459). Exactness bound: the ppm numerator caps
+    * DECIMAL38/HUGEINT around ~10⁶ users per arm — beyond that drop the
+    * ppm factor a digit (the verdict needs no six-decimal z²).
+    *
+    * At 100 TB: one user-keyed aggregate (map-side partials collapse the
+    * event stream), then a single-row reduction — the same two-shuffle
+    * shape regardless of event volume. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    // conversion = any purchase over $100 — a split that is neither empty
+    // nor universal at every sf (ALL-converted would zero the pooled
+    // variance; the guard below still handles that degenerate case)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 100.0, 1)
+        .otherwise(0)).as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val counts = perUser.agg(
+      count(when(col("arm") === 0, lit(1))).as("n1"),
+      count(when(col("arm") === 0 && col("conv") === 1, lit(1))).as("x1"),
+      count(when(col("arm") === 1, lit(1))).as("n2"),
+      count(when(col("arm") === 1 && col("conv") === 1, lit(1))).as("x2"))
+    val diff = col("x1").cast(d38) * col("n2") - col("x2").cast(d38) * col("n1")
+    val bigN = col("n1").cast(d38) + col("n2")
+    val x = col("x1").cast(d38) + col("x2")
+    counts
+      .withColumn("num", diff * diff * bigN * 1000000)
+      .withColumn("den", col("n1").cast(d38) * col("n2") * x * (bigN - x))
+      // `div` (IntegralDivide): exact integral quotient — bit-matches the
+      // oracle's HUGEINT `//`; a true decimal division would ROUND at the
+      // capped scale and can disagree at quotient boundaries. den = 0
+      // (zero pooled variance: nobody or everybody converted, or an empty
+      // arm) carries no evidence — z² defined as 0
+      .selectExpr("n1", "x1", "n2", "x2",
+        "CAST(CASE WHEN den = 0 THEN 0 ELSE num div den END AS BIGINT) AS z2_ppm",
+        "CAST(CASE WHEN den = 0 THEN FALSE " +
+          "ELSE num div den >= 3841459 END AS BOOLEAN) AS significant")
+  }
+
+  private val abTestSql =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 100
+      |      THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    count(*) FILTER (WHERE arm = 0) AS n1,
+      |    count(*) FILTER (WHERE arm = 0 AND conv = 1) AS x1,
+      |    count(*) FILTER (WHERE arm = 1) AS n2,
+      |    count(*) FILTER (WHERE arm = 1 AND conv = 1) AS x2
+      |  FROM u),
+      |z AS (
+      |  SELECT n1, x1, n2, x2,
+      |    (x1::HUGEINT * n2 - x2::HUGEINT * n1)
+      |      * (x1::HUGEINT * n2 - x2::HUGEINT * n1) * (n1 + n2) * 1000000
+      |      AS num,
+      |    n1::HUGEINT * n2 * (x1 + x2) * (n1 + n2 - x1 - x2) AS den
+      |  FROM c)
+      |SELECT n1, x1, n2, x2,
+      |  CAST(CASE WHEN den = 0 THEN 0 ELSE num // den END AS BIGINT) AS z2_ppm,
+      |  CAST(CASE WHEN den = 0 THEN FALSE ELSE num // den >= 3841459 END
+      |    AS BOOLEAN) AS significant
+      |FROM z""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q238_ab_test", abTest, Some(abTestSql)),
     QueryDef("q190_decayed_counts", decayedCounts, Some(decayedCountsSql)),
     QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),
     QueryDef("q92_resample", resample, Some(resampleSql)),

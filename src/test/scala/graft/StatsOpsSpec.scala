@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import graft.queries.{Relational, TextAnalysis, TimeSeries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form fixtures for the analytics-statistics wave: skyline
+  * dominance, systematic-sampling quotas, the z² rational, and equi-depth
+  * binning — each pinned against hand-computed answers, including the
+  * degenerate shapes (zero variance, ties) the sf corpora don't hit. */
+class StatsOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def stageOrders(rows: Seq[(Long, Double, String)]): String = {
+    val d = Files.createTempDirectory("statsops")
+    rows.toDF("o_orderkey", "o_totalprice", "ts_s")
+      .selectExpr("o_orderkey", "o_totalprice",
+        "CAST(ts_s AS TIMESTAMP) AS o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    d.toString
+  }
+
+  test("q236 skyline: dominated points drop, frontier and equal-point ties survive") {
+    // (price, date): A(100, d3) frontier; B(200, d2) frontier; C(150, d1)
+    // dominated by B (200>=150, d2>=d1, strict on both); D == B duplicate
+    // (mutually non-dominating -> BOTH kept); E(200, d1) dominated by B
+    // (same price, later date)
+    val dir = stageOrders(Seq(
+      (1L, 100.0, "1995-01-03 00:00:00"), // A
+      (2L, 200.0, "1995-01-02 00:00:00"), // B
+      (3L, 150.0, "1995-01-01 00:00:00"), // C dominated
+      (4L, 200.0, "1995-01-02 00:00:00"), // D = B's twin
+      (5L, 200.0, "1995-01-01 00:00:00"))) // E dominated
+    val got = Relational.skyline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), got)
+  }
+
+  test("q236 skyline: cross-band domination still eliminates (phase-2 exactness)") {
+    // bands are $10k wide: X(5000, d1) in band 0 is band-locally a
+    // frontier point but Y(15000, d2) in band 1 dominates it globally
+    val dir = stageOrders(Seq(
+      (1L, 5000.0, "1995-01-01 00:00:00"),
+      (2L, 15000.0, "1995-01-02 00:00:00")))
+    val got = Relational.skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), got)
+  }
+
+  test("q239 equi-depth: 20 rows over 10 bins -> 2 per bin with exact bounds") {
+    val dir = stageOrders((1L to 20L).map(i =>
+      (i, i * 1.0, "1995-01-01 00:00:00")))
+    val got = Relational.equiDepthHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 10 && got.values.forall(_._1 == 2L), got)
+    assert(got(1L) == ((2L, 100L, 200L)), got) // cents of 1.0, 2.0
+    assert(got(10L) == ((2L, 1900L, 2000L)), got)
+  }
+
+  test("q237 weighted sampling: k per uniform stratum; a certainty unit absorbs its boundaries") {
+    val d = Files.createTempDirectory("statsops_ws")
+    // lang 'aa': 30 docs of weight 1 + one doc of weight 970 (97% of
+    // mass): the heavy doc spans ALL ten k-quantile boundaries, so it is
+    // the stratum's single certainty selection (selected once, never
+    // duplicated — sample size <= k when weights exceed W/k).
+    // lang 'bb': 10 docs of weight 7 -> every doc crosses exactly one
+    // boundary: exactly k = 10 selected (all weights <= W/k).
+    val docs = (0L until 30L).map(i => (i, "aa", 1L)) ++
+      Seq((30L, "aa", 970L)) ++
+      (40L until 50L).map(i => (i, "bb", 7L))
+    docs.toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .write.parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.weightedSample(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.filter(_._1 == "aa").toSeq == Seq(("aa", 30L)), got.toSeq)
+    assert(got.count(_._1 == "bb") == 10, got.toSeq)
+  }
+
+  test("q238 A/B: hand-computed z² ppm and the zero-variance guard") {
+    val d = Files.createTempDirectory("statsops_ab")
+    // users 0,2 (arm 0): one converts; users 1,3 (arm 1): none convert.
+    // n1=2 x1=1 n2=2 x2=0: z² = (1*2-0)²*4/(2*2*1*3) = 16/12 = 1.333333
+    Seq(
+      (1L, 0L, "purchase", 150.0), (2L, 2L, "purchase", 50.0),
+      (3L, 1L, "view", 10.0), (4L, 3L, "purchase", 99.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST('1995-01-01 00:00:00' AS TIMESTAMP)"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.parquet(s"$d/events.parquet")
+    val r = TimeSeries.abTest(spark, d.toString).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 0L)), r)
+    assert(r.getLong(4) == 1333333L, r)
+    assert(!r.getBoolean(5), r)
+
+    // zero variance: nobody converts anywhere -> z² = 0, not an error
+    val d2 = Files.createTempDirectory("statsops_ab0")
+    Seq((1L, 0L, "view", 10.0), (2L, 1L, "view", 10.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "CAST('1995-01-01 00:00:00' AS TIMESTAMP)"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.parquet(s"$d2/events.parquet")
+    val r2 = TimeSeries.abTest(spark, d2.toString).collect().head
+    assert(r2.getLong(4) == 0L && !r2.getBoolean(5), r2)
+  }
+}
