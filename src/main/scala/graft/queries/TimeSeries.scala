@@ -298,7 +298,181 @@ object TimeSeries {
       |    AS BOOLEAN) AS significant
       |FROM z""".stripMargin
 
+  // ---- q240: Markov transition matrix -------------------------------------
+
+  /** q240: MARKOV TRANSITIONS — the per-user event-sequence transition
+    * matrix (session analysis, next-action prediction, anomaly baselines):
+    * order each user's stream by (ts, event_id) — the unique tiebreak
+    * that makes `lag` deterministic — pair every event with its
+    * predecessor TYPE, count (from, to) cells, and report each cell's
+    * row-conditional probability as exact ppm (count·10⁶ div row total,
+    * the q211 integer discipline — no IEEE division crosses engines).
+    *
+    * At 100 TB: one user-keyed shuffle for the lag window (user streams
+    * are the natural partition — bounded per user), then a |types|²-cell
+    * aggregate with map-side partials; the row totals attach via a
+    * broadcast-sized |types| frame. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(rowTot), Seq("from_type"))
+      .selectExpr("from_type", "to_type", "n",
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div row_n AS BIGINT) AS p_ppm")
+  }
+
+  private val markovTransitionsSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |p AS (
+      |  SELECT prev AS from_type, event_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS row_n FROM p GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n,
+      |  CAST(p.n::HUGEINT * 1000000 // t.row_n::HUGEINT AS BIGINT) AS p_ppm
+      |FROM p JOIN t ON p.from_type = t.from_type""".stripMargin
+
+  // ---- q241: time-weighted average (TWAP) ---------------------------------
+
+  /** q241: TWAP — the interval-weighted mean every pricing/ops system
+    * uses when samples arrive irregularly: each observation holds until
+    * the next one of its type, so its weight is the holding DURATION.
+    * Everything integer-exact: durations in microseconds
+    * (`unix_micros` = DuckDB `epoch_us`, both exact BIGINT), values in
+    * cents, and the TWAP itself as cents-ppm — (Σ v·dur)·10⁶ div (Σ dur)
+    * in DECIMAL38/HUGEINT, so the engines agree bitwise with NO float in
+    * the accumulation (a naive Σ(v·dur) in doubles is partition-order-
+    * dependent). The last observation of each type has no closing
+    * timestamp and is excluded — the closed-interval convention.
+    *
+    * At 100 TB: one type-keyed shuffle for the lead window (types are few
+    * but each stream is a time-ordered partition — the segmented-scan
+    * note of q237 applies to monster types), then a |types|-group
+    * aggregate. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .where(col("next_us").isNotNull)
+      .withColumn("dur", col("next_us") - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dur").cast(DecimalType(38, 0))).as("tot_dur"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("dur")).as("wsum"))
+      .selectExpr("event_type", "n",
+        "CAST(tot_dur AS BIGINT) AS tot_dur_us",
+        "CAST((wsum * 1000000) div tot_dur AS BIGINT) AS twap_ppm_cents")
+  }
+
+  private val twapSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS next_us
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(next_us - us) AS BIGINT) AS tot_dur_us,
+      |  CAST(sum(cents::HUGEINT * (next_us - us)) * 1000000
+      |    // sum(next_us - us)::HUGEINT AS BIGINT) AS twap_ppm_cents
+      |FROM s WHERE next_us IS NOT NULL
+      |GROUP BY event_type""".stripMargin
+
+  // ---- q242: CUSUM change detection ---------------------------------------
+
+  /** q242: CUSUM — the classic drift detector: the cumulative sum of
+    * deviations from the series mean peaks where the level SHIFTS. Kept
+    * integer-exact by clearing denominators: with S = Σv (cents) and
+    * n = count per type, the scaled statistic C_i = n·Σ_{j≤i} v_j − i·S
+    * equals n² times the textbook mean-centered cusum — same argmax, no
+    * division, DECIMAL38/HUGEINT all the way. Reported per type:
+    * max |C_i|, WHERE it peaks (the change-point estimate; min-ts
+    * tiebreak via exact composite max_by), and the peak scaled by n² to
+    * ppm-cents for cross-type comparability.
+    *
+    * At 100 TB: the prefix sum is a type-keyed ordered window (q237's
+    * segmented-scan note); the rest is a |types|-group aggregate with an
+    * exact-integer argmax — no iteration, one pass. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val base = Tables(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"), sum(col("cents")).as("s_t"))
+    base.join(broadcast(tot), Seq("event_type"))
+      .withColumn("c",
+        col("n_t").cast(d38) * col("cum") - col("i").cast(d38) * col("s_t"))
+      .withColumn("absc", abs(col("c")))
+      .withColumn("peak_w",
+        max(col("absc")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("absc")).as("peak"),
+        min(when(col("absc") === col("peak_w"), col("ts"))).as("peak_ts"),
+        max(col("n_t")).as("nt"))
+      .selectExpr("event_type", "n",
+        "CAST((peak * 1000000) div (CAST(nt AS DECIMAL(38,0)) * nt) AS BIGINT)"
+          + " AS peak_ppm_cents",
+        "date_format(peak_ts, 'yyyy-MM-dd HH:mm:ss') AS peak_ts_s")
+  }
+
+  private val cusumSql =
+    """WITH b AS (
+      |  SELECT event_type, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS BIGINT) AS i,
+      |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+      |    CAST(sum(cents) AS BIGINT) AS s_t
+      |  FROM b GROUP BY 1),
+      |c AS (
+      |  SELECT b.event_type, b.ts,
+      |    abs(t.n_t::HUGEINT * b.cum - b.i::HUGEINT * t.s_t) AS absc,
+      |    t.n_t
+      |  FROM b JOIN t ON b.event_type = t.event_type),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    max(absc) AS peak, max(n_t) AS nt
+      |  FROM c GROUP BY 1)
+      |SELECT m.event_type, m.n,
+      |  CAST(m.peak * 1000000 // (m.nt::HUGEINT * m.nt) AS BIGINT)
+      |    AS peak_ppm_cents,
+      |  strftime(p.peak_ts, '%Y-%m-%d %H:%M:%S') AS peak_ts_s
+      |FROM m JOIN (
+      |  SELECT c.event_type, min(c.ts) AS peak_ts
+      |  FROM c JOIN m ON c.event_type = m.event_type AND c.absc = m.peak
+      |  GROUP BY c.event_type) p
+      |ON m.event_type = p.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q240_markov", markovTransitions, Some(markovTransitionsSql)),
+    QueryDef("q241_twap", twap, Some(twapSql)),
+    QueryDef("q242_cusum", cusum, Some(cusumSql)),
     QueryDef("q238_ab_test", abTest, Some(abTestSql)),
     QueryDef("q190_decayed_counts", decayedCounts, Some(decayedCountsSql)),
     QueryDef("q101_anomalies", anomalies, Some(anomaliesSql)),

@@ -562,6 +562,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q227 profile is ONE scan of orders (wide agg, no per-column passes)") {
+    val p = SparkEntry.queries("q227_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan|BatchScan".r.findAllIn(p).length == 1, p.take(900))
+  }
+
+  test("q233 winsorize re-joins its 5-row bounds by broadcast, never sort-merge") {
+    val p = SparkEntry.queries("q233_winsorize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("q238 A/B test is two aggregates: at most two exchanges, no joins") {
+    val p = SparkEntry.queries("q238_ab_test")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

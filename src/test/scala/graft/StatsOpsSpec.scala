@@ -108,4 +108,56 @@ class StatsOpsSpec extends AnyFunSuite {
     val r2 = TimeSeries.abTest(spark, d2.toString).collect().head
     assert(r2.getLong(4) == 0L && !r2.getBoolean(5), r2)
   }
+
+  private def stageEvents(rows: Seq[(Long, Long, String, Double, String)]): String = {
+    val d = Files.createTempDirectory("statsops_ev")
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .selectExpr("event_id", "user_id", "event_type", "value",
+        "CAST(ts_s AS TIMESTAMP) AS ts", "'{}' AS props")
+      .write.parquet(s"$d/events.parquet")
+    d.toString
+  }
+
+  test("q240 Markov: hand-built sequences give exact transition ppm") {
+    // u0: view -> click -> view; u1: click -> click
+    val dir = stageEvents(Seq(
+      (1L, 0L, "view", 1.0, "1995-01-01 00:00:01"),
+      (2L, 0L, "click", 1.0, "1995-01-01 00:00:02"),
+      (3L, 0L, "view", 1.0, "1995-01-01 00:00:03"),
+      (4L, 1L, "click", 1.0, "1995-01-01 00:00:01"),
+      (5L, 1L, "click", 1.0, "1995-01-01 00:00:02")))
+    val got = TimeSeries.markovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 1000000L)),
+      ("click", "view") -> ((1L, 500000L)),
+      ("click", "click") -> ((1L, 500000L))), got)
+  }
+
+  test("q241 TWAP: closed intervals weight values by exact microsecond holds") {
+    // type 'a': $1.00 held 10s, $3.00 held 20s, last point open (excluded)
+    // twap = (100c*10e6us + 300c*20e6us) / 30e6us = 7e9/3e7 c = 233.33 c
+    val dir = stageEvents(Seq(
+      (1L, 0L, "a", 1.0, "1995-01-01 00:00:00"),
+      (2L, 0L, "a", 3.0, "1995-01-01 00:00:10"),
+      (3L, 0L, "a", 9.9, "1995-01-01 00:00:30")))
+    val r = TimeSeries.twap(spark, dir).collect().head
+    assert(r.getLong(1) == 2L, r)
+    assert(r.getLong(2) == 30000000L, r)
+    assert(r.getLong(3) == 233333333L, r) // ppm-cents, floor
+  }
+
+  test("q242 CUSUM peaks exactly at a constructed level shift") {
+    // three 0-cent points then three 100-dollar points: the scaled cusum
+    // C_i = n*cum_i - i*S peaks (|C|=90000) at i=3 — the pre-shift point
+    val dir = stageEvents((1 to 6).map(i =>
+      (i.toLong, 0L, "a", if (i <= 3) 0.0 else 100.0,
+        f"1995-01-01 00:00:0$i")))
+    val r = TimeSeries.cusum(spark, dir).collect().head
+    assert(r.getLong(1) == 6L, r)
+    // 90000 * 1e6 div 36 = 2.5e9 ppm-cents
+    assert(r.getLong(2) == 2500000000L, r)
+    assert(r.getString(3) == "1995-01-01 00:00:03", r)
+  }
 }
