@@ -325,4 +325,124 @@ object SkippingIndexRule {
   def drop(spark: SparkSession, dir: String): Unit =
     registry.remove(qualified(spark, dir))
   def clear(): Unit = registry.clear()
+
+  // ---- persistence: the index outlives the JVM ----------------------------
+  //
+  // The MatViewRule lifecycle applied to indexes: `save` writes each
+  // registered index into an underscore-prefixed sidecar directory beside
+  // the data (ignored by scans), `attach` re-enters them in a NEW
+  // process/session without rebuilding — the expensive part of a bloom
+  // index (its full-corpus build scan) survives the JVM. Staleness: every
+  // sidecar row carries the indexed file's (length, mtime) at build time;
+  // attach re-stats the files and DECLINES the whole index if any indexed
+  // file changed in place (its statistics would lie — the one hazard the
+  // unknown-file guard cannot absorb). Files that are simply GONE are
+  // dropped from the map (their entries could never match), and files
+  // appended since save are unknown → kept unconditionally, as always.
+
+  private def sidecarRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_index")
+
+  private def fileStatus(spark: SparkSession,
+      f: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(f)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } else None
+  }
+
+  /** Persist every index this session registered for `dir`. Returns how
+    * many were written. Zone maps store (file, lo, hi, len, mtime) in the
+    * column's NATIVE parquet type (no hand-rolled codecs); blooms store
+    * the sparse (file, word, bits, len, mtime) rows plus a one-row meta
+    * frame carrying (col, dataType DDL, k, m). */
+  def save(spark: SparkSession, dir: String): Int = {
+    val entry = registry.get(qualified(spark, dir))
+      .filter(_.ownedBy(spark)).getOrElse(return 0)
+    import spark.implicits._
+    val root = sidecarRoot(dir)
+    entry.indexes.foreach {
+      case ZoneIndex(cn, dt, zones) =>
+        val conv = CatalystTypeConverters.createToScalaConverter(dt)
+        val rows = zones.toSeq.map { case (f, (lo, hi)) =>
+          val (len, mt) = fileStatus(spark, f).getOrElse((-1L, -1L))
+          org.apache.spark.sql.Row(f, conv(lo), conv(hi), len, mt)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lo", dt),
+          org.apache.spark.sql.types.StructField("hi", dt),
+          org.apache.spark.sql.types.StructField("len", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mtime", org.apache.spark.sql.types.LongType)))
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
+          .write.mode("overwrite").parquet(s"$root/zone_$cn")
+      case BloomIndex(cn, dt, k, m, bits) =>
+        val rows = bits.toSeq.flatMap { case (f, words) =>
+          val (len, mt) = fileStatus(spark, f).getOrElse((-1L, -1L))
+          words.toSeq.map { case (w, b) => (f, w, b, len, mt) }
+        }
+        rows.toDF("file", "word", "bits", "len", "mtime")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom_$cn")
+        Seq((cn, dt.catalogString, k, m)).toDF("col", "dt", "k", "m")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/bmeta_$cn")
+    }
+    entry.indexes.length
+  }
+
+  /** Re-enter every persisted index for `dir` into THIS session's
+    * registry, validating per-file fingerprints. Returns the number of
+    * indexes attached (0 if no sidecar exists or every index declined). */
+  def attach(spark: SparkSession, dir: String): Int = {
+    val root = sidecarRoot(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val kinds = fs.listStatus(root).map(_.getPath.getName).toSeq
+    var n = 0
+    /** Validate (file, len, mtime) rows against the live filesystem:
+      * Some(survivors) = rows for still-live, unchanged files; None = a
+      * file changed IN PLACE — the index lies, decline it. */
+    def validate[T](rows: Seq[(String, Long, Long, T)]): Option[Seq[(String, T)]] = {
+      val out = Seq.newBuilder[(String, T)]
+      for ((f, len, mt, payload) <- rows) fileStatus(spark, f) match {
+        case Some((l, m)) if l == len && m == mt => out += ((f, payload))
+        case Some(_) => return None // changed in place: statistics lie
+        case None => () // file gone: its entries could never match
+      }
+      Some(out.result())
+    }
+    for (kind <- kinds) kind match {
+      case z if z.startsWith("zone_") =>
+        val cn = z.stripPrefix("zone_")
+        val df = spark.read.parquet(s"$root/$z")
+        val dt = df.schema("lo").dataType
+        val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+        val raw = df.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(3), r.getLong(4), (r.get(1), r.get(2))))
+        validate(raw).foreach { ok =>
+          addIndex(spark, dir, ZoneIndex(cn, dt,
+            ok.map { case (f, (lo, hi)) => f -> ((conv(lo), conv(hi))) }.toMap))
+          n += 1
+        }
+      case b if b.startsWith("bloom_") =>
+        val cn = b.stripPrefix("bloom_")
+        val meta = spark.read.parquet(s"$root/bmeta_$cn").head()
+        val dt = org.apache.spark.sql.types.DataType
+          .fromDDL(meta.getString(1))
+        val raw = spark.read.parquet(s"$root/$b").collect().toSeq
+          .map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+            (r.getLong(1), r.getLong(2))))
+        validate(raw).foreach { ok =>
+          val byFile = ok.groupBy(_._1)
+            .map { case (f, ws) => f -> ws.map(_._2).toMap }
+          addIndex(spark, dir, BloomIndex(cn, dt,
+            meta.getInt(2), meta.getLong(3), byFile))
+          n += 1
+        }
+      case _ => ()
+    }
+    n
+  }
 }

@@ -336,10 +336,71 @@ object Layout {
       col("value"), lit(filesRead > 0 && filesRead < total).as("pruned"))
   }
 
+  // ---- q243: persisted indexes — build, save, attach in a "new process" ---
+
+  /** q243: the SkippingIndexRule PERSISTENCE lifecycle, oracle-gated:
+    * build both index kinds over the clustered layout (zone map on `day`,
+    * bloom on `event_id`), `save` them to the `_graft_index` sidecar,
+    * DROP the in-memory registration (the process-death simulation — the
+    * q204→q216 matview pattern applied to indexes), `attach` from the
+    * sidecar alone, and only then run the day query. The result must
+    * equal the full-scan oracle AND carry `pruned = true` read back from
+    * the optimized plan — so what is graded is pruning through an index
+    * that took the full disk round-trip, fingerprint validation included.
+    *
+    * At 100 TB this is the difference between "indexes if the writer
+    * process is still alive" and a table FORMAT: the bloom build's
+    * full-corpus scan is paid once, every later reader session attaches
+    * in |files| stat calls. */
+  def indexedAttach(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    import graft.plans.SkippingIndexRule
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ev = Tables(spark, dir, "events")
+    val out = java.nio.file.Files.createTempDirectory("graft_idxattach")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val layout = s"$out/events_by_day"
+    ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartitionByRange(8, col("ts")).write.parquet(layout)
+    SkippingIndexRule.buildZoneMap(spark, layout, "day")
+    SkippingIndexRule.buildBloom(spark, layout, "event_id")
+    require(SkippingIndexRule.save(spark, layout) == 2, "save must persist both")
+    SkippingIndexRule.drop(spark, layout) // simulate process death
+    require(SkippingIndexRule.attach(spark, layout) == 2, "attach must adopt both")
+    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().orderBy(col("day")).limit(16)
+      .collect().last.getString(0)
+    val agg = spark.read.parquet(layout)
+      .where(col("day") === day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+    val filesRead = agg.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+    val total = spark.read.parquet(layout).inputFiles.length
+    agg.select(col("event_type"), col("n"), col("total_value"),
+      lit(filesRead > 0 && filesRead < total).as("pruned"))
+  }
+
+  private val indexedAttachSql =
+    s"""WITH d AS (
+       |  SELECT day FROM (
+       |    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+       |    ORDER BY day LIMIT 1 OFFSET 15))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("value")} AS total_value, TRUE AS pruned
+       |FROM events, d
+       |WHERE strftime(ts, '%Y-%m-%d') = d.day
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q125_zorder_cells", zorderCells, Some(zorderCellsSql)),
     QueryDef("q224_zone_skip", zoneSkip, Some(zoneSkipSql)),
     QueryDef("q225_bloom_skip", bloomSkip, Some(bloomSkipSql)),
     QueryDef("q230_zone_rule", zoneRuleSkip, Some(zoneRuleSkipSql)),
-    QueryDef("q235_bloom_rule", bloomRuleSkip, Some(bloomSkipSql)))
+    QueryDef("q235_bloom_rule", bloomRuleSkip, Some(bloomSkipSql)),
+    QueryDef("q243_index_attach", indexedAttach, Some(indexedAttachSql)))
 }

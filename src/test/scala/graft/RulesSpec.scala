@@ -380,4 +380,46 @@ class RulesSpec extends AnyFunSuite {
       assert(filesIn(late) == 2, filesIn(late)) // known files still pruned
     } finally SkippingIndexRule.clear()
   }
+
+  test("skipping indexes persist: save/attach round-trip, in-place change declines") {
+    import graft.plans.SkippingIndexRule
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import spark.implicits._
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    val layout = java.nio.file.Files.createTempDirectory("idxpersist").toString + "/t"
+    (0L until 100L).map(k => (k, 99L - k)).toDF("k", "id")
+      .repartitionByRange(4, col("k")).write.parquet(layout)
+    try {
+      SkippingIndexRule.buildZoneMap(spark, layout, "k")
+      SkippingIndexRule.buildBloom(spark, layout, "id")
+      assert(SkippingIndexRule.save(spark, layout) == 2)
+
+      // "new process": registry gone, sidecar adopts both indexes
+      SkippingIndexRule.clear()
+      assert(filesIn(spark.read.parquet(layout).where(col("k") === 5L)) == 4)
+      assert(SkippingIndexRule.attach(spark, layout) == 2)
+      val zone = spark.read.parquet(layout).where(col("k") === 5L)
+      assert(filesIn(zone) == 1, filesIn(zone))
+      assert(zone.collect().map(_.getLong(1)).toSeq == Seq(94L))
+      val bloom = spark.read.parquet(layout).where(col("id") === 7L)
+      assert(filesIn(bloom) == 1, filesIn(bloom))
+
+      // a data file CHANGED IN PLACE (same path, new mtime): its
+      // statistics can no longer be trusted — attach declines the index
+      SkippingIndexRule.clear()
+      val part = new java.io.File(layout).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.setLastModifiedTime(part,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000))
+      assert(SkippingIndexRule.attach(spark, layout) == 0)
+      assert(filesIn(spark.read.parquet(layout).where(col("k") === 5L)) == 4)
+    } finally SkippingIndexRule.clear()
+  }
 }
