@@ -389,11 +389,148 @@ object Quality {
       |FROM o JOIN b ON o.prio = b.prio
       |GROUP BY o.prio""".stripMargin
 
+  // ---- q244: robust outliers by median/MAD --------------------------------
+
+  /** q244: MEDIAN/MAD OUTLIERS — the robust companion to q233's
+    * winsorization: per priority group, deviation is measured from the
+    * exact MEDIAN and scaled by the exact MAD (median absolute
+    * deviation) — the estimator pair a single corrupted batch cannot
+    * drag, unlike mean/stddev. Integer-cents discipline throughout: the
+    * median of integers is a multiple of 0.5, deviations are multiples
+    * of 0.5, the MAD is a multiple of 0.25 — every quantity exactly
+    * representable in double, so `percentile`/`quantile_cont` and the
+    * 3×MAD comparisons agree bitwise across engines. Output per group:
+    * n, median, MAD, and how many points sit beyond the 3-MAD fence.
+    *
+    * At 100 TB: two exact per-group percentile aggregates (the honest
+    * sort cost, q48's class) with the tiny bounds frames re-attached by
+    * broadcast — the fact table is scanned, never shuffled wide. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val med = b.groupBy(col("prio"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = b.join(broadcast(med), Seq("prio"))
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy(col("prio"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("prio"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("dev") > col("mad") * 3, lit(1))).as("n_outliers"))
+  }
+
+  private val madOutliersSql =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |m AS (SELECT prio, quantile_cont(cents, 0.5) AS med FROM b GROUP BY 1),
+      |d AS (
+      |  SELECT b.prio, abs(CAST(b.cents AS DOUBLE) - m.med) AS dev, m.med
+      |  FROM b JOIN m ON b.prio = m.prio),
+      |md AS (SELECT prio, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT d.prio, count(*) AS n, max(d.med) AS med, max(md.mad) AS mad,
+      |  CAST(count(*) FILTER (WHERE d.dev > md.mad * 3) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN md ON d.prio = md.prio
+      |GROUP BY d.prio""".stripMargin
+
+  // ---- q245: gaps and islands ---------------------------------------------
+
+  /** q245: GAPS-AND-ISLANDS — contiguous runs of present keys in a
+    * filtered sequence (here: orderkeys in OPEN status), the classic
+    * audit question "which ranges are complete, where do the holes
+    * start". The island identity is the textbook constant
+    * key − row_number(): consecutive present keys share it, any gap
+    * shifts it. One ordered window + one grouped aggregate — no
+    * self-join, no recursion.
+    *
+    * At 100 TB: the window is a global sort over the FILTERED keys (the
+    * subset of interest, typically ≪ table); at extreme subset sizes the
+    * q237 segmented-scan note applies. Output is |islands| rows. */
+  def islands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "orders")
+      .where(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("grp", col("k") -
+        row_number().over(Window.orderBy(col("k"))).cast("long"))
+      .groupBy(col("grp"))
+      .agg(min(col("k")).as("run_start"), max(col("k")).as("run_end"),
+        count(lit(1)).as("run_len"))
+      .drop("grp")
+  }
+
+  private val islandsSql =
+    """WITH k AS (
+      |  SELECT o_orderkey AS k,
+      |    o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+      |  FROM orders WHERE o_orderstatus = 'O')
+      |SELECT min(k) AS run_start, max(k) AS run_end,
+      |  count(*) AS run_len
+      |FROM k GROUP BY grp""".stripMargin
+
+  // ---- q247: RFM customer segmentation ------------------------------------
+
+  /** q247: RFM SEGMENTATION — the marketing-analytics standard: each
+    * customer scored into quartiles of Recency (latest order), Frequency
+    * (order count), and Monetary (exact cents total), composed into the
+    * three-digit segment code. Every quartile assignment is `ntile(4)`
+    * over a TOTAL order (metric, then custkey — the q239 tie discipline,
+    * and recency ties over coarse order dates are COMMON, so the unique
+    * tiebreak is what makes the segmentation reproducible at all).
+    * Customers without orders are excluded (no RFM without activity).
+    *
+    * At 100 TB: one custkey aggregate over orders, then three global
+    * ntile sorts over the |customers| frame — the aggregate, not the
+    * fact table, is what gets sorted. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("r_date"),
+        count(lit(1)).as("f_n"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("m_cents"))
+    per
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("r_date"), col("custkey"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("f_n"), col("custkey"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("m_cents"), col("custkey"))).cast("long"))
+      .select(col("custkey"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per AS (
+      |  SELECT o_custkey AS custkey, max(o_orderdate) AS r_date,
+      |    CAST(count(*) AS BIGINT) AS f_n,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT custkey,
+      |    CAST(ntile(4) OVER (ORDER BY r_date, custkey) AS BIGINT) AS r_q,
+      |    CAST(ntile(4) OVER (ORDER BY f_n, custkey) AS BIGINT) AS f_q,
+      |    CAST(ntile(4) OVER (ORDER BY m_cents, custkey) AS BIGINT) AS m_q
+      |  FROM per)
+      |SELECT custkey, r_q, f_q, m_q,
+      |  r_q * 100 + f_q * 10 + m_q AS segment
+      |FROM q""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
     QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q231_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q232_k_anonymity", kAnonymity, Some(kAnonymitySql)),
-    QueryDef("q233_winsorize", winsorize, Some(winsorizeSql)))
+    QueryDef("q233_winsorize", winsorize, Some(winsorizeSql)),
+    QueryDef("q244_mad_outliers", madOutliers, Some(madOutliersSql)),
+    QueryDef("q245_islands", islands, Some(islandsSql)),
+    QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)))
 }

@@ -3100,7 +3100,66 @@ object TextAnalysis {
       |WHERE (cum::HUGEINT * 10) // w_tot::HUGEINT
       |    > ((cum - n_chars)::HUGEINT * 10) // w_tot::HUGEINT""".stripMargin
 
+  // ---- q246: per-document TF-IDF keywords ---------------------------------
+
+  /** q246: TF-IDF KEYWORD EXTRACTION — the top-3 most characteristic
+    * terms per document, the summarization/labeling primitive BM25 (q178)
+    * generalizes for retrieval. IDF is the exact rational N·10⁶ div df
+    * (ppm — the engines must only agree on the integer, no log crosses
+    * the boundary; a consumer monotone-transforms at will since ranking
+    * is preserved under any monotone idf map for fixed tf... the RANK is
+    * what's extracted), score = tf · idf_ppm in DECIMAL38 products, and
+    * the per-doc top-3 is a row_number window with the (score DESC, word)
+    * total order — deterministic ties, the q239 discipline.
+    *
+    * At 100 TB: tf is one (doc, word) aggregate, df one word aggregate;
+    * the score join is word-keyed (df frame ~vocabulary-sized, broadcast
+    * when bounded); the window partitions by doc_id — millions of tiny
+    * partitions, the shape windows parallelize best. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nd = tf.select(countDistinct(col("doc_id")).as("nd"))
+    tf.join(dfw, Seq("w")).crossJoin(broadcast(nd))
+      .withColumn("score", expr(
+        "CAST(CAST(tf AS DECIMAL(38,0)) * " +
+          "((CAST(nd AS DECIMAL(38,0)) * 1000000) div df) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("w"), col("score"), col("rnk"))
+  }
+
+  private val tfidfTopkSql =
+    """WITH toks AS (
+      |  SELECT doc_id, t AS w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) x
+      |  WHERE t <> ''),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY 1, 2),
+      |dfw AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+      |s AS (
+      |  SELECT tf.doc_id, tf.w,
+      |    CAST(tf.tf::HUGEINT * (nd.nd::HUGEINT * 1000000 // dfw.df)
+      |      AS BIGINT) AS score
+      |  FROM tf JOIN dfw ON tf.w = dfw.w, nd),
+      |r AS (
+      |  SELECT doc_id, w, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)
+      |      AS rnk
+      |  FROM s)
+      |SELECT doc_id, w, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q246_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     QueryDef("q237_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q234_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q193_signal_agreement", signalAgreement,

@@ -159,6 +159,58 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getDouble(4) == want, r)
   }
 
+  test("q244 MAD: a planted 100x outlier moves neither median nor MAD, and is fenced") {
+    val d = Files.createTempDirectory("qualityspec_mad")
+    // $1..$9 plus one $100 outlier, one group
+    ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_orderpriority", org.apache.spark.sql.functions.lit("1-URGENT"))
+      .write.parquet(s"$d/orders.parquet")
+    val r = Quality.madOutliers(spark, d.toString).collect().head
+    assert(r.getLong(1) == 10L, r)
+    assert(r.getDouble(2) == 550.0, r) // median cents: (500+600)/2
+    assert(r.getDouble(3) == 250.0, r) // MAD cents
+    assert(r.getLong(4) == 1L, r) // only the $100 point beyond 3*MAD
+  }
+
+  test("q245 islands: runs of consecutive open orderkeys split at every gap") {
+    val d = Files.createTempDirectory("qualityspec_isl")
+    Seq((1L, "O"), (2L, "O"), (3L, "O"), (4L, "F"), (5L, "O"), (6L, "O"),
+      (10L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.parquet(s"$d/orders.parquet")
+    val got = Quality.islands(spark, d.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 3L), (5L, 6L, 2L), (10L, 10L, 1L)), got)
+  }
+
+  test("q247 RFM: monotone customers land in their own quartiles") {
+    val d = Files.createTempDirectory("qualityspec_rfm")
+    // customer k has k orders, later dates and bigger totals as k grows
+    val rows = for (k <- 1 to 4; i <- 1 to k) yield
+      (k.toLong * 10 + i, k.toLong, 100.0 * k, f"1995-0$k-01 00:00:00")
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "ts_s")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(ts_s AS TIMESTAMP) AS o_orderdate")
+      .write.parquet(s"$d/orders.parquet")
+    val got = Quality.rfmSegments(spark, d.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 111L, 2L -> 222L, 3L -> 333L, 4L -> 444L), got)
+  }
+
+  test("q246 TF-IDF: hand-built corpus ranks rare high-tf terms first") {
+    import graft.queries.TextAnalysis
+    val dir = stageDocs(Seq((0L, "x x y"), (1L, "y z")))
+    val got = TextAnalysis.tfidfTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // idf_ppm: x,z = 2e6 (df 1), y = 1e6 (df 2)
+    assert(got == Set(
+      (0L, "x", 4000000L, 1L), (0L, "y", 1000000L, 2L),
+      (1L, "z", 2000000L, 1L), (1L, "y", 1000000L, 2L)), got)
+  }
+
   test("q234 PMI: closed-form presence counts give the exact ppm ratio") {
     import graft.queries.TextAnalysis
     // 5 docs {x y}, 3 docs {x}, 2 docs {y}: N=10, nx=8, ny=7, nxy=5
