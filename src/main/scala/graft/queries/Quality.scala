@@ -523,6 +523,143 @@ object Quality {
       |  r_q * 100 + f_q * 10 + m_q AS segment
       |FROM q""".stripMargin
 
+  // ---- q249: chi-square independence --------------------------------------
+
+  /** q249: CHI-SQUARE INDEPENDENCE — is market segment independent of
+    * nation? The r×c generalization of q238's 2×2 z² test, same exact-
+    * integer discipline: per cell, the scaled residual (O·N − R·C)
+    * clears every denominator, and the cell's χ² contribution is the
+    * integral-ppm quotient (O·N − R·C)²·10⁶ div (R·C·N). The statistic
+    * is DEFINED as the sum of per-cell floor-ppm contributions — exactly
+    * reproducible in both engines (each true cell term is ≥ its floor by
+    * < 1 ppm, so the definition differs from the textbook real by < rc
+    * ppm — nothing a test at any sane α can feel). Output per cell:
+    * observed, expected-ppm, contribution, plus the total and
+    * dof = (r−1)(c−1) on every row for the consumer's critical-value
+    * lookup.
+    *
+    * At 100 TB: one (nation, segment) aggregate over the fact scan; the
+    * margins and totals are window sums over the |cells| frame — bounded
+    * by the attribute domains, planning-scale. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("string").as("nation_s"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("o"))
+    // COMPLETE the grid: a (nation, segment) combination with zero
+    // customers still contributes (0 − E)²/E — dropping absent cells
+    // would silently understate the statistic exactly where dependence
+    // is strongest
+    val cells = observed.select(col("nation_s")).distinct()
+      .crossJoin(observed.select(col("seg")).distinct())
+      .join(observed, Seq("nation_s", "seg"), "left")
+      .na.fill(0L, Seq("o"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("r_tot", sum(col("o")).over(Window.partitionBy(col("nation_s"))))
+      .withColumn("c_tot", sum(col("o")).over(Window.partitionBy(col("seg"))))
+      .withColumn("n_tot", sum(col("o")).over(wAll))
+      .withColumn("n_r", size(collect_set(col("nation_s")).over(wAll)).cast("long"))
+      .withColumn("n_c", size(collect_set(col("seg")).over(wAll)).cast("long"))
+      .withColumn("exp_ppm", expr(
+        "CAST((CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000) div n_tot AS BIGINT)"))
+      .withColumn("chi_ppm", expr(
+        """CAST(((CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+          | * (CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r_tot AS DECIMAL(38,0)) * c_tot)
+          | * 1000000)
+          | div (CAST(r_tot AS DECIMAL(38,0)) * c_tot * n_tot) AS BIGINT)""".stripMargin))
+      .withColumn("total_chi_ppm", sum(col("chi_ppm")).over(wAll))
+      .withColumn("dof", (col("n_r") - 1) * (col("n_c") - 1))
+      .select(col("nation_s"), col("seg"), col("o"), col("exp_ppm"),
+        col("chi_ppm"), col("total_chi_ppm"), col("dof"))
+  }
+
+  private val chiSquareSql =
+    """WITH obs AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nation_s, c_mktsegment AS seg,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM customer GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g.nation_s, g.seg, CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+      |  FROM (SELECT DISTINCT a.nation_s, b.seg
+      |        FROM obs a CROSS JOIN obs b) g
+      |  LEFT JOIN obs ON g.nation_s = obs.nation_s AND g.seg = obs.seg),
+      |m AS (
+      |  SELECT nation_s, seg, o,
+      |    sum(o) OVER (PARTITION BY nation_s) AS r_tot,
+      |    sum(o) OVER (PARTITION BY seg) AS c_tot,
+      |    sum(o) OVER () AS n_tot,
+      |    count(DISTINCT nation_s) OVER () AS n_r,
+      |    count(DISTINCT seg) OVER () AS n_c
+      |  FROM cells),
+      |x AS (
+      |  SELECT nation_s, seg, o,
+      |    CAST(r_tot::HUGEINT * c_tot * 1000000 // n_tot::HUGEINT AS BIGINT)
+      |      AS exp_ppm,
+      |    CAST((o::HUGEINT * n_tot - r_tot::HUGEINT * c_tot)
+      |      * (o::HUGEINT * n_tot - r_tot::HUGEINT * c_tot) * 1000000
+      |      // (r_tot::HUGEINT * c_tot * n_tot) AS BIGINT) AS chi_ppm,
+      |    CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof
+      |  FROM m)
+      |SELECT nation_s, seg, o, exp_ppm, chi_ppm,
+      |  CAST(sum(chi_ppm) OVER () AS BIGINT) AS total_chi_ppm, dof
+      |FROM x""".stripMargin
+
+  // ---- q250: Benford first-digit audit ------------------------------------
+
+  /** q250: BENFORD AUDIT — the fraud-detection classic: naturally
+    * occurring amounts have first-digit frequency log10(1+1/d); fabricated
+    * ones usually don't. The first digit is read from the DECIMAL-string
+    * rendering (no log10 or power arithmetic crosses engines — the only
+    * transcendentals live in the nine precomputed Benford ppm CONSTANTS,
+    * identical literals in both queries). Observed share as exact ppm,
+    * deviation = |obs − exp|; digits absent from the data are kept with
+    * zero counts via the constants frame so the audit shape is always
+    * nine rows. (TPC-H prices are uniform-ish, NOT Benford — the audit
+    * honestly reports large deviations, which is the point: the operator
+    * measures, the consumer judges.)
+    *
+    * At 100 TB: one scan-local digit extraction + a 9-group aggregate,
+    * joined to a 9-row broadcast constants frame. */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benfordPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L).toDF("digit", "exp_ppm")
+    val counts = Tables(spark, dir, "orders")
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .where(col("digit") >= 1) // sub-dollar amounts render "0.xx"
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_tot"))
+    benfordPpm.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("digit", "n", "exp_ppm",
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_tot AS BIGINT) AS obs_ppm",
+        "abs(CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_tot AS BIGINT)" +
+          " - exp_ppm) AS dev_ppm")
+  }
+
+  private val benfordSql =
+    """WITH b(digit, exp_ppm) AS (VALUES
+      |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+      |c AS (
+      |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT sum(n) AS n_tot FROM c WHERE digit >= 1)
+      |SELECT b.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |  CAST(b.exp_ppm AS BIGINT) AS exp_ppm,
+      |  CAST(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
+      |    AS BIGINT) AS obs_ppm,
+      |  CAST(abs(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
+      |    - b.exp_ppm) AS BIGINT) AS dev_ppm
+      |FROM b LEFT JOIN c ON b.digit = c.digit AND c.digit >= 1, t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
@@ -532,5 +669,7 @@ object Quality {
     QueryDef("q233_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("q244_mad_outliers", madOutliers, Some(madOutliersSql)),
     QueryDef("q245_islands", islands, Some(islandsSql)),
-    QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)))
+    QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("q249_chi_square", chiSquare, Some(chiSquareSql)),
+    QueryDef("q250_benford", benford, Some(benfordSql)))
 }

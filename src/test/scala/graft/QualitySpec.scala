@@ -211,6 +211,63 @@ class QualitySpec extends AnyFunSuite {
       (1L, "z", 2000000L, 1L), (1L, "y", 1000000L, 2L)), got)
   }
 
+  test("q249 chi-square: an independent table scores 0; perfect association scores N") {
+    def stage(rows: Seq[(Long, Int, String)]): String = {
+      val d = Files.createTempDirectory("qualityspec_chi")
+      rows.toDF("c_custkey", "c_nationkey", "c_mktsegment")
+        .withColumn("c_name", org.apache.spark.sql.functions.lit("x"))
+        .withColumn("c_acctbal", org.apache.spark.sql.functions.lit(1.0))
+        .write.parquet(s"$d/customer.parquet")
+      d.toString
+    }
+    var id = 0L
+    def customers(n: Int, nation: Int, seg: String) =
+      (1 to n).map { _ => id += 1; (id, nation, seg) }
+    // exactly independent margins: every cell O == E -> total 0
+    val ind = stage(customers(10, 1, "A") ++ customers(30, 1, "B") ++
+      customers(5, 2, "A") ++ customers(15, 2, "B"))
+    val r1 = Quality.chiSquare(spark, ind).collect()
+    assert(r1.forall(_.getLong(5) == 0L), r1.toSeq)
+    assert(r1.forall(_.getLong(6) == 1L), r1.toSeq) // dof (2-1)(2-1)
+    // perfect association (diagonal): chi² = N -> 20e6 ppm, and the
+    // ZERO cells (completed grid) carry half the statistic
+    val dep = stage(customers(10, 1, "A") ++ customers(10, 2, "B"))
+    val r2 = Quality.chiSquare(spark, dep).collect()
+    assert(r2.length == 4, r2.toSeq) // grid completed: 2x2, two zero cells
+    assert(r2.forall(_.getLong(5) == 20000000L), r2.toSeq)
+    assert(r2.count(_.getLong(2) == 0L) == 2, r2.toSeq)
+  }
+
+  test("q250 Benford: digit shares in exact ppm, absent digits kept at zero") {
+    val d = Files.createTempDirectory("qualityspec_ben")
+    // three prices starting with 1, one with 9 -> obs 750000 / 250000 ppm
+    Seq(100.0, 150.0, 199.99, 900.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    val got = Quality.benford(spark, d.toString).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 9, got) // all nine digits present in the audit
+    assert(got(1) == ((3L, 750000L, 750000L - 301030L)), got)
+    assert(got(9) == ((1L, 250000L, 250000L - 45757L)), got)
+    assert(got(5) == ((0L, 0L, 79181L)), got) // absent digit: zero count
+  }
+
+  test("q251 schema evolution: pre-schema files aggregate as their own bucket") {
+    val d = Files.createTempDirectory("qualityspec_evo")
+    Seq((0L, 10.0, "1-URGENT"), (1L, 20.0, "2-HIGH"), (2L, 30.0, "1-URGENT"),
+      (3L, 40.0, "2-HIGH"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    // even keys (0,2) land in the pre-schema batch
+    val got = graft.queries.Layout.schemaEvolution(spark, d.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "(pre-schema)" -> ((2L, 40.0)),
+      "2-HIGH" -> ((2L, 60.0))), got)
+  }
+
   test("q234 PMI: closed-form presence counts give the exact ppm ratio") {
     import graft.queries.TextAnalysis
     // 5 docs {x y}, 3 docs {x}, 2 docs {y}: N=10, nx=8, ny=7, nxy=5
