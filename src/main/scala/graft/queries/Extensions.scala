@@ -147,6 +147,9 @@ object Extensions {
     QueryDef("q191_stream_decayed",
       (s, d) => EventStreams.decayedCountsStreamRun(s, d),
       Some(TimeSeries.decayedCountsSql)),
+    QueryDef("q253_stream_benford",
+      (s, d) => EventStreams.benfordStreamRun(s, d),
+      Some(Quality.benfordSqlFor("value", "events"))),
     // Event-time-timeout state EVICTION (flatMapGroupsWithState) as a real
     // micro-batch run: a staged watermark-flush sentinel closes every real
     // session, so the emitted set equals batch gaps-and-islands

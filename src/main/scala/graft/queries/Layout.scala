@@ -444,5 +444,51 @@ object Layout {
     QueryDef("q230_zone_rule", zoneRuleSkip, Some(zoneRuleSkipSql)),
     QueryDef("q235_bloom_rule", bloomRuleSkip, Some(bloomSkipSql)),
     QueryDef("q243_index_attach", indexedAttach, Some(indexedAttachSql)),
-    QueryDef("q251_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)))
+    QueryDef("q251_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    QueryDef("q252_federation", federation, Some(federationSql)))
+
+  // ---- q252: cross-format federation --------------------------------------
+
+  /** q252: FORMAT FEDERATION — one query joining three storage formats
+    * (CSV orders, JSON customers, the base parquet corpus they derive
+    * from), the everyday lakehouse reality that reference data arrives
+    * as whatever the producer exports. Both sidecar formats are
+    * round-tripped THROUGH their text encodings in-engine and read back
+    * with EXPLICIT schemas (schema inference on text formats is the
+    * type-drift trap — a BIGINT column inferred INT on a small file
+    * breaks the join at scale); doubles survive the CSV round-trip
+    * bit-exactly (shortest-representation printing is read back to the
+    * identical double). The oracle computes from the base tables, so the
+    * whole encode→decode→join path is what's graded.
+    *
+    * At 100 TB: text formats scan 3-10× slower than parquet and carry no
+    * pushdown or stats — the right design converts at the door (the
+    * q213/q215 write path); this operator exists for the federation
+    * moment BEFORE that conversion. */
+  def federation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    val out = java.nio.file.Files.createTempDirectory("graft_fed")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.option("header", "true").csv(s"$out/orders_csv")
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.json(s"$out/customer_json")
+    val oc = spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+      .csv(s"$out/orders_csv")
+    val cj = spark.read
+      .schema("c_custkey BIGINT, c_mktsegment STRING")
+      .json(s"$out/customer_json")
+    oc.join(cj, oc("o_custkey") === cj("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("tot"))
+  }
+
+  private val federationSql =
+    s"""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("o_totalprice")} AS tot
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY 1""".stripMargin
 }

@@ -622,16 +622,21 @@ object Quality {
     *
     * At 100 TB: one scan-local digit extraction + a 9-group aggregate,
     * joined to a 9-row broadcast constants frame. */
-  def benford(spark: SparkSession, dir: String): DataFrame = {
+  /** First-digit extraction shared by q250 and its streaming twin: the
+    * digit of `amount` from its DECIMAL(18,2)-string rendering (null/0
+    * for sub-unit amounts, filtered by the caller). */
+  def firstDigit(amount: Column): Column =
+    substring(amount.cast(DecimalType(18, 2)).cast("string"), 1, 1).cast("int")
+
+  /** The audit layer over per-digit counts (digit, n): exact ppm shares
+    * joined to the nine Benford constants, absent digits kept at zero.
+    * Shared by the batch q250 and the streaming q253 so the twin pair
+    * can only diverge in how the counts were ACCUMULATED. */
+  def benfordFromCounts(spark: SparkSession, counts: DataFrame): DataFrame = {
     import spark.implicits._
     val benfordPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
       4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
       9 -> 45757L).toDF("digit", "exp_ppm")
-    val counts = Tables(spark, dir, "orders")
-      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .where(col("digit") >= 1) // sub-dollar amounts render "0.xx"
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum(col("n")).as("n_tot"))
     benfordPpm.join(counts, Seq("digit"), "left")
       .na.fill(0L, Seq("n"))
@@ -642,23 +647,34 @@ object Quality {
           " - exp_ppm) AS dev_ppm")
   }
 
-  private val benfordSql =
-    """WITH b(digit, exp_ppm) AS (VALUES
-      |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-      |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
-      |c AS (
-      |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM orders GROUP BY 1),
-      |t AS (SELECT sum(n) AS n_tot FROM c WHERE digit >= 1)
-      |SELECT b.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-      |  CAST(b.exp_ppm AS BIGINT) AS exp_ppm,
-      |  CAST(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
-      |    AS BIGINT) AS obs_ppm,
-      |  CAST(abs(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
-      |    - b.exp_ppm) AS BIGINT) AS dev_ppm
-      |FROM b LEFT JOIN c ON b.digit = c.digit AND c.digit >= 1, t""".stripMargin
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    benfordFromCounts(spark,
+      Tables(spark, dir, "orders")
+        .select(firstDigit(col("o_totalprice")).as("digit"))
+        .where(col("digit") >= 1) // sub-dollar amounts render "0.xx"
+        .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+
+  /** The q250 oracle parameterized by (amount column, table) — the
+    * streaming twin q253 grades against the same template over events. */
+  private[queries] def benfordSqlFor(amount: String, table: String): String =
+    s"""WITH b(digit, exp_ppm) AS (VALUES
+       |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+       |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+       |c AS (
+       |  SELECT CAST(substr(CAST(CAST($amount AS DECIMAL(18,2))
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $table GROUP BY 1),
+       |t AS (SELECT sum(n) AS n_tot FROM c WHERE digit >= 1)
+       |SELECT b.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       |  CAST(b.exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
+       |    AS BIGINT) AS obs_ppm,
+       |  CAST(abs(coalesce(c.n, 0)::HUGEINT * 1000000 // t.n_tot::HUGEINT
+       |    - b.exp_ppm) AS BIGINT) AS dev_ppm
+       |FROM b LEFT JOIN c ON b.digit = c.digit AND c.digit >= 1, t""".stripMargin
+
+  private val benfordSql = benfordSqlFor("o_totalprice", "orders")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),

@@ -665,6 +665,25 @@ object EventStreams {
           .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("n")),
         "complete").localCheckpoint())
 
+  /** q253: the q250 Benford audit as a STREAMING monitor — per-digit
+    * counts accumulate in the streaming aggregation state store (complete
+    * mode, ≤9 state rows: the smallest fraud monitor an ingest pipeline
+    * can keep), and the ppm/constants audit layer is applied to the
+    * FINAL state through the SAME shared helper as the batch query
+    * (`Quality.benfordFromCounts` over `Quality.firstDigit` — the q191
+    * twin discipline), so a bounded run must equal the batch audit
+    * exactly and the q250 oracle template over `events.value` grades the
+    * whole path. At 100 TB: digit counts are the ideal streaming
+    * aggregate — bounded state, pure map-side partials per micro-batch. */
+  def benfordStreamRun(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Quality.benfordFromCounts(spark,
+      boundedStreamRun(spark, dir,
+        (s, _) => s
+          .select(graft.queries.Quality.firstDigit(col("value")).as("digit"))
+          .where(col("digit") >= 1)
+          .groupBy(col("digit")).agg(count(lit(1)).as("n")),
+        "complete").localCheckpoint())
+
   /** q148: sketch state ACROSS micro-batches — the streaming ingest shape
     * of q145's rollup. The streaming aggregation holds one DataSketches
     * HLL buffer per (week, day) in the STATE STORE and folds each arriving
