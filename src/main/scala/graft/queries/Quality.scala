@@ -676,6 +676,71 @@ object Quality {
 
   private val benfordSql = benfordSqlFor("o_totalprice", "orders")
 
+  // ---- q254: constraint-enforcing write with quarantine -------------------
+
+  /** q254: EXPECTATION-ENFORCED WRITE — the q228 constraint suite moved
+    * from REPORTING to the WRITE PATH (the dbt-test/DLT "expectations"
+    * shape): rows that pass land in the table, rows that fail are routed
+    * to a QUARANTINE with their first failed rule attached — nothing is
+    * silently dropped, nothing bad gets in. Defects are injected
+    * in-engine (the q229/q231 dirty-derivation discipline: every 97th
+    * order's price negated, every 101st's status broken) so both routes
+    * carry real traffic. The result is computed from the FILES READ BACK,
+    * so the split-write-reread cycle is what the oracle grades; rule
+    * precedence (price before status) makes the reason deterministic for
+    * rows failing both.
+    *
+    * At 100 TB: one scan evaluates all rules (codegen'd CASE), the two
+    * writes partition the same pass — the quarantine write costs only
+    * its own (tiny) row volume, and the good table is usable immediately
+    * because the gate ran BEFORE the write, not as a later audit. */
+  def enforceWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_enforce")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val dirty = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 101 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    val routed = dirty.withColumn("reason",
+      when(col("price") <= 0, "nonpositive_price")
+        .when(not(col("status").isin("O", "F", "P")), "bad_status"))
+    routed.where(col("reason").isNull).drop("reason")
+      .write.parquet(s"$out/good")
+    routed.where(col("reason").isNotNull)
+      .write.parquet(s"$out/quarantine")
+    val good = spark.read.parquet(s"$out/good")
+      .select(lit("good").as("dest"), lit("ok").as("reason"), col("price"))
+    val quar = spark.read.parquet(s"$out/quarantine")
+      .select(lit("quarantine").as("dest"), col("reason"), col("price"))
+    good.unionByName(quar)
+      .groupBy(col("dest"), col("reason"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("price").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .cast("long").as("cents"))
+  }
+
+  private val enforceWriteSql =
+    """WITH dirty AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+      |      ELSE o_totalprice END AS price,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+      |      ELSE o_orderstatus END AS status
+      |  FROM orders),
+      |r AS (
+      |  SELECT price,
+      |    CASE WHEN price <= 0 THEN 'nonpositive_price'
+      |      WHEN status NOT IN ('O','F','P') THEN 'bad_status' END AS reason
+      |  FROM dirty)
+      |SELECT CASE WHEN reason IS NULL THEN 'good' ELSE 'quarantine' END
+      |    AS dest,
+      |  coalesce(reason, 'ok') AS reason, count(*) AS n,
+      |  CAST(sum(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
@@ -687,5 +752,6 @@ object Quality {
     QueryDef("q245_islands", islands, Some(islandsSql)),
     QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q249_chi_square", chiSquare, Some(chiSquareSql)),
-    QueryDef("q250_benford", benford, Some(benfordSql)))
+    QueryDef("q250_benford", benford, Some(benfordSql)),
+    QueryDef("q254_enforce_write", enforceWrite, Some(enforceWriteSql)))
 }

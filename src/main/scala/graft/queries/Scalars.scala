@@ -573,7 +573,99 @@ object Scalars {
       |  TRUE AS within_bound
       |FROM pairs p LEFT JOIN nw ON nw.week = p.week""".stripMargin
 
+  // ---- q255: correlation matrix -------------------------------------------
+
+  /** Variables of the q255 matrix: short name -> (column, its exact
+    * decimal-cents expression is shared by both engines). All four are
+    * raw ≤2-dp doubles, so the integer-cents moments are exact. */
+  private val corrVars = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+    "disc" -> "l_discount", "tax" -> "l_tax")
+  private val corrPairs = for {
+    (a, i) <- corrVars.map(_._1).zipWithIndex
+    b <- corrVars.map(_._1).drop(i + 1)
+  } yield (a, b)
+
+  /** q255: CORRELATION MATRIX — all six pairwise correlations of
+    * (quantity, price, discount, tax) in ONE scan: the q118 exact-moment
+    * technique widened to the full moment vector (4 sums, 4 squares, 6
+    * cross-products, all DECIMAL(38,0)/HUGEINT-exact), then every
+    * correlation derived through literally the same IEEE expression tree
+    * in both engines. This is the feature-analysis shape (feature
+    * redundancy, leakage screens) where calling native `corr` 6 times
+    * would be 6 scans of non-deterministic accumulation — here it is one
+    * map-side-partial aggregate and 6 rows of planning-scale arithmetic.
+    * Degenerate (constant) variables drop their pairs via the exact
+    * min<max guard, q118's overflow-free test. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def cents(c: String) = (col(c).cast(DecimalType(12, 2)) * 100).cast("long")
+    val base = Tables(spark, dir, "lineitem")
+      .select(corrVars.map { case (n, c) => cents(c).as(n) }: _*)
+    val aggs =
+      corrVars.flatMap { case (n, _) => Seq(
+        sum(col(n).cast(d38)).as(s"s_$n"),
+        sum((col(n).cast(d19) * col(n).cast(d19)).cast(d38)).as(s"ss_$n"),
+        min(col(n)).as(s"lo_$n"), max(col(n)).as(s"hi_$n"))
+      } ++ corrPairs.map { case (a, b) =>
+        sum((col(a).cast(d19) * col(b).cast(d19)).cast(d38)).as(s"sp_${a}_$b")
+      }
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val nd = col("n").cast("double")
+    def sd(v: String) = col(s"s_$v").cast("double") / 100d
+    def ssd(v: String) = col(s"ss_$v").cast("double") / 10000d
+    def spd(a: String, b: String) = col(s"sp_${a}_$b").cast("double") / 10000d
+    val rows = corrPairs.map { case (a, b) =>
+      val covp = spd(a, b) / nd - (sd(a) / nd) * (sd(b) / nd)
+      val varA = ssd(a) / nd - (sd(a) / nd) * (sd(a) / nd)
+      val varB = ssd(b) / nd - (sd(b) / nd) * (sd(b) / nd)
+      struct(lit(a).as("var_x"), lit(b).as("var_y"), col("n").as("n"),
+        (covp / sqrt(varA * varB)).as("corr"),
+        (col(s"lo_$a") < col(s"hi_$a") && col(s"lo_$b") < col(s"hi_$b"))
+          .as("ok"))
+    }
+    m.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .where(col("ok")).drop("ok")
+  }
+
+  private val corrMatrixSql = {
+    def xc(c: String) = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    val moments =
+      corrVars.flatMap { case (n, c) => Seq(
+        s"sum(${xc(c)}) AS s_$n",
+        s"sum(CAST(${xc(c)} AS HUGEINT) * ${xc(c)}) AS ss_$n",
+        s"min(${xc(c)}) AS lo_$n", s"max(${xc(c)}) AS hi_$n")
+      } ++ corrPairs.map { case (a, b) =>
+        val (ca, cb) = (corrVars.toMap.apply(a), corrVars.toMap.apply(b))
+        s"sum(CAST(${xc(ca)} AS HUGEINT) * ${xc(cb)}) AS sp_${a}_$b"
+      }
+    val doubles =
+      corrVars.flatMap { case (n, _) => Seq(
+        s"CAST(s_$n AS DOUBLE) / 100 AS sd_$n",
+        s"CAST(ss_$n AS DOUBLE) / 10000 AS ssd_$n",
+        s"lo_$n", s"hi_$n")
+      } ++ corrPairs.map { case (a, b) =>
+        s"CAST(sp_${a}_$b AS DOUBLE) / 10000 AS spd_${a}_$b"
+      }
+    val selects = corrPairs.map { case (a, b) =>
+      val covp = s"spd_${a}_$b / nd - (sd_$a / nd) * (sd_$b / nd)"
+      val varA = s"(ssd_$a / nd - (sd_$a / nd) * (sd_$a / nd))"
+      val varB = s"(ssd_$b / nd - (sd_$b / nd) * (sd_$b / nd))"
+      s"""SELECT '$a' AS var_x, '$b' AS var_y, n,
+         |  ($covp) / sqrt($varA * $varB) AS corr
+         |FROM d WHERE lo_$a < hi_$a AND lo_$b < hi_$b""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT count(*) AS n, ${moments.mkString(",\n    ")}
+       |  FROM lineitem),
+       |d AS (
+       |  SELECT n, CAST(n AS DOUBLE) AS nd, ${doubles.mkString(",\n    ")}
+       |  FROM m)
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q255_corr_matrix", corrMatrix, Some(corrMatrixSql)),
     QueryDef("q207_theta_churn", thetaChurn, Some(thetaChurnSql)),
     QueryDef("q49_map_json", mapJsonFuncs, Some(mapJsonFuncsSql)),
     QueryDef("q118_bivariate_stats", bivariateStats, Some(bivariateStatsSql)),

@@ -268,6 +268,43 @@ class QualitySpec extends AnyFunSuite {
       "2-HIGH" -> ((2L, 60.0))), got)
   }
 
+  test("q254 enforce-write: both routes carry the right rows, precedence deterministic") {
+    val d = Files.createTempDirectory("qualityspec_enf")
+    // keys: 1 clean, 97 price-negated, 101 status-broken, 97*101 both
+    // (price rule wins by precedence)
+    Seq(1L, 97L, 101L, 97L * 101L).map(k => (k, 10.0, "O"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$d/orders.parquet")
+    val got = Quality.enforceWrite(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("good", "ok") -> ((1L, 1000L)), // key 1
+      ("quarantine", "nonpositive_price") -> ((2L, -2000L)), // 97, 97*101
+      ("quarantine", "bad_status") -> ((1L, 1000L))), got) // 101
+  }
+
+  test("q255 corr matrix: constructed perfect and inverse correlations") {
+    import graft.queries.Scalars
+    val d = Files.createTempDirectory("qualityspec_corr")
+    // qty = i, price = 2i (corr +1), disc = -i scaled (corr -1), tax const
+    (1 to 10).map(i => (1L, i, i.toDouble, 2.0 * i, (10 - i) / 100.0, 0.05))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = Scalars.corrMatrix(spark, d.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // tax is constant -> its three pairs are dropped by the guard
+    assert(got.keySet == Set(("qty", "price"), ("qty", "disc"),
+      ("price", "disc")), got)
+    // the IEEE tree lands within an ulp or two of the ideal ±1 — what is
+    // pinned bit-exactly is CROSS-ENGINE equality (the oracle gate), not
+    // equality with the real-arithmetic ideal
+    assert(math.abs(got(("qty", "price")) - 1.0) < 1e-12, got)
+    assert(math.abs(got(("qty", "disc")) + 1.0) < 1e-12, got)
+    assert(math.abs(got(("price", "disc")) + 1.0) < 1e-12, got)
+  }
+
   test("q234 PMI: closed-form presence counts give the exact ppm ratio") {
     import graft.queries.TextAnalysis
     // 5 docs {x y}, 3 docs {x}, 2 docs {y}: N=10, nx=8, ny=7, nxy=5
