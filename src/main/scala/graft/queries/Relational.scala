@@ -506,7 +506,47 @@ object Relational {
       |  min(p) AS lo, max(p) AS hi
       |FROM b GROUP BY 1""".stripMargin
 
+  // ---- q257: share-of-parent drill-down -----------------------------------
+
+  /** q257: SHARE-OF-PARENT — the BI drill-down contract: every
+    * (nation, segment) cell reports its share of the nation AND of the
+    * grand total, in exact ppm (the integral-quotient discipline — BI
+    * percentages rendered from exact integers never disagree between
+    * engines or refreshes). One aggregate over the fact table, then two
+    * window sums over the bounded cells frame; the same shape serves any
+    * dimension pair. */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("string").as("nation_s"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("nation_n", sum(col("n")).over(
+        Window.partitionBy(col("nation_s"))))
+      .withColumn("total_n", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .selectExpr("nation_s", "seg", "n",
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div nation_n AS BIGINT)" +
+          " AS ppm_of_nation",
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total_n AS BIGINT)" +
+          " AS ppm_of_total")
+  }
+
+  private val shareOfParentSql =
+    """WITH cells AS (
+      |  SELECT CAST(c_nationkey AS VARCHAR) AS nation_s,
+      |    c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT nation_s, seg, n,
+      |  CAST(n::HUGEINT * 1000000
+      |    // sum(n) OVER (PARTITION BY nation_s)::HUGEINT AS BIGINT)
+      |    AS ppm_of_nation,
+      |  CAST(n::HUGEINT * 1000000 // sum(n) OVER ()::HUGEINT AS BIGINT)
+      |    AS ppm_of_total
+      |FROM cells""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q257_share_of_parent", shareOfParent, Some(shareOfParentSql)),
     QueryDef("q201_data_audit", dataAudit, Some(dataAuditSql)),
     QueryDef("q154_lateral_topn", lateralTopOrders, Some(lateralTopOrdersSql)),
     QueryDef("q155_recursive_cte", recursiveHierarchy,

@@ -3158,7 +3158,47 @@ object TextAnalysis {
       |SELECT doc_id, w, score, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 3""".stripMargin
 
+  // ---- q256: readability scoring ------------------------------------------
+
+  /** q256: READABILITY (Flesch reading ease) — the text-quality scorer a
+    * curation pipeline runs beside length/stopword gates: words by
+    * non-empty token count, syllables by the standard vowel-group
+    * heuristic (one `regexp_count` — the approximation every scalable
+    * implementation uses), sentences by terminal punctuation (+1 so
+    * fragments score). The score is three IEEE ops over exact integers
+    * through the IDENTICAL expression tree in both engines — the q118
+    * discipline applied to a formula with published constants. Pure
+    * scan-local codegen: zero shuffles before output. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+          .as("n_words"),
+        expr("CAST(regexp_count(text, '[aeiou]+') AS BIGINT)").as("n_syll"),
+        expr("CAST(1 + regexp_count(text, '[.!?]') AS BIGINT)").as("n_sent"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835d) -
+          lit(1.015d) * (col("n_words").cast("double") / col("n_sent")) -
+          lit(84.6d) * (col("n_syll").cast("double") / col("n_words")))
+
+  private val readabilitySql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+      |      AS n_syll,
+      |    CAST(1 + len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+      |      AS n_sent
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syll, n_sent,
+      |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS flesch
+      |FROM f WHERE n_words > 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q256_readability", readability, Some(readabilitySql)),
     QueryDef("q246_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     QueryDef("q237_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q234_pmi_pairs", pmiPairs, Some(pmiPairsSql)),

@@ -469,7 +469,58 @@ object TimeSeries {
       |  GROUP BY c.event_type) p
       |ON m.event_type = p.event_type""".stripMargin
 
+  // ---- q258: EWMA smoothing series ----------------------------------------
+
+  /** q258: EWMA SERIES — exponentially-weighted smoothing of the daily
+    * count series, one smoothed value PER DAY (q190 reports only the
+    * final decayed score; monitors chart the whole series). Same
+    * exactness machinery: half-life one day means weights 2^-k — every
+    * term n·2^-k is a dyadic rational exactly representable in double,
+    * so the sum is order-independent and cross-engine exact, where any
+    * other decay base is partition-order-dependent. The recursion
+    * s_i = x_i/1 + s_{i-1}/2 is deliberately unrolled into a BOUNDED
+    * 20-day lookback join (weights below 2^-20 are sub-ppm): recursive
+    * smoothing is inherently sequential, the truncated form is a
+    * 20-way bounded self-join any engine parallelizes freely.
+    *
+    * At 100 TB: the join inflates the |types|·|days| DAILY table (not
+    * the event stream) by ≤20× — aggregation-then-smooth, never
+    * smooth-then-aggregate. */
+  def ewmaSeries(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("d"))
+    val b = daily.select(col("event_type").as("bt"), col("d").as("bd"),
+      col("n").as("bn"))
+    a.join(b, col("event_type") === col("bt") &&
+        expr("datediff(d, bd) BETWEEN 0 AND 19"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("bn")).as("n_window"),
+        sum(expr("CAST(bn AS DOUBLE) * power(CAST(2.0 AS DOUBLE)," +
+          " CAST(-datediff(d, bd) AS DOUBLE))")).as("ewma"))
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("day_s"),
+        col("n_window"), col("ewma"))
+  }
+
+  private val ewmaSeriesSql =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, strftime(a.d, '%Y-%m-%d') AS day_s,
+      |  CAST(sum(b.n) AS BIGINT) AS n_window,
+      |  sum(CAST(b.n AS DOUBLE)
+      |    * power(CAST(2.0 AS DOUBLE),
+      |        CAST(-datediff('day', b.d, a.d) AS DOUBLE))) AS ewma
+      |FROM daily a JOIN daily b
+      |  ON a.event_type = b.event_type
+      |  AND datediff('day', b.d, a.d) BETWEEN 0 AND 19
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q258_ewma_series", ewmaSeries, Some(ewmaSeriesSql)),
     QueryDef("q240_markov", markovTransitions, Some(markovTransitionsSql)),
     QueryDef("q241_twap", twap, Some(twapSql)),
     QueryDef("q242_cusum", cusum, Some(cusumSql)),
