@@ -519,7 +519,65 @@ object TimeSeries {
       |  AND datediff('day', b.d, a.d) BETWEEN 0 AND 19
       |GROUP BY 1, 2""".stripMargin
 
+  // ---- q259: longest streaks ----------------------------------------------
+
+  /** q259: LONGEST STREAK — per user, the longest run of consecutive
+    * same-type events (engagement/monitoring: "longest error streak",
+    * "longest daily-active run"). The q245 islands identity composed
+    * with a type-change boundary: row_number over the user's stream
+    * minus row_number within (user, type) is constant exactly while the
+    * type doesn't change — runs drop out as groups, no self-join, no
+    * iteration. Per user the longest run wins; exact composite max_by
+    * (length, then EARLIEST start — integer microseconds) makes the
+    * reported run deterministic under ties in both engines.
+    *
+    * At 100 TB: two windows over the same user-keyed sort (one
+    * partition ordering serves both — no second shuffle), then one
+    * aggregate per run and one per user. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(unix_micros(col("ts"))).as("start_us"))
+    // composite ordering key: longest first, earliest start breaks ties.
+    // DECIMAL(38,0): len * 1e16 exceeds int64 for long streaks, and the
+    // multiplier must clear the ~8e14 epoch-micros range
+    runs.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("len"), col("start_us")),
+        col("len").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(10000000000000000L) - col("start_us")).as("b"))
+      .select(col("user_id"), col("b.event_type").as("streak_type"),
+        col("b.len").as("streak_len"), col("b.start_us"))
+  }
+
+  private val streaksSql =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type
+      |          ORDER BY ts, event_id) AS grp
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
+      |  FROM r GROUP BY user_id, event_type, grp)
+      |SELECT user_id,
+      |  max_by(event_type, len::HUGEINT * 10000000000000000 - start_us)
+      |    AS streak_type,
+      |  max_by(len, len::HUGEINT * 10000000000000000 - start_us)
+      |    AS streak_len,
+      |  max_by(start_us, len::HUGEINT * 10000000000000000 - start_us)
+      |    AS start_us
+      |FROM runs GROUP BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q259_streaks", streaks, Some(streaksSql)),
     QueryDef("q258_ewma_series", ewmaSeries, Some(ewmaSeriesSql)),
     QueryDef("q240_markov", markovTransitions, Some(markovTransitionsSql)),
     QueryDef("q241_twap", twap, Some(twapSql)),

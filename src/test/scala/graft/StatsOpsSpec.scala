@@ -148,6 +148,41 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 233333333L, r) // ppm-cents, floor
   }
 
+  test("q259 streaks: the longest run wins, ties break to the earliest") {
+    // u0: A A B A A A -> longest A-run is 3 (starting at t4)
+    // u1: A A B B -> two runs of 2: tie breaks to the EARLIER (A at t1)
+    val dir = stageEvents(Seq(
+      (1L, 0L, "A", 1.0, "1995-01-01 00:00:01"),
+      (2L, 0L, "A", 1.0, "1995-01-01 00:00:02"),
+      (3L, 0L, "B", 1.0, "1995-01-01 00:00:03"),
+      (4L, 0L, "A", 1.0, "1995-01-01 00:00:04"),
+      (5L, 0L, "A", 1.0, "1995-01-01 00:00:05"),
+      (6L, 0L, "A", 1.0, "1995-01-01 00:00:06"),
+      (7L, 1L, "A", 1.0, "1995-01-01 00:00:01"),
+      (8L, 1L, "A", 1.0, "1995-01-01 00:00:02"),
+      (9L, 1L, "B", 1.0, "1995-01-01 00:00:03"),
+      (10L, 1L, "B", 1.0, "1995-01-01 00:00:04")))
+    val got = TimeSeries.streaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> (("A", 3L)), 1L -> (("A", 2L))), got)
+  }
+
+  test("q260 SSSP: path-graph distances are exact, 7th hop excluded") {
+    import graft.queries.Graph
+    val d = Files.createTempDirectory("statsops_sssp")
+    // orders {i, i+1} build the path 0-1-2-...-7 (7 edges)
+    (0L until 7L).flatMap(i => Seq((i + 1, i), (i + 1, i + 1)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = Graph.sssp(spark, d.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights w(i,i+1) = 1 + (2i+1) % 3: 2,1,3,2,1,3,2 -> prefix sums
+    val w = (0 until 7).map(i => 1L + (2 * i + 1) % 3)
+    val want = (0 to 6).map(n => n.toLong -> w.take(n).sum).toMap
+    // node 7 needs 7 hops -> outside the 6-sweep contract
+    assert(got == want, got)
+  }
+
   test("q242 CUSUM peaks exactly at a constructed level shift") {
     // three 0-cent points then three 100-dollar points: the scaled cusum
     // C_i = n*cum_i - i*S peaks (|C|=90000) at i=3 — the pre-shift point
