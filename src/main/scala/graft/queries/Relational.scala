@@ -545,7 +545,107 @@ object Relational {
       |    AS ppm_of_total
       |FROM cells""".stripMargin
 
+  // ---- q261: Gini coefficient ---------------------------------------------
+
+  /** q261: GINI — spend-concentration inequality across customers, the
+    * single number every marketplace tracks. The rank formulation
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-sorted exact
+    * cents is TIE-INSENSITIVE (within an equal-value block Σi is the
+    * same under any permutation), so the statistic is exact without even
+    * needing the tiebreak — which the total order supplies anyway. All
+    * products in DECIMAL38/HUGEINT, reported as exact ppm. One
+    * customer-grain aggregate, one global rank sort (q239's cost class),
+    * one reduction. */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).cast("long").as("cents"))
+    spend
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        sum(col("i").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("cents")).as("s1"))
+      .selectExpr("n", "CAST(s AS BIGINT) AS total_cents",
+        "CAST(((2 * s1 - (CAST(n AS DECIMAL(38,0)) + 1) * s) * 1000000)" +
+          " div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT) AS gini_ppm")
+  }
+
+  private val giniSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey)
+      |    AS BIGINT) AS i
+      |  FROM spend)
+      |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST((2 * sum(i::HUGEINT * cents)
+      |      - (count(*)::HUGEINT + 1) * sum(cents)::HUGEINT) * 1000000
+      |    // (count(*)::HUGEINT * sum(cents)::HUGEINT) AS BIGINT)
+      |    AS gini_ppm
+      |FROM r""".stripMargin
+
+  // ---- q262: ABC / Pareto classification ----------------------------------
+
+  /** q262: ABC CLASSIFICATION — the 80/15/5 Pareto split of parts by
+    * revenue (inventory and assortment planning's standard view): parts
+    * sorted by revenue DESC, cumulative share as an exact ppm integral
+    * quotient, class A while cum ≤ 80%, B to 95%, C beyond. Determinism:
+    * the (revenue DESC, partkey) total order fixes every cumulative sum,
+    * and the ppm floor-quotient thresholds compare identically in both
+    * engines — boundary parts land in the same class bit-for-bit.
+    * Output is the per-class rollup (parts, revenue, revenue share). */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long")).cast("long").as("cents"))
+    rev
+      .withColumn("cum", sum(col("cents")).over(
+        Window.orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cents")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("cum_ppm", expr(
+        "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)"))
+      .withColumn("cls", when(col("cum_ppm") <= 800000, "A")
+        .when(col("cum_ppm") <= 950000, "B").otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("cents")).cast("long").as("revenue_cents"))
+  }
+
+  private val abcClassificationSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT cents,
+      |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cents) OVER () AS tot
+      |  FROM rev),
+      |k AS (
+      |  SELECT cents,
+      |    CASE WHEN cum::HUGEINT * 1000000 // tot::HUGEINT <= 800000 THEN 'A'
+      |      WHEN cum::HUGEINT * 1000000 // tot::HUGEINT <= 950000 THEN 'B'
+      |      ELSE 'C' END AS cls
+      |  FROM c)
+      |SELECT cls, count(*) AS n_parts,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM k GROUP BY cls""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q261_gini", gini, Some(giniSql)),
+    QueryDef("q262_abc", abcClassification, Some(abcClassificationSql)),
     QueryDef("q257_share_of_parent", shareOfParent, Some(shareOfParentSql)),
     QueryDef("q201_data_audit", dataAudit, Some(dataAuditSql)),
     QueryDef("q154_lateral_topn", lateralTopOrders, Some(lateralTopOrdersSql)),

@@ -576,7 +576,40 @@ object TimeSeries {
       |    AS start_us
       |FROM runs GROUP BY user_id""".stripMargin
 
+  // ---- q263: new vs returning users ---------------------------------------
+
+  /** q263: NEW vs RETURNING — the growth-accounting weekly split: a
+    * user is NEW in the week of their first event, RETURNING in any
+    * later active week. Two aggregates (first-seen week per user, then
+    * the weekly classification rollup) — the first-seen frame is
+    * user-grain and joins back by user key; no window over the event
+    * stream at all. Engine-neutral week rendering via date_trunc +
+    * explicit format. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val first = weekly.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    weekly.join(first, Seq("user_id"))
+      .groupBy(date_format(col("w"), "yyyy-MM-dd").as("week_s"))
+      .agg(countDistinct(col("user_id")).as("active"),
+        count(when(col("w") === col("w0"), lit(1))).as("new_users"),
+        count(when(col("w") =!= col("w0"), lit(1))).as("returning"))
+  }
+
+  private val newVsReturningSql =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS w0 FROM weekly GROUP BY 1)
+      |SELECT strftime(weekly.w, '%Y-%m-%d') AS week_s,
+      |  count(DISTINCT weekly.user_id) AS active,
+      |  count(*) FILTER (WHERE weekly.w = f.w0) AS new_users,
+      |  count(*) FILTER (WHERE weekly.w <> f.w0) AS returning
+      |FROM weekly JOIN f ON weekly.user_id = f.user_id
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q263_new_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("q259_streaks", streaks, Some(streaksSql)),
     QueryDef("q258_ewma_series", ewmaSeries, Some(ewmaSeriesSql)),
     QueryDef("q240_markov", markovTransitions, Some(markovTransitionsSql)),
