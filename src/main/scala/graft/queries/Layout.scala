@@ -445,7 +445,58 @@ object Layout {
     QueryDef("q235_bloom_rule", bloomRuleSkip, Some(bloomSkipSql)),
     QueryDef("q243_index_attach", indexedAttach, Some(indexedAttachSql)),
     QueryDef("q251_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
-    QueryDef("q252_federation", federation, Some(federationSql)))
+    QueryDef("q252_federation", federation, Some(federationSql)),
+    QueryDef("q264_bitmap_index", bitmapIndex, Some(bitmapIndexSql)))
+
+  // ---- q264: bitmap index over a low-cardinality column -------------------
+
+  /** q264: BITMAP INDEX — the columnar-warehouse representation of a
+    * low-cardinality predicate column: per (status, 32-key block) one
+    * word whose set bits are the orderkeys in that status (32-key
+    * blocks: a shift into a signed 64-bit sign bit overflows under
+    * ANSI/DuckDB checks, so the portable word uses the low half). Built
+    * by pure codegen'd integer ops (`shiftleft` + `bit_or` — the q225
+    * bloom machinery pointed at a DENSE key domain, where the bitmap is
+    * exact, not probabilistic). The audit output proves the index
+    * algebra: per status, popcount(Σ words) equals the status's row
+    * count exactly, and the OR-merge across statuses reproduces the
+    * table's total — the two identities (disjoint partition, full
+    * coverage) every bitmap-index consumer (AND/OR predicate pushdown)
+    * rests on.
+    *
+    * At 100 TB: |statuses|·|keys|/64 words ≈ table bits / 8 bytes —
+    * the standard bitmap compression argument before run-length coding;
+    * build is one scan + one (status, word)-keyed aggregate. */
+  def bitmapIndex(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        expr("o_orderkey div 32").as("word"),
+        expr("shiftleft(1L, CAST(o_orderkey % 32 AS INT))").as("bit"))
+      .groupBy(col("status"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint() // consumed twice: per-status audit + OR-merge
+    val perStatus = words.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("n_set"))
+    val merged = words.groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("n_set"))
+      .select(lit("ALL").as("status"), col("n_words"), col("n_set"))
+    perStatus.unionByName(merged)
+  }
+
+  private val bitmapIndexSql =
+    """WITH w AS (
+      |  SELECT o_orderstatus AS status, o_orderkey // 32 AS word,
+      |    bit_or(1::BIGINT << CAST(o_orderkey % 32 AS INTEGER)) AS bits
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT status, count(*) AS n_words,
+      |  CAST(sum(bit_count(bits)) AS BIGINT) AS n_set
+      |FROM w GROUP BY status
+      |UNION ALL
+      |SELECT 'ALL', count(*), CAST(sum(bit_count(bits)) AS BIGINT)
+      |FROM (SELECT word, bit_or(bits) AS bits FROM w GROUP BY word)""".stripMargin
 
   // ---- q252: cross-format federation --------------------------------------
 

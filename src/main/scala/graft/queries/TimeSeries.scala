@@ -608,7 +608,106 @@ object TimeSeries {
       |FROM weekly JOIN f ON weekly.user_id = f.user_id
       |GROUP BY 1""".stripMargin
 
+  // ---- q265: interval union (coverage) ------------------------------------
+
+  /** q265: INTERVAL UNION — total COVERED time per user when each event
+    * opens a 5-minute activity window: overlapping windows must count
+    * once (the SLA/uptime/billing contract that plain sums double-count).
+    * Sweep by start time per user: a window starts a new covered SEGMENT
+    * iff it begins after the running max of all earlier ends (cummax over
+    * the 1-PRECEDING frame); segment ids are the prefix sum of those
+    * flags (the q245 island machinery on a continuous axis); covered
+    * time = Σ per-segment (max end − min start). Exact integer
+    * microseconds throughout.
+    *
+    * At 100 TB: one user-keyed sort serves all three windows; segments
+    * aggregate locally. The q237 segmented-scan note applies to monster
+    * users. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val segs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("e"))
+      .withColumn("prev_max_e", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_seg",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("new_seg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
+    segs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("e1") - col("s0")).cast("long").as("covered_us"))
+  }
+
+  private val intervalUnionSql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_seg,
+      |    event_id
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |    sum(new_seg) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS seg
+      |  FROM f),
+      |segs AS (
+      |  SELECT user_id, seg, min(s) AS s0, max(e) AS e1
+      |  FROM g GROUP BY user_id, seg)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+      |FROM segs GROUP BY user_id""".stripMargin
+
+  // ---- q266: week-over-week change ----------------------------------------
+
+  /** q266: WoW CHANGE — the reporting staple: each (type, week)'s count
+    * against the PREVIOUS OBSERVED week (the stated contract — a dark
+    * week makes the next comparison span the gap, which a dashboard
+    * should see, not silently skip), with the delta as an exact ppm
+    * integral quotient. One aggregate + one lag over the bounded
+    * (type, week) frame. */
+  def wowChange(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("w"))
+      .agg(count(lit(1)).as("n"))
+    weekly
+      .withColumn("prev", lag(col("n"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("w"))))
+      .where(col("prev").isNotNull)
+      .selectExpr("event_type", "date_format(w, 'yyyy-MM-dd') AS week_s",
+        "n", "prev",
+        "CAST(((CAST(n AS DECIMAL(38,0)) - prev) * 1000000) div prev" +
+          " AS BIGINT) AS delta_ppm")
+  }
+
+  private val wowChangeSql =
+    """WITH weekly AS (
+      |  SELECT event_type, date_trunc('week', ts) AS w,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, w, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY w) AS prev
+      |  FROM weekly)
+      |SELECT event_type, strftime(w, '%Y-%m-%d') AS week_s, n, prev,
+      |  CAST((n::HUGEINT - prev) * 1000000 // prev::HUGEINT AS BIGINT)
+      |    AS delta_ppm
+      |FROM l WHERE prev IS NOT NULL""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q265_interval_union", intervalUnion, Some(intervalUnionSql)),
+    QueryDef("q266_wow_change", wowChange, Some(wowChangeSql)),
     QueryDef("q263_new_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("q259_streaks", streaks, Some(streaksSql)),
     QueryDef("q258_ewma_series", ewmaSeries, Some(ewmaSeriesSql)),
