@@ -643,7 +643,25 @@ object Relational {
       |  CAST(sum(cents) AS BIGINT) AS revenue_cents
       |FROM k GROUP BY cls""".stripMargin
 
+  // ---- q269: frequency of frequencies -------------------------------------
+
+  /** q269: FREQUENCY-OF-FREQUENCIES — how many customers placed exactly
+    * k orders, the degree-distribution/Zipf diagnostic (and the input to
+    * Good-Turing smoothing): two stacked aggregates, each map-side-
+    * partial — the first collapses the fact table to customer grain, the
+    * second collapses that to the ≤|max-degree| histogram. */
+  def freqOfFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_customers"))
+
+  private val freqOfFreqSql =
+    """SELECT k, count(*) AS n_customers FROM (
+      |  SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1)
+      |GROUP BY k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q269_freq_of_freq", freqOfFreq, Some(freqOfFreqSql)),
     QueryDef("q261_gini", gini, Some(giniSql)),
     QueryDef("q262_abc", abcClassification, Some(abcClassificationSql)),
     QueryDef("q257_share_of_parent", shareOfParent, Some(shareOfParentSql)),

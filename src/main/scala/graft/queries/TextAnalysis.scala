@@ -3197,7 +3197,51 @@ object TextAnalysis {
       |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS flesch
       |FROM f WHERE n_words > 0""".stripMargin
 
+  // ---- q267: skip-gram pair counts ----------------------------------------
+
+  /** q267: SKIP-GRAMS — (center, context) pair counts within a ±2 token
+    * window, the embedding-training preprocessing op (word2vec's input is
+    * exactly this table). Positions come from ONE posexplode; pairs from
+    * a doc-keyed self-join constrained to j ∈ (i, i+2] — per-token work
+    * is the window width, never the doc length squared. Positions index
+    * the RAW split (empty tokens drop rows but never renumber), ordered
+    * pairs keep their distance, and a support floor bounds the output to
+    * recurring pairs. Both engines zip word and position from the same
+    * split, so counts are hash-gated.
+    *
+    * At 100 TB: pair volume = 2·corpus tokens before the aggregate —
+    * map-side partials collapse it; the self-join is doc-keyed (the q234
+    * bound). */
+  def skipGrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("w"))
+      .where(col("w") =!= "")
+    val a = toks.select(col("doc_id"), col("i"), col("w").as("w1"))
+    val b = toks.select(col("doc_id"), col("i").as("j"), col("w").as("w2"))
+    a.join(b, Seq("doc_id"))
+      .where(col("j") > col("i") && col("j") <= col("i") + 2)
+      .groupBy(col("w1"), col("w2"), (col("j") - col("i")).cast("long").as("dist"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 10)
+  }
+
+  private val skipGramsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, i, w FROM (
+      |    SELECT doc_id, generate_subscripts(xs, 1) AS i, unnest(xs) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS xs
+      |          FROM documents))
+      |  WHERE w <> '')
+      |SELECT a.w AS w1, b.w AS w2, CAST(b.i - a.i AS BIGINT) AS dist,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM toks a JOIN toks b
+      |  ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) >= 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q267_skipgrams", skipGrams, Some(skipGramsSql)),
     QueryDef("q256_readability", readability, Some(readabilitySql)),
     QueryDef("q246_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),
     QueryDef("q237_weighted_sample", weightedSample, Some(weightedSampleSql)),

@@ -705,7 +705,37 @@ object TimeSeries {
       |    AS delta_ppm
       |FROM l WHERE prev IS NOT NULL""".stripMargin
 
+  // ---- q268: hour-of-day seasonality profile ------------------------------
+
+  /** q268: SEASONALITY PROFILE — each event type's hour-of-day activity
+    * share in exact ppm: the capacity-planning/anomaly-baseline view
+    * ("what does a normal 3am look like"). One (type, hour) aggregate +
+    * a type-total window over the bounded 24·|types| frame. */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+      .selectExpr("event_type", "hod", "n",
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)" +
+          " AS share_ppm")
+  }
+
+  private val hourProfileSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hod, n,
+      |  CAST(n::HUGEINT * 1000000
+      |    // sum(n) OVER (PARTITION BY event_type)::HUGEINT AS BIGINT)
+      |    AS share_ppm
+      |FROM cells""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q268_hour_profile", hourProfile, Some(hourProfileSql)),
     QueryDef("q265_interval_union", intervalUnion, Some(intervalUnionSql)),
     QueryDef("q266_wow_change", wowChange, Some(wowChangeSql)),
     QueryDef("q263_new_returning", newVsReturning, Some(newVsReturningSql)),
