@@ -660,7 +660,113 @@ object Relational {
       |  SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1)
       |GROUP BY k""".stripMargin
 
+  // ---- q270: association rules --------------------------------------------
+
+  /** q270: ASSOCIATION RULES — market-basket support/confidence/lift for
+    * part pairs, the retail-analytics classic (and q234's PMI moved from
+    * document to BASKET grain): presence sets per order, pair counts by
+    * order-keyed self-join, then per DIRECTED rule A→B the confidence
+    * n_ab·10⁶ div n_a and lift n_ab·N·10⁶ div (n_a·n_b) — exact ppm
+    * integral quotients, no floats. Both directions emitted (confidence
+    * is asymmetric; lift repeats by construction — the consumer's
+    * sanity check). Support floor bounds the output to recurring pairs.
+    *
+    * At 100 TB: pair volume is Σ basket² — bounded by basket width, the
+    * q234 bound; item counts broadcast back onto the pair frame. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = items.select(countDistinct(col("o")).as("nn"))
+    val np = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val half = items.as("x").join(items.as("y"), Seq("o"))
+      .where(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 5)
+    val rules = half.select(col("a"), col("b"), col("n_ab"))
+      .unionByName(half.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    rules
+      .join(np.select(col("p").as("a"), col("n_p").as("n_a")), Seq("a"))
+      .join(np.select(col("p").as("b"), col("n_p").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .selectExpr("a AS antecedent", "b AS consequent", "n_ab", "n_a",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000) div n_a AS BIGINT)" +
+          " AS conf_ppm",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * nn * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_ppm")
+  }
+
+  private val assocRulesSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |nn AS (SELECT count(DISTINCT o) AS n FROM items),
+      |np AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p
+      |  FROM items GROUP BY 1),
+      |half AS (
+      |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |rules AS (
+      |  SELECT a, b, n_ab FROM half
+      |  UNION ALL SELECT b, a, n_ab FROM half)
+      |SELECT r.a AS antecedent, r.b AS consequent, r.n_ab, na.n_p AS n_a,
+      |  CAST(r.n_ab::HUGEINT * 1000000 // na.n_p::HUGEINT AS BIGINT)
+      |    AS conf_ppm,
+      |  CAST(r.n_ab::HUGEINT * nn.n * 1000000
+      |    // (na.n_p::HUGEINT * nb.n_p) AS BIGINT) AS lift_ppm
+      |FROM rules r
+      |JOIN np na ON r.a = na.p
+      |JOIN np nb ON r.b = nb.p, nn""".stripMargin
+
+  // ---- q271: cohort LTV curves --------------------------------------------
+
+  /** q271: COHORT LTV — cumulative revenue per acquisition cohort by age,
+    * the growth-accounting triangle behind every payback model: customers
+    * cohorted by FIRST-order quarter, ages as exact integer quarter
+    * indexes (year·4 + quarter — no interval arithmetic crosses engines),
+    * revenue in exact cents, cumulative per cohort by an ordered window
+    * over the bounded cohort×age frame. */
+  def ltvCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+          .cast("long").as("qi"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("ck")).agg(min(col("qi")).as("q0"))
+    o.join(first, Seq("ck"))
+      .groupBy(col("q0").as("cohort_q"), (col("qi") - col("q0")).as("age"))
+      .agg(countDistinct(col("ck")).as("active"),
+        sum(col("cents")).cast("long").as("rev_cents"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_q")).orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+  }
+
+  private val ltvCurveSql =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(year(o_orderdate) * 4 + quarter(o_orderdate) AS BIGINT) AS qi,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT ck, min(qi) AS q0 FROM o GROUP BY 1),
+      |c AS (
+      |  SELECT f.q0 AS cohort_q, o.qi - f.q0 AS age,
+      |    count(DISTINCT o.ck) AS active,
+      |    CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      |  FROM o JOIN f ON o.ck = f.ck
+      |  GROUP BY 1, 2)
+      |SELECT cohort_q, age, active, rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_q ORDER BY age
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q270_assoc_rules", assocRules, Some(assocRulesSql)),
+    QueryDef("q271_ltv_curve", ltvCurve, Some(ltvCurveSql)),
     QueryDef("q269_freq_of_freq", freqOfFreq, Some(freqOfFreqSql)),
     QueryDef("q261_gini", gini, Some(giniSql)),
     QueryDef("q262_abc", abcClassification, Some(abcClassificationSql)),
