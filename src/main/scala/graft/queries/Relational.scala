@@ -764,7 +764,44 @@ object Relational {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
       |FROM c""".stripMargin
 
+  // ---- q273: deterministic MODE -------------------------------------------
+
+  /** q273: MODE — the most frequent order priority per status, with the
+    * tie rule IN THE CONTRACT (highest count, then lexicographically
+    * smallest value): native `mode()` in both engines is
+    * tie-nondeterministic, so the operator is counts + an exact composite
+    * argmax instead — the only way a mode is reproducible at all. The
+    * composite key folds the value's ordering into the count via a
+    * reversible rank (count·K − dense value rank), all integers. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+      // dense rank of the value within the group: the smaller value must
+      // WIN ties, so it subtracts less
+      .withColumn("vr", dense_rank().over(
+        Window.partitionBy(col("status")).orderBy(col("prio"))).cast("long"))
+    counts.groupBy(col("status"))
+      .agg(max_by(col("prio"), col("n") * 1000L - col("vr")).as("mode_prio"),
+        max_by(col("n"), col("n") * 1000L - col("vr")).as("n_mode"))
+  }
+
+  private val modePerGroupSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_orderpriority) AS BIGINT) AS vr
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT status,
+      |  max_by(prio, n * 1000 - vr) AS mode_prio,
+      |  max_by(n, n * 1000 - vr) AS n_mode
+      |FROM c GROUP BY status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q273_mode", modePerGroup, Some(modePerGroupSql)),
     QueryDef("q270_assoc_rules", assocRules, Some(assocRulesSql)),
     QueryDef("q271_ltv_curve", ltvCurve, Some(ltvCurveSql)),
     QueryDef("q269_freq_of_freq", freqOfFreq, Some(freqOfFreqSql)),

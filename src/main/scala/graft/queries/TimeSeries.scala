@@ -734,7 +734,42 @@ object TimeSeries {
       |    AS share_ppm
       |FROM cells""".stripMargin
 
+  // ---- q272: box-plot series ----------------------------------------------
+
+  /** q272: BOX-PLOT SERIES — per (type, day) the five-number summary
+    * (min, q1, median, q3, max) of event values in exact cents: the
+    * monitoring dashboard's distribution-over-time strip. Exact
+    * interpolated percentiles of integers are multiples of 0.5 (the q233
+    * argument), so all five numbers cross engines bitwise. One grouped
+    * sort-aggregate per (type, day) — groups are small and numerous, the
+    * shape exact percentiles parallelize best. */
+  def boxplotSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day_s"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_s"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        expr("percentile(cents, 0.25)").as("q1"),
+        expr("percentile(cents, 0.5)").as("med"),
+        expr("percentile(cents, 0.75)").as("q3"),
+        max(col("cents")).as("hi"))
+
+  private val boxplotSeriesSql =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_s,
+      |  count(*) AS n,
+      |  min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS lo,
+      |  quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |    0.25) AS q1,
+      |  quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |    0.5) AS med,
+      |  quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |    0.75) AS q3,
+      |  max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS hi
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q272_boxplot_series", boxplotSeries, Some(boxplotSeriesSql)),
     QueryDef("q268_hour_profile", hourProfile, Some(hourProfileSql)),
     QueryDef("q265_interval_union", intervalUnion, Some(intervalUnionSql)),
     QueryDef("q266_wow_change", wowChange, Some(wowChangeSql)),
