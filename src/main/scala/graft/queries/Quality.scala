@@ -741,6 +741,200 @@ object Quality {
       |    AS BIGINT) AS cents
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // ---- q274: exact ROC AUC (Mann-Whitney with midranks) --------------------
+
+  /** q274: CLASSIFIER EVALUATION — per-source ROC AUC of a quality score
+    * against a binary relevance label, via the Mann-Whitney rank-sum
+    * identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with midranks for ties:
+    * the probability a random positive outscores a random negative,
+    * ties counting ½ — the one-number summary a pipeline reads before
+    * trusting a quality gate (q276 is the per-threshold curve). Score =
+    * the q182 type-token ratio in exact ppm; label = lang='en'; any
+    * per-doc integer score / boolean label plugs in. No ROC curve is
+    * materialized — the rank identity needs one sort per stratum, not a
+    * threshold sweep.
+    *
+    * Exactness: midranks enter as integers (midrank×2 = 2·rank+ties−1),
+    * so R₁×2 is an integer sum and AUC lands in ppm through one
+    * DECIMAL(38,0) product + `div` truncation — no doubles anywhere
+    * (the q211 discipline: per-source counts at the 100 TB design point
+    * overflow int64 products). Strata with no positives or no negatives
+    * have undefined AUC and are dropped. Scale: one window sort per
+    * source stratum (bounded, balanced by construction — the q182
+    * shape), then a partial-aggregated groupBy; output |sources| rows. */
+  def aucExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val wR = Window.partitionBy(col("source")).orderBy(col("score_ppm").asc)
+    val wT = Window.partitionBy(col("source"), col("score_ppm"))
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("source"), col("pos"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"))
+      .withColumn("mr2",
+        lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L))
+      .groupBy(col("source"))
+      .agg(sum(when(col("pos") === 1L, col("mr2")).otherwise(0L)).as("r1x2"),
+        sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .selectExpr("source", "n_pos", "n_neg",
+        s"CAST(((CAST(r1x2 AS $d38) - CAST(n_pos AS $d38) * (n_pos + 1)) * 1000000)" +
+          s" div (CAST(n_pos AS $d38) * n_neg * 2) AS BIGINT) AS auc_ppm")
+  }
+
+  private val aucExactSql =
+    """WITH t AS (
+      |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, pos,
+      |    CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+      |      AS score_ppm
+      |  FROM t WHERE len(toks) >= 1),
+      |r AS (
+      |  SELECT source, pos,
+      |    2 * rank() OVER (PARTITION BY source ORDER BY score_ppm)
+      |      + count(*) OVER (PARTITION BY source, score_ppm) - 1 AS mr2
+      |  FROM s),
+      |a AS (
+      |  SELECT source, sum(CASE WHEN pos = 1 THEN mr2 ELSE 0 END) AS r1x2,
+      |    sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+      |  FROM r GROUP BY source)
+      |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+      |  CAST(n_neg AS BIGINT) AS n_neg,
+      |  CAST(((r1x2::HUGEINT - n_pos::HUGEINT * (n_pos + 1)) * 1000000)
+      |    // (n_pos::HUGEINT * n_neg * 2) AS BIGINT) AS auc_ppm
+      |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin
+
+  // ---- q275: stratified k-fold assignment ----------------------------------
+
+  /** q275: STRATIFIED K-FOLD split — every doc gets a fold in 0..k−1,
+    * assigned round-robin along the per-stratum (lang) hash order, so
+    * each fold carries an equal share of every stratum (per-stratum fold
+    * counts differ by ≤1 by construction — what keeps per-fold eval
+    * variance flat when strata are imbalanced; the evaluation-side
+    * sibling of q194's leak-free TRAIN/TEST split, which cuts on cluster
+    * boundaries rather than balancing folds). Deterministic: the order
+    * is (md5(doc_id), doc_id) — re-runs, repartitions, and both engines
+    * agree bit-for-bit; no RNG, no seed state to ship.
+    *
+    * Scale: one window sort per stratum (bounded/balanced — the q182
+    * shape). At 100 TB with billions of rows per stratum the drop-in
+    * replacement is fold = hash mod k — same contract, zero sorts,
+    * stratified in expectation instead of exactly. */
+  def kfoldStrata(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("doc_id"), col("lang"),
+        ((row_number().over(w) - 1) % 5).cast("long").as("fold"))
+  }
+
+  private val kfoldStrataSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST((row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1)
+      |    % 5 AS BIGINT) AS fold
+      |FROM h""".stripMargin
+
+  // ---- q276: operating-point sweep (precision/recall/F1) -------------------
+
+  /** q276: THRESHOLD SWEEP — precision/recall/F1 of the quality score as
+    * a relevance classifier at each fixed ppm threshold (keep docs with
+    * score ≥ t): the operating-point table a pipeline reads to choose
+    * its quality gate (q274 folds the whole curve into one AUC; this is
+    * the curve at the nine candidate gates). Exact: tp/fp/fn are
+    * integer counts; precision/recall land in ppm via `div`; F1 is the
+    * harmonic mean of the two ALREADY-TRUNCATED ppm values
+    * (2·p·r div (p+r)) — a deterministic composition both engines
+    * evaluate identically, so truncation order can never diverge.
+    *
+    * Scale: thresholds are a bounded generated array (9 values)
+    * exploded map-side against the scored scan; the fan-out collapses
+    * into partial (t, tp, fp, fn) counts before the exchange, so the
+    * shuffle is 9 rows regardless of corpus size. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables(spark, dir, "documents")
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("pos"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"))
+      .select(col("pos"), col("score_ppm"),
+        explode(expr("sequence(100000L, 900000L, 100000L)")).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("score_ppm") >= col("t") && col("pos") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score_ppm") >= col("t") && col("pos") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score_ppm") < col("t") && col("pos") === 1L, 1L)
+          .otherwise(0L)).as("fn"))
+      .selectExpr("t", "tp", "fp", "fn",
+        s"CASE WHEN tp + fp > 0 THEN CAST((CAST(tp AS $d38) * 1000000)" +
+          s" div (tp + fp) AS BIGINT) END AS precision_ppm",
+        s"CASE WHEN tp + fn > 0 THEN CAST((CAST(tp AS $d38) * 1000000)" +
+          s" div (tp + fn) AS BIGINT) END AS recall_ppm")
+      .selectExpr("t", "tp", "fp", "fn", "precision_ppm", "recall_ppm",
+        s"CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL" +
+          s" AND precision_ppm + recall_ppm > 0" +
+          s" THEN CAST((CAST(precision_ppm AS $d38) * recall_ppm * 2)" +
+          s" div (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm")
+  }
+
+  private val thresholdSweepSql =
+    """WITH t0 AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT pos,
+      |    CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+      |      AS score_ppm
+      |  FROM t0 WHERE len(toks) >= 1),
+      |g AS (SELECT unnest(generate_series(100000, 900000, 100000)) AS t),
+      |c AS (
+      |  SELECT g.t,
+      |    sum(CASE WHEN s.score_ppm >= g.t AND s.pos = 1 THEN 1 ELSE 0 END)
+      |      AS tp,
+      |    sum(CASE WHEN s.score_ppm >= g.t AND s.pos = 0 THEN 1 ELSE 0 END)
+      |      AS fp,
+      |    sum(CASE WHEN s.score_ppm < g.t AND s.pos = 1 THEN 1 ELSE 0 END)
+      |      AS fn
+      |  FROM s CROSS JOIN g GROUP BY g.t),
+      |p AS (
+      |  SELECT t, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |    CAST(fn AS BIGINT) AS fn,
+      |    CASE WHEN tp + fp > 0 THEN
+      |      CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT)
+      |      END AS precision_ppm,
+      |    CASE WHEN tp + fn > 0 THEN
+      |      CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT)
+      |      END AS recall_ppm
+      |  FROM c)
+      |SELECT t, tp, fp, fn, precision_ppm, recall_ppm,
+      |  CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+      |      AND precision_ppm + recall_ppm > 0
+      |    THEN CAST((precision_ppm::HUGEINT * recall_ppm * 2)
+      |      // (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm
+      |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
@@ -753,5 +947,8 @@ object Quality {
     QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q249_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q250_benford", benford, Some(benfordSql)),
-    QueryDef("q254_enforce_write", enforceWrite, Some(enforceWriteSql)))
+    QueryDef("q254_enforce_write", enforceWrite, Some(enforceWriteSql)),
+    QueryDef("q274_auc_exact", aucExact, Some(aucExactSql)),
+    QueryDef("q275_kfold_strata", kfoldStrata, Some(kfoldStrataSql)),
+    QueryDef("q276_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)))
 }

@@ -319,4 +319,72 @@ class QualitySpec extends AnyFunSuite {
     // 5 * 10 * 1e6 div 56 = 892857 (floor)
     assert(r.getLong(5) == 892857L, r)
   }
+
+  /** Documents with controlled lang (the q274/q275/q276 label/stratum). */
+  private def stageLabeled(rows: Seq[(Long, String, String)]): String = {
+    val d = Files.createTempDirectory("qualityspec_labeled")
+    rows.map { case (id, t, lang) => (id, t, lang, "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d.toString
+  }
+
+  // TTR scores by construction: "a a a a"=250000, "b c b c"=500000,
+  // "d e d e"=500000, "f g"=1000000 — one tie ACROSS the label boundary.
+  private val aucCase = Seq(
+    (0L, "a a a a", "de"), (1L, "b c b c", "de"),
+    (2L, "d e d e", "en"), (3L, "f g", "en"))
+
+  test("q274 AUC: hand-computed midrank case (the tie counts half)") {
+    // midranks: 1, 2.5, 2.5, 4 -> R1x2 = 5 + 8 = 13; U1 = (13-6)/2 = 3.5
+    // AUC = 3.5 / (2*2) = 0.875
+    val got = Quality.aucExact(spark, stageLabeled(aucCase)).collect()
+    assert(got.length == 1, got.toSeq)
+    val r = got.head
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L, r)
+    assert(r.getAs[Long]("auc_ppm") == 875000L, r)
+  }
+
+  test("q274 AUC: perfect separation scores exactly 1e6") {
+    val dir = stageLabeled(Seq(
+      (0L, "a a a a", "de"), (1L, "b b b", "fr"),
+      (2L, "c d", "en"), (3L, "e f g", "en")))
+    assert(Quality.aucExact(spark, dir).collect()
+      .head.getAs[Long]("auc_ppm") == 1000000L)
+  }
+
+  test("q275 k-fold: per-stratum fold counts balance within 1, deterministic") {
+    val rows = (0L until 7L).map(i => (i, s"w$i x", "en")) ++
+      (7L until 10L).map(i => (i, s"w$i x", "de"))
+    val dir = stageLabeled(rows)
+    def run() = Quality.kfoldStrata(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val a = run()
+    assert(a.length == 10 && a.map(_._1).distinct.length == 10, a.toSeq)
+    assert(a.forall(t => t._3 >= 0 && t._3 < 5), a.toSeq)
+    for ((lang, g) <- a.groupBy(_._2)) {
+      val byFold = g.groupBy(_._3).map(_._2.length)
+      assert(byFold.max - byFold.min <= 1, s"$lang ${byFold.toSeq}")
+    }
+    // 7 en docs round-robin over 5 folds: every fold non-empty
+    assert(a.filter(_._2 == "en").map(_._3).distinct.length == 5, a.toSeq)
+    assert(run().sameElements(a))
+  }
+
+  test("q276 threshold sweep: hand-computed operating points") {
+    val m = Quality.thresholdSweep(spark, stageLabeled(aucCase)).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(m.size == 9, m.keySet)
+    val t3 = m(300000L) // keeps 5e5, 5e5, 1e6 -> tp=2 fp=1 fn=0
+    assert(t3.getAs[Long]("tp") == 2L && t3.getAs[Long]("fp") == 1L &&
+      t3.getAs[Long]("fn") == 0L, t3)
+    assert(t3.getAs[Long]("precision_ppm") == 666666L, t3)
+    assert(t3.getAs[Long]("recall_ppm") == 1000000L, t3)
+    // f1 from the truncated ppm pair: 2*666666*1e6 div 1666666 = 799999
+    assert(t3.getAs[Long]("f1_ppm") == 799999L, t3)
+    val t6 = m(600000L) // keeps only 1e6 -> tp=1 fp=0 fn=1
+    assert(t6.getAs[Long]("tp") == 1L && t6.getAs[Long]("fp") == 0L &&
+      t6.getAs[Long]("fn") == 1L, t6)
+    assert(t6.getAs[Long]("f1_ppm") == 666666L, t6)
+  }
 }
