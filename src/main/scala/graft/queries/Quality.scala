@@ -935,6 +935,174 @@ object Quality {
       |      // (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm
       |FROM p""".stripMargin
 
+  // ---- q277: Cohen's kappa (chance-corrected signal agreement) -------------
+
+  /** q277: COHEN'S KAPPA between two binary quality signals — the
+    * chance-corrected complement of q193's raw consensus agreement: two
+    * signals that both fire on 90% of docs agree 81% of the time by
+    * luck alone, and kappa = (p₀ − pₑ)/(1 − pₑ) subtracts exactly that.
+    * Signals here: A = type-token ratio ≥ 0.5 (the q182 score), B =
+    * ≥ 5 tokens (a length gate) — any two per-doc boolean columns plug
+    * in. Output is the full 2×2 contingency (n11/n10/n01/n00) plus
+    * kappa in exact ppm, the table a weak-supervision pipeline reads to
+    * decide whether two labeling functions are independent evidence or
+    * one function counted twice.
+    *
+    * Exactness: p₀N² − pₑN² and N² − pₑN² are integer-valued, so kappa
+    * = (po_num·N − pe_num)·10⁶ div (N² − pe_num) with every product in
+    * DECIMAL(38,0) (N² overflows int64 long before 100 TB); both
+    * engines truncate toward zero, so negative kappa (worse than
+    * chance) crosses engines exactly. Scale: one scan, one 4-cell
+    * aggregate — nothing shuffles but four counters. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables(spark, dir, "documents")
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(
+        (expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          >= 500000L).cast("long").as("a"),
+        (size(col("toks")) >= 5).cast("long").as("b"))
+      .agg(
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .selectExpr("n11", "n10", "n01", "n00",
+        s"""CAST((
+           |  (CAST(n11 + n00 AS $d38) * (n11 + n10 + n01 + n00)
+           |    - (CAST(n11 + n10 AS $d38) * (n11 + n01)
+           |       + CAST(n01 + n00 AS $d38) * (n10 + n00))) * 1000000
+           |) div (
+           |  CAST(n11 + n10 + n01 + n00 AS $d38) * (n11 + n10 + n01 + n00)
+           |    - (CAST(n11 + n10 AS $d38) * (n11 + n01)
+           |       + CAST(n01 + n00 AS $d38) * (n10 + n00))
+           |) AS BIGINT) AS kappa_ppm""".stripMargin)
+  }
+
+  private val cohensKappaSql =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+      |    AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT
+      |    CASE WHEN CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+      |      AS BIGINT) >= 500000 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(toks) >= 5 THEN 1 ELSE 0 END AS b
+      |  FROM t WHERE len(toks) >= 1),
+      |c AS (
+      |  SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+      |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM s)
+      |SELECT n11, n10, n01, n00,
+      |  CAST((
+      |    ((n11 + n00)::HUGEINT * (n11 + n10 + n01 + n00)
+      |      - ((n11 + n10)::HUGEINT * (n11 + n01)
+      |         + (n01 + n00)::HUGEINT * (n10 + n00))) * 1000000
+      |  ) // (
+      |    (n11 + n10 + n01 + n00)::HUGEINT * (n11 + n10 + n01 + n00)
+      |      - ((n11 + n10)::HUGEINT * (n11 + n01)
+      |         + (n01 + n00)::HUGEINT * (n10 + n00))
+      |  ) AS BIGINT) AS kappa_ppm
+      |FROM c""".stripMargin
+
+  // ---- q278: cumulative gains / lift table ---------------------------------
+
+  /** q278: GAINS/LIFT TABLE — rank docs by the quality score, cut into
+    * ten exact deciles, and report per decile the cumulative share of
+    * positives captured (gain) and its ratio to the share of docs read
+    * (lift): "the top 20% of the corpus by this score holds X% of the
+    * relevant docs" — the budget-allocation curve a selection pipeline
+    * reads when it can only afford to keep or review a fixed fraction
+    * (q274 scores the ranking, q276 scores fixed thresholds; this
+    * scores FRACTIONS of the ranking). Decile = ((rank−1)·10) div N on
+    * the totalized (score desc, doc_id) order — NOT ntile, whose
+    * uneven-group placement rule is an engine implementation detail;
+    * this formula is engine-free arithmetic.
+    *
+    * Exactness: gains and lift are ppm floor-divisions of pure counts
+    * with DECIMAL(38,0) products (cum_pos·N·10⁶ overflows int64 at
+    * corpus scale). Scale: the one expensive piece is the global rank
+    * over the scored doc frame (a single-partition window at this
+    * size); at 100 TB the drop-in is decile-by-value from a broadcast
+    * equi-depth histogram of the score (the q239 machinery — same
+    * contract, no global sort), then the same 10-row aggregate +
+    * running window over ten rows. */
+  def gainsTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val wRank = Window.orderBy(col("score_ppm").desc, col("doc_id").asc)
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("pos"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"))
+    val n = scored.groupBy().agg(
+      count(lit(1)).as("n_total"), sum(col("pos")).as("pos_total"))
+    scored
+      .withColumn("rn", row_number().over(wRank))
+      .crossJoin(broadcast(n)) // 1-row scalar attach
+      .withColumn("decile", expr("((rn - 1) * 10) div n_total").cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+        max(col("n_total")).as("n_total"), max(col("pos_total")).as("pos_total"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .selectExpr("decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+        s"CASE WHEN pos_total > 0 THEN CAST((CAST(cum_pos AS $d38) * 1000000)" +
+          s" div pos_total AS BIGINT) END AS gain_ppm",
+        s"CASE WHEN pos_total > 0 THEN CAST((CAST(cum_pos AS $d38) * n_total" +
+          s" * 1000000) div (CAST(pos_total AS $d38) * cum_docs) AS BIGINT)" +
+          s" END AS lift_ppm")
+  }
+
+  private val gainsTableSql =
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, pos,
+      |    CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT)
+      |      AS score_ppm
+      |  FROM t WHERE len(toks) >= 1),
+      |n AS (SELECT count(*) AS n_total, sum(pos) AS pos_total FROM s),
+      |r AS (
+      |  SELECT pos,
+      |    CAST(((row_number() OVER (ORDER BY score_ppm DESC, doc_id) - 1)
+      |      * 10) // n.n_total AS BIGINT) AS decile,
+      |    n.n_total, n.pos_total
+      |  FROM s CROSS JOIN n),
+      |d AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(max(n_total) AS BIGINT) AS n_total,
+      |    CAST(max(pos_total) AS BIGINT) AS pos_total
+      |  FROM r GROUP BY decile),
+      |c AS (
+      |  SELECT decile, n_docs, n_pos, n_total, pos_total,
+      |    CAST(sum(n_docs) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+      |    CAST(sum(n_pos) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+      |  FROM d)
+      |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+      |  CASE WHEN pos_total > 0 THEN
+      |    CAST((cum_pos::HUGEINT * 1000000) // pos_total AS BIGINT)
+      |    END AS gain_ppm,
+      |  CASE WHEN pos_total > 0 THEN
+      |    CAST((cum_pos::HUGEINT * n_total * 1000000)
+      |      // (pos_total::HUGEINT * cum_docs) AS BIGINT) END AS lift_ppm
+      |FROM c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
@@ -950,5 +1118,7 @@ object Quality {
     QueryDef("q254_enforce_write", enforceWrite, Some(enforceWriteSql)),
     QueryDef("q274_auc_exact", aucExact, Some(aucExactSql)),
     QueryDef("q275_kfold_strata", kfoldStrata, Some(kfoldStrataSql)),
-    QueryDef("q276_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)))
+    QueryDef("q276_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
+    QueryDef("q277_cohens_kappa", cohensKappa, Some(cohensKappaSql)),
+    QueryDef("q278_gains_table", gainsTable, Some(gainsTableSql)))
 }

@@ -387,4 +387,54 @@ class QualitySpec extends AnyFunSuite {
       t6.getAs[Long]("fn") == 1L, t6)
     assert(t6.getAs[Long]("f1_ppm") == 666666L, t6)
   }
+
+  test("q277 kappa: hand-built 2x2 grid gives the chance-corrected 0.6") {
+    // A = TTR >= 0.5, B = >= 5 tokens; cells n11=4 n00=4 n10=1 n01=1:
+    // po_num=8, pe_num = 5*5 + 5*5 = 50; kappa = (80-50)/(100-50) = 0.6
+    val rows =
+      (0L until 4L).map(i => (i, "a b c d e f", "en")) ++ // A=1 B=1
+        (4L until 8L).map(i => (i, "a a a a", "en")) ++ // A=0 B=0
+        Seq((8L, "x y", "en"), // A=1 B=0
+          (9L, "p p p p p q", "en")) // A=0 (333333) B=1
+    val r = Quality.cohensKappa(spark, stageLabeled(rows)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 1L, 1L, 4L)), r)
+    assert(r.getAs[Long]("kappa_ppm") == 600000L, r)
+  }
+
+  test("q277 kappa: independent signals land at zero, anti-correlated below") {
+    // perfectly anti-correlated: n10=2 n01=2, n11=n00=0 ->
+    // po_num=0, pe_num=4+4=8, kappa=(0-8)/(16-8) = -1
+    val rows = Seq((0L, "x y", "en"), (1L, "v w", "en"), // A=1 B=0
+      (2L, "a a a a a", "en"), (3L, "b b b b b", "en")) // A=0 B=1
+    val r = Quality.cohensKappa(spark, stageLabeled(rows)).collect().head
+    assert(r.getAs[Long]("kappa_ppm") == -1000000L, r)
+  }
+
+  test("q278 gains: one doc per decile, positives on top -> known curve") {
+    // scores strictly descending as doc_id rises: doc i text has i+1
+    // tokens, one duplicated pair from i>=1 on keeps TTR distinct.
+    // Build: doc0 "t0" (1e6), doc i (i>=1): i+1 tokens with exactly one
+    // repeat -> TTR = i/(i+1), strictly increasing in i but < 1e6.
+    // So rank order = doc0, doc9, doc8, ... doc1.
+    val rows = (0L until 10L).map { i =>
+      val toks =
+        if (i == 0) Seq("w0")
+        else (0L until i).map(j => s"w$j") :+ "w0" // i+1 toks, i distinct
+      (i, toks.mkString(" "), if (i == 0 || i >= 8) "en" else "de")
+    }
+    // positives: doc0 (rank 1), doc9 (rank 2), doc8 (rank 3) -> the top
+    // three deciles capture all 3 positives.
+    val got = Quality.gainsTable(spark, stageLabeled(rows)).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(got.size == 10, got.keySet)
+    assert(got(0L).getAs[Long]("cum_pos") == 1L, got(0L))
+    assert(got(0L).getAs[Long]("gain_ppm") == 333333L, got(0L))
+    // lift at decile 0: 1 * 10 * 1e6 div (3 * 1) = 3333333
+    assert(got(0L).getAs[Long]("lift_ppm") == 3333333L, got(0L))
+    assert(got(2L).getAs[Long]("cum_pos") == 3L, got(2L))
+    assert(got(2L).getAs[Long]("gain_ppm") == 1000000L, got(2L))
+    assert(got(9L).getAs[Long]("cum_docs") == 10L &&
+      got(9L).getAs[Long]("lift_ppm") == 1000000L, got(9L))
+  }
 }
