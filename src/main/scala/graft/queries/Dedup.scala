@@ -2108,7 +2108,81 @@ object Dedup {
       |FROM s x JOIN s y ON x.source < y.source
       |LEFT JOIN p ON p.s1 = x.source AND p.s2 = y.source""".stripMargin
 
+  // ---- q279: exact similarity join via prefix filtering (PPJoin) -----------
+
+  /** q279: EXACT Jaccard ≥ 0.8 join with PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate strategy — Bayardo et al. WWW'07, Xiao
+    * et al. WWW'08): the near-dup family's third candidate-generation
+    * strategy and its only provably COMPLETE one. q52's MinHash/LSH is
+    * probabilistic (q52b measures its recall); q51's df cap drops
+    * hot-shingle evidence by design. The prefix filter is a theorem:
+    * order every doc's shingle set by ascending global document
+    * frequency (rarest first, h as the total-order tiebreak), take each
+    * doc's first sz − ⌈τ·sz⌉ + 1 shingles, and any pair with
+    * Jaccard ≥ τ MUST share a prefix shingle — so joining only on
+    * prefixes generates every qualifying pair. The ORACLE is the naive
+    * complete join at the same threshold: hash-equality with it is a
+    * per-run proof the pruning lost nothing.
+    *
+    * Exactness: ⌈0.8·sz⌉ = (4·sz+4) div 5 in integers; the size filter
+    * 4·max ≤ 5·min is the exact integer form of the Jaccard length
+    * bound; jac_ppm floor-division makes `≥ 800000` equivalent to
+    * jac ≥ 0.8 precisely (800000·union is an integer). At 100 TB: no
+    * tuning knob — a globally-hot shingle has maximal df, sorts LAST,
+    * and so never enters a prefix unless a doc consists almost entirely
+    * of hot shingles (the known worst case; production backstops it
+    * with q51's df cap on the PREFIX join only, which stays complete
+    * for any pair with at least one non-hot prefix shingle). Candidate
+    * volume is Σ_prefix df(h)² over RARE shingles — the quantity the
+    * rarest-first order minimizes; the verify join moves only candidate
+    * pairs' arrays. */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // (doc_id, rarest-first shingle array, size), consumed four times
+    // (both prefix sides + both verify sides)
+    val arrs = sh.join(dfc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), p -> p.h)")
+        .as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).as("sz"))
+      .localCheckpoint()
+    val pref = arrs.select(col("doc_id"), col("sz"),
+      explode(expr("slice(arr, 1, sz - ((4 * sz + 4) div 5) + 1)")).as("ph"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id")
+          && col("a.sz") * 4 <= col("b.sz") * 5
+          && col("b.sz") * 4 <= col("a.sz") * 5)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("arr1"), col("arr2"))).cast("long").as("inter"),
+        col("sz1"), col("sz2"))
+      .selectExpr("d1", "d2",
+        "CAST((inter * 1000000) div (sz1 + sz2 - inter) AS BIGINT) AS jac_ppm")
+      .where(col("jac_ppm") >= 800000L)
+  }
+
+  private val ppjoinSql =
+    s"""WITH allsh AS (
+       |  SELECT DISTINCT doc_id, ${hashIntSql("s")} AS h FROM ($shinglesSql)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM allsh GROUP BY doc_id),
+       |com AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM allsh a JOIN allsh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  CAST((c::HUGEINT * 1000000) // (x.n + y.n - c) AS BIGINT) AS jac_ppm
+       |FROM com JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |WHERE 5 * c >= 4 * (x.n + y.n - c)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q279_ppjoin", ppjoinPairs, Some(ppjoinSql)),
     QueryDef("q176_source_overlap", sourceOverlap, Some(sourceOverlapSql)),
     QueryDef("q198_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
     QueryDef("q202_dedup_timeline", dedupTimeline, Some(dedupTimelineSql)),

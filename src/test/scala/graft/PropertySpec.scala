@@ -126,6 +126,27 @@ class PropertySpec extends AnyFunSuite {
       pairs)
   }
 
+  test("q279 PPJoin prefix filter finds exactly the qualifying pairs") {
+    // doc0/doc1: 12 words, last differs -> 10 shingles each, 9 shared:
+    // jac = 9/11 = 818181 ppm (kept). doc2/doc3: 11 words, last differs ->
+    // 9 shingles, 8 shared: jac = 8/10 = exactly 0.8 (the boundary —
+    // MUST survive the prefix filter). doc4 disjoint; doc5/doc6 share
+    // 1 of 7 shingles (dropped).
+    val a11 = (1 to 11).map(i => s"a$i").mkString(" ")
+    val b10 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"$a11 tailx"), (1L, s"$a11 taily"),
+      (2L, s"$b10 endx"), (3L, s"$b10 endy"),
+      (4L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (5L, "d1 d2 d3 d4 d5 d6"), (6L, "d1 d2 d3 e4 e5 e6"))
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Dedup.ppjoinPairs(spark, dir)
+      .select("d1", "d2", "jac_ppm").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 818181L), (2L, 3L, 800000L)), got)
+  }
+
   test("q56 SimHash bands are 4x16-bit with bounded bucket membership") {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
     val cap = graft.queries.Dedup.maxBandBucket
