@@ -2135,7 +2135,21 @@ object Dedup {
     * for any pair with at least one non-hot prefix shingle). Candidate
     * volume is Σ_prefix df(h)² over RARE shingles — the quantity the
     * rarest-first order minimizes; the verify join moves only candidate
-    * pairs' arrays. */
+    * pairs' arrays.
+    *
+    * POSITIONAL filter (the "PP" in PPJoin, Xiao et al. §3): positions
+    * within each doc's array are monotone in the global (df, h) token
+    * order, so the FIRST common token of any pair realizes BOTH
+    * min(p1) and min(p2) over its prefix matches — and since every
+    * common token sorts at-or-after it, overlap ≤ min(sz1−p1, sz2−p2)+1.
+    * Jaccard ≥ 0.8 needs overlap ≥ (4/9)(sz1+sz2) (integer form
+    * 9·bound ≥ 4·(sz1+sz2)), so candidates failing it are pruned
+    * BEFORE the verify join ever moves an array — the distinct() a
+    * plain prefix join would need becomes the same-shuffle min-position
+    * aggregate, strictly reducing verify traffic at zero extra
+    * exchanges. The first common token of a QUALIFYING pair is in both
+    * prefixes (the prefix theorem), so prefix-only positions keep the
+    * filter complete. */
   def ppjoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -2147,14 +2161,24 @@ object Dedup {
         .as("arr"))
       .select(col("doc_id"), col("arr"), size(col("arr")).as("sz"))
       .localCheckpoint()
+    // 1-based position of each prefix shingle in the doc's sorted array
     val pref = arrs.select(col("doc_id"), col("sz"),
-      explode(expr("slice(arr, 1, sz - ((4 * sz + 4) div 5) + 1)")).as("ph"))
+        posexplode(expr("slice(arr, 1, sz - ((4 * sz + 4) div 5) + 1)")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"),
+        col("col").as("ph"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id")
           && col("a.sz") * 4 <= col("b.sz") * 5
           && col("b.sz") * 4 <= col("a.sz") * 5)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sz").as("psz1"), col("b.sz").as("psz2"),
+        col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy(col("d1"), col("d2"), col("psz1"), col("psz2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+      .where(
+        (least(col("psz1") - col("p1"), col("psz2") - col("p2")) + 1) * 9
+          >= (col("psz1") + col("psz2")) * 4)
+      .select(col("d1"), col("d2"))
     cand
       .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
         col("sz").as("sz1")), Seq("d1"))
