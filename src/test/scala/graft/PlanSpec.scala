@@ -582,6 +582,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(900))
   }
 
+  test("q279 PPJoin: equi-joins only, one pair aggregate with map-side partials") {
+    // The 100 TB shape: every join keys on a column (ph for candidates,
+    // d1/d2 for verify) — hash joins at any size, NEVER a nested loop —
+    // and the positional filter rides the pair aggregate: exactly one
+    // visible hashpartitioning exchange (on the pair key) with
+    // partial_min pushed map-side. (localCheckpoint truncates the
+    // arrs-build lineage, so this pins the post-checkpoint pipeline.)
+    val p = SparkEntry.queries("q279_ppjoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p.take(900))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(900))
+    assert("Exchange hashpartitioning\\(d1#".r.findFirstIn(p).isDefined, p.take(900))
+    assert(p.contains("partial_min"), p.take(900))
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
