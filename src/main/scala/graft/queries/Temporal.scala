@@ -625,7 +625,103 @@ object Temporal {
         col("s").cast("double").as("spend"), col("matches_rebuild"))
   }
 
+  // ---- q280: replica-drift audit via order-independent checksums ----------
+
+  /** q280: the ANTI-ENTROPY primitive for a replicated/derived warehouse —
+    * compare two copies of a table WITHOUT moving or joining rows: one
+    * scan per side folds every row into a per-bucket (count, Σ row-hash)
+    * pair, and buckets whose pairs disagree localize the drift for
+    * targeted repair (the Merkle-tree idea flattened to one level, which
+    * is the right shape for a shuffle engine: 256 bucket rows per side
+    * regardless of table size, so the compare join is metadata-sized).
+    * The row hash is the md5-derived int64 used by the dedup family
+    * (identical in Spark and DuckDB); the checksum is order-independent
+    * because addition commutes — no sort anywhere. Buckets are keyed by
+    * the PRIMARY KEY's hash, not the content hash — the load-bearing
+    * choice: an UPDATE then stays in its bucket and surfaces as a
+    * checksum mismatch at equal counts, while bucketing by content
+    * would scatter old/new versions into two count-off-by-one buckets
+    * and turn every update into two false "missing row" signals. The
+    * "replica" is the base table with a deterministic fault injection
+    * (rows deleted where o_orderkey % 997 = 0, status corrupted where
+    * % 991 = 0), so the expected drift is derivable by the oracle from
+    * the same tables.
+    *
+    * 100 TB posture: two parquet scans with map-side partial aggregation
+    * into ≤256 rows each — the cheapest possible replica comparison; no
+    * row ever crosses the network (only 32-byte bucket summaries).
+    * Checksums accumulate in DECIMAL(38,0) (row hash < 2^31, so 38
+    * digits hold >10^28 rows per bucket); outputs are counts (int64-safe
+    * at any scale) and a 0/1 drift flag — the decimal sums are compared,
+    * never differenced into an int64. */
+  def replicaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val P = 2147483647L
+    val base = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val replica = base
+      .where(col("o_orderkey") % 997L =!= 0L)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 991L === 0L, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    def summarize(side: DataFrame, cnt: String, chk: String): DataFrame =
+      side.select(
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+            16, 10).cast("long") % P % 256L).as("bucket"),
+          (conv(substring(md5(concat_ws("|",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("cents"))), 1, 15), 16, 10).cast("long") % P).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(cnt),
+          sum(col("h").cast(DecimalType(38, 0))).as(chk))
+    summarize(base, "cnt_base", "chk_base")
+      .join(summarize(replica, "cnt_repl", "chk_repl"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_base"), lit(0L)).as("cnt_base"),
+        coalesce(col("cnt_repl"), lit(0L)).as("cnt_repl"),
+        when(col("cnt_base") <=> col("cnt_repl")
+          && col("chk_base") <=> col("chk_repl"), lit(0L)).otherwise(lit(1L))
+          .as("drift"))
+  }
+
+  private val replicaDriftSql =
+    """WITH rows_b AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |rows_r AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 991 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus, cents
+      |  FROM rows_b WHERE o_orderkey % 997 <> 0),
+      |hb AS (SELECT
+      |  (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+      |    % 2147483647 % 256) AS bucket,
+      |  (('0x' || substr(md5(concat_ws('|', o_orderkey,
+      |  o_custkey, o_orderstatus, cents)), 1, 15))::BIGINT % 2147483647)
+      |  AS h FROM rows_b),
+      |hr AS (SELECT
+      |  (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+      |    % 2147483647 % 256) AS bucket,
+      |  (('0x' || substr(md5(concat_ws('|', o_orderkey,
+      |  o_custkey, o_orderstatus, cents)), 1, 15))::BIGINT % 2147483647)
+      |  AS h FROM rows_r),
+      |sb AS (SELECT bucket, count(*) AS cnt_base,
+      |  sum(h::HUGEINT) AS chk_base FROM hb GROUP BY 1),
+      |sr AS (SELECT bucket, count(*) AS cnt_repl,
+      |  sum(h::HUGEINT) AS chk_repl FROM hr GROUP BY 1)
+      |SELECT coalesce(sb.bucket, sr.bucket) AS bucket,
+      |  coalesce(cnt_base, 0) AS cnt_base,
+      |  coalesce(cnt_repl, 0) AS cnt_repl,
+      |  CAST(CASE WHEN cnt_base IS NOT DISTINCT FROM cnt_repl
+      |    AND chk_base IS NOT DISTINCT FROM chk_repl THEN 0 ELSE 1 END
+      |    AS BIGINT) AS drift
+      |FROM sb FULL OUTER JOIN sr ON sb.bucket = sr.bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q280_replica_drift", replicaDrift, Some(replicaDriftSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),

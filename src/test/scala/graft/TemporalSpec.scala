@@ -172,4 +172,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(stream == batch, s"stream=$stream batch=$batch")
     assert(stream.forall(_._4), "matches_rebuild must hold")
   }
+
+  test("q280 replica drift localizes exactly the injected faults") {
+    import org.apache.spark.sql.functions.col
+    val sf = TestSpark.sf
+    val rows = graft.queries.Temporal.replicaDrift(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == rows.map(_._1).distinct.size, "one row per bucket")
+    // count delta across all buckets == number of injected deletions
+    val deletions = graft.Tables(spark, sf, "orders")
+      .where(col("o_orderkey") % 997L === 0L).count()
+    assert(deletions > 0, "fault injection must be non-empty at this sf")
+    assert(rows.map(r => r._2 - r._3).sum == deletions, rows.take(5))
+    // a count mismatch is always drift; clean buckets exist too
+    assert(rows.filter(r => r._2 != r._3).forall(_._4 == 1L))
+    assert(rows.exists(_._4 == 0L), "some buckets must be clean")
+    // pure corruption (equal counts, changed content) is caught by the
+    // checksum alone — at least one such bucket must be flagged, since
+    // corruptions outnumber bucket collisions with deletions at this sf
+    assert(rows.exists(r => r._2 == r._3 && r._4 == 1L),
+      "checksum must catch an equal-count corrupted bucket")
+  }
 }
