@@ -654,7 +654,11 @@ object Temporal {
     * digits hold >10^28 rows per bucket); outputs are counts (int64-safe
     * at any scale) and a 0/1 drift flag — the decimal sums are compared,
     * never differenced into an int64. */
-  def replicaDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** Both replica-audit sides as (bucket, h, o_orderkey) rows: bucket from
+    * the PRIMARY KEY's hash (updates stay in-bucket), h the full-row
+    * content hash. Shared by q280 (summaries) and q281 (repair). */
+  private def replicaSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val P = 2147483647L
     val base = Tables(spark, dir, "orders").select(
@@ -666,14 +670,21 @@ object Temporal {
       .withColumn("o_orderstatus",
         when(col("o_orderkey") % 991L === 0L, lit("X"))
           .otherwise(col("o_orderstatus")))
+    def hashed(side: DataFrame): DataFrame =
+      side.select(col("o_orderkey"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+          16, 10).cast("long") % P % 256L).as("bucket"),
+        (conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("cents"))), 1, 15), 16, 10).cast("long") % P).as("h"))
+    (hashed(base), hashed(replica))
+  }
+
+  private def driftSummary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (base, replica) = replicaSides(spark, dir)
     def summarize(side: DataFrame, cnt: String, chk: String): DataFrame =
-      side.select(
-          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
-            16, 10).cast("long") % P % 256L).as("bucket"),
-          (conv(substring(md5(concat_ws("|",
-            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-            col("cents"))), 1, 15), 16, 10).cast("long") % P).as("h"))
-        .groupBy(col("bucket"))
+      side.groupBy(col("bucket"))
         .agg(count(lit(1)).as(cnt),
           sum(col("h").cast(DecimalType(38, 0))).as(chk))
     summarize(base, "cnt_base", "chk_base")
@@ -685,6 +696,67 @@ object Temporal {
           && col("chk_base") <=> col("chk_repl"), lit(0L)).otherwise(lit(1L))
           .as("drift"))
   }
+
+  def replicaDrift(spark: SparkSession, dir: String): DataFrame =
+    driftSummary(spark, dir)
+
+  // ---- q281: targeted repair — row diff pruned to drifted buckets ---------
+
+  /** q281: the REPAIR step the q280 audit exists for — emit exactly the
+    * rows that differ between the two copies, touching only the buckets
+    * the audit flagged. The Spark plan semi-joins each side against the
+    * broadcast ≤256-row drifted-bucket list BEFORE the row-level
+    * full-outer compare, so row movement is proportional to the DRIFTED
+    * fraction of the table, not its size (the Merkle-repair shape: at
+    * 100 TB with localized damage, the compare join reads a few buckets,
+    * not the table). The ORACLE computes the direct unpruned diff — so
+    * every run re-proves the bucket pruning lost no differing row (a
+    * differing row always drifts its bucket's count or checksum; the
+    * astronomically-unlikely escape is a bucket whose hash-sum AND count
+    * both collide, and the oracle would catch exactly that).
+    * Classification is total: `missing` (in base only), `phantom` (in
+    * replica only), `altered` (both, content differs). */
+  def replicaRepair(spark: SparkSession, dir: String): DataFrame = {
+    val (base, replica) = replicaSides(spark, dir)
+    val drifted = driftSummary(spark, dir)
+      .where(col("drift") === 1L).select(col("bucket"))
+    def pruned(side: DataFrame, h: String): DataFrame =
+      side.join(broadcast(drifted), Seq("bucket"), "left_semi")
+        .select(col("o_orderkey"), col("h").as(h))
+    pruned(base, "h_b")
+      .join(pruned(replica, "h_r"), Seq("o_orderkey"), "full_outer")
+      .where(col("h_b").isNull || col("h_r").isNull
+        || col("h_b") =!= col("h_r"))
+      .select(col("o_orderkey"),
+        when(col("h_r").isNull, lit("missing"))
+          .when(col("h_b").isNull, lit("phantom"))
+          .otherwise(lit("altered")).as("kind"))
+  }
+
+  private val replicaRepairSql =
+    """WITH rows_b AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |rows_r AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 991 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus, cents
+      |  FROM rows_b WHERE o_orderkey % 997 <> 0),
+      |hb AS (SELECT o_orderkey,
+      |  (('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+      |    o_orderstatus, cents)), 1, 15))::BIGINT % 2147483647) AS h
+      |  FROM rows_b),
+      |hr AS (SELECT o_orderkey,
+      |  (('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+      |    o_orderstatus, cents)), 1, 15))::BIGINT % 2147483647) AS h
+      |  FROM rows_r)
+      |SELECT coalesce(hb.o_orderkey, hr.o_orderkey) AS o_orderkey,
+      |  CASE WHEN hr.h IS NULL THEN 'missing'
+      |       WHEN hb.h IS NULL THEN 'phantom'
+      |       ELSE 'altered' END AS kind
+      |FROM hb FULL OUTER JOIN hr ON hb.o_orderkey = hr.o_orderkey
+      |WHERE hb.h IS NULL OR hr.h IS NULL OR hb.h <> hr.h""".stripMargin
 
   private val replicaDriftSql =
     """WITH rows_b AS (
@@ -722,6 +794,7 @@ object Temporal {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q280_replica_drift", replicaDrift, Some(replicaDriftSql)),
+    QueryDef("q281_replica_repair", replicaRepair, Some(replicaRepairSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),

@@ -193,4 +193,18 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows.exists(r => r._2 == r._3 && r._4 == 1L),
       "checksum must catch an equal-count corrupted bucket")
   }
+
+  test("q281 repair emits exactly the injected fault rows, classified") {
+    import org.apache.spark.sql.functions.col
+    val sf = TestSpark.sf
+    val keys = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    // deletion wins over corruption for a key divisible by both moduli
+    val missing = keys.filter(_ % 997L == 0L)
+    val altered = keys.filter(k => k % 991L == 0L && k % 997L != 0L)
+    val got = graft.queries.Temporal.replicaRepair(spark, sf)
+      .as[(Long, String)].collect().toSet
+    assert(got == missing.map((_, "missing")) ++ altered.map((_, "altered")),
+      got.take(10))
+  }
 }
