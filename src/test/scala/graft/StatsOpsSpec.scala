@@ -195,4 +195,20 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2500000000L, r)
     assert(r.getString(3) == "1995-01-01 00:00:03", r)
   }
+
+  test("q282 CMS join-size estimate is exact when keys don't collide") {
+    // 4 distinct keys in 16384 cells: some sketch row has no colliding
+    // pair (deterministic md5 layout — green once, green always), so
+    // min-of-rows recovers the true size exactly:
+    // exact = cnt_e(1)*cnt_o(1) + cnt_e(2)*cnt_o(2) = 3*1 + 2*2 = 7.
+    val d = Files.createTempDirectory("jcard")
+    Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("user_id")
+      .selectExpr("user_id", "CAST('1995-01-01' AS TIMESTAMP) AS ts")
+      .write.parquet(s"$d/events.parquet")
+    Seq(1L, 2L, 2L, 4L).toDF("o_custkey")
+      .write.parquet(s"$d/orders.parquet")
+    val r = graft.queries.TextAnalysis.cmsJoinCard(spark, d.toString)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((7L, 7L, 1L, 0L)), r)
+  }
 }
