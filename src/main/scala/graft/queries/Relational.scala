@@ -506,6 +506,87 @@ object Relational {
       |  min(p) AS lo, max(p) AS hi
       |FROM b GROUP BY 1""".stripMargin
 
+  // ---- q283: selectivity estimation from the equi-depth histogram ---------
+
+  /** q283: RANGE-SELECTIVITY ESTIMATION — the consumer the q239 histogram
+    * exists for: predict |σ(p > X)| for a sweep of thresholds from the
+    * 10-bin equi-depth histogram alone, graded against the exact counts.
+    * Completes the optimizer-statistics trio (q282 join cardinality,
+    * q239 the histogram itself, q283 the predicate estimator an
+    * optimizer actually calls). Estimator: full bins above X contribute
+    * n, bins below contribute 0, the straddling bin interpolates
+    * linearly on its [lo, hi] value range — all integer arithmetic with
+    * DECIMAL(38,0) products (n·(hi−X) crosses 2^63 at warehouse row
+    * counts), so the estimate itself hash-matches cross-engine and the
+    * grade needs no tolerance. Equi-DEPTH is the right shape because the
+    * estimator's worst case is one bin's mass, i.e. ~10% of rows by
+    * construction regardless of value skew — the property equi-width
+    * histograms lose on skewed data.
+    *
+    * 100 TB posture: estimation is metadata-only (10 histogram rows ×
+    * |thresholds|); the exact companion exists for grading and costs one
+    * conditional-aggregate scan; the histogram build is q239's honest
+    * global sort with the q47 sketch drop-in at scale. */
+  def selectivityEst(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val thrCents = Seq(50000L, 1000000L, 5000000L, 10000000L,
+      20000000L, 30000000L)
+    val hist = equiDepthHist(spark, dir)
+    val thr = hist.sparkSession.range(1)
+      .select(explode(array(thrCents.map(lit): _*)).as("thr"))
+    // integer-div interpolation (both engines truncate toward zero; the
+    // straddle branch is non-negative by construction), never decimal `/`
+    // (Spark rounds it)
+    val est = hist.crossJoin(broadcast(thr))
+      .selectExpr("thr",
+        """CAST(CASE WHEN lo > thr THEN n
+          |  WHEN hi <= thr THEN 0
+          |  ELSE (CAST(n AS DECIMAL(38,0)) * (hi - thr)) div (hi - lo)
+          |END AS DECIMAL(38,0)) AS c""".stripMargin)
+      .groupBy(col("thr"))
+      .agg(sum(col("c")).as("est_d"))
+    val exact = Tables(spark, dir, "orders")
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("p"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("thr"))
+      .agg(sum(when(col("p") > col("thr"), 1L).otherwise(0L)).as("exact_rows"))
+    est.join(exact, Seq("thr"))
+      .select(col("thr"), col("est_d").cast("long").as("est_rows"),
+        col("exact_rows"),
+        expr("""CAST(CASE WHEN exact_rows = 0 THEN NULL ELSE
+          |(CAST(est_d AS DECIMAL(38,0)) - exact_rows) * 1000000
+          |  div exact_rows END AS BIGINT)""".stripMargin).as("err_ppm"))
+  }
+
+  private val selectivityEstSql =
+    """WITH pts AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+      |    o_orderkey
+      |  FROM orders),
+      |hist AS (
+      |  SELECT bin, count(*) AS n, min(p) AS lo, max(p) AS hi FROM (
+      |    SELECT p, ntile(10) OVER (ORDER BY p, o_orderkey) AS bin FROM pts) b
+      |  GROUP BY 1),
+      |thr AS (SELECT unnest([50000, 1000000, 5000000, 10000000,
+      |  20000000, 30000000]) AS thr),
+      |est AS (
+      |  SELECT thr, sum(CASE
+      |      WHEN lo > thr THEN n::HUGEINT
+      |      WHEN hi <= thr THEN 0::HUGEINT
+      |      ELSE (n::HUGEINT * (hi - thr)) // (hi - lo) END) AS est_d
+      |  FROM hist, thr GROUP BY 1),
+      |ex AS (
+      |  SELECT thr, sum(CASE WHEN p > thr THEN 1 ELSE 0 END)::BIGINT
+      |    AS exact_rows
+      |  FROM pts, thr GROUP BY 1)
+      |SELECT CAST(est.thr AS BIGINT) AS thr,
+      |  CAST(est_d AS BIGINT) AS est_rows, exact_rows,
+      |  CAST(CASE WHEN exact_rows = 0 THEN NULL ELSE
+      |    ((est_d - exact_rows) * 1000000) // exact_rows END AS BIGINT)
+      |    AS err_ppm
+      |FROM est JOIN ex ON est.thr = ex.thr""".stripMargin
+
   // ---- q257: share-of-parent drill-down -----------------------------------
 
   /** q257: SHARE-OF-PARENT — the BI drill-down contract: every
@@ -834,6 +915,7 @@ object Relational {
     QueryDef("q122_dq_audit", dqAudit, Some(dqAuditSql)),
     QueryDef("q236_skyline", skyline, Some(skylineSql)),
     QueryDef("q239_equidepth_hist", equiDepthHist, Some(equiDepthHistSql)),
+    QueryDef("q283_selectivity_est", selectivityEst, Some(selectivityEstSql)),
     QueryDef("q17_rollup", rollupLineitem, Some(
       s"""SELECT l_returnflag, l_linestatus, ${sqlSum2("l_quantity")} AS sum_qty,
          |  count(*) AS cnt

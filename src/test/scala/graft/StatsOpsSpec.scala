@@ -211,4 +211,20 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(r == Seq((7L, 7L, 1L, 0L)), r)
   }
+
+  test("q283 selectivity estimate is within one bin's mass of exact") {
+    // The estimator's theorem: full bins contribute exactly, only the
+    // straddling bin interpolates — so |est - exact| is bounded by the
+    // largest bin's row count, at every threshold.
+    val sf = TestSpark.sf
+    val maxBin = graft.queries.Relational.equiDepthHist(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("n")).as[Long].collect().head
+    val rows = graft.queries.Relational.selectivityEst(spark, sf)
+      .selectExpr("thr", "est_rows", "exact_rows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 6 && rows.exists(_._3 > 0), rows)
+    rows.foreach { case (thr, est, exact) =>
+      assert(math.abs(est - exact) <= maxBin, s"thr=$thr est=$est exact=$exact")
+    }
+  }
 }
