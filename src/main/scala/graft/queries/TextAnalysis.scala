@@ -871,6 +871,55 @@ object TextAnalysis {
       |  CAST(((est - exact) * 1000000) // exact AS BIGINT) AS err_ppm
       |FROM est, ex""".stripMargin
 
+  // ---- q284: skew-key detection for join planning -------------------------
+
+  /** q284: SKEW-KEY DETECTION — the third member of the join-planning
+    * statistics family (q282 size, q283 selectivity): list the keys
+    * whose per-side multiplicity product exceeds 1% of the total join
+    * output, i.e. the keys an AQE-style planner must salt or split
+    * before |events ⋈ orders| materializes. Everything computes on the
+    * two ALREADY-AGGREGATED key tables (map-side partials; the fact
+    * tables never meet), the total attaches by the broadcast
+    * scalar-attach idiom, and the share floor bounds the OUTPUT by
+    * construction: at ≥1% there can never be more than 100 rows,
+    * however large the corpus — a planner input, not a report.
+    * Products and the total accumulate in DECIMAL(38,0) (two int64
+    * multiplicities overflow int64 exactly when skew is worst — the
+    * case the query exists to catch); share_ppm is the exact integral
+    * quotient. */
+  def skewKeys(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val eCnt = Tables(spark, dir, "events")
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cnt_e"))
+    val oCnt = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt_o"))
+    val pairs = eCnt.join(oCnt, Seq("k"))
+      .select(col("k"), col("cnt_e"), col("cnt_o"),
+        (col("cnt_e").cast(DecimalType(38, 0))
+          * col("cnt_o").cast(DecimalType(38, 0))).as("pairs"))
+    val total = pairs.agg(sum(col("pairs")).as("total"))
+    pairs.crossJoin(broadcast(total))
+      .selectExpr("k", "cnt_e", "cnt_o",
+        "CAST(pairs AS BIGINT) AS pairs",
+        "CAST((pairs * 1000000) div total AS BIGINT) AS share_ppm")
+      .where(col("share_ppm") >= 10000L)
+  }
+
+  private val skewKeysSql =
+    """WITH ec AS (
+      |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt_e
+      |  FROM events GROUP BY 1),
+      |oc AS (
+      |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt_o
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT ec.k, cnt_e, cnt_o, cnt_e::HUGEINT * cnt_o AS pairs
+      |  FROM ec JOIN oc ON ec.k = oc.k),
+      |t AS (SELECT sum(pairs) AS total FROM p)
+      |SELECT k, cnt_e, cnt_o, CAST(pairs AS BIGINT) AS pairs,
+      |  CAST((pairs * 1000000) // total AS BIGINT) AS share_ppm
+      |FROM p, t WHERE (pairs * 1000000) // total >= 10000""".stripMargin
+
   // ---- q200: CMS sketch-store COMMIT --------------------------------------
 
   /** q200: incremental maintenance of the q195 sketch — the sketch-store
@@ -3369,6 +3418,7 @@ object TextAnalysis {
     QueryDef("q68_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q195_cms_freq", cmsFrequencies, Some(cmsFrequenciesSql)),
     QueryDef("q282_cms_join_card", cmsJoinCard, Some(cmsJoinCardSql)),
+    QueryDef("q284_skew_keys", skewKeys, Some(skewKeysSql)),
     QueryDef("q199_bootstrap_mean", bootstrapMean, Some(bootstrapMeanSql)),
     QueryDef("q200_cms_commit", cmsCommit, Some(cmsCommitSql)),
     QueryDef("q204_matview_rewrite", matviewTopWords, Some(matviewTopWordsSql)),

@@ -227,4 +227,15 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= maxBin, s"thr=$thr est=$est exact=$exact")
     }
   }
+
+  test("q284 skew list is bounded by the share floor and internally exact") {
+    val rows = graft.queries.TextAnalysis.skewKeys(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 100, rows.size) // 1% floor => <=100
+    rows.foreach { case (k, ce, co, pairs, share) =>
+      assert(pairs == ce * co, s"k=$k")
+      assert(share >= 10000L && share <= 1000000L, s"k=$k share=$share")
+    }
+    assert(rows.map(_._5).sum <= 1000000L, "shares cannot exceed the whole")
+  }
 }
