@@ -597,6 +597,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p.take(900))
   }
 
+  test("q281 repair prunes both sides through broadcast semi-joins") {
+    // The Merkle-repair claim in SCALE.md: each side enters the row-level
+    // FullOuter compare only through a LeftSemi broadcast of the <=256-row
+    // drifted-bucket list — so with localized damage the compare reads
+    // flagged buckets, not the table.
+    val p = SparkEntry.queries("q281_replica_repair")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[bucket#\\d+L?\\], \\[bucket#\\d+L?\\], LeftSemi".r
+      .findAllIn(p).size == 2, p.take(900))
+    assert("SortMergeJoin \\[o_orderkey#\\d+L?\\], \\[o_orderkey#\\d+L?\\], FullOuter".r
+      .findFirstIn(p).isDefined, p.take(900))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p.take(900))
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.
