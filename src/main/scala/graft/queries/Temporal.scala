@@ -625,6 +625,79 @@ object Temporal {
         col("s").cast("double").as("spend"), col("matches_rebuild"))
   }
 
+  // ---- q285: bitemporal snapshot (as-of valid time, as-at known time) -----
+
+  /** q285: BITEMPORAL snapshot — the warehouse question the valid-time-only
+    * PIT join (q136) cannot answer: "what did we BELIEVE on date T about
+    * the state valid at V?" Versions carry TWO times — valid_from (when
+    * the fact held) and recorded_at (when the warehouse learned it; here
+    * a deterministic late-arrival model: versions landing on a
+    * day-of-month divisible by 7 arrive 10 days late). The snapshot picks,
+    * per key, the latest version with valid_from ≤ V among those with
+    * recorded_at ≤ T — so a late-arriving correction is INVISIBLE to
+    * reports drawn before it landed, which is exactly what makes restated
+    * financials reproducible. `late_masked` flags keys where the
+    * valid-time-only winner had not yet arrived at T: the visible rows
+    * where bitemporal and PIT semantics genuinely diverge.
+    *
+    * 100 TB posture: one aggregate builds the version table, two
+    * partition-local window row_numbers pick winners (key-partitioned —
+    * millions of tiny partitions, the best windowing shape), one
+    * key-equi join compares them. No global sort, no row explosion. */
+  def bitemporalSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    val V = lit("1995-12-31").cast("timestamp")
+    val T = lit("1996-01-01").cast("timestamp")
+    val versions = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("valid_from"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+      .withColumn("recorded_at",
+        when(dayofmonth(col("valid_from")) % 7 === 0,
+          col("valid_from") + expr("INTERVAL 10 DAYS"))
+          .otherwise(col("valid_from")))
+    val wh = Window.partitionBy(col("key")).orderBy(col("valid_from").desc)
+    val visible = versions
+      .where(col("valid_from") <= V && col("recorded_at") <= T)
+      .withColumn("rn", row_number().over(wh)).where(col("rn") === 1)
+      .select(col("key"), col("valid_from"), col("day_spend"))
+    val naive = versions
+      .where(col("valid_from") <= V)
+      .withColumn("rn", row_number().over(wh)).where(col("rn") === 1)
+      .select(col("key"), col("valid_from").as("naive_from"))
+    visible.join(naive, Seq("key"))
+      .select(col("key"), col("valid_from"), col("day_spend"),
+        when(col("naive_from") > col("valid_from"), lit(1L)).otherwise(lit(0L))
+          .as("late_masked"))
+  }
+
+  private val bitemporalSnapshotSql =
+    s"""WITH versions AS (
+       |  SELECT o_custkey AS key, o_orderdate AS valid_from,
+       |    ${graft.Exact.sqlSum2("o_totalprice")} AS day_spend,
+       |    CASE WHEN day(o_orderdate) % 7 = 0
+       |      THEN o_orderdate + INTERVAL 10 DAY ELSE o_orderdate END
+       |      AS recorded_at
+       |  FROM orders GROUP BY 1, 2),
+       |visible AS (
+       |  SELECT key, valid_from, day_spend FROM (
+       |    SELECT key, valid_from, day_spend,
+       |      row_number() OVER (PARTITION BY key ORDER BY valid_from DESC)
+       |        AS rn
+       |    FROM versions
+       |    WHERE valid_from <= TIMESTAMP '1995-12-31'
+       |      AND recorded_at <= TIMESTAMP '1996-01-01') x WHERE rn = 1),
+       |naive AS (
+       |  SELECT key, valid_from AS naive_from FROM (
+       |    SELECT key, valid_from,
+       |      row_number() OVER (PARTITION BY key ORDER BY valid_from DESC)
+       |        AS rn
+       |    FROM versions WHERE valid_from <= TIMESTAMP '1995-12-31') x
+       |  WHERE rn = 1)
+       |SELECT v.key, v.valid_from, v.day_spend,
+       |  CAST(CASE WHEN n.naive_from > v.valid_from THEN 1 ELSE 0 END
+       |    AS BIGINT) AS late_masked
+       |FROM visible v JOIN naive n ON v.key = n.key""".stripMargin
+
   // ---- q280: replica-drift audit via order-independent checksums ----------
 
   /** q280: the ANTI-ENTROPY primitive for a replicated/derived warehouse —
@@ -795,6 +868,7 @@ object Temporal {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q280_replica_drift", replicaDrift, Some(replicaDriftSql)),
     QueryDef("q281_replica_repair", replicaRepair, Some(replicaRepairSql)),
+    QueryDef("q285_bitemporal", bitemporalSnapshot, Some(bitemporalSnapshotSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),

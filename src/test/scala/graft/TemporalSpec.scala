@@ -194,6 +194,32 @@ class TemporalSpec extends AnyFunSuite {
       "checksum must catch an equal-count corrupted bucket")
   }
 
+  test("q285 bitemporal snapshot masks late arrivals, keeps on-time truth") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("bitemporal")
+    // key 1: 12-28 (day%7=0 -> recorded 01-07 > T) masks; 12-20 visible.
+    // key 2: on-time 12-29. key 3: ONLY a late version -> absent.
+    // key 4: 02-01 is beyond V for BOTH winners; 11-14 late but recorded
+    // 11-24 <= T -> visible, not masked.
+    Seq(
+      (1L, 50.00, "1995-12-28"), (1L, 30.00, "1995-12-20"),
+      (2L, 20.00, "1995-12-29"),
+      (3L, 77.00, "1995-12-28"),
+      (4L, 99.99, "1995-11-14"), (4L, 11.11, "1996-02-01"))
+      .toDF("o_custkey", "o_totalprice", "d")
+      .select(col("o_custkey"), col("o_totalprice"),
+        col("d").cast("timestamp").as("o_orderdate"))
+      .write.parquet(s"$d/orders.parquet")
+    val got = graft.queries.Temporal.bitemporalSnapshot(spark, d.toString)
+      .selectExpr("key", "CAST(valid_from AS STRING)", "day_spend",
+        "late_masked")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "1995-12-20 00:00:00", 30.0, 1L),
+      (2L, "1995-12-29 00:00:00", 20.0, 0L),
+      (4L, "1995-11-14 00:00:00", 99.99, 0L)), got)
+  }
+
   test("q281 repair emits exactly the injected fault rows, classified") {
     import org.apache.spark.sql.functions.col
     val sf = TestSpark.sf
