@@ -150,6 +150,14 @@ object Extensions {
     QueryDef("q253_stream_benford",
       (s, d) => EventStreams.benfordStreamRun(s, d),
       Some(Quality.benfordSqlFor("value", "events"))),
+    // q280's replica-drift audit as a CONTINUOUS monitor: per-bucket
+    // (count, sum-of-row-hash) summaries accumulate in the streaming agg
+    // state store (256 rows — checksum addition commutes, so arrival
+    // order can't matter); same shared hash helper as the batch audit,
+    // graded by the batch base-side summary oracle.
+    QueryDef("q286_stream_drift",
+      (s, d) => EventStreams.driftStreamRun(s, d),
+      Some(Temporal.driftBaseSummarySql)),
     // Event-time-timeout state EVICTION (flatMapGroupsWithState) as a real
     // micro-batch run: a staged watermark-flush sentinel closes every real
     // session, so the emitted set equals batch gaps-and-islands

@@ -727,30 +727,33 @@ object Temporal {
     * digits hold >10^28 rows per bucket); outputs are counts (int64-safe
     * at any scale) and a 0/1 drift flag — the decimal sums are compared,
     * never differenced into an int64. */
-  /** Both replica-audit sides as (bucket, h, o_orderkey) rows: bucket from
-    * the PRIMARY KEY's hash (updates stay in-bucket), h the full-row
-    * content hash. Shared by q280 (summaries) and q281 (repair). */
-  private def replicaSides(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** (o_orderkey, bucket, h) per order row: bucket from the PRIMARY KEY's
+    * hash (updates stay in-bucket), h the full-row content hash. ONE
+    * definition shared by the batch audit sides (q280/q281) and the
+    * streaming audit twin (q286) — the q191 can't-drift discipline. */
+  private[graft] def orderRowHashes(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val P = 2147483647L
-    val base = Tables(spark, dir, "orders").select(
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
-        .as("cents"))
-    val replica = base
+    raw.select(col("o_orderkey"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
+        16, 10).cast("long") % P % 256L).as("bucket"),
+      (conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))),
+        1, 15), 16, 10).cast("long") % P).as("h"))
+  }
+
+  /** Both replica-audit sides as (o_orderkey, bucket, h) rows. Shared by
+    * q280 (summaries) and q281 (repair). */
+  private def replicaSides(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val raw = Tables(spark, dir, "orders")
+    val replicaRaw = raw
       .where(col("o_orderkey") % 997L =!= 0L)
       .withColumn("o_orderstatus",
         when(col("o_orderkey") % 991L === 0L, lit("X"))
           .otherwise(col("o_orderstatus")))
-    def hashed(side: DataFrame): DataFrame =
-      side.select(col("o_orderkey"),
-        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 15),
-          16, 10).cast("long") % P % 256L).as("bucket"),
-        (conv(substring(md5(concat_ws("|",
-          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("cents"))), 1, 15), 16, 10).cast("long") % P).as("h"))
-    (hashed(base), hashed(replica))
+    (orderRowHashes(raw), orderRowHashes(replicaRaw))
   }
 
   private def driftSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -830,6 +833,23 @@ object Temporal {
       |       ELSE 'altered' END AS kind
       |FROM hb FULL OUTER JOIN hr ON hb.o_orderkey = hr.o_orderkey
       |WHERE hb.h IS NULL OR hr.h IS NULL OR hb.h <> hr.h""".stripMargin
+
+  /** The batch base-side bucket summary — the oracle that grades q286's
+    * streaming twin (and the base half of q280's own oracle). */
+  private[graft] val driftBaseSummarySql =
+    """WITH rows_b AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |hb AS (SELECT
+      |  (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+      |    % 2147483647 % 256) AS bucket,
+      |  (('0x' || substr(md5(concat_ws('|', o_orderkey,
+      |  o_custkey, o_orderstatus, cents)), 1, 15))::BIGINT % 2147483647)
+      |  AS h FROM rows_b)
+      |SELECT bucket, count(*) AS cnt_base,
+      |  CAST(sum(h::HUGEINT) AS BIGINT) AS chk_base
+      |FROM hb GROUP BY 1""".stripMargin
 
   private val replicaDriftSql =
     """WITH rows_b AS (

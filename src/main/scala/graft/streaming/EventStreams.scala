@@ -684,6 +684,36 @@ object EventStreams {
           .groupBy(col("digit")).agg(count(lit(1)).as("n")),
         "complete").localCheckpoint())
 
+  /** q286: the q280 replica-drift audit running CONTINUOUSLY — per-bucket
+    * (count, Σ row-hash) summaries accumulate in the streaming aggregation
+    * state store as order rows arrive (complete mode, 256 state rows: the
+    * smallest continuous-validation monitor a replication pipeline can
+    * keep — checksum addition commutes, so arrival order is irrelevant by
+    * construction). The row-hash/bucket arithmetic is the SAME shared
+    * helper as the batch audit ([[graft.queries.Temporal.orderRowHashes]],
+    * the q191 twin discipline), so a bounded run must equal the batch
+    * base-side summary exactly and the oracle grades the whole path.
+    * Checksums accumulate in DECIMAL(38,0); the BIGINT output column is
+    * safe to ~2·10^12 rows (sum of <2^31 hashes), past which the emit
+    * cast widens with the store. */
+  def driftStreamRun(spark: SparkSession, dir: String): DataFrame =
+    boundedRun(spark, dir, "orders.parquet", readOrdersStream,
+      (s, _) => graft.queries.Temporal.orderRowHashes(s)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt_base"),
+          sum(col("h").cast(DecimalType(38, 0))).as("chk_d")),
+      "complete")
+      .select(col("bucket"), col("cnt_base"),
+        col("chk_d").cast("long").as("chk_base"))
+
+  /** Streaming source over a directory of orders parquet files — schema
+    * resolved from the files at start, the same producer-drift discipline
+    * as [[readEventsStream]]/[[readDocsStream]]. */
+  private def readOrdersStream(spark: SparkSession, ordersDir: String): DataFrame =
+    spark.readStream
+      .schema(resolveSchema(spark, ordersDir, "orders"))
+      .parquet(ordersDir)
+
   /** q148: sketch state ACROSS micro-batches — the streaming ingest shape
     * of q145's rollup. The streaming aggregation holds one DataSketches
     * HLL buffer per (week, day) in the STATE STORE and folds each arriving
