@@ -698,6 +698,84 @@ object Temporal {
        |    AS BIGINT) AS late_masked
        |FROM visible v JOIN naive n ON v.key = n.key""".stripMargin
 
+  // ---- q287: restatement diff between two as-at times ---------------------
+
+  /** q287: RESTATEMENT DIFF — the bitemporal family's reporting consumer:
+    * "which keys' books CHANGED between what we knew at T1 and what we
+    * know at T2, for the same valid date V?" Each side is a q285-style
+    * snapshot (same V, different as-at), and the diff joins them
+    * full-outer per key: `appeared` (no version was known at T1),
+    * `restated` (the winning version changed — a late arrival landed
+    * in (T1, T2]). This is the audit trail a regulator asks for: every
+    * row is a report cell that silently changed between two publication
+    * dates, with both values side by side. Deterministic from the q285
+    * late-arrival model; window T1='1996-01-01' → T2='1996-02-01'
+    * captures exactly the 10-day-late December versions.
+    *
+    * Same shapes as q285 (key-partitioned windows, key-equi join);
+    * `spend_t1` is NULL for `appeared` rows — NULL vs 0.0 is load-bearing
+    * (a key whose first version arrived late is not a restatement). */
+  def restatementDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Exact.dsum2
+    val V = lit("1995-12-31").cast("timestamp")
+    val versions = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("valid_from"))
+      .agg(dsum2(col("o_totalprice")).as("day_spend"))
+      .withColumn("recorded_at",
+        when(dayofmonth(col("valid_from")) % 7 === 0,
+          col("valid_from") + expr("INTERVAL 10 DAYS"))
+          .otherwise(col("valid_from")))
+      .where(col("valid_from") <= V)
+    val wh = Window.partitionBy(col("key")).orderBy(col("valid_from").desc)
+    def asAt(t: String): DataFrame = versions
+      .where(col("recorded_at") <= lit(t).cast("timestamp"))
+      .withColumn("rn", row_number().over(wh)).where(col("rn") === 1)
+      .select(col("key"), col("valid_from"), col("day_spend"))
+    val t1 = asAt("1996-01-01")
+      .select(col("key"), col("valid_from").as("from_t1"),
+        col("day_spend").as("spend_t1"))
+    val t2 = asAt("1996-02-01")
+      .select(col("key"), col("valid_from").as("from_t2"),
+        col("day_spend").as("spend_t2"))
+    t2.join(t1, Seq("key"), "left")
+      .where(col("from_t1").isNull || col("from_t1") =!= col("from_t2"))
+      .select(col("key"),
+        when(col("from_t1").isNull, lit("appeared"))
+          .otherwise(lit("restated")).as("kind"),
+        col("spend_t1"), col("spend_t2"))
+  }
+
+  private val restatementDiffSql =
+    s"""WITH versions AS (
+       |  SELECT o_custkey AS key, o_orderdate AS valid_from,
+       |    ${graft.Exact.sqlSum2("o_totalprice")} AS day_spend,
+       |    CASE WHEN day(o_orderdate) % 7 = 0
+       |      THEN o_orderdate + INTERVAL 10 DAY ELSE o_orderdate END
+       |      AS recorded_at
+       |  FROM orders
+       |  WHERE o_orderdate <= TIMESTAMP '1995-12-31'
+       |  GROUP BY 1, 2),
+       |t1 AS (
+       |  SELECT key, valid_from AS from_t1, day_spend AS spend_t1 FROM (
+       |    SELECT key, valid_from, day_spend,
+       |      row_number() OVER (PARTITION BY key ORDER BY valid_from DESC)
+       |        AS rn
+       |    FROM versions WHERE recorded_at <= TIMESTAMP '1996-01-01') x
+       |  WHERE rn = 1),
+       |t2 AS (
+       |  SELECT key, valid_from AS from_t2, day_spend AS spend_t2 FROM (
+       |    SELECT key, valid_from, day_spend,
+       |      row_number() OVER (PARTITION BY key ORDER BY valid_from DESC)
+       |        AS rn
+       |    FROM versions WHERE recorded_at <= TIMESTAMP '1996-02-01') x
+       |  WHERE rn = 1)
+       |SELECT t2.key,
+       |  CASE WHEN from_t1 IS NULL THEN 'appeared' ELSE 'restated' END
+       |    AS kind,
+       |  spend_t1, spend_t2
+       |FROM t2 LEFT JOIN t1 ON t2.key = t1.key
+       |WHERE from_t1 IS NULL OR from_t1 <> from_t2""".stripMargin
+
   // ---- q280: replica-drift audit via order-independent checksums ----------
 
   /** q280: the ANTI-ENTROPY primitive for a replicated/derived warehouse —
@@ -889,6 +967,7 @@ object Temporal {
     QueryDef("q280_replica_drift", replicaDrift, Some(replicaDriftSql)),
     QueryDef("q281_replica_repair", replicaRepair, Some(replicaRepairSql)),
     QueryDef("q285_bitemporal", bitemporalSnapshot, Some(bitemporalSnapshotSql)),
+    QueryDef("q287_restatement_diff", restatementDiff, Some(restatementDiffSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),

@@ -220,6 +220,27 @@ class TemporalSpec extends AnyFunSuite {
       (4L, "1995-11-14 00:00:00", 99.99, 0L)), got)
   }
 
+  test("q287 restatement diff classifies late arrivals between as-at dates") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("restate")
+    // key 1: 12-20 known at T1, 12-28 lands late -> 'restated' with both
+    // spends. key 2: on-time only -> absent. key 3: ONLY the late version
+    // -> 'appeared' with NULL spend_t1.
+    Seq(
+      (1L, 50.00, "1995-12-28"), (1L, 30.00, "1995-12-20"),
+      (2L, 20.00, "1995-12-29"),
+      (3L, 77.00, "1995-12-28"))
+      .toDF("o_custkey", "o_totalprice", "dd")
+      .select(col("o_custkey"), col("o_totalprice"),
+        col("dd").cast("timestamp").as("o_orderdate"))
+      .write.parquet(s"$d/orders.parquet")
+    val got = graft.queries.Temporal.restatementDiff(spark, d.toString)
+      .as[(Long, String, Option[Double], Double)].collect().toSet
+    assert(got == Set(
+      (1L, "restated", Some(30.0), 50.0),
+      (3L, "appeared", None, 77.0)), got)
+  }
+
   test("q281 repair emits exactly the injected fault rows, classified") {
     import org.apache.spark.sql.functions.col
     val sf = TestSpark.sf
