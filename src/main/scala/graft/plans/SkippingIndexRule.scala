@@ -86,9 +86,14 @@ class SkippingIndexRule(session: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h
       case _ => return None
     }
+    // Hive-partitioned layouts carry partition columns in directory names,
+    // not in the leaf files: a forced-schema read of survivor FILES would
+    // silently return NULL for them (name+type alias guard still passes).
+    // The contract is decline-never-corrupt, so decline the whole rewrite.
+    if (fsRel.partitionSchema.nonEmpty) return None
     val roots = fsRel.location.rootPaths.map(_.toString)
     if (roots.length != 1) return None
-    val indexes = registry.get(roots.head) match {
+    val indexes = registry.get(keyOf(session, roots.head)) match {
       case Some(e) if e.ownedBy(session) => e.indexes
       case _ => return None
     }
@@ -255,9 +260,20 @@ object SkippingIndexRule {
     def ownedBy(s: SparkSession): Boolean = session.get() eq s
   }
 
-  /** Keyed by the QUALIFIED directory path (what a relation's rootPaths
-    * report), so lookup is a string compare at optimization time. */
+  /** Keyed by (session UUID, QUALIFIED directory path) — what a relation's
+    * rootPaths report — so lookup is a string compare at optimization time
+    * and two sessions indexing the same directory can never clobber or
+    * drop each other's registrations (the weak-ref `ownedBy` check stays
+    * as the GC'd-session guard). */
   private val registry = TrieMap.empty[String, Entry]
+
+  /** A process-unique id per live SparkSession (weakly held, GC-safe) —
+    * `SparkSession.sessionUUID` is private[sql], so mint our own. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def keyOf(spark: SparkSession, qualifiedDir: String): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString) + "|" + qualifiedDir
 
   private def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toString
@@ -269,7 +285,7 @@ object SkippingIndexRule {
   }
 
   private def addIndex(spark: SparkSession, dir: String, ix: Index): Unit = {
-    val key = qualified(spark, dir)
+    val key = keyOf(spark, qualified(spark, dir))
     val prev = registry.get(key).filter(_.ownedBy(spark))
       .map(_.indexes.filterNot(_.colName == ix.colName)).getOrElse(Nil)
     registry.put(key, Entry(prev :+ ix,
@@ -323,7 +339,7 @@ object SkippingIndexRule {
   /** Drop a directory's registration (or all of them) — tests and Bench
     * passes. */
   def drop(spark: SparkSession, dir: String): Unit =
-    registry.remove(qualified(spark, dir))
+    registry.remove(keyOf(spark, qualified(spark, dir)))
   def clear(): Unit = registry.clear()
 
   // ---- persistence: the index outlives the JVM ----------------------------
@@ -359,7 +375,7 @@ object SkippingIndexRule {
     * the sparse (file, word, bits, len, mtime) rows plus a one-row meta
     * frame carrying (col, dataType DDL, k, m). */
   def save(spark: SparkSession, dir: String): Int = {
-    val entry = registry.get(qualified(spark, dir))
+    val entry = registry.get(keyOf(spark, qualified(spark, dir)))
       .filter(_.ownedBy(spark)).getOrElse(return 0)
     import spark.implicits._
     val root = sidecarRoot(dir)

@@ -116,9 +116,14 @@ object Layout {
         max(date_format(col("ts"), "yyyy-MM-dd")).as("day_hi"))
       .collect() // |files| rows — planning-scale, the scheduler's listing
     // the query day: 11th distinct day (mid-corpus at every sf)
-    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val days = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .distinct().orderBy(col("day")).limit(11)
-      .collect().last.getString(0)
+      .collect()
+    // a too-small corpus must fail loudly here, not hash-diverge from the
+    // oracle's LIMIT 1 OFFSET 10 (which returns no row)
+    require(days.length == 11,
+      s"zoneSkip needs >= 11 distinct event days, found ${days.length}")
+    val day = days.last.getString(0)
     val keep = zones.filter(r =>
         r.getString(1) <= day && day <= r.getString(2))
       .map(_.getString(0))
@@ -367,9 +372,12 @@ object Layout {
     require(SkippingIndexRule.save(spark, layout) == 2, "save must persist both")
     SkippingIndexRule.drop(spark, layout) // simulate process death
     require(SkippingIndexRule.attach(spark, layout) == 2, "attach must adopt both")
-    val day = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val days16 = ev.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .distinct().orderBy(col("day")).limit(16)
-      .collect().last.getString(0)
+      .collect()
+    require(days16.length == 16,
+      s"indexedAttach needs >= 16 distinct event days, found ${days16.length}")
+    val day = days16.last.getString(0)
     val agg = spark.read.parquet(layout)
       .where(col("day") === day)
       .groupBy(col("event_type"))

@@ -527,9 +527,12 @@ object TimeSeries {
     * with a type-change boundary: row_number over the user's stream
     * minus row_number within (user, type) is constant exactly while the
     * type doesn't change — runs drop out as groups, no self-join, no
-    * iteration. Per user the longest run wins; exact composite max_by
-    * (length, then EARLIEST start — integer microseconds) makes the
-    * reported run deterministic under ties in both engines.
+    * iteration. Per user the longest run wins; one row_number over the
+    * TOTAL order (length desc, earliest start, then event_type) makes
+    * the reported run deterministic under ties in both engines — a
+    * composite-key max_by would leave (len, start) ties unresolved and
+    * three independent oracle max_by calls could each pick a different
+    * tied row.
     *
     * At 100 TB: two windows over the same user-keyed sort (one
     * partition ordering serves both — no second shuffle), then one
@@ -545,15 +548,15 @@ object TimeSeries {
         row_number().over(byUser) - row_number().over(byUserType))
       .groupBy(col("user_id"), col("event_type"), col("grp"))
       .agg(count(lit(1)).as("len"), min(unix_micros(col("ts"))).as("start_us"))
-    // composite ordering key: longest first, earliest start breaks ties.
-    // DECIMAL(38,0): len * 1e16 exceeds int64 for long streaks, and the
-    // multiplier must clear the ~8e14 epoch-micros range
-    runs.groupBy(col("user_id"))
-      .agg(max_by(struct(col("event_type"), col("len"), col("start_us")),
-        col("len").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-          * lit(10000000000000000L) - col("start_us")).as("b"))
-      .select(col("user_id"), col("b.event_type").as("streak_type"),
-        col("b.len").as("streak_len"), col("b.start_us"))
+    // total order: longest first, earliest start, then event_type — the
+    // last key resolves exact (len, start_us) ties identically in both
+    // engines (runs of different types CAN tie when events share a ts)
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_us").asc, col("event_type").asc)
+    runs.withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("streak_type"),
+        col("len").as("streak_len"), col("start_us"))
   }
 
   private val streaksSql =
@@ -567,14 +570,12 @@ object TimeSeries {
       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS len,
       |    CAST(min(epoch_us(ts)) AS BIGINT) AS start_us
       |  FROM r GROUP BY user_id, event_type, grp)
-      |SELECT user_id,
-      |  max_by(event_type, len::HUGEINT * 10000000000000000 - start_us)
-      |    AS streak_type,
-      |  max_by(len, len::HUGEINT * 10000000000000000 - start_us)
-      |    AS streak_len,
-      |  max_by(start_us, len::HUGEINT * 10000000000000000 - start_us)
-      |    AS start_us
-      |FROM runs GROUP BY user_id""".stripMargin
+      |SELECT user_id, event_type AS streak_type, len AS streak_len, start_us
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, start_us ASC, event_type ASC) AS rn
+      |  FROM runs)
+      |WHERE rn = 1""".stripMargin
 
   // ---- q263: new vs returning users ---------------------------------------
 
