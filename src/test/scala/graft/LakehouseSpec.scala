@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Copy-on-write mutation on closed-form inputs: a tiny clustered table
+  * whose affected files, survivors, and merged images are known exactly —
+  * the upsert edge cases (covered-but-absent key, out-of-range key) that
+  * the registry's oracle can't isolate. */
+class LakehouseSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** keys 1..40 except 25, clustered into 4 files of 10-key ranges. */
+  private def freshTable(): String = {
+    val out = java.nio.file.Files.createTempDirectory("lakehousespec")
+    val layout = s"$out/table"
+    (1L to 40L).filter(_ != 25L)
+      .map(k => (k, k * 10, "O", k.toDouble, new java.sql.Timestamp(0L), "P"))
+      .toDF(cols: _*)
+      .repartitionByRange(4, col("o_orderkey")).write.parquet(layout)
+    layout
+  }
+
+  private def files(layout: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(layout))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSet
+  }
+
+  test("applyImages updates matched rows, inserts covered-but-absent and out-of-range keys") {
+    val layout = freshTable()
+    val before = files(layout)
+    assert(before.size == 4)
+    // images: 12 exists (update), 25 is covered by a file's [21,30] zone
+    // but ABSENT (must insert, not vanish), 999 is outside every zone
+    // (must append as a new file)
+    val images = Seq(
+      (12L, 0L, "U", 1200.0, new java.sql.Timestamp(0L), "CDC"),
+      (25L, 0L, "U", 2500.0, new java.sql.Timestamp(0L), "CDC"),
+      (999L, 0L, "U", 9990.0, new java.sql.Timestamp(0L), "CDC"))
+      .toDF(cols: _*)
+    graft.queries.Lakehouse.applyImages(spark, layout, images)
+    val t = spark.read.parquet(layout)
+    assert(t.count() == 41) // 39 base + inserted 25 + appended 999
+    val got = t.where(col("o_orderpriority") === "CDC")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((12L, 1200.0), (25L, 2500.0), (999L, 9990.0)))
+    // exactly one pre-image row was replaced, none duplicated
+    assert(t.where(col("o_orderkey") === 12L).count() == 1)
+    // untouched ranges' files survive bit-identical (same names still present)
+    val after = files(layout)
+    assert(before.intersect(after).size >= 2,
+      s"too many files rewritten: before=$before after=$after")
+  }
+
+  test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_.getAs[Boolean]("pruned")), "merge must not rewrite every file")
+    assert(m.forall(_.getAs[Boolean]("history_untouched")))
+    assert(m.exists(_.getAs[String]("o_orderstatus") == "N"), "inserts missing")
+    val d = graft.queries.Lakehouse.cowDelete(spark, dir).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(_.getAs[Boolean]("pruned")))
+    assert(d.forall(_.getAs[Boolean]("history_untouched")))
+  }
+}
