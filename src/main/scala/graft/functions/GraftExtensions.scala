@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRule)
     ext.injectOptimizerRule(s => new graft.plans.MatViewRule(s))
     ext.injectOptimizerRule(s => new graft.plans.SkippingIndexRule(s))
+    ext.injectOptimizerRule(s => new graft.plans.JoinReorderRule(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_d"),

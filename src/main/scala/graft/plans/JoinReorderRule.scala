@@ -1,0 +1,255 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Optimizer rule: STATISTICS-DRIVEN JOIN REORDER — the cost-based
+  * optimizer step built on the engine's own ANALYZE statistics (per-table
+  * row counts + per-column NDVs, the q239/q282/q283 family persisted into
+  * a planning registry). Where q291's planner picks the join order at
+  * DataFrame-construction time, this rule fixes the order the user
+  * actually WROTE: a left-deep chain of inner equi-joins whose dimensions
+  * are authored in a bad order is rewritten most-selective-first, exactly
+  * what Spark's own CBO (`spark.sql.cbo.enabled` + catalog ANALYZE) does
+  * for catalog tables — re-derived here for plain `spark.read.parquet`
+  * relations the catalog knows nothing about.
+  *
+  * Match shape (the star-join contract — the one reorder that needs no
+  * condition re-derivation): `Join(Join(Join(base, d1), d2), d3)` all
+  * Inner, all hint-free, where EVERY join condition references only the
+  * BASE's columns plus its own leg's columns. Under that guard any leg
+  * permutation is semantics-preserving by the commutativity of inner
+  * joins, and each condition stays valid at its new position because the
+  * base is always below it.
+  *
+  * Cost model: System-R — estimated post-filter rows = rows(leaf) ×
+  * Π 1/ndv(col) over the leg's `col = literal` conjuncts with a
+  * registered NDV (unknown columns contribute selectivity 1; a leg whose
+  * LEAF has no registered statistics declines the whole reorder — a
+  * half-informed permutation could be worse than the author's). Exact
+  * integer arithmetic (rows·10⁶ ÷ Πndv in BigInt), ties broken by leaf
+  * file name then authored position, so the decision is deterministic
+  * and an SQL oracle can recompute it (q294 grades exactly that).
+  *
+  * Guards, each declining (never failing): non-Inner or hinted joins
+  * (explicit hints outrank statistics); conditions spanning two legs
+  * (snowflake — permutation unsafe); unregistered leaves; an already
+  * sorted chain (fixed-point safety: the rebuilt chain re-matches, finds
+  * itself sorted, and declines — convergence by construction). The
+  * rebuilt tree is wrapped in a `Project` restoring the original column
+  * order, since permuting legs permutes `Join.output`.
+  *
+  * Registrations are SESSION-KEYED (the SkippingIndexRule discipline).
+  * At 100 TB: ANALYZE is one aggregate per table, amortized across every
+  * query that joins it; the reorder decision is O(legs·log legs) driver
+  * arithmetic at plan time. `RulesSpec` pins the reorder, the decline
+  * paths, and result equality; q294 hash-grades the decision cross-engine.
+  */
+class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import JoinReorderRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformDown {
+      case j @ InnerChain(base, legs) if legs.length >= 2 =>
+        reorder(j, base, legs).getOrElse(j)
+    }
+  }
+
+  private def reorder(j: LogicalPlan, base: LogicalPlan,
+      legs: Seq[(LogicalPlan, Expression)]): Option[LogicalPlan] = {
+    // every condition must bind base + its own leg only
+    val baseOut = base.outputSet
+    if (!legs.forall { case (leg, cond) =>
+        cond.references.subsetOf(baseOut ++ leg.outputSet) }) return None
+    val estimated = legs.zipWithIndex.map { case ((leg, cond), i) =>
+      estimate(leg).map { case (rows, name) => (leg, cond, rows, name, i) }
+    }
+    if (estimated.exists(_.isEmpty)) return None
+    val ordered = estimated.flatten.sortBy { case (_, _, rows, name, i) =>
+      (rows, name, i)
+    }
+    if (ordered.map(_._5) == legs.indices) return None // already optimal
+    val rebuilt = ordered.foldLeft(base) { case (acc, (leg, cond, _, _, _)) =>
+      Join(acc, leg, Inner, Some(cond), JoinHint.NONE)
+    }
+    Some(Project(j.output, rebuilt))
+  }
+
+  /** (estimated post-filter rows ×10⁶, leaf file name) for a leg that is
+    * Project/Filter nodes over exactly one REGISTERED file relation. */
+  private def estimate(leg: LogicalPlan): Option[(BigInt, String)] = {
+    val leaves = leg.collect { case r: LogicalRelation => r }
+    if (leaves.length != 1) return None
+    val fsRel = leaves.head.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    val roots = fsRel.location.rootPaths
+    if (roots.length != 1) return None
+    val path = roots.head.toString
+    val st = registry.get(keyOf(session, path))
+      .filter(_.ownedBy(session)).getOrElse(return None)
+    val eqCols = leg.collect { case Filter(cond, _) => cond }
+      .flatMap(conjuncts)
+      .collect {
+        case EqualTo(a: Attribute, _: Literal) => a.name
+        case EqualTo(_: Literal, a: Attribute) => a.name
+      }
+    val divisor = eqCols.flatMap(st.ndv.get).map(BigInt(_))
+      .foldLeft(BigInt(1))(_ * _)
+    val est = (BigInt(st.rows) * 1000000) / divisor.max(1)
+    Some((est, roots.head.getName))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+object JoinReorderRule {
+
+  /** Peels a left-deep chain of hint-free inner equi-joins into
+    * (base, legs-in-authored-order). Attribute-only Projects BETWEEN the
+    * joins (ColumnPruning's inserts) are looked through: they only narrow
+    * columns, never rows, so dropping them is safe — the rebuilt chain's
+    * wider intermediate outputs are re-pruned by the next ColumnPruning
+    * pass, and the rule's top-level Project restores the original output. */
+  private object InnerChain {
+    def unapply(plan: LogicalPlan): Option[(LogicalPlan, Seq[(LogicalPlan, Expression)])] =
+      plan match {
+        case j: Join =>
+          def peel(p: LogicalPlan,
+              acc: List[(LogicalPlan, Expression)]): (LogicalPlan, List[(LogicalPlan, Expression)]) =
+            p match {
+              case Join(l, r, Inner, Some(c), hint) if hint == JoinHint.NONE =>
+                peel(l, (r, c) :: acc)
+              case Project(es, child)
+                  if acc.nonEmpty && es.forall(_.isInstanceOf[Attribute]) =>
+                peel(child, acc)
+              case other => (other, acc)
+            }
+          val (base, legs) = peel(j, Nil)
+          if (legs.length >= 2) Some((base, legs)) else None
+        case _ => None
+      }
+  }
+
+  private final case class Stats(rows: Long, ndv: Map[String, Long],
+      owner: java.lang.ref.WeakReference[SparkSession]) {
+    def ownedBy(s: SparkSession): Boolean = owner.get() eq s
+  }
+
+  private val registry = TrieMap.empty[String, Stats]
+
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def keyOf(spark: SparkSession, qualifiedPath: String): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString) + "|" + qualifiedPath
+
+  private def qualified(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** ANALYZE: one aggregate over the table at `dir` — row count + exact
+    * NDV per named column — registered for this session's planner. At
+    * warehouse scale the exact count-distinct drops in for q47's HLL
+    * sketch; the registry shape doesn't change. */
+  def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+    val df = spark.read.parquet(dir)
+    val aggs = count(lit(1)).as("_rows") +:
+      cols.map(c => countDistinct(col(c)).as(s"_ndv_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv = cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }
+    registry.put(keyOf(spark, qualified(spark, dir)),
+      Stats(r.getLong(0), ndv.toMap,
+        new java.lang.ref.WeakReference(spark)))
+  }
+
+  def drop(spark: SparkSession, dir: String): Unit =
+    registry.remove(keyOf(spark, qualified(spark, dir)))
+  def clear(): Unit = registry.clear()
+
+  // ---- persistence: ANALYZE once, reuse across processes -------------------
+  //
+  // The SkippingIndexRule sidecar lifecycle applied to planner statistics:
+  // `save` writes this session's (rows, ndv) for a table into an
+  // underscore-prefixed sidecar beside the data (ignored by scans), with a
+  // fingerprint of the table's data files at ANALYZE time; `attach`
+  // re-enters them in a new process WITHOUT re-scanning — and DECLINES if
+  // any data file changed since (stale statistics reorder on lies; a
+  // declined attach merely keeps the authored join order, never wrongness
+  // — but the contract is the same as the index rule's: never consult
+  // statistics the data has outgrown).
+
+  private def sidecar(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + "_graft_stats")
+
+  /** (file count, total bytes, max mtime) over the table's data files —
+    * the staleness fingerprint. */
+  private def fingerprint(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L; var mt = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += f.getLen; mt = math.max(mt, f.getModificationTime)
+      }
+    }
+    (n, bytes, mt)
+  }
+
+  /** Persist this session's registration for `dir`. Returns true if one
+    * existed to save. */
+  def save(spark: SparkSession, dir: String): Boolean = {
+    val st = registry.get(keyOf(spark, qualified(spark, dir)))
+      .filter(_.ownedBy(spark)).getOrElse(return false)
+    import spark.implicits._
+    val (fn, fb, fm) = fingerprint(spark, dir)
+    val rows = st.ndv.toSeq.map { case (c, n) =>
+      (st.rows, c, n, fn, fb, fm)
+    } match {
+      case Nil => Seq((st.rows, "", -1L, fn, fb, fm)) // ndv-less table
+      case s => s
+    }
+    rows.toDF("rows", "col", "ndv", "f_n", "f_bytes", "f_mtime")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(sidecar(dir).toString)
+    true
+  }
+
+  /** Re-enter persisted statistics for `dir` into THIS session's registry;
+    * declines (returns false) when no sidecar exists or the table's data
+    * files changed since ANALYZE. */
+  def attach(spark: SparkSession, dir: String): Boolean = {
+    val sc = sidecar(dir)
+    val fs = sc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sc)) return false
+    val rows = spark.read.parquet(sc.toString).collect()
+    if (rows.isEmpty) return false
+    val saved = (rows.head.getLong(3), rows.head.getLong(4), rows.head.getLong(5))
+    if (saved != fingerprint(spark, dir)) return false // data moved on
+    val ndv = rows.filter(_.getLong(2) >= 0)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    registry.put(keyOf(spark, qualified(spark, dir)),
+      Stats(rows.head.getLong(0), ndv,
+        new java.lang.ref.WeakReference(spark)))
+    true
+  }
+}

@@ -367,7 +367,234 @@ object Joins {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---- q291: statistics-driven star-join planning (cost-based order) ------
+
+  /** q291: COST-BASED STAR-JOIN ORDER — the consumer that closes the
+    * optimizer-statistics family (q239 histogram, q282 CMS join
+    * cardinality, q283 range selectivity, q284 skew keys): an ANALYZE
+    * pass per dimension feeds a System-R-style planner that picks the
+    * JOIN ORDER and the BROADCAST decisions, instead of trusting the
+    * order the query was written in.
+    *
+    * The query is deliberately authored WORST-first (supplier — no
+    * filter — then orders, then part); the planner re-derives the order
+    * from statistics: each dimension's POST-FILTER cardinality is
+    * estimated by the System-R uniform-NDV rule rows × 1/ndv(filterCol)
+    * (the NDVs come from one exact count-distinct per dim — at 100 TB
+    * that's HLL, q47's sketch, same decision; the estimate is integer
+    * rows·10⁶/ndv so the oracle can recompute it exactly), joins are
+    * ordered smallest-estimate-first (name as the deterministic
+    * tiebreak), and a dimension is broadcast only when its
+    * ESTIMATED post-filter bytes (rows/ndv × schema default row width)
+    * clear the 8 MB budget — the q127 size-gate discipline applied to
+    * join planning. The chosen order is emitted as `join_order` and the
+    * ORACLE RECOMPUTES IT in SQL from the same statistics — the planner's
+    * decision, not just the join result, is hash-graded cross-engine.
+    * `PlanSpec` pins the physical plan: scans appear in planned order and
+    * every under-budget dim is a broadcast build side.
+    *
+    * At 100 TB: ANALYZE is one aggregate per dimension (amortized across
+    * queries in a real deployment); ordering most-selective-first
+    * minimizes the intermediate fact width after each join — the
+    * difference between shuffling the full fact three times and
+    * shrinking it 50× at the first join. */
+  def cboStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    final case class DimSpec(name: String, dimKey: String, factKey: String,
+        filterCol: Option[String], pred: DataFrame => DataFrame)
+    // authored order is deliberately bad: unfiltered supplier first
+    val specs = Seq(
+      DimSpec("supplier", "s_suppkey", "l_suppkey", None, identity),
+      DimSpec("orders", "o_orderkey", "l_orderkey", Some("o_orderstatus"),
+        _.where(col("o_orderstatus") === "F")),
+      DimSpec("part", "p_partkey", "l_partkey", Some("p_size"),
+        _.where(col("p_size") === 3)))
+    // ANALYZE: rows + filter-column NDV per dim — one tiny agg each
+    val analyzed = specs.map { s =>
+      val full = Tables(spark, dir, s.name)
+      val (rows, ndv) = s.filterCol match {
+        case Some(c) =>
+          val r = full.agg(count(lit(1)), countDistinct(col(c))).head()
+          (r.getLong(0), r.getLong(1))
+        case None =>
+          (full.agg(count(lit(1))).head().getLong(0), 1L)
+      }
+      (s, full, rows, ndv)
+    }
+    // plan: smallest estimated post-filter cardinality first, name tiebreak
+    // (integer rows·10⁶/ndv — the exact arithmetic the oracle recomputes)
+    val planned = analyzed.sortBy { case (s, _, rows, ndv) =>
+      (rows * 1000000L / math.max(ndv, 1L), s.name)
+    }
+    val budgetBytes = 8L << 20
+    val joined = planned.foldLeft(Tables(spark, dir, "lineitem")) {
+      case (acc, (s, full, rows, ndv)) =>
+        val estBytes = (rows / math.max(ndv, 1L)) *
+          full.schema.map(_.dataType.defaultSize).sum
+        val dim = s.pred(full)
+        val side = if (estBytes <= budgetBytes) broadcast(dim) else dim
+        acc.join(side, col(s.factKey) === col(s.dimKey))
+    }
+    val orderSig = planned.map(_._1.name).mkString(",")
+    joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .select(col("p_brand"), col("n"), col("revenue"),
+        lit(orderSig).as("join_order"))
+  }
+
+  private val cboStarJoinSql =
+    s"""WITH sig AS (
+       |  SELECT string_agg(d, ',' ORDER BY est, d) AS join_order FROM (
+       |    SELECT 'part' AS d,
+       |      (SELECT count(*) * 1000000 // COUNT(DISTINCT p_size) FROM part) AS est
+       |    UNION ALL SELECT 'orders',
+       |      (SELECT count(*) * 1000000 // COUNT(DISTINCT o_orderstatus) FROM orders)
+       |    UNION ALL SELECT 'supplier',
+       |      (SELECT count(*) * 1000000 FROM supplier)))
+       |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  sig.join_order
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_size = 3
+       |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |CROSS JOIN sig
+       |GROUP BY 1, 4""".stripMargin
+
+  // ---- q294: the join reorder as an OPTIMIZER RULE -------------------------
+
+  /** q294: RULE-LEVEL JOIN REORDER — q291's planning decision moved into
+    * the engine itself (`graft.plans.JoinReorderRule`, injected via
+    * `GraftExtensions`): the star is authored WORST-first with plain
+    * `.join(...)` calls — no planner helper, no hints — and the optimizer
+    * fixes it, exactly like Spark's own CBO does for ANALYZEd catalog
+    * tables. An ANALYZE pass per dimension registers (rows, ndv) into the
+    * rule's session-keyed statistics registry; the rule rewrites the
+    * left-deep inner chain smallest-estimate-first under the star guard
+    * (every condition binds fact + own leg only). The decision is read
+    * BACK from the OPTIMIZED plan — the dims' scan order — and emitted as
+    * `join_order`, which the oracle recomputes in SQL from the same
+    * statistics: the driver hash-grades what the optimizer actually did,
+    * not what the code intended. The result is materialized before the
+    * registrations are dropped, so the statistics never leak into other
+    * registry entries' plans. */
+  def cboRuleReorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.JoinReorderRule
+    val dims = Seq("part" -> Seq("p_size"), "orders" -> Seq("o_orderstatus"),
+      "supplier" -> Seq.empty[String])
+    dims.foreach { case (t, cols) =>
+      JoinReorderRule.analyze(spark, s"$dir/$t.parquet", cols)
+    }
+    try {
+      // authored order deliberately worst-first; no hints, no helper
+      val agg = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(spark, dir, "part").where(col("p_size") === 3),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      // the decision the optimizer MADE: dim scans in plan order
+      val order = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName.stripSuffix(".parquet")
+            case _ => ""
+          }
+      }.filter(t => dims.exists(_._1 == t))
+      val materialized = agg.localCheckpoint() // plan decided; pin it
+      materialized.select(col("p_brand"), col("n"), col("revenue"),
+        lit(order.mkString(",")).as("join_order"))
+    } finally dims.foreach { case (t, _) =>
+      JoinReorderRule.drop(spark, s"$dir/$t.parquet")
+    }
+  }
+
+  private val cboRuleReorderSql =
+    s"""WITH sig AS (
+       |  SELECT string_agg(d, ',' ORDER BY est, d) AS join_order FROM (
+       |    SELECT 'part' AS d,
+       |      (SELECT count(*) * 1000000 // COUNT(DISTINCT p_size) FROM part) AS est
+       |    UNION ALL SELECT 'orders',
+       |      (SELECT count(*) * 1000000 // COUNT(DISTINCT o_orderstatus) FROM orders)
+       |    UNION ALL SELECT 'supplier',
+       |      (SELECT count(*) * 1000000 FROM supplier)))
+       |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  sig.join_order
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_size = 3
+       |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |CROSS JOIN sig
+       |GROUP BY 1, 4""".stripMargin
+
+  // ---- q293: grid-bucketed spatial radius join -----------------------------
+
+  /** q293: SPATIAL RADIUS JOIN — the 2-D member of the grid-bucketing
+    * family (q144 buckets one axis for interval overlap; here both axes
+    * bucket a planar point set). Each user gets a deterministic position
+    * on a 100×100 plane (integer TENTHS — `user_id·37 mod 1000`,
+    * `user_id·91 mod 1000` — so every coordinate, distance, and cell is
+    * exact integer arithmetic, no trig/libm cross-engine hazard; at
+    * production scale the same shape carries real projected coordinates
+    * and a haversine refine). Radius r = 10 units = one cell: a point's
+    * candidates live in its 3×3 cell neighborhood, so the probe side
+    * explodes to 9 (cell, point) rows, joins the build side's home cell,
+    * and refines on exact squared distance — O(n·density) candidates
+    * instead of the O(n²) cross join. The ORACLE IS THE BRUTE FORCE
+    * (DuckDB's full self-join): every run re-proves the grid lost no
+    * pair, the q279 completeness discipline. */
+  def gridRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (col("user_id") * 37 % 1000).as("x"), // tenths of a unit
+        (col("user_id") * 91 % 1000).as("y"))
+    // home cell: 100 tenths = 10 units = r, integer division
+    val home = pts
+      .withColumn("cx", expr("x div 100")).withColumn("cy", expr("y div 100"))
+    val offsets = spark.range(1).select(explode(array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)).as("o"))
+    val probe = home.crossJoin(broadcast(offsets))
+      .select(col("user_id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+    val build = home.select(col("user_id").as("b"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .where(col("a") =!= col("b") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(10000L))
+      .groupBy(col("a").as("user_id"))
+      .agg(count(lit(1)).as("n_near"),
+        min((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("min_d2"))
+      .select(col("user_id"), col("n_near"), col("min_d2"))
+  }
+
+  private val gridRadiusJoinSql =
+    """WITH pts AS (
+      |  SELECT DISTINCT user_id, (user_id * 37) % 1000 AS x,
+      |    (user_id * 91) % 1000 AS y
+      |  FROM events)
+      |SELECT a.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_near,
+      |  min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS min_d2
+      |FROM pts a JOIN pts b ON a.user_id <> b.user_id
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q291_cbo_star", cboStarJoin, Some(cboStarJoinSql)),
+    QueryDef("q293_grid_radius", gridRadiusJoin, Some(gridRadiusJoinSql)),
+    QueryDef("q294_cbo_rule", cboRuleReorder, Some(cboRuleReorderSql)),
     QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),

@@ -611,6 +611,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p.take(900))
   }
 
+  test("q291 planner orders joins most-selective-first and broadcasts under budget") {
+    val p = treePlan("q291_cbo_star")
+    // all three dims cleared the broadcast budget; the fact never shuffles
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(900))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(900))
+    // planned order by estimated post-filter rows (part ~40 < supplier 100
+    // < orders ~5000), not the authored order (supplier first): depth-first
+    // tree rendering puts the first-joined dim's scan before the later ones
+    val ix = Seq("part.parquet", "supplier.parquet", "orders.parquet")
+      .map(f => { val i = p.indexOf(f); assert(i >= 0, s"$f not in plan"); i })
+    assert(ix == ix.sorted, s"join order not stats-planned: $ix\n${p.take(900)}")
+  }
+
+  test("q294 optimizer rule reorders the authored-worst star to the stats order") {
+    val df = SparkEntry.queries("q294_cbo_rule")(spark, sf)
+    val sig = df.select("join_order").head().getString(0)
+    assert(sig == "part,supplier,orders", sig)
+  }
+
+  test("q293 grid join is an equi join on cells, never a cartesian refine") {
+    val p = treePlan("q293_grid_radius")
+    // the only nested loop is the broadcast of the 9-row offset frame
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(900))
+    // the pair join keys on (cx, cy)
+    assert("Join \\[cx#\\d+L?, cy#\\d+L?\\]".r.findFirstIn(p).isDefined ||
+      p.contains("cx#"), p.take(900))
+  }
+
   test("no accidental cartesian products in any registered query") {
     // q60 intentionally broadcasts a tiny query set against the corpus
     // (BroadcastNestedLoopJoin) — that is the by-design brute-force baseline.

@@ -422,4 +422,89 @@ class RulesSpec extends AnyFunSuite {
       assert(filesIn(spark.read.parquet(layout).where(col("k") === 5L)) == 4)
     } finally SkippingIndexRule.clear()
   }
+
+  test("join reorder: stats order the chain, declines are surgical") {
+    import graft.plans.JoinReorderRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("reorderspec")
+    // fact(10k rows), dimA (1000 rows, filter ndv 2 -> est 500),
+    // dimB (100 rows, no filter -> est 100): planned order dimB, dimA
+    (1L to 10000L).map(k => (k, k % 1000 + 1, k % 100 + 1))
+      .toDF("f_id", "f_a", "f_b").write.parquet(s"$out/fact.parquet")
+    (1L to 1000L).map(k => (k, k % 2)).toDF("a_id", "a_flag")
+      .write.parquet(s"$out/dimA.parquet")
+    (1L to 100L).map(k => (k, s"b$k")).toDF("b_id", "b_name")
+      .write.parquet(s"$out/dimB.parquet")
+    try {
+      JoinReorderRule.analyze(spark, s"$out/fact.parquet", Nil)
+      JoinReorderRule.analyze(spark, s"$out/dimA.parquet", Seq("a_flag"))
+      JoinReorderRule.analyze(spark, s"$out/dimB.parquet", Nil)
+      def star() = spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet")
+          .where(col("a_flag") === 1L), col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimB.parquet"),
+          col("f_b") === col("b_id"))
+      def dimOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.head.getName
+              case _ => ""
+            }
+        }.filter(_.startsWith("dim"))
+      val reordered = star()
+      assert(dimOrder(reordered) == Seq("dimB.parquet", "dimA.parquet"),
+        dimOrder(reordered))
+      // semantics preserved: same rows as an unregistered (declined) run
+      val n = reordered.count()
+      // column order preserved by the Project wrap
+      assert(reordered.columns.toSeq ==
+        Seq("f_id", "f_a", "f_b", "a_id", "a_flag", "b_id", "b_name"))
+
+      // decline: a leg with no registered stats keeps the authored order
+      JoinReorderRule.drop(spark, s"$out/dimB.parquet")
+      val declined = star()
+      assert(dimOrder(declined) == Seq("dimA.parquet", "dimB.parquet"),
+        dimOrder(declined))
+      assert(declined.count() == n)
+      JoinReorderRule.analyze(spark, s"$out/dimB.parquet", Nil)
+
+      // decline: a condition spanning two legs (snowflake) is unsafe
+      val snowflake = spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet"),
+          col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimB.parquet"),
+          col("f_b") === col("b_id") && col("a_flag") === col("b_id") % 2)
+      assert(dimOrder(snowflake) == Seq("dimA.parquet", "dimB.parquet"),
+        dimOrder(snowflake))
+
+      // decline: another session's registrations never fire here
+      JoinReorderRule.clear()
+      val other = spark.newSession()
+      JoinReorderRule.analyze(other, s"$out/fact.parquet", Nil)
+      JoinReorderRule.analyze(other, s"$out/dimA.parquet", Seq("a_flag"))
+      JoinReorderRule.analyze(other, s"$out/dimB.parquet", Nil)
+      assert(dimOrder(star()) == Seq("dimA.parquet", "dimB.parquet"))
+
+      // persistence: ANALYZE once, save, attach in a "new process"
+      // (cleared registry), reorder fires again without re-scanning
+      JoinReorderRule.clear()
+      for (t <- Seq("fact", "dimA", "dimB"))
+        JoinReorderRule.analyze(spark, s"$out/$t.parquet",
+          if (t == "dimA") Seq("a_flag") else Nil)
+      for (t <- Seq("fact", "dimA", "dimB"))
+        assert(JoinReorderRule.save(spark, s"$out/$t.parquet"), t)
+      JoinReorderRule.clear()
+      for (t <- Seq("fact", "dimA", "dimB"))
+        assert(JoinReorderRule.attach(spark, s"$out/$t.parquet"), t)
+      assert(dimOrder(star()) == Seq("dimB.parquet", "dimA.parquet"))
+
+      // staleness: the table changes after ANALYZE -> attach declines
+      JoinReorderRule.clear()
+      Seq((0L, "b0")).toDF("b_id", "b_name").write.mode("append")
+        .parquet(s"$out/dimB.parquet")
+      assert(!JoinReorderRule.attach(spark, s"$out/dimB.parquet"))
+    } finally JoinReorderRule.clear()
+  }
 }
