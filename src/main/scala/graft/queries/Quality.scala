@@ -1103,7 +1103,137 @@ object Quality {
       |      // (pos_total::HUGEINT * cum_docs) AS BIGINT) END AS lift_ppm
       |FROM c""".stripMargin
 
+  // ---- q295: OLS trend fit (closed form, exact sufficient statistics) -----
+
+  /** q295: ORDINARY LEAST SQUARES — the regression member of the
+    * evaluation family (q274-q278 grade classifiers; nothing graded a
+    * continuous fit): slope/intercept/R² of the daily event count against
+    * the day index, by the closed-form normal equations. All sufficient
+    * statistics (n, Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums in
+    * DECIMAL(38,0) — one aggregate over the day-grain series — and every
+    * emitted double is a fixed chain of IEEE ops on exact operands,
+    * written identically in both engines (slope = num/den; R² =
+    * (num/den)·(num/denY), the two-quotient form that avoids squaring a
+    * DECIMAL(38,0) near its precision cap). This is the map-side-combine
+    * regression: at 100 TB the six sums are the only state, merged
+    * associatively — the same shape MLlib's summarizers use. */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .select(datediff(col("d"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"),
+        col("y"))
+    daily.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+      .select(col("n").as("n_days"),
+        (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"), col("n"))
+      .select(col("n_days"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"),
+        ((col("sy").cast("double") -
+          (col("num").cast("double") / col("den").cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"),
+        ((col("num").cast("double") / col("den").cast("double"))
+          * (col("num").cast("double") / col("deny").cast("double")))
+          .as("r2"))
+  }
+
+  private val olsTrendSql =
+    """WITH daily AS (
+      |  SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS x,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT count(*) AS n, sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+      |    sum(x::HUGEINT * y) AS sxy
+      |  FROM daily),
+      |c AS (
+      |  SELECT n, n::HUGEINT * sxy - sx * sy AS num,
+      |    n::HUGEINT * sxx - sx * sx AS den,
+      |    n::HUGEINT * syy - sy * sy AS deny, sx, sy
+      |  FROM s)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |    * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) AS r2
+      |FROM c""".stripMargin
+
+  // ---- q296: two-sample Kolmogorov-Smirnov statistic (exact) ---------------
+
+  /** q296: TWO-SAMPLE KS — the distribution-drift test that needs no
+    * binning (the q211 TV divergence bins; KS compares the full empirical
+    * CDFs): D = max over observed values of |F₁(v) − F₂(v)| between the
+    * click and view value samples. Exact by clearing denominators:
+    * D = max |c₁·n₂ − c₂·n₁| / (n₁·n₂), where the cumulative counts come
+    * from one window over the per-cent value grain — the max is found on
+    * the INTEGER numerator, so no double comparison ever decides the
+    * result; the emitted d is one division of exact integers. The window
+    * runs on the distinct-cents grain (≤ 100k rows at any corpus size —
+    * value is a bounded 2-dp measure), not the event grain. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+    val byV = ev.groupBy(col("v"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+    val dec = DecimalType(38, 0)
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val whole = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byV
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("n1", sum(col("a")).over(whole))
+      .withColumn("n2", sum(col("b")).over(whole))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("ca").cast(dec) * col("n2") -
+          col("cb").cast(dec) * col("n1"))).as("d_num_d"))
+      .select(col("n1"), col("n2"),
+        col("d_num_d").cast("long").as("d_num"),
+        (col("d_num_d").cast("double") /
+          (col("n1").cast(dec) * col("n2")).cast("double")).as("d"))
+  }
+
+  private val ksTestSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |byv AS (
+      |  SELECT v,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS b
+      |  FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT
+      |    sum(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+      |    sum(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+      |    sum(a) OVER () AS n1, sum(b) OVER () AS n2
+      |  FROM byv)
+      |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+      |  CAST(max(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+      |  CAST(max(abs(ca * n2 - cb * n1)) AS DOUBLE)
+      |    / CAST(max(n1) * max(n2) AS DOUBLE) AS d
+      |FROM c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q295_ols_trend", olsTrend, Some(olsTrendSql)),
+    QueryDef("q296_ks_test", ksTest, Some(ksTestSql)),
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
     QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)),

@@ -769,7 +769,77 @@ object TimeSeries {
       |  max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS hi
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q292: additive seasonal decomposition ------------------------------
+
+  /** q292: SEASONAL DECOMPOSITION — the classical additive split of the
+    * daily event series into trend + weekly seasonality + residual
+    * (capacity planning / anomaly baselining: "is Monday's dip seasonal
+    * or real?"). Trend = centered 7-row moving average (full windows
+    * only); seasonal = the per-day-of-week mean of the detrended series;
+    * residual = observed − trend − seasonal.
+    *
+    * Cross-engine exactness: every division operates on EXACT integer
+    * sums — trend is Σn/7.0, and the per-dow seasonal mean avg(n − S₇/7)
+    * is algebraically rewritten to Σn/cnt − ΣS₇/(7·cnt), so no
+    * order-sensitive double accumulation exists anywhere; the residual is
+    * then a fixed per-row chain of three IEEE ops written identically in
+    * both engines. Day-of-week is epoch-day mod 7 (engine-neutral — the
+    * engines disagree on dayofweek() numbering).
+    *
+    * At 100 TB: the global window runs on the DAY-GRAIN series — the
+    * |days|-row output of the first aggregate, planning-scale no matter
+    * the corpus size — so the single-partition window is a deliberate,
+    * safe choice (the fact scan itself shuffles once, on the day key). */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val f = daily
+      .withColumn("s7", sum(col("n")).over(w))
+      .withColumn("c7", count(lit(1)).over(w))
+      .where(col("c7") === 7)
+      .withColumn("dow",
+        datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))) % 7)
+    val seas = f.groupBy(col("dow"))
+      .agg((sum(col("n")).cast("double") / count(lit(1)) -
+        sum(col("s7")).cast("double") / (count(lit(1)) * lit(7L)))
+        .as("seasonal"))
+    f.join(broadcast(seas), Seq("dow")) // ≤7 rows
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day_s"), col("n"),
+        (col("s7").cast("double") / lit(7.0)).as("trend"), col("seasonal"),
+        ((col("n").cast("double") - col("s7").cast("double") / lit(7.0))
+          - col("seasonal")).as("residual"))
+  }
+
+  private val seasonalDecompSql =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT d, n,
+      |    CAST(sum(n) OVER (ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+      |    count(*) OVER (ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      |  FROM daily),
+      |f AS (
+      |  SELECT d, n, s7, (d - DATE '1970-01-01') % 7 AS dow
+      |  FROM w WHERE c7 = 7),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(sum(n) AS DOUBLE) / count(*)
+      |      - CAST(sum(s7) AS DOUBLE) / (count(*) * 7) AS seasonal
+      |  FROM f GROUP BY 1)
+      |SELECT strftime(f.d, '%Y-%m-%d') AS day_s, f.n,
+      |  CAST(f.s7 AS DOUBLE) / 7.0 AS trend, seas.seasonal,
+      |  (CAST(f.n AS DOUBLE) - CAST(f.s7 AS DOUBLE) / 7.0) - seas.seasonal
+      |    AS residual
+      |FROM f JOIN seas ON f.dow = seas.dow""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q292_seasonal_decomp", seasonalDecomp, Some(seasonalDecompSql)),
     QueryDef("q272_boxplot_series", boxplotSeries, Some(boxplotSeriesSql)),
     QueryDef("q268_hour_profile", hourProfile, Some(hourProfileSql)),
     QueryDef("q265_interval_union", intervalUnion, Some(intervalUnionSql)),

@@ -83,9 +83,11 @@ class ZorderSpec extends AnyFunSuite {
     * unique, values 2-dp. */
   private def stageEvents(): String = {
     val d = java.nio.file.Files.createTempDirectory("skipspec")
+    // 16 distinct days: zoneSkip/indexedAttach REQUIRE the corpus to cover
+    // their fixed day offsets (11th/16th) instead of silently degrading
     val rows = (0L until 400L).map { i =>
       (i, java.sql.Timestamp.valueOf(
-        f"2024-02-${(i % 4) + 1}%02d ${i % 24}%02d:00:00"),
+        f"2024-02-${(i % 16) + 1}%02d ${i % 24}%02d:00:00"),
         i % 7, s"t${i % 3}", (i % 100) / 4.0)
     }
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -96,13 +98,12 @@ class ZorderSpec extends AnyFunSuite {
 
   test("q224 zone-map skip prunes files and loses no rows") {
     val dir = stageEvents()
-    // staged corpus has 4 distinct days; the query day is the 11th at
-    // driver scale but limit(11).last degrades to the LAST day here —
-    // still a 1-day predicate against an 8-file ts-ranged layout
+    // query day = the 11th distinct day (2024-02-11): a 1-day predicate
+    // against an 8-file ts-ranged layout
     val got = Layout.zoneSkip(spark, dir)
     assert(got.where(!$"pruned").isEmpty, "zone map must prune files")
     val expected = graft.Tables(spark, dir, "events")
-      .where(date_format($"ts", "yyyy-MM-dd") === "2024-02-04")
+      .where(date_format($"ts", "yyyy-MM-dd") === "2024-02-11")
       .groupBy($"event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val gotMap = got.select($"event_type", $"n").collect()
