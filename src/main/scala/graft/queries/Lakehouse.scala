@@ -85,6 +85,11 @@ object Lakehouse {
   private def normName(s: String): String =
     new org.apache.hadoop.fs.Path(s).getName
 
+  /** `input_file_name()` reports `file:` URIs while manifests carry plain
+    * paths — normalize both to the URI path for set comparisons. */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
   /** Apply a copy-on-write rewrite: replace `affected` files with
     * `newContent` (staged off the table first), append `extra` rows as
     * new files, and return (pruned, historyUntouched). */
@@ -352,8 +357,326 @@ object Lakehouse {
        |  TRUE AS three_batches
        |FROM fin GROUP BY 1""".stripMargin
 
+  // ---- q301/q302/q303: the SNAPSHOT layer over copy-on-write ---------------
+  //
+  // q288-q290 mutate a bare directory — correct under the single-writer
+  // contract but with a documented read-consistency window. The
+  // SnapshotStore closes it: rewrites APPEND new files and publish an
+  // atomic versioned manifest; old versions stay readable (time travel),
+  // racing writers conflict instead of clobbering (LakehouseSpec), vacuum
+  // GCs what no retained version references, and a manifest DIFF yields
+  // the change feed without reading unchanged files.
+
+  import graft.sources.SnapshotStore
+
+  /** Builds the versioned store: v1 = orders clustered 8 ways; v2 = the
+    * q288-model MERGE (update/delete/insert on the [max/2, +max/10]
+    * decile); v3 = the q289-model range DELETE ([max/10, +max/20]).
+    * Returns (root, mx, prunedA, prunedB). */
+  private def buildVersionedStore(spark: SparkSession,
+      dir: String): (String, Long, Boolean, Boolean) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_snap")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val root = s"$out/table"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = Tables(spark, dir, "orders")
+      .repartitionByRange(8, col("o_orderkey"))
+    val v1Files = SnapshotStore.writeData(spark, root, base, "base")
+    SnapshotStore.commit(spark, root, v1Files, 0)
+
+    def zonesOf(fl: Seq[String]) = spark.read.parquet(fl: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+    def affectedOf(fl: Seq[String], keys: DataFrame): Seq[String] =
+      keys.toDF("k").join(broadcast(zonesOf(fl)),
+          col("k") >= col("lo") && col("k") <= col("hi"))
+        .select(col("file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSeq
+
+    // ---- v2: three-way MERGE, copy-on-write, append-only ----
+    val t1 = SnapshotStore.read(spark, root)
+    val mx = t1.agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = mx / 2; val hi = lo + mx / 10
+    val inRange = t1.where(col("o_orderkey").between(lo, hi)).localCheckpoint()
+    val updKeys = inRange.where(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
+    val delKeys = inRange.where(col("o_orderkey") % 3 === 1).select(col("o_orderkey"))
+    val inserts = inRange.where(col("o_orderkey") % 3 === 2)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val v1List = SnapshotStore.files(spark, root, 1).map(normPath)
+    val affectedA = affectedOf(v1List, updKeys.union(delKeys))
+    val mergedA = spark.read.parquet(affectedA: _*)
+      .join(updKeys.withColumnRenamed("o_orderkey", "uk"),
+        col("o_orderkey") === col("uk"), "left")
+      .join(delKeys.withColumnRenamed("o_orderkey", "dk"),
+        col("o_orderkey") === col("dk"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("uk").isNotNull, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"),
+        when(col("uk").isNotNull, lit("MERGED"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+      .unionByName(inserts)
+    val newA = SnapshotStore.writeData(spark, root, mergedA, "m1")
+    val prunedA = affectedA.nonEmpty && affectedA.size < v1List.size
+    SnapshotStore.commit(spark, root,
+      v1List.filterNot(affectedA.toSet) ++ newA, 1)
+
+    // ---- v3: range DELETE, copy-on-write, append-only ----
+    val lo2 = mx / 10; val hi2 = lo2 + mx / 20
+    val t2 = SnapshotStore.read(spark, root)
+    val v2List = SnapshotStore.files(spark, root, 2).map(normPath)
+    val affectedB = affectedOf(v2List,
+      t2.where(col("o_orderkey").between(lo2, hi2)).select(col("o_orderkey")))
+    val survivors = spark.read.parquet(affectedB: _*)
+      .where(!col("o_orderkey").between(lo2, hi2))
+    val newB = SnapshotStore.writeData(spark, root, survivors, "m2")
+    val prunedB = affectedB.nonEmpty && affectedB.size < v2List.size
+    SnapshotStore.commit(spark, root,
+      v2List.filterNot(affectedB.toSet) ++ newB, 2)
+    (root, mx, prunedA, prunedB)
+  }
+
+  /** q301: SNAPSHOT COMMIT + TIME TRAVEL — two copy-on-write mutations
+    * publish v2 and v3 through atomic manifests; all three versions are
+    * then read back and aggregated IN ONE RESULT, so the oracle (the
+    * three stages recomputed in SQL) grades that v1 and v2 still
+    * reproduce their exact historical content after later rewrites —
+    * time travel, the property the manifest-less q288 cannot offer. */
+  def snapshotTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, prunedA, prunedB) = buildVersionedStore(spark, dir)
+    (1 to 3).map { v =>
+      SnapshotStore.read(spark, root, v)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"))
+        .select(lit(v.toLong).as("version"), col("o_orderstatus"), col("n"),
+          col("total_price"))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("o_orderstatus"), col("n"),
+        col("total_price"), lit(prunedA).as("pruned_a"),
+        lit(prunedB).as("pruned_b"))
+  }
+
+  /** The three stages in SQL: v1 = orders; v2 = the q288 merge model;
+    * v3 = v2 minus the delete range. */
+  private def stagesSql(select: String): String =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi,
+       |         (max(o_orderkey) // 10) AS lo2,
+       |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS hi2
+       |  FROM orders),
+       |upd AS (SELECT o_orderkey FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 0),
+       |del AS (SELECT o_orderkey FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 1),
+       |v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+       |         o_orderpriority AS prio FROM orders),
+       |v2 AS (
+       |  SELECT b.o_orderkey, b.o_orderstatus,
+       |    CASE WHEN u.o_orderkey IS NOT NULL THEN b.o_totalprice + 1.0
+       |         ELSE b.o_totalprice END AS price,
+       |    CASE WHEN u.o_orderkey IS NOT NULL THEN 'MERGED'
+       |         ELSE b.o_orderpriority END AS prio
+       |  FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = b.o_orderkey)
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, 'N', o_totalprice, o_orderpriority
+       |  FROM orders, rng
+       |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 2),
+       |v3 AS (SELECT v2.* FROM v2, rng
+       |       WHERE o_orderkey NOT BETWEEN lo2 AND hi2)
+       |$select""".stripMargin
+
+  private val snapshotTimeTravelSql = stagesSql(
+    s"""SELECT CAST(version AS BIGINT) AS version, o_orderstatus,
+       |  CAST(n AS BIGINT) AS n, total_price,
+       |  TRUE AS pruned_a, TRUE AS pruned_b
+       |FROM (
+       |  SELECT 1 AS version, o_orderstatus, count(*) AS n,
+       |    ${sqlSum2("price")} AS total_price FROM v1 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 2, o_orderstatus, count(*), ${sqlSum2("price")}
+       |  FROM v2 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 3, o_orderstatus, count(*), ${sqlSum2("price")}
+       |  FROM v3 GROUP BY 2) s""".stripMargin)
+
+  /** q302: SNAPSHOT VACUUM — retain only v3; the data files referenced
+    * solely by v1/v2 (the replaced originals) are deleted, the latest
+    * snapshot's content is untouched (the oracle re-proves it), and the
+    * on-disk file set collapses to exactly v3's manifest. The q218
+    * generation-GC reader-safety argument, applied to manifests. */
+  def snapshotVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (root, _, _, _) = buildVersionedStore(spark, dir)
+    val (removedFiles, removedVersions) =
+      SnapshotStore.vacuum(spark, root, keep = 1)
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet")).toSet
+    val liveList = SnapshotStore.files(spark, root)
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    SnapshotStore.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(removedVersions == Seq(1, 2)).as("expired_both"),
+        lit(removedFiles.nonEmpty).as("files_removed"),
+        lit(onDisk == liveList).as("disk_is_manifest"))
+  }
+
+  private val snapshotVacuumSql = stagesSql(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price, TRUE AS expired_both,
+       |  TRUE AS files_removed, TRUE AS disk_is_manifest
+       |FROM v3 GROUP BY 1""".stripMargin)
+
+  /** q303: CHANGE FEED from a manifest diff — the CDC the snapshot layer
+    * gives for free: v1→v2 changed rows are derived by full-outer-joining
+    * the REMOVED files' content (pre-images) against the ADDED files'
+    * content (post-images) on the key; unchanged rows carried along by
+    * the rewrite cancel out. Only the diffed files are ever read — at
+    * 100 TB the feed costs O(changed slice), never O(table). */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, _, _) = buildVersionedStore(spark, dir)
+    val v1 = SnapshotStore.files(spark, root, 1).map(normPath).toSet
+    val v2 = SnapshotStore.files(spark, root, 2).map(normPath).toSet
+    val pre = spark.read.parquet((v1 -- v2).toSeq: _*)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("pre_price"),
+        col("o_orderpriority").as("pre_prio"))
+    val post = spark.read.parquet((v2 -- v1).toSeq: _*)
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("post_price"),
+        col("o_orderpriority").as("post_prio"))
+    pre.join(post, col("k") === col("k2"), "full")
+      .withColumn("op",
+        when(col("k").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("pre_price") =!= col("post_price") ||
+            col("pre_prio") =!= col("post_prio"), lit("update"))
+          .otherwise(lit("none")))
+      .where(col("op") =!= "none")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), dsum2(col("pre_price")).as("pre_total"),
+        dsum2(col("post_price")).as("post_total"))
+  }
+
+  private val changeFeedSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders),
+       |ch AS (SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS m
+       |       FROM orders, rng WHERE o_orderkey BETWEEN lo AND hi)
+       |SELECT 'update' AS op, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("o_totalprice")} AS pre_total,
+       |  ${sqlSum2("o_totalprice + 1.0")} AS post_total
+       |FROM ch WHERE m = 0
+       |UNION ALL
+       |SELECT 'delete', count(*), ${sqlSum2("o_totalprice")}, NULL
+       |FROM ch WHERE m = 1
+       |UNION ALL
+       |SELECT 'insert', count(*), NULL, ${sqlSum2("o_totalprice")}
+       |FROM ch WHERE m = 2""".stripMargin
+
+  /** q304: SNAPSHOT COMPACTION — OPTIMIZE for the versioned store: three
+    * commits leave v3 fragmented (untouched base files + two rewrites'
+    * small outputs); compaction reads the CURRENT snapshot, re-clusters
+    * it by key into few files, and publishes the result as v4 — content
+    * identical (the oracle is the v3 stage), old versions still
+    * time-travelable, and the fragmentation gates pin >4 files before,
+    * exactly 4 after. The q215 maintenance pass re-expressed as a
+    * snapshot commit: compaction is just another writer under OCC. */
+  def snapshotCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, _, _) = buildVersionedStore(spark, dir)
+    val before = SnapshotStore.files(spark, root).length
+    val compacted = SnapshotStore.read(spark, root)
+      .repartitionByRange(4, col("o_orderkey"))
+    val newFiles = SnapshotStore.writeData(spark, root, compacted, "opt")
+    SnapshotStore.commit(spark, root, newFiles,
+      SnapshotStore.currentVersion(spark, root))
+    val after = SnapshotStore.files(spark, root).length
+    SnapshotStore.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(before > 4).as("was_fragmented"),
+        lit(after == 4).as("compacted"))
+  }
+
+  private val snapshotCompactionSql = stagesSql(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price, TRUE AS was_fragmented,
+       |  TRUE AS compacted
+       |FROM v3 GROUP BY 1""".stripMargin)
+
+  /** q305: FEED-DRIVEN VIEW MAINTENANCE — the composition the snapshot
+    * layer exists for: a per-status aggregate view of v1 is maintained to
+    * v2 using ONLY the q303 change feed (pre-images retract, post-images
+    * insert — the q222 counting algebra fed by the manifest diff), never
+    * re-reading the base table. All arithmetic in exact DECIMAL cents so
+    * maintained == rebuilt is bit-equality; `matches_rebuild` pins the
+    * full-outer compare against an independent rebuild from v2, and the
+    * oracle grades the maintained view itself. At 100 TB: maintenance
+    * cost is O(changed slice) — the aggregate view never sees the table
+    * again after its first build. */
+  def feedMaintainView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val (root, _, _, _) = buildVersionedStore(spark, dir)
+    val v1 = SnapshotStore.files(spark, root, 1).map(normPath).toSet
+    val v2 = SnapshotStore.files(spark, root, 2).map(normPath).toSet
+    def agg(df: DataFrame) = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).as("t"))
+    val view1 = agg(SnapshotStore.read(spark, root, 1)).localCheckpoint()
+    // the feed: pre-images retract (-1, -price), post-images insert
+    val pre = spark.read.parquet((v1 -- v2).toSeq: _*)
+      .select(col("o_orderstatus"), lit(-1L).as("w"),
+        (col("o_totalprice").cast(dec) * -1).as("tw"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val post = spark.read.parquet((v2 -- v1).toSeq: _*)
+      .select(col("o_orderstatus"), lit(1L).as("w"),
+        col("o_totalprice").cast(dec).as("tw"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // rewrite-carried unchanged rows appear in BOTH sides with equal
+    // payload and opposite weights — they cancel in the delta aggregate,
+    // so no row-level diff is even needed for view maintenance
+    val delta = pre.unionByName(post)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("w")).as("dn"), sum(col("tw")).as("dt"))
+    val maintained = view1.join(delta, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("t"), lit(0).cast(dec)) +
+          coalesce(col("dt"), lit(0).cast(dec))).as("t"))
+      .where(col("n") > 0)
+      .localCheckpoint()
+    val rebuilt = agg(SnapshotStore.read(spark, root, 2))
+    val matches = maintained.join(rebuilt.withColumnRenamed("n", "rn")
+        .withColumnRenamed("t", "rt"), Seq("o_orderstatus"), "full")
+      .where(col("n").isNull || col("rn").isNull ||
+        col("n") =!= col("rn") || col("t") =!= col("rt"))
+      .isEmpty
+    maintained.select(col("o_orderstatus"), col("n"),
+      col("t").cast("double").as("total_price"),
+      lit(matches).as("matches_rebuild"))
+  }
+
+  private val feedMaintainViewSql = stagesSql(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price, TRUE AS matches_rebuild
+       |FROM v2 GROUP BY 1""".stripMargin)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q288_cow_merge", cowMerge, Some(cowMergeSql)),
     QueryDef("q289_cow_delete", cowDelete, Some(cowDeleteSql)),
-    QueryDef("q290_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)))
+    QueryDef("q290_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
+    QueryDef("q301_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelSql)),
+    QueryDef("q302_snapshot_vacuum", snapshotVacuum, Some(snapshotVacuumSql)),
+    QueryDef("q303_change_feed", changeFeed, Some(changeFeedSql)),
+    QueryDef("q304_snapshot_compact", snapshotCompaction,
+      Some(snapshotCompactionSql)),
+    QueryDef("q305_feed_ivm", feedMaintainView, Some(feedMaintainViewSql)))
 }

@@ -1231,9 +1231,99 @@ object Quality {
       |    / CAST(max(n1) * max(n2) AS DOUBLE) AS d
       |FROM c""".stripMargin
 
+  // ---- q297: leave-one-out target encoding ---------------------------------
+
+  /** q297: LOO TARGET ENCODING — the feature-engineering staple for
+    * categorical columns feeding a model: each row's category is encoded
+    * as the mean target of all OTHER rows in its category,
+    * (Σ_g − v)/(c_g − 1), which removes the self-leakage plain target
+    * encoding has. Exact: the numerator is an integer-cents subtraction
+    * of window sums, the encode is ONE division per row — no
+    * order-sensitive accumulation anywhere. Singleton categories are
+    * excluded (the encoding is undefined; real pipelines back off to the
+    * global prior). One shuffle (the category-partitioned window); at
+    * 100 TB the window state per partition is two running scalars. */
+  def looEncode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .where(col("c") > 1)
+      .select(col("event_id"), col("event_type"),
+        ((col("s") - col("v")).cast("double") /
+          (col("c") - lit(1L)).cast("double")).as("loo_cents"))
+  }
+
+  private val looEncodeSql =
+    """WITH s AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      OVER (PARTITION BY event_type) AS BIGINT) AS sv,
+      |    count(*) OVER (PARTITION BY event_type) AS c
+      |  FROM events)
+      |SELECT event_id, event_type,
+      |  CAST(sv - v AS DOUBLE) / CAST(c - 1 AS DOUBLE) AS loo_cents
+      |FROM s WHERE c > 1""".stripMargin
+
+  // ---- q299: Theil-Sen robust slope ----------------------------------------
+
+  /** q299: THEIL-SEN — the robust companion of q295's OLS: the median of
+    * all pairwise slopes of the daily series, insensitive to outlier
+    * days that drag a least-squares fit. The pair space is DAY-grain —
+    * O(|days|²) on a frame that is planning-scale at any corpus size
+    * (the corpus-sized work is the one daily aggregate) — generated by
+    * broadcasting the tiny day frame against itself. Each slope is ONE
+    * IEEE division of exact integers; the median is selected by POSITION
+    * over the slope-ordered pairs (lower median, deterministic: equal
+    * slopes are interchangeable by value, so tie order cannot change the
+    * selected VALUE). */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .select(datediff(col("d"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"),
+        col("y"))
+    val a = daily.select(col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(broadcast(b), col("x1") < col("x2"))
+      .select(((col("y2") - col("y1")).cast("double") /
+        (col("x2") - col("x1")).cast("double")).as("slope"))
+    val w = Window.orderBy(col("slope"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .where(col("rn") === expr("(m + 1) div 2")) // integer division: lower median
+      .select(col("m").as("n_pairs"), col("slope").as("ts_slope"))
+  }
+
+  private val theilSenSql =
+    """WITH daily AS (
+      |  SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.x < b.x),
+      |r AS (
+      |  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+      |    count(*) OVER () AS m
+      |  FROM p)
+      |SELECT CAST(m AS BIGINT) AS n_pairs, slope AS ts_slope
+      |FROM r WHERE rn = (m + 1) // 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q295_ols_trend", olsTrend, Some(olsTrendSql)),
     QueryDef("q296_ks_test", ksTest, Some(ksTestSql)),
+    QueryDef("q297_loo_encode", looEncode, Some(looEncodeSql)),
+    QueryDef("q299_theil_sen", theilSen, Some(theilSenSql)),
     QueryDef("q227_profile", profile, Some(profileSql)),
     QueryDef("q228_constraints", constraints, Some(constraintsSql)),
     QueryDef("q229_entity_resolution", entityResolution, Some(entityResolutionSql)),

@@ -3385,7 +3385,59 @@ object TextAnalysis {
       |GROUP BY 1, 2, 3
       |HAVING count(*) >= 10""".stripMargin
 
+  // ---- q298: quantile normalization across sources -------------------------
+
+  /** q298: QUANTILE NORMALIZATION — make per-source score distributions
+    * comparable by mapping each document's WITHIN-SOURCE rank onto the
+    * POOLED distribution's value at the same quantile (the calibration
+    * step before cross-source selection by a shared threshold: q71-style
+    * quality scores from different sources aren't on one scale; ranks
+    * are). Exact integer mechanics: within-source rank r of n_s maps to
+    * pooled position ⌈r·N/n_s⌉ = (r·N + n_s − 1) div n_s — both engines'
+    * integer division — and the normalized value is the pooled value AT
+    * that rank, joined by position. Total orders carry (n_chars, doc_id)
+    * so ranks are unique and cross-engine identical. The pooled ranking
+    * is one global sort of the doc-grain frame — the q239/q48 honest
+    * exact-quantile cost class, with the equi-depth-histogram sketch as
+    * the at-scale drop-in. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val whole = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pooled = docs
+      .withColumn("t", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("t").cast("long").as("t"), col("n_chars").as("pooled_chars"))
+    val ranked = docs
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", count(lit(1)).over(whole))
+      .withColumn("t", expr("(r * nn + ns - 1) div ns"))
+    ranked.join(pooled, Seq("t"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("pooled_chars").as("norm_chars"))
+  }
+
+  private val quantileNormalizeSql =
+    """WITH pooled AS (
+      |  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS t,
+      |    n_chars AS pooled_chars
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |      AS r,
+      |    count(*) OVER (PARTITION BY source) AS ns,
+      |    count(*) OVER () AS nn
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, pooled_chars AS norm_chars
+      |FROM ranked JOIN pooled ON (r * nn + ns - 1) // ns = pooled.t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q298_quantile_norm", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q267_skipgrams", skipGrams, Some(skipGramsSql)),
     QueryDef("q256_readability", readability, Some(readabilitySql)),
     QueryDef("q246_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),

@@ -838,7 +838,69 @@ object TimeSeries {
       |    AS residual
       |FROM f JOIN seas ON f.dow = seas.dow""".stripMargin
 
+  // ---- q300: ordered multi-step funnel -------------------------------------
+
+  /** q300: EVENT FUNNEL — the product-analytics staple: how many users
+    * completed view → click → purchase IN ORDER, each step within 7 days
+    * of the previous. Sequential dependency is resolved by three chained
+    * conditional-min windows over ONE user partitioning (the q119
+    * shared-exchange discipline: same partition key → the planner reuses
+    * a single shuffle): v = first view; c = first click in (v, v+7d];
+    * p = first purchase in (c, c+7d]. All event-time arithmetic in exact
+    * integer microseconds; the per-user triple collapses by max (the
+    * windows make v/c/p constant within a user) and one global aggregate
+    * counts each stage. Strictly-after semantics (>) at every step so
+    * same-timestamp events never self-satisfy a later stage. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7 days in microseconds
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("us") > col("v") &&
+          col("us") <= col("v") + week, col("us"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("us") > col("c") &&
+          col("us") <= col("c") + week, col("us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("v")).as("v"), max(col("c")).as("c"), max(col("p")).as("p"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click"),
+        count(col("p")).as("n_purchase"))
+  }
+
+  private val funnelStepsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id) AS v
+      |  FROM s),
+      |v2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND us > v
+      |      AND us <= v + 604800000000 THEN us END)
+      |    OVER (PARTITION BY user_id) AS c
+      |  FROM v1),
+      |v3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c
+      |      AND us <= c + 604800000000 THEN us END)
+      |    OVER (PARTITION BY user_id) AS p
+      |  FROM v2),
+      |u AS (
+      |  SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p
+      |  FROM v3 GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(count(v) AS BIGINT) AS n_view,
+      |  CAST(count(c) AS BIGINT) AS n_click,
+      |  CAST(count(p) AS BIGINT) AS n_purchase
+      |FROM u""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q300_funnel", funnelSteps, Some(funnelStepsSql)),
     QueryDef("q292_seasonal_decomp", seasonalDecomp, Some(seasonalDecompSql)),
     QueryDef("q272_boxplot_series", boxplotSeries, Some(boxplotSeriesSql)),
     QueryDef("q268_hour_profile", hourProfile, Some(hourProfileSql)),

@@ -59,6 +59,36 @@ class LakehouseSpec extends AnyFunSuite {
       s"too many files rewritten: before=$before after=$after")
   }
 
+  test("snapshot commits are atomic; racing writers conflict, never clobber") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapspec")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark,
+      root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "w1")
+    assert(SnapshotStore.commit(spark, root, f1, 0) == 1)
+    // two writers both based on v1: the second rename loses
+    val f2 = SnapshotStore.writeData(spark,
+      root, Seq((3L, "c")).toDF("k", "v"), "w2")
+    val f3 = SnapshotStore.writeData(spark,
+      root, Seq((4L, "d")).toDF("k", "v"), "w3")
+    assert(SnapshotStore.commit(spark, root, f1 ++ f2, 1) == 2)
+    intercept[SnapshotStore.CommitConflictException] {
+      SnapshotStore.commit(spark, root, f1 ++ f3, 1)
+    }
+    // the loser retries against the new current version and succeeds
+    assert(SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ f3, 2) == 3)
+    // time travel: every version reproduces its exact content
+    assert(SnapshotStore.read(spark, root, 1).count() == 2)
+    assert(SnapshotStore.read(spark, root, 2).count() == 3)
+    assert(SnapshotStore.read(spark, root, 3).count() == 4)
+    // vacuum to the latest: old manifests gone, latest intact
+    val (_, gone) = SnapshotStore.vacuum(spark, root, keep = 1)
+    assert(gone == Seq(1, 2))
+    assert(SnapshotStore.read(spark, root).count() == 4)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
