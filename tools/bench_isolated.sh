@@ -16,7 +16,8 @@ OUT="${1:-tools/bench_isolated.json}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 
-# Top-20 by round-9 full-registry time (BENCH_r09 + verdict plan audit).
+# GRAFT_ISOLATED_QUERIES="q1 q2 ..." overrides the list (scale decades,
+# ad-hoc regression checks); default = top queries by full-registry time.
 QUERIES=(
   q127_triangles q185_lang_profile_id q131_chunk_stream q108_stream_join
   q130_bfs_hops q140_pagerank q179_embed_moments q56_simhash_pairs
@@ -25,6 +26,9 @@ QUERIES=(
   q51_dedup_jaccard q203_kmeans_commit q173_tws_timers q197_postings_diff
   q208_cc_star
 )
+if [ -n "${GRAFT_ISOLATED_QUERIES:-}" ]; then
+  read -r -a QUERIES <<< "$GRAFT_ISOLATED_QUERIES"
+fi
 
 sbt -batch compile >/dev/null 2>&1
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
