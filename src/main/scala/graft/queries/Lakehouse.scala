@@ -669,6 +669,40 @@ object Lakehouse {
        |  ${sqlSum2("price")} AS total_price, TRUE AS matches_rebuild
        |FROM v2 GROUP BY 1""".stripMargin)
 
+  /** q306: STATS-PRUNED SNAPSHOT READ — per-file [min, max] of the
+    * clustering key persisted as a manifest SIDECAR at commit time (the
+    * column every real format stores next to its file list), consumed by
+    * a key-range read that opens only admissible files. Versioned stats
+    * cannot go stale: they are computed from, and die with, their frozen
+    * snapshot (vacuum deletes them together). The probe range sits in
+    * untouched-base territory — away from both mutation regions — so the
+    * gate pins REAL pruning (admitted < live files) while the oracle
+    * (the v3 stage filtered in SQL) re-proves zero lost rows, the
+    * q224/q279 completeness discipline on the snapshot layer. */
+  def snapshotSkipRead(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx, _, _) = buildVersionedStore(spark, dir)
+    SnapshotStore.writeStats(spark, root, "o_orderkey")
+    val lo = mx / 4
+    val hi = lo + mx / 20
+    val admitted = SnapshotStore.filesWhere(spark, root, lo, hi)
+    val all = SnapshotStore.files(spark, root)
+    spark.read.parquet(admitted: _*)
+      .where(col("o_orderkey").between(lo, hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(admitted.size < all.size && admitted.nonEmpty).as("pruned"))
+  }
+
+  private val snapshotSkipReadSql = stagesSql(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price, TRUE AS pruned
+       |FROM v3
+       |WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) FROM orders) // 4
+       |  AND (SELECT max(o_orderkey) FROM orders) // 4
+       |    + (SELECT max(o_orderkey) FROM orders) // 20
+       |GROUP BY 1""".stripMargin)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q288_cow_merge", cowMerge, Some(cowMergeSql)),
     QueryDef("q289_cow_delete", cowDelete, Some(cowDeleteSql)),
@@ -678,5 +712,6 @@ object Lakehouse {
     QueryDef("q303_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("q304_snapshot_compact", snapshotCompaction,
       Some(snapshotCompactionSql)),
-    QueryDef("q305_feed_ivm", feedMaintainView, Some(feedMaintainViewSql)))
+    QueryDef("q305_feed_ivm", feedMaintainView, Some(feedMaintainViewSql)),
+    QueryDef("q306_snapshot_skip", snapshotSkipRead, Some(snapshotSkipReadSql)))
 }

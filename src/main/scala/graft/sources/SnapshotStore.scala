@@ -123,6 +123,55 @@ object SnapshotStore {
     }
   }
 
+  // ---- per-file statistics in the manifest sidecar -------------------------
+  //
+  // What real formats store NEXT TO the file list: per-file [min, max] of
+  // the clustering key, so a snapshot read with a key predicate opens only
+  // admissible files — the SkippingIndexRule economics made a property of
+  // the COMMIT (statistics are computed when the files are written and
+  // versioned with them, so they can never go stale: a new version gets
+  // new stats, an old version's stats describe exactly its frozen files).
+
+  private def statsPath(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(root), f"v$v%05d_stats.parquet")
+
+  private def uriPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Compute and persist per-file [min, max] of `keyCol` for `version`
+    * (default: latest) — one aggregate over the snapshot's files. */
+  def writeStats(spark: SparkSession, root: String, keyCol: String,
+      version: Int = -1): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val v = if (version > 0) version else currentVersion(spark, root)
+    spark.read.parquet(files(spark, root, v): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(statsPath(root, v).toString)
+  }
+
+  /** The files of `version` admissible for keyCol ∈ [lo, hi]: interval
+    * overlap against the sidecar stats; files without a stats row (or a
+    * missing sidecar) are kept unconditionally — pruning loses power,
+    * never rows. */
+  def filesWhere(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Int = -1): Seq[String] = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    val fl = files(spark, root, v)
+    val sp = statsPath(root, v)
+    if (!fs(spark, sp).exists(sp)) return fl
+    val byFile = spark.read.parquet(sp.toString).collect()
+      .map(r => uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    fl.filter { f =>
+      byFile.get(uriPath(f)) match {
+        case Some((l, h)) => !(h < lo || l > hi)
+        case None => true
+      }
+    }
+  }
+
   /** Retain the newest `keep` versions; delete expired manifests and every
     * data file no retained version references. Returns (removed data
     * files, removed versions). */
@@ -139,9 +188,11 @@ object SnapshotStore {
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))
     doomed.foreach(p =>
       f.delete(new org.apache.hadoop.fs.Path(p), false))
-    expired.foreach(v =>
+    expired.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(snapDir(root), f"v$v%05d.txt"),
-        false))
+        false)
+      f.delete(statsPath(root, v), true) // stats die with their version
+    }
     (doomed, expired)
   }
 }
