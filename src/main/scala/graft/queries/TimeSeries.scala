@@ -899,7 +899,86 @@ object TimeSeries {
       |  CAST(count(p) AS BIGINT) AS n_purchase
       |FROM u""".stripMargin
 
+  // ---- q307: lead-lag cross-correlation of two event series ---------------
+
+  /** q307: CROSS-CORRELATION FUNCTION — does one series LEAD another?
+    * Pearson correlation of daily click vs purchase counts at every lag
+    * in [-7, +7] (the marketing/ops question "do clicks predict
+    * purchases k days out"). Exact sufficient statistics per lag: the
+    * lag join is an equi join on shifted day index over the DAY-GRAIN
+    * frames (planning-scale at any corpus size — the corpus-sized work
+    * is the two daily aggregates), all sums integer in DECIMAL(38,0),
+    * and corr is emitted as the exact integer numerator n·Σxy − ΣxΣy
+    * plus the two variance terms — the hash gate needs no sqrt and no
+    * tolerance; `ccf_sq` = num²/(dena·denb) is the fixed two-quotient
+    * chain of q295 (the squared correlation; `num` carries the sign). */
+  def crossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def daily(t: String, cn: String) = Tables(spark, dir, "events")
+      .where(col("event_type") === t)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(count(lit(1)).as(cn))
+      .select(datediff(col("d"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as(s"x_$cn"),
+        col(cn))
+    val a = daily("click", "ca")
+    val b = daily("purchase", "cb")
+    val lags = spark.range(-7, 8).select(col("id").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("x_ca") + col("lag") === col("x_cb"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ca").cast(dec)).as("sa"), sum(col("cb").cast(dec)).as("sb"),
+        sum(col("ca").cast(dec) * col("ca")).as("saa"),
+        sum(col("cb").cast(dec) * col("cb")).as("sbb"),
+        sum(col("ca").cast(dec) * col("cb")).as("sab"))
+      .select(col("lag"),
+        col("n"),
+        (col("n").cast(dec) * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n").cast(dec) * col("saa") - col("sa") * col("sa")).as("dena"),
+        (col("n").cast(dec) * col("sbb") - col("sb") * col("sb")).as("denb"))
+      .select(col("lag"), col("n"),
+        col("num").cast("long").as("num"),
+        col("dena").cast("long").as("dena"),
+        col("denb").cast("long").as("denb"),
+        ((col("num").cast("double") / col("dena").cast("double")) *
+          (col("num").cast("double") / col("denb").cast("double")))
+          .as("ccf_sq"))
+  }
+
+  private val crossCorrelationSql =
+    """WITH a AS (
+      |  SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01')
+      |    AS x, count(*) AS ca
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (
+      |  SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01')
+      |    AS x, count(*) AS cb
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |l AS (SELECT range AS lag FROM range(-7, 8)),
+      |s AS (
+      |  SELECT lag, count(*) AS n,
+      |    sum(ca::HUGEINT) AS sa, sum(cb::HUGEINT) AS sb,
+      |    sum(ca::HUGEINT * ca) AS saa, sum(cb::HUGEINT * cb) AS sbb,
+      |    sum(ca::HUGEINT * cb) AS sab
+      |  FROM a JOIN l ON TRUE JOIN b ON a.x + l.lag = b.x
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT lag, n, n::HUGEINT * sab - sa * sb AS num,
+      |    n::HUGEINT * saa - sa * sa AS dena,
+      |    n::HUGEINT * sbb - sb * sb AS denb
+      |  FROM s)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+      |  CAST(num AS BIGINT) AS num, CAST(dena AS BIGINT) AS dena,
+      |  CAST(denb AS BIGINT) AS denb,
+      |  (CAST(num AS DOUBLE) / CAST(dena AS DOUBLE))
+      |    * (CAST(num AS DOUBLE) / CAST(denb AS DOUBLE)) AS ccf_sq
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q307_cross_correlation", crossCorrelation,
+      Some(crossCorrelationSql)),
     QueryDef("q300_funnel", funnelSteps, Some(funnelStepsSql)),
     QueryDef("q292_seasonal_decomp", seasonalDecomp, Some(seasonalDecompSql)),
     QueryDef("q272_boxplot_series", boxplotSeries, Some(boxplotSeriesSql)),
