@@ -89,6 +89,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root).count() == 4)
   }
 
+  test("snapshot stats prune key-range reads; no sidecar means no pruning, never loss") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapstatspec")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val fLow = SnapshotStore.writeData(spark, root,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "low")
+    val fHigh = SnapshotStore.writeData(spark, root,
+      (100L to 110L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "high")
+    SnapshotStore.commit(spark, root, fLow ++ fHigh, 0)
+    // no sidecar yet: filesWhere keeps everything (sound fallback)
+    assert(SnapshotStore.filesWhere(spark, root, 1L, 5L).size == 2)
+    // with stats: only the interval-admissible file is opened
+    SnapshotStore.writeStats(spark, root, "k")
+    val admitted = SnapshotStore.filesWhere(spark, root, 1L, 5L)
+    assert(admitted.size == 1, admitted)
+    assert(spark.read.parquet(admitted: _*)
+      .where(col("k").between(1L, 5L)).count() == 5)
+    // a disjoint range admits nothing; the read would be empty, not wrong
+    assert(SnapshotStore.filesWhere(spark, root, 50L, 60L).isEmpty)
+    // stats die with their version: a v2 commit has no sidecar -> fallback
+    val f3 = SnapshotStore.writeData(spark, root,
+      Seq((200L, "x")).toDF("k", "v").coalesce(1), "mid")
+    SnapshotStore.commit(spark, root, fLow ++ fHigh ++ f3, 1)
+    assert(SnapshotStore.filesWhere(spark, root, 1L, 5L).size == 3)
+    // vacuum removes v1's sidecar together with the version
+    SnapshotStore.writeStats(spark, root, "k")
+    SnapshotStore.vacuum(spark, root, keep = 1)
+    assert(SnapshotStore.filesWhere(spark, root, 1L, 5L).size == 1)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
