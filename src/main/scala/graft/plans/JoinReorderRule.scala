@@ -20,30 +20,35 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * for catalog tables — re-derived here for plain `spark.read.parquet`
   * relations the catalog knows nothing about.
   *
-  * Match shape (the star-join contract — the one reorder that needs no
-  * condition re-derivation): `Join(Join(Join(base, d1), d2), d3)` all
-  * Inner, all hint-free, where EVERY join condition references only the
-  * BASE's columns plus its own leg's columns. Under that guard any leg
-  * permutation is semantics-preserving by the commutativity of inner
-  * joins, and each condition stays valid at its new position because the
-  * base is always below it.
+  * Match shape: `Join(Join(Join(base, d1), d2), d3)` all Inner, all
+  * hint-free, where each join condition references the BASE's columns
+  * plus its own leg's columns (a STAR leg), or — for at most ONE leg —
+  * additionally the columns of exactly one star leg (a single SNOWFLAKE
+  * hop, the dim-of-dim shape). Star legs permute freely by inner-join
+  * commutativity; the snowflake child is FUSED to its parent (placed
+  * immediately after it), so its condition stays resolvable at any unit
+  * position — the unit permutes as one block.
   *
   * Cost model: System-R — estimated post-filter rows = rows(leaf) ×
   * Π 1/ndv(col) over the leg's `col = literal` conjuncts with a
   * registered NDV (unknown columns contribute selectivity 1; a leg whose
   * LEAF has no registered statistics declines the whole reorder — a
-  * half-informed permutation could be worse than the author's). Exact
-  * integer arithmetic (rows·10⁶ ÷ Πndv in BigInt), ties broken by leaf
-  * file name then authored position, so the decision is deterministic
-  * and an SQL oracle can recompute it (q294 grades exactly that).
+  * half-informed permutation could be worse than the author's). A fused
+  * parent+child unit costs the PRODUCT of member estimates (independence,
+  * the System-R composite assumption). Exact integer arithmetic
+  * (rows·10⁶ ÷ Πndv in BigInt), ties broken by leaf file name then
+  * authored position, so the decision is deterministic and an SQL oracle
+  * can recompute it (q294 grades the star decision, q312 the snowflake).
   *
   * Guards, each declining (never failing): non-Inner or hinted joins
-  * (explicit hints outrank statistics); conditions spanning two legs
-  * (snowflake — permutation unsafe); unregistered leaves; an already
-  * sorted chain (fixed-point safety: the rebuilt chain re-matches, finds
-  * itself sorted, and declines — convergence by construction). The
-  * rebuilt tree is wrapped in a `Project` restoring the original column
-  * order, since permuting legs permutes `Join.output`.
+  * (explicit hints outrank statistics); more than one dependent leg, a
+  * dependent leg whose parent is itself dependent (a two-hop chain), or
+  * a condition spanning two legs without a unique parent; unregistered
+  * leaves; an already sorted chain (fixed-point safety: the rebuilt
+  * chain re-matches, finds itself sorted, and declines — convergence by
+  * construction). The rebuilt tree is wrapped in a `Project` restoring
+  * the original column order, since permuting legs permutes
+  * `Join.output`.
   *
   * Registrations are SESSION-KEYED (the SkippingIndexRule discipline).
   * At 100 TB: ANALYZE is one aggregate per table, amortized across every
@@ -65,19 +70,58 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def reorder(j: LogicalPlan, base: LogicalPlan,
       legs: Seq[(LogicalPlan, Expression)]): Option[LogicalPlan] = {
-    // every condition must bind base + its own leg only
+    // classify each leg: STAR (condition binds base + own leg only) or a
+    // single SNOWFLAKE hop (condition additionally binds exactly one
+    // earlier leg — the dim-of-dim shape); anything else declines
     val baseOut = base.outputSet
-    if (!legs.forall { case (leg, cond) =>
-        cond.references.subsetOf(baseOut ++ leg.outputSet) }) return None
+    val parentOf: Seq[Option[Int]] = legs.zipWithIndex.map {
+      case ((leg, cond), i) =>
+        if (cond.references.subsetOf(baseOut ++ leg.outputSet)) Some(-1)
+        else {
+          val parents = legs.indices.filter { k =>
+            k != i && cond.references.subsetOf(
+              baseOut ++ leg.outputSet ++ legs(k)._1.outputSet)
+          }
+          // in a resolved left-deep chain a condition can only bind legs
+          // BELOW it, so a unique parent is always an earlier leg
+          if (parents.length == 1 && parents.head < i) Some(parents.head)
+          else None
+        }
+    }
+    if (parentOf.exists(_.isEmpty)) return None
+    val deps = parentOf.flatten
+    val children = deps.zipWithIndex.collect {
+      case (p, i) if p >= 0 => (p, i)
+    }
+    // ONE hop: at most one dependent leg, whose parent is itself a star
+    // leg (a chain of two hops would need transitive placement)
+    if (children.length > 1) return None
+    if (children.exists { case (p, _) => deps(p) >= 0 }) return None
+    val childOf = children.toMap
     val estimated = legs.zipWithIndex.map { case ((leg, cond), i) =>
       estimate(leg).map { case (rows, name) => (leg, cond, rows, name, i) }
     }
     if (estimated.exists(_.isEmpty)) return None
-    val ordered = estimated.flatten.sortBy { case (_, _, rows, name, i) =>
-      (rows, name, i)
+    val est = estimated.flatten
+    // UNITS: a star leg alone, or parent+child fused (child placed
+    // immediately after its parent so its condition stays resolvable);
+    // a unit's estimate is the PRODUCT of member estimates — System-R's
+    // composite-leg cost under independence
+    val units = est.zipWithIndex.collect {
+      case ((leg, cond, rows, name, i), _) if deps(i) < 0 =>
+        val members = Seq((leg, cond)) ++
+          childOf.get(i).map(c => Seq((est(c)._1, est(c)._2))).getOrElse(Nil)
+        val unitRows = childOf.get(i)
+          .map(c => rows * est(c)._3).getOrElse(rows)
+        (members, unitRows, name, i)
     }
-    if (ordered.map(_._5) == legs.indices) return None // already optimal
-    val rebuilt = ordered.foldLeft(base) { case (acc, (leg, cond, _, _, _)) =>
+    val ordered = units.sortBy { case (_, rows, name, i) => (rows, name, i) }
+    val flat = ordered.flatMap(_._1)
+    val flatIdx = ordered.flatMap { case (_, _, _, i) =>
+      Seq(i) ++ childOf.get(i).map(Seq(_)).getOrElse(Nil)
+    }
+    if (flatIdx == legs.indices) return None // already optimal
+    val rebuilt = flat.foldLeft(base) { case (acc, (leg, cond)) =>
       Join(acc, leg, Inner, Some(cond), JoinHint.NONE)
     }
     Some(Project(j.output, rebuilt))
@@ -144,7 +188,14 @@ object JoinReorderRule {
       }
   }
 
+  /** `fp` is the table's file fingerprint captured AT ANALYZE TIME — the
+    * moment the (rows, ndv) numbers were true. [[save]] persists this
+    * stored fingerprint (never a recomputed one): if the data changes
+    * between analyze() and save(), the sidecar carries the OLD
+    * fingerprint, so a later attach() sees a mismatch and declines —
+    * statistics the data has outgrown are never re-entered. */
   private final case class Stats(rows: Long, ndv: Map[String, Long],
+      fp: (Long, Long, Long),
       owner: java.lang.ref.WeakReference[SparkSession]) {
     def ownedBy(s: SparkSession): Boolean = owner.get() eq s
   }
@@ -169,13 +220,17 @@ object JoinReorderRule {
     * sketch; the registry shape doesn't change. */
   def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+    // fingerprint FIRST: if a write lands mid-aggregate the mismatch is
+    // conservative (stats of the new data, fingerprint of the old — a
+    // later attach declines; never the reverse)
+    val fp = fingerprint(spark, dir)
     val df = spark.read.parquet(dir)
     val aggs = count(lit(1)).as("_rows") +:
       cols.map(c => countDistinct(col(c)).as(s"_ndv_$c"))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val ndv = cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }
     registry.put(keyOf(spark, qualified(spark, dir)),
-      Stats(r.getLong(0), ndv.toMap,
+      Stats(r.getLong(0), ndv.toMap, fp,
         new java.lang.ref.WeakReference(spark)))
   }
 
@@ -221,7 +276,7 @@ object JoinReorderRule {
     val st = registry.get(keyOf(spark, qualified(spark, dir)))
       .filter(_.ownedBy(spark)).getOrElse(return false)
     import spark.implicits._
-    val (fn, fb, fm) = fingerprint(spark, dir)
+    val (fn, fb, fm) = st.fp // the ANALYZE-time fingerprint, never fresher
     val rows = st.ndv.toSeq.map { case (c, n) =>
       (st.rows, c, n, fn, fb, fm)
     } match {
@@ -248,7 +303,7 @@ object JoinReorderRule {
     val ndv = rows.filter(_.getLong(2) >= 0)
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     registry.put(keyOf(spark, qualified(spark, dir)),
-      Stats(rows.head.getLong(0), ndv,
+      Stats(rows.head.getLong(0), ndv, saved,
         new java.lang.ref.WeakReference(spark)))
     true
   }

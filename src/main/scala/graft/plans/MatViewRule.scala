@@ -3,26 +3,30 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BoundReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-/** Optimizer rule: TRANSPARENT MATERIALIZED-VIEW SUBSTITUTION, exact-match
-  * tier. A registered view pairs a defining query with a warehouse table
-  * holding its result; any later query whose plan CONTAINS the defining
-  * subplan (canonicalized — attribute ids and cosmetic aliasing ignored)
-  * has that subtree swapped for a scan of the table. The consumer keeps
-  * its author-facing shape — `explode(split(text))` + groupBy in the
-  * source — and the optimizer silently reads the precomputed aggregate:
-  * the corpus scan, the explode, and the aggregation exchange all vanish
-  * from the physical plan.
+/** Optimizer rule: TRANSPARENT MATERIALIZED-VIEW SUBSTITUTION — exact
+  * match plus aggregate ROLL-UP. A registered view pairs a defining query
+  * with a warehouse table holding its result; any later query whose plan
+  * CONTAINS the defining subplan (canonicalized — attribute ids and
+  * cosmetic aliasing ignored) has that subtree swapped for a scan of the
+  * table. The consumer keeps its author-facing shape — `explode(split
+  * (text))` + groupBy in the source — and the optimizer silently reads
+  * the precomputed aggregate: the corpus scan, the explode, and the
+  * aggregation exchange all vanish from the physical plan.
   *
   * Exact-match is the honest first tier of view rewriting (commercial
-  * engines and Calcite start exactly here before unifying filters or
-  * rolling up aggregates): it already covers the dominant production
-  * case — a standard derived table (word counts, per-doc features, daily
-  * aggregates) consumed verbatim by many downstream queries.
+  * engines and Calcite start exactly here): it covers the dominant
+  * production case — a standard derived table consumed verbatim. The
+  * second tier (the roll-up machinery below, q313) answers a COARSER
+  * GROUP BY from a finer registered aggregate when the consumer's keys
+  * are a subset of the view's and every aggregate is re-aggregable
+  * (SUM→SUM, COUNT→SUM of counts, MIN/MAX→MIN/MAX) — the week-from-day
+  * matview win.
   *
   * Substitution preserves semantics by FOUR stacked guards, each of which
   * declines (never fails) the rewrite:
@@ -101,7 +105,12 @@ class MatViewRule(session: SparkSession) extends Rule[LogicalPlan] {
                 mapped.exists(_.isEmpty)) p
               else Project(mapped.flatten, rel)
             } catch { case scala.util.control.NonFatal(_) => p }
-          case _ => p
+          case _ => p match {
+            // no exact match: a coarser GROUP BY over a registered view's
+            // base may still ROLL UP from the finer materialization
+            case a: Aggregate => MatViewRule.tryRollup(session, a)
+            case other => other
+          }
         }
     }
   }
@@ -119,6 +128,218 @@ object MatViewRule {
   }
 
   private val views = TrieMap.empty[LogicalPlan, Entry]
+
+  // ---- aggregate ROLL-UP tier ----------------------------------------------
+  //
+  // The second tier of view rewriting (Calcite's aggregate unification,
+  // the most common matview win in practice): a registered view whose
+  // defining plan is Aggregate(G, A, child) can answer any later
+  // Aggregate(G', A', child') when the children share one CORE (equal
+  // after peeling attribute-only Projects — column pruning narrows the
+  // consumer's projection to the columns it touches, which must not break
+  // the match), every G' member is the view key itself OR an expression
+  // over view keys only (week-from-day: `date_trunc('week', day)` groups
+  // the day-grain view), and every A' member is RE-AGGREGABLE from a
+  // stored column — SUM(x) → SUM(sum_x), COUNT(*)/COUNT(x) → SUM(cnt),
+  // MIN → MIN, MAX → MAX (the q222 counting algebra's re-aggregation
+  // conditions; AVG, DISTINCT, and FILTER forms decline). Expressions are
+  // compared across the two plans by rebinding their attributes to
+  // ORDINALS of the (canonically equal) core, so exprId drift between
+  // the defining and consuming query can't break the match. All
+  // exact-tier guards apply unchanged: session ownership, the
+  // base-snapshot fingerprint (recomputed from the CONSUMER's child at
+  // substitution time), name+type resolution against the table, and
+  // decline-never-fail.
+
+  /** One roll-up registration: groups maps an ordinal-normalized grouping
+    * expression to its view column; aggs maps (kind, normalized child) to
+    * the view column holding that partial. */
+  private case class RollupEntry(table: String,
+      session: java.lang.ref.WeakReference[SparkSession],
+      fingerprint: String,
+      groups: Map[Expression, String],
+      aggs: Map[(String, Option[Expression]), String]) {
+    def ownedBy(s: SparkSession): Boolean = session.get() eq s
+  }
+
+  private val rollups = TrieMap.empty[LogicalPlan, List[RollupEntry]]
+
+  /** Peel Projects down to the core plan both sides share, accumulating
+    * an attribute→expression substitution for computed aliases: column
+    * pruning inserts attribute-only Projects, and
+    * PullOutGroupingExpressions rewrites a complex grouping key into a
+    * `_groupingexpression` alias computed in a Project below the
+    * Aggregate — both must be looked through (inlined) or no consumer
+    * with a computed key could ever match. */
+  private def coreAndSubst(p: LogicalPlan)
+      : (LogicalPlan, Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]) =
+    p match {
+      case Project(es, child)
+          if es.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]) =>
+        val (c, subst) = coreAndSubst(child)
+        val here = es.collect {
+          case a: Alias => a.exprId -> a.child.transform {
+            case at: Attribute if subst.contains(at.exprId) => subst(at.exprId)
+          }
+        }.toMap
+        (c, subst ++ here)
+      case other => (other, Map.empty)
+    }
+
+  /** Inline `subst`, rebind the result's attributes to ordinals of
+    * `core`'s output, and canonicalize — the cross-plan comparison form
+    * (two canonically equal cores expose positionally identical
+    * outputs). */
+  private def normalized(e: Expression, core: LogicalPlan,
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      : Expression = {
+    val pos = core.output.zipWithIndex
+      .map { case (a, i) => a.exprId -> i }.toMap
+    e.transform {
+      case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+    }.transform {
+      case a: Attribute if pos.contains(a.exprId) =>
+        BoundReference(pos(a.exprId), a.dataType, a.nullable)
+    }.canonicalized
+  }
+
+  /** Decompose an optimized defining plan into roll-up registration info:
+    * (child canonical, group map, agg map) — None when the plan is not a
+    * re-aggregable Aggregate. */
+  private def rollupInfoOf(optimized: LogicalPlan)
+      : Option[(LogicalPlan, Map[Expression, String],
+        Map[(String, Option[Expression]), String])] = optimized match {
+    case Aggregate(gs, as_, child0, _) =>
+      val (child, subst) = coreAndSubst(child0)
+      def norm(e: Expression) = normalized(e, child, subst)
+      val gset = gs.map(norm).toSet
+      val groups = Map.newBuilder[Expression, String]
+      val aggs = Map.newBuilder[(String, Option[Expression]), String]
+      val ok = as_.forall {
+        case Alias(AggregateExpression(f, _, false, None, _), name) =>
+          f match {
+            case Sum(e, _) => aggs += (("sum", Some(norm(e))) -> name); true
+            case Min(e) => aggs += (("min", Some(norm(e))) -> name); true
+            case Max(e) => aggs += (("max", Some(norm(e))) -> name); true
+            case c: Count => c.children match {
+              case Seq(Literal(_, _)) => aggs += (("count", None) -> name); true
+              case Seq(e) => aggs += (("count", Some(norm(e))) -> name); true
+              case _ => false
+            }
+            case _ => false
+          }
+        case a: Attribute if gset.contains(norm(a)) =>
+          groups += (norm(a) -> a.name); true
+        case Alias(e, name) if gset.contains(norm(e)) =>
+          groups += (norm(e) -> name); true
+        case _ => false
+      }
+      val (g, a) = (groups.result(), aggs.result())
+      if (ok && a.nonEmpty) Some((child.canonicalized, g, a)) else None
+    case _ => None
+  }
+
+  private def registerRollup(spark: SparkSession, optimized: LogicalPlan,
+      table: String, fp: String): Unit = {
+    rollups.mapValuesInPlace((_, es) => es.filterNot(_.table == table))
+    rollups.filterInPlace((_, es) => es.nonEmpty)
+    rollupInfoOf(optimized).foreach { case (ck, gs, as_) =>
+      rollups.updateWith(ck)(old => Some(old.getOrElse(Nil) :+
+        RollupEntry(table, weakRef(spark), fp, gs, as_)))
+    }
+  }
+
+  /** Rewrite consumer Aggregate `p` onto a finer registered view, or
+    * return it unchanged. Every guard declines, never fails. */
+  private def tryRollup(session: SparkSession, p: Aggregate): LogicalPlan = {
+    if (rollups.isEmpty) return p
+    val (c, subst) = coreAndSubst(p.child)
+    val candidates = rollups.getOrElse(c.canonicalized, Nil)
+      .filter(_.ownedBy(session))
+    if (candidates.isEmpty) return p
+    // the consumer's CURRENT base snapshot must match the registration's
+    lazy val fp = baseFingerprint(p.child)
+    candidates.iterator.filter(_.fingerprint == fp)
+      .map(e => buildRollup(session, p, c, subst, e))
+      .collectFirst { case Some(rw) => rw }
+      .getOrElse(p)
+  }
+
+  private def buildRollup(session: SparkSession, p: Aggregate,
+      c: LogicalPlan,
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      e: RollupEntry): Option[LogicalPlan] = try {
+    val rel = session.table(e.table).queryExecution.optimizedPlan
+    val byName = rel.output.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+    def relAttr(n: String): Option[Attribute] =
+      byName.get(n.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(Seq(a)) => Some(a)
+        case _ => None
+      }
+    def norm(x: Expression) = normalized(x, c, subst)
+    /** A consumer grouping expression, rewritten over the view: the view
+      * key itself, or any expression whose base attributes are ALL view
+      * keys (week-from-day) — substituted attr-by-attr after inlining
+      * the consumer's own computed-alias substitution. */
+    def groupExprOf(ex0: Expression): Option[Expression] = {
+      val ex = ex0.transform {
+        case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+      }
+      e.groups.get(norm(ex)).flatMap(relAttr).orElse {
+        var ok = true
+        val rewritten = ex.transform {
+          case a: Attribute =>
+            e.groups.get(norm(a)).flatMap(relAttr) match {
+              case Some(at) => at
+              case None => ok = false; a
+            }
+        }
+        if (ok && rewritten.references.subsetOf(rel.outputSet)) Some(rewritten)
+        else None
+      }
+    }
+    val gMapped = p.groupingExpressions.map(groupExprOf)
+    if (gMapped.exists(_.isEmpty)) return None
+    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+    def reAgg(f: AggregateFunction): Option[(String, Expression => AggregateFunction)] =
+      f match {
+        case Sum(x, _) =>
+          e.aggs.get(("sum", Some(norm(x))))
+            .map(n => (n, (col: Expression) => Sum(col)))
+        case Min(x) =>
+          e.aggs.get(("min", Some(norm(x))))
+            .map(n => (n, (col: Expression) => Min(col)))
+        case Max(x) =>
+          e.aggs.get(("max", Some(norm(x))))
+            .map(n => (n, (col: Expression) => Max(col)))
+        case cnt: Count => (cnt.children match {
+          case Seq(Literal(_, _)) => e.aggs.get(("count", None))
+          case Seq(x) => e.aggs.get(("count", Some(norm(x))))
+          case _ => None
+        }).map(n => (n, (col: Expression) => Sum(col))) // counts ADD
+        case _ => None
+      }
+    val newList: Seq[Option[NamedExpression]] = p.aggregateExpressions.map {
+      case a: Attribute => groupExprOf(a).map {
+        case at: Attribute => Alias(at, a.name)(exprId = a.exprId)
+        case ex => Alias(ex, a.name)(exprId = a.exprId)
+      }
+      case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
+        reAgg(f).flatMap { case (vn, mk) =>
+          relAttr(vn).map { at =>
+            val agg: Expression = mk(at).toAggregateExpression()
+            val v = if (agg.dataType == al.dataType) agg
+              else Cast(agg, al.dataType, tz) // e.g. decimal sum-of-sums
+            Alias(v, name)(exprId = al.exprId)
+          }
+        }
+      case al @ Alias(ex, name) =>
+        groupExprOf(ex).map(g => Alias(g, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newList.exists(_.isEmpty)) None
+    else Some(Aggregate(gMapped.flatten, newList.flatten, rel))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** While a registry key is being derived, the rule must not fire at
     * all: otherwise a defining plan that matches an EXISTING entry (its
@@ -162,6 +383,7 @@ object MatViewRule {
       .saveAsTable(table)
     writeSidecar(spark, table, fp)
     views.put(key, Entry(table, weakRef(spark), fp))
+    registerRollup(spark, optimized, table, fp)
   }
 
   /** Adopt a registration PERSISTED BY A PREVIOUS PROCESS without
@@ -178,8 +400,10 @@ object MatViewRule {
     val fp = baseFingerprint(optimized)
     val ok = readSidecar(spark, table).contains(fp) &&
       spark.catalog.tableExists(table)
-    if (ok) views.put(optimized.canonicalized,
-      Entry(table, weakRef(spark), fp))
+    if (ok) {
+      views.put(optimized.canonicalized, Entry(table, weakRef(spark), fp))
+      registerRollup(spark, optimized, table, fp)
+    }
     ok
   }
 
@@ -237,12 +461,22 @@ object MatViewRule {
     }
     writeSidecar(spark, table, fp)
     views.put(optimized.canonicalized, Entry(table, weakRef(spark), fp))
+    registerRollup(spark, optimized, table, fp)
     changed
+  }
+
+  /** Drop one table's registrations, exact + rollup tiers (the table data
+    * stays; only the rewrite mapping is cleared) — for self-contained
+    * registry entries that must not leak rewrites into later queries. */
+  def drop(table: String): Unit = {
+    views.filterInPlace((_, e) => e.table != table)
+    rollups.mapValuesInPlace((_, es) => es.filterNot(_.table == table))
+    rollups.filterInPlace((_, es) => es.nonEmpty)
   }
 
   /** Drop all registered views (the table data stays; only the rewrite
     * mapping is cleared). */
-  def clear(): Unit = views.clear()
+  def clear(): Unit = { views.clear(); rollups.clear() }
 
   /** Fingerprint of the plan's base-table file snapshot: every leaf file
     * relation's (path, size, mtime) triples, hashed. Computed at

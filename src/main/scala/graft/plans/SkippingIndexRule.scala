@@ -91,9 +91,21 @@ class SkippingIndexRule(session: SparkSession) extends Rule[LogicalPlan] {
     // silently return NULL for them (name+type alias guard still passes).
     // The contract is decline-never-corrupt, so decline the whole rewrite.
     if (fsRel.partitionSchema.nonEmpty) return None
-    val roots = fsRel.location.rootPaths.map(_.toString)
-    if (roots.length != 1) return None
-    val indexes = registry.get(keyOf(session, roots.head)) match {
+    val roots = fsRel.location.rootPaths
+    // one root: a directory scan, keyed by the directory. Many roots: a
+    // MANIFEST read (`spark.read.parquet(files: _*)` — the SnapshotStore
+    // shape) where every root is a file; if all share one parent
+    // directory with a registration (SnapshotStore.attachSkipping), the
+    // per-file index prunes within the manifest's list — files the index
+    // doesn't know stay admitted, as always.
+    val key =
+      if (roots.length == 1) keyOf(session, roots.head.toString)
+      else {
+        val parents = roots.map(_.getParent).distinct
+        if (parents.length != 1 || parents.head == null) return None
+        keyOf(session, parents.head.toString)
+      }
+    val indexes = registry.get(key) match {
       case Some(e) if e.ownedBy(session) => e.indexes
       case _ => return None
     }
@@ -308,6 +320,20 @@ object SkippingIndexRule {
       .map(r => normPath(r.getString(0)) -> ((conv(r.get(1)), conv(r.get(2)))))
       .toMap
     addIndex(spark, dir, ZoneIndex(colName, dt, zones))
+  }
+
+  /** Register a zone map whose per-file [lo, hi] entries were computed
+    * ELSEWHERE (the SnapshotStore's commit-versioned stats sidecar) —
+    * values arrive in external Scala form and are converted to Catalyst
+    * internal form here. `dir` is the directory whose manifest reads
+    * should prune (the snapshot root). */
+  private[graft] def registerZoneMapEntries(spark: SparkSession, dir: String,
+      colName: String, dt: DataType, zones: Map[String, (Any, Any)]): Unit = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+    addIndex(spark, dir, ZoneIndex(colName, dt,
+      zones.map { case (f, (lo, hi)) =>
+        normPath(f) -> ((conv(lo), conv(hi)))
+      }))
   }
 
   /** Build and register the per-file BLOOM FILTER for `colName`: the q225

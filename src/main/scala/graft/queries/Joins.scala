@@ -535,6 +535,73 @@ object Joins {
        |CROSS JOIN sig
        |GROUP BY 1, 4""".stripMargin
 
+  // ---- q312: the SNOWFLAKE hop through the reorder rule ---------------------
+
+  /** q312: SNOWFLAKE JOIN REORDER — q294's rule decision extended to the
+    * dim-of-dim shape: customer hangs off ORDERS (`o_custkey = c_custkey`
+    * binds no lineitem column), so the chain is not a pure star and the
+    * round-11 rule declined it. The rule now fuses the snowflake child to
+    * its parent and permutes UNITS — authored worst-first
+    * (orders→customer first, filtered part last), the optimizer moves the
+    * cheap part leg ahead of the fused orders+customer block. The
+    * decision is read back from the OPTIMIZED plan and hash-graded by an
+    * oracle that recomputes the unit estimates (leg products) from the
+    * same statistics in SQL — the q294 discipline on the new shape. */
+  def cboSnowflakeReorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.JoinReorderRule
+    val dims = Seq("orders" -> Seq("o_orderstatus"),
+      "customer" -> Seq.empty[String], "part" -> Seq("p_size"))
+    dims.foreach { case (t, cols) =>
+      JoinReorderRule.analyze(spark, s"$dir/$t.parquet", cols)
+    }
+    try {
+      val agg = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey")) // the snowflake hop
+        .join(Tables(spark, dir, "part").where(col("p_size") === 3),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      val order = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName.stripSuffix(".parquet")
+            case _ => ""
+          }
+      }.filter(t => dims.exists(_._1 == t))
+      val materialized = agg.localCheckpoint()
+      materialized.select(col("c_mktsegment"), col("n"), col("revenue"),
+        lit(order.mkString(",")).as("join_order"))
+    } finally dims.foreach { case (t, _) =>
+      JoinReorderRule.drop(spark, s"$dir/$t.parquet")
+    }
+  }
+
+  private val cboSnowflakeReorderSql =
+    s"""WITH sig AS (
+       |  SELECT string_agg(dt, ',' ORDER BY est, d) AS join_order FROM (
+       |    SELECT 'part' AS d, 'part' AS dt,
+       |      (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |         // COUNT(DISTINCT p_size) FROM part) AS est
+       |    UNION ALL SELECT 'orders', 'orders,customer',
+       |      (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |         // COUNT(DISTINCT o_orderstatus) FROM orders)
+       |      * (SELECT CAST(count(*) AS HUGEINT) * 1000000 FROM customer)))
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  sig.join_order
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN part ON l_partkey = p_partkey AND p_size = 3
+       |CROSS JOIN sig
+       |GROUP BY 1, 4""".stripMargin
+
   // ---- q293: grid-bucketed spatial radius join -----------------------------
 
   /** q293: SPATIAL RADIUS JOIN — the 2-D member of the grid-bucketing
@@ -595,6 +662,8 @@ object Joins {
     QueryDef("q291_cbo_star", cboStarJoin, Some(cboStarJoinSql)),
     QueryDef("q293_grid_radius", gridRadiusJoin, Some(gridRadiusJoinSql)),
     QueryDef("q294_cbo_rule", cboRuleReorder, Some(cboRuleReorderSql)),
+    QueryDef("q312_cbo_snowflake", cboSnowflakeReorder,
+      Some(cboSnowflakeReorderSql)),
     QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),

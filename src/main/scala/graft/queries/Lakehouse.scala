@@ -37,22 +37,34 @@ import org.apache.spark.sql.functions._
   * batch; rewrite cost is O(affected slice), not O(table). Single-writer
   * per table, the documented warehouse contract (SURVEY §7.10); readers
   * between the delete and the append of one commit see a partial table —
-  * the same window every manifest-less parquet directory has, and why
-  * real formats add a manifest (the graft-tsv sink demonstrates that
-  * commit protocol; here the subject is the REWRITE economics).
+  * the same window every manifest-less parquet directory has. The
+  * SNAPSHOT-NATIVE tier below ([[mutateSnapshot]], q308, and the `SqlDml`
+  * front end) closes exactly that window: the same rewrite economics
+  * published through [[graft.sources.SnapshotStore]]'s atomic manifest
+  * commit with OCC retry — q288-q290 remain as the bare-directory
+  * REWRITE-economics demos.
   */
 object Lakehouse {
 
   // ---- shared copy-on-write machinery --------------------------------------
+  //
+  // All file plumbing goes through the Hadoop FileSystem API resolved from
+  // the layout path itself, so the COW machinery targets any scheme the
+  // rest of the engine does (file:, hdfs:, object stores with an HCFS
+  // connector) — not just the local filesystem.
 
-  private def listDataFiles(layout: String): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(java.nio.file.Paths.get(layout)).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .toSeq
+  private def fsOf(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDataFiles(spark: SparkSession,
+      layout: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(layout)
+    fsOf(spark, p).listStatus(p).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Write `df` clustered by `key` into a fresh temp layout of ~`nFiles`
@@ -87,7 +99,7 @@ object Lakehouse {
 
   /** `input_file_name()` reports `file:` URIs while manifests carry plain
     * paths — normalize both to the URI path for set comparisons. */
-  private def normPath(s: String): String =
+  private[graft] def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
   /** Apply a copy-on-write rewrite: replace `affected` files with
@@ -96,28 +108,25 @@ object Lakehouse {
   private def commitRewrite(spark: SparkSession, layout: String,
       affected: Seq[String], newContent: Option[DataFrame],
       extra: Option[DataFrame]): (Boolean, Boolean) = {
-    val all = listDataFiles(layout)
+    val f = fsOf(spark, new org.apache.hadoop.fs.Path(layout))
+    def signatures(ss: Seq[org.apache.hadoop.fs.FileStatus]) =
+      ss.map(s => s.getPath.getName ->
+        ((s.getLen, s.getModificationTime))).toMap
+    val all = listDataFiles(spark, layout)
     val affectedNames = affected.map(normName).toSet
-    val untouchedBefore = all.filterNot(p => affectedNames(p.getFileName.toString))
-      .map(p => p.toString ->
-        ((java.nio.file.Files.size(p),
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
-      .toMap
+    val untouchedBefore =
+      signatures(all.filterNot(s => affectedNames(s.getPath.getName)))
     val pruned = affected.nonEmpty && affected.size < all.size
     // stage BEFORE deleting the files the content was read from
     val staged = newContent.map(_.localCheckpoint())
     val extraStaged = extra.map(_.localCheckpoint())
-    all.filter(p => affectedNames(p.getFileName.toString))
-      .foreach(java.nio.file.Files.delete(_))
+    all.filter(s => affectedNames(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, false))
     staged.foreach(_.write.mode("append").parquet(layout))
     extraStaged.foreach(_.write.mode("append").parquet(layout))
-    val after = listDataFiles(layout)
-      .map(p => p.toString ->
-        ((java.nio.file.Files.size(p),
-          java.nio.file.Files.getLastModifiedTime(p).toMillis)))
-      .toMap
-    val untouched = untouchedBefore.forall { case (f, sig) =>
-      after.get(f).contains(sig)
+    val after = signatures(listDataFiles(spark, layout))
+    val untouched = untouchedBefore.forall { case (n, sig) =>
+      after.get(n).contains(sig)
     }
     (pruned, untouched)
   }
@@ -357,24 +366,73 @@ object Lakehouse {
        |  TRUE AS three_batches
        |FROM fin GROUP BY 1""".stripMargin
 
-  // ---- q301/q302/q303: the SNAPSHOT layer over copy-on-write ---------------
+  // ---- q301-q306 + q308: the SNAPSHOT layer over copy-on-write -------------
   //
   // q288-q290 mutate a bare directory — correct under the single-writer
   // contract but with a documented read-consistency window. The
   // SnapshotStore closes it: rewrites APPEND new files and publish an
   // atomic versioned manifest; old versions stay readable (time travel),
-  // racing writers conflict instead of clobbering (LakehouseSpec), vacuum
-  // GCs what no retained version references, and a manifest DIFF yields
-  // the change feed without reading unchanged files.
+  // racing writers conflict and RETRY instead of clobbering
+  // (LakehouseSpec), vacuum GCs what no retained version references, and
+  // a manifest DIFF yields the change feed without reading unchanged
+  // files. [[mutateSnapshot]] is the composition point: every mutation
+  // below (and the SQL DML front end, `SqlDml`) runs through it.
 
   import graft.sources.SnapshotStore
 
-  /** Builds the versioned store: v1 = orders clustered 8 ways; v2 = the
-    * q288-model MERGE (update/delete/insert on the [max/2, +max/10]
-    * decile); v3 = the q289-model range DELETE ([max/10, +max/20]).
-    * Returns (root, mx, prunedA, prunedB). */
-  private def buildVersionedStore(spark: SparkSession,
-      dir: String): (String, Long, Boolean, Boolean) = {
+  /** SNAPSHOT-NATIVE copy-on-write mutation — the commit protocol every
+    * real table format runs its MERGE/DELETE through. `step` derives the
+    * rewrite from the CURRENT committed snapshot's file list: (affected
+    * files, replacement content for them, extra appended rows). The
+    * replacement + extras are STAGED with [[SnapshotStore.writeData]]
+    * (invisible until published), then the new file list — current minus
+    * affected plus staged — is published through one atomic manifest
+    * commit. On an OCC conflict the staged files are dropped (they were
+    * never published) and the WHOLE derivation re-runs against the
+    * winner's table state, so a losing writer's change still lands —
+    * retry-on-conflict, first-writer-wins. Live files are never deleted:
+    * a reader overlapping the commit resolves v_n or v_n+1, never a
+    * partial table, and every prior version stays time-travelable
+    * (vacuum owns deletion). Returns (new version, pruned).
+    *
+    * At 100 TB: the retry re-pays only the affected slice's rewrite —
+    * discovery is a |files|-row zone join, publication one manifest
+    * rename — so contention costs O(conflicting writers × changed slice),
+    * never O(table). */
+  private[graft] def mutateSnapshot(spark: SparkSession, root: String,
+      tag: String, maxRetries: Int = 5)(
+      step: Seq[String] => (Seq[String], Option[DataFrame], Option[DataFrame]))
+      : (Int, Boolean) = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = SnapshotStore.currentVersion(spark, root)
+      val cur = SnapshotStore.files(spark, root, base).map(normPath)
+      val (affected, replacement, extra) = step(cur)
+      val staged = (replacement.toSeq ++ extra.toSeq).zipWithIndex.flatMap {
+        case (df, i) =>
+          SnapshotStore.writeData(spark, root, df, s"${tag}_v${base + 1}_$i")
+      }
+      try {
+        val v = SnapshotStore.commit(spark, root,
+          cur.filterNot(affected.toSet) ++ staged, base)
+        return (v, affected.nonEmpty && affected.size < cur.size)
+      } catch {
+        case _: SnapshotStore.CommitConflictException =>
+          // never published, so safe to drop; then re-derive from the
+          // winner's snapshot
+          val f = fsOf(spark, new org.apache.hadoop.fs.Path(root))
+          staged.foreach(s =>
+            f.delete(new org.apache.hadoop.fs.Path(s), false))
+          attempt += 1
+      }
+    }
+    throw new SnapshotStore.CommitConflictException(
+      s"mutateSnapshot($tag): lost $maxRetries consecutive races under $root")
+  }
+
+  /** v1 of a versioned store: orders clustered 8 ways by key. Returns
+    * (root, max key). */
+  private[graft] def initStore(spark: SparkSession, dir: String): (String, Long) = {
     val out = java.nio.file.Files.createTempDirectory("graft_snap")
     graft.streaming.EventStreams.deleteTreeOnExit(out)
     val root = s"$out/table"
@@ -383,30 +441,43 @@ object Lakehouse {
       .repartitionByRange(8, col("o_orderkey"))
     val v1Files = SnapshotStore.writeData(spark, root, base, "base")
     SnapshotStore.commit(spark, root, v1Files, 0)
+    val mx = SnapshotStore.read(spark, root)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    (root, mx)
+  }
 
-    def zonesOf(fl: Seq[String]) = spark.read.parquet(fl: _*)
+  /** Zone-admissible files of `fl` for the keys in `keys` — the
+    * [[affectedFilesOf]] discovery over an explicit (manifest) file list
+    * instead of a directory. */
+  private def affectedOfList(spark: SparkSession, fl: Seq[String],
+      keys: DataFrame): Seq[String] = {
+    val zones = spark.read.parquet(fl: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
-    def affectedOf(fl: Seq[String], keys: DataFrame): Seq[String] =
-      keys.toDF("k").join(broadcast(zonesOf(fl)),
-          col("k") >= col("lo") && col("k") <= col("hi"))
-        .select(col("file")).distinct()
-        .collect().map(r => normPath(r.getString(0))).toSeq
+    keys.toDF("k").join(broadcast(zones),
+        col("k") >= col("lo") && col("k") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSeq
+  }
 
-    // ---- v2: three-way MERGE, copy-on-write, append-only ----
-    val t1 = SnapshotStore.read(spark, root)
-    val mx = t1.agg(max(col("o_orderkey"))).head().getLong(0)
+  /** The q288-model three-way MERGE derived from a snapshot file list:
+    * update [range, key%3=0], delete [range, key%3=1], insert [range,
+    * key%3=2 re-keyed out of domain]. */
+  private def mergeStep(spark: SparkSession, mx: Long)(cur: Seq[String])
+      : (Seq[String], Option[DataFrame], Option[DataFrame]) = {
+    val t = spark.read.parquet(cur: _*)
     val lo = mx / 2; val hi = lo + mx / 10
-    val inRange = t1.where(col("o_orderkey").between(lo, hi)).localCheckpoint()
-    val updKeys = inRange.where(col("o_orderkey") % 3 === 0).select(col("o_orderkey"))
-    val delKeys = inRange.where(col("o_orderkey") % 3 === 1).select(col("o_orderkey"))
+    val inRange = t.where(col("o_orderkey").between(lo, hi)).localCheckpoint()
+    val updKeys = inRange.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"))
+    val delKeys = inRange.where(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"))
     val inserts = inRange.where(col("o_orderkey") % 3 === 2)
       .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
         col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
-    val v1List = SnapshotStore.files(spark, root, 1).map(normPath)
-    val affectedA = affectedOf(v1List, updKeys.union(delKeys))
-    val mergedA = spark.read.parquet(affectedA: _*)
+    val affected = affectedOfList(spark, cur, updKeys.union(delKeys))
+    val merged = spark.read.parquet(affected: _*)
       .join(updKeys.withColumnRenamed("o_orderkey", "uk"),
         col("o_orderkey") === col("uk"), "left")
       .join(delKeys.withColumnRenamed("o_orderkey", "dk"),
@@ -417,24 +488,31 @@ object Lakehouse {
         col("o_orderdate"),
         when(col("uk").isNotNull, lit("MERGED"))
           .otherwise(col("o_orderpriority")).as("o_orderpriority"))
-      .unionByName(inserts)
-    val newA = SnapshotStore.writeData(spark, root, mergedA, "m1")
-    val prunedA = affectedA.nonEmpty && affectedA.size < v1List.size
-    SnapshotStore.commit(spark, root,
-      v1List.filterNot(affectedA.toSet) ++ newA, 1)
+    (affected, Some(merged), Some(inserts))
+  }
 
-    // ---- v3: range DELETE, copy-on-write, append-only ----
-    val lo2 = mx / 10; val hi2 = lo2 + mx / 20
-    val t2 = SnapshotStore.read(spark, root)
-    val v2List = SnapshotStore.files(spark, root, 2).map(normPath)
-    val affectedB = affectedOf(v2List,
-      t2.where(col("o_orderkey").between(lo2, hi2)).select(col("o_orderkey")))
-    val survivors = spark.read.parquet(affectedB: _*)
-      .where(!col("o_orderkey").between(lo2, hi2))
-    val newB = SnapshotStore.writeData(spark, root, survivors, "m2")
-    val prunedB = affectedB.nonEmpty && affectedB.size < v2List.size
-    SnapshotStore.commit(spark, root,
-      v2List.filterNot(affectedB.toSet) ++ newB, 2)
+  /** The q289-model range DELETE derived from a snapshot file list. */
+  private def deleteStep(spark: SparkSession, mx: Long)(cur: Seq[String])
+      : (Seq[String], Option[DataFrame], Option[DataFrame]) = {
+    val lo = mx / 10; val hi = lo + mx / 20
+    val t = spark.read.parquet(cur: _*)
+    val affected = affectedOfList(spark, cur,
+      t.where(col("o_orderkey").between(lo, hi)).select(col("o_orderkey")))
+    val survivors = spark.read.parquet(affected: _*)
+      .where(!col("o_orderkey").between(lo, hi))
+    (affected, Some(survivors), None)
+  }
+
+  /** Builds the versioned store: v1 = orders clustered 8 ways; v2 = the
+    * q288-model MERGE (update/delete/insert on the [max/2, +max/10]
+    * decile); v3 = the q289-model range DELETE ([max/10, +max/20]) — both
+    * mutations through [[mutateSnapshot]]'s stage-commit-retry protocol.
+    * Returns (root, mx, prunedA, prunedB). */
+  private def buildVersionedStore(spark: SparkSession,
+      dir: String): (String, Long, Boolean, Boolean) = {
+    val (root, mx) = initStore(spark, dir)
+    val (_, prunedA) = mutateSnapshot(spark, root, "m1")(mergeStep(spark, mx))
+    val (_, prunedB) = mutateSnapshot(spark, root, "m2")(deleteStep(spark, mx))
     (root, mx, prunedA, prunedB)
   }
 
@@ -509,13 +587,10 @@ object Lakehouse {
     * on-disk file set collapses to exactly v3's manifest. The q218
     * generation-GC reader-safety argument, applied to manifests. */
   def snapshotVacuum(spark: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val (root, _, _, _) = buildVersionedStore(spark, dir)
     val (removedFiles, removedVersions) =
       SnapshotStore.vacuum(spark, root, keep = 1)
-    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet")).toSet
+    val onDisk = listDataFiles(spark, root).map(_.getPath.getName).toSet
     val liveList = SnapshotStore.files(spark, root)
       .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
     SnapshotStore.read(spark, root)
@@ -703,8 +778,164 @@ object Lakehouse {
        |    + (SELECT max(o_orderkey) FROM orders) // 20
        |GROUP BY 1""".stripMargin)
 
+  // ---- q310: TRANSPARENT snapshot skipping through the optimizer rule ------
+
+  /** q310: RULE-DRIVEN SNAPSHOT SKIPPING — q306's commit-versioned stats
+    * consulted by the OPTIMIZER instead of the author:
+    * `SnapshotStore.attachSkipping` registers the sidecar as a zone index
+    * with `SkippingIndexRule` (extended this round to manifest reads —
+    * multi-root relations under one registered parent), and the query is
+    * a PLAIN `read(root).where(key between ...)` — no `filesWhere` call
+    * anywhere. The `pruned` gate is read back from the OPTIMIZED plan's
+    * scanned-file count (the q230 discipline: grade what the rule did,
+    * not what the code intended), and the oracle re-proves zero lost
+    * rows. Staleness is the version id itself: stats attach FOR a
+    * version; a later commit's new files are unknown to the index and
+    * kept unconditionally until the newer version's stats are attached. */
+  def snapshotSkipRule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val (root, mx, _, _) = buildVersionedStore(spark, dir)
+    SnapshotStore.writeStats(spark, root, "o_orderkey")
+    val attached = SnapshotStore.attachSkipping(spark, root)
+    try {
+      val lo = mx / 4
+      val hi = lo + mx / 20
+      val df = SnapshotStore.read(spark, root)
+        .where(col("o_orderkey").between(lo, hi))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"))
+      val scanned = df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+      val all = SnapshotStore.files(spark, root).length
+      df.select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(scanned > 0 && scanned < all).as("pruned"),
+        lit(attached == 3).as("versioned"))
+    } finally SnapshotStore.dropSkipping(spark, root)
+  }
+
+  private val snapshotSkipRuleSql = stagesSql(
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price, TRUE AS pruned,
+       |  TRUE AS versioned
+       |FROM v3
+       |WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) FROM orders) // 4
+       |  AND (SELECT max(o_orderkey) FROM orders) // 4
+       |    + (SELECT max(o_orderkey) FROM orders) // 20
+       |GROUP BY 1""".stripMargin)
+
+  // ---- q308: SNAPSHOT-NATIVE MERGE — the two halves composed ---------------
+
+  /** q308: SNAPSHOT-NATIVE MERGE — q288's three-way merge run THROUGH the
+    * snapshot commit protocol ([[mutateSnapshot]]): replacements staged
+    * invisibly, published by one atomic manifest, v1 untouched on disk.
+    * What the bare-directory q288 cannot offer, graded in one result:
+    *  - the merged table itself (q288's oracle semantics, same exactness);
+    *  - `feed_*`: the merge's CHANGE FEED derived from the REAL manifest
+    *    diff v1→v2 (q303's machinery applied to this very commit) — the
+    *    update/delete/insert row counts the oracle recomputes from the
+    *    merge predicates;
+    *  - `time_travel_ok`: v1 re-read AFTER the merge and compared
+    *    agg-for-agg against the original base table — the pre-image
+    *    survives its own mutation;
+    *  - `pruned`: strictly fewer than all files were rewritten.
+    * At 100 TB: same O(changed slice) rewrite as q288 plus one manifest
+    * rename; the feed reads only the diffed files. */
+  def snapMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = initStore(spark, dir)
+    val (v2, pruned) =
+      mutateSnapshot(spark, root, "merge")(mergeStep(spark, mx))
+    mergeGrade(spark, dir, root, v2, pruned)
+  }
+
+  /** The q308 grading frame — shared by the DataFrame merge (q308) and the
+    * SQL `MERGE INTO` twin (q309), so any divergence between the two
+    * front ends is a hash mismatch against [[snapMergeSql]]. */
+  private[graft] def mergeGrade(spark: SparkSession, dir: String,
+      root: String, v2: Int, pruned: Boolean): DataFrame = {
+    // change feed from THE REAL merge's manifest diff
+    val v1f = SnapshotStore.files(spark, root, 1).map(normPath).toSet
+    val v2f = SnapshotStore.files(spark, root, v2).map(normPath).toSet
+    val pre = spark.read.parquet((v1f -- v2f).toSeq: _*)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("pre_price"),
+        col("o_orderpriority").as("pre_prio"))
+    val post = spark.read.parquet((v2f -- v1f).toSeq: _*)
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("post_price"),
+        col("o_orderpriority").as("post_prio"))
+    val feed = pre.join(post, col("k") === col("k2"), "full")
+      .withColumn("op",
+        when(col("k").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("pre_price") =!= col("post_price") ||
+            col("pre_prio") =!= col("post_prio"), lit("update"))
+          .otherwise(lit("none")))
+      .where(col("op") =!= "none")
+      .groupBy(col("op")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // time travel: v1 still reproduces the ORIGINAL base table exactly
+    def aggOf(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"), dsum2(col("o_totalprice")).as("t"))
+    val ttOk = aggOf(SnapshotStore.read(spark, root, 1))
+      .join(aggOf(Tables(spark, dir, "orders"))
+          .withColumnRenamed("c", "c2").withColumnRenamed("t", "t2"),
+        Seq("o_orderstatus"), "full")
+      .where(col("c").isNull || col("c2").isNull ||
+        col("c") =!= col("c2") || col("t") =!= col("t2"))
+      .isEmpty
+    SnapshotStore.read(spark, root, v2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "MERGED", lit(1L))
+          .otherwise(lit(0L))).as("n_merged"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_merged"),
+        lit(feed.getOrElse("update", 0L)).as("feed_updates"),
+        lit(feed.getOrElse("delete", 0L)).as("feed_deletes"),
+        lit(feed.getOrElse("insert", 0L)).as("feed_inserts"),
+        lit(pruned).as("pruned"), lit(ttOk).as("time_travel_ok"))
+  }
+
+  /** Shared by q308 (DataFrame) and q309 (SQL MERGE INTO) — the twin
+    * discipline: both front ends must hash to this same oracle. */
+  private[graft] val snapMergeSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders),
+       |upd AS (SELECT o_orderkey FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 0),
+       |del AS (SELECT o_orderkey FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 1),
+       |ins AS (SELECT o_orderkey FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 2),
+       |fin AS (
+       |  SELECT b.o_orderstatus,
+       |    CASE WHEN u.o_orderkey IS NOT NULL THEN b.o_totalprice + 1.0
+       |         ELSE b.o_totalprice END AS price,
+       |    CASE WHEN u.o_orderkey IS NOT NULL THEN 'MERGED'
+       |         ELSE b.o_orderpriority END AS prio
+       |  FROM orders b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.o_orderkey = b.o_orderkey)
+       |  UNION ALL
+       |  SELECT 'N' AS o_orderstatus, o_totalprice AS price,
+       |    o_orderpriority AS prio
+       |  FROM orders, rng
+       |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 2)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE prio = 'MERGED') AS BIGINT) AS n_merged,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM upd) AS feed_updates,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS feed_deletes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ins) AS feed_inserts,
+       |  TRUE AS pruned, TRUE AS time_travel_ok
+       |FROM fin GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q288_cow_merge", cowMerge, Some(cowMergeSql)),
+    QueryDef("q308_snap_merge", snapMerge, Some(snapMergeSql)),
     QueryDef("q289_cow_delete", cowDelete, Some(cowDeleteSql)),
     QueryDef("q290_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     QueryDef("q301_time_travel", snapshotTimeTravel, Some(snapshotTimeTravelSql)),
@@ -713,5 +944,6 @@ object Lakehouse {
     QueryDef("q304_snapshot_compact", snapshotCompaction,
       Some(snapshotCompactionSql)),
     QueryDef("q305_feed_ivm", feedMaintainView, Some(feedMaintainViewSql)),
-    QueryDef("q306_snapshot_skip", snapshotSkipRead, Some(snapshotSkipReadSql)))
+    QueryDef("q306_snapshot_skip", snapshotSkipRead, Some(snapshotSkipReadSql)),
+    QueryDef("q310_snap_skip_rule", snapshotSkipRule, Some(snapshotSkipRuleSql)))
 }

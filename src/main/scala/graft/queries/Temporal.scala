@@ -426,6 +426,70 @@ object Temporal {
       |  TRUE AS resubstituted
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q313: matview aggregate ROLL-UP rewrite -----------------------------
+
+  /** q313: AGGREGATE ROLL-UP through the matview rule — the most common
+    * matview win: a registered DAY-grain aggregate answers a WEEK-grain
+    * consumer. The view materializes events at (day, event_type) grain
+    * with the re-aggregable partials (count, sum, min, max); the consumer
+    * is authored FROM THE RAW BASE at (week, event_type) grain — its
+    * week key is `date_trunc` OF the view's day key, so this is not the
+    * exact-match tier (q204/q216) but the roll-up unification:
+    * COUNT → SUM of counts, SUM → SUM of sums, MIN/MAX → MIN/MAX, the
+    * grouping expression rewritten over the view's key column. The
+    * `rewritten` gate reads the decision from the OPTIMIZED plan (the
+    * events relation must be GONE, the view table scanned), and the
+    * oracle recomputes the week grain from scratch — a wrong roll-up is
+    * a hash failure. At 100 TB: every coarser-grain dashboard over a
+    * day-grain nightly aggregate stops touching the event history. */
+  def matviewRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val table = "graft_mv_rollup_day"
+    val dec = DecimalType(18, 2)
+    def base = Tables(spark, dir, "orders")
+    val defining = base
+      .groupBy(col("o_orderdate"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).as("t"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    graft.plans.MatViewRule.register(spark, defining, table)
+    try {
+      // the consumer: WEEK grain, authored against the raw base — the
+      // optimizer must serve it from the day-grain view
+      val consumer = base
+        .groupBy(date_trunc("WEEK", col("o_orderdate")).as("week"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("t"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val scans = consumer.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).mkString(";")
+            case _ => ""
+          }
+      }
+      val rewritten = scans.exists(_.contains(table)) &&
+        !scans.exists(_.contains("orders.parquet"))
+      val materialized = consumer.localCheckpoint()
+      materialized.select(col("week"), col("o_orderstatus"), col("n"),
+        col("t").cast("double").as("total_price"),
+        col("min_price"), col("max_price"),
+        lit(rewritten).as("rewritten"))
+    } finally graft.plans.MatViewRule.drop(table)
+  }
+
+  private val matviewRollupSql =
+    s"""SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+       |  o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("o_totalprice")} AS total_price,
+       |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       |  TRUE AS rewritten
+       |FROM orders
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- q222: algebraic incremental view maintenance (delta merge) ---------
 
   /** q222: INCREMENTAL VIEW MAINTENANCE by COUNTING ALGEBRA — the delta
@@ -969,6 +1033,7 @@ object Temporal {
     QueryDef("q285_bitemporal", bitemporalSnapshot, Some(bitemporalSnapshotSql)),
     QueryDef("q287_restatement_diff", restatementDiff, Some(restatementDiffSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
+    QueryDef("q313_matview_rollup", matviewRollup, Some(matviewRollupSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),

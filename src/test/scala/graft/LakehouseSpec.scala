@@ -120,6 +120,129 @@ class LakehouseSpec extends AnyFunSuite {
     assert(SnapshotStore.filesWhere(spark, root, 1L, 5L).size == 1)
   }
 
+  test("OCC is race-proof: concurrent commits to one version, exactly one wins, never clobbered") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snaprace")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark,
+      root, Seq((1L, "a")).toDF("k", "v"), "w1")
+    assert(SnapshotStore.commit(spark, root, f1, 0) == 1)
+    // two threads race the SAME next version with different manifests —
+    // the check-then-rename hazard window; publication must be exclusive
+    val lists = Seq(
+      SnapshotStore.writeData(spark, root, Seq((2L, "b")).toDF("k", "v"), "wA"),
+      SnapshotStore.writeData(spark, root, Seq((3L, "c")).toDF("k", "v"), "wB"))
+      .map(f1 ++ _)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[Int, Either[Unit, Int]]()
+    val threads = lists.zipWithIndex.map { case (fl, i) =>
+      new Thread(() => {
+        barrier.await()
+        try results.put(i, Right(SnapshotStore.commit(spark, root, fl, 1)))
+        catch {
+          case _: SnapshotStore.CommitConflictException =>
+            results.put(i, Left(()))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val outcomes = results.asScala
+    assert(outcomes.values.count(_.isRight) == 1, outcomes)
+    assert(outcomes.values.count(_.isLeft) == 1, outcomes)
+    // the manifest holds exactly the WINNER's list — not a torn mix
+    val winner = lists(outcomes.collectFirst {
+      case (i, Right(_)) => i
+    }.get)
+    assert(SnapshotStore.files(spark, root, 2).toSet == winner.toSet)
+  }
+
+  test("snapshot layer works through an explicit file: URI (Hadoop FileSystem path)") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapuri")
+    val root = s"file://$out/t"
+    val f1 = SnapshotStore.writeData(spark, root,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1), "a")
+    assert(SnapshotStore.commit(spark, root, f1, 0) == 1)
+    val f2 = SnapshotStore.writeData(spark, root,
+      Seq((11L, "x")).toDF("k", "v").coalesce(1), "b")
+    assert(SnapshotStore.commit(spark, root, f1 ++ f2, 1) == 2)
+    assert(SnapshotStore.read(spark, root, 1).count() == 10)
+    assert(SnapshotStore.read(spark, root, 2).count() == 11)
+    SnapshotStore.writeStats(spark, root, "k")
+    assert(SnapshotStore.filesWhere(spark, root, 11L, 11L).size == 1)
+    val (gone, vs) = SnapshotStore.vacuum(spark, root, keep = 1)
+    assert(vs == Seq(1) && gone.isEmpty) // v1's files all live in v2
+    assert(SnapshotStore.read(spark, root).count() == 11)
+  }
+
+  test("reader overlapping a snapshot commit sees v_n or v_n+1, never a partial table") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapreader")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark, root,
+      (1L to 20L).map(k => (k, k.toDouble)).toDF("k", "p")
+        .repartitionByRange(2, col("k")), "base")
+    SnapshotStore.commit(spark, root, f1, 0)
+    // reader resolves BEFORE the mutation commits
+    val early = SnapshotStore.read(spark, root)
+    // a second reader lands MID-COMMIT: after staging, before publish —
+    // it must resolve v1 (staged files are invisible, live files intact)
+    val staged = SnapshotStore.writeData(spark, root,
+      Seq((99L, 99.0)).toDF("k", "p"), "mid")
+    assert(SnapshotStore.read(spark, root).count() == 20)
+    SnapshotStore.commit(spark, root, f1 ++ staged, 1)
+    // the early reader still returns exactly v1's content (no file of a
+    // committed version is ever deleted by a rewrite — vacuum owns that)
+    assert(early.count() == 20)
+    assert(early.agg(sum(col("k"))).head().getLong(0) == 210L)
+    assert(SnapshotStore.read(spark, root).count() == 21)
+  }
+
+  test("racing mergers: the loser retries against the winner's snapshot and both changes land") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapmergers")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark, root,
+      (1L to 40L).map(k => (k, k.toDouble)).toDF("k", "p")
+        .repartitionByRange(4, col("k")), "base")
+    SnapshotStore.commit(spark, root, f1, 0)
+    def bump(lo: Long, hi: Long)(cur: Seq[String]) = {
+      val t = spark.read.parquet(cur: _*)
+      val affected = t.where(col("k").between(lo, hi))
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r =>
+          new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSeq
+      val repl = spark.read.parquet(affected: _*)
+        .select(col("k"), when(col("k").between(lo, hi), col("p") + 1000.0)
+          .otherwise(col("p")).as("p"))
+      (affected, Some(repl): Option[org.apache.spark.sql.DataFrame], None)
+    }
+    // merger B reads v1; merger A commits underneath it (simulated by
+    // running A inside B's first derivation); B's commit conflicts, the
+    // retry re-derives from A's v2, and BOTH updates land
+    var bDerivations = 0
+    val (vB, _) = graft.queries.Lakehouse.mutateSnapshot(spark, root, "B") {
+      cur =>
+        bDerivations += 1
+        if (bDerivations == 1)
+          graft.queries.Lakehouse.mutateSnapshot(spark, root, "A")(bump(1, 10))
+        bump(31, 40)(cur)
+    }
+    assert(bDerivations == 2, "B must have re-derived after the conflict")
+    assert(vB == 3)
+    val fin = SnapshotStore.read(spark, root)
+    assert(fin.count() == 40)
+    assert(fin.where(col("p") > 1000.0).count() == 20) // both ranges applied
+    // and the intermediate versions time-travel: v2 has only A's change
+    assert(SnapshotStore.read(spark, root, 2)
+      .where(col("p") > 1000.0).count() == 10)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()

@@ -178,6 +178,63 @@ class RulesSpec extends AnyFunSuite {
     } finally graft.plans.MatViewRule.clear()
   }
 
+  test("matview roll-up: a coarser grain is answered from the finer view; non-re-aggregables decline") {
+    import graft.plans.MatViewRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("rollupspec")
+    (1L to 100L).map(k => (k % 10, k % 3, k, k * 1.5))
+      .toDF("g1", "g2", "x", "y").write.parquet(s"$out/base.parquet")
+    def base = spark.read.parquet(s"$out/base.parquet")
+    def scansView(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("graft_mv_rollupspec")
+    val defining = base.groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+        min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    try {
+      MatViewRule.register(spark, defining, "graft_mv_rollupspec")
+      // coarser grain: every aggregate re-aggregates from the view
+      def coarse = base.groupBy(col("g1"))
+        .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+          min(col("y")).as("mny"), max(col("y")).as("mxy"))
+      assert(scansView(coarse), coarse.queryExecution.optimizedPlan)
+      val got = coarse.orderBy(col("g1")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
+      // a grouping EXPRESSION over view keys rolls up too (week-from-day)
+      val exprGrain = base.groupBy((col("g1") % 2).as("parity"))
+        .agg(sum(col("x")).as("sx"))
+      assert(scansView(exprGrain), exprGrain.queryExecution.optimizedPlan)
+      val gotExpr = exprGrain.orderBy(col("parity")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // declines — each keeps the from-scratch plan, never fails:
+      // AVG is not re-aggregable from (count, sum) pairs here
+      assert(!scansView(base.groupBy(col("g1")).agg(avg(col("x")).as("a"))))
+      // DISTINCT cannot roll up
+      assert(!scansView(base.groupBy(col("g1"))
+        .agg(countDistinct(col("x")).as("d"))))
+      // a grouping key that is NOT a view key (a measure) declines
+      assert(!scansView(base.groupBy(col("x")).agg(count(lit(1)).as("c"))))
+      // an aggregate over a column the view never stored declines
+      assert(!scansView(base.groupBy(col("g1"))
+        .agg(sum(col("y")).as("sy"))))
+      // ground truth: rolled-up results equal the from-scratch ones
+      MatViewRule.clear()
+      val expected = coarse.orderBy(col("g1")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
+      assert(got.sameElements(expected))
+      MatViewRule.register(spark, defining, "graft_mv_rollupspec")
+      assert(gotExpr.sameElements(base.groupBy((col("g1") % 2).as("parity"))
+        .agg(sum(col("x")).as("sx")).orderBy(col("parity")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))))
+      // staleness: the base changes -> the roll-up declines
+      Seq((99L, 99L, 1L, 1.0)).toDF("g1", "g2", "x", "y")
+        .write.mode("append").parquet(s"$out/base.parquet")
+      assert(!scansView(base.groupBy(col("g1"))
+        .agg(count(lit(1)).as("c"))))
+    } finally MatViewRule.clear()
+  }
+
   test("matview lifecycle: staleness declines, re-register, attach, sessions") {
     import graft.plans.MatViewRule
     val out = java.nio.file.Files.createTempDirectory("graft_mv_spec")
@@ -470,7 +527,8 @@ class RulesSpec extends AnyFunSuite {
       assert(declined.count() == n)
       JoinReorderRule.analyze(spark, s"$out/dimB.parquet", Nil)
 
-      // decline: a condition spanning two legs (snowflake) is unsafe
+      // a TWO-leg snowflake (dimB hangs off dimA) is one fused unit —
+      // only one order exists, so the authored order stands
       val snowflake = spark.read.parquet(s"$out/fact.parquet")
         .join(spark.read.parquet(s"$out/dimA.parquet"),
           col("f_a") === col("a_id"))
@@ -505,6 +563,115 @@ class RulesSpec extends AnyFunSuite {
       Seq((0L, "b0")).toDF("b_id", "b_name").write.mode("append")
         .parquet(s"$out/dimB.parquet")
       assert(!JoinReorderRule.attach(spark, s"$out/dimB.parquet"))
+    } finally JoinReorderRule.clear()
+  }
+
+  test("join reorder: fingerprint is captured at ANALYZE time — a write between analyze and save still declines attach") {
+    import graft.plans.JoinReorderRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("reorderfp")
+    (1L to 100L).map(k => (k, s"b$k")).toDF("b_id", "b_name")
+      .write.parquet(s"$out/dim.parquet")
+    try {
+      JoinReorderRule.analyze(spark, s"$out/dim.parquet", Nil)
+      // data moves on BETWEEN analyze and save: the persisted sidecar
+      // must carry the analyze-time fingerprint, so the stale (rows, ndv)
+      // can never be adopted by a later process
+      Seq((0L, "b0")).toDF("b_id", "b_name").write.mode("append")
+        .parquet(s"$out/dim.parquet")
+      assert(JoinReorderRule.save(spark, s"$out/dim.parquet"))
+      JoinReorderRule.clear()
+      assert(!JoinReorderRule.attach(spark, s"$out/dim.parquet"),
+        "attach adopted statistics the data has outgrown")
+    } finally JoinReorderRule.clear()
+  }
+
+  test("join reorder: a single snowflake hop fuses to its parent and the units permute; deeper shapes decline") {
+    import graft.plans.JoinReorderRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("snowflakespec")
+    (1L to 10000L).map(k => (k, k % 1000 + 1, k % 50 + 1))
+      .toDF("f_id", "f_a", "f_b").write.parquet(s"$out/fact.parquet")
+    (1L to 1000L).map(k => (k, k % 10 + 1, k % 5 + 1))
+      .toDF("a_id", "a_c", "a_f").write.parquet(s"$out/dimA.parquet")
+    (1L to 50L).map(k => (k, k % 5 + 1)).toDF("b_id", "b_e")
+      .write.parquet(s"$out/dimB.parquet")
+    (1L to 10L).map(k => (k, s"c$k")).toDF("c_id", "c_name")
+      .write.parquet(s"$out/dimC.parquet")
+    (1L to 5L).map(k => (k, s"e$k")).toDF("e_id", "e_name")
+      .write.parquet(s"$out/dimE.parquet")
+    def dimOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName
+            case _ => ""
+          }
+      }.filter(_.startsWith("dim"))
+    try {
+      for (t <- Seq("fact", "dimA", "dimB", "dimC", "dimE"))
+        JoinReorderRule.analyze(spark, s"$out/$t.parquet", Nil)
+      // authored: dimA then its child dimC (fused unit, est 1000e6*10e6)
+      // then dimB (est 50e6) — the units swap, the child stays glued to
+      // its parent
+      val snow = spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet"),
+          col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimC.parquet"),
+          col("a_c") === col("c_id")) // dim-of-dim: binds dimA, not fact
+        .join(spark.read.parquet(s"$out/dimB.parquet"),
+          col("f_b") === col("b_id"))
+      assert(dimOrder(snow) ==
+        Seq("dimB.parquet", "dimA.parquet", "dimC.parquet"), dimOrder(snow))
+      // semantics: identical rows to the authored (cleared-registry) plan
+      val n = snow.count()
+      JoinReorderRule.clear()
+      for (t <- Seq("fact", "dimA", "dimB", "dimC", "dimE"))
+        JoinReorderRule.analyze(spark, s"$out/$t.parquet", Nil)
+
+      // TWO dependent legs (dimC off dimA, dimE off dimB): the full
+      // 4-leg chain declines, but transformDown lawfully recurses into
+      // the inner 3-leg sub-chain (one hop only) and reorders THAT —
+      // dimE's parent stays below it, so the result is still sound
+      val twoHops = spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet"),
+          col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimC.parquet"),
+          col("a_c") === col("c_id"))
+        .join(spark.read.parquet(s"$out/dimB.parquet"),
+          col("f_b") === col("b_id"))
+        .join(spark.read.parquet(s"$out/dimE.parquet"),
+          col("b_e") === col("e_id"))
+      assert(dimOrder(twoHops) == Seq("dimB.parquet", "dimA.parquet",
+        "dimC.parquet", "dimE.parquet"), dimOrder(twoHops))
+      val n2 = twoHops.count()
+      JoinReorderRule.clear()
+      assert(spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet"),
+          col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimC.parquet"),
+          col("a_c") === col("c_id"))
+        .join(spark.read.parquet(s"$out/dimB.parquet"),
+          col("f_b") === col("b_id"))
+        .join(spark.read.parquet(s"$out/dimE.parquet"),
+          col("b_e") === col("e_id")).count() == n2)
+      for (t <- Seq("fact", "dimA", "dimB", "dimC", "dimE"))
+        JoinReorderRule.analyze(spark, s"$out/$t.parquet", Nil)
+
+      // decline: a two-level chain (dimE off dimA's child... via dimA.a_f
+      // -> dimE through dimC? no — parent itself dependent): dimC off
+      // dimA, then a leg binding dimC would make dimC a dependent parent
+      val chain = spark.read.parquet(s"$out/fact.parquet")
+        .join(spark.read.parquet(s"$out/dimA.parquet"),
+          col("f_a") === col("a_id"))
+        .join(spark.read.parquet(s"$out/dimC.parquet"),
+          col("a_c") === col("c_id"))
+        .join(spark.read.parquet(s"$out/dimE.parquet"),
+          col("c_id") % 5 + 1 === col("e_id")) // binds dimC: depth 2
+      assert(dimOrder(chain) ==
+        Seq("dimA.parquet", "dimC.parquet", "dimE.parquet"), dimOrder(chain))
+      assert(snow.count() == n)
     } finally JoinReorderRule.clear()
   }
 }

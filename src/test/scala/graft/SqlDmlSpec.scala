@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML semantics on closed-form snapshot tables — the MERGE/DELETE
+  * edge cases the registry oracle can't isolate: first-match-wins clause
+  * order, null-safe DELETE survivors, store-assignment casts, INSERT *,
+  * and the no-match no-op. */
+class SqlDmlSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.queries.SqlDml
+  import graft.sources.SnapshotStore
+
+  /** A committed snapshot table (k BIGINT, v STRING, p DOUBLE), keys 1..6,
+    * two files. Returns its root. */
+  private def freshStore(): String = {
+    val out = java.nio.file.Files.createTempDirectory("sqldmlspec")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = (1L to 6L).map(k => (k, if (k == 5) null else s"v$k", k * 1.0))
+      .toDF("k", "v", "p").repartitionByRange(2, col("k"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    root
+  }
+
+  test("MERGE: conditional update, delete, insert; clause order is first-match-wins") {
+    val root = freshStore()
+    val src = Seq((2L, "up", 20.0), (4L, "del", 0.0), (99L, "new", 99.5))
+      .toDF("k", "op", "np")
+    val (v, pruned) = SqlDml.execute(spark,
+      """MERGE INTO tbl t USING src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED AND s.op = 'up' THEN UPDATE SET p = t.p + s.np, v = 'U'
+        |WHEN MATCHED THEN UPDATE SET v = 'NEVER'
+        |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.op, s.np)
+        |""".stripMargin,
+      Map("tbl" -> root), Map("src" -> src))
+    assert(v == 2)
+    val t = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(!t.contains(4L)) // deleted
+    assert(t(2L) == ((Some("U"), 22.0))) // second clause won, third never ran
+    assert(t(99L) == ((Some("new"), 99.5))) // inserted
+    assert(t(1L) == ((Some("v1"), 1.0))) // unmatched carried unchanged
+    assert(t(5L) == ((None, 5.0))) // null v carried unchanged
+    assert(t.size == 6)
+    // time travel: v1 is intact
+    assert(SnapshotStore.read(spark, root, 1).count() == 6)
+    assert(pruned || true) // pruning depends on layout; no crash contract
+  }
+
+  test("MERGE INSERT * maps source columns by name; values cast to target types") {
+    val root = freshStore()
+    // source schema matches target by NAME; p arrives as INT (cast needed)
+    val src = Seq((7, "v7", 7), (2, "x", 0)).toDF("k", "v", "p")
+      .select(col("k").cast("int").as("k"), col("v"),
+        col("p").cast("int").as("p"))
+    SqlDml.execute(spark,
+      """MERGE INTO tbl t USING src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      Map("tbl" -> root), Map("src" -> src))
+    val t = SnapshotStore.read(spark, root)
+    assert(t.count() == 7)
+    assert(t.schema("k").dataType.typeName == "long") // cast applied
+    assert(t.where(col("k") === 7L).select(col("p")).head().getDouble(0) == 7.0)
+    // matched row 2 had no matched clause: carried unchanged
+    assert(t.where(col("k") === 2L).select(col("v")).head().getString(0) == "v2")
+  }
+
+  test("DELETE is null-safe: rows where the predicate is NULL survive") {
+    val root = freshStore()
+    // v = 'v2' deletes exactly row 2; row 5 (v NULL) must survive even
+    // though `v = 'v2'` is NULL there, and `v <> 'v2'` is NULL too
+    val (v, _) = SqlDml.execute(spark,
+      "DELETE FROM tbl t WHERE t.v = 'v2'", Map("tbl" -> root))
+    assert(v == 2)
+    val keys = SnapshotStore.read(spark, root)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("DELETE matching nothing commits a no-op version; unsupported statements refuse loudly") {
+    val root = freshStore()
+    val (v, pruned) = SqlDml.execute(spark,
+      "DELETE FROM tbl t WHERE t.k = 12345", Map("tbl" -> root))
+    assert(v == 2 && !pruned)
+    assert(SnapshotStore.read(spark, root).count() == 6)
+    assert(SnapshotStore.files(spark, root, 1).toSet ==
+      SnapshotStore.files(spark, root, 2).toSet)
+    intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "UPDATE tbl SET v = 'x' WHERE k = 1",
+        Map("tbl" -> root))
+    }
+  }
+}
