@@ -6,7 +6,7 @@ import graft.sources.SnapshotStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions._
 
 /** SQL DML over the snapshot layer — `MERGE INTO` and `DELETE FROM` as
@@ -75,6 +75,9 @@ object SqlDml {
       case DeleteFromTable(t, cond) =>
         val (name, alias) = tableRef(t)
         runDelete(spark, targets(name), alias, toCol(cond))
+      case UpdateTable(t, assigns, cond) =>
+        val (name, alias) = tableRef(t)
+        runUpdate(spark, targets(name), alias, assigns, cond.map(toCol))
       case m: MergeIntoTable =>
         require(m.notMatchedBySourceActions.isEmpty,
           "SqlDml: WHEN NOT MATCHED BY SOURCE is not supported")
@@ -107,6 +110,43 @@ object SqlDml {
         val survivors = aliased(spark.read.parquet(affected: _*), alias)
           .where(!coalesce(cond, lit(false)))
         (affected, Some(survivors), None)
+      }
+    }
+
+  /** UPDATE ... SET ... WHERE: affected files as in DELETE; their rewrite
+    * applies the assignments to exactly the rows where the predicate is
+    * TRUE (NULL keeps the row unchanged — store-assignment never fires on
+    * an unknown condition). */
+  private def runUpdate(spark: SparkSession, root: String,
+      alias: Option[String], assigns: Seq[Assignment],
+      cond: Option[Column]): (Int, Boolean) =
+    Lakehouse.mutateSnapshot(spark, root, "sqlupd") { cur =>
+      val t0 = spark.read.parquet(cur: _*)
+      val t = aliased(t0, alias)
+      val condC = cond.getOrElse(lit(true))
+      val affected = t.where(condC)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => Lakehouse.normPath(r.getString(0))).toSeq
+      if (affected.isEmpty) (Nil, None, None)
+      else {
+        val am = assigns.map(a => keyOf(a).toLowerCase ->
+          toCol(a.value)).toMap
+        val unknown = am.keySet.filterNot(k =>
+          t0.schema.exists(_.name.toLowerCase == k))
+        require(unknown.isEmpty, s"SqlDml: UPDATE assigns unknown columns $unknown")
+        val applies = coalesce(condC, lit(false))
+        val a = aliased(spark.read.parquet(affected: _*), alias)
+        def base(n: String): Column =
+          alias.map(q => col(s"$q.$n")).getOrElse(col(n))
+        val repl = a.select(t0.schema.map { f =>
+          am.get(f.name.toLowerCase) match {
+            case Some(v) =>
+              when(applies, v.cast(f.dataType)).otherwise(base(f.name))
+                .as(f.name)
+            case None => base(f.name).as(f.name)
+          }
+        }: _*)
+        (affected, Some(repl), None)
       }
     }
 
@@ -276,6 +316,53 @@ object SqlDml {
         lit(pruned).as("pruned"), lit(ttOk).as("time_travel_ok"))
   }
 
+  /** q314: SQL `UPDATE ... SET ... WHERE` — the third DML statement on
+    * the same lowered path: predicate-selected rows get store-assignment
+    * updates inside a zone-localized copy-on-write rewrite published by
+    * an atomic manifest commit. The assignment references the target
+    * (`t.o_totalprice + 1.0`), so expression interpretation — not just
+    * constant replacement — is under the oracle. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    val lo = mx / 3; val hi = lo + mx / 20
+    val (v2, pruned) = execute(spark,
+      s"""UPDATE snap_orders t
+         |SET o_totalprice = t.o_totalprice + 1.0, o_orderpriority = 'UPD'
+         |WHERE t.o_orderkey BETWEEN $lo AND $hi""".stripMargin,
+      Map("snap_orders" -> root))
+    def aggOf(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"), dsum2(col("o_totalprice")).as("t"))
+    val ttOk = aggOf(SnapshotStore.read(spark, root, 1))
+      .join(aggOf(graft.Tables(spark, dir, "orders"))
+          .withColumnRenamed("c", "c2").withColumnRenamed("t", "t2"),
+        Seq("o_orderstatus"), "full")
+      .where(col("c").isNull || col("c2").isNull ||
+        col("c") =!= col("c2") || col("t") =!= col("t2"))
+      .isEmpty
+    SnapshotStore.read(spark, root, v2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "UPD", lit(1L))
+          .otherwise(lit(0L))).as("n_upd"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_upd"), lit(pruned).as("pruned"),
+        lit(ttOk).as("time_travel_ok"))
+  }
+
+  private val sqlUpdateSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 3) AS lo,
+       |         (max(o_orderkey) // 3) + (max(o_orderkey) // 20) AS hi
+       |  FROM orders)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("CASE WHEN o_orderkey BETWEEN lo AND hi " +
+      "THEN o_totalprice + 1.0 ELSE o_totalprice END")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE o_orderkey BETWEEN lo AND hi)
+       |    AS BIGINT) AS n_upd,
+       |  TRUE AS pruned, TRUE AS time_travel_ok
+       |FROM orders, rng
+       |GROUP BY 1""".stripMargin
+
   private val sqlDeleteSql =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 10) AS lo,
@@ -290,5 +377,6 @@ object SqlDml {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q309_sql_merge", sqlMerge, Some(Lakehouse.snapMergeSql)),
-    QueryDef("q311_sql_delete", sqlDelete, Some(sqlDeleteSql)))
+    QueryDef("q311_sql_delete", sqlDelete, Some(sqlDeleteSql)),
+    QueryDef("q314_sql_update", sqlUpdate, Some(sqlUpdateSql)))
 }

@@ -92,7 +92,29 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(SnapshotStore.files(spark, root, 1).toSet ==
       SnapshotStore.files(spark, root, 2).toSet)
     intercept[IllegalArgumentException] {
-      SqlDml.execute(spark, "UPDATE tbl SET v = 'x' WHERE k = 1",
+      SqlDml.execute(spark, "INSERT INTO tbl VALUES (7, 'x', 7.0)",
+        Map("tbl" -> root))
+    }
+  }
+
+  test("UPDATE applies assignments only where the predicate is TRUE; NULL-predicate rows carried") {
+    val root = freshStore()
+    // v = 'v2' is TRUE for row 2, FALSE for most, NULL for row 5 — only
+    // row 2 may change; the assignment reads the target (p = p * 2)
+    val (v, _) = SqlDml.execute(spark,
+      "UPDATE tbl t SET p = t.p * 2, v = 'U' WHERE t.v = 'v2'",
+      Map("tbl" -> root))
+    assert(v == 2)
+    val t = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(t(2L) == ((Some("U"), 4.0)))
+    assert(t(5L) == ((None, 5.0))) // NULL predicate: untouched
+    assert(t(1L) == ((Some("v1"), 1.0)))
+    assert(t.size == 6)
+    // unknown assigned column refuses loudly
+    intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "UPDATE tbl t SET nope = 1 WHERE t.k = 1",
         Map("tbl" -> root))
     }
   }
