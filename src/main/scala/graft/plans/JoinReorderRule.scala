@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -99,7 +99,9 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (children.exists { case (p, _) => deps(p) >= 0 }) return None
     val childOf = children.toMap
     val estimated = legs.zipWithIndex.map { case ((leg, cond), i) =>
-      estimate(leg).map { case (rows, name) => (leg, cond, rows, name, i) }
+      estimate(leg).map { case (rows, name, bytes) =>
+        (leg, cond, rows, name, i, bytes)
+      }
     }
     if (estimated.exists(_.isEmpty)) return None
     val est = estimated.flatten
@@ -108,9 +110,10 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     // a unit's estimate is the PRODUCT of member estimates — System-R's
     // composite-leg cost under independence
     val units = est.zipWithIndex.collect {
-      case ((leg, cond, rows, name, i), _) if deps(i) < 0 =>
-        val members = Seq((leg, cond)) ++
-          childOf.get(i).map(c => Seq((est(c)._1, est(c)._2))).getOrElse(Nil)
+      case ((leg, cond, rows, name, i, bytes), _) if deps(i) < 0 =>
+        val members = Seq((leg, cond, bytes)) ++
+          childOf.get(i).map(c =>
+            Seq((est(c)._1, est(c)._2, est(c)._6))).getOrElse(Nil)
         val unitRows = childOf.get(i)
           .map(c => rows * est(c)._3).getOrElse(rows)
         (members, unitRows, name, i)
@@ -120,16 +123,32 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     val flatIdx = ordered.flatMap { case (_, _, _, i) =>
       Seq(i) ++ childOf.get(i).map(Seq(_)).getOrElse(Nil)
     }
-    if (flatIdx == legs.indices) return None // already optimal
-    val rebuilt = flat.foldLeft(base) { case (acc, (leg, cond)) =>
-      Join(acc, leg, Inner, Some(cond), JoinHint.NONE)
+    // ANALYZE-informed broadcast: a leg whose ESTIMATED post-filter bytes
+    // fit the budget gets a BROADCAST join hint — the decision Spark's
+    // size-only threshold cannot make when the RAW file is large but a
+    // registered-NDV filter cuts it far below the wire cost of a shuffle.
+    // A hint is semantics-free (strategy only), so this is always sound;
+    // explicit user hints still outrank us (hinted chains never match).
+    val budget = BigInt(session.conf
+      .getOption("graft.cbo.broadcastBudget").map(_.toLong)
+      .getOrElse(10L << 20))
+    val anyHint = flat.exists(_._3 <= budget)
+    if (flatIdx == legs.indices && !anyHint) return None // already optimal
+    val rebuilt = flat.foldLeft(base) { case (acc, (leg, cond, bytes)) =>
+      val hint =
+        if (bytes <= budget) JoinHint(None, Some(HintInfo(Some(BROADCAST))))
+        else JoinHint.NONE
+      Join(acc, leg, Inner, Some(cond), hint)
     }
     Some(Project(j.output, rebuilt))
   }
 
-  /** (estimated post-filter rows ×10⁶, leaf file name) for a leg that is
-    * Project/Filter nodes over exactly one REGISTERED file relation. */
-  private def estimate(leg: LogicalPlan): Option[(BigInt, String)] = {
+  /** (estimated post-filter rows ×10⁶, leaf file name, estimated
+    * post-filter BYTES) for a leg that is Project/Filter nodes over
+    * exactly one REGISTERED file relation. Bytes = the relation's file
+    * size scaled by the same 1/Πndv selectivity — what the broadcast
+    * decision needs. */
+  private def estimate(leg: LogicalPlan): Option[(BigInt, String, BigInt)] = {
     val leaves = leg.collect { case r: LogicalRelation => r }
     if (leaves.length != 1) return None
     val fsRel = leaves.head.relation match {
@@ -148,9 +167,10 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
         case EqualTo(_: Literal, a: Attribute) => a.name
       }
     val divisor = eqCols.flatMap(st.ndv.get).map(BigInt(_))
-      .foldLeft(BigInt(1))(_ * _)
-    val est = (BigInt(st.rows) * 1000000) / divisor.max(1)
-    Some((est, roots.head.getName))
+      .foldLeft(BigInt(1))(_ * _).max(1)
+    val est = (BigInt(st.rows) * 1000000) / divisor
+    val estBytes = BigInt(fsRel.sizeInBytes) / divisor
+    Some((est, roots.head.getName, estBytes))
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

@@ -602,6 +602,75 @@ object Joins {
        |CROSS JOIN sig
        |GROUP BY 1, 4""".stripMargin
 
+  // ---- q316: ANALYZE-informed broadcast hints from the rule ----------------
+
+  /** q316: STATISTICS-DRIVEN BROADCAST — the decision Spark's size-only
+    * threshold cannot make: with `autoBroadcastJoinThreshold = -1` (no
+    * size-based broadcast at all, the stand-in for "the raw file is too
+    * big"), the reorder rule hints BROADCAST on legs whose ESTIMATED
+    * post-filter bytes (file size × the registered-NDV selectivity) fit
+    * the budget. The gate reads BOTH levels: the optimizer's join hints
+    * (2 legs hinted with stats, 0 without) and the physical plan
+    * (BroadcastHashJoin appears only with statistics registered) — then
+    * the values are graded by the oracle as always. At 100 TB this is
+    * the difference between shuffling a 2 TB dimension and broadcasting
+    * the 50 MB that survive its filter. */
+  def cboBroadcastHint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.JoinReorderRule
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    val dims = Seq("part" -> Seq("p_size"), "supplier" -> Seq.empty[String])
+    dims.foreach { case (t, c) =>
+      JoinReorderRule.analyze(spark, s"$dir/$t.parquet", c)
+    }
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1")
+    try {
+      def chain = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "part").where(col("p_size") === 3),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(spark, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      def hintedJoins(df: DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case j: LJoin
+              if j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+        }.length
+      def physBroadcasts(df: DataFrame): Boolean =
+        df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      val withStats = chain
+      val hinted = hintedJoins(withStats)
+      val phys = physBroadcasts(withStats)
+      val materialized = withStats.localCheckpoint()
+      dims.foreach { case (t, _) =>
+        JoinReorderRule.drop(spark, s"$dir/$t.parquet")
+      }
+      val control = chain
+      val ok = hinted == 2 && phys &&
+        hintedJoins(control) == 0 && !physBroadcasts(control)
+      materialized.select(col("p_brand"), col("n"), col("revenue"),
+        lit(ok).as("stats_broadcast"))
+    } finally {
+      spark.conf.set(thrKey, saved)
+      dims.foreach { case (t, _) =>
+        JoinReorderRule.drop(spark, s"$dir/$t.parquet")
+      }
+    }
+  }
+
+  private val cboBroadcastHintSql =
+    s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  TRUE AS stats_broadcast
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_size = 3
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1""".stripMargin
+
   // ---- q293: grid-bucketed spatial radius join -----------------------------
 
   /** q293: SPATIAL RADIUS JOIN — the 2-D member of the grid-bucketing
@@ -664,6 +733,8 @@ object Joins {
     QueryDef("q294_cbo_rule", cboRuleReorder, Some(cboRuleReorderSql)),
     QueryDef("q312_cbo_snowflake", cboSnowflakeReorder,
       Some(cboSnowflakeReorderSql)),
+    QueryDef("q316_cbo_broadcast", cboBroadcastHint,
+      Some(cboBroadcastHintSql)),
     QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),

@@ -508,7 +508,7 @@ object Lakehouse {
     * decile); v3 = the q289-model range DELETE ([max/10, +max/20]) — both
     * mutations through [[mutateSnapshot]]'s stage-commit-retry protocol.
     * Returns (root, mx, prunedA, prunedB). */
-  private def buildVersionedStore(spark: SparkSession,
+  private[graft] def buildVersionedStore(spark: SparkSession,
       dir: String): (String, Long, Boolean, Boolean) = {
     val (root, mx) = initStore(spark, dir)
     val (_, prunedA) = mutateSnapshot(spark, root, "m1")(mergeStep(spark, mx))
@@ -538,7 +538,7 @@ object Lakehouse {
 
   /** The three stages in SQL: v1 = orders; v2 = the q288 merge model;
     * v3 = v2 minus the delete range. */
-  private def stagesSql(select: String): String =
+  private[graft] def stagesSql(select: String): String =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 2) AS lo,
        |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi,
@@ -827,6 +827,53 @@ object Lakehouse {
        |    + (SELECT max(o_orderkey) FROM orders) // 20
        |GROUP BY 1""".stripMargin)
 
+  // ---- q317: snapshot SCHEMA EVOLUTION --------------------------------------
+
+  /** q317: SCHEMA EVOLUTION through a snapshot commit — a copy-on-write
+    * rewrite WIDENS its files (adds `o_flag`, set on the mutated decile,
+    * explicit NULL on ridealong rows); untouched files keep the old
+    * 6-column schema on disk. A merged-schema read of the live snapshot
+    * surfaces the new column with NULL for unevolved files — no rewrite
+    * of untouched data, the add-column economics every real format
+    * promises — while time travel to v1 still returns the ORIGINAL
+    * schema (`v1_schema_unchanged`). The oracle recomputes the flag from
+    * the row predicate, so a flag that leaked onto ridealong rows — or a
+    * merged read that dropped unevolved rows — hash-fails. */
+  def snapSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = initStore(spark, dir)
+    val lo = mx / 2; val hi = lo + mx / 10
+    val (v2, pruned) = mutateSnapshot(spark, root, "evolve") { cur =>
+      val t = spark.read.parquet(cur: _*)
+      val affected = affectedOfList(spark, cur,
+        t.where(col("o_orderkey").between(lo, hi)).select(col("o_orderkey")))
+      val widened = spark.read.parquet(affected: _*)
+        .withColumn("o_flag",
+          when(col("o_orderkey").between(lo, hi), lit("M")))
+      (affected, Some(widened), None)
+    }
+    val v1Cols = SnapshotStore.read(spark, root, 1).columns.length
+    SnapshotStore.read(spark, root, v2, mergeSchema = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        count(col("o_flag")).as("n_flagged"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_flagged"), lit(pruned).as("pruned"),
+        lit(v1Cols == 6).as("v1_schema_unchanged"))
+  }
+
+  private val snapSchemaEvolveSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("o_totalprice")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE o_orderkey BETWEEN lo AND hi)
+       |    AS BIGINT) AS n_flagged,
+       |  TRUE AS pruned, TRUE AS v1_schema_unchanged
+       |FROM orders, rng
+       |GROUP BY 1""".stripMargin
+
   // ---- q308: SNAPSHOT-NATIVE MERGE — the two halves composed ---------------
 
   /** q308: SNAPSHOT-NATIVE MERGE — q288's three-way merge run THROUGH the
@@ -945,5 +992,7 @@ object Lakehouse {
       Some(snapshotCompactionSql)),
     QueryDef("q305_feed_ivm", feedMaintainView, Some(feedMaintainViewSql)),
     QueryDef("q306_snapshot_skip", snapshotSkipRead, Some(snapshotSkipReadSql)),
-    QueryDef("q310_snap_skip_rule", snapshotSkipRule, Some(snapshotSkipRuleSql)))
+    QueryDef("q310_snap_skip_rule", snapshotSkipRule, Some(snapshotSkipRuleSql)),
+    QueryDef("q317_snap_schema_evolve", snapSchemaEvolve,
+      Some(snapSchemaEvolveSql)))
 }

@@ -95,6 +95,29 @@ object SqlDml {
     }
   }
 
+  /** SQL READ over snapshot tables — plain SELECTs plus `VERSION AS OF`
+    * time travel — by substituting the committed snapshot's scan for
+    * each parsed relation BEFORE analysis: the rest of the statement
+    * (joins, aggregates, windows, the whole SELECT surface) is Spark's
+    * own analyzer/optimizer, untouched. `VERSION AS OF n` resolves
+    * manifest n; a bare reference resolves the latest commit — so a BI
+    * query and its as-of-yesterday audit twin differ by three tokens. */
+  def query(spark: SparkSession, sql: String,
+      targets: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    def nameOf(parts: Seq[String]) = parts.mkString(".")
+    val substituted = spark.sessionState.sqlParser.parsePlan(sql).transform {
+      case RelationTimeTravel(UnresolvedRelation(parts, _, _), None, Some(v))
+          if targets.contains(nameOf(parts)) =>
+        SnapshotStore.read(spark, targets(nameOf(parts)), v.toInt)
+          .queryExecution.analyzed
+      case UnresolvedRelation(parts, _, _) if targets.contains(nameOf(parts)) =>
+        SnapshotStore.read(spark, targets(nameOf(parts)))
+          .queryExecution.analyzed
+    }
+    org.apache.spark.sql.graft.ColumnBridge.dataset(spark, substituted)
+  }
+
   /** DELETE FROM: affected files = those holding at least one TRUE row
     * (one scan, |files|-row collect); their rewrite keeps the null-safe
     * complement. */
@@ -375,8 +398,40 @@ object SqlDml {
        |WHERE o_orderkey NOT BETWEEN lo AND hi
        |GROUP BY 1""".stripMargin
 
+  /** q315: SQL TIME TRAVEL — q301's three-version read as SQL text:
+    * `SELECT ... FROM snap VERSION AS OF v` per version, UNION ALL'd.
+    * The versions were produced by REAL snapshot-native mutations
+    * (merge then delete); the oracle recomputes each version's content
+    * from the change model, so a time-travel read that leaked a later
+    * version's rows — or resolved the wrong manifest — hash-fails. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, _, _) = Lakehouse.buildVersionedStore(spark, dir)
+    val sql = (1 to 3).map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price
+         |FROM snap VERSION AS OF $v GROUP BY o_orderstatus""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    query(spark, sql, Map("snap" -> root))
+  }
+
+  private val sqlTimeTravelSql = Lakehouse.stagesSql(
+    s"""SELECT CAST(version AS BIGINT) AS version, o_orderstatus,
+       |  CAST(n AS BIGINT) AS n, total_price
+       |FROM (
+       |  SELECT 1 AS version, o_orderstatus, count(*) AS n,
+       |    ${sqlSum2("price")} AS total_price FROM v1 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 2, o_orderstatus, count(*), ${sqlSum2("price")}
+       |  FROM v2 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 3, o_orderstatus, count(*), ${sqlSum2("price")}
+       |  FROM v3 GROUP BY 2) s""".stripMargin)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q309_sql_merge", sqlMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q311_sql_delete", sqlDelete, Some(sqlDeleteSql)),
-    QueryDef("q314_sql_update", sqlUpdate, Some(sqlUpdateSql)))
+    QueryDef("q314_sql_update", sqlUpdate, Some(sqlUpdateSql)),
+    QueryDef("q315_sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelSql)))
 }

@@ -75,9 +75,18 @@ object SnapshotStore {
     finally in.close()
   }
 
-  /** Read snapshot `version` (default: latest). */
-  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame =
-    spark.read.parquet(files(spark, root, version): _*)
+  /** Read snapshot `version` (default: latest). `mergeSchema` unions the
+    * files' schemas (SCHEMA EVOLUTION: a rewrite may widen its files;
+    * untouched files surface NULL for the added columns) — opt-in
+    * because it reads every footer; at warehouse scale the evolved
+    * schema belongs in the manifest, which is where a format-level
+    * implementation would put it. */
+  def read(spark: SparkSession, root: String, version: Int = -1,
+      mergeSchema: Boolean = false): DataFrame = {
+    val r = spark.read
+    (if (mergeSchema) r.option("mergeSchema", "true") else r)
+      .parquet(files(spark, root, version): _*)
+  }
 
   /** Publish `fileList` as the next version after `expectedVersion`.
     * Fails with [[CommitConflictException]] if another writer committed

@@ -586,6 +586,56 @@ class RulesSpec extends AnyFunSuite {
     } finally JoinReorderRule.clear()
   }
 
+  test("join reorder: ANALYZE-informed broadcast hints fire under the budget, never above it") {
+    import graft.plans.JoinReorderRule
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join => LJoin}
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("bcasthint")
+    (1L to 10000L).map(k => (k, k % 1000 + 1, k % 100 + 1))
+      .toDF("f_id", "f_a", "f_b").write.parquet(s"$out/fact.parquet")
+    (1L to 1000L).map(k => (k, k % 2)).toDF("a_id", "a_flag")
+      .write.parquet(s"$out/dimA.parquet")
+    (1L to 100L).map(k => (k, s"b$k")).toDF("b_id", "b_name")
+      .write.parquet(s"$out/dimB.parquet")
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "-1") // only the rule's hints can broadcast
+    def star() = spark.read.parquet(s"$out/fact.parquet")
+      .join(spark.read.parquet(s"$out/dimA.parquet")
+        .where(col("a_flag") === 1L), col("f_a") === col("a_id"))
+      .join(spark.read.parquet(s"$out/dimB.parquet"),
+        col("f_b") === col("b_id"))
+    def hinted(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin
+            if j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+      }.length
+    try {
+      // control: no statistics -> no hints, sort-merge joins
+      assert(hinted(star()) == 0)
+      assert(!star().queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      for (t <- Seq("fact", "dimA", "dimB"))
+        JoinReorderRule.analyze(spark, s"$out/$t.parquet",
+          if (t == "dimA") Seq("a_flag") else Nil)
+      // both dims fit the default 10MB budget -> both hinted, physical
+      // plan broadcasts despite the disabled size threshold
+      val s = star()
+      assert(hinted(s) == 2, s.queryExecution.optimizedPlan)
+      assert(s.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      // results identical to the unhinted control
+      spark.conf.set("graft.cbo.broadcastBudget", "1") // nothing fits
+      try assert(hinted(star()) == 0)
+      finally spark.conf.unset("graft.cbo.broadcastBudget")
+      JoinReorderRule.clear()
+      assert(s.count() == star().count())
+    } finally {
+      spark.conf.set(thrKey, saved)
+      JoinReorderRule.clear()
+    }
+  }
+
   test("join reorder: a single snowflake hop fuses to its parent and the units permute; deeper shapes decline") {
     import graft.plans.JoinReorderRule
     import spark.implicits._
