@@ -243,6 +243,47 @@ class LakehouseSpec extends AnyFunSuite {
       .where(col("p") > 1000.0).count() == 10)
   }
 
+  test("attachSkipping prunes manifest reads via the rule; a newer version's unknown files fall back, re-attach restores pruning") {
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def filesIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+    val out = java.nio.file.Files.createTempDirectory("attachskip")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark, root,
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), "base")
+    SnapshotStore.commit(spark, root, f1, 0)
+    SnapshotStore.writeStats(spark, root, "k")
+    try {
+      assert(SnapshotStore.attachSkipping(spark, root) == 1)
+      val pruned = SnapshotStore.read(spark, root).where(col("k") === 5L)
+      assert(filesIn(pruned) == 1, filesIn(pruned))
+      assert(pruned.collect().map(_.getLong(1)).toSeq == Seq(10L))
+      // a NEW commit appends files the attached (v1) stats never saw:
+      // they are kept unconditionally — pruning power lost, rows never
+      val f2 = SnapshotStore.writeData(spark, root,
+        Seq((200L, 400L)).toDF("k", "v").coalesce(1), "more")
+      SnapshotStore.commit(spark, root, f1 ++ f2, 1)
+      val fallback = SnapshotStore.read(spark, root).where(col("k") === 5L)
+      assert(filesIn(fallback) == 2, filesIn(fallback)) // 1 admitted + 1 unknown
+      assert(fallback.count() == 1)
+      // re-attach the CURRENT version's stats: full pruning returns
+      SnapshotStore.writeStats(spark, root, "k")
+      assert(SnapshotStore.attachSkipping(spark, root) == 2)
+      val again = SnapshotStore.read(spark, root).where(col("k") === 5L)
+      assert(filesIn(again) == 1, filesIn(again))
+      assert(SnapshotStore.read(spark, root).where(col("k") === 200L)
+        .count() == 1)
+    } finally SnapshotStore.dropSkipping(spark, root)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
