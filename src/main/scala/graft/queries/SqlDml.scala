@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *  - clause order is FIRST-MATCH-WINS: a matched row takes the first
   *    WHEN MATCHED clause whose condition holds; a source row with no
   *    target match takes the first WHEN NOT MATCHED clause that holds;
+  *    a TARGET row with no source match takes the first WHEN NOT
+  *    MATCHED BY SOURCE clause that holds (conditions over target
+  *    columns only — there is no source row to reference);
   *  - a row matched by no applicable clause is carried unchanged;
   *  - DELETE removes exactly the rows whose predicate is TRUE (NULL
   *    keeps — the survivor filter is null-safe);
@@ -79,8 +82,6 @@ object SqlDml {
         val (name, alias) = tableRef(t)
         runUpdate(spark, targets(name), alias, assigns, cond.map(toCol))
       case m: MergeIntoTable =>
-        require(m.notMatchedBySourceActions.isEmpty,
-          "SqlDml: WHEN NOT MATCHED BY SOURCE is not supported")
         val (tName, tAlias) = tableRef(m.targetTable)
         val (sName, sAlias) = tableRef(m.sourceTable)
         require(tAlias.isDefined && sAlias.isDefined,
@@ -88,7 +89,8 @@ object SqlDml {
             "(MERGE INTO t ... USING s ...) so column references are unambiguous")
         val source = sources.getOrElse(sName, spark.table(sName))
         runMerge(spark, targets(tName), tAlias, source, sAlias,
-          toCol(m.mergeCondition), m.matchedActions, m.notMatchedActions)
+          toCol(m.mergeCondition), m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions)
       case other => throw new IllegalArgumentException(
         s"SqlDml: unsupported statement ${other.nodeName} " +
           "(MERGE INTO and DELETE FROM are the DML surface)")
@@ -187,7 +189,8 @@ object SqlDml {
   private def runMerge(spark: SparkSession, root: String,
       tAlias: Option[String], source0: DataFrame, sAlias: Option[String],
       onCond: Column, matched: Seq[MergeAction],
-      notMatched: Seq[MergeAction]): (Int, Boolean) =
+      notMatched: Seq[MergeAction],
+      bySource: Seq[MergeAction]): (Int, Boolean) =
     Lakehouse.mutateSnapshot(spark, root, "sqlmerge") { cur =>
       val t0 = spark.read.parquet(cur: _*)
       val targetSchema = t0.schema
@@ -195,15 +198,8 @@ object SqlDml {
       val s = aliased(source0.withColumn(Mark, lit(1)), sAlias)
       def tq(c: String): Column = col(s"${tAlias.get}.$c")
 
-      // affected files: any target row with a source match — one semi join
-      val affected = aliased(t0.withColumn(FileCol, input_file_name()), tAlias)
-        .join(s, onCond, "left_semi")
-        .select(col(FileCol)).distinct()
-        .collect().map(r => Lakehouse.normPath(r.getString(0))).toSeq
-
-      // interpret WHEN MATCHED clauses: (condition, Some(assignments)=UPDATE
-      // / None=DELETE), in authored order
-      val mActs: Seq[(Column, Option[Map[String, Column]])] = matched.map {
+      def actionsOf(as_ : Seq[MergeAction])
+          : Seq[(Column, Option[Map[String, Column]])] = as_.map {
         case UpdateAction(c, assigns, _) =>
           (condOf(c), Some(assigns.map(a => keyOf(a).toLowerCase ->
             toCol(a.value)).toMap))
@@ -213,6 +209,28 @@ object SqlDml {
         case other => throw new IllegalArgumentException(
           s"SqlDml: unsupported matched action $other")
       }
+      // WHEN MATCHED and WHEN NOT MATCHED BY SOURCE clauses, each list
+      // first-match-wins within itself; a row is matched XOR by-source,
+      // so guarding by the match marker composes them into one pick
+      val mActs = actionsOf(matched)
+      val sActs = actionsOf(bySource) // conditions may reference TARGET only
+
+      // affected files: any target row with a source match (one semi
+      // join), plus — when by-source clauses exist — any file holding a
+      // row satisfying SOME by-source condition (conservative: the row
+      // may turn out matched, but its file was already a candidate). An
+      // unconditioned by-source clause admits every file, honestly: any
+      // unmatched row anywhere may change.
+      val tf = aliased(t0.withColumn(FileCol, input_file_name()), tAlias)
+      val matchedFiles = tf.join(s, onCond, "left_semi")
+        .select(col(FileCol)).distinct()
+        .collect().map(r => Lakehouse.normPath(r.getString(0))).toSeq
+      val bySourceFiles =
+        if (sActs.isEmpty) Nil
+        else tf.where(sActs.map(_._1).reduce(_ || _))
+          .select(col(FileCol)).distinct()
+          .collect().map(r => Lakehouse.normPath(r.getString(0))).toSeq
+      val affected = (matchedFiles ++ bySourceFiles).distinct
 
       val replacement = if (affected.isEmpty) None else {
         val a = aliased(spark.read.parquet(affected: _*), tAlias)
@@ -220,10 +238,12 @@ object SqlDml {
         // first-match-wins: chained WHEN gives exactly that (a NULL clause
         // condition falls through, per the MERGE contract)
         val m = col(Mark).isNotNull
-        val pick = mActs.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
-          case (acc, ((c, _), i)) => acc.when(m && c, lit(i))
+        val guarded = mActs.map { case (c, am) => (m && c, am) } ++
+          sActs.map { case (c, am) => (!m && c, am) }
+        val pick = guarded.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+          case (acc, ((c, _), i)) => acc.when(c, lit(i))
         }.otherwise(lit(-1))
-        val deleteIdx = mActs.zipWithIndex.collect {
+        val deleteIdx = guarded.zipWithIndex.collect {
           case ((_, None), i) => i
         }
         val kept = joined.withColumn(Pick, pick)
@@ -231,7 +251,7 @@ object SqlDml {
             else !col(Pick).isInCollection(deleteIdx))
         val outCols = targetSchema.map { f =>
           val base = tq(f.name)
-          val v = mActs.zipWithIndex.foldLeft(when(lit(false), base)) {
+          val v = guarded.zipWithIndex.foldLeft(when(lit(false), base)) {
             case (acc, ((_, Some(am)), i)) =>
               am.get(f.name.toLowerCase) match {
                 case Some(vc) =>
@@ -339,6 +359,69 @@ object SqlDml {
         lit(pruned).as("pruned"), lit(ttOk).as("time_travel_ok"))
   }
 
+  /** q318: `WHEN NOT MATCHED BY SOURCE` — the MERGE clause family that
+    * mutates TARGET rows the source never mentioned (the sync/expiry
+    * shape: "whatever my feed didn't confirm this run is stale").
+    * Matched decile rows update (price+1, MERGED); unmatched rows in the
+    * FIRST key twentieth are marked STALE; unmatched rows past 90% of
+    * the domain are DELETED; everything else is carried. All four
+    * outcomes are key-predicate-derivable, so the oracle recomputes the
+    * whole partition of the table and any row that took the wrong
+    * clause — or a matched row that took a by-source clause —
+    * hash-fails. Affected files = matched files ∪ files holding
+    * by-source-condition rows, so the rewrite stays pruned even though
+    * by-source semantics COULD touch anything. */
+  def sqlMergeBySource(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    val lo = mx / 2; val hi = lo + mx / 10
+    val cutLow = mx / 20; val cutHigh = mx - mx / 10
+    val src = SnapshotStore.read(spark, root)
+      .where(col("o_orderkey").between(lo, hi))
+      .select(col("o_orderkey")).localCheckpoint()
+    val (v2, pruned) = execute(spark,
+      s"""MERGE INTO snap_orders t USING changes s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_totalprice = t.o_totalprice + 1.0, o_orderpriority = 'MERGED'
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey <= $cutLow
+         |  THEN UPDATE SET o_orderpriority = 'STALE'
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey > $cutHigh
+         |  THEN DELETE""".stripMargin,
+      Map("snap_orders" -> root), Map("changes" -> src))
+    SnapshotStore.read(spark, root, v2)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "MERGED", lit(1L))
+          .otherwise(lit(0L))).as("n_merged"),
+        sum(when(col("o_orderpriority") === "STALE", lit(1L))
+          .otherwise(lit(0L))).as("n_stale"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_merged"), col("n_stale"), lit(pruned).as("pruned"))
+  }
+
+  private val sqlMergeBySourceSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi,
+       |         (max(o_orderkey) // 20) AS cut_low,
+       |         max(o_orderkey) - (max(o_orderkey) // 10) AS cut_high
+       |  FROM orders),
+       |fin AS (
+       |  SELECT o_orderstatus,
+       |    CASE WHEN o_orderkey BETWEEN lo AND hi THEN o_totalprice + 1.0
+       |         ELSE o_totalprice END AS price,
+       |    CASE WHEN o_orderkey BETWEEN lo AND hi THEN 'MERGED'
+       |         WHEN o_orderkey <= cut_low THEN 'STALE'
+       |         ELSE o_orderpriority END AS prio
+       |  FROM orders, rng
+       |  WHERE o_orderkey BETWEEN lo AND hi OR o_orderkey <= cut_high)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE prio = 'MERGED') AS BIGINT) AS n_merged,
+       |  CAST(count(*) FILTER (WHERE prio = 'STALE') AS BIGINT) AS n_stale,
+       |  TRUE AS pruned
+       |FROM fin GROUP BY 1""".stripMargin
+
   /** q314: SQL `UPDATE ... SET ... WHERE` — the third DML statement on
     * the same lowered path: predicate-selected rows get store-assignment
     * updates inside a zone-localized copy-on-write rewrite published by
@@ -433,5 +516,7 @@ object SqlDml {
     QueryDef("q309_sql_merge", sqlMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q311_sql_delete", sqlDelete, Some(sqlDeleteSql)),
     QueryDef("q314_sql_update", sqlUpdate, Some(sqlUpdateSql)),
-    QueryDef("q315_sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelSql)))
+    QueryDef("q315_sql_time_travel", sqlTimeTravel, Some(sqlTimeTravelSql)),
+    QueryDef("q318_sql_merge_bysource", sqlMergeBySource,
+      Some(sqlMergeBySourceSql)))
 }

@@ -97,6 +97,27 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE NOT MATCHED BY SOURCE mutates only unmatched target rows; matched rows never take by-source clauses") {
+    val root = freshStore() // keys 1..6, v NULL at 5
+    val src = Seq((2L, 20.0), (4L, 40.0)).toDF("k", "np")
+    val (v, _) = SqlDml.execute(spark,
+      """MERGE INTO tbl t USING src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = 'HIT'
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 6 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 2 THEN UPDATE SET v = 'ORPHAN'
+        |""".stripMargin,
+      Map("tbl" -> root), Map("src" -> src))
+    assert(v == 2)
+    val t = SnapshotStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(t == Map(
+      1L -> Some("ORPHAN"), // unmatched, k<=2
+      2L -> Some("HIT"), // matched: by-source k<=2 clause must NOT fire
+      3L -> Some("v3"), // unmatched, no clause applies: carried
+      4L -> Some("HIT"),
+      5L -> None)) // k=6 deleted; 5 carried with its NULL v
+  }
+
   test("UPDATE applies assignments only where the predicate is TRUE; NULL-predicate rows carried") {
     val root = freshStore()
     // v = 'v2' is TRUE for row 2, FALSE for most, NULL for row 5 — only
