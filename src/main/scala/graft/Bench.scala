@@ -20,13 +20,24 @@ object Bench {
     // isolates COMPUTE, matching how a production cluster provisions
     // local-SSD scratch rather than sharing a cold system disk. Must run
     // before any temp-dir allocation.
+    // The artifact stamps whichever mode actually ran ("scratch" below),
+    // so bench_full.json is self-describing across rounds, and tmpfs is
+    // only opted into when /dev/shm has real headroom (>=4 GiB free) —
+    // at larger scale factors a near-full RAM disk would trade the fsync
+    // tax for ENOSPC mid-run.
+    var scratchMode = "ext4"
     if (sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") == "1") {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm)) {
+      val freeOk = try java.nio.file.Files.getFileStore(shm)
+        .getUsableSpace >= (4L << 30) catch { case _: Throwable => false }
+      if (java.nio.file.Files.isWritable(shm) && freeOk) {
         val scratch = java.nio.file.Files.createTempDirectory(shm, "graft_bench")
         graft.streaming.EventStreams.deleteTreeOnExit(scratch)
         System.setProperty("java.io.tmpdir", scratch.toString)
+        scratchMode = "tmpfs"
         System.err.println(s"[bench] scratch on tmpfs: $scratch")
+      } else if (java.nio.file.Files.isWritable(shm)) {
+        System.err.println("[bench] /dev/shm under 4 GiB free - staying on ext4")
       }
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,7 +150,7 @@ object Bench {
       "\"" + k + "\":" + f"[$w%.1f,$s%.1f]"
     }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fsShort,"pass_totals":$passTotals,"n_queries":${results.size},"sf":"$sfDir"}"""
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"shuffle_w_spill_mb":$shufJson,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"failed":$fs,"pass_totals":$passTotals,"n_queries":${results.size},"shuffle_w_spill_mb":$shufJson,"scratch":"$scratchMode","sf":"$sfDir"}"""
     // Full-fidelity copy with long query names; SPARK_GRAFT_OUT_DIR anchors
     // it (default: cwd) so running from another directory doesn't scatter it.
     val fullPath = java.nio.file.Paths.get(

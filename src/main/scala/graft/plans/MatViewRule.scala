@@ -276,6 +276,15 @@ object MatViewRule {
         case Some(Seq(a)) => Some(a)
         case _ => None
       }
+    /** The exact tier's 'missing, ambiguous, retyped' guard applied to
+      * roll-up GROUPING substitutions: a view column resolved by name must
+      * also carry the consumer expression's exact type, or the
+      * Alias(..., exprId = consumer's) would silently retype every
+      * downstream reference bound to that id (aggregates are already
+      * covered by the Cast to the consumer's dataType below; grouping
+      * keys have no such cast, so the type must match outright). */
+    def typedGroupExprOf(ex0: Expression): Option[Expression] =
+      groupExprOf(ex0).filter(_.dataType == ex0.dataType)
     def norm(x: Expression) = normalized(x, c, subst)
     /** A consumer grouping expression, rewritten over the view: the view
       * key itself, or any expression whose base attributes are ALL view
@@ -298,7 +307,7 @@ object MatViewRule {
         else None
       }
     }
-    val gMapped = p.groupingExpressions.map(groupExprOf)
+    val gMapped = p.groupingExpressions.map(typedGroupExprOf)
     if (gMapped.exists(_.isEmpty)) return None
     val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
     def reAgg(f: AggregateFunction): Option[(String, Expression => AggregateFunction)] =
@@ -320,7 +329,7 @@ object MatViewRule {
         case _ => None
       }
     val newList: Seq[Option[NamedExpression]] = p.aggregateExpressions.map {
-      case a: Attribute => groupExprOf(a).map {
+      case a: Attribute => typedGroupExprOf(a).map {
         case at: Attribute => Alias(at, a.name)(exprId = a.exprId)
         case ex => Alias(ex, a.name)(exprId = a.exprId)
       }
@@ -334,7 +343,7 @@ object MatViewRule {
           }
         }
       case al @ Alias(ex, name) =>
-        groupExprOf(ex).map(g => Alias(g, name)(exprId = al.exprId))
+        typedGroupExprOf(ex).map(g => Alias(g, name)(exprId = al.exprId))
       case _ => None
     }
     if (newList.exists(_.isEmpty)) None

@@ -404,7 +404,7 @@ object Lakehouse {
       step: Seq[String] => (Seq[String], Option[DataFrame], Option[DataFrame]))
       : (Int, Boolean) = {
     var attempt = 0
-    while (attempt <= maxRetries) {
+    while (attempt < maxRetries) {
       val base = SnapshotStore.currentVersion(spark, root)
       val cur = SnapshotStore.files(spark, root, base).map(normPath)
       val (affected, replacement, extra) = step(cur)

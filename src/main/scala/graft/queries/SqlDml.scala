@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   *  - DELETE removes exactly the rows whose predicate is TRUE (NULL
   *    keeps — the survivor filter is null-safe);
   *  - the source must match each target row at most once (the Delta/
-  *    Iceberg cardinality contract; duplicate source keys are the
-  *    caller's breach).
+  *    Iceberg cardinality contract); a multi-match RAISES an error —
+  *    the same loud failure those engines produce — instead of
+  *    silently duplicating target rows through the join.
   *  - assigned/inserted values are cast to the target column's type
   *    (the ANSI store-assignment cast).
   *
@@ -93,7 +94,7 @@ object SqlDml {
           m.notMatchedBySourceActions)
       case other => throw new IllegalArgumentException(
         s"SqlDml: unsupported statement ${other.nodeName} " +
-          "(MERGE INTO and DELETE FROM are the DML surface)")
+          "(MERGE INTO, UPDATE and DELETE FROM are the DML surface)")
     }
   }
 
@@ -233,8 +234,23 @@ object SqlDml {
       val affected = (matchedFiles ++ bySourceFiles).distinct
 
       val replacement = if (affected.isEmpty) None else {
-        val a = aliased(spark.read.parquet(affected: _*), tAlias)
-        val joined = a.join(s, onCond, "left")
+        // MERGE cardinality contract: each target row may match at most
+        // one source row. Checked on the AFFECTED slice only (every
+        // multi-matched target row lives in an affected file by
+        // definition), so the check costs O(changed slice) like the
+        // rewrite itself. A violation raises, as Delta/Iceberg do,
+        // instead of silently duplicating target rows through the join.
+        val Rid = "__graft_rid"
+        val a = aliased(spark.read.parquet(affected: _*)
+          .withColumn(Rid, monotonically_increasing_id()), tAlias)
+        val multi = a.join(s, onCond, "inner")
+          .groupBy(col(Rid)).agg(count(lit(1)).as("__c"))
+          .where(col("__c") > 1).limit(1).count()
+        require(multi == 0L,
+          "SqlDml: MERGE source matches at least one target row more than " +
+            "once (cardinality violation) - deduplicate the source on the " +
+            "merge keys")
+        val joined = a.drop(Rid).join(s, onCond, "left")
         // first-match-wins: chained WHEN gives exactly that (a NULL clause
         // condition falls through, per the MERGE contract)
         val m = col(Mark).isNotNull

@@ -53,6 +53,23 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(pruned || true) // pruning depends on layout; no crash contract
   }
 
+  test("MERGE raises on cardinality violation: a source matching one target row twice") {
+    val root = freshStore()
+    // key 2 appears TWICE in the source — the Delta/Iceberg contract says
+    // this must raise, not silently duplicate the target row
+    val src = Seq((2L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "op", "np")
+    val e = intercept[IllegalArgumentException] {
+      SqlDml.execute(spark,
+        """MERGE INTO tbl t USING src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.op""".stripMargin,
+        Map("tbl" -> root), Map("src" -> src))
+    }
+    assert(e.getMessage.contains("cardinality"))
+    // nothing was committed: the table is still at v1 with 6 rows
+    assert(SnapshotStore.currentVersion(spark, root) == 1)
+    assert(SnapshotStore.read(spark, root).count() == 6)
+  }
+
   test("MERGE INSERT * maps source columns by name; values cast to target types") {
     val root = freshStore()
     // source schema matches target by NAME; p arrives as INT (cast needed)
