@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Extensions, Graph, Joins, Lakehouse, Layout, Parity, Pipeline, Quality, Relational, Scalars, Similarity, SqlDml, SqlFront, Temporal, TextAnalysis, TimeSeries, Windows}
+import graft.queries.{CatalogQueries, Dedup, Extensions, Graph, Joins, Lakehouse, Layout, Parity, Pipeline, Quality, Relational, Scalars, Similarity, SqlDml, SqlFront, Temporal, TextAnalysis, TimeSeries, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates every operator's named query + DuckDB oracle from the
@@ -27,7 +27,8 @@ object SparkEntry {
       Quality.defs ++
       Extensions.defs ++
       Lakehouse.defs ++
-      SqlDml.defs
+      SqlDml.defs ++
+      CatalogQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end LLM data pipeline (quality/lang gates -> exact dedup ->

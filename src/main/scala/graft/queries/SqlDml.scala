@@ -415,7 +415,7 @@ object SqlDml {
         col("n_merged"), col("n_stale"), lit(pruned).as("pruned"))
   }
 
-  private val sqlMergeBySourceSql =
+  private[graft] val sqlMergeBySourceSql =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 2) AS lo,
        |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi,
@@ -471,7 +471,7 @@ object SqlDml {
         lit(ttOk).as("time_travel_ok"))
   }
 
-  private val sqlUpdateSql =
+  private[graft] val sqlUpdateSql =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 3) AS lo,
        |         (max(o_orderkey) // 3) + (max(o_orderkey) // 20) AS hi
@@ -485,7 +485,7 @@ object SqlDml {
        |FROM orders, rng
        |GROUP BY 1""".stripMargin
 
-  private val sqlDeleteSql =
+  private[graft] val sqlDeleteSql =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 10) AS lo,
        |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS hi
@@ -515,7 +515,7 @@ object SqlDml {
     query(spark, sql, Map("snap" -> root))
   }
 
-  private val sqlTimeTravelSql = Lakehouse.stagesSql(
+  private[graft] val sqlTimeTravelSql = Lakehouse.stagesSql(
     s"""SELECT CAST(version AS BIGINT) AS version, o_orderstatus,
        |  CAST(n AS BIGINT) AS n, total_price
        |FROM (

@@ -64,8 +64,14 @@ object SnapshotStore {
   def currentVersion(spark: SparkSession, root: String): Int =
     versions(spark, root).lastOption.getOrElse(0)
 
-  /** The file list of `version` (default: latest). */
-  def files(spark: SparkSession, root: String, version: Int = -1): Seq[String] = {
+  /** A `dv:`-prefixed manifest line references a DELETE-VECTOR file (a
+    * parquet of (file_path, row_index) tombstones) instead of a data
+    * file — the merge-on-read half of the layer. Plain lines stay data
+    * files, so every pre-DV manifest parses unchanged. */
+  private val DvPrefix = "dv:"
+
+  private def manifestLines(spark: SparkSession, root: String,
+      version: Int): Seq[String] = {
     val v = if (version > 0) version else currentVersion(spark, root)
     require(v > 0, s"no committed snapshot under $root")
     val p = new org.apache.hadoop.fs.Path(snapDir(root), f"v$v%05d.txt")
@@ -75,17 +81,81 @@ object SnapshotStore {
     finally in.close()
   }
 
+  /** The DATA file list of `version` (default: latest). */
+  def files(spark: SparkSession, root: String, version: Int = -1): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith(DvPrefix))
+
+  /** The delete-vector files of `version` (default: latest) — empty for
+    * copy-on-write-only tables. */
+  def deleteVectors(spark: SparkSession, root: String,
+      version: Int = -1): Seq[String] =
+    manifestLines(spark, root, version).collect {
+      case l if l.startsWith(DvPrefix) => l.stripPrefix(DvPrefix)
+    }
+
+  /** Render a delete-vector path as its manifest line. */
+  def dvLine(path: String): String = DvPrefix + path
+
   /** Read snapshot `version` (default: latest). `mergeSchema` unions the
     * files' schemas (SCHEMA EVOLUTION: a rewrite may widen its files;
     * untouched files surface NULL for the added columns) — opt-in
     * because it reads every footer; at warehouse scale the evolved
     * schema belongs in the manifest, which is where a format-level
-    * implementation would put it. */
+    * implementation would put it.
+    *
+    * MERGE-ON-READ: when the manifest carries delete vectors, the read
+    * applies them — an anti-join of the scan's native
+    * `_metadata.(file_path, row_index)` against the tombstone set. Data
+    * files are never modified; the join cost is ∝ |tombstones|, and a
+    * compaction ([[Lakehouse]] q304 machinery) reconciles vectors back to
+    * clean files when they accumulate. */
   def read(spark: SparkSession, root: String, version: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
     val r = spark.read
-    (if (mergeSchema) r.option("mergeSchema", "true") else r)
+    val df = (if (mergeSchema) r.option("mergeSchema", "true") else r)
       .parquet(files(spark, root, version): _*)
+    val dvs = deleteVectors(spark, root, version)
+    if (dvs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val cols = df.columns.toSeq.map(col)
+      val tomb = spark.read.parquet(dvs: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      df.withColumn("__row_file", col("_metadata.file_path"))
+        .withColumn("__row_pos", col("_metadata.row_index"))
+        .join(tomb, col("__row_file") === col("__dv_file") &&
+          col("__row_pos") === col("__dv_pos"), "left_anti")
+        .select(cols: _*)
+    }
+  }
+
+  /** Snapshot read carrying each LIVE row's (file, pos) identity as
+    * `__row_file`/`__row_pos` — existing delete vectors already applied,
+    * so a tombstone derived from this read can never double-delete. */
+  def readWithRowId(spark: SparkSession, root: String,
+      version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(files(spark, root, version): _*)
+      .withColumn("__row_file", col("_metadata.file_path"))
+      .withColumn("__row_pos", col("_metadata.row_index"))
+    val dvs = deleteVectors(spark, root, version)
+    if (dvs.isEmpty) base
+    else {
+      val tomb = spark.read.parquet(dvs: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      base.join(tomb, col("__row_file") === col("__dv_file") &&
+        col("__row_pos") === col("__dv_pos"), "left_anti")
+    }
+  }
+
+  /** The tombstones a merge-on-read MERGE/DELETE adds: (file, pos) of the
+    * live rows `cond` selects. */
+  def tombstonesWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    readWithRowId(spark, root, version)
+      .where(cond)
+      .select(col("__row_file").as("file"), col("__row_pos").as("pos"))
   }
 
   /** Publish `fileList` as the next version after `expectedVersion`.
@@ -168,8 +238,28 @@ object SnapshotStore {
   private def statsPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(snapDir(root), f"v$v%05d_stats.parquet")
 
-  private def uriPath(s: String): String =
+  /** Normalize a path string to its URI path — manifests carry plain
+    * paths while `input_file_name()` and scan plumbing may carry `file:`
+    * URIs; set comparisons go through this. */
+  private[graft] def uriPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** `version`'s stats sidecar as (key column, uri-path → [lo, hi]) —
+    * None when the sidecar is missing, empty, or non-integer-keyed. The
+    * V2 catalog scan ([[graft.catalog.SnapshotZones]]) consumes this for
+    * plan-time zone pruning. */
+  private[graft] def statsOf(spark: SparkSession, root: String,
+      version: Int = -1): Option[(String, Map[String, (Long, Long)])] = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    val sp = statsPath(root, v)
+    if (v <= 0 || !fs(spark, sp).exists(sp)) return None
+    val rows = spark.read.parquet(sp.toString).collect()
+    if (rows.isEmpty) return None
+    try Some((rows.head.getString(3), rows.map { r =>
+      uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))
+    }.toMap))
+    catch { case _: ClassCastException => None }
+  }
 
   /** Compute and persist per-file [min, max] of `keyCol` for `version`
     * (default: latest) — one aggregate over the snapshot's files. The
@@ -247,10 +337,12 @@ object SnapshotStore {
     val all = versions(spark, root)
     val expired = all.dropRight(keep)
     if (expired.isEmpty) return (Nil, Nil)
-    val live = all.takeRight(keep)
-      .flatMap(v => files(spark, root, v)).toSet
-    val doomed = expired.flatMap(v => files(spark, root, v)).distinct
-      .filterNot(live)
+    // delete-vector files are references too: a DV lives exactly as long
+    // as some retained manifest carries it
+    def refs(v: Int) = manifestLines(spark, root, v)
+      .map(_.stripPrefix(DvPrefix))
+    val live = all.takeRight(keep).flatMap(refs).toSet
+    val doomed = expired.flatMap(refs).distinct.filterNot(live)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))
     doomed.foreach(p =>
       f.delete(new org.apache.hadoop.fs.Path(p), false))

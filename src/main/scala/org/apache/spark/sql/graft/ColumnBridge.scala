@@ -12,6 +12,22 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `FieldReference`/`LiteralValue` are `private[sql]` Scala-side (Java
+    * connectors see them as public bytecode); the V2 catalog
+    * (graft.catalog) needs both — a column reference for
+    * `filterAttributes`/`requiredMetadataAttributes` and literal
+    * extraction from runtime `_file IN (...)` predicates. */
+  def fieldReference(name: String)
+      : org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+
+  def literalValue(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Any] = e match {
+    case org.apache.spark.sql.connector.expressions.LiteralValue(v, _) =>
+      Some(v)
+    case _ => None
+  }
+
   /** Build a DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the construction path for the engine's custom
     * logical operators (graft.plans.AsOfJoinPlan). */
