@@ -874,6 +874,135 @@ object Lakehouse {
        |FROM orders, rng
        |GROUP BY 1""".stripMargin
 
+  // ---- q323: MERGE-ON-READ deletion vectors ---------------------------------
+
+  /** q323: MERGE-ON-READ — the q308-model three-way merge with DELETION
+    * VECTORS instead of file rewrites: matched rows (updates' pre-images
+    * and deletes) become (file, row_index) tombstones in a `dv:` manifest
+    * sidecar; updated images and inserts APPEND as new files; NO existing
+    * data file is rewritten or even opened for writing. Reads apply the
+    * vectors transparently ([[SnapshotStore.read]] anti-joins the scan's
+    * native `_metadata.row_index`), so v2 is the merged table while v1's
+    * bytes are untouched on disk. A compaction then reconciles the
+    * vectors back to clean files as v3 (q304's machinery — compaction is
+    * just another committer).
+    *
+    * Graded in one result (q308's oracle semantics):
+    *  - the merged table CONTENT — read from the COMPACTED v3, while
+    *    `mor_applied` pins that the vector-applied v2 read had produced
+    *    exactly the same aggregates (so both read paths are under the
+    *    hash);
+    *  - `data_untouched`: every v1 data file appears in v2's manifest
+    *    bit-identical (merge-on-read's defining property);
+    *  - `write_bounded`: bytes written by the MoR commit (vectors +
+    *    appended images) are LESS than the bytes copy-on-write would have
+    *    rewritten (the zone-covering files of the matched keys) — rewrite
+    *    cost ∝ changed ROWS, not affected files;
+    *  - `reconciled`: v3 carries no delete vectors.
+    *
+    * At 100 TB: a delete-heavy workload writes |tombstones| rows per
+    * commit instead of rewriting every covering file — the reason Delta
+    * and Iceberg both grew DVs. The read-side anti-join costs
+    * ∝ |tombstones| (broadcast at typical sizes); compaction bounds its
+    * accumulation. Batch outputs here are coalesced to the change-batch
+    * scale; a production writer sizes them to maxPartitionBytes. */
+  def morMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = initStore(spark, dir)
+    val lo = mx / 2; val hi = lo + mx / 10
+    val v1Files = SnapshotStore.files(spark, root, 1)
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val f = fsOf(spark, fsP)
+    def sizeOf(paths: Seq[String]): Long = paths.map(p =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
+    def sig(paths: Seq[String]) = paths.map { p =>
+      val s = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      normName(p) -> ((s.getLen, s.getModificationTime))
+    }.toMap
+    val v1Sig = sig(v1Files)
+
+    // the change model (q308's): updates %3=0, deletes %3=1, inserts %3=2
+    val t = SnapshotStore.readWithRowId(spark, root, 1)
+    val inRange = t.where(col("o_orderkey").between(lo, hi)).localCheckpoint()
+    val tomb = inRange
+      .where(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 3 === 1)
+      .select(col("__row_file").as("file"), col("__row_pos").as("pos"))
+      .coalesce(1)
+    val updated = inRange.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        col("o_orderdate"), lit("MERGED").as("o_orderpriority"))
+    val inserts = inRange.where(col("o_orderkey") % 3 === 2)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val appended = updated.unionByName(inserts).coalesce(1)
+
+    // what COW would have rewritten: the zone-covering files of matched keys
+    val cowAffected = affectedOfList(spark, v1Files,
+      inRange.where(col("o_orderkey") % 3 =!= 2).select(col("o_orderkey")))
+
+    val dvFiles = SnapshotStore.writeData(spark, root, tomb, "dv_m")
+    val newData = SnapshotStore.writeData(spark, root, appended, "mor_m")
+    SnapshotStore.commit(spark, root,
+      v1Files ++ newData ++ dvFiles.map(SnapshotStore.dvLine), 1)
+
+    val dataUntouched = v1Sig.forall { case (n, s) => sig(v1Files).get(n).contains(s) } &&
+      v1Files.map(normPath).toSet.subsetOf(
+        SnapshotStore.files(spark, root, 2).map(normPath).toSet)
+    val writeBounded = sizeOf(dvFiles ++ newData) < sizeOf(cowAffected)
+
+    def aggOf(df: DataFrame) = df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "MERGED", lit(1L))
+          .otherwise(lit(0L))).as("n_merged"))
+    val v2Agg = aggOf(SnapshotStore.read(spark, root, 2)).localCheckpoint()
+
+    // compaction: vectors reconciled into clean files, published as v3
+    val compacted = SnapshotStore.read(spark, root, 2)
+      .repartitionByRange(8, col("o_orderkey"))
+    val v3Files = SnapshotStore.writeData(spark, root, compacted, "opt_m")
+    SnapshotStore.commit(spark, root, v3Files, 2)
+    val reconciled = SnapshotStore.deleteVectors(spark, root, 3).isEmpty
+
+    val v3Agg = aggOf(SnapshotStore.read(spark, root, 3))
+    val morApplied = v3Agg.withColumnRenamed("n", "n2")
+      .withColumnRenamed("total_price", "t2").withColumnRenamed("n_merged", "m2")
+      .join(v2Agg, Seq("o_orderstatus"), "full")
+      .where(col("n").isNull || col("n2").isNull || col("n") =!= col("n2") ||
+        col("total_price") =!= col("t2") || col("n_merged") =!= col("m2"))
+      .isEmpty
+    v3Agg.select(col("o_orderstatus"), col("n"), col("total_price"),
+      col("n_merged"), lit(morApplied).as("mor_applied"),
+      lit(dataUntouched).as("data_untouched"),
+      lit(writeBounded).as("write_bounded"),
+      lit(reconciled).as("reconciled"))
+  }
+
+  private val morMergeSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders),
+       |fin AS (
+       |  SELECT o_orderstatus,
+       |    CASE WHEN o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 0
+       |         THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+       |    CASE WHEN o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 0
+       |         THEN 'MERGED' ELSE o_orderpriority END AS prio
+       |  FROM orders, rng
+       |  WHERE NOT (o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 1)
+       |  UNION ALL
+       |  SELECT 'N' AS o_orderstatus, o_totalprice AS price,
+       |    o_orderpriority AS prio
+       |  FROM orders, rng
+       |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 = 2)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE prio = 'MERGED') AS BIGINT) AS n_merged,
+       |  TRUE AS mor_applied, TRUE AS data_untouched,
+       |  TRUE AS write_bounded, TRUE AS reconciled
+       |FROM fin GROUP BY 1""".stripMargin
+
   // ---- q308: SNAPSHOT-NATIVE MERGE — the two halves composed ---------------
 
   /** q308: SNAPSHOT-NATIVE MERGE — q288's three-way merge run THROUGH the
@@ -994,5 +1123,6 @@ object Lakehouse {
     QueryDef("q306_snapshot_skip", snapshotSkipRead, Some(snapshotSkipReadSql)),
     QueryDef("q310_snap_skip_rule", snapshotSkipRule, Some(snapshotSkipRuleSql)),
     QueryDef("q317_snap_schema_evolve", snapSchemaEvolve,
-      Some(snapSchemaEvolveSql)))
+      Some(snapSchemaEvolveSql)),
+    QueryDef("q323_mor_merge", morMerge, Some(morMergeSql)))
 }

@@ -284,6 +284,56 @@ class LakehouseSpec extends AnyFunSuite {
     } finally SnapshotStore.dropSkipping(spark, root)
   }
 
+  test("merge-on-read: delete vectors apply on read, stack across commits, reconcile, vacuum") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snapmor")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val f1 = SnapshotStore.writeData(spark, root,
+      (1L to 30L).map(k => (k, k.toDouble)).toDF("k", "p")
+        .repartitionByRange(3, col("k")), "base")
+    SnapshotStore.commit(spark, root, f1, 0)
+    // a reader resolves v1 BEFORE the MoR commit
+    val early = SnapshotStore.read(spark, root)
+    // v2: tombstone k in [5, 8] — data files untouched
+    val dv1 = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k").between(5, 8))
+        .coalesce(1), "dv1")
+    SnapshotStore.commit(spark, root,
+      f1 ++ dv1.map(SnapshotStore.dvLine), 1)
+    assert(SnapshotStore.read(spark, root).count() == 26)
+    assert(SnapshotStore.read(spark, root)
+      .where(col("k").between(5, 8)).isEmpty)
+    // the overlapping reader still sees all of v1 (atomic publication)
+    assert(early.count() == 30)
+    assert(SnapshotStore.read(spark, root, 1).count() == 30) // time travel
+    // v3: a SECOND vector stacks — tombstones derive from the LIVE view,
+    // so re-tombstoning an already-deleted row is impossible
+    val dv2 = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") === 20L)
+        .coalesce(1), "dv2")
+    assert(SnapshotStore.tombstonesWhere(spark, root,
+      col("k").between(5, 8)).isEmpty) // already dead rows yield no rows
+    SnapshotStore.commit(spark, root,
+      f1 ++ (dv1 ++ dv2).map(SnapshotStore.dvLine), 2)
+    assert(SnapshotStore.read(spark, root).count() == 25)
+    // v4: compaction reconciles vectors into clean files
+    val clean = SnapshotStore.writeData(spark, root,
+      SnapshotStore.read(spark, root).repartitionByRange(3, col("k")), "opt")
+    SnapshotStore.commit(spark, root, clean, 3)
+    assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
+    assert(SnapshotStore.read(spark, root).count() == 25)
+    assert(SnapshotStore.read(spark, root).agg(sum(col("k")))
+      .head().getLong(0) == (1L to 30L).sum - 5 - 6 - 7 - 8 - 20)
+    // vacuum to the clean version: DV files are references, then garbage
+    val (gone, vs) = SnapshotStore.vacuum(spark, root, keep = 1)
+    assert(vs == Seq(1, 2, 3))
+    assert((dv1 ++ dv2).forall(d => gone.map(graft.queries.Lakehouse.normPath)
+      .contains(graft.queries.Lakehouse.normPath(d))),
+      s"DVs must be vacuumed: $gone")
+    assert(SnapshotStore.read(spark, root).count() == 25)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
