@@ -98,6 +98,12 @@ class GraftCatalog extends TableCatalog {
     val versions = SnapshotStore.versions(spark, root)
     val v = if (version > 0) version else versions.lastOption.getOrElse(0)
     if (v <= 0 || !versions.contains(v)) throw new NoSuchTableException(ident)
+    // the catalog scan reads data files raw and its commits carry data
+    // lines only — a merge-on-read manifest (delete vectors) through this
+    // path would resurrect deleted rows. Refuse loudly; compact first.
+    require(SnapshotStore.deleteVectors(spark, root, v).isEmpty,
+      s"graft catalog: ${ident.name()} v$v carries delete vectors - " +
+        "merge-on-read tables must be compacted before catalog access")
     new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, v)
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.Exact.{dsum2, sqlSum2}
+import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -366,6 +367,143 @@ object Lakehouse {
        |  TRUE AS three_batches
        |FROM fin GROUP BY 1""".stripMargin
 
+  // ---- q324: streaming CDC THROUGH the snapshot commit ----------------------
+
+  /** q324: STREAMING CDC, SNAPSHOT EDITION — q290's foreachBatch apply
+    * loop rebased onto the atomic manifest commit with VERSION = EPOCH
+    * ARITHMETIC: micro-batch b must produce snapshot v(b+2) (v1 is the
+    * base), so
+    *  - a REPLAYED batch (foreachBatch's at-least-once redelivery) finds
+    *    its version already committed and no-ops — exactly-once table
+    *    state from at-least-once delivery, without relying on image
+    *    idempotence;
+    *  - a commit racing anything else conflicts instead of interleaving
+    *    (first-writer-wins OCC), so the version chain IS the epoch chain;
+    *  - a MID-STREAM READER always resolves a fully-committed epoch's
+    *    table — `reader_consistent` pins that each batch found the chain
+    *    exactly one version ahead, and `replay_noop` that re-applying the
+    *    last batch after the stream left the version chain untouched.
+    * The oracle is q290's one-shot merge, so the sequential snapshot
+    * commits must compose to exactly the batch semantics; time travel to
+    * v1 (the pre-stream table) rides for free and is pinned by the spec.
+    *
+    * At 100 TB: per epoch the apply pays the q290 zone-join discovery +
+    * O(affected slice) rewrite + one manifest rename; replay detection is
+    * one manifest listing. This is the Delta/Iceberg `txnVersion`
+    * idempotent-writer contract expressed through the engine's own layer. */
+  def streamCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, _) = initStore(spark, dir)
+    val base = Tables(spark, dir, "orders")
+    val updates = base.where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        ((col("o_orderkey") % 1000).cast("double") + lit(0.5))
+          .as("o_totalprice"),
+        col("o_orderdate"), lit("CDC").as("o_orderpriority"))
+    val inserts = base.where(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + lit(200000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val changes = updates.unionByName(inserts).localCheckpoint()
+    val inDir = java.nio.file.Files.createTempDirectory("graft_cdcsnap_in")
+    graft.streaming.EventStreams.deleteTreeOnExit(inDir)
+    (0 until 3).foreach { b =>
+      changes.where(pmod(col("o_orderkey"), lit(3)) === b)
+        .coalesce(1).write.parquet(s"$inDir/c$b")
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdcsnap_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(ck)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val consistent = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q = spark.readStream
+      .schema(changes.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/c*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batches.incrementAndGet()
+        // the mid-stream reader contract: before batch b applies, the
+        // chain stands at exactly v(b+1) — every prior epoch fully
+        // committed, nothing of this epoch visible
+        if (SnapshotStore.currentVersion(spark, root) != batchId + 1)
+          consistent.set(false)
+        applyImagesSnapshot(spark, root, batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    val threeBatches = batches.get() == 3
+    // replay the LAST epoch: at-least-once redelivery must be a no-op
+    val before = SnapshotStore.currentVersion(spark, root)
+    applyImagesSnapshot(spark, root,
+      spark.read.parquet(s"$inDir/c2"), 2L)
+    val replayNoop = SnapshotStore.currentVersion(spark, root) == before &&
+      before == 4
+    SnapshotStore.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "CDC", lit(1L))
+          .otherwise(lit(0L))).as("n_cdc"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_cdc"), lit(threeBatches).as("three_batches"),
+        lit(consistent.get()).as("reader_consistent"),
+        lit(replayNoop).as("replay_noop"))
+  }
+
+  /** MERGE one batch of absolute row images as snapshot version
+    * (batchId + 2): already-committed versions no-op (idempotent replay);
+    * otherwise the rewrite derives from v(batchId + 1) and commits
+    * expecting it, so any interleaving is a loud OCC conflict, never a
+    * silent half-state. */
+  private[graft] def applyImagesSnapshot(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val want = batchId.toInt + 2
+    if (SnapshotStore.currentVersion(spark, root) >= want) return // replay
+    val cur = SnapshotStore.files(spark, root, want - 1).map(normPath)
+    val images = batch.localCheckpoint()
+    val keys = images.select(col("o_orderkey"))
+    val affected = affectedOfList(spark, cur, keys)
+    val zones = spark.read.parquet(cur: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+    val covered = images.join(broadcast(zones),
+      col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"),
+      "left_semi")
+    val uncovered = images.join(broadcast(zones),
+      col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"),
+      "left_anti")
+    val merged =
+      if (affected.isEmpty) uncovered
+      else spark.read.parquet(affected: _*)
+        .join(keys.withColumnRenamed("o_orderkey", "k"),
+          col("o_orderkey") === col("k"), "left_anti")
+        .unionByName(covered).unionByName(uncovered)
+    val staged = SnapshotStore.writeData(spark, root, merged, s"cdc_v$want")
+    SnapshotStore.commit(spark, root,
+      cur.filterNot(affected.toSet) ++ staged, want - 1)
+  }
+
+  private val streamCdcSnapSql =
+    s"""WITH fin AS (
+       |  SELECT o_orderstatus,
+       |    CASE WHEN o_orderkey % 7 = 0
+       |         THEN CAST(o_orderkey % 1000 AS DOUBLE) + 0.5
+       |         ELSE o_totalprice END AS price,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN 'CDC'
+       |         ELSE o_orderpriority END AS prio
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'N' AS o_orderstatus, o_totalprice AS price,
+       |    o_orderpriority AS prio
+       |  FROM orders WHERE o_orderkey % 11 = 0)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("price")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE prio = 'CDC') AS BIGINT) AS n_cdc,
+       |  TRUE AS three_batches, TRUE AS reader_consistent,
+       |  TRUE AS replay_noop
+       |FROM fin GROUP BY 1""".stripMargin
+
   // ---- q301-q306 + q308: the SNAPSHOT layer over copy-on-write -------------
   //
   // q288-q290 mutate a bare directory — correct under the single-writer
@@ -377,8 +515,6 @@ object Lakehouse {
   // a manifest DIFF yields the change feed without reading unchanged
   // files. [[mutateSnapshot]] is the composition point: every mutation
   // below (and the SQL DML front end, `SqlDml`) runs through it.
-
-  import graft.sources.SnapshotStore
 
   /** SNAPSHOT-NATIVE copy-on-write mutation — the commit protocol every
     * real table format runs its MERGE/DELETE through. `step` derives the
@@ -1003,6 +1139,116 @@ object Lakehouse {
        |  TRUE AS write_bounded, TRUE AS reconciled
        |FROM fin GROUP BY 1""".stripMargin
 
+  // ---- q325: PARTITION SPEC in the snapshot manifest -------------------------
+
+  /** q325: PARTITIONED SNAPSHOT — the manifest records a partition spec
+    * (`meta:partition=o_orderstatus`) and every data line its file's
+    * partition VALUE (the Iceberg per-file partition tuple), versioned
+    * with the commit. Inside each partition, files cluster by key and the
+    * stats sidecar gives zone intervals — so the two prunings STACK:
+    *
+    *  - the UPDATE (status='F' AND key in one decile) discovers its
+    *    affected files as partition-matched ∩ zone-admissible —
+    *    `partition_local` pins the rewrite touched a strict subset of
+    *    even the 'F' partition (zone pruning inside the partition), and
+    *    the rewrite's manifest lines preserve the partition annotation;
+    *  - the PROBE READ (status='F' AND a key slice of the updated decile)
+    *    admits partition ∩ zone files — `stacked` pins the intersection
+    *    strictly under BOTH single-axis prunings, `probe_complete` that
+    *    it lost no rows vs an unpruned scan (the q224 completeness
+    *    discipline).
+    * Partition EVOLUTION is a later commit with a different spec line;
+    * spec-mismatched predicates decline to no pruning (LakehouseSpec pins
+    * the decline and the per-version spec isolation).
+    *
+    * At 100 TB: partition value checks are manifest-line string
+    * comparisons (driver-scale), zone checks the |files|-row sidecar —
+    * a point query touches one partition's one-two files out of
+    * thousands, and the MERGE rewrite is partition-local by
+    * construction. */
+  def snapPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_snap_part")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val root = s"$out/table"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = Tables(spark, dir, "orders")
+    val v1Lines = SnapshotStore.writeDataPartitioned(spark, root, base,
+      "o_orderstatus", 3, "o_orderkey", "base")
+    SnapshotStore.commit(spark, root, v1Lines, 0)
+    SnapshotStore.writeStats(spark, root, "o_orderkey")
+    val mx = SnapshotStore.read(spark, root)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val lo = mx / 2; val hi = lo + mx / 10
+
+    // partition-local UPDATE: affected = partition('F') ∩ zone([lo, hi])
+    val partF = SnapshotStore.filesWherePartition(spark, root,
+      "o_orderstatus", "F").map(normPath)
+    val zoneA = SnapshotStore.filesWhere(spark, root, lo, hi).map(normPath)
+    val affected = partF.toSet.intersect(zoneA.toSet).toSeq.sorted
+    val partitionLocal = affected.nonEmpty && affected.size < partF.size
+    val updated = spark.read.parquet(affected: _*)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey").between(lo, hi),
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        col("o_orderdate"),
+        when(col("o_orderkey").between(lo, hi), lit("PUPD"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+    val staged = SnapshotStore.writeData(spark, root,
+      updated.localCheckpoint().repartitionByRange(1, col("o_orderkey")),
+      "pupd").map(SnapshotStore.partLine(_, "F"))
+    val pv1 = SnapshotStore.partitionValuesOf(spark, root, 1)
+    val keptLines = SnapshotStore.files(spark, root, 1)
+      .filterNot(f => affected.contains(normPath(f)))
+      .map(f => SnapshotStore.partLine(f, pv1(SnapshotStore.uriPath(f))))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.partSpecLine("o_orderstatus") +: (keptLines ++ staged), 1)
+    SnapshotStore.writeStats(spark, root, "o_orderkey") // v2's zones
+
+    // stacked probe: one slice of the updated decile, partition 'F'
+    val lo2 = lo; val hi2 = lo + mx / 20
+    val partOnly = SnapshotStore.filesWherePartition(spark, root,
+      "o_orderstatus", "F")
+    val zoneOnly = SnapshotStore.filesWhere(spark, root, lo2, hi2)
+    val admitted = partOnly.map(normPath).toSet
+      .intersect(zoneOnly.map(normPath).toSet).toSeq.sorted
+    val stacked = admitted.nonEmpty &&
+      admitted.size < partOnly.size && admitted.size < zoneOnly.size
+    def probeOf(df: DataFrame) = df
+      .where(col("o_orderstatus") === "F" &&
+        col("o_orderkey").between(lo2, hi2))
+      .agg(count(lit(1)).as("c"), dsum2(col("o_totalprice")).as("t"))
+    val probeComplete = probeOf(spark.read.parquet(admitted: _*))
+      .join(probeOf(SnapshotStore.read(spark, root))
+        .withColumnRenamed("c", "c2").withColumnRenamed("t", "t2"))
+      .where(col("c") =!= col("c2") || col("t") =!= col("t2"))
+      .isEmpty
+
+    SnapshotStore.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "PUPD", lit(1L))
+          .otherwise(lit(0L))).as("n_upd"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_upd"), lit(partitionLocal).as("partition_local"),
+        lit(stacked).as("stacked"),
+        lit(probeComplete).as("probe_complete"))
+  }
+
+  private val snapPartitionedSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum2("CASE WHEN o_orderstatus = 'F' AND o_orderkey BETWEEN lo AND hi " +
+      "THEN o_totalprice + 1.0 ELSE o_totalprice END")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F'
+       |    AND o_orderkey BETWEEN lo AND hi) AS BIGINT) AS n_upd,
+       |  TRUE AS partition_local, TRUE AS stacked, TRUE AS probe_complete
+       |FROM orders, rng
+       |GROUP BY 1""".stripMargin
+
   // ---- q308: SNAPSHOT-NATIVE MERGE — the two halves composed ---------------
 
   /** q308: SNAPSHOT-NATIVE MERGE — q288's three-way merge run THROUGH the
@@ -1124,5 +1370,9 @@ object Lakehouse {
     QueryDef("q310_snap_skip_rule", snapshotSkipRule, Some(snapshotSkipRuleSql)),
     QueryDef("q317_snap_schema_evolve", snapSchemaEvolve,
       Some(snapSchemaEvolveSql)),
-    QueryDef("q323_mor_merge", morMerge, Some(morMergeSql)))
+    QueryDef("q323_mor_merge", morMerge, Some(morMergeSql)),
+    QueryDef("q324_stream_cdc_snap", streamCdcSnapshot,
+      Some(streamCdcSnapSql)),
+    QueryDef("q325_snap_partition", snapPartitioned,
+      Some(snapPartitionedSql)))
 }

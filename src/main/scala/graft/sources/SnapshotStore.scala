@@ -81,9 +81,21 @@ object SnapshotStore {
     finally in.close()
   }
 
+  /** PARTITION SPEC lines: `meta:partition=<col>` records the manifest's
+    * partition column; a data line may carry its file's partition VALUE
+    * as a tab suffix (`<path>\tpart=<value>`) — the Iceberg-style
+    * per-file partition tuple, degenerate to one column. Both are
+    * versioned WITH the manifest, so partition EVOLUTION is just a later
+    * commit with a different spec: old versions keep pruning on their
+    * own column, and a spec mismatch declines pruning (never rows). */
+  private val MetaPrefix = "meta:"
+  private val PartSuffix = "\tpart="
+
   /** The DATA file list of `version` (default: latest). */
   def files(spark: SparkSession, root: String, version: Int = -1): Seq[String] =
-    manifestLines(spark, root, version).filterNot(_.startsWith(DvPrefix))
+    manifestLines(spark, root, version)
+      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .map(_.split('\t').head)
 
   /** The delete-vector files of `version` (default: latest) — empty for
     * copy-on-write-only tables. */
@@ -95,6 +107,65 @@ object SnapshotStore {
 
   /** Render a delete-vector path as its manifest line. */
   def dvLine(path: String): String = DvPrefix + path
+
+  /** Render a data file + its partition value as its manifest line. */
+  def partLine(path: String, value: String): String =
+    s"$path$PartSuffix$value"
+
+  /** Render the partition spec as its manifest meta line. */
+  def partSpecLine(col: String): String = s"${MetaPrefix}partition=$col"
+
+  /** `version`'s partition column, if the manifest records one. */
+  def partitionSpecOf(spark: SparkSession, root: String,
+      version: Int = -1): Option[String] =
+    manifestLines(spark, root, version).collectFirst {
+      case l if l.startsWith(s"${MetaPrefix}partition=") =>
+        l.stripPrefix(s"${MetaPrefix}partition=")
+    }
+
+  /** `version`'s per-file partition values (uri-path keyed); files
+    * without a recorded value are absent — consumers must keep them
+    * unconditionally. */
+  def partitionValuesOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, String] =
+    manifestLines(spark, root, version).collect {
+      case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
+          l.contains(PartSuffix) =>
+        val i = l.indexOf(PartSuffix)
+        uriPath(l.substring(0, i)) -> l.substring(i + PartSuffix.length)
+    }.toMap
+
+  /** The files of `version` whose partition value is `value` under spec
+    * column `col` — declines to NO pruning when the version's spec is a
+    * different column (partition evolution: stale predicates lose power,
+    * never rows) or when a file carries no value. */
+  def filesWherePartition(spark: SparkSession, root: String, col: String,
+      value: String, version: Int = -1): Seq[String] = {
+    val fl = files(spark, root, version)
+    if (!partitionSpecOf(spark, root, version).contains(col)) return fl
+    val pv = partitionValuesOf(spark, root, version)
+    fl.filter(f => pv.get(uriPath(f)).forall(_ == value))
+  }
+
+  /** Write `df` partitioned by `partCol` as new data files, one group of
+    * files per partition value, each annotated in the returned manifest
+    * LINES (spec line + value-suffixed data lines). Bounded-cardinality
+    * driver loop (the warehouse partition contract — status/date-grain
+    * columns); a petabyte writer replaces the loop with one
+    * dynamic-partitioned write, the manifest model is unchanged. */
+  def writeDataPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      partCol: String, filesPerPart: Int, clusterCol: String,
+      tag: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val values = df.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).sorted
+    partSpecLine(partCol) +: values.flatMap { v =>
+      writeData(spark, root,
+        df.where(col(partCol) === v)
+          .repartitionByRange(filesPerPart, col(clusterCol)),
+        s"${tag}_$v").map(partLine(_, v))
+    }.toSeq
+  }
 
   /** Read snapshot `version` (default: latest). `mergeSchema` unions the
     * files' schemas (SCHEMA EVOLUTION: a rewrite may widen its files;
@@ -338,9 +409,12 @@ object SnapshotStore {
     val expired = all.dropRight(keep)
     if (expired.isEmpty) return (Nil, Nil)
     // delete-vector files are references too: a DV lives exactly as long
-    // as some retained manifest carries it
+    // as some retained manifest carries it; partition annotations and
+    // meta lines are not paths
     def refs(v: Int) = manifestLines(spark, root, v)
+      .filterNot(_.startsWith(MetaPrefix))
       .map(_.stripPrefix(DvPrefix))
+      .map(_.split('\t').head)
     val live = all.takeRight(keep).flatMap(refs).toSet
     val doomed = expired.flatMap(refs).distinct.filterNot(live)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))

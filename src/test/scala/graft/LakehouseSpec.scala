@@ -334,6 +334,39 @@ class LakehouseSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root).count() == 25)
   }
 
+  test("partition spec: per-version isolation, evolution, and decline cases") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("snappart")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val df = (1L to 40L).map(k => (k, if (k % 2 == 0) "a" else "b", k.toDouble))
+      .toDF("k", "g", "p")
+    // v1 partitioned by g
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeDataPartitioned(spark, root, df, "g", 2, "k", "v1"), 0)
+    assert(SnapshotStore.partitionSpecOf(spark, root, 1).contains("g"))
+    val ga = SnapshotStore.filesWherePartition(spark, root, "g", "a")
+    assert(ga.size == 2 && ga.size < SnapshotStore.files(spark, root).size)
+    assert(spark.read.parquet(ga: _*).count() == 20)
+    // DECLINE: a predicate on a NON-spec column prunes nothing
+    assert(SnapshotStore.filesWherePartition(spark, root, "k", "1").size == 4)
+    // partition EVOLUTION: v2 re-partitions by a derived bucket column
+    val evolved = df.withColumn("kb", (col("k") % 4).cast("string"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeDataPartitioned(spark, root,
+        evolved, "kb", 1, "k", "v2"), 1)
+    assert(SnapshotStore.partitionSpecOf(spark, root, 2).contains("kb"))
+    // the NEW spec prunes on kb; the OLD column declines on v2...
+    assert(SnapshotStore.filesWherePartition(spark, root, "kb", "0").size == 1)
+    assert(SnapshotStore.filesWherePartition(spark, root, "g", "a").size == 4)
+    // ...and v1 still prunes on ITS OWN spec (per-version isolation)
+    assert(SnapshotStore.filesWherePartition(spark, root, "g", "a", 1).size == 2)
+    assert(SnapshotStore.filesWherePartition(spark, root, "kb", "0", 1).size == 4)
+    // content identical across the evolution
+    assert(SnapshotStore.read(spark, root, 2).agg(sum(col("k")))
+      .head().getLong(0) == (1L to 40L).sum)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
