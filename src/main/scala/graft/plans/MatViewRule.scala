@@ -3,8 +3,9 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BoundReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BoundReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -142,7 +143,10 @@ object MatViewRule {
   // the day-grain view), and every A' member is RE-AGGREGABLE from a
   // stored column — SUM(x) → SUM(sum_x), COUNT(*)/COUNT(x) → SUM(cnt),
   // MIN → MIN, MAX → MAX (the q222 counting algebra's re-aggregation
-  // conditions; AVG, DISTINCT, and FILTER forms decline). Expressions are
+  // conditions), AVG(x) → SUM(sum_x)/SUM(cnt_x) when the view stores
+  // both partials, and COUNT(DISTINCT k) → COUNT(DISTINCT view_k) when k
+  // is (an expression over) view keys — both EXACT, see buildRollup
+  // (FILTER forms and other shapes decline). Expressions are
   // compared across the two plans by rebinding their attributes to
   // ORDINALS of the (canonically equal) core, so exprId drift between
   // the defining and consuming query can't break the match. All
@@ -328,11 +332,51 @@ object MatViewRule {
         }).map(n => (n, (col: Expression) => Sum(col))) // counts ADD
         case _ => None
       }
+    /** AVG rolls up as Σsum_x / Σcount_x — EXACT for integral inputs
+      * (integer-valued double sums are associative below 2^53) and
+      * within IEEE re-association for float/double, the same partial
+      * decomposition Spark's own two-phase Average performs. DECIMAL
+      * declines: its division scale semantics differ between the direct
+      * and decomposed forms. The divisor must be count(x) (AVG ignores
+      * NULLs); count(*) substitutes only when x is provably non-null. */
+    def avgOf(al: Alias, x: Expression): Option[NamedExpression] = {
+      val ok = x.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      }
+      if (!ok) return None
+      for {
+        sumN <- e.aggs.get(("sum", Some(norm(x))))
+        cntN <- e.aggs.get(("count", Some(norm(x)))).orElse(
+          if (!x.nullable) e.aggs.get(("count", None)) else None)
+        sumAttr <- relAttr(sumN)
+        cntAttr <- relAttr(cntN)
+      } yield {
+        val s = Sum(sumAttr).toAggregateExpression()
+        val c = Sum(cntAttr).toAggregateExpression()
+        val div = Divide(Cast(s, DoubleType, tz), Cast(c, DoubleType, tz))
+        val v = if (al.dataType == DoubleType) div else Cast(div, al.dataType, tz)
+        Alias(v, al.name)(exprId = al.exprId)
+      }
+    }
     val newList: Seq[Option[NamedExpression]] = p.aggregateExpressions.map {
       case a: Attribute => typedGroupExprOf(a).map {
         case at: Attribute => Alias(at, a.name)(exprId = a.exprId)
         case ex => Alias(ex, a.name)(exprId = a.exprId)
       }
+      case al @ Alias(AggregateExpression(Average(x, _), _, false, None, _), _) =>
+        avgOf(al, x)
+      // COUNT(DISTINCT x) where x is (an expression over) view KEYS is
+      // EXACT from the view: its rows hold every distinct key combination
+      // of the base, so distinct-x over the view equals distinct-x over
+      // the base — re-counted per coarser group (no sketch, no bound)
+      case al @ Alias(AggregateExpression(c: Count, _, true, None, _), name)
+          if c.children.length == 1 =>
+        typedGroupExprOf(c.children.head).map { g =>
+          Alias(Count(g).toAggregateExpression(isDistinct = true),
+            name)(exprId = al.exprId)
+        }
       case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
         reAgg(f).flatMap { case (vn, mk) =>
           relAttr(vn).map { at =>

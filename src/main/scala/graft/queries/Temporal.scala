@@ -490,6 +490,63 @@ object Temporal {
        |FROM orders
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- q326: matview roll-up of AVG and COUNT DISTINCT ----------------------
+
+  /** q326: AVG + COUNT DISTINCT ROLL-UP — the two aggregates the naive
+    * re-aggregation conditions exclude, answered from the q313 day-grain
+    * view anyway:
+    *  - AVG(o_custkey) decomposes to Σsum_cust / Σcnt_cust over the
+    *    stored partials — EXACT here (integral input: integer-valued
+    *    double sums below 2^53 are associative, then ONE IEEE division,
+    *    identical in both engines — the oracle spells the same
+    *    decomposition);
+    *  - COUNT(DISTINCT o_orderstatus) re-counts the view's KEY column —
+    *    exact with no sketch bound, because the (day, status) view holds
+    *    every distinct key combination of the base (the stored-key
+    *    argument; a non-key COUNT DISTINCT still declines, RulesSpec).
+    * The consumer is authored at WEEK grain against the RAW base; the
+    * `rewritten` gate reads from the optimized plan that the events
+    * relation is gone and the view table scanned. At 100 TB: the two
+    * dashboard staples that previously forced a base re-scan ride the
+    * same nightly day-grain aggregate as everything else. */
+  def matviewRollupAvg(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_mv_rollup_avg"
+    def base = Tables(spark, dir, "orders")
+    val defining = base
+      .groupBy(col("o_orderdate"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("cc"),
+        sum(col("o_custkey")).as("sc"))
+    graft.plans.MatViewRule.register(spark, defining, table)
+    try {
+      val consumer = base
+        .groupBy(date_trunc("WEEK", col("o_orderdate")).as("week"))
+        .agg(count(lit(1)).as("n"), avg(col("o_custkey")).as("avg_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+      val scans = consumer.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).mkString(";")
+            case _ => ""
+          }
+      }
+      val rewritten = scans.exists(_.contains(table)) &&
+        !scans.exists(_.contains("orders.parquet"))
+      consumer.localCheckpoint()
+        .select(col("week"), col("n"), col("avg_cust"), col("n_status"),
+          lit(rewritten).as("rewritten"))
+    } finally graft.plans.MatViewRule.drop(table)
+  }
+
+  private val matviewRollupAvgSql =
+    s"""SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(o_custkey) AS DOUBLE) / count(o_custkey) AS avg_cust,
+       |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+       |  TRUE AS rewritten
+       |FROM orders
+       |GROUP BY 1""".stripMargin
+
   // ---- q222: algebraic incremental view maintenance (delta merge) ---------
 
   /** q222: INCREMENTAL VIEW MAINTENANCE by COUNTING ALGEBRA — the delta
@@ -1034,6 +1091,8 @@ object Temporal {
     QueryDef("q287_restatement_diff", restatementDiff, Some(restatementDiffSql)),
     QueryDef("q216_matview_lifecycle", matviewLifecycle, Some(matviewLifecycleSql)),
     QueryDef("q313_matview_rollup", matviewRollup, Some(matviewRollupSql)),
+    QueryDef("q326_matview_rollup_avg", matviewRollupAvg,
+      Some(matviewRollupAvgSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),

@@ -188,7 +188,8 @@ class RulesSpec extends AnyFunSuite {
     def scansView(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.toString.contains("graft_mv_rollupspec")
     val defining = base.groupBy(col("g1"), col("g2"))
-      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+      .agg(count(lit(1)).as("c"), count(col("x")).as("cx"),
+        sum(col("x")).as("sx"),
         min(col("y")).as("mny"), max(col("y")).as("mxy"))
     try {
       MatViewRule.register(spark, defining, "graft_mv_rollupspec")
@@ -206,12 +207,27 @@ class RulesSpec extends AnyFunSuite {
       assert(scansView(exprGrain), exprGrain.queryExecution.optimizedPlan)
       val gotExpr = exprGrain.orderBy(col("parity")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
+      // AVG rolls up from the stored (sum_x, count_x) partials — exact
+      // here: integral x, integer-valued double sums below 2^53
+      def avgC = base.groupBy(col("g1")).agg(avg(col("x")).as("a"))
+      assert(scansView(avgC), avgC.queryExecution.optimizedPlan)
+      val gotAvg = avgC.orderBy(col("g1")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // COUNT(DISTINCT k) over a VIEW KEY rolls up exactly (the view
+      // holds every distinct key combination)
+      def cdC = base.groupBy(col("g1"))
+        .agg(countDistinct(col("g2")).as("d"))
+      assert(scansView(cdC), cdC.queryExecution.optimizedPlan)
+      val gotCd = cdC.orderBy(col("g1")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
       // declines — each keeps the from-scratch plan, never fails:
-      // AVG is not re-aggregable from (count, sum) pairs here
-      assert(!scansView(base.groupBy(col("g1")).agg(avg(col("x")).as("a"))))
-      // DISTINCT cannot roll up
+      // COUNT(DISTINCT measure) cannot roll up (x is not a view key;
+      // the view's sum partial cannot recover x's distinct values)
       assert(!scansView(base.groupBy(col("g1"))
         .agg(countDistinct(col("x")).as("d"))))
+      // AVG of a column with no stored count-of-x partial declines when
+      // the column is nullable (parquet) — count(*) would miscount NULLs
+      assert(!scansView(base.groupBy(col("g1")).agg(avg(col("y")).as("a"))))
       // a grouping key that is NOT a view key (a measure) declines
       assert(!scansView(base.groupBy(col("x")).agg(count(lit(1)).as("c"))))
       // an aggregate over a column the view never stored declines
@@ -227,6 +243,17 @@ class RulesSpec extends AnyFunSuite {
       assert(gotExpr.sameElements(base.groupBy((col("g1") % 2).as("parity"))
         .agg(sum(col("x")).as("sx")).orderBy(col("parity")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))))
+      // ground truth for the AVG and COUNT DISTINCT roll-ups
+      MatViewRule.clear()
+      assert(gotAvg.sameElements(
+        base.groupBy(col("g1")).agg(avg(col("x")).as("a"))
+          .orderBy(col("g1")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))))
+      assert(gotCd.sameElements(
+        base.groupBy(col("g1")).agg(countDistinct(col("g2")).as("d"))
+          .orderBy(col("g1")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))))
+      MatViewRule.register(spark, defining, "graft_mv_rollupspec")
       // staleness: the base changes -> the roll-up declines
       Seq((99L, 99L, 1L, 1.0)).toDF("g1", "g2", "x", "y")
         .write.mode("append").parquet(s"$out/base.parquet")
