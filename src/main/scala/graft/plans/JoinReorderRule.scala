@@ -22,33 +22,35 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Match shape: `Join(Join(Join(base, d1), d2), d3)` all Inner, all
   * hint-free, where each join condition references the BASE's columns
-  * plus its own leg's columns (a STAR leg), or — for at most ONE leg —
-  * additionally the columns of exactly one star leg (a single SNOWFLAKE
-  * hop, the dim-of-dim shape). Star legs permute freely by inner-join
-  * commutativity; the snowflake child is FUSED to its parent (placed
-  * immediately after it), so its condition stays resolvable at any unit
-  * position — the unit permutes as one block.
+  * plus its own leg's columns (a STAR leg), or additionally the columns
+  * of exactly ONE other leg (its PARENT — dim-of-dim, chains of any
+  * depth). The legs therefore form a dependency FOREST rooted at the
+  * base; any topological order of the forest is a valid left-deep plan.
   *
-  * Cost model: System-R — estimated post-filter rows = rows(leaf) ×
-  * Π 1/ndv(col) over the leg's `col = literal` conjuncts with a
-  * registered NDV (unknown columns contribute selectivity 1; a leg whose
-  * LEAF has no registered statistics declines the whole reorder — a
-  * half-informed permutation could be worse than the author's). A fused
-  * parent+child unit costs the PRODUCT of member estimates (independence,
-  * the System-R composite assumption). Exact integer arithmetic
-  * (rows·10⁶ ÷ Πndv in BigInt), ties broken by leaf file name then
-  * authored position, so the decision is deterministic and an SQL oracle
-  * can recompute it (q294 grades the star decision, q312 the snowflake).
+  * Cost model + search: SELINGER. Per-leg estimated post-filter rows =
+  * rows(leaf) × Π 1/ndv(col) over the leg's `col = literal` conjuncts
+  * with a registered NDV (unknown columns contribute selectivity 1; a
+  * leg whose LEAF has no registered statistics declines the whole
+  * reorder — a half-informed permutation could be worse than the
+  * author's). The chosen order minimizes the System-R prefix cost —
+  * Σ over plan prefixes of Π member estimates (intermediate
+  * cardinalities under FK→PK independence) — by exact dynamic
+  * programming over leg subsets (bounded: ≤ 8 legs, 256 states),
+  * subject to the forest's precedence. Exact integer arithmetic
+  * (rows·10⁶ ÷ Πndv in BigInt); ties break on the lexicographically
+  * smallest (estimate, leaf name, authored position) sequence — the
+  * decision is deterministic and an SQL oracle can recompute it (q294
+  * grades the star decision, q312 the snowflake, q327 the two-branch
+  * forest the pre-DP rule declined).
   *
   * Guards, each declining (never failing): non-Inner or hinted joins
-  * (explicit hints outrank statistics); more than one dependent leg, a
-  * dependent leg whose parent is itself dependent (a two-hop chain), or
-  * a condition spanning two legs without a unique parent; unregistered
-  * leaves; an already sorted chain (fixed-point safety: the rebuilt
-  * chain re-matches, finds itself sorted, and declines — convergence by
-  * construction). The rebuilt tree is wrapped in a `Project` restoring
-  * the original column order, since permuting legs permutes
-  * `Join.output`.
+  * (explicit hints outrank statistics); a condition spanning two legs
+  * without a unique parent; unregistered leaves; chains beyond the DP
+  * bound; an already optimal chain (fixed-point safety: the rebuilt
+  * chain re-matches, the DP re-derives the same order, and the rule
+  * declines — convergence by construction). The rebuilt tree is wrapped
+  * in a `Project` restoring the original column order, since permuting
+  * legs permutes `Join.output`.
   *
   * Registrations are SESSION-KEYED (the SkippingIndexRule discipline).
   * At 100 TB: ANALYZE is one aggregate per table, amortized across every
@@ -70,9 +72,10 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def reorder(j: LogicalPlan, base: LogicalPlan,
       legs: Seq[(LogicalPlan, Expression)]): Option[LogicalPlan] = {
-    // classify each leg: STAR (condition binds base + own leg only) or a
-    // single SNOWFLAKE hop (condition additionally binds exactly one
-    // earlier leg — the dim-of-dim shape); anything else declines
+    // classify each leg by its join-graph attachment: STAR (condition
+    // binds base + own leg only) or DEPENDENT on exactly one earlier leg
+    // (dim-of-dim, chains of any depth — the dependency FOREST); a
+    // condition spanning two legs without a unique parent declines
     val baseOut = base.outputSet
     val parentOf: Seq[Option[Int]] = legs.zipWithIndex.map {
       case ((leg, cond), i) =>
@@ -90,14 +93,6 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (parentOf.exists(_.isEmpty)) return None
     val deps = parentOf.flatten
-    val children = deps.zipWithIndex.collect {
-      case (p, i) if p >= 0 => (p, i)
-    }
-    // ONE hop: at most one dependent leg, whose parent is itself a star
-    // leg (a chain of two hops would need transitive placement)
-    if (children.length > 1) return None
-    if (children.exists { case (p, _) => deps(p) >= 0 }) return None
-    val childOf = children.toMap
     val estimated = legs.zipWithIndex.map { case ((leg, cond), i) =>
       estimate(leg).map { case (rows, name, bytes) =>
         (leg, cond, rows, name, i, bytes)
@@ -105,24 +100,39 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (estimated.exists(_.isEmpty)) return None
     val est = estimated.flatten
-    // UNITS: a star leg alone, or parent+child fused (child placed
-    // immediately after its parent so its condition stays resolvable);
-    // a unit's estimate is the PRODUCT of member estimates — System-R's
-    // composite-leg cost under independence
-    val units = est.zipWithIndex.collect {
-      case ((leg, cond, rows, name, i, bytes), _) if deps(i) < 0 =>
-        val members = Seq((leg, cond, bytes)) ++
-          childOf.get(i).map(c =>
-            Seq((est(c)._1, est(c)._2, est(c)._6))).getOrElse(Nil)
-        val unitRows = childOf.get(i)
-          .map(c => rows * est(c)._3).getOrElse(rows)
-        (members, unitRows, name, i)
+    // SELINGER over the left-deep order: minimize Σ over prefixes of
+    // Π leg estimates (System-R's intermediate-cardinality cost under
+    // FK→PK independence), subject to the forest's precedence (a
+    // dependent leg joins only after its parent). Exact DP over subsets —
+    // 2^n states; chains beyond the bound keep the authored order (the
+    // hint pass below still applies). Ties break on the lexicographically
+    // smallest (est, leaf name, authored index) sequence, so the decision
+    // is deterministic and an SQL oracle can recompute it (q294 grades
+    // the star case, q312 the snowflake, q327 the two-branch forest).
+    val n = legs.length
+    if (n > 8) return None
+    type Key = Vector[(BigInt, String, Int)]
+    def keyOf(order: List[Int]): Key =
+      order.reverse.map(i => (est(i)._3, est(i)._4, i)).toVector
+    implicit val keyOrd: Ordering[Key] =
+      Ordering.Implicits.seqOrdering[Vector, (BigInt, String, Int)](
+        Ordering.Tuple3(Ordering.BigInt, Ordering.String, Ordering.Int))
+    // per mask: (cost, prefix product, order REVERSED)
+    val best = new Array[(BigInt, BigInt, List[Int])](1 << n)
+    best(0) = (BigInt(0), BigInt(1), Nil)
+    for (mask <- 0 until (1 << n); if best(mask) != null;
+         i <- 0 until n; if (mask & (1 << i)) == 0;
+         if deps(i) < 0 || (mask & (1 << deps(i))) != 0) {
+      val (cost, prod, order) = best(mask)
+      val nprod = prod * est(i)._3
+      val cand = (cost + nprod, nprod, i :: order)
+      val m2 = mask | (1 << i)
+      if (best(m2) == null || cand._1 < best(m2)._1 ||
+        (cand._1 == best(m2)._1 &&
+          keyOrd.lt(keyOf(cand._3), keyOf(best(m2)._3)))) best(m2) = cand
     }
-    val ordered = units.sortBy { case (_, rows, name, i) => (rows, name, i) }
-    val flat = ordered.flatMap(_._1)
-    val flatIdx = ordered.flatMap { case (_, _, _, i) =>
-      Seq(i) ++ childOf.get(i).map(Seq(_)).getOrElse(Nil)
-    }
+    val flatIdx = best((1 << n) - 1)._3.reverse
+    val flat = flatIdx.map(i => (est(i)._1, est(i)._2, est(i)._6))
     // ANALYZE-informed broadcast: a leg whose ESTIMATED post-filter bytes
     // fit the budget gets a BROADCAST join hint — the decision Spark's
     // size-only threshold cannot make when the RAW file is large but a

@@ -583,15 +583,24 @@ object Joins {
   }
 
   private val cboSnowflakeReorderSql =
-    s"""WITH sig AS (
-       |  SELECT string_agg(dt, ',' ORDER BY est, d) AS join_order FROM (
-       |    SELECT 'part' AS d, 'part' AS dt,
-       |      (SELECT CAST(count(*) AS HUGEINT) * 1000000
-       |         // COUNT(DISTINCT p_size) FROM part) AS est
-       |    UNION ALL SELECT 'orders', 'orders,customer',
-       |      (SELECT CAST(count(*) AS HUGEINT) * 1000000
-       |         // COUNT(DISTINCT o_orderstatus) FROM orders)
-       |      * (SELECT CAST(count(*) AS HUGEINT) * 1000000 FROM customer)))
+    s"""WITH e AS (
+       |  SELECT (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |            // COUNT(DISTINCT p_size) FROM part) AS p,
+       |         (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |            // COUNT(DISTINCT o_orderstatus) FROM orders) AS o,
+       |         (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |            FROM customer) AS c),
+       |-- the rule's Selinger prefix cost, enumerated over the three
+       |-- topological orders of this forest (customer depends on orders)
+       |sig AS (
+       |  SELECT CASE
+       |    WHEN p + p*o + p*o*c <= o + o*p + o*p*c
+       |     AND p + p*o + p*o*c <= o + o*c + o*c*p
+       |      THEN 'part,orders,customer'
+       |    WHEN o + o*p + o*p*c <= o + o*c + o*c*p
+       |      THEN 'orders,part,customer'
+       |    ELSE 'orders,customer,part' END AS join_order
+       |  FROM e)
        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
        |  sig.join_order
@@ -599,6 +608,92 @@ object Joins {
        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
        |JOIN customer ON o_custkey = c_custkey
        |JOIN part ON l_partkey = p_partkey AND p_size = 3
+       |CROSS JOIN sig
+       |GROUP BY 1, 4""".stripMargin
+
+  // ---- q327: Selinger DP over a two-branch dependency forest ----------------
+
+  /** q327: BOUNDED-DP JOIN REORDER — the shape the pre-DP rule declined:
+    * TWO dependent branches (customer off orders, nation off supplier)
+    * hanging from one fact chain. The Selinger DP enumerates every
+    * topological order of the forest and minimizes the System-R prefix
+    * cost; here the cheap supplier→nation branch must land BEFORE the
+    * filtered-but-still-larger orders→customer branch. The chosen order
+    * is read from the OPTIMIZED plan and graded by the oracle, which
+    * re-enumerates all six feasible orders and their exact HUGEINT costs
+    * in SQL — a cost-model or tie-break divergence is a hash mismatch.
+    * At 100 TB: multi-branch snowflakes are the norm (fact → dim → dim
+    * per leg); ordering branches by authored position instead of cost
+    * can carry a 1000× larger intermediate through every later join. */
+  def cboForestReorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.JoinReorderRule
+    val dims = Seq("orders" -> Seq("o_orderstatus"),
+      "customer" -> Seq.empty[String], "supplier" -> Seq.empty[String],
+      "nation" -> Seq.empty[String])
+    dims.foreach { case (t, cols) =>
+      JoinReorderRule.analyze(spark, s"$dir/$t.parquet", cols)
+    }
+    try {
+      val agg = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey")) // branch 1 hop
+        .join(Tables(spark, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(spark, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey")) // branch 2 hop
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      val order = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName.stripSuffix(".parquet")
+            case _ => ""
+          }
+      }.filter(t => dims.exists(_._1 == t))
+      val materialized = agg.localCheckpoint()
+      materialized.select(col("n_name"), col("n"), col("revenue"),
+        lit(order.mkString(",")).as("join_order"))
+    } finally dims.foreach { case (t, _) =>
+      JoinReorderRule.drop(spark, s"$dir/$t.parquet")
+    }
+  }
+
+  private val cboForestReorderSql =
+    s"""WITH e AS (
+       |  SELECT (SELECT CAST(count(*) AS HUGEINT) * 1000000
+       |            // COUNT(DISTINCT o_orderstatus) FROM orders) AS o,
+       |         (SELECT CAST(count(*) AS HUGEINT) * 1000000 FROM customer) AS c,
+       |         (SELECT CAST(count(*) AS HUGEINT) * 1000000 FROM supplier) AS s,
+       |         (SELECT CAST(count(*) AS HUGEINT) * 1000000 FROM nation) AS n),
+       |-- all six topological orders of the forest {orders<customer,
+       |-- supplier<nation}, each with its exact Selinger prefix cost
+       |costs AS (
+       |  SELECT 'supplier,nation,orders,customer' AS ord,
+       |         s + s*n + s*n*o + s*n*o*c AS cost FROM e
+       |  UNION ALL SELECT 'supplier,orders,nation,customer',
+       |         s + s*o + s*o*n + s*o*n*c FROM e
+       |  UNION ALL SELECT 'supplier,orders,customer,nation',
+       |         s + s*o + s*o*c + s*o*c*n FROM e
+       |  UNION ALL SELECT 'orders,supplier,nation,customer',
+       |         o + o*s + o*s*n + o*s*n*c FROM e
+       |  UNION ALL SELECT 'orders,supplier,customer,nation',
+       |         o + o*s + o*s*c + o*s*c*n FROM e
+       |  UNION ALL SELECT 'orders,customer,supplier,nation',
+       |         o + o*c + o*c*s + o*c*s*n FROM e),
+       |sig AS (SELECT ord AS join_order FROM costs ORDER BY cost, ord LIMIT 1)
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  sig.join_order
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
        |CROSS JOIN sig
        |GROUP BY 1, 4""".stripMargin
 
@@ -735,6 +830,8 @@ object Joins {
       Some(cboSnowflakeReorderSql)),
     QueryDef("q316_cbo_broadcast", cboBroadcastHint,
       Some(cboBroadcastHintSql)),
+    QueryDef("q327_cbo_forest", cboForestReorder,
+      Some(cboForestReorderSql)),
     QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),

@@ -689,9 +689,11 @@ class RulesSpec extends AnyFunSuite {
     try {
       for (t <- Seq("fact", "dimA", "dimB", "dimC", "dimE"))
         JoinReorderRule.analyze(spark, s"$out/$t.parquet", Nil)
-      // authored: dimA then its child dimC (fused unit, est 1000e6*10e6)
-      // then dimB (est 50e6) — the units swap, the child stays glued to
-      // its parent
+      // authored: dimA, its child dimC, then dimB. The Selinger prefix
+      // cost keeps the child glued to its parent AND moves dimB last:
+      // the final product A·C·B is order-invariant, so the decision is
+      // the middle terms — A + A·C (1e9 + 1e16) beats B + B·A
+      // (5e7 + 5e16), the shape the unit-sort heuristic got wrong
       val snow = spark.read.parquet(s"$out/fact.parquet")
         .join(spark.read.parquet(s"$out/dimA.parquet"),
           col("f_a") === col("a_id"))
@@ -700,17 +702,18 @@ class RulesSpec extends AnyFunSuite {
         .join(spark.read.parquet(s"$out/dimB.parquet"),
           col("f_b") === col("b_id"))
       assert(dimOrder(snow) ==
-        Seq("dimB.parquet", "dimA.parquet", "dimC.parquet"), dimOrder(snow))
+        Seq("dimA.parquet", "dimC.parquet", "dimB.parquet"), dimOrder(snow))
       // semantics: identical rows to the authored (cleared-registry) plan
       val n = snow.count()
       JoinReorderRule.clear()
       for (t <- Seq("fact", "dimA", "dimB", "dimC", "dimE"))
         JoinReorderRule.analyze(spark, s"$out/$t.parquet", Nil)
 
-      // TWO dependent legs (dimC off dimA, dimE off dimB): the full
-      // 4-leg chain declines, but transformDown lawfully recurses into
-      // the inner 3-leg sub-chain (one hop only) and reorders THAT —
-      // dimE's parent stays below it, so the result is still sound
+      // TWO dependent legs (dimC off dimA, dimE off dimB) — a two-branch
+      // FOREST the pre-DP rule declined: the Selinger DP orders the full
+      // 4-leg chain, interleaving branches by cost (dimE right after its
+      // cheap parent dimB, the expensive dimA branch last) while every
+      // child stays after its parent
       val twoHops = spark.read.parquet(s"$out/fact.parquet")
         .join(spark.read.parquet(s"$out/dimA.parquet"),
           col("f_a") === col("a_id"))
@@ -720,8 +723,8 @@ class RulesSpec extends AnyFunSuite {
           col("f_b") === col("b_id"))
         .join(spark.read.parquet(s"$out/dimE.parquet"),
           col("b_e") === col("e_id"))
-      assert(dimOrder(twoHops) == Seq("dimB.parquet", "dimA.parquet",
-        "dimC.parquet", "dimE.parquet"), dimOrder(twoHops))
+      assert(dimOrder(twoHops) == Seq("dimB.parquet", "dimE.parquet",
+        "dimA.parquet", "dimC.parquet"), dimOrder(twoHops))
       val n2 = twoHops.count()
       JoinReorderRule.clear()
       assert(spark.read.parquet(s"$out/fact.parquet")
