@@ -506,6 +506,37 @@ object Quality {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
   }
 
+  /** q247b: RFM AT SCALE — the q239-histogram substitution q247's
+    * scaladoc promises: the three global `ntile(4)` windows (each a
+    * single-partition sort of the whole customer frame) replaced by
+    * [[graft.operators.DistributedRank]] — exact global rank from a
+    * range shuffle + per-partition ordinals, then the SQL-standard ntile
+    * split recomputed arithmetically from (rank, N). Values are
+    * BIT-IDENTICAL to q247 (same oracle; PlanSpec pins value equality
+    * and that no single-partition window survives in the plan). At
+    * 100 TB the difference is three range shuffles vs three
+    * one-executor sorts of the customer dimension. */
+  def rfmSegmentsDist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistributedRank
+    val per = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("r_date"),
+        count(lit(1)).as("f_n"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("m_cents"))
+      .localCheckpoint() // three rankings + a count read one build
+    val n = per.count()
+    def quartile(order: Seq[org.apache.spark.sql.Column], out: String) =
+      DistributedRank.withGlobalRank(per, order, "__rk")
+        .select(col("custkey"),
+          DistributedRank.ntileOfRank(col("__rk"), n, 4).as(out))
+    quartile(Seq(col("r_date"), col("custkey")), "r_q")
+      .join(quartile(Seq(col("f_n"), col("custkey")), "f_q"), Seq("custkey"))
+      .join(quartile(Seq(col("m_cents"), col("custkey")), "m_q"), Seq("custkey"))
+      .select(col("custkey"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+  }
+
   private val rfmSegmentsSql =
     """WITH per AS (
       |  SELECT o_custkey AS custkey, max(o_orderdate) AS r_date,
@@ -1064,6 +1095,49 @@ object Quality {
           s" END AS lift_ppm")
   }
 
+  /** q278b: GAINS TABLE AT SCALE — q278's corpus-wide
+    * `row_number() OVER (ORDER BY score DESC)` (one executor sorting
+    * every document) replaced by the exact distributed rank, and the
+    * 10-row cumulative window by a decile×decile triangle self-join
+    * (bounded by the decile count, not the corpus). Deciles, cumulative
+    * counts, gain and lift are BIT-IDENTICAL to q278 — same oracle; the
+    * two scalar totals ride a 1-row driver collect. */
+  def gainsTableDist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistributedRank
+    val d38 = "decimal(38,0)"
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("pos"),
+        expr("(size(array_distinct(toks)) * CAST(1000000 AS BIGINT)) div size(toks)")
+          .as("score_ppm"))
+      .localCheckpoint()
+    val totals = scored.groupBy().agg(
+      count(lit(1)).as("n"), sum(col("pos")).as("p")).head()
+    val (nTotal, posTotal) = (totals.getLong(0), totals.getLong(1))
+    val deciles = DistributedRank.withGlobalRank(scored,
+        Seq(col("score_ppm").desc, col("doc_id").asc), "__rk")
+      .withColumn("decile", expr(s"(__rk * 10) div $nTotal").cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      .localCheckpoint()
+    deciles
+      .join(deciles.select(col("decile").as("d2"), col("n_docs").as("nd2"),
+          col("n_pos").as("np2")),
+        col("d2") <= col("decile"))
+      .groupBy(col("decile"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("n_pos")).as("n_pos"),
+        sum(col("nd2")).as("cum_docs"), sum(col("np2")).as("cum_pos"))
+      .selectExpr("decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+        s"CASE WHEN $posTotal > 0 THEN CAST((CAST(cum_pos AS $d38) * 1000000)" +
+          s" div $posTotal AS BIGINT) END AS gain_ppm",
+        s"CASE WHEN $posTotal > 0 THEN CAST((CAST(cum_pos AS $d38) * $nTotal" +
+          s" * 1000000) div (CAST($posTotal AS $d38) * cum_docs) AS BIGINT)" +
+          s" END AS lift_ppm")
+  }
+
   private val gainsTableSql =
     """WITH t AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
@@ -1333,6 +1407,7 @@ object Quality {
     QueryDef("q244_mad_outliers", madOutliers, Some(madOutliersSql)),
     QueryDef("q245_islands", islands, Some(islandsSql)),
     QueryDef("q247_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("q247b_rfm_dist", rfmSegmentsDist, Some(rfmSegmentsSql)),
     QueryDef("q249_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q250_benford", benford, Some(benfordSql)),
     QueryDef("q254_enforce_write", enforceWrite, Some(enforceWriteSql)),
@@ -1340,5 +1415,6 @@ object Quality {
     QueryDef("q275_kfold_strata", kfoldStrata, Some(kfoldStrataSql)),
     QueryDef("q276_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     QueryDef("q277_cohens_kappa", cohensKappa, Some(cohensKappaSql)),
-    QueryDef("q278_gains_table", gainsTable, Some(gainsTableSql)))
+    QueryDef("q278_gains_table", gainsTable, Some(gainsTableSql)),
+    QueryDef("q278b_gains_dist", gainsTableDist, Some(gainsTableSql)))
 }

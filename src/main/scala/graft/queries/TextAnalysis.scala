@@ -3421,6 +3421,32 @@ object TextAnalysis {
         col("pooled_chars").as("norm_chars"))
   }
 
+  /** q298b: QUANTILE NORMALIZATION AT SCALE — q298's two corpus-wide
+    * single-partition windows (the pooled rank and the global count)
+    * replaced by the exact distributed rank and a driver-side scalar; the
+    * per-source rank keeps its PARTITIONED window (each source sorts in
+    * its own tasks — already shuffle-bounded). Output rows are
+    * BIT-IDENTICAL to q298 (same oracle). */
+  def quantileNormalizeDist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistributedRank
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val nn = docs.count()
+    val pooled = DistributedRank.withGlobalRank(
+        docs.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "__rk")
+      .select((col("__rk") + 1).as("t"), col("n_chars").as("pooled_chars"))
+    val ranked = docs
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("t", expr(s"(r * $nn + ns - 1) div ns"))
+    ranked.join(pooled, Seq("t"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("pooled_chars").as("norm_chars"))
+  }
+
   private val quantileNormalizeSql =
     """WITH pooled AS (
       |  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS t,
@@ -3438,6 +3464,8 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q298_quantile_norm", quantileNormalize, Some(quantileNormalizeSql)),
+    QueryDef("q298b_qnorm_dist", quantileNormalizeDist,
+      Some(quantileNormalizeSql)),
     QueryDef("q267_skipgrams", skipGrams, Some(skipGramsSql)),
     QueryDef("q256_readability", readability, Some(readabilitySql)),
     QueryDef("q246_tfidf_topk", tfidfTopk, Some(tfidfTopkSql)),

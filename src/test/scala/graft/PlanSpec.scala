@@ -649,4 +649,28 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }
+
+  test("exact-quantile b-entries: no single-partition window anywhere in the plan") {
+    // the scale contract of the q247b/q278b/q298b drop-ins: the global
+    // order statistics come from the distributed rank (range shuffle +
+    // per-partition ordinals), never a WindowExec with an empty
+    // partition spec (one task sorting the whole input). The exact
+    // twins keep theirs deliberately; these must not.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q247b_rfm_dist", "q278b_gains_dist", "q298b_qnorm_dist")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name has a single-partition window: ${globalWindows.mkString}")
+    }
+    // and the values are bit-identical to the exact twins (the shared
+    // oracle proves it at sf0.01; pin it in-process at sf0.001 too)
+    def sorted(n: String) = SparkEntry.queries(n)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sorted("q247b_rfm_dist") == sorted("q247_rfm_segments"))
+    assert(sorted("q278b_gains_dist") == sorted("q278_gains_table"))
+    assert(sorted("q298b_qnorm_dist") == sorted("q298_quantile_norm"))
+  }
 }
