@@ -1124,8 +1124,8 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
       .localCheckpoint()
     deciles
-      .join(deciles.select(col("decile").as("d2"), col("n_docs").as("nd2"),
-          col("n_pos").as("np2")),
+      .join(broadcast(deciles.select(col("decile").as("d2"),
+          col("n_docs").as("nd2"), col("n_pos").as("np2"))),
         col("d2") <= col("decile"))
       .groupBy(col("decile"))
       .agg(max(col("n_docs")).as("n_docs"), max(col("n_pos")).as("n_pos"),
