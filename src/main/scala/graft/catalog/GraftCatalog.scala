@@ -561,7 +561,11 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
     f.delete(stagingP, true)
     val replaced = op.map(_.replacedFiles).getOrElse(Nil)
       .map(SnapshotStore.uriPath).toSet
-    val kept = table.files.filterNot(x => replaced(SnapshotStore.uriPath(x)))
+    // carry every non-replaced manifest line VERBATIM (partition
+    // annotations, the spec meta line) — only the replaced data lines go;
+    // new files land unannotated (pruning power narrows, rows never)
+    val kept = SnapshotStore.linesReplacing(spark, table.root,
+      table.snapVersion, replaced)
     SnapshotStore.commit(spark, table.root, kept ++ moved, table.snapVersion)
   }
 

@@ -115,6 +115,18 @@ object SnapshotStore {
   /** Render the partition spec as its manifest meta line. */
   def partSpecLine(col: String): String = s"${MetaPrefix}partition=$col"
 
+  /** `version`'s raw manifest lines with the data lines for `replaced`
+    * (uri-path matched) removed and every other line — meta, delete
+    * vectors, partition annotations — carried VERBATIM. The line-level
+    * rewrite primitive for committers that replace data files without
+    * understanding every annotation (the V2 catalog's commit). */
+  def linesReplacing(spark: SparkSession, root: String, version: Int,
+      replaced: Set[String]): Seq[String] =
+    manifestLines(spark, root, version).filter { l =>
+      l.startsWith(MetaPrefix) || l.startsWith(DvPrefix) ||
+        !replaced(uriPath(l.split('\t').head))
+    }
+
   /** `version`'s partition column, if the manifest records one. */
   def partitionSpecOf(spark: SparkSession, root: String,
       version: Int = -1): Option[String] =

@@ -146,6 +146,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(SnapshotStore.currentVersion(spark, root) == 2)
   }
 
+  test("catalog DML carries non-replaced manifest lines verbatim (partition spec survives)") {
+    val out = java.nio.file.Files.createTempDirectory("catspec_part")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val df = (1L to 40L).map(k => (k, if (k % 2 == 0) "a" else "b", k.toDouble))
+      .toDF("k", "g", "p")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeDataPartitioned(spark, root, df, "g", 2, "k", "v1"), 0)
+    GraftCatalog.register(spark, "t_part", root)
+    spark.sql("DELETE FROM graft.t_part WHERE k BETWEEN 2 AND 6")
+    assert(spark.table("graft.t_part").count() == 35)
+    // the spec meta line survives the catalog commit...
+    assert(SnapshotStore.partitionSpecOf(spark, root).contains("g"))
+    // ...and untouched files keep their partition values: pruning on the
+    // untouched partition admits strictly fewer files than the manifest
+    val ga = SnapshotStore.filesWherePartition(spark, root, "g", "b")
+    assert(ga.size < SnapshotStore.files(spark, root).size)
+    assert(spark.read.parquet(ga: _*).where(col("g") === "b").count() ==
+      spark.table("graft.t_part").where(col("g") === "b").count())
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
