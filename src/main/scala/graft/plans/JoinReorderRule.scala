@@ -170,16 +170,69 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
     val path = roots.head.toString
     val st = registry.get(keyOf(session, path))
       .filter(_.ownedBy(session)).getOrElse(return None)
-    val eqCols = leg.collect { case Filter(cond, _) => cond }
+    val legConjuncts = leg.collect { case Filter(cond, _) => cond }
       .flatMap(conjuncts)
-      .collect {
-        case EqualTo(a: Attribute, _: Literal) => a.name
-        case EqualTo(_: Literal, a: Attribute) => a.name
-      }
+    val eqCols = legConjuncts.collect {
+      case EqualTo(a: Attribute, _: Literal) => a.name
+      case EqualTo(_: Literal, a: Attribute) => a.name
+    }
     val divisor = eqCols.flatMap(st.ndv.get).map(BigInt(_))
       .foldLeft(BigInt(1))(_ * _).max(1)
-    val est = (BigInt(st.rows) * 1000000) / divisor
-    val estBytes = BigInt(fsRel.sizeInBytes) / divisor
+    // range conjuncts on HISTOGRAMMED columns: per column, the conjuncts
+    // tighten an interval (gt, le] in cents; its selectivity is the q283
+    // estimator estAbove(gt) − estAbove(le) over the column's equi-depth
+    // bins — exact integer arithmetic, so the SQL oracle can recompute
+    // the decision. Unhistogrammed ranges contribute 1 as before.
+    def centsOf(v: Any): Option[Long] = try v match {
+      case d: java.lang.Double =>
+        Some((BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact)
+      case f: java.lang.Float => centsOf(f.doubleValue())
+      case n: java.lang.Number => Some(math.multiplyExact(n.longValue(), 100L))
+      case dec: org.apache.spark.sql.types.Decimal =>
+        Some((dec.toBigDecimal.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact)
+      case _ => None
+    } catch { case _: ArithmeticException => None }
+    val ranges = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def tighten(c: String, gt: Option[Long], le: Option[Long]): Unit =
+      if (st.hist.contains(c)) {
+        val (g0, l0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        ranges(c) = (gt.map(math.max(g0, _)).getOrElse(g0),
+          le.map(math.min(l0, _)).getOrElse(l0))
+      }
+    legConjuncts.foreach {
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          a: Attribute, Literal(v, _)) =>
+        tighten(a.name, centsOf(v), None)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          a: Attribute, Literal(v, _)) =>
+        tighten(a.name, centsOf(v).map(_ - 1), None)
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          a: Attribute, Literal(v, _)) =>
+        tighten(a.name, None, centsOf(v).map(_ - 1))
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          a: Attribute, Literal(v, _)) =>
+        tighten(a.name, None, centsOf(v))
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+          Literal(v, _), a: Attribute) => // v > a ≡ a < v
+        tighten(a.name, None, centsOf(v).map(_ - 1))
+      case org.apache.spark.sql.catalyst.expressions.LessThan(
+          Literal(v, _), a: Attribute) => // v < a ≡ a > v
+        tighten(a.name, centsOf(v), None)
+      case _ => ()
+    }
+    val (selNum, selDen) = ranges.foldLeft((BigInt(1), BigInt(1))) {
+      case ((nu, de), (c, (gt, le))) =>
+        val bins = st.hist(c)
+        val total = bins.map(b => BigInt(b.n)).sum.max(1)
+        val sel = (estAbove(bins, gt) -
+          (if (le == Long.MaxValue) BigInt(0) else estAbove(bins, le)))
+          .max(0)
+        (nu * sel, de * total)
+    }
+    val est = (BigInt(st.rows) * 1000000 * selNum) / (divisor * selDen)
+    val estBytes = (BigInt(fsRel.sizeInBytes) * selNum) / (divisor * selDen)
     Some((est, roots.head.getName, estBytes))
   }
 
@@ -218,17 +271,35 @@ object JoinReorderRule {
       }
   }
 
+  /** One equi-depth histogram bin over a column's CENT values (the q239
+    * exact construction): [lo, hi] bounds and the bin's row count. */
+  final case class Bin(lo: Long, hi: Long, n: Long)
+
   /** `fp` is the table's file fingerprint captured AT ANALYZE TIME — the
-    * moment the (rows, ndv) numbers were true. [[save]] persists this
-    * stored fingerprint (never a recomputed one): if the data changes
-    * between analyze() and save(), the sidecar carries the OLD
-    * fingerprint, so a later attach() sees a mismatch and declines —
+    * moment the (rows, ndv, histogram) numbers were true. [[save]]
+    * persists this stored fingerprint (never a recomputed one): if the
+    * data changes between analyze() and save(), the sidecar carries the
+    * OLD fingerprint, so a later attach() sees a mismatch and declines —
     * statistics the data has outgrown are never re-entered. */
   private final case class Stats(rows: Long, ndv: Map[String, Long],
+      hist: Map[String, Seq[Bin]],
       fp: (Long, Long, Long),
       owner: java.lang.ref.WeakReference[SparkSession]) {
     def ownedBy(s: SparkSession): Boolean = owner.get() eq s
   }
+
+  /** The q283 range estimator over a column's histogram: estimated rows
+    * with value (in cents) STRICTLY ABOVE `thr` — full bins above count
+    * whole, bins below zero, the straddling bin interpolates by exact
+    * integer division (floor; both engines truncate identically), so the
+    * estimate is deterministic and an SQL oracle recomputes it
+    * bit-for-bit. */
+  private[graft] def estAbove(bins: Seq[Bin], thr: Long): BigInt =
+    bins.iterator.map { b =>
+      if (b.lo > thr) BigInt(b.n)
+      else if (b.hi <= thr) BigInt(0)
+      else (BigInt(b.n) * (b.hi - thr)) / (b.hi - b.lo)
+    }.sum
 
   private val registry = TrieMap.empty[String, Stats]
 
@@ -247,9 +318,19 @@ object JoinReorderRule {
   /** ANALYZE: one aggregate over the table at `dir` — row count + exact
     * NDV per named column — registered for this session's planner. At
     * warehouse scale the exact count-distinct drops in for q47's HLL
-    * sketch; the registry shape doesn't change. */
-  def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit, col}
+    * sketch; the registry shape doesn't change.
+    *
+    * `histCols` additionally builds a 10-bin EQUI-DEPTH histogram per
+    * named numeric column (values scaled to exact cents, the q239
+    * construction through [[graft.operators.DistributedRank]] — no
+    * single-partition window, deterministic (lo, hi, n) regardless of
+    * tie placement since the sorted value SEQUENCE is unique). Range
+    * predicates on histogrammed columns then get real selectivities in
+    * [[estimate]] instead of contributing 1 — the q283 estimator
+    * consulted by the planner itself. */
+  def analyze(spark: SparkSession, dir: String, cols: Seq[String],
+      histCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     // fingerprint FIRST: if a write lands mid-aggregate the mismatch is
     // conservative (stats of the new data, fingerprint of the old — a
     // later attach declines; never the reverse)
@@ -259,8 +340,24 @@ object JoinReorderRule {
       cols.map(c => countDistinct(col(c)).as(s"_ndv_$c"))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val ndv = cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }
+    val hist = histCols.map { c =>
+      val cents = df.where(col(c).isNotNull).select(
+        (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("__cents"))
+      val n = cents.count()
+      val bins = graft.operators.DistributedRank
+        .withGlobalRank(cents, Seq(col("__cents")), "__rk")
+        .groupBy(graft.operators.DistributedRank
+          .ntileOfRank(col("__rk"), n, 10).as("__bin"))
+        .agg(min(col("__cents")).as("lo"), max(col("__cents")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy(col("__bin"))
+        .collect().map(row => Bin(row.getLong(1), row.getLong(2),
+          row.getLong(3))).toSeq
+      c -> bins
+    }.toMap
     registry.put(keyOf(spark, qualified(spark, dir)),
-      Stats(r.getLong(0), ndv.toMap, fp,
+      Stats(r.getLong(0), ndv.toMap, hist, fp,
         new java.lang.ref.WeakReference(spark)))
   }
 
@@ -301,19 +398,27 @@ object JoinReorderRule {
   }
 
   /** Persist this session's registration for `dir`. Returns true if one
-    * existed to save. */
+    * existed to save. Histograms ride the same sidecar as per-column
+    * (lo, hi, n) arrays. */
   def save(spark: SparkSession, dir: String): Boolean = {
     val st = registry.get(keyOf(spark, qualified(spark, dir)))
       .filter(_.ownedBy(spark)).getOrElse(return false)
     import spark.implicits._
     val (fn, fb, fm) = st.fp // the ANALYZE-time fingerprint, never fresher
-    val rows = st.ndv.toSeq.map { case (c, n) =>
-      (st.rows, c, n, fn, fb, fm)
+    val names = (st.ndv.keySet ++ st.hist.keySet).toSeq.sorted
+    val rows = names.map { c =>
+      val h = st.hist.get(c)
+      (st.rows, c, st.ndv.getOrElse(c, -1L), fn, fb, fm,
+        h.map(_.map(_.lo)), h.map(_.map(_.hi)), h.map(_.map(_.n)))
     } match {
-      case Nil => Seq((st.rows, "", -1L, fn, fb, fm)) // ndv-less table
+      case Nil => // stat-less table: row count only
+        Seq((st.rows, "", -1L, fn, fb, fm,
+          None: Option[Seq[Long]], None: Option[Seq[Long]],
+          None: Option[Seq[Long]]))
       case s => s
     }
-    rows.toDF("rows", "col", "ndv", "f_n", "f_bytes", "f_mtime")
+    rows.toDF("rows", "col", "ndv", "f_n", "f_bytes", "f_mtime",
+        "h_lo", "h_hi", "h_n")
       .coalesce(1).write.mode("overwrite")
       .parquet(sidecar(dir).toString)
     true
@@ -321,19 +426,29 @@ object JoinReorderRule {
 
   /** Re-enter persisted statistics for `dir` into THIS session's registry;
     * declines (returns false) when no sidecar exists or the table's data
-    * files changed since ANALYZE. */
+    * files changed since ANALYZE. Pre-histogram sidecars attach with
+    * empty histograms. */
   def attach(spark: SparkSession, dir: String): Boolean = {
     val sc = sidecar(dir)
     val fs = sc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sc)) return false
-    val rows = spark.read.parquet(sc.toString).collect()
+    val df = spark.read.parquet(sc.toString)
+    val hasHist = df.columns.contains("h_lo")
+    val rows = df.collect()
     if (rows.isEmpty) return false
     val saved = (rows.head.getLong(3), rows.head.getLong(4), rows.head.getLong(5))
     if (saved != fingerprint(spark, dir)) return false // data moved on
     val ndv = rows.filter(_.getLong(2) >= 0)
       .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val hist =
+      if (!hasHist) Map.empty[String, Seq[Bin]]
+      else rows.filter(r => !r.isNullAt(6)).map { r =>
+        val lo = r.getSeq[Long](6); val hi = r.getSeq[Long](7)
+        val n = r.getSeq[Long](8)
+        r.getString(1) -> lo.indices.map(i => Bin(lo(i), hi(i), n(i)))
+      }.toMap
     registry.put(keyOf(spark, qualified(spark, dir)),
-      Stats(rows.head.getLong(0), ndv, saved,
+      Stats(rows.head.getLong(0), ndv, hist, saved,
         new java.lang.ref.WeakReference(spark)))
     true
   }

@@ -697,6 +697,88 @@ object Joins {
        |CROSS JOIN sig
        |GROUP BY 1, 4""".stripMargin
 
+  // ---- q328: histogram range selectivity in the reorder cost model ----------
+
+  /** q328: HISTOGRAM-DRIVEN REORDER — the estimate the NDV model cannot
+    * make: a RANGE predicate (`o_totalprice > 485000`, the top ~3% of
+    * orders) has selectivity 1 under equality-NDV statistics, so the
+    * authored-order chain keeps the big filtered orders leg late and the
+    * 13%-sized part dimension first. ANALYZE with a histogram column
+    * builds the q239 exact equi-depth histogram (through the distributed
+    * rank — no single-partition window) and [[graft.plans.JoinReorderRule]]
+    * prices the range conjunct with the q283 estimator (full bins +
+    * exact-integer interpolation in the straddling bin); the DP then
+    * puts orders FIRST. The oracle rebuilds the same 10-bin histogram
+    * and estimator in SQL — bin bounds, interpolation floors, and the
+    * final order comparison are all exact integer arithmetic, so the
+    * DECISION is under the hash, not just the row values. At 100 TB:
+    * time-range and amount-range predicates dominate real filters;
+    * pricing them at 1 forfeits most of the reorder win. */
+  def cboHistogramReorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.JoinReorderRule
+    JoinReorderRule.analyze(spark, s"$dir/orders.parquet", Nil,
+      histCols = Seq("o_totalprice"))
+    JoinReorderRule.analyze(spark, s"$dir/part.parquet", Nil)
+    try {
+      val agg = Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders")
+            .where(col("o_totalprice") > lit(485000.0)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      val order = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName.stripSuffix(".parquet")
+            case _ => ""
+          }
+      }.filter(t => t == "orders" || t == "part")
+      val materialized = agg.localCheckpoint()
+      materialized.select(col("o_orderpriority"), col("n"), col("revenue"),
+        lit(order.mkString(",")).as("join_order"))
+    } finally {
+      JoinReorderRule.drop(spark, s"$dir/orders.parquet")
+      JoinReorderRule.drop(spark, s"$dir/part.parquet")
+    }
+  }
+
+  private val cboHistogramReorderSql =
+    s"""WITH pts AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |hist AS (
+       |  SELECT bin, count(*) AS n, min(p) AS lo, max(p) AS hi FROM (
+       |    SELECT p, ntile(10) OVER (ORDER BY p) AS bin FROM pts) b
+       |  GROUP BY 1),
+       |-- the rule's estimator at thr = 48500000 cents (the q283 formula)
+       |sel AS (
+       |  SELECT sum(CASE WHEN lo > 48500000 THEN n::HUGEINT
+       |    WHEN hi <= 48500000 THEN 0
+       |    ELSE (n::HUGEINT * (hi - 48500000)) // (hi - lo) END) AS s,
+       |    sum(n::HUGEINT) AS total
+       |  FROM hist),
+       |e AS (
+       |  SELECT ((SELECT count(*)::HUGEINT FROM orders) * 1000000 * s)
+       |           // total AS est_o,
+       |         (SELECT count(*)::HUGEINT * 1000000 FROM part) AS est_p
+       |  FROM sel),
+       |sig AS (
+       |  SELECT CASE WHEN est_o <= est_p THEN 'orders,part'
+       |    ELSE 'part,orders' END AS join_order FROM e)
+       |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlSum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  sig.join_order
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey AND o_totalprice > 485000.0
+       |JOIN part ON l_partkey = p_partkey
+       |CROSS JOIN sig
+       |GROUP BY 1, 4""".stripMargin
+
   // ---- q316: ANALYZE-informed broadcast hints from the rule ----------------
 
   /** q316: STATISTICS-DRIVEN BROADCAST — the decision Spark's size-only
@@ -832,6 +914,8 @@ object Joins {
       Some(cboBroadcastHintSql)),
     QueryDef("q327_cbo_forest", cboForestReorder,
       Some(cboForestReorderSql)),
+    QueryDef("q328_cbo_histogram", cboHistogramReorder,
+      Some(cboHistogramReorderSql)),
     QueryDef("q214_runtime_filter", runtimeFilterJoin, Some(runtimeFilterJoinSql)),
     QueryDef("q144_interval_join", intervalOverlap, Some(intervalOverlapSql)),
     QueryDef("q152_attribution", attribution, Some(attributionSql)),

@@ -663,6 +663,54 @@ class RulesSpec extends AnyFunSuite {
     }
   }
 
+  test("join reorder: histogram range selectivity reprices legs; NDV-only keeps selectivity 1") {
+    import graft.plans.JoinReorderRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("histcbo")
+    // fact(10k) with two dims: big(1000 rows, but a range filter keeps
+    // ~1%) and small(200 rows, unfiltered)
+    (1L to 10000L).map(k => (k, k % 1000 + 1, k % 200 + 1))
+      .toDF("f_id", "f_b", "f_s").write.parquet(s"$out/fact.parquet")
+    (1L to 1000L).map(k => (k, k.toDouble)).toDF("b_id", "b_v")
+      .write.parquet(s"$out/dimBig.parquet")
+    (1L to 200L).map(k => (k, s"s$k")).toDF("s_id", "s_name")
+      .write.parquet(s"$out/dimSmall.parquet")
+    def dimOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.getName
+            case _ => ""
+          }
+      }.filter(_.startsWith("dim"))
+    def chain = spark.read.parquet(s"$out/fact.parquet")
+      .join(spark.read.parquet(s"$out/dimBig.parquet")
+          .where(col("b_v") > 990.0), // keeps 10 of 1000 rows
+        col("f_b") === col("b_id"))
+      .join(spark.read.parquet(s"$out/dimSmall.parquet"),
+        col("f_s") === col("s_id"))
+    try {
+      // NDV-only: the range filter prices at 1 → big(1000e6) > small(200e6)
+      JoinReorderRule.analyze(spark, s"$out/dimBig.parquet", Nil)
+      JoinReorderRule.analyze(spark, s"$out/dimSmall.parquet", Nil)
+      assert(dimOrder(chain) == Seq("dimSmall.parquet", "dimBig.parquet"))
+      val expected = chain.count()
+      // histogram on b_v: the `> 990` conjunct is priced ~1% → big first
+      JoinReorderRule.analyze(spark, s"$out/dimBig.parquet", Nil,
+        histCols = Seq("b_v"))
+      assert(dimOrder(chain) == Seq("dimBig.parquet", "dimSmall.parquet"),
+        dimOrder(chain))
+      assert(chain.count() == expected) // semantics unchanged
+      // histograms survive the save/attach sidecar round trip
+      assert(JoinReorderRule.save(spark, s"$out/dimBig.parquet"))
+      JoinReorderRule.clear()
+      JoinReorderRule.analyze(spark, s"$out/dimSmall.parquet", Nil)
+      assert(JoinReorderRule.attach(spark, s"$out/dimBig.parquet"))
+      assert(dimOrder(chain) == Seq("dimBig.parquet", "dimSmall.parquet"))
+    } finally JoinReorderRule.clear()
+  }
+
   test("join reorder: a single snowflake hop fuses to its parent and the units permute; deeper shapes decline") {
     import graft.plans.JoinReorderRule
     import spark.implicits._
