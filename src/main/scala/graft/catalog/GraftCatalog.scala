@@ -98,12 +98,6 @@ class GraftCatalog extends TableCatalog {
     val versions = SnapshotStore.versions(spark, root)
     val v = if (version > 0) version else versions.lastOption.getOrElse(0)
     if (v <= 0 || !versions.contains(v)) throw new NoSuchTableException(ident)
-    // the catalog scan reads data files raw and its commits carry data
-    // lines only — a merge-on-read manifest (delete vectors) through this
-    // path would resurrect deleted rows. Refuse loudly; compact first.
-    require(SnapshotStore.deleteVectors(spark, root, v).isEmpty,
-      s"graft catalog: ${ident.name()} v$v carries delete vectors - " +
-        "merge-on-read tables must be compacted before catalog access")
     new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, v)
   }
 
@@ -161,6 +155,23 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   val files: Seq[String] = SnapshotStore.files(spark, root, snapVersion)
+
+  /** The version's delete vectors as uri-path → ASCENDING tombstoned row
+    * positions — applied INSIDE the scan (a pointer walk against the
+    * reader's in-order row ordinals), so merge-on-read tables read AND
+    * mutate correctly through the catalog: a row-level rewrite sees only
+    * live rows and can never resurrect a tombstone. Collected at load
+    * (size ∝ tombstones; compaction bounds it — the same contract the
+    * read-side anti-join has). */
+  val tombstones: Map[String, Array[Long]] = {
+    val dvs = SnapshotStore.deleteVectors(spark, root, snapVersion)
+    if (dvs.isEmpty) Map.empty
+    else spark.read.parquet(dvs: _*).collect()
+      .groupBy(r => SnapshotStore.uriPath(r.getString(0)))
+      .map { case (f, rows) =>
+        f -> rows.map(_.getLong(1)).sorted
+      }
+  }
 
   override lazy val schema: StructType = spark.read.parquet(files: _*).schema
 
@@ -342,18 +353,30 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     statuses.flatMap { s =>
       val len = s.getLen
       val path = s.getPath.toString
-      (0L until len by maxBytes).map { start =>
-        SnapshotInputPartition(path, start, math.min(maxBytes, len - start),
-          len, s.getModificationTime)
+      table.tombstones.get(SnapshotStore.uriPath(path)) match {
+        // a tombstoned file reads as ONE unsplit partition: the delete
+        // vector addresses FILE-absolute row ordinals, which only a
+        // whole-file in-order read can count
+        case Some(dv) =>
+          Seq(SnapshotInputPartition(path, 0, len, len,
+            s.getModificationTime, dv))
+        case None =>
+          (0L until len by maxBytes).map { start =>
+            SnapshotInputPartition(path, start,
+              math.min(maxBytes, len - start), len, s.getModificationTime,
+              Array.empty)
+          }
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // batches only on the plain-read path; when `_file` is requested the
-    // reader is told to return ROWS (still vectorized decode internally)
-    val batchMode = fmt.supportBatch(spark, dataSchema) && fileOrdinal < 0
+    // batches only on the plain-read path of a vector-free table; `_file`
+    // requests and delete vectors both force ROWS (vectorized decode
+    // stays on inside the reader)
+    val batchMode = fmt.supportBatch(spark, dataSchema) &&
+      fileOrdinal < 0 && table.tombstones.isEmpty
     val opts = Map(
       org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> batchMode.toString)
@@ -362,26 +385,31 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     // rewrite) — its pushed filters prune at FILE granularity only (zone
     // pruning above), never inside the reader where parquet row-group
     // skipping would silently drop carry-over rows of a
-    // partially-matching file
-    val readerFilters = if (forRowLevel) Nil else pushed
-    val readFunc = fmt.buildReaderWithPartitionValues(
-      spark, table.schema, new StructType(), dataSchema, readerFilters,
+    // partially-matching file. Tombstoned files need the same whole-file
+    // contract for ordinal integrity, so they get the unfiltered reader
+    // even on the plain path.
+    def build(filters: Seq[Filter]) = fmt.buildReaderWithPartitionValues(
+      spark, table.schema, new StructType(), dataSchema, filters,
       opts, spark.sessionState.newHadoopConf())
-    new SnapshotReaderFactory(readFunc, batchMode, dataSchema, required,
-      fileOrdinal)
+    val readerFilters = if (forRowLevel) Nil else pushed
+    new SnapshotReaderFactory(build(readerFilters), build(Nil), batchMode,
+      dataSchema, required, fileOrdinal)
   }
 }
 
 case class SnapshotInputPartition(file: String, start: Long, length: Long,
-    fileSize: Long, modTime: Long) extends InputPartition
+    fileSize: Long, modTime: Long, dv: Array[Long]) extends InputPartition
 
 /** Executor-side reading: Spark's own parquet reader function (vectorized
   * when the session supports it), one split per partition. Columnar
   * batches flow through UNFLATTENED on the plain-read path; when `_file`
   * is requested (row-level operations only) rows are projected with the
-  * split's file path spliced in at its schema position. */
+  * split's file path spliced in at its schema position. A partition
+  * carrying a delete vector reads whole-file, unfiltered, in order, and
+  * drops tombstoned ordinals with a pointer walk (the vector is sorted). */
 class SnapshotReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
+    unfilteredFunc: PartitionedFile => Iterator[InternalRow],
     batchMode: Boolean, dataSchema: StructType, outputSchema: StructType,
     fileOrdinal: Int) extends PartitionReaderFactory {
 
@@ -409,10 +437,37 @@ class SnapshotReaderFactory(
     val p = partition.asInstanceOf[SnapshotInputPartition]
     // the V1 reader contract: with vectorization on, the iterator's
     // elements are ColumnarBatch cast as InternalRow — un-hack via Any
-    val rows = readFunc(partitionedFile(p)).asInstanceOf[Iterator[Any]].flatMap {
+    val fn = if (p.dv.nonEmpty) unfilteredFunc else readFunc
+    val raw = fn(partitionedFile(p)).asInstanceOf[Iterator[Any]].flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
+    val rows =
+      if (p.dv.isEmpty) raw
+      else new Iterator[InternalRow] {
+        // rows from the parquet reader REUSE one buffer, so the skip must
+        // advance in hasNext (after the consumer finished with the
+        // previous row), never prefetch past the row it is about to serve
+        private var ord = -1L
+        private var i = 0
+        private var cur: InternalRow = _
+        private var ready = false
+        override def hasNext: Boolean = {
+          if (ready) return true
+          while (raw.hasNext) {
+            val r = raw.next(); ord += 1
+            while (i < p.dv.length && p.dv(i) < ord) i += 1
+            if (i >= p.dv.length || p.dv(i) != ord) {
+              cur = r; ready = true; return true
+            }
+          }
+          false
+        }
+        override def next(): InternalRow = {
+          if (!ready && !hasNext) throw new NoSuchElementException
+          ready = false; cur
+        }
+      }
     val out =
       if (fileOrdinal < 0) rows
       else {

@@ -166,10 +166,65 @@ object CatalogQueries {
     }.mkString("\nUNION ALL\n"))
   }
 
+  /** q329: MERGE-ON-READ THROUGH THE CATALOG — the two round-13 halves
+    * composed: a delete-vector commit tombstones one key range
+    * merge-on-read (no file rewritten), then a catalog SQL UPDATE
+    * rewrites a disjoint range copy-on-write. The catalog scan applies
+    * the vectors per-file (ordinal pointer walk inside the reader), the
+    * UPDATE's rewrite reads only LIVE rows (a replaced file's tombstones
+    * cannot resurrect), and untouched files keep their vectors applying —
+    * all three graded in one result: the oracle recomputes the survivors
+    * + update from the change model, `tt_ok` pins `VERSION AS OF 1` as
+    * the pre-mutation table. At 100 TB this is the production shape:
+    * retention deletes land as cheap vectors, point updates as localized
+    * rewrites, every reader — SQL or DataFrame — sees one live table. */
+  def catMorRead(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_mor", root)
+    val lo = mx / 10; val hi = lo + mx / 20
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root,
+        col("o_orderkey").between(lo, hi)).coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    val lo2 = mx / 2; val hi2 = lo2 + mx / 20
+    spark.sql(
+      s"""UPDATE graft.cat_orders_mor
+         |SET o_totalprice = o_totalprice + 1.0, o_orderpriority = 'MU'
+         |WHERE o_orderkey BETWEEN $lo2 AND $hi2""".stripMargin)
+    val ttOk = v1MatchesOrders(spark, dir, root)
+    spark.table("graft.cat_orders_mor")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "MU", lit(1L))
+          .otherwise(lit(0L))).as("n_mu"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_mu"), lit(ttOk).as("tt_ok"))
+  }
+
+  private val catMorReadSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 10) AS lo,
+       |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS hi,
+       |         (max(o_orderkey) // 2) AS lo2,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 20) AS hi2
+       |  FROM orders)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("CASE WHEN o_orderkey BETWEEN lo2 AND hi2 " +
+      "THEN o_totalprice + 1.0 ELSE o_totalprice END")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE o_orderkey BETWEEN lo2 AND hi2)
+       |    AS BIGINT) AS n_mu,
+       |  TRUE AS tt_ok
+       |FROM orders, rng
+       |WHERE o_orderkey NOT BETWEEN lo AND hi
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
     QueryDef("q321_cat_update", catUpdate, Some(SqlDml.sqlUpdateSql)),
     QueryDef("q322_cat_time_travel", catTimeTravel,
-      Some(SqlDml.sqlTimeTravelSql)))
+      Some(SqlDml.sqlTimeTravelSql)),
+    QueryDef("q329_cat_mor", catMorRead, Some(catMorReadSql)))
 }

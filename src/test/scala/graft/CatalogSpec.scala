@@ -167,6 +167,38 @@ class CatalogSpec extends AnyFunSuite {
       spark.table("graft.t_part").where(col("g") === "b").count())
   }
 
+  test("merge-on-read through the catalog: vectors apply in the scan; DML cannot resurrect tombstones") {
+    val root = freshTable("t_mor")
+    // v2: tombstone k in [10, 15] merge-on-read (no file rewritten)
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k").between(10, 15))
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    // reads apply the vector (plain, aggregate, and filtered paths)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t_mor").head().getLong(0) == 94)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_mor WHERE k BETWEEN 8 AND 20")
+      .head().getLong(0) == 7) // 8,9,16..20
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.t_mor").head().getLong(0) ==
+      (1L to 100L).sum - (10L to 15L).sum)
+    // VERSION AS OF 1 predates the vector
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_mor VERSION AS OF 1").head().getLong(0) == 100)
+    // catalog DML over the MoR table: the rewrite reads LIVE rows only,
+    // so replaced files cannot resurrect their tombstones, and untouched
+    // files keep theirs applying
+    spark.sql("UPDATE graft.t_mor SET v = 'U' WHERE k = 20")
+    val t = spark.table("graft.t_mor")
+    assert(t.count() == 94)
+    assert(t.where(col("k").between(10, 15)).isEmpty) // still dead
+    assert(t.where(col("k") === 20L).select(col("v")).head().getString(0) == "U")
+    // DELETE composes with the remaining vectors too
+    spark.sql("DELETE FROM graft.t_mor WHERE k BETWEEN 90 AND 100")
+    assert(spark.table("graft.t_mor").count() == 83)
+    assert(spark.table("graft.t_mor").where(col("k").between(10, 15)).isEmpty)
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
