@@ -8,19 +8,21 @@ import graft.sources.SnapshotStore
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, LogicalWriteInfoImpl, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, LogicalWriteInfo, LogicalWriteInfoImpl, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
@@ -92,6 +94,20 @@ class GraftCatalog extends TableCatalog {
     load(ident, v)
   }
 
+  /** Native `TIMESTAMP AS OF`: the analyzer hands the instant here as
+    * MICROSECONDS since the epoch; resolution is the latest version whose
+    * manifest was committed at-or-before it (manifest mtime = publication
+    * time — the same clock every table format's timestamp travel reads).
+    * An instant before the first commit declines: there was no table. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val v = SnapshotStore.versionTimes(spark, root)
+      .filter { case (_, ms) => ms * 1000L <= timestamp }
+      .map(_._1).maxOption.getOrElse(throw new NoSuchTableException(ident))
+    new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, v)
+  }
+
   private def load(ident: Identifier, version: Int): Table = {
     val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
@@ -113,17 +129,97 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** SQL DDL: `CREATE TABLE graft.t (cols) [PARTITIONED BY (c)]
+    * [LOCATION 'root']` — and the create half of CTAS. The table is born
+    * as manifest v1 holding ONLY meta lines (the schema, and the partition
+    * spec when given): an empty table exists, reads as zero rows under its
+    * declared schema, and every later write is an ordinary manifest
+    * commit. The root comes from LOCATION, else
+    * `spark.sql.catalog.<cat>.warehouse`/<name> — and is registered as the
+    * session path conf, so the created table resolves immediately.
+    * Partitioning beyond one identity column declines loudly (the
+    * manifest's spec model, SnapshotStore.partSpecLine). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: tables are created by committing a snapshot root " +
-        "and registering it (GraftCatalog.register)")
+      properties: java.util.Map[String, String]): Table = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .orElse(spark.conf
+        .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+        .map(w => s"$w/${ident.name()}"))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft catalog: CREATE TABLE needs LOCATION or " +
+          s"spark.sql.catalog.$catalogName.warehouse"))
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only single-column identity PARTITIONED BY is " +
+          s"supported, got ${other.mkString(", ")}")
+    }
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    rootP.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(rootP)
+    SnapshotStore.commit(spark, root,
+      Seq(SnapshotStore.schemaLine(schema)) ++
+        partCol.map(SnapshotStore.partSpecLine), 0)
+    spark.conf.set(confKey(ident.name()), root)
+    new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, 1)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE")
+  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — schema evolution as ONE
+    * manifest commit: every data line, delete vector, and annotation
+    * carries verbatim; only the schema meta line widens. Old files
+    * null-fill the new column inside the scan; time travel reads each
+    * version under its own schema; the commit is OCC'd on the version the
+    * change was derived from. Any other change (drop/rename/retype/nested/
+    * positioned) declines loudly — narrowing rewrites history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    val cur = SnapshotStore.currentVersion(spark, root)
+    if (cur <= 0) throw new NoSuchTableException(ident)
+    val base = SnapshotStore.schemaOf(spark, root, cur).getOrElse(
+      spark.read.parquet(SnapshotStore.files(spark, root, cur): _*).schema)
+    val evolved = changes.foldLeft(base) { (s, ch) => ch match {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
+          a.position() == null =>
+        val name = a.fieldNames()(0)
+        require(!s.fieldNames.contains(name),
+          s"graft catalog: column $name already exists in ${ident.name()}")
+        val f = StructField(name, a.dataType(), a.isNullable)
+        s.add(if (a.comment() != null) f.withComment(a.comment()) else f)
+      case other => throw new UnsupportedOperationException(
+        "graft catalog: ALTER TABLE supports only top-level ADD COLUMN " +
+          s"(appended), got $other")
+    }}
+    val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.linesWithSchema(kept, evolved), cur)
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE graft.t`: delete the root (manifests, data, vectors,
+    * sidecars) and deregister the session path conf. Returns false for an
+    * unknown or never-committed identifier (the analyzer's IF EXISTS
+    * contract). */
+  override def dropTable(ident: Identifier): Boolean =
+    rootOf(ident) match {
+      case None => false
+      case Some(root) =>
+        val spark = SparkSession.active
+        val existed = SnapshotStore.versions(spark, root).nonEmpty
+        val p = new org.apache.hadoop.fs.Path(root)
+        if (existed)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        spark.conf.unset(confKey(ident.name()))
+        existed
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME TABLE")
@@ -173,12 +269,19 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
       }
   }
 
-  override lazy val schema: StructType = spark.read.parquet(files: _*).schema
+  /** The manifest-recorded schema when present (DDL-created or evolved
+    * tables — authoritative, footer-free, and lets an EMPTY table exist);
+    * else derived from the files' footers (pre-DDL snapshot roots). */
+  override lazy val schema: StructType =
+    SnapshotStore.schemaOf(spark, root, snapVersion)
+      .getOrElse(spark.read.parquet(files: _*).schema)
 
   override def name(): String = tableName
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(spark, this, None)
@@ -186,15 +289,24 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(spark, this, info, None)
 
+  /** Row-level operations plan by the table's manifest-recorded write
+    * mode: `meta:writemode=mor` → DELTA (merge-on-read — tombstone vectors
+    * + insert files, cost ∝ changed rows); absent → group-based
+    * copy-on-write (cost ∝ covering files). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new SnapshotRowLevelOperation(spark, SnapshotTable.this, info.command())
+        if (SnapshotStore.writeModeOf(spark, root, snapVersion)
+            .contains("mor"))
+          new SnapshotDeltaOperation(spark, SnapshotTable.this, info.command())
+        else
+          new SnapshotRowLevelOperation(spark, SnapshotTable.this,
+            info.command())
     }
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(SnapshotTable.FileColumn)
+    Array(SnapshotTable.FileColumn, SnapshotTable.PosColumn)
 }
 
 object SnapshotTable {
@@ -205,6 +317,12 @@ object SnapshotTable {
     * group filter). */
   val FileColName = "_file"
 
+  /** `__preserve_on_*` = true: the delta rewrite NULLIFIES non-preserved
+    * metadata in its delete/update outputs — but `_file`/`_pos` ARE the
+    * delta row id (the tombstone coordinates), so they must survive into
+    * the writer (nullified row ids also never satisfy WriteDelta's
+    * non-null resolution, looping the analyzer). The group-based COW path
+    * is indifferent: its write schema is pure data columns either way. */
   object FileColumn extends MetadataColumn {
     override def name(): String = FileColName
     override def dataType(): DataType = StringType
@@ -212,8 +330,25 @@ object SnapshotTable {
     override def comment(): String =
       "manifest path of the data file the row came from"
     override def metadataInJSON(): String =
-      """{"__preserve_on_delete":false,"__preserve_on_update":false,""" +
-        """"__preserve_on_reinsert":false}"""
+      """{"__preserve_on_delete":true,"__preserve_on_update":true,""" +
+        """"__preserve_on_reinsert":true}"""
+  }
+
+  /** The second half of the delta row id: the row's FILE-ABSOLUTE ordinal,
+    * produced by the parquet reader's native row-index machinery (correct
+    * under splits and row-group skipping) — exactly the position a delete
+    * vector tombstones. */
+  val PosColName = "_pos"
+
+  object PosColumn extends MetadataColumn {
+    override def name(): String = PosColName
+    override def dataType(): DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "file-absolute row ordinal (the delete-vector position)"
+    override def metadataInJSON(): String =
+      """{"__preserve_on_delete":true,"__preserve_on_update":true,""" +
+        """"__preserve_on_reinsert":true}"""
   }
 }
 
@@ -248,7 +383,7 @@ class SnapshotRowLevelOperation(spark: SparkSession, table: SnapshotTable,
 }
 
 class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
-    op: Option[SnapshotRowLevelOperation])
+    op: Option[SnapshotRowLevelOperation], forDelta: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -260,8 +395,9 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     * manifest-stats zone pruning — best-effort by contract, so no filter
     * may be claimed as exact. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filterNot(
-      _.references.contains(SnapshotTable.FileColName))
+    pushed = filters.filterNot(f =>
+      f.references.contains(SnapshotTable.FileColName) ||
+        f.references.contains(SnapshotTable.PosColName))
     filters
   }
 
@@ -272,7 +408,7 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   override def build(): Scan = {
     val s = new SnapshotScan(spark, table, required, pushed.toSeq,
-      forRowLevel = op.isDefined)
+      forRowLevel = op.isDefined, forDelta = forDelta)
     op.foreach(_.attachScan(s))
     s
   }
@@ -285,14 +421,18 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   * key predicates (zone pruning), the runtime `_file IN` group filter,
   * and parquet's own row-group statistics inside the reader. */
 class SnapshotScan(spark: SparkSession, table: SnapshotTable,
-    required: StructType, pushed: Seq[Filter], forRowLevel: Boolean = false)
+    required: StructType, pushed: Seq[Filter], forRowLevel: Boolean = false,
+    forDelta: Boolean = false)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
   private val FileCol = SnapshotTable.FileColName
-  /** What is actually read from parquet (the metadata column stripped). */
-  private val dataSchema = StructType(required.filterNot(_.name == FileCol))
+  private val PosCol = SnapshotTable.PosColName
+  /** What is actually read from parquet (metadata columns stripped). */
+  private val dataSchema = StructType(
+    required.filterNot(f => f.name == FileCol || f.name == PosCol))
   private val fileOrdinal = required.fieldNames.indexOf(FileCol)
+  private val posOrdinal = required.fieldNames.indexOf(PosCol)
 
   @volatile private[catalog] var currentFiles: Seq[String] =
     SnapshotZones.prune(spark, table.root, table.snapVersion, pushed, table.files)
@@ -372,28 +512,39 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // batches only on the plain-read path of a vector-free table; `_file`
-    // requests and delete vectors both force ROWS (vectorized decode
-    // stays on inside the reader)
+    // batches only on the plain-read path of a vector-free table;
+    // `_file`/`_pos` requests and delete vectors all force ROWS
+    // (vectorized decode stays on inside the reader)
     val batchMode = fmt.supportBatch(spark, dataSchema) &&
-      fileOrdinal < 0 && table.tombstones.isEmpty
+      fileOrdinal < 0 && posOrdinal < 0 && table.tombstones.isEmpty
     val opts = Map(
       org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> batchMode.toString)
-    // a row-level-operation scan must return EVERY row of every file it
+    // `_pos` rides the parquet reader's NATIVE row-index machinery: a
+    // generated trailing long column, file-absolute and correct under
+    // splits AND row-group skipping — the reader schema gains it here and
+    // the projection below maps it out.
+    val readerSchema =
+      if (posOrdinal < 0) dataSchema
+      else dataSchema.add(org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType)
+    // a GROUP-BASED row-level scan must return EVERY row of every file it
     // plans (the replace-groups contract: carry-over rows ride the
     // rewrite) — its pushed filters prune at FILE granularity only (zone
     // pruning above), never inside the reader where parquet row-group
     // skipping would silently drop carry-over rows of a
-    // partially-matching file. Tombstoned files need the same whole-file
-    // contract for ordinal integrity, so they get the unfiltered reader
-    // even on the plain path.
+    // partially-matching file. A DELTA scan has no carry-over rows (only
+    // matched rows are written), so its filters DO push into the reader —
+    // `_pos` stays correct because the native row index survives skipping.
+    // Tombstoned files keep the whole-file unfiltered contract for the
+    // ordinal-walk path.
     def build(filters: Seq[Filter]) = fmt.buildReaderWithPartitionValues(
-      spark, table.schema, new StructType(), dataSchema, filters,
+      spark, table.schema, new StructType(), readerSchema, filters,
       opts, spark.sessionState.newHadoopConf())
-    val readerFilters = if (forRowLevel) Nil else pushed
+    val readerFilters = if (forRowLevel && !forDelta) Nil else pushed
     new SnapshotReaderFactory(build(readerFilters), build(Nil), batchMode,
-      dataSchema, required, fileOrdinal)
+      dataSchema, required, fileOrdinal, posOrdinal)
   }
 }
 
@@ -403,15 +554,17 @@ case class SnapshotInputPartition(file: String, start: Long, length: Long,
 /** Executor-side reading: Spark's own parquet reader function (vectorized
   * when the session supports it), one split per partition. Columnar
   * batches flow through UNFLATTENED on the plain-read path; when `_file`
-  * is requested (row-level operations only) rows are projected with the
-  * split's file path spliced in at its schema position. A partition
-  * carrying a delete vector reads whole-file, unfiltered, in order, and
-  * drops tombstoned ordinals with a pointer walk (the vector is sorted). */
+  * or `_pos` is requested (row-level operations) rows are projected with
+  * the split's file path / the reader's native row index spliced in at
+  * their schema positions. A partition carrying a delete vector drops
+  * tombstoned positions: by sorted binary search on the native row index
+  * when `_pos` rides along (split- and skip-safe), else by the whole-file
+  * in-order ordinal walk. */
 class SnapshotReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     unfilteredFunc: PartitionedFile => Iterator[InternalRow],
     batchMode: Boolean, dataSchema: StructType, outputSchema: StructType,
-    fileOrdinal: Int) extends PartitionReaderFactory {
+    fileOrdinal: Int, posOrdinal: Int = -1) extends PartitionReaderFactory {
 
   private def partitionedFile(p: SnapshotInputPartition): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p.file),
@@ -432,6 +585,10 @@ class SnapshotReaderFactory(
     new IteratorReader(it)
   }
 
+  /** Position of the reader-generated row-index column (after the data
+    * columns), -1 when `_pos` was not requested. */
+  private val rowIdxSrc = if (posOrdinal < 0) -1 else dataSchema.length
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
@@ -444,6 +601,11 @@ class SnapshotReaderFactory(
     }
     val rows =
       if (p.dv.isEmpty) raw
+      else if (rowIdxSrc >= 0)
+        // the native row index IS the tombstone coordinate: drop by
+        // binary search (the vector is sorted) — correct under splits
+        raw.filter(r =>
+          java.util.Arrays.binarySearch(p.dv, r.getLong(rowIdxSrc)) < 0)
       else new Iterator[InternalRow] {
         // rows from the parquet reader REUSE one buffer, so the skip must
         // advance in hasNext (after the consumer finished with the
@@ -469,17 +631,24 @@ class SnapshotReaderFactory(
         }
       }
     val out =
-      if (fileOrdinal < 0) rows
+      if (fileOrdinal < 0 && posOrdinal < 0) rows
       else {
-        // splice _file in at its requested position: output field i reads
-        // joined(data ++ file) at i (before), n (the file), or i-1 (after)
-        val n = dataSchema.length
+        // splice the metadata columns in at their requested positions:
+        // the reader row is data columns [+ native row index], the file
+        // path rides a JoinedRow; every other output field maps to its
+        // data ordinal (its position minus the metadata fields before it)
+        val fileSrc = dataSchema.length + (if (rowIdxSrc >= 0) 1 else 0)
         val exprs = outputSchema.fields.zipWithIndex.map { case (f, i) =>
-          val src = if (i == fileOrdinal) n else if (i < fileOrdinal) i else i - 1
-          val (dt, nullable) =
-            if (i == fileOrdinal) (StringType: DataType, false)
-            else (f.dataType, f.nullable)
-          BoundReference(src, dt, nullable)
+          if (i == fileOrdinal)
+            BoundReference(fileSrc, StringType, nullable = false)
+          else if (i == posOrdinal)
+            BoundReference(rowIdxSrc,
+              org.apache.spark.sql.types.LongType, nullable = false)
+          else {
+            val nMetaBefore = (if (fileOrdinal >= 0 && fileOrdinal < i) 1 else 0) +
+              (if (posOrdinal >= 0 && posOrdinal < i) 1 else 0)
+            BoundReference(i - nMetaBefore, f.dataType, f.nullable)
+          }
         }.toSeq
         val proj = UnsafeProjection.create(exprs)
         val fileRow = new GenericInternalRow(
@@ -554,8 +723,19 @@ object SnapshotZones {
 
 class SnapshotWriteBuilder(spark: SparkSession, table: SnapshotTable,
     info: LogicalWriteInfo, op: Option[SnapshotRowLevelOperation])
-  extends WriteBuilder {
-  override def build(): Write = new SnapshotWrite(spark, table, info, op)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var truncateAll = false
+
+  /** `INSERT OVERWRITE graft.t` (whole-table): the commit drops every data
+    * line and delete vector and keeps the meta lines — schema and
+    * partition spec survive the truncation, history survives as the prior
+    * versions (an overwrite is one more commit, time travel reaches back
+    * through it). */
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+
+  override def build(): Write =
+    new SnapshotWrite(spark, table, info, op, truncateAll)
 }
 
 /** The physical write is Spark's OWN parquet V2 write (codegen'd writers,
@@ -566,7 +746,8 @@ class SnapshotWriteBuilder(spark: SparkSession, table: SnapshotTable,
   * the table was LOADED at, so a concurrent committer conflicts
   * (first-writer-wins OCC) instead of interleaving. */
 class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
-    info: LogicalWriteInfo, op: Option[SnapshotRowLevelOperation])
+    info: LogicalWriteInfo, op: Option[SnapshotRowLevelOperation],
+    truncateAll: Boolean = false)
   extends Write {
 
   override def description(): String =
@@ -582,13 +763,32 @@ class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
       java.util.Optional.empty[StructType]())
     val delegate = ParquetWrite(Seq(staging.toString), "parquet",
       (_: DataType) => true, winfo).toBatch
-    new SnapshotBatchWrite(spark, table, staging.toString, run, delegate, op)
+    new SnapshotBatchWrite(spark, table, staging.toString, run, delegate, op,
+      truncateAll)
+  }
+
+  /** `writeStream.toTable("graft.t")`: every micro-batch epoch becomes ONE
+    * atomic manifest commit (appended data files + the epoch high-water
+    * mark), so mid-stream readers only ever see whole epochs, and a
+    * replayed epoch — Structured Streaming redelivers after a
+    * commit-then-crash — finds its mark already stamped and skips:
+    * exactly-once from at-least-once, the manifest edition of q324's
+    * version arithmetic. The physical write is Spark's own parquet
+    * OutputWriter per task. */
+  override def toStreaming: StreamingWrite = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map.empty[String, String], info.schema())
+    new SnapshotStreamingWrite(table, info.schema(), info.queryId(), owf,
+      new SerializableConfiguration(job.getConfiguration))
   }
 }
 
 class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
     staging: String, run: String, delegate: BatchWrite,
-    op: Option[SnapshotRowLevelOperation]) extends BatchWrite {
+    op: Option[SnapshotRowLevelOperation],
+    truncateAll: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo) =
     delegate.createBatchWriterFactory(info)
@@ -618,13 +818,340 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
       .map(SnapshotStore.uriPath).toSet
     // carry every non-replaced manifest line VERBATIM (partition
     // annotations, the spec meta line) — only the replaced data lines go;
-    // new files land unannotated (pruning power narrows, rows never)
-    val kept = SnapshotStore.linesReplacing(spark, table.root,
-      table.snapVersion, replaced)
+    // new files land unannotated (pruning power narrows, rows never). A
+    // truncating overwrite keeps ONLY the meta lines: schema and spec
+    // survive, every data line and vector goes.
+    val kept =
+      if (truncateAll) SnapshotStore.metaLines(spark, table.root,
+        table.snapVersion)
+      else SnapshotStore.linesReplacing(spark, table.root,
+        table.snapVersion, replaced)
     SnapshotStore.commit(spark, table.root, kept ++ moved, table.snapVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     try delegate.abort(messages)
     finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+}
+
+/** One committed task file of a streaming epoch (staged, not yet visible). */
+case class EpochStagedFile(path: String) extends WriterCommitMessage
+
+/** DELTA (merge-on-read) row-level operation — the production shape for
+  * scattered mutations at 100 TB: Spark's delta rewrite rules
+  * (`SupportsDelta`) plan DELETE as tombstones, UPDATE as
+  * delete-and-insert, MERGE as the mix; the write lands as delete-vector
+  * sidecars + insert files and ONE manifest commit — NO data file is ever
+  * rewritten, so cost ∝ changed ROWS instead of covering files. The row id
+  * is (`_file`, `_pos`): the scan's split path + the parquet reader's
+  * native file-absolute row index — exactly a delete vector's coordinates.
+  * The delta scan pushes its filters INTO the reader (no carry-over-rows
+  * contract to protect) and applies existing vectors first, so a tombstone
+  * can never double-delete and a dead row can never re-match. q304-style
+  * compaction reconciles accumulated vectors back to clean files. */
+class SnapshotDeltaOperation(spark: SparkSession, table: SnapshotTable,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(spark, table, None, forDelta = true)
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new SnapshotDeltaWrite(spark, table, info)
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    ColumnBridge.fieldReference(SnapshotTable.FileColName),
+    ColumnBridge.fieldReference(SnapshotTable.PosColName))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  /** Updates become (tombstone, insert) pairs — the delete-vector model
+    * has no in-place row mutation. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+/** One task's staged delta output: insert data files + tombstone files. */
+case class DeltaStagedFiles(dataFiles: Seq[String], dvFiles: Seq[String])
+  extends WriterCommitMessage
+
+class SnapshotDeltaWrite(spark: SparkSession, table: SnapshotTable,
+    info: LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.DeltaWrite {
+
+  override def description(): String =
+    s"graft-snapshot-delta-write(${table.name()}, v${table.snapVersion})"
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(table.root,
+      s"_graft_stage_delta_$run").toString
+    val dataSchema = info.schema()
+    val dvSchema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("pos", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    def prepared(s: StructType) = {
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      (new ParquetFileFormat().prepareWrite(spark, job,
+        Map.empty[String, String], s),
+        new SerializableConfiguration(job.getConfiguration))
+    }
+    val (dataOwf, dataConf) = prepared(dataSchema)
+    val (dvOwf, dvConf) = prepared(dvSchema)
+    val idSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta write without a rowId schema"))
+    new SnapshotDeltaBatchWrite(spark, table, staging, run,
+      new SnapshotDeltaWriterFactory(staging, dataSchema, dataOwf, dataConf,
+        dvSchema, dvOwf, dvConf,
+        idSchema.fieldIndex(SnapshotTable.FileColName),
+        idSchema.fieldIndex(SnapshotTable.PosColName)))
+  }
+}
+
+class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
+    staging: String, run: String, factory: SnapshotDeltaWriterFactory)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = factory
+
+  private def fs = new org.apache.hadoop.fs.Path(table.root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Publish: staged insert files and tombstone files rename into the
+    * root; the manifest gains them — every existing line (data files,
+    * prior vectors, meta) carries VERBATIM, nothing is replaced. OCC on
+    * the version the operation loaded: a racing committer fails this
+    * statement whole, never interleaves. A no-match operation (nothing
+    * staged) commits nothing — the table version only moves on change. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val staged = messages.collect { case d: DeltaStagedFiles => d }
+    val data = staged.flatMap(_.dataFiles).sorted
+    val dvs = staged.flatMap(_.dvFiles).sorted
+    def publish(paths: Seq[String], tag: String): Seq[String] =
+      paths.zipWithIndex.map { case (p, i) =>
+        val dst = new org.apache.hadoop.fs.Path(table.root,
+          s"${tag}_${run}_$i.parquet")
+        require(f.rename(new org.apache.hadoop.fs.Path(p), dst),
+          s"delta stage publish failed: $p -> $dst")
+        dst.toString
+      }
+    try {
+      if (data.nonEmpty || dvs.nonEmpty) {
+        val dataMoved = publish(data, "mor")
+        val dvMoved = publish(dvs, "dv")
+        val kept = SnapshotStore.linesReplacing(spark, table.root,
+          table.snapVersion, Set.empty)
+        SnapshotStore.commit(spark, table.root,
+          kept ++ dataMoved ++ dvMoved.map(SnapshotStore.dvLine),
+          table.snapVersion)
+      }
+    } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+}
+
+/** Executor-side delta writer: inserts stream through Spark's own parquet
+  * OutputWriter; deletes append (file, pos) tombstone rows to a per-task
+  * vector file. Writers open lazily — a task that only deletes stages no
+  * data file and vice versa. */
+class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
+    dataOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    dataConf: SerializableConfiguration, dvSchema: StructType,
+    dvOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    dvConf: SerializableConfiguration, idFileIdx: Int, idPosIdx: Int)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+
+      private def ctx(conf: SerializableConfiguration) =
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf.value,
+          new TaskAttemptID(new TaskID(new JobID("graftdelta", partitionId),
+            TaskType.MAP, partitionId), 0))
+
+      private var dataW: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var dataPath: String = _
+      private var dvW: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var dvPath: String = _
+      private val dvRow = new GenericInternalRow(2)
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataW == null) {
+          val c = ctx(dataConf)
+          dataPath = new org.apache.hadoop.fs.Path(staging,
+            f"data-$partitionId%05d-$taskId${dataOwf.getFileExtension(c)}")
+            .toString
+          new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(dataConf.value).mkdirs(
+              new org.apache.hadoop.fs.Path(staging))
+          dataW = dataOwf.newInstance(dataPath, dataSchema, c)
+        }
+        dataW.write(row)
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (dvW == null) {
+          val c = ctx(dvConf)
+          dvPath = new org.apache.hadoop.fs.Path(staging,
+            f"dv-$partitionId%05d-$taskId${dvOwf.getFileExtension(c)}")
+            .toString
+          new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(dvConf.value).mkdirs(
+              new org.apache.hadoop.fs.Path(staging))
+          dvW = dvOwf.newInstance(dvPath, dvSchema, c)
+        }
+        dvRow.update(0, id.getUTF8String(idFileIdx))
+        dvRow.update(1, id.getLong(idPosIdx))
+        dvW.write(dvRow)
+      }
+
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // unused under representUpdateAsDeleteAndInsert; defensive
+        delete(metadata, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (dataW != null) dataW.close()
+        if (dvW != null) dvW.close()
+        DeltaStagedFiles(Option(dataPath).toSeq, Option(dvPath).toSeq)
+      }
+
+      override def abort(): Unit = {
+        if (dataW != null) dataW.close()
+        if (dvW != null) dvW.close()
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** The streaming half of the catalog write: tasks stage parquet through
+  * Spark's own OutputWriter into `<root>/_graft_stage_stream_<q>/ep<n>/`,
+  * and `commit(epoch)` publishes them as ONE manifest commit stamped with
+  * the epoch high-water mark (`meta:epoch=<queryId>:<n>`):
+  *
+  *  - EXACTLY-ONCE: a replayed epoch (at-least-once redelivery) finds its
+  *    id ≤ the stamped mark and discards its staging — the commit is
+  *    idempotent by manifest arithmetic, no sink-side dedup;
+  *  - READER ISOLATION: a mid-stream reader resolves the latest manifest —
+  *    always a whole number of epochs, never a torn one;
+  *  - CONCURRENCY: the commit OCC-retries against interleaving committers
+  *    (a compaction, a batch INSERT) by re-deriving the carry lines; the
+  *    staged epoch files move at most once.
+  *
+  * At 100 TB the per-epoch cost is the staged bytes + one rename — the
+  * manifest grows by |epoch files| lines, and q304-style compaction folds
+  * small epoch files back into clustered ones. */
+class SnapshotStreamingWrite(table: SnapshotTable, schema: StructType,
+    queryId: String, owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration) extends StreamingWrite {
+
+  private val tag = queryId.replaceAll("[^a-zA-Z0-9]", "").take(8)
+  private val stagingBase = new org.apache.hadoop.fs.Path(table.root,
+    s"_graft_stage_stream_$tag").toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new SnapshotStreamWriterFactory(stagingBase, schema, owf, conf)
+
+  private def fs(spark: SparkSession) = new org.apache.hadoop.fs.Path(table.root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = fs(spark)
+    val epDir = new org.apache.hadoop.fs.Path(stagingBase, s"ep$epochId")
+    val staged = messages.collect { case EpochStagedFile(p) => p }.sorted
+    def dropStaging(): Unit = f.delete(epDir, true)
+    if (staged.isEmpty) { dropStaging(); return } // empty epoch: no version
+    if (SnapshotStore.epochOf(spark, table.root, queryId)
+        .exists(_ >= epochId)) { dropStaging(); return } // replayed epoch
+    // publish the staged files (invisible until the manifest lands)
+    val moved = staged.zipWithIndex.map { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(table.root,
+        s"strm_${tag}_ep${epochId}_$i.parquet")
+      require(f.rename(new org.apache.hadoop.fs.Path(p), dst),
+        s"stream stage publish failed: $p -> $dst")
+      dst.toString
+    }.toSeq
+    dropStaging()
+    var attempt = 0
+    while (attempt < 5) {
+      val cur = SnapshotStore.currentVersion(spark, table.root)
+      if (SnapshotStore.epochOf(spark, table.root, queryId)
+          .exists(_ >= epochId)) { // a replay raced us past this epoch
+        moved.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
+        return
+      }
+      val kept = SnapshotStore.linesReplacing(spark, table.root, cur, Set.empty)
+      try {
+        SnapshotStore.commit(spark, table.root,
+          SnapshotStore.linesWithEpoch(kept ++ moved, queryId, epochId), cur)
+        return
+      } catch {
+        case _: SnapshotStore.CommitConflictException => attempt += 1
+      }
+    }
+    throw new SnapshotStore.CommitConflictException(
+      s"stream epoch $epochId: lost 5 consecutive commit races under " +
+        table.root)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    fs(SparkSession.active).delete(
+      new org.apache.hadoop.fs.Path(stagingBase, s"ep$epochId"), true)
+}
+
+/** Executor-side epoch writer: Spark's own parquet OutputWriter aimed at
+  * the epoch's staging directory; task retries write distinct attempt
+  * files and only committed tasks' files reach the manifest. */
+class SnapshotStreamWriterFactory(stagingBase: String, schema: StructType,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graftstream", (epochId % Int.MaxValue).toInt),
+        TaskType.MAP, partitionId), 0)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf.value, attempt)
+    val dir = new org.apache.hadoop.fs.Path(stagingBase, s"ep$epochId")
+    val f = dir.getFileSystem(conf.value)
+    f.mkdirs(dir)
+    val path = new org.apache.hadoop.fs.Path(dir,
+      f"part-$partitionId%05d-$taskId${owf.getFileExtension(ctx)}").toString
+    val w = owf.newInstance(path, schema, ctx)
+    new DataWriter[InternalRow] {
+      override def write(r: InternalRow): Unit = w.write(r)
+      override def commit(): WriterCommitMessage = {
+        w.close(); EpochStagedFile(path)
+      }
+      override def abort(): Unit = {
+        w.close()
+        f.delete(new org.apache.hadoop.fs.Path(path), false)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -220,11 +220,297 @@ object CatalogQueries {
        |WHERE o_orderkey NOT BETWEEN lo AND hi
        |GROUP BY 1""".stripMargin
 
+  /** A fresh warehouse root for DDL-created tables (one per invocation —
+    * entries must be re-runnable in one session: Bench runs each twice),
+    * with the catalog installed. `DROP TABLE IF EXISTS` then clears any
+    * prior run's registration AND its on-disk root through the catalog's
+    * own drop path. */
+  private def freshWarehouse(spark: SparkSession): String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh")
+    graft.streaming.EventStreams.deleteTreeOnExit(wh)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.toString)
+    wh.toString
+  }
+
+  /** q330: SQL DDL LIFECYCLE through the catalog — CREATE TABLE (empty,
+    * schema-only manifest), INSERT INTO as commits, ALTER TABLE ADD COLUMN
+    * as a pure-metadata schema-evolution commit (old files null-fill the
+    * new column inside the scan), and DROP TABLE removing root +
+    * registration. The oracle recomputes the final table from the change
+    * model; `drop_ok` pins the drop round-trip and `schema_versioned` that
+    * the pre-evolution version still reads under ITS OWN schema — time
+    * travel travels the schema too. */
+  def catDdl(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_orders")
+    spark.sql(
+      """CREATE TABLE graft.ddl_orders
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |""".stripMargin)
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("ddl_src")
+    spark.sql(
+      """INSERT INTO graft.ddl_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM ddl_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.ddl_orders ADD COLUMN src STRING")
+    spark.sql(
+      """INSERT INTO graft.ddl_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'B'
+        |FROM ddl_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    // the pre-evolution version (v2 = first insert) has no src column
+    val schemaVersioned = !spark
+      .sql("SELECT * FROM graft.ddl_orders VERSION AS OF 2")
+      .columns.contains("src")
+    // drop round-trip on a scratch table: analyzer declines after, root gone
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_scratch")
+    spark.sql("CREATE TABLE graft.ddl_scratch (x BIGINT)")
+    spark.sql("INSERT INTO graft.ddl_scratch VALUES (1)")
+    spark.sql("DROP TABLE graft.ddl_scratch")
+    val dropOk =
+      scala.util.Try(spark.table("graft.ddl_scratch").count()).isFailure &&
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$wh/ddl_scratch"))
+    spark.table("graft.ddl_orders")
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("src"), lit("A")).as("src"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("src"), col("n"), col("total_price"),
+        lit(dropOk).as("drop_ok"),
+        lit(schemaVersioned).as("schema_versioned"))
+  }
+
+  private val catDdlSql =
+    """SELECT o_orderstatus,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN 'B' ELSE 'A' END AS src,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS drop_ok, TRUE AS schema_versioned
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** q331: CTAS + INSERT OVERWRITE — `CREATE TABLE AS SELECT` plans
+    * through the catalog's create-then-append path (v1 schema-only, v2 the
+    * select), and the OVERWRITE truncates by commit: data lines and
+    * vectors go, the schema meta line and ALL HISTORY stay. Both states
+    * read back via version travel in one result, so a torn CTAS, an
+    * overwrite that leaked old rows, or lost history all hash-fail. */
+  def catCtas(spark: SparkSession, dir: String): DataFrame = {
+    freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ctas_cust")
+    graft.Tables(spark, dir, "customer").createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.ctas_cust AS
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM ctas_src WHERE c_custkey % 3 = 0""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE graft.ctas_cust
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM ctas_src WHERE c_custkey % 3 = 1""".stripMargin)
+    def agg(df: DataFrame, tag: String) = df
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("c_acctbal")).as("acctbal"))
+      .select(lit(tag).as("snap"), col("c_mktsegment"), col("n"),
+        col("acctbal"))
+    agg(spark.sql("SELECT * FROM graft.ctas_cust VERSION AS OF 2"), "ctas")
+      .unionByName(agg(spark.table("graft.ctas_cust"), "overwrite"))
+  }
+
+  private val catCtasSql =
+    """SELECT 'ctas' AS snap, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 3 = 0 GROUP BY 2
+      |UNION ALL
+      |SELECT 'overwrite' AS snap, c_mktsegment, CAST(count(*) AS BIGINT),
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM customer WHERE c_custkey % 3 = 1 GROUP BY 2""".stripMargin
+
+  /** q332: NATIVE `TIMESTAMP AS OF` — the catalog resolves an instant to
+    * the latest version committed at-or-before it (manifest mtimes, the
+    * clock every table format's timestamp travel reads). Three versions —
+    * base, catalog DELETE, catalog UPDATE — get PINNED commit times an
+    * hour apart (determinism; production keeps natural publication times),
+    * and the query reads between-commits instants: each must resolve to
+    * the version preceding it, recomputed whole by the oracle. */
+  def catTimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_tsq", root)
+    val dlo = mx / 10; val dhi = dlo + mx / 20
+    spark.sql(
+      s"DELETE FROM graft.cat_orders_tsq WHERE o_orderkey BETWEEN $dlo AND $dhi")
+    val ulo = mx / 3; val uhi = ulo + mx / 20
+    spark.sql(
+      s"""UPDATE graft.cat_orders_tsq
+         |SET o_totalprice = o_totalprice + 1.0
+         |WHERE o_orderkey BETWEEN $ulo AND $uhi""".stripMargin)
+    val tz = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
+    def ms(h: Int) = java.time.LocalDateTime.of(2026, 1, 1, h, 0)
+      .atZone(tz).toInstant.toEpochMilli
+    (1 to 3).foreach(v =>
+      SnapshotStore.setCommitTime(spark, root, v, ms((v - 1) * 2)))
+    spark.sql((1 to 3).map { v =>
+      val at = f"2026-01-01 0${(v - 1) * 2 + 1}%d:00:00"
+      s"""SELECT CAST($v AS BIGINT) AS snap, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price
+         |FROM graft.cat_orders_tsq TIMESTAMP AS OF '$at'
+         |GROUP BY o_orderstatus""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+  }
+
+  private val catTimestampSql =
+    """WITH rng AS (
+      |  SELECT (max(o_orderkey) // 10) AS dlo,
+      |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS dhi,
+      |         (max(o_orderkey) // 3) AS ulo,
+      |         (max(o_orderkey) // 3) + (max(o_orderkey) // 20) AS uhi
+      |  FROM orders),
+      |snaps AS (
+      |  SELECT 1 AS snap, o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, o_totalprice FROM orders, rng
+      |  WHERE o_orderkey NOT BETWEEN dlo AND dhi
+      |  UNION ALL
+      |  SELECT 3, o_orderstatus,
+      |    CASE WHEN o_orderkey BETWEEN ulo AND uhi
+      |      THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |  FROM orders, rng WHERE o_orderkey NOT BETWEEN dlo AND dhi)
+      |SELECT CAST(snap AS BIGINT) AS snap, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM snaps GROUP BY 1, 2""".stripMargin
+
+  /** q333: STREAMING WRITE THROUGH THE CATALOG —
+    * `writeStream.toTable("graft.t")`: the events table arrives as
+    * micro-batches (file source, one file per trigger) and every epoch
+    * lands as ONE manifest commit stamped with the epoch high-water mark
+    * ([[graft.catalog.SnapshotStreamingWrite]]): mid-stream readers only
+    * ever see whole epochs, and a redelivered epoch is a manifest no-op —
+    * exactly-once from at-least-once, with no foreachBatch in user code
+    * (q324's contract, catalog edition). `prefix_ok` gates that every
+    * committed version reads as a monotone prefix of the stream;
+    * `multi_epoch` that the run actually exercised >1 epoch commit. */
+  def catStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ev_sink")
+    spark.sql(
+      """CREATE TABLE graft.ev_sink
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |""".stripMargin)
+    val in = java.nio.file.Files.createTempDirectory("graft_cat_stream_in")
+    graft.streaming.EventStreams.deleteTreeOnExit(in)
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(in.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat_stream_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(ckpt)
+    val q = spark.readStream
+      .schema(spark.read.parquet(in.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.ev_sink")
+    q.awaitTermination()
+    val root = s"$wh/ev_sink"
+    val versions = SnapshotStore.versions(spark, root)
+    val counts = versions.map(v => SnapshotStore.read(spark, root, v).count())
+    val prefixOk = counts == counts.sorted && counts.last == ev.count()
+    val multiEpoch = versions.size >= 3 // create + >=2 data epochs
+    spark.table("graft.ev_sink")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.Exact.dsum2(col("value")).as("total_value"))
+      .select(col("event_type"), col("n"), col("n_users"), col("total_value"),
+        lit(prefixOk).as("prefix_ok"), lit(multiEpoch).as("multi_epoch"))
+  }
+
+  private val catStreamSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS prefix_ok, TRUE AS multi_epoch
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q334: MERGE-ON-READ DML — the q329 composition with ZERO manual
+    * vector plumbing: the table opts into `meta:writemode=mor` and plain
+    * catalog SQL does the rest. `DELETE` plans through Spark's delta
+    * rewrite ([[graft.catalog.SnapshotDeltaOperation]]) and lands as
+    * tombstone vectors — `mor_ok` pins that NO data file was rewritten;
+    * `UPDATE` lands as (tombstone, insert-file) pairs via
+    * delete-and-insert. Cost ∝ changed rows — the production shape for
+    * scattered mutations at 100 TB, where copy-on-write's
+    * rewrite-the-covering-file amplification dominates. The oracle
+    * recomputes survivors + updates from the change model; `tt_ok` pins v1
+    * as the pre-mutation table. */
+  def catMorDml(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    GraftCatalog.register(spark, "cat_orders_mdml", root)
+    val dataBefore = SnapshotStore.files(spark, root)
+      .map(Lakehouse.normPath).toSet
+    val lo = mx / 10; val hi = lo + mx / 20
+    spark.sql(
+      s"DELETE FROM graft.cat_orders_mdml WHERE o_orderkey BETWEEN $lo AND $hi")
+    val lo2 = mx / 2; val hi2 = lo2 + mx / 20
+    spark.sql(
+      s"""UPDATE graft.cat_orders_mdml
+         |SET o_totalprice = o_totalprice + 1.0, o_orderpriority = 'MU'
+         |WHERE o_orderkey BETWEEN $lo2 AND $hi2""".stripMargin)
+    val dataAfter = SnapshotStore.files(spark, root)
+      .map(Lakehouse.normPath).toSet
+    // merge-on-read proof: every original data file still in the manifest
+    // (nothing rewritten), vectors present, the update added insert files
+    val morOk = dataBefore.subsetOf(dataAfter) &&
+      SnapshotStore.deleteVectors(spark, root).nonEmpty &&
+      (dataAfter -- dataBefore).nonEmpty
+    val ttOk = v1MatchesOrders(spark, dir, root)
+    spark.table("graft.cat_orders_mdml")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"),
+        sum(when(col("o_orderpriority") === "MU", lit(1L))
+          .otherwise(lit(0L))).as("n_mu"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        col("n_mu"), lit(morOk).as("mor_ok"), lit(ttOk).as("tt_ok"))
+  }
+
+  private val catMorDmlSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 10) AS lo,
+       |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS hi,
+       |         (max(o_orderkey) // 2) AS lo2,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 20) AS hi2
+       |  FROM orders)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("CASE WHEN o_orderkey BETWEEN lo2 AND hi2 " +
+      "THEN o_totalprice + 1.0 ELSE o_totalprice END")} AS total_price,
+       |  CAST(count(*) FILTER (WHERE o_orderkey BETWEEN lo2 AND hi2)
+       |    AS BIGINT) AS n_mu,
+       |  TRUE AS mor_ok, TRUE AS tt_ok
+       |FROM orders, rng
+       |WHERE o_orderkey NOT BETWEEN lo AND hi
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
     QueryDef("q321_cat_update", catUpdate, Some(SqlDml.sqlUpdateSql)),
     QueryDef("q322_cat_time_travel", catTimeTravel,
       Some(SqlDml.sqlTimeTravelSql)),
-    QueryDef("q329_cat_mor", catMorRead, Some(catMorReadSql)))
+    QueryDef("q329_cat_mor", catMorRead, Some(catMorReadSql)),
+    QueryDef("q330_cat_ddl", catDdl, Some(catDdlSql)),
+    QueryDef("q331_cat_ctas", catCtas, Some(catCtasSql)),
+    QueryDef("q332_cat_timestamp", catTimestampTravel, Some(catTimestampSql)),
+    QueryDef("q333_cat_stream", catStream, Some(catStreamSql)),
+    QueryDef("q334_cat_mor_dml", catMorDml, Some(catMorDmlSql)))
 }

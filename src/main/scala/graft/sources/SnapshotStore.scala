@@ -127,6 +127,118 @@ object SnapshotStore {
         !replaced(uriPath(l.split('\t').head))
     }
 
+  /** SCHEMA meta line: `meta:schema=<StructType.json>` records the table
+    * schema IN the manifest — the format-level home the `read(mergeSchema)`
+    * scaladoc promises. With it, a table can exist EMPTY (CREATE TABLE
+    * before any data file lands) and can evolve by commit (ALTER TABLE ADD
+    * COLUMN = next manifest with a wider schema line): readers project the
+    * manifest schema, null-filling columns absent from older files, and
+    * never pay a footer-union scan. Versioned with the manifest, so time
+    * travel reads each version under ITS OWN schema. */
+  private val SchemaPrefix = s"${MetaPrefix}schema="
+
+  /** Render the table schema as its manifest meta line. */
+  def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
+    SchemaPrefix + schema.json
+
+  /** `version`'s manifest-recorded schema, if present (pre-DDL manifests
+    * carry none — consumers fall back to parquet footers). */
+  def schemaOf(spark: SparkSession, root: String,
+      version: Int = -1): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, root, version).collectFirst {
+      case l if l.startsWith(SchemaPrefix) =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** `lines` with any schema meta line replaced by `schema`'s — the ALTER
+    * TABLE commit primitive (everything else carries verbatim). */
+  def linesWithSchema(lines: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schemaLine(schema) +: lines.filterNot(_.startsWith(SchemaPrefix))
+
+  /** `version`'s meta lines only — what an INSERT OVERWRITE / TRUNCATE
+    * carries forward: the schema and partition spec survive, every data
+    * line and delete vector (which referenced the dropped data) goes. */
+  def metaLines(spark: SparkSession, root: String,
+      version: Int = -1): Seq[String] =
+    manifestLines(spark, root, version).filter(_.startsWith(MetaPrefix))
+
+  /** STREAM-EPOCH meta line: `meta:epoch=<queryId>:<epochId>` — the
+    * high-water mark a streaming writer stamps into each commit, making
+    * epoch replay (Structured Streaming's at-least-once redelivery after a
+    * commit-then-crash) detectable: a replayed epoch finds its id already
+    * ≤ the stamped mark and skips — exactly-once from at-least-once, the
+    * same version-arithmetic idempotence the q324 foreachBatch path uses,
+    * here as a property of the manifest itself. One mark per query id. */
+  private val EpochPrefix = s"${MetaPrefix}epoch="
+
+  /** Render a streaming writer's epoch high-water mark. */
+  def epochLine(queryId: String, epoch: Long): String =
+    s"$EpochPrefix$queryId:$epoch"
+
+  /** The committed epoch high-water mark of `queryId`, if any. */
+  def epochOf(spark: SparkSession, root: String, queryId: String,
+      version: Int = -1): Option[Long] =
+    manifestLines(spark, root, version).collectFirst {
+      case l if l.startsWith(s"$EpochPrefix$queryId:") =>
+        l.stripPrefix(s"$EpochPrefix$queryId:").toLong
+    }
+
+  /** `lines` with `queryId`'s epoch mark replaced by `epoch`'s. */
+  def linesWithEpoch(lines: Seq[String], queryId: String,
+      epoch: Long): Seq[String] =
+    epochLine(queryId, epoch) +:
+      lines.filterNot(_.startsWith(s"$EpochPrefix$queryId:"))
+
+  /** WRITE-MODE meta line: `meta:writemode=mor` opts the table's
+    * row-level operations into MERGE-ON-READ — the V2 catalog then plans
+    * DELETE/UPDATE/MERGE as delta writes (tombstone vectors + insert
+    * files, cost ∝ changed rows) instead of group-based copy-on-write
+    * (cost ∝ covering files). Versioned like every meta line; absent =
+    * copy-on-write, so every existing table keeps its behavior. */
+  private val ModePrefix = s"${MetaPrefix}writemode="
+
+  /** Render the write mode as its manifest meta line. */
+  def modeLine(mode: String): String = ModePrefix + mode
+
+  /** `version`'s write mode, if the manifest records one. */
+  def writeModeOf(spark: SparkSession, root: String,
+      version: Int = -1): Option[String] =
+    manifestLines(spark, root, version).collectFirst {
+      case l if l.startsWith(ModePrefix) => l.stripPrefix(ModePrefix)
+    }
+
+  /** Commit a write-mode switch: every line carries verbatim, only the
+    * mode meta line is replaced. Returns the new version. */
+  def setWriteMode(spark: SparkSession, root: String, mode: String): Int = {
+    val cur = currentVersion(spark, root)
+    val kept = manifestLines(spark, root, cur)
+      .filterNot(_.startsWith(ModePrefix))
+    commit(spark, root, modeLine(mode) +: kept, cur)
+  }
+
+  /** Pin `version`'s commit time (manifest mtime, the TIMESTAMP-AS-OF
+    * resolution key) — test/demo determinism; production commits keep
+    * their natural publication time. */
+  def setCommitTime(spark: SparkSession, root: String, version: Int,
+      millis: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(snapDir(root), f"v$version%05d.txt")
+    fs(spark, p).setTimes(p, millis, -1)
+  }
+
+  /** (version, commit-time millis) of every committed version, ascending —
+    * manifest mtimes, the same clock every table format's
+    * timestamp-travel resolves against. */
+  def versionTimes(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val d = snapDir(root)
+    val f = fs(spark, d)
+    versions(spark, root).map { v =>
+      v -> f.getFileStatus(
+        new org.apache.hadoop.fs.Path(d, f"v$v%05d.txt")).getModificationTime
+    }
+  }
+
   /** `version`'s partition column, if the manifest records one. */
   def partitionSpecOf(spark: SparkSession, root: String,
       version: Int = -1): Option[String] =
@@ -194,23 +306,43 @@ object SnapshotStore {
     * clean files when they accumulate. */
   def read(spark: SparkSession, root: String, version: Int = -1,
       mergeSchema: Boolean = false): DataFrame = {
-    val r = spark.read
-    val df = (if (mergeSchema) r.option("mergeSchema", "true") else r)
-      .parquet(files(spark, root, version): _*)
+    val fl = files(spark, root, version)
+    // A manifest-recorded schema (DDL-created or evolved tables) is
+    // authoritative: read under it (older files null-fill added columns,
+    // no footer union), and an EMPTY table reads as zero rows of it.
+    val recorded = schemaOf(spark, root, version)
+    val df = recorded match {
+      case Some(s) if fl.isEmpty =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case Some(s) => spark.read.schema(s).parquet(fl: _*)
+      case None =>
+        val r = spark.read
+        (if (mergeSchema) r.option("mergeSchema", "true") else r)
+          .parquet(fl: _*)
+    }
     val dvs = deleteVectors(spark, root, version)
     if (dvs.isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
       val cols = df.columns.toSeq.map(col)
       val tomb = spark.read.parquet(dvs: _*)
-        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-      df.withColumn("__row_file", col("_metadata.file_path"))
+        .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
+      df.withColumn("__row_file", normCol(col("_metadata.file_path")))
         .withColumn("__row_pos", col("_metadata.row_index"))
         .join(tomb, col("__row_file") === col("__dv_file") &&
           col("__row_pos") === col("__dv_pos"), "left_anti")
         .select(cols: _*)
     }
   }
+
+  /** Column-expression edition of [[uriPath]] for the DV anti-joins:
+    * strips the scheme (+authority) so `file:///x`, `file:/x`, and `/x`
+    * all compare equal — different producers render the same file
+    * differently (`_metadata.file_path` vs `FileStatus.getPath`). */
+  private def normCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c,
+      "^[a-zA-Z0-9+.-]+:(//[^/]*)?", "")
 
   /** Snapshot read carrying each LIVE row's (file, pos) identity as
     * `__row_file`/`__row_pos` — existing delete vectors already applied,
@@ -225,8 +357,8 @@ object SnapshotStore {
     if (dvs.isEmpty) base
     else {
       val tomb = spark.read.parquet(dvs: _*)
-        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-      base.join(tomb, col("__row_file") === col("__dv_file") &&
+        .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
+      base.join(tomb, normCol(col("__row_file")) === col("__dv_file") &&
         col("__row_pos") === col("__dv_pos"), "left_anti")
     }
   }

@@ -199,6 +199,251 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graft.t_mor").where(col("k").between(10, 15)).isEmpty)
   }
 
+  private def freshWarehouse(): String = {
+    val w = java.nio.file.Files.createTempDirectory("catspec_wh").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  test("CREATE TABLE: empty table exists under its declared schema; INSERT commits; CTAS works") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.ddl_a (k BIGINT, v STRING)")
+    assert(spark.table("graft.ddl_a").count() == 0)
+    assert(spark.table("graft.ddl_a").columns.toSeq == Seq("k", "v"))
+    spark.sql("INSERT INTO graft.ddl_a VALUES (1L, 'x'), (2L, 'y')")
+    assert(spark.table("graft.ddl_a").count() == 2)
+    assert(SnapshotStore.currentVersion(spark, s"$w/ddl_a") == 2)
+    // duplicate create declines
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CREATE TABLE graft.ddl_a (z BIGINT)")
+    }
+    // CTAS: create + append in one statement
+    spark.sql("CREATE TABLE graft.ddl_b AS SELECT k, v FROM graft.ddl_a WHERE k = 1")
+    assert(spark.table("graft.ddl_b").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // PARTITIONED BY records the spec in the manifest
+    spark.sql("CREATE TABLE graft.ddl_c (k BIGINT, g STRING) PARTITIONED BY (g)")
+    assert(SnapshotStore.partitionSpecOf(spark, s"$w/ddl_c").contains("g"))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves by commit: old files null-fill, time travel keeps old schema") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.ddl_ev (k BIGINT)")
+    spark.sql("INSERT INTO graft.ddl_ev VALUES (1L), (2L)")
+    spark.sql("ALTER TABLE graft.ddl_ev ADD COLUMN note STRING")
+    spark.sql("INSERT INTO graft.ddl_ev VALUES (3L, 'n3')")
+    val t = spark.table("graft.ddl_ev")
+    assert(t.columns.toSeq == Seq("k", "note"))
+    assert(t.count() == 3)
+    assert(t.where(col("note").isNull).count() == 2) // old files null-fill
+    assert(t.where(col("k") === 3L).head().getString(1) == "n3")
+    // the pre-evolution version reads under ITS schema
+    assert(spark.sql("SELECT * FROM graft.ddl_ev VERSION AS OF 2")
+      .columns.toSeq == Seq("k"))
+    // declines: non-append changes
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ddl_ev DROP COLUMN note")
+    }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ddl_ev RENAME COLUMN note TO m")
+    }
+  }
+
+  test("DROP TABLE removes the root; analyzer declines afterwards; IF EXISTS tolerates unknown") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.ddl_d (k BIGINT)")
+    spark.sql("INSERT INTO graft.ddl_d VALUES (1L)")
+    val root = java.nio.file.Paths.get(s"$w/ddl_d")
+    assert(java.nio.file.Files.exists(root))
+    spark.sql("DROP TABLE graft.ddl_d")
+    assert(!java.nio.file.Files.exists(root))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("graft.ddl_d").collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_d") // no-op, no raise
+  }
+
+  test("INSERT OVERWRITE truncates data lines, keeps schema + history; vectors die with their data") {
+    val root = freshTable("t_ovw")
+    // add a vector so the overwrite must drop it with the data it refers to
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") <= 5).coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    assert(spark.table("graft.t_ovw").count() == 95)
+    spark.sql("INSERT OVERWRITE graft.t_ovw VALUES (500L, 'o', 1.5)")
+    val t = spark.table("graft.t_ovw")
+    assert(t.count() == 1 && t.head().getLong(0) == 500L)
+    assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
+    // history survives the overwrite
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t_ovw VERSION AS OF 1")
+      .head().getLong(0) == 100)
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time; an instant before the first commit declines") {
+    val root = freshTable("t_ts")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ SnapshotStore.writeData(spark, root,
+        Seq((999L, "x", 0.5)).toDF("k", "v", "p"), "x2"), 1)
+    // pin commit times a day apart (deterministic, no sleeps)
+    val day = 86400000L
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .atZone(java.time.ZoneId.of(spark.conf.get(
+        "spark.sql.session.timeZone"))).toInstant.toEpochMilli
+    SnapshotStore.setCommitTime(spark, root, 1, t0)
+    SnapshotStore.setCommitTime(spark, root, 2, t0 + day)
+    def nAt(ts: String): Long = spark.sql(
+      s"SELECT count(*) AS n FROM graft.t_ts TIMESTAMP AS OF '$ts'")
+      .head().getLong(0)
+    assert(nAt("2026-01-01 12:00:00") == 100) // between commits -> v1
+    assert(nAt("2026-01-02 12:00:00") == 101) // after both -> v2
+    assert(nAt("2026-01-01 00:00:00") == 100) // exactly at commit -> v1
+    intercept[org.apache.spark.sql.AnalysisException] {
+      nAt("2025-12-31 23:59:59") // before the table existed
+    }
+  }
+
+  test("streaming write: each epoch is one manifest commit; replayed epochs are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.strm (k BIGINT, v STRING)")
+    val ckpt = java.nio.file.Files.createTempDirectory("catspec_ck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .toTable("graft.strm")
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      assert(spark.table("graft.strm").count() == 2)
+      val vAfter1 = SnapshotStore.currentVersion(spark, s"${spark.conf.get(
+        "spark.sql.catalog.graft.warehouse")}/strm")
+      in.addData((3L, "c")); q.processAllAvailable()
+      assert(spark.table("graft.strm").count() == 3)
+      assert(SnapshotStore.currentVersion(spark, s"${spark.conf.get(
+        "spark.sql.catalog.graft.warehouse")}/strm") > vAfter1)
+    } finally q.stop()
+    val root = s"${spark.conf.get("spark.sql.catalog.graft.warehouse")}/strm"
+    // every committed version reads as a whole number of epochs: counts
+    // ascend version-over-version (data-bearing versions only here)
+    val counts = SnapshotStore.versions(spark, root).map(v =>
+      SnapshotStore.read(spark, root, v).count())
+    assert(counts == counts.sorted)
+  }
+
+  test("streaming epoch replay is a manifest no-op (exactly-once from at-least-once)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.unsafe.types.UTF8String
+    val root = freshTable("t_replay")
+    val schema = spark.table("graft.t_replay").schema
+    val tbl = new graft.catalog.SnapshotTable(spark, "graft.t_replay", root,
+      SnapshotStore.currentVersion(spark, root))
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job,
+      Map.empty[String, String], schema)
+    val sw = new graft.catalog.SnapshotStreamingWrite(tbl, schema, "rpq", owf,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+    val fac = sw.createStreamingWriterFactory(null)
+    def stage(taskId: Long, k: Long) = {
+      val w = fac.createWriter(0, taskId, 7L)
+      w.write(InternalRow(k, UTF8String.fromString(s"e$k"), 0.5))
+      w.commit()
+    }
+    sw.commit(7L, Array(stage(0L, 500L)))
+    val vAfter = SnapshotStore.currentVersion(spark, root)
+    assert(SnapshotStore.read(spark, root).count() == 101)
+    assert(SnapshotStore.epochOf(spark, root, "rpq").contains(7L))
+    // the SAME epoch redelivered (fresh staged file): must not commit
+    sw.commit(7L, Array(stage(1L, 501L)))
+    assert(SnapshotStore.currentVersion(spark, root) == vAfter)
+    assert(SnapshotStore.read(spark, root).count() == 101)
+    // an EARLIER epoch redelivered: also a no-op
+    sw.commit(6L, Array(stage(2L, 502L)))
+    assert(SnapshotStore.currentVersion(spark, root) == vAfter)
+    // the next epoch commits normally
+    sw.commit(8L, Array(stage(3L, 503L)))
+    assert(SnapshotStore.read(spark, root).count() == 102)
+    assert(SnapshotStore.epochOf(spark, root, "rpq").contains(8L))
+  }
+
+  test("MoR write mode: catalog DELETE lands as delete vectors — no data file rewritten") {
+    val root = freshTable("t_mord")
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    GraftCatalog.register(spark, "t_mord", root) // reload sees v2
+    val dataBefore = SnapshotStore.files(spark, root).toSet
+    spark.sql("DELETE FROM graft.t_mord WHERE k BETWEEN 10 AND 20")
+    // cost ∝ changed rows: the data file set is IDENTICAL, only vectors added
+    assert(SnapshotStore.files(spark, root).toSet == dataBefore)
+    assert(SnapshotStore.deleteVectors(spark, root).nonEmpty)
+    assert(spark.table("graft.t_mord").count() == 89)
+    assert(spark.table("graft.t_mord").where(col("k").between(10, 20)).isEmpty)
+    // time travel predates the vectors
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t_mord VERSION AS OF 2")
+      .head().getLong(0) == 100)
+    // a second MoR delete STACKS vectors; already-dead rows cannot re-match
+    spark.sql("DELETE FROM graft.t_mord WHERE k BETWEEN 15 AND 30")
+    assert(SnapshotStore.files(spark, root).toSet == dataBefore)
+    assert(spark.table("graft.t_mord").count() == 79)
+    // the non-catalog read path applies the same vectors
+    assert(SnapshotStore.read(spark, root).count() == 79)
+  }
+
+  test("MoR UPDATE is delete-and-insert: tombstones + new file, untouched files intact") {
+    val root = freshTable("t_moru")
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    val dataBefore = SnapshotStore.files(spark, root).toSet
+    spark.sql("UPDATE graft.t_moru SET p = p + 0.5, v = 'U' WHERE k BETWEEN 30 AND 40")
+    val dataAfter = SnapshotStore.files(spark, root).toSet
+    // old files all still present; exactly the insert file(s) added
+    assert(dataBefore.subsetOf(dataAfter))
+    assert((dataAfter -- dataBefore).nonEmpty)
+    assert(SnapshotStore.deleteVectors(spark, root).nonEmpty)
+    val t = spark.table("graft.t_moru")
+    assert(t.count() == 100)
+    val u = t.where(col("v") === "U")
+    assert(u.count() == 11)
+    assert(u.agg(sum(col("p").cast("decimal(18,2)"))).head()
+      .getDecimal(0).doubleValue() == 390.5)
+    // unmatched rows unchanged
+    assert(t.where(col("k") === 29L).head().getString(1) == "v29")
+  }
+
+  test("MoR MERGE: mixed update/delete/insert through Spark's delta rewrite; cardinality still raises") {
+    val root = freshTable("t_morm")
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    val dataBefore = SnapshotStore.files(spark, root).toSet
+    Seq((50L, "up", 0.25), (51L, "del", 0.0), (300L, "new", 9.5))
+      .toDF("k", "op", "np").createOrReplaceTempView("mor_changes")
+    spark.sql(
+      """MERGE INTO graft.t_morm t USING mor_changes s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED AND s.op = 'up' THEN UPDATE SET p = t.p + s.np, v = 'M'
+        |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.op, s.np)
+        |""".stripMargin)
+    assert(dataBefore.subsetOf(SnapshotStore.files(spark, root).toSet))
+    val t = spark.table("graft.t_morm")
+    assert(t.count() == 100)
+    assert(t.where(col("k") === 51L).isEmpty)
+    assert(t.where(col("k") === 50L).select(col("v"), col("p"))
+      .head().toSeq == Seq("M", 50.25))
+    assert(t.where(col("k") === 300L).select(col("v")).head().getString(0) == "new")
+    assert(t.where(col("k") === 52L).select(col("v")).head().getString(0) == "v52")
+    // cardinality violation still raises through Spark's own check
+    Seq((5L, 1.0), (5L, 2.0)).toDF("k", "np").createOrReplaceTempView("mor_dup")
+    val e = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO graft.t_morm t USING mor_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET p = s.np""".stripMargin)
+    }
+    assert(e.getMessage.toUpperCase.contains("CARDINALITY") ||
+      e.getMessage.contains("multiple rows"))
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
