@@ -68,9 +68,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`framework-src/NameSpace.java:11-19`); this is that name→data
   * resolution re-expressed as Spark's pluggable catalog contract.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
+
+  /** `CALL graft.compact/vacuum/analyze/set_write_mode(...)` — the
+    * maintenance surface ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.Names.map(Identifier.of(Array.empty, _)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name

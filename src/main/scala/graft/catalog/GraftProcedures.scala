@@ -1,0 +1,155 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.SnapshotStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MAINTENANCE PROCEDURES through Spark's own `CALL` syntax
+  * (`ProcedureCatalog`, the Spark 4 stored-procedure SPIP) — the
+  * operational surface every table format ships (Iceberg's
+  * `rewrite_data_files`/`expire_snapshots`, Delta's OPTIMIZE/VACUUM),
+  * here as ONE-statement SQL over the snapshot layer:
+  *
+  *  - `CALL graft.compact(table, buckets)` — OPTIMIZE: re-cluster the
+  *    CURRENT snapshot (delete vectors applied, i.e. MoR reconciliation)
+  *    into `buckets` files and commit; schema/partition/mode meta lines
+  *    carry, old versions stay time-travelable, vectors die reconciled.
+  *  - `CALL graft.vacuum(table, keep)` — retention GC: drop all but the
+  *    newest `keep` versions and every unreferenced data/vector file.
+  *  - `CALL graft.analyze(table, key)` — compute the per-file [min,max]
+  *    stats sidecar for the current version and attach it as the
+  *    session's transparent zone index (q306/q310 machinery).
+  *  - `CALL graft.set_write_mode(table, mode)` — flip row-level DML
+  *    between copy-on-write and merge-on-read (`SupportsDelta`).
+  *
+  * Each returns a one-row result set (Spark renders it like a query), is
+  * non-deterministic by contract (they mutate or read mutable state), and
+  * resolves the table through the same session registration `SELECT`
+  * does. Unknown procedures and unknown tables decline loudly. At 100 TB
+  * these run as ordinary Spark jobs: compaction cost is one clustered
+  * rewrite of the live rows, vacuum and analyze are manifest/footer-scale.
+  */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "analyze",
+    "set_write_mode")
+
+  def load(catalogName: String, ident: Identifier): UnboundProcedure = {
+    if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
+      throw new RuntimeException(
+        s"graft catalog: unknown procedure ${ident.namespace().mkString(".")}" +
+          s".${ident.name()} (have: ${Names.mkString(", ")})")
+    new GraftProcedure(catalogName, ident.name())
+  }
+
+  private[catalog] def rootOf(catalogName: String, table: String): String =
+    SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catalogName.path.$table")
+      .getOrElse(throw new RuntimeException(
+        s"graft catalog: unknown table $table (register it or CREATE it)"))
+}
+
+class GraftProcedure(catalogName: String, procName: String)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+
+  override def description(): String = procName match {
+    case "compact" => "re-cluster the current snapshot (reconciling " +
+      "delete vectors) into `buckets` files and commit a new version"
+    case "vacuum" => "drop all but the newest `keep` versions and every " +
+      "unreferenced data/vector file"
+    case "analyze" => "compute + attach the per-file [min,max] zone " +
+      "stats sidecar for `key`"
+    case _ => "set row-level DML mode: 'cow' (copy-on-write) or 'mor' " +
+      "(merge-on-read delete vectors)"
+  }
+
+  override def bind(inputType: StructType): BoundProcedure = this
+
+  /** Maintenance mutates table state — never cacheable. */
+  override def isDeterministic: Boolean = false
+
+  private def in(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+
+  override def parameters(): Array[ProcedureParameter] = procName match {
+    case "compact" => Array(in("table", StringType),
+      ProcedureParameter.in("buckets", IntegerType).defaultValue("8").build(),
+      ProcedureParameter.in("cluster_col", StringType).defaultValue("''")
+        .build())
+    case "vacuum" => Array(in("table", StringType),
+      ProcedureParameter.in("keep", IntegerType).defaultValue("1").build())
+    case "analyze" => Array(in("table", StringType), in("key", StringType))
+    case _ => Array(in("table", StringType), in("mode", StringType))
+  }
+
+  private def resultSchema: StructType = procName match {
+    case "compact" => new StructType()
+      .add("version", IntegerType).add("files_before", IntegerType)
+      .add("files_after", IntegerType).add("vectors_reconciled", IntegerType)
+    case "vacuum" => new StructType()
+      .add("removed_files", IntegerType).add("removed_versions", IntegerType)
+    case "analyze" => new StructType()
+      .add("version", IntegerType).add("files", LongType)
+    case _ => new StructType()
+      .add("version", IntegerType).add("mode", StringType)
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = input.getUTF8String(0).toString
+    val root = GraftProcedures.rootOf(catalogName, table)
+    val row: InternalRow = procName match {
+      case "compact" =>
+        val buckets = input.getInt(1)
+        require(buckets >= 1, s"compact: buckets must be >= 1, got $buckets")
+        val clusterCol = input.getUTF8String(2).toString
+        val cur = SnapshotStore.currentVersion(spark, root)
+        val before = SnapshotStore.files(spark, root, cur)
+        val dvs = SnapshotStore.deleteVectors(spark, root, cur)
+        val live = SnapshotStore.read(spark, root, cur)
+        val clustered =
+          if (clusterCol.nonEmpty)
+            live.repartitionByRange(buckets, col(clusterCol))
+          else live.coalesce(buckets)
+        val newFiles = SnapshotStore.writeData(spark, root, clustered, "opt")
+        // meta lines (schema, partition spec, write mode) carry; every
+        // data line and vector is replaced by the clustered rewrite
+        val v = SnapshotStore.commit(spark, root,
+          SnapshotStore.metaLines(spark, root, cur) ++ newFiles, cur)
+        InternalRow(v, before.length, newFiles.length, dvs.length)
+      case "vacuum" =>
+        val keep = input.getInt(1)
+        val (files, versions) = SnapshotStore.vacuum(spark, root, keep)
+        InternalRow(files.length, versions.length)
+      case "analyze" =>
+        val key = input.getUTF8String(1).toString
+        SnapshotStore.writeStats(spark, root, key)
+        val v = SnapshotStore.attachSkipping(spark, root)
+        InternalRow(v, SnapshotStore.files(spark, root).length.toLong)
+      case _ =>
+        val mode = input.getUTF8String(1).toString
+        require(mode == "cow" || mode == "mor",
+          s"set_write_mode: mode must be 'cow' or 'mor', got '$mode'")
+        val v = SnapshotStore.setWriteMode(spark, root, mode)
+        InternalRow(v, UTF8String.fromString(mode))
+    }
+    Iterator[Scan](new ProcedureResultScan(resultSchema, Array(row))).asJava
+  }
+}
+
+/** One in-memory result set of a procedure call. */
+class ProcedureResultScan(schema: StructType, resultRows: Array[InternalRow])
+  extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resultRows
+  override def description(): String = "graft-procedure-result"
+}

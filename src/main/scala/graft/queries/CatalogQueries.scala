@@ -501,6 +501,60 @@ object CatalogQueries {
        |WHERE o_orderkey NOT BETWEEN lo AND hi
        |GROUP BY 1""".stripMargin
 
+  /** q335: MAINTENANCE PROCEDURES through Spark's own `CALL` — the
+    * operational lifecycle as four SQL statements: `set_write_mode` flips
+    * the table to merge-on-read, DELETE lands as vectors, `compact`
+    * re-clusters the live rows and RECONCILES the vectors away (the
+    * OPTIMIZE every format ships; meta lines carry, so the mode survives),
+    * `analyze` builds + attaches the zone-stats sidecar, `vacuum` GCs
+    * every expired version and unreferenced file. Gates pin each step's
+    * result row (files_after, vectors_reconciled, attached version,
+    * removed counts) and that exactly the final version survives; the
+    * oracle recomputes the surviving content. At 100 TB this is the
+    * nightly maintenance pass — one clustered rewrite of live rows,
+    * manifest-scale vacuum/analyze. */
+  def catProcedures(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_proc", root)
+    spark.sql("CALL graft.set_write_mode('cat_orders_proc', 'mor')")
+    val lo = mx / 10; val hi = lo + mx / 20
+    spark.sql(
+      s"DELETE FROM graft.cat_orders_proc WHERE o_orderkey BETWEEN $lo AND $hi")
+    val c = spark.sql(
+      """CALL graft.compact(table => 'cat_orders_proc', buckets => 4,
+        |cluster_col => 'o_orderkey')""".stripMargin).head()
+    val compactOk = c.getInt(2) == 4 && c.getInt(3) >= 1 &&
+      SnapshotStore.deleteVectors(spark, root).isEmpty
+    val a = spark.sql("CALL graft.analyze('cat_orders_proc', 'o_orderkey')")
+      .head()
+    val analyzeOk = a.getInt(0) == SnapshotStore.currentVersion(spark, root) &&
+      a.getLong(1) == 4L
+    val v = spark.sql("CALL graft.vacuum('cat_orders_proc', 1)").head()
+    val vacuumOk = v.getInt(1) == 3 &&
+      SnapshotStore.versions(spark, root).size == 1
+    SnapshotStore.dropSkipping(spark, root) // session tidiness
+    spark.table("graft.cat_orders_proc")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(compactOk).as("compact_ok"), lit(analyzeOk).as("analyze_ok"),
+        lit(vacuumOk).as("vacuum_ok"))
+  }
+
+  private val catProceduresSql =
+    """WITH rng AS (
+      |  SELECT (max(o_orderkey) // 10) AS lo,
+      |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS hi
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS compact_ok, TRUE AS analyze_ok, TRUE AS vacuum_ok
+      |FROM orders, rng
+      |WHERE o_orderkey NOT BETWEEN lo AND hi
+      |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -512,5 +566,6 @@ object CatalogQueries {
     QueryDef("q331_cat_ctas", catCtas, Some(catCtasSql)),
     QueryDef("q332_cat_timestamp", catTimestampTravel, Some(catTimestampSql)),
     QueryDef("q333_cat_stream", catStream, Some(catStreamSql)),
-    QueryDef("q334_cat_mor_dml", catMorDml, Some(catMorDmlSql)))
+    QueryDef("q334_cat_mor_dml", catMorDml, Some(catMorDmlSql)),
+    QueryDef("q335_cat_procedures", catProcedures, Some(catProceduresSql)))
 }

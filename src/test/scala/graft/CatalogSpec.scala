@@ -444,6 +444,40 @@ class CatalogSpec extends AnyFunSuite {
       e.getMessage.contains("multiple rows"))
   }
 
+  test("CALL procedures: compact reconciles MoR vectors, vacuum GCs, analyze attaches zones, set_write_mode flips") {
+    val root = freshTable("t_proc")
+    // flip to merge-on-read through CALL, then a vectored delete
+    val m = spark.sql("CALL graft.set_write_mode('t_proc', 'mor')").head()
+    assert(m.getInt(0) == 2 && m.getString(1) == "mor")
+    spark.sql("DELETE FROM graft.t_proc WHERE k BETWEEN 10 AND 20")
+    assert(SnapshotStore.deleteVectors(spark, root).nonEmpty)
+    // compact: vectors reconcile into clustered clean files, content kept
+    val c = spark.sql(
+      "CALL graft.compact(table => 't_proc', buckets => 2, cluster_col => 'k')")
+      .head()
+    assert(c.getInt(2) == 2, s"files_after: $c") // clustered into 2
+    assert(c.getInt(3) >= 1) // vectors reconciled
+    assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
+    assert(spark.table("graft.t_proc").count() == 89)
+    // write mode SURVIVES compaction (meta lines carry)
+    assert(SnapshotStore.writeModeOf(spark, root).contains("mor"))
+    // analyze: stats sidecar + transparent zone attach for the new files
+    val a = spark.sql("CALL graft.analyze('t_proc', 'k')").head()
+    assert(a.getInt(0) == SnapshotStore.currentVersion(spark, root))
+    assert(a.getLong(1) == 2L)
+    // vacuum to the latest version only: old data files GC'd
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .count()
+    val v = spark.sql("CALL graft.vacuum('t_proc', 1)").head()
+    assert(v.getInt(0) >= 4 && v.getInt(1) == 3, s"vacuum: $v")
+    assert(spark.table("graft.t_proc").count() == 89) // live version intact
+    // declines: unknown procedure, unknown table, bad mode
+    intercept[Throwable] { spark.sql("CALL graft.no_such_proc('x')") }
+    intercept[Throwable] { spark.sql("CALL graft.vacuum('no_such_table', 1)") }
+    intercept[Throwable] { spark.sql("CALL graft.set_write_mode('t_proc', 'zzz')") }
+    assert(before > 0)
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
