@@ -292,10 +292,10 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(spark, this, None)
+    new SnapshotScanBuilder(spark, this, None, options = options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(spark, this, info, None)
@@ -394,7 +394,8 @@ class SnapshotRowLevelOperation(spark: SparkSession, table: SnapshotTable,
 }
 
 class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
-    op: Option[SnapshotRowLevelOperation], forDelta: Boolean = false)
+    op: Option[SnapshotRowLevelOperation], forDelta: Boolean = false,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -419,7 +420,8 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   override def build(): Scan = {
     val s = new SnapshotScan(spark, table, required, pushed.toSeq,
-      forRowLevel = op.isDefined, forDelta = forDelta)
+      forRowLevel = op.isDefined, forDelta = forDelta,
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
     op.foreach(_.attachScan(s))
     s
   }
@@ -433,7 +435,7 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   * and parquet's own row-group statistics inside the reader. */
 class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     required: StructType, pushed: Seq[Filter], forRowLevel: Boolean = false,
-    forDelta: Boolean = false)
+    forDelta: Boolean = false, skipChangeCommits: Boolean = false)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -520,6 +522,29 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
       }
     }.toArray
   }
+
+  /** Split an arbitrary (vector-free) file list into read partitions —
+    * the streaming source's per-version diff planning. */
+  private[catalog] def partitionsFor(fl: Seq[String]): Array[InputPartition] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    fl.flatMap { fstr =>
+      val p = new org.apache.hadoop.fs.Path(fstr)
+      val s = p.getFileSystem(conf).getFileStatus(p)
+      (0L until s.getLen by maxBytes).map { start =>
+        SnapshotInputPartition(s.getPath.toString, start,
+          math.min(maxBytes, s.getLen - start), s.getLen,
+          s.getModificationTime, Array.empty)
+      }
+    }.toArray
+  }
+
+  private[catalog] def pushedFilters: Seq[Filter] = pushed
+
+  /** `readStream.table("graft.t")`: manifest versions ARE the offsets. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(spark, table, this, skipChangeCommits)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
@@ -847,6 +872,92 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
 
 /** One committed task file of a streaming epoch (staged, not yet visible). */
 case class EpochStagedFile(path: String) extends WriterCommitMessage
+
+/** A manifest version as a streaming offset. */
+case class SnapshotVersionOffset(version: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** STREAMING READS from a snapshot table (`readStream.table("graft.t")`)
+  * — the manifest IS the log: offsets are committed versions, a
+  * micro-batch is the manifest DIFF between two versions, and the first
+  * batch is the table's full snapshot at stream start (delete vectors
+  * applied, zone pruning and column pruning as on any scan). The
+  * Delta-style table-tailing source:
+  *
+  *  - APPEND-ONLY ENFORCEMENT: a version that removed files or added
+  *    delete vectors is a CHANGE commit (rewrite, MoR delete, compaction)
+  *    — emitting its additions would re-emit rewritten rows. Default:
+  *    fail loudly. `option("skipChangeCommits", "true")` skips such
+  *    versions whole (Delta's contract of the same name: appends flow,
+  *    changed history does not re-emit).
+  *  - EXACTLY-ONCE: offsets are durable version numbers in the
+  *    checkpoint; replanning batch (a, b] re-reads exactly the same
+  *    manifest diff — immutable files, immutable manifests.
+  *  - At 100 TB: per-trigger planning cost is two manifest reads; the
+  *    data read is only the appended files. Vacuum retention must cover
+  *    the reader's lag (the standard table-format contract).
+  */
+class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
+    scan: SnapshotScan, skipChangeCommits: Boolean)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(0)
+
+  override def latestOffset(): Offset = SnapshotVersionOffset(
+    math.max(table.snapVersion,
+      SnapshotStore.currentVersion(spark, table.root)))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    // the initial snapshot: the scan's own planning at the loaded version
+    // (vectors applied, zone-pruned) — never change-checked
+    if (s == 0) parts ++= scan.planInputPartitions()
+    val from = if (s == 0) table.snapVersion else s
+    SnapshotStore.versions(spark, table.root)
+      .filter(v => v > from && v <= e).foreach { v =>
+        val prev = SnapshotStore.files(spark, table.root, v - 1)
+          .map(SnapshotStore.uriPath).toSet
+        val cur = SnapshotStore.files(spark, table.root, v)
+        val added = cur.filterNot(f => prev(SnapshotStore.uriPath(f)))
+        val removed = prev -- cur.map(SnapshotStore.uriPath)
+        val dvAdded = SnapshotStore.deleteVectors(spark, table.root, v)
+          .map(SnapshotStore.uriPath).toSet --
+          SnapshotStore.deleteVectors(spark, table.root, v - 1)
+            .map(SnapshotStore.uriPath)
+        if (removed.nonEmpty || dvAdded.nonEmpty) {
+          if (!skipChangeCommits) throw new IllegalStateException(
+            s"streaming read of ${table.name()} hit a CHANGE commit at " +
+              s"version $v (${removed.size} files removed, ${dvAdded.size} " +
+              "vectors added): rewrites/deletes cannot re-emit. Set " +
+              "option(\"skipChangeCommits\", \"true\") to skip such " +
+              "versions, or tail an append-only table.")
+          // skip the whole version: its additions are rewrite outputs
+        } else {
+          parts ++= scan.partitionsFor(
+            SnapshotZones.prune(spark, table.root, v, scan.pushedFilters,
+              added))
+        }
+      }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
 
 /** DELTA (merge-on-read) row-level operation — the production shape for
   * scattered mutations at 100 TB: Spark's delta rewrite rules

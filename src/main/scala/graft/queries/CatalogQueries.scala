@@ -555,6 +555,72 @@ object CatalogQueries {
       |WHERE o_orderkey NOT BETWEEN lo AND hi
       |GROUP BY 1""".stripMargin
 
+  /** q336: STREAMING READ of a catalog table
+    * (`readStream.table("graft.t")`) — the manifest AS the log
+    * ([[graft.catalog.SnapshotMicroBatchStream]]): offsets are committed
+    * versions, the first micro-batch is the stream-start snapshot, every
+    * later batch is exactly one INSERT's manifest diff. Three slices of
+    * events land by catalog INSERT with the stream draining between
+    * commits; `batches_ok` pins exactly three non-empty batches (snapshot
+    * + two appends — no re-emits, no torn versions), and the oracle
+    * recomputes the full content. At 100 TB: per-trigger planning is two
+    * manifest reads, the data read only the appended files — the
+    * table-tailing shape every CDC/ingest pipeline runs on. */
+  def catStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ev_tail")
+    spark.sql(
+      """CREATE TABLE graft.ev_tail
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |""".stripMargin)
+    graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .createOrReplaceTempView("tail_src")
+    def ins(r: Int): Unit = spark.sql(
+      s"""INSERT INTO graft.ev_tail
+         |SELECT event_id, user_id, event_type, value
+         |FROM tail_src WHERE event_id % 3 = $r""".stripMargin)
+    ins(0)
+    val out = java.nio.file.Files.createTempDirectory("graft_tail_out")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tail_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(ckpt)
+    val q = spark.readStream.table("graft.ev_tail")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out, "append"))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      ins(1); q.processAllAvailable()
+      ins(2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.toString)
+    val nonEmpty = java.nio.file.Files.list(out).iterator()
+    var batches = 0
+    while (nonEmpty.hasNext) {
+      val d = nonEmpty.next()
+      if (!spark.read.parquet(d.toString).isEmpty) batches += 1
+    }
+    got.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.Exact.dsum2(col("value")).as("total_value"))
+      .select(col("event_type"), col("n"), col("n_users"),
+        col("total_value"), lit(batches == 3).as("batches_ok"))
+  }
+
+  private val catStreamReadSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS batches_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -567,5 +633,6 @@ object CatalogQueries {
     QueryDef("q332_cat_timestamp", catTimestampTravel, Some(catTimestampSql)),
     QueryDef("q333_cat_stream", catStream, Some(catStreamSql)),
     QueryDef("q334_cat_mor_dml", catMorDml, Some(catMorDmlSql)),
-    QueryDef("q335_cat_procedures", catProcedures, Some(catProceduresSql)))
+    QueryDef("q335_cat_procedures", catProcedures, Some(catProceduresSql)),
+    QueryDef("q336_cat_stream_read", catStreamRead, Some(catStreamReadSql)))
 }

@@ -478,6 +478,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(before > 0)
   }
 
+  test("streaming read: manifest is the log — snapshot then appends; change commits decline or skip") {
+    import org.apache.spark.sql.streaming.Trigger
+    freshTable("t_tail")
+    val q = spark.readStream.table("graft.t_tail")
+      .writeStream.format("memory").queryName("tail_sink")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_sink").count() == 100) // initial snapshot
+      spark.sql("INSERT INTO graft.t_tail VALUES (200L, 'x', 1.0)")
+      q.processAllAvailable()
+      assert(spark.table("tail_sink").count() == 101) // the append flowed
+      // a COW UPDATE removes files -> change commit -> strict stream fails
+      spark.sql("UPDATE graft.t_tail SET v = 'U' WHERE k = 1")
+      intercept[Throwable] { q.processAllAvailable() }
+    } finally q.stop()
+    // tolerant restart: full current snapshot, appends flow, changes skip
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("graft.t_tail")
+      .writeStream.format("memory").queryName("tail_sink2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tail_sink2").count() == 101)
+      assert(spark.table("tail_sink2").where(col("k") === 1L)
+        .head().getString(1) == "U") // snapshot carries the update
+      spark.sql("UPDATE graft.t_tail SET v = 'U2' WHERE k = 2") // skipped
+      spark.sql("INSERT INTO graft.t_tail VALUES (201L, 'y', 1.0)")
+      q2.processAllAvailable()
+      assert(spark.table("tail_sink2").count() == 102) // append flowed
+      // the skipped change did NOT re-emit: sink keeps the pre-update row
+      assert(spark.table("tail_sink2").where(col("k") === 2L)
+        .head().getString(1) == "v2")
+    } finally q2.stop()
+  }
+
+  test("streaming read of a MoR table: the initial snapshot applies delete vectors") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshTable("t_tailmor")
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") <= 10)
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    GraftCatalog.register(spark, "t_tailmor", root) // reload at v2
+    val q = spark.readStream.table("graft.t_tailmor")
+      .writeStream.format("memory").queryName("tailmor_sink")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tailmor_sink").count() == 90)
+      assert(spark.table("tailmor_sink").where(col("k") <= 10).isEmpty)
+    } finally q.stop()
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
