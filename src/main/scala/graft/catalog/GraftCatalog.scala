@@ -715,15 +715,22 @@ object SnapshotZones {
   def prune(spark: SparkSession, root: String, version: Int,
       pushed: Seq[Filter], files: Seq[String]): Seq[String] = {
     if (pushed.isEmpty) return files
-    val stats = SnapshotStore.statsOf(spark, root, version)
-      .getOrElse(return files)
-    val (key, byFile) = stats
-    val bounds = interval(pushed, key).getOrElse(return files)
-    val (lo, hi) = bounds
+    val stats = SnapshotStore.statsAllOf(spark, root, version)
+    if (stats.isEmpty) return files
+    // intersect admissibility across EVERY constrained key the sidecar
+    // covers — a z-ordered layout bounds all interleaved dimensions, so a
+    // predicate on any of them prunes; unconstrained keys admit everything
     files.filter { f =>
-      byFile.get(SnapshotStore.uriPath(f)) match {
-        case Some((flo, fhi)) => !(fhi < lo || flo > hi)
-        case None => true
+      val uri = SnapshotStore.uriPath(f)
+      stats.forall { case (key, byFile) =>
+        interval(pushed, key) match {
+          case None => true
+          case Some((lo, hi)) =>
+            byFile.get(uri) match {
+              case Some((flo, fhi)) => !(fhi < lo || flo > hi)
+              case None => true
+            }
+        }
       }
     }
   }
@@ -784,23 +791,67 @@ class SnapshotWriteBuilder(spark: SparkSession, table: SnapshotTable,
 class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
     info: LogicalWriteInfo, op: Option[SnapshotRowLevelOperation],
     truncateAll: Boolean = false)
-  extends Write {
+  extends Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def description(): String =
     s"graft-snapshot-write(${table.name()}, v${table.snapVersion})"
+
+  /** The manifest's partition column when the write's schema carries it —
+    * partitioned tables route through the fanout writer below. */
+  private val partCol: Option[String] =
+    SnapshotStore.partitionSpecOf(spark, table.root, table.snapVersion)
+      .filter(info.schema().fieldNames.contains)
+
+  /** Cluster incoming rows by the partition column (best-effort, the
+    * Iceberg write-distribution contract): each task then holds few
+    * values, so the fanout writer opens few files. Unpartitioned tables
+    * impose nothing. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    partCol.map(c =>
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array[org.apache.spark.sql.connector.expressions.Expression](
+          ColumnBridge.fieldReference(c))))
+      .getOrElse(org.apache.spark.sql.connector.distributions
+        .Distributions.unspecified())
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: BatchWrite = {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(table.root,
       s"_graft_stage_cat_$run")
-    val winfo = LogicalWriteInfoImpl(info.queryId(), info.schema(),
-      CaseInsensitiveStringMap.empty(),
-      java.util.Optional.empty[StructType](),
-      java.util.Optional.empty[StructType]())
-    val delegate = ParquetWrite(Seq(staging.toString), "parquet",
-      (_: DataType) => true, winfo).toBatch
-    new SnapshotBatchWrite(spark, table, staging.toString, run, delegate, op,
-      truncateAll)
+    partCol match {
+      case Some(c) =>
+        // PARTITION-FANOUT write: one parquet file per (task, partition
+        // value) through Spark's own OutputWriter; the value rides the
+        // commit message, so the manifest annotates every new file with
+        // its partition tuple — catalog writes KEEP partition pruning
+        // power, no post-hoc scan of the data just written.
+        val job = org.apache.hadoop.mapreduce.Job.getInstance(
+          spark.sessionState.newHadoopConf())
+        val owf = new ParquetFileFormat().prepareWrite(spark, job,
+          Map.empty[String, String], info.schema())
+        new SnapshotFanoutBatchWrite(spark, table, staging.toString, run,
+          new SnapshotFanoutWriterFactory(staging.toString, info.schema(),
+            info.schema().fieldIndex(c), owf,
+            new SerializableConfiguration(job.getConfiguration)),
+          op, truncateAll)
+      case None =>
+        val winfo = LogicalWriteInfoImpl(info.queryId(), info.schema(),
+          CaseInsensitiveStringMap.empty(),
+          java.util.Optional.empty[StructType](),
+          java.util.Optional.empty[StructType]())
+        val delegate = ParquetWrite(Seq(staging.toString), "parquet",
+          (_: DataType) => true, winfo).toBatch
+        new SnapshotBatchWrite(spark, table, staging.toString, run, delegate,
+          op, truncateAll)
+    }
   }
 
   /** `writeStream.toTable("graft.t")`: every micro-batch epoch becomes ONE
@@ -872,6 +923,110 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
 
 /** One committed task file of a streaming epoch (staged, not yet visible). */
 case class EpochStagedFile(path: String) extends WriterCommitMessage
+
+/** One staged fanout file and the partition value all its rows share. */
+case class PartStagedFile(path: String, value: String)
+  extends WriterCommitMessage
+
+/** Batch write for PARTITIONED snapshot tables: tasks fan rows out into
+  * one file per partition value ([[SnapshotFanoutWriterFactory]]), and the
+  * commit publishes every file WITH its value annotation — the manifest's
+  * per-file partition tuple stays complete through catalog INSERT /
+  * OVERWRITE / row-level rewrites, so partition pruning never loses power
+  * to catalog writes. Same OCC/carry semantics as [[SnapshotBatchWrite]]. */
+class SnapshotFanoutBatchWrite(spark: SparkSession, table: SnapshotTable,
+    staging: String, run: String, factory: SnapshotFanoutWriterFactory,
+    op: Option[SnapshotRowLevelOperation], truncateAll: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DataWriterFactory =
+    factory
+
+  private def fs = new org.apache.hadoop.fs.Path(table.root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val staged = messages.collect { case c: CompositePartStaged => c.files }
+      .flatten.sortBy(_.path)
+    val movedLines = staged.zipWithIndex.map { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(table.root,
+        s"cat_${run}_$i.parquet")
+      require(f.rename(new org.apache.hadoop.fs.Path(p.path), dst),
+        s"fanout stage publish failed: ${p.path} -> $dst")
+      SnapshotStore.partLine(dst.toString, p.value)
+    }.toSeq
+    f.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val replaced = op.map(_.replacedFiles).getOrElse(Nil)
+      .map(SnapshotStore.uriPath).toSet
+    val kept =
+      if (truncateAll) SnapshotStore.metaLines(spark, table.root,
+        table.snapVersion)
+      else SnapshotStore.linesReplacing(spark, table.root,
+        table.snapVersion, replaced)
+    SnapshotStore.commit(spark, table.root, kept ++ movedLines,
+      table.snapVersion)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+}
+
+/** Executor-side fanout: rows route to one Spark parquet OutputWriter per
+  * partition value (opened lazily; the requested clustered distribution
+  * keeps the per-task value count small). The value is rendered with the
+  * same `String.valueOf` the manifest annotation layer compares with. */
+class SnapshotFanoutWriterFactory(staging: String, schema: StructType,
+    partIdx: Int,
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+
+      private val dt = schema.fields(partIdx).dataType
+      private val writers = scala.collection.mutable.LinkedHashMap
+        .empty[String, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
+      private var nFiles = 0
+
+      private def writerFor(value: String) = writers.getOrElseUpdate(value, {
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf.value,
+          new TaskAttemptID(new TaskID(new JobID("graftfan", partitionId),
+            TaskType.MAP, partitionId), nFiles))
+        val dir = new org.apache.hadoop.fs.Path(staging)
+        dir.getFileSystem(conf.value).mkdirs(dir)
+        val path = new org.apache.hadoop.fs.Path(dir,
+          f"part-$partitionId%05d-$taskId-$nFiles${owf.getFileExtension(ctx)}")
+          .toString
+        nFiles += 1
+        (owf.newInstance(path, schema, ctx), path)
+      })
+
+      override def write(row: InternalRow): Unit =
+        writerFor(String.valueOf(row.get(partIdx, dt)))._1.write(row)
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._1.close())
+        // one message per file is the natural shape, but the contract is
+        // one per task — pack (path, value) pairs into a composite
+        CompositePartStaged(writers.map { case (v, (_, p)) =>
+          PartStagedFile(p, v)
+        }.toSeq)
+      }
+
+      override def abort(): Unit = writers.values.foreach(_._1.close())
+      override def close(): Unit = ()
+    }
+}
+
+/** A task's full set of staged fanout files. */
+case class CompositePartStaged(files: Seq[PartStagedFile])
+  extends WriterCommitMessage
 
 /** A manifest version as a streaming offset. */
 case class SnapshotVersionOffset(version: Int)

@@ -116,10 +116,42 @@ class GraftProcedure(catalogName: String, procName: String)
         val before = SnapshotStore.files(spark, root, cur)
         val dvs = SnapshotStore.deleteVectors(spark, root, cur)
         val live = SnapshotStore.read(spark, root, cur)
-        val clustered =
-          if (clusterCol.nonEmpty)
-            live.repartitionByRange(buckets, col(clusterCol))
-          else live.coalesce(buckets)
+        val clusterCols = clusterCol.split(',').map(_.trim).filter(_.nonEmpty)
+        val clustered = clusterCols.length match {
+          case 0 => live.coalesce(buckets)
+          case 1 => live.repartitionByRange(buckets, col(clusterCols(0)))
+          case 2 =>
+            // OPTIMIZE ZORDER BY (a, b): interleave the two keys into a
+            // Morton value and range-cluster on it — every file then
+            // bounds BOTH dimensions, so predicates on either key prune
+            // (the multi-key stats sidecar persists the bounds). Each
+            // dimension is min-max normalized to 15 bits first: raw bit
+            // widths differ (orderkey ≫ custkey) and an unbalanced
+            // interleave degenerates to single-key clustering.
+            val Array(a, b) = clusterCols
+            def n(x: Any) = x.asInstanceOf[Number].longValue
+            val r = live.agg(
+              org.apache.spark.sql.functions.min(col(a)),
+              org.apache.spark.sql.functions.max(col(a)),
+              org.apache.spark.sql.functions.min(col(b)),
+              org.apache.spark.sql.functions.max(col(b))).head()
+            def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+              org.apache.spark.sql.functions.least(
+                (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
+                  org.apache.spark.sql.functions.lit(32768L) /
+                  org.apache.spark.sql.functions.lit(
+                    math.max(1L, hi - lo + 1)),
+                org.apache.spark.sql.functions.lit(32767L))
+            val z = graft.queries.Layout.zValue(
+              norm(col(a), n(r.get(0)), n(r.get(1))),
+              norm(col(b), n(r.get(2)), n(r.get(3))))
+            live.withColumn("__graft_z", z)
+              .repartitionByRange(buckets, col("__graft_z"))
+              .drop("__graft_z")
+          case _ => throw new IllegalArgumentException(
+            "compact: cluster_col takes one column (range clustering) or " +
+              "two comma-separated columns (z-order)")
+        }
         val newFiles = SnapshotStore.writeData(spark, root, clustered, "opt")
         // meta lines (schema, partition spec, write mode) carry; every
         // data line and vector is replaced by the clustered rewrite
@@ -131,8 +163,11 @@ class GraftProcedure(catalogName: String, procName: String)
         val (files, versions) = SnapshotStore.vacuum(spark, root, keep)
         InternalRow(files.length, versions.length)
       case "analyze" =>
-        val key = input.getUTF8String(1).toString
-        SnapshotStore.writeStats(spark, root, key)
+        // comma-separated keys build a MULTI-KEY sidecar (the z-order
+        // companion: every interleaved dimension gets its bounds)
+        val keys = input.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        SnapshotStore.writeStatsMulti(spark, root, keys)
         val v = SnapshotStore.attachSkipping(spark, root)
         InternalRow(v, SnapshotStore.files(spark, root).length.toLong)
       case _ =>

@@ -621,6 +621,118 @@ object CatalogQueries {
       |  TRUE AS batches_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q337: OPTIMIZE ZORDER — `CALL graft.compact(..., cluster_col =>
+    * 'a,b')` interleaves the (min-max normalized) keys into a Morton
+    * value and range-clusters on it, and `CALL graft.analyze(..., 'a,b')`
+    * persists BOTH dimensions' per-file bounds in one multi-key sidecar —
+    * the catalog scan then intersects pruning across every constrained
+    * key ([[graft.catalog.SnapshotZones]]). Gates pin the layout theorem
+    * on real data: the LINEAR orderkey-clustered layout is provably blind
+    * to a custkey slice (`linear_blind` — every file spans the whole
+    * custkey domain), the z-ordered layout prunes on EITHER key
+    * (`z_prunes_both`), and the graded content is the custkey-slice
+    * aggregate read THROUGH the pruned catalog scan. At 100 TB this is
+    * the difference between scanning everything and scanning ~√fraction
+    * for second-dimension predicates — q125's cell theorem made an
+    * operational layout. */
+  def catZorder(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_z", root)
+    val mxc = spark.table("graft.cat_orders_z")
+      .agg(max(col("o_custkey"))).head().getLong(0)
+    val (cLo, cHi) = (mxc / 4, mxc / 4 + mxc / 8)
+    def admitted(key: String, lo: Long, hi: Long): Int =
+      graft.catalog.SnapshotZones.prune(spark, root,
+        SnapshotStore.currentVersion(spark, root),
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(key, lo),
+          org.apache.spark.sql.sources.LessThanOrEqual(key, hi)),
+        SnapshotStore.files(spark, root)).size
+    spark.sql("CALL graft.analyze('cat_orders_z', 'o_orderkey,o_custkey')")
+    // linear layout: clustered by orderkey, so a custkey slice admits ALL
+    val linearBlind =
+      admitted("o_custkey", cLo, cHi) == SnapshotStore.files(spark, root).size
+    spark.sql(
+      """CALL graft.compact(table => 'cat_orders_z', buckets => 16,
+        |cluster_col => 'o_orderkey,o_custkey')""".stripMargin)
+    spark.sql("CALL graft.analyze('cat_orders_z', 'o_orderkey,o_custkey')")
+    val total = SnapshotStore.files(spark, root).size
+    val zOk = admitted("o_orderkey", mx / 4, mx / 4 + mx / 8) < total &&
+      admitted("o_custkey", cLo, cHi) < total
+    SnapshotStore.dropSkipping(spark, root)
+    spark.sql(
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price
+         |FROM graft.cat_orders_z
+         |WHERE o_custkey BETWEEN $cLo AND $cHi
+         |GROUP BY o_orderstatus""".stripMargin)
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(linearBlind).as("linear_blind"), lit(zOk).as("z_prunes_both"))
+  }
+
+  private val catZorderSql =
+    """WITH rng AS (
+      |  SELECT (max(o_custkey) // 4) AS lo,
+      |         (max(o_custkey) // 4) + (max(o_custkey) // 8) AS hi
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS linear_blind, TRUE AS z_prunes_both
+      |FROM orders, rng
+      |WHERE o_custkey BETWEEN lo AND hi
+      |GROUP BY 1""".stripMargin
+
+  /** q338: PARTITIONED CATALOG WRITES — `CREATE TABLE ... PARTITIONED BY`
+    * then a plain `INSERT INTO`: the write requests clustering on the
+    * partition column (Spark's V2 write-distribution contract) and the
+    * fanout writer stages one file per (task, value) with the value
+    * riding the commit message, so the manifest annotates EVERY new file
+    * with its partition tuple ([[graft.catalog.SnapshotFanoutBatchWrite]])
+    * — catalog writes keep partition pruning power, closing the "new
+    * files land unannotated" decline. `annotated` pins full coverage,
+    * `pruned_ok` that a one-status probe admits a strict subset whose
+    * content equals the catalog read. At 100 TB this is hive-grain
+    * partitioning as pure SQL: INSERT routes, the manifest prunes. */
+  def catPartitionWrite(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.part_orders")
+    spark.sql(
+      """CREATE TABLE graft.part_orders
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("part_src")
+    spark.sql(
+      """INSERT INTO graft.part_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM part_src
+        |""".stripMargin)
+    val root = s"$wh/part_orders"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val annotated = files.nonEmpty &&
+      files.forall(f => pv.contains(SnapshotStore.uriPath(f)))
+    val pruned = SnapshotStore.filesWherePartition(spark, root,
+      "o_orderstatus", "F")
+    val prunedOk = pruned.nonEmpty && pruned.size < files.size &&
+      spark.read.parquet(pruned: _*)
+        .where(col("o_orderstatus") === "F").count() ==
+      spark.table("graft.part_orders")
+        .where(col("o_orderstatus") === "F").count()
+    spark.table("graft.part_orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(annotated).as("annotated"), lit(prunedOk).as("pruned_ok"))
+  }
+
+  private val catPartitionWriteSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS annotated, TRUE AS pruned_ok
+      |FROM orders GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -634,5 +746,8 @@ object CatalogQueries {
     QueryDef("q333_cat_stream", catStream, Some(catStreamSql)),
     QueryDef("q334_cat_mor_dml", catMorDml, Some(catMorDmlSql)),
     QueryDef("q335_cat_procedures", catProcedures, Some(catProceduresSql)),
-    QueryDef("q336_cat_stream_read", catStreamRead, Some(catStreamReadSql)))
+    QueryDef("q336_cat_stream_read", catStreamRead, Some(catStreamReadSql)),
+    QueryDef("q337_cat_zorder", catZorder, Some(catZorderSql)),
+    QueryDef("q338_cat_partition_insert", catPartitionWrite,
+      Some(catPartitionWriteSql)))
 }

@@ -459,21 +459,32 @@ object SnapshotStore {
   private[graft] def uriPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
-  /** `version`'s stats sidecar as (key column, uri-path → [lo, hi]) —
-    * None when the sidecar is missing, empty, or non-integer-keyed. The
-    * V2 catalog scan ([[graft.catalog.SnapshotZones]]) consumes this for
-    * plan-time zone pruning. */
-  private[graft] def statsOf(spark: SparkSession, root: String,
-      version: Int = -1): Option[(String, Map[String, (Long, Long)])] = {
+  /** `version`'s stats sidecar as key column → (uri-path → [lo, hi]) —
+    * empty when the sidecar is missing, empty, or non-integer-keyed. A
+    * sidecar may carry SEVERAL keys (multi-dimensional layouts: z-order
+    * compaction bounds every interleaved dimension, so each gets its own
+    * rows); the V2 catalog scan ([[graft.catalog.SnapshotZones]])
+    * intersects pruning across all constrained keys. */
+  private[graft] def statsAllOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Map[String, (Long, Long)]] = {
     val v = if (version > 0) version else currentVersion(spark, root)
     val sp = statsPath(root, v)
-    if (v <= 0 || !fs(spark, sp).exists(sp)) return None
+    if (v <= 0 || !fs(spark, sp).exists(sp)) return Map.empty
     val rows = spark.read.parquet(sp.toString).collect()
-    if (rows.isEmpty) return None
-    try Some((rows.head.getString(3), rows.map { r =>
-      uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))
-    }.toMap))
-    catch { case _: ClassCastException => None }
+    try rows.groupBy(_.getString(3)).map { case (key, rs) =>
+      key -> rs.map { r =>
+        uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))
+      }.toMap
+    }
+    catch { case _: ClassCastException => Map.empty }
+  }
+
+  /** Single-key view of the sidecar (the first key, rows filtered to it —
+    * a multi-key sidecar must never mix keys' bounds into one map). */
+  private[graft] def statsOf(spark: SparkSession, root: String,
+      version: Int = -1): Option[(String, Map[String, (Long, Long)])] = {
+    val all = statsAllOf(spark, root, version)
+    all.keys.toSeq.sorted.headOption.map(k => (k, all(k)))
   }
 
   /** Compute and persist per-file [min, max] of `keyCol` for `version`
@@ -481,13 +492,27 @@ object SnapshotStore {
     * sidecar records the column name so [[attachSkipping]] can turn it
     * into a transparent optimizer-rule zone index. */
   def writeStats(spark: SparkSession, root: String, keyCol: String,
-      version: Int = -1): Unit = {
+      version: Int = -1): Unit =
+    writeStatsMulti(spark, root, Seq(keyCol), version)
+
+  /** Multi-key edition: one aggregate computes [min, max] for EVERY key
+    * per file; the sidecar carries one row per (file, key). The layout a
+    * z-order compaction produces bounds all interleaved dimensions, and
+    * this is where those bounds get persisted for plan-time pruning. */
+  def writeStatsMulti(spark: SparkSession, root: String,
+      keyCols: Seq[String], version: Int = -1): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+    require(keyCols.nonEmpty, "writeStatsMulti: at least one key column")
     val v = if (version > 0) version else currentVersion(spark, root)
-    spark.read.parquet(files(spark, root, v): _*)
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+    val perFile = spark.read.parquet(files(spark, root, v): _*)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
-      .select(col("file"), col("lo"), col("hi"), lit(keyCol).as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+    keyCols.map { k =>
+      perFile.select(col("file"), col(s"__lo_$k").as("lo"),
+        col(s"__hi_$k").as("hi"), lit(k).as("key"))
+    }.reduce(_ unionByName _)
       .coalesce(1).write.mode("overwrite")
       .parquet(statsPath(root, v).toString)
   }
@@ -512,9 +537,12 @@ object SnapshotStore {
     val dt = df.schema("lo").dataType
     val rows = df.collect()
     if (rows.isEmpty) return -1
-    val keyCol = rows.head.getString(3)
+    // multi-key sidecars: register the FIRST key's map (the rule holds one
+    // zone map per root); the V2 catalog scan intersects ALL keys itself
+    val keyCol = rows.map(_.getString(3)).min
     graft.plans.SkippingIndexRule.registerZoneMapEntries(spark, root, keyCol,
-      dt, rows.map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap)
+      dt, rows.filter(_.getString(3) == keyCol)
+        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap)
     v
   }
 
@@ -528,18 +556,16 @@ object SnapshotStore {
     * never rows. */
   def filesWhere(spark: SparkSession, root: String, lo: Long, hi: Long,
       version: Int = -1): Seq[String] = {
-    val v = if (version > 0) version else currentVersion(spark, root)
-    val fl = files(spark, root, v)
-    val sp = statsPath(root, v)
-    if (!fs(spark, sp).exists(sp)) return fl
-    val byFile = spark.read.parquet(sp.toString).collect()
-      .map(r => uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    fl.filter { f =>
-      byFile.get(uriPath(f)) match {
-        case Some((l, h)) => !(h < lo || l > hi)
-        case None => true
-      }
+    val fl = files(spark, root, version)
+    statsOf(spark, root, version) match {
+      case None => fl
+      case Some((_, byFile)) =>
+        fl.filter { f =>
+          byFile.get(uriPath(f)) match {
+            case Some((l, h)) => !(h < lo || l > hi)
+            case None => true
+          }
+        }
     }
   }
 

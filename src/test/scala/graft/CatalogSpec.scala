@@ -533,6 +533,82 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("z-order compaction: both interleaved dimensions prune; linear layout is blind on the second") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    // two INDEPENDENT uniform keys: range-clustering on k leaves every
+    // file spanning the full m domain
+    val out = java.nio.file.Files.createTempDirectory("catspec_z")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = (1L to 4096L)
+      .map(k => (k, (k * 2654435761L) % 4096L, s"v$k"))
+      .toDF("k", "m", "v").repartitionByRange(8, col("k"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "t_z", root)
+    def admitted(keyCol: String): Int = {
+      val pushed = Seq(GreaterThanOrEqual(keyCol, 1024L),
+        LessThanOrEqual(keyCol, 1535L)) // a 1/8 slice of either domain
+      graft.catalog.SnapshotZones.prune(spark, root,
+        SnapshotStore.currentVersion(spark, root), pushed,
+        SnapshotStore.files(spark, root)).size
+    }
+    // linear layout: k prunes, m is blind (every file spans all of m)
+    spark.sql("CALL graft.analyze('t_z', 'k,m')")
+    assert(admitted("k") <= 2)
+    assert(admitted("m") == 8, s"expected m-blind linear layout")
+    // z-order on (k, m): 16 buckets fix ~2 high bits per dimension
+    spark.sql("CALL graft.compact(table => 't_z', buckets => 16, cluster_col => 'k,m')")
+    spark.sql("CALL graft.analyze('t_z', 'k,m')")
+    val total = SnapshotStore.files(spark, root).size
+    assert(total == 16)
+    val (ak, am) = (admitted("k"), admitted("m"))
+    assert(ak < total && am < total,
+      s"z-order must prune BOTH dims: k=$ak m=$am of $total")
+    // content identical through the z-ordered, multi-key-pruned reads
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_z WHERE m BETWEEN 1024 AND 1535")
+      .head().getLong(0) ==
+      base.where(col("m").between(1024L, 1535L)).count())
+    assert(spark.table("graft.t_z").count() == 4096)
+  }
+
+  test("partitioned catalog writes fan out per value and annotate the manifest; DML keeps annotations complete") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.p_t")
+    spark.sql("CREATE TABLE graft.p_t (k BIGINT, g STRING) PARTITIONED BY (g)")
+    val root = s"$w/p_t"
+    spark.sql(
+      """INSERT INTO graft.p_t
+        |SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        |FROM range(1, 41)""".stripMargin)
+    // every data file carries its partition value in the manifest
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    assert(files.nonEmpty)
+    assert(files.forall(f => pv.contains(
+      SnapshotStore.uriPath(f))), s"unannotated files: $files vs $pv")
+    // each file is single-valued and pruning admits a strict subset
+    val ga = SnapshotStore.filesWherePartition(spark, root, "g", "a")
+    assert(ga.size < files.size && ga.nonEmpty)
+    assert(spark.read.parquet(ga: _*).where(col("g") =!= "a").isEmpty)
+    assert(spark.table("graft.p_t").count() == 40)
+    // a catalog DELETE rewrites partition-locally AND re-annotates its
+    // replacement files: the annotation map stays complete
+    spark.sql("DELETE FROM graft.p_t WHERE k BETWEEN 2 AND 6")
+    val files2 = SnapshotStore.files(spark, root)
+    val pv2 = SnapshotStore.partitionValuesOf(spark, root)
+    assert(files2.forall(f => pv2.contains(SnapshotStore.uriPath(f))))
+    assert(spark.table("graft.p_t").count() == 35)
+    val gb = SnapshotStore.filesWherePartition(spark, root, "g", "b")
+    assert(spark.read.parquet(gb: _*).where(col("g") === "b").count() ==
+      spark.table("graft.p_t").where(col("g") === "b").count())
+    // INSERT OVERWRITE keeps the spec and annotates its files too
+    spark.sql("INSERT OVERWRITE graft.p_t SELECT 100L, 'c'")
+    assert(SnapshotStore.partitionSpecOf(spark, root).contains("g"))
+    assert(SnapshotStore.partitionValuesOf(spark, root).values.toSet == Set("c"))
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
