@@ -40,7 +40,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "analyze",
-    "set_write_mode")
+    "set_write_mode", "history")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
@@ -69,6 +69,8 @@ class GraftProcedure(catalogName: String, procName: String)
       "unreferenced data/vector file"
     case "analyze" => "compute + attach the per-file [min,max] zone " +
       "stats sidecar for `key`"
+    case "history" => "every retained version: commit time, file/vector " +
+      "counts, write mode — the table's audit log IS its manifest chain"
     case _ => "set row-level DML mode: 'cow' (copy-on-write) or 'mor' " +
       "(merge-on-read delete vectors)"
   }
@@ -88,6 +90,7 @@ class GraftProcedure(catalogName: String, procName: String)
     case "vacuum" => Array(in("table", StringType),
       ProcedureParameter.in("keep", IntegerType).defaultValue("1").build())
     case "analyze" => Array(in("table", StringType), in("key", StringType))
+    case "history" => Array(in("table", StringType))
     case _ => Array(in("table", StringType), in("mode", StringType))
   }
 
@@ -99,6 +102,11 @@ class GraftProcedure(catalogName: String, procName: String)
       .add("removed_files", IntegerType).add("removed_versions", IntegerType)
     case "analyze" => new StructType()
       .add("version", IntegerType).add("files", LongType)
+    case "history" => new StructType()
+      .add("version", IntegerType)
+      .add("committed_at", org.apache.spark.sql.types.TimestampType)
+      .add("n_files", IntegerType).add("n_vectors", IntegerType)
+      .add("write_mode", StringType)
     case _ => new StructType()
       .add("version", IntegerType).add("mode", StringType)
   }
@@ -107,6 +115,17 @@ class GraftProcedure(catalogName: String, procName: String)
     val spark = SparkSession.active
     val table = input.getUTF8String(0).toString
     val root = GraftProcedures.rootOf(catalogName, table)
+    if (procName == "history") {
+      val rows = SnapshotStore.versionTimes(spark, root).map { case (v, ms) =>
+        InternalRow(v, ms * 1000L, // TimestampType carries micros
+          SnapshotStore.files(spark, root, v).length,
+          SnapshotStore.deleteVectors(spark, root, v).length,
+          UTF8String.fromString(
+            SnapshotStore.writeModeOf(spark, root, v).getOrElse("cow")))
+      }.toArray
+      return Iterator[Scan](
+        new ProcedureResultScan(resultSchema, rows)).asJava
+    }
     val row: InternalRow = procName match {
       case "compact" =>
         val buckets = input.getInt(1)

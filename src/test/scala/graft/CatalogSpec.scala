@@ -609,6 +609,22 @@ class CatalogSpec extends AnyFunSuite {
     assert(SnapshotStore.partitionValuesOf(spark, root).values.toSet == Set("c"))
   }
 
+  test("CALL graft.history: the manifest chain as the audit log") {
+    val root = freshTable("t_hist")
+    SnapshotStore.setWriteMode(spark, root, "mor") // v2
+    spark.sql("DELETE FROM graft.t_hist WHERE k <= 5") // v3, vectors
+    val h = spark.sql("CALL graft.history('t_hist')")
+      .orderBy(col("version")).collect()
+    assert(h.length == 3)
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h(0).getString(4) == "cow" && h(2).getString(4) == "mor")
+    assert(h(2).getInt(3) >= 1) // the MoR delete's vector counted
+    assert(h(0).getInt(2) == 4 && h(2).getInt(2) == 4) // data files stable
+    // commit times ascend (or tie at fs mtime granularity)
+    val ts = h.map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")

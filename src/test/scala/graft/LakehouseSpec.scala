@@ -367,6 +367,60 @@ class LakehouseSpec extends AnyFunSuite {
       .head().getLong(0) == (1L to 40L).sum)
   }
 
+  test("kitchen-sink manifest: every line kind coexists and every accessor parses exactly its own") {
+    import graft.sources.SnapshotStore
+    val out = java.nio.file.Files.createTempDirectory("lkspec_sink")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    import spark.implicits._
+    val df = (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+    val data = SnapshotStore.writeData(spark, root,
+      df.repartitionByRange(2, col("k")), "d")
+    val dv = SnapshotStore.writeData(spark, root,
+      Seq((data.head, 0L)).toDF("file", "pos").coalesce(1), "dv")
+    val schema = df.schema
+    // one manifest carrying ALL line kinds: schema, partition spec, write
+    // mode, stream epoch mark, annotated + plain data lines, a vector
+    val lines = Seq(
+      SnapshotStore.schemaLine(schema),
+      SnapshotStore.partSpecLine("v"),
+      SnapshotStore.modeLine("mor"),
+      SnapshotStore.epochLine("qx", 5L),
+      SnapshotStore.partLine(data.head, "a"),
+      data(1),
+      SnapshotStore.dvLine(dv.head))
+    SnapshotStore.commit(spark, root, lines, 0)
+    // each accessor sees exactly its own line kind
+    assert(SnapshotStore.files(spark, root).toSet == data.toSet)
+    assert(SnapshotStore.deleteVectors(spark, root) == Seq(dv.head))
+    assert(SnapshotStore.schemaOf(spark, root).contains(schema))
+    assert(SnapshotStore.partitionSpecOf(spark, root).contains("v"))
+    assert(SnapshotStore.writeModeOf(spark, root).contains("mor"))
+    assert(SnapshotStore.epochOf(spark, root, "qx").contains(5L))
+    assert(SnapshotStore.epochOf(spark, root, "other").isEmpty)
+    assert(SnapshotStore.partitionValuesOf(spark, root).values.toSeq == Seq("a"))
+    // the read applies the vector under the recorded schema
+    assert(SnapshotStore.read(spark, root).count() == 19)
+    // line-level rewrite primitives preserve the other kinds
+    val repl = SnapshotStore.linesReplacing(spark, root, 1, Set.empty)
+    assert(repl.size == lines.size)
+    val withSchema = SnapshotStore.linesWithSchema(repl,
+      schema.add("extra", "string"))
+    assert(withSchema.count(_.startsWith("meta:schema=")) == 1)
+    assert(withSchema.count(_.startsWith("meta:writemode=")) == 1)
+    val withEpoch = SnapshotStore.linesWithEpoch(withSchema, "qx", 6L)
+    assert(withEpoch.count(_.startsWith("meta:epoch=qx:")) == 1)
+    assert(withEpoch.contains("meta:epoch=qx:6"))
+    // metaLines carries exactly the four meta kinds
+    assert(SnapshotStore.metaLines(spark, root).size == 4)
+    // vacuum counts data AND vector files as references, never meta lines
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.linesReplacing(spark, root, 1, Set.empty), 1)
+    val (removed, versions) = SnapshotStore.vacuum(spark, root, 1)
+    assert(versions == Seq(1) && removed.isEmpty) // v2 still references all
+    assert(SnapshotStore.read(spark, root).count() == 19)
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
