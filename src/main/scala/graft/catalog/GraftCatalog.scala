@@ -493,12 +493,24 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     }
   }
 
+  /** Memoized on the file list it was computed for — estimateStatistics
+    * and planInputPartitions both need the statuses, and a runtime group
+    * filter may narrow `currentFiles` between them; never pay the
+    * per-file FS round trips twice for the same list. */
+  @volatile private var statusCache
+      : (Seq[String], Seq[org.apache.hadoop.fs.FileStatus]) = null
+
   private def statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fl = currentFiles
+    val cached = statusCache
+    if (cached != null && (cached._1 eq fl)) return cached._2
     val conf = spark.sparkContext.hadoopConfiguration
-    currentFiles.map { f =>
+    val fetched = fl.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p)
     }
+    statusCache = (fl, fetched)
+    fetched
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -913,7 +925,8 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
         table.snapVersion)
       else SnapshotStore.linesReplacing(spark, table.root,
         table.snapVersion, replaced)
-    SnapshotStore.commit(spark, table.root, kept ++ moved, table.snapVersion)
+    SnapshotStore.commitOrCleanup(spark, table.root, kept ++ moved,
+      table.snapVersion, moved)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -950,12 +963,12 @@ class SnapshotFanoutBatchWrite(spark: SparkSession, table: SnapshotTable,
     val f = fs
     val staged = messages.collect { case c: CompositePartStaged => c.files }
       .flatten.sortBy(_.path)
-    val movedLines = staged.zipWithIndex.map { case (p, i) =>
+    val moved = staged.zipWithIndex.map { case (p, i) =>
       val dst = new org.apache.hadoop.fs.Path(table.root,
         s"cat_${run}_$i.parquet")
       require(f.rename(new org.apache.hadoop.fs.Path(p.path), dst),
         s"fanout stage publish failed: ${p.path} -> $dst")
-      SnapshotStore.partLine(dst.toString, p.value)
+      (dst.toString, p.value)
     }.toSeq
     f.delete(new org.apache.hadoop.fs.Path(staging), true)
     val replaced = op.map(_.replacedFiles).getOrElse(Nil)
@@ -965,8 +978,9 @@ class SnapshotFanoutBatchWrite(spark: SparkSession, table: SnapshotTable,
         table.snapVersion)
       else SnapshotStore.linesReplacing(spark, table.root,
         table.snapVersion, replaced)
-    SnapshotStore.commit(spark, table.root, kept ++ movedLines,
-      table.snapVersion)
+    SnapshotStore.commitOrCleanup(spark, table.root,
+      kept ++ moved.map { case (p, v) => SnapshotStore.partLine(p, v) },
+      table.snapVersion, moved.map(_._1))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1228,9 +1242,9 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
         val dvMoved = publish(dvs, "dv")
         val kept = SnapshotStore.linesReplacing(spark, table.root,
           table.snapVersion, Set.empty)
-        SnapshotStore.commit(spark, table.root,
+        SnapshotStore.commitOrCleanup(spark, table.root,
           kept ++ dataMoved ++ dvMoved.map(SnapshotStore.dvLine),
-          table.snapVersion)
+          table.snapVersion, dataMoved ++ dvMoved)
       }
     } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
@@ -1361,21 +1375,30 @@ class SnapshotStreamingWrite(table: SnapshotTable, schema: StructType,
     if (staged.isEmpty) { dropStaging(); return } // empty epoch: no version
     if (SnapshotStore.epochOf(spark, table.root, queryId)
         .exists(_ >= epochId)) { dropStaging(); return } // replayed epoch
-    // publish the staged files (invisible until the manifest lands)
+    // publish the staged files (invisible until the manifest lands). The
+    // names carry a per-ATTEMPT unique component: a crash between these
+    // renames and the manifest commit leaves the epoch unmarked, so the
+    // replay re-publishes — deterministic names would then rename onto
+    // existing targets (wedging rename-strict filesystems); unique names
+    // make the replay clean, and the crashed attempt's files stay
+    // unreferenced like any abandoned staging.
+    val att = java.util.UUID.randomUUID().toString.take(8)
     val moved = staged.zipWithIndex.map { case (p, i) =>
       val dst = new org.apache.hadoop.fs.Path(table.root,
-        s"strm_${tag}_ep${epochId}_$i.parquet")
+        s"strm_${tag}_ep${epochId}_${att}_$i.parquet")
       require(f.rename(new org.apache.hadoop.fs.Path(p), dst),
         s"stream stage publish failed: $p -> $dst")
       dst.toString
     }.toSeq
     dropStaging()
+    def dropMoved(): Unit =
+      moved.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
     var attempt = 0
     while (attempt < 5) {
       val cur = SnapshotStore.currentVersion(spark, table.root)
       if (SnapshotStore.epochOf(spark, table.root, queryId)
           .exists(_ >= epochId)) { // a replay raced us past this epoch
-        moved.foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
+        dropMoved()
         return
       }
       val kept = SnapshotStore.linesReplacing(spark, table.root, cur, Set.empty)
@@ -1387,6 +1410,7 @@ class SnapshotStreamingWrite(table: SnapshotTable, schema: StructType,
         case _: SnapshotStore.CommitConflictException => attempt += 1
       }
     }
+    dropMoved() // give up clean: nothing references these files
     throw new SnapshotStore.CommitConflictException(
       s"stream epoch $epochId: lost 5 consecutive commit races under " +
         table.root)

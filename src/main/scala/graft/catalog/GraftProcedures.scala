@@ -154,6 +154,8 @@ class GraftProcedure(catalogName: String, procName: String)
               org.apache.spark.sql.functions.max(col(a)),
               org.apache.spark.sql.functions.min(col(b)),
               org.apache.spark.sql.functions.max(col(b))).head()
+            if (r.isNullAt(0) || r.isNullAt(2)) live.coalesce(buckets)
+            else {
             def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
               org.apache.spark.sql.functions.least(
                 (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
@@ -167,6 +169,7 @@ class GraftProcedure(catalogName: String, procName: String)
             live.withColumn("__graft_z", z)
               .repartitionByRange(buckets, col("__graft_z"))
               .drop("__graft_z")
+            }
           case _ => throw new IllegalArgumentException(
             "compact: cluster_col takes one column (range clustering) or " +
               "two comma-separated columns (z-order)")

@@ -220,6 +220,12 @@ class JoinReorderRule(session: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.expressions.LessThan(
           Literal(v, _), a: Attribute) => // v < a ≡ a > v
         tighten(a.name, centsOf(v), None)
+      case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          Literal(v, _), a: Attribute) => // v >= a ≡ a <= v
+        tighten(a.name, None, centsOf(v))
+      case org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          Literal(v, _), a: Attribute) => // v <= a ≡ a >= v
+        tighten(a.name, centsOf(v).map(_ - 1), None)
       case _ => ()
     }
     val (selNum, selDen) = ranges.foldLeft((BigInt(1), BigInt(1))) {

@@ -600,12 +600,8 @@ object CatalogQueries {
     } finally q.stop()
     val got = spark.read.option("recursiveFileLookup", "true")
       .parquet(out.toString)
-    val nonEmpty = java.nio.file.Files.list(out).iterator()
-    var batches = 0
-    while (nonEmpty.hasNext) {
-      val d = nonEmpty.next()
-      if (!spark.read.parquet(d.toString).isEmpty) batches += 1
-    }
+    val batches = Option(out.toFile.listFiles()).getOrElse(Array.empty)
+      .count(d => !spark.read.parquet(d.toString).isEmpty)
     got.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),

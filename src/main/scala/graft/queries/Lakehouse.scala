@@ -460,6 +460,9 @@ object Lakehouse {
       batch: DataFrame, batchId: Long): Unit = {
     val want = batchId.toInt + 2
     if (SnapshotStore.currentVersion(spark, root) >= want) return // replay
+    require(SnapshotStore.deleteVectors(spark, root, want - 1).isEmpty,
+      s"applyImagesSnapshot: $root carries merge-on-read delete vectors; " +
+        "the bare-COW CDC apply would resurrect tombstoned rows")
     val cur = SnapshotStore.files(spark, root, want - 1).map(normPath)
     val images = batch.localCheckpoint()
     val keys = images.select(col("o_orderkey"))
@@ -481,7 +484,8 @@ object Lakehouse {
         .unionByName(covered).unionByName(uncovered)
     val staged = SnapshotStore.writeData(spark, root, merged, s"cdc_v$want")
     SnapshotStore.commit(spark, root,
-      cur.filterNot(affected.toSet) ++ staged, want - 1)
+      SnapshotStore.linesReplacing(spark, root, want - 1,
+        affected.toSet) ++ staged, want - 1)
   }
 
   private val streamCdcSnapSql =
@@ -542,6 +546,14 @@ object Lakehouse {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = SnapshotStore.currentVersion(spark, root)
+      // this is the BARE-COW mutation path: a rewrite derived from raw
+      // file reads would resurrect rows tombstoned by merge-on-read
+      // vectors, so vectored tables decline loudly (reconcile via
+      // compaction or mutate through the catalog's delta path)
+      require(SnapshotStore.deleteVectors(spark, root, base).isEmpty,
+        s"mutateSnapshot($tag): $root carries merge-on-read delete " +
+          "vectors; compact first (CALL graft.compact) or use the " +
+          "catalog MoR DML path")
       val cur = SnapshotStore.files(spark, root, base).map(normPath)
       val (affected, replacement, extra) = step(cur)
       val staged = (replacement.toSeq ++ extra.toSeq).zipWithIndex.flatMap {
@@ -549,8 +561,11 @@ object Lakehouse {
           SnapshotStore.writeData(spark, root, df, s"${tag}_v${base + 1}_$i")
       }
       try {
-        val v = SnapshotStore.commit(spark, root,
-          cur.filterNot(affected.toSet) ++ staged, base)
+        // carry meta lines and untouched files' annotations verbatim —
+        // only the affected data lines are replaced
+        val kept = SnapshotStore.linesReplacing(spark, root, base,
+          affected.toSet)
+        val v = SnapshotStore.commit(spark, root, kept ++ staged, base)
         return (v, affected.nonEmpty && affected.size < cur.size)
       } catch {
         case _: SnapshotStore.CommitConflictException =>

@@ -415,6 +415,22 @@ object SnapshotStore {
     next
   }
 
+  /** [[commit]] with loser hygiene: on an OCC conflict, delete the
+    * freshly-published (but manifest-unreferenced) `published` files
+    * before rethrowing — a losing committer that already renamed its
+    * staged files into the root must not leak them, since vacuum only
+    * collects files some manifest references. */
+  def commitOrCleanup(spark: SparkSession, root: String, lines: Seq[String],
+      expectedVersion: Int, published: Seq[String]): Int =
+    try commit(spark, root, lines, expectedVersion)
+    catch {
+      case e: CommitConflictException =>
+        val f = fs(spark, new org.apache.hadoop.fs.Path(root))
+        published.foreach(p =>
+          f.delete(new org.apache.hadoop.fs.Path(p), false))
+        throw e
+    }
+
   /** Write `df` as new data files under `root`, named uniquely per commit
     * attempt; returns their paths (NOT yet visible — only a manifest
     * commit publishes them). Staged through the Hadoop FileSystem API on
@@ -557,15 +573,19 @@ object SnapshotStore {
   def filesWhere(spark: SparkSession, root: String, lo: Long, hi: Long,
       version: Int = -1): Seq[String] = {
     val fl = files(spark, root, version)
-    statsOf(spark, root, version) match {
-      case None => fl
-      case Some((_, byFile)) =>
-        fl.filter { f =>
-          byFile.get(uriPath(f)) match {
-            case Some((l, h)) => !(h < lo || l > hi)
-            case None => true
-          }
-        }
+    val all = statsAllOf(spark, root, version)
+    // the anonymous-key signature is only safe against a SINGLE-key
+    // sidecar: pruning a multi-key sidecar by whichever key sorts first
+    // would drop files that DO hold matching rows of the intended key —
+    // decline to no pruning (rows before power); key-aware callers go
+    // through statsAllOf or the catalog scan's per-key intersection
+    if (all.size != 1) return fl
+    val byFile = all.head._2
+    fl.filter { f =>
+      byFile.get(uriPath(f)) match {
+        case Some((l, h)) => !(h < lo || l > hi)
+        case None => true
+      }
     }
   }
 

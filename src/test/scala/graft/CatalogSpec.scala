@@ -553,9 +553,13 @@ class CatalogSpec extends AnyFunSuite {
         SnapshotStore.currentVersion(spark, root), pushed,
         SnapshotStore.files(spark, root)).size
     }
-    // linear layout: k prunes, m is blind (every file spans all of m)
+    // linear layout: k prunes, m is blind (every file spans all of m).
+    // The k bound is sampling-tolerant: repartitionByRange's reservoir
+    // sampling (seeded by rdd id, i.e. session history) wobbles the file
+    // boundaries, so a 1/8 slice can touch one extra file — the CLAIM is
+    // that k prunes at all while m admits everything.
     spark.sql("CALL graft.analyze('t_z', 'k,m')")
-    assert(admitted("k") <= 2)
+    assert(admitted("k") <= 3, s"linear k slice admitted ${admitted("k")}/8")
     assert(admitted("m") == 8, s"expected m-blind linear layout")
     // z-order on (k, m): 16 buckets fix ~2 high bits per dimension
     spark.sql("CALL graft.compact(table => 't_z', buckets => 16, cluster_col => 'k,m')")

@@ -421,6 +421,34 @@ class LakehouseSpec extends AnyFunSuite {
     assert(SnapshotStore.read(spark, root).count() == 19)
   }
 
+  test("bare-COW mutation declines on vectored tables; anonymous filesWhere declines on multi-key sidecars") {
+    import graft.sources.SnapshotStore
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("lkspec_guard")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val df = (1L to 50L).map(k => (k, k % 7)).toDF("o_orderkey", "m")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root,
+        df.repartitionByRange(4, col("o_orderkey")), "d"), 0)
+    // a multi-key sidecar: the anonymous-threshold pruner must decline
+    SnapshotStore.writeStatsMulti(spark, root, Seq("o_orderkey", "m"))
+    assert(SnapshotStore.filesWhere(spark, root, 1L, 2L).size == 4,
+      "multi-key sidecar must decline anonymous pruning, not guess a key")
+    // tombstone one row merge-on-read; the bare-COW path must refuse
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("o_orderkey") === 1L)
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Lakehouse.mutateSnapshot(spark, root, "guard") { cur =>
+        (cur.take(1), Some(spark.read.parquet(cur.head)), None)
+      }
+    }
+    assert(e.getMessage.contains("delete vectors"))
+  }
+
   test("cowMerge and cowDelete gates hold on the sf0.001 tables") {
     val dir = "/root/testdata/sf0.001"
     val m = graft.queries.Lakehouse.cowMerge(spark, dir).collect()
