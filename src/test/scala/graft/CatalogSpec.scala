@@ -629,6 +629,56 @@ class CatalogSpec extends AnyFunSuite {
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
 
+  test("threaded OCC: concurrent catalog INSERTs all land exactly once; rewrites serialize or fail whole") {
+    freshTable("t_race")
+    // eight genuinely concurrent single-row INSERTs from eight threads:
+    // every statement either commits exactly once or fails loudly —
+    // OCC + append semantics must lose NO committed row and duplicate
+    // none (commit() itself retries nothing; Spark reruns nothing)
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    val results = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] =
+          try {
+            spark.sql(
+              s"INSERT INTO graft.t_race VALUES (${1000L + i}, 'c$i', $i.5)")
+            None
+          } catch { case t: Throwable => Some(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val failures = results.flatMap(_.get())
+    val landed = spark.table("graft.t_race")
+      .where(col("k") >= 1000L).collect().map(_.getLong(0)).sorted
+    // exactly-once accounting: every non-failing insert present once,
+    // every failing one absent (an insert that lost its OCC race throws
+    // to the caller; it must not half-land)
+    assert(landed.distinct.length == landed.length, s"duplicated: $landed")
+    assert(landed.length == 8 - failures.length,
+      s"landed=${landed.length} failures=${failures.length}")
+    failures.foreach { t =>
+      val chain = Iterator.iterate[Throwable](t)(_.getCause)
+        .takeWhile(_ != null).toSeq
+      assert(chain.exists(
+        _.isInstanceOf[SnapshotStore.CommitConflictException]),
+        s"unexpected failure kind: $t")
+    }
+    // the table is never torn: count == 100 + landed inserts
+    assert(spark.table("graft.t_race").count() == 100 + landed.length)
+    // no orphan files: every parquet in the root is manifest-referenced
+    // (commitOrCleanup deletes a loser's published files)
+    val root = spark.conf.get("spark.sql.catalog.graft.path.t_race")
+    val referenced = SnapshotStore.files(spark, root)
+      .map(SnapshotStore.uriPath).toSet
+    val onDisk = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => SnapshotStore.uriPath(f.getAbsolutePath)).toSet
+    assert((onDisk -- referenced).isEmpty,
+      s"orphans leaked: ${onDisk -- referenced}")
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
