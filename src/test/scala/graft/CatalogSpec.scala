@@ -679,6 +679,34 @@ class CatalogSpec extends AnyFunSuite {
       s"orphans leaked: ${onDisk -- referenced}")
   }
 
+  test("plain catalog reads stay COLUMNAR (vectorized parquet); row-level/vectored paths degrade to rows deliberately") {
+    val root = freshTable("t_cplan")
+    // the plain read's V2 scan must support columnar batches — the
+    // catalog path keeps Spark's vectorized parquet decode + whole-stage
+    // codegen above it, same as a native parquet read
+    val plain = spark.sql("SELECT k, p FROM graft.t_cplan WHERE k >= 50")
+    val scans = plain.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, plain.queryExecution.executedPlan.toString)
+    assert(scans.forall(_.supportsColumnar),
+      "plain catalog read lost columnar batches")
+    assert(plain.collect().length == 51)
+    // a vectored table forces the row path (ordinal integrity), still
+    // correct — the deliberate trade documented on the reader
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") === 1L)
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    val mor = spark.sql("SELECT k FROM graft.t_cplan")
+    val morScans = mor.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(morScans.forall(!_.supportsColumnar))
+    assert(mor.count() == 99)
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
