@@ -69,7 +69,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolution re-expressed as Spark's pluggable catalog contract.
   */
 class GraftCatalog extends TableCatalog
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
 
@@ -83,6 +84,17 @@ class GraftCatalog extends TableCatalog
     if (namespace.nonEmpty) Array.empty
     else GraftProcedures.Names.map(Identifier.of(Array.empty, _)).toArray
 
+  /** The partition-transform functions (`days`, `bucket`) — resolvable by
+    * Spark's write-distribution machinery AND callable as
+    * `graft.days(ts)` in SQL ([[GraftFunctions]]). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(catalogName, ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftFunctions.Names.map(Identifier.of(Array.empty, _)).toArray
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
 
@@ -91,9 +103,21 @@ class GraftCatalog extends TableCatalog
   private def confKey(table: String) =
     s"spark.sql.catalog.$catalogName.path.$table"
 
+  private def warehouseOf(spark: SparkSession): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+
+  /** Resolution order: session path conf (explicit registration wins),
+    * then the warehouse's PERSISTENT namespace manifest — so a fresh
+    * session attaches a whole catalog with ONE conf (the warehouse), no
+    * per-table re-registration. */
   private def rootOf(ident: Identifier): Option[String] =
     if (ident.namespace().nonEmpty) None
-    else SparkSession.active.conf.getOption(confKey(ident.name()))
+    else {
+      val spark = SparkSession.active
+      spark.conf.getOption(confKey(ident.name()))
+        .orElse(warehouseOf(spark)
+          .flatMap(w => GraftNamespace.lookup(spark, w, ident.name())))
+    }
 
   override def loadTable(ident: Identifier): Table = load(ident, -1)
 
@@ -133,11 +157,15 @@ class GraftCatalog extends TableCatalog
       SnapshotStore.versions(SparkSession.active, r).nonEmpty)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val spark = SparkSession.active
     val prefix = s"spark.sql.catalog.$catalogName.path."
-    SparkSession.active.conf.getAll.keys.toArray.collect {
-      case k if k.startsWith(prefix) =>
-        Identifier.of(Array.empty, k.stripPrefix(prefix))
-    }
+    val registered = spark.conf.getAll.keys.collect {
+      case k if k.startsWith(prefix) => k.stripPrefix(prefix)
+    }.toSet
+    val persisted = warehouseOf(spark)
+      .map(w => GraftNamespace.entries(spark, w).keySet).getOrElse(Set.empty)
+    (registered ++ persisted).toArray.sorted
+      .map(Identifier.of(Array.empty, _))
   }
 
   /** SQL DDL: `CREATE TABLE graft.t (cols) [PARTITIONED BY (c)]
@@ -147,9 +175,11 @@ class GraftCatalog extends TableCatalog
     * declared schema, and every later write is an ordinary manifest
     * commit. The root comes from LOCATION, else
     * `spark.sql.catalog.<cat>.warehouse`/<name> — and is registered as the
-    * session path conf, so the created table resolves immediately.
-    * Partitioning beyond one identity column declines loudly (the
-    * manifest's spec model, SnapshotStore.partSpecLine). */
+    * session path conf (and the warehouse's persistent namespace), so the
+    * created table resolves immediately and in future sessions.
+    * Partitioning accepts identity / `days(ts)` / `bucket(n, c)` items
+    * and multi-item specs ([[PartitionSpec]]); anything else declines
+    * loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -164,31 +194,38 @@ class GraftCatalog extends TableCatalog
       .getOrElse(throw new UnsupportedOperationException(
         s"graft catalog: CREATE TABLE needs LOCATION or " +
           s"spark.sql.catalog.$catalogName.warehouse"))
-    val partCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        Some(t.references()(0).fieldNames()(0))
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: only single-column identity PARTITIONED BY is " +
-          s"supported, got ${other.mkString(", ")}")
-    }
+    val partItems = PartitionSpec.fromTransforms(partitions.toSeq)
+    partItems.foreach(it => require(schema.fieldNames.contains(it.col),
+      s"graft catalog: partition column ${it.col} not in the table schema"))
     val rootP = new org.apache.hadoop.fs.Path(root)
     rootP.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(rootP)
     SnapshotStore.commit(spark, root,
       Seq(SnapshotStore.schemaLine(schema)) ++
-        partCol.map(SnapshotStore.partSpecLine), 0)
+        (if (partItems.isEmpty) Nil
+         else Seq(SnapshotStore.partSpecLine(
+           PartitionSpec.renderSpec(partItems)))), 0)
     spark.conf.set(confKey(ident.name()), root)
+    // persist the name→root mapping in the warehouse namespace manifest:
+    // a FRESH session resolves this table with only the warehouse conf
+    warehouseOf(spark).foreach(w =>
+      GraftNamespace.put(spark, w, ident.name(), root))
     new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, 1)
   }
 
-  /** `ALTER TABLE graft.t ADD COLUMN c TYPE` — schema evolution as ONE
-    * manifest commit: every data line, delete vector, and annotation
-    * carries verbatim; only the schema meta line widens. Old files
-    * null-fill the new column inside the scan; time travel reads each
-    * version under its own schema; the commit is OCC'd on the version the
-    * change was derived from. Any other change (drop/rename/retype/nested/
-    * positioned) declines loudly — narrowing rewrites history. */
+  /** `ALTER TABLE graft.t ADD/RENAME/DROP COLUMN` — schema evolution as
+    * ONE manifest commit: every data line, delete vector, and annotation
+    * carries verbatim; only the schema meta line changes. ADD: old files
+    * null-fill inside the scan (the field's birth version is stamped, so
+    * a later re-ADD of a dropped name can never resurrect old values).
+    * RENAME: pure metadata — the old name joins the field's history
+    * chain and readers resolve each file by its write-epoch name
+    * ([[graft.sources.SchemaEvo]], the manifest edition of Iceberg's
+    * field-ids). DROP: the field leaves the schema; files keep their
+    * bytes (time travel still reads them under the old versions'
+    * schemas). RENAME/DROP decline on tables whose data lines predate
+    * write-epoch stamping (`sv=`) and on partition-spec columns; retype/
+    * nested/positioned changes decline loudly — narrowing rewrites
+    * history. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
@@ -196,17 +233,56 @@ class GraftCatalog extends TableCatalog
     if (cur <= 0) throw new NoSuchTableException(ident)
     val base = SnapshotStore.schemaOf(spark, root, cur).getOrElse(
       spark.read.parquet(SnapshotStore.files(spark, root, cur): _*).schema)
+    lazy val partCols: Set[String] =
+      SnapshotStore.partitionSpecOf(spark, root, cur)
+        .flatMap(PartitionSpec.parse).getOrElse(Nil).map(_.col).toSet
+    def requireEvolvable(op: String, colName: String): Unit = {
+      require(!partCols.contains(colName),
+        s"graft catalog: $op $colName: column is in the partition spec")
+      val fl = SnapshotStore.files(spark, root, cur)
+      val svs = SnapshotStore.fileSchemaVersions(spark, root, cur)
+      require(fl.forall(f => svs.contains(SnapshotStore.uriPath(f))),
+        s"graft catalog: $op declines - some data files predate " +
+          "write-epoch (sv=) stamping, so their column names can't be " +
+          "resolved; compact the table first")
+    }
     val evolved = changes.foldLeft(base) { (s, ch) => ch match {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
           a.position() == null =>
         val name = a.fieldNames()(0)
         require(!s.fieldNames.contains(name),
           s"graft catalog: column $name already exists in ${ident.name()}")
-        val f = StructField(name, a.dataType(), a.isNullable)
+        // existing files null-fill the new column, so a NOT NULL add would
+        // record nullable=false over data that is actually null — downstream
+        // codegen trusting the schema could return wrong results (the same
+        // reason Delta/Iceberg decline it)
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN $name NOT NULL is not supported — " +
+            "existing rows would null-fill a non-nullable column")
+        val f = graft.sources.SchemaEvo.added(
+          StructField(name, a.dataType(), a.isNullable), cur + 1)
         s.add(if (a.comment() != null) f.withComment(a.comment()) else f)
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        val from = r.fieldNames()(0)
+        require(s.fieldNames.contains(from),
+          s"graft catalog: RENAME COLUMN $from: no such column")
+        require(!s.fieldNames.contains(r.newName()),
+          s"graft catalog: RENAME COLUMN to ${r.newName()}: name taken")
+        requireEvolvable("RENAME COLUMN", from)
+        StructType(s.fields.map(f =>
+          if (f.name == from) graft.sources.SchemaEvo.renamed(f, r.newName(), cur + 1)
+          else f))
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        val from = d.fieldNames()(0)
+        require(s.fieldNames.contains(from),
+          s"graft catalog: DROP COLUMN $from: no such column")
+        require(s.fields.length > 1,
+          s"graft catalog: DROP COLUMN $from would leave an empty table")
+        requireEvolvable("DROP COLUMN", from)
+        StructType(s.fields.filterNot(_.name == from))
       case other => throw new UnsupportedOperationException(
-        "graft catalog: ALTER TABLE supports only top-level ADD COLUMN " +
-          s"(appended), got $other")
+        "graft catalog: ALTER TABLE supports top-level ADD/RENAME/DROP " +
+          s"COLUMN, got $other")
     }}
     val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
     SnapshotStore.commit(spark, root,
@@ -217,23 +293,92 @@ class GraftCatalog extends TableCatalog
   /** `DROP TABLE graft.t`: delete the root (manifests, data, vectors,
     * sidecars) and deregister the session path conf. Returns false for an
     * unknown or never-committed identifier (the analyzer's IF EXISTS
-    * contract). */
+    * contract) — and in that case leaves any registration UNTOUCHED: a
+    * failing non-IF-EXISTS DROP must not silently deregister the path it
+    * just reported as nonexistent. */
   override def dropTable(ident: Identifier): Boolean =
     rootOf(ident) match {
       case None => false
       case Some(root) =>
         val spark = SparkSession.active
         val existed = SnapshotStore.versions(spark, root).nonEmpty
-        val p = new org.apache.hadoop.fs.Path(root)
-        if (existed)
+        if (existed) {
+          val p = new org.apache.hadoop.fs.Path(root)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)
-        spark.conf.unset(confKey(ident.name()))
+          spark.conf.unset(confKey(ident.name()))
+          warehouseOf(spark).foreach(w =>
+            GraftNamespace.remove(spark, w, ident.name()))
+        }
         existed
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME TABLE")
+}
+
+/** The PERSISTENT catalog namespace: `<warehouse>/_graft_catalog` is
+  * itself a versioned snapshot manifest whose lines are
+  * `meta:table=<name>=<root>` — table registrations live on disk with
+  * the data, so a fresh session attaches the WHOLE catalog with one conf
+  * (`spark.sql.catalog.<cat>.warehouse`) instead of one per table.
+  * Updates go through the same OCC commit as data (racing CREATEs
+  * serialize; the manifest chain is the registration audit log), and
+  * reads are one small-file read at resolution time — the catalog-scale
+  * analogue of what the reference's master-held NameSpace does for chunk
+  * directories (`framework-src/NameSpace.java:11-19`), made durable. */
+object GraftNamespace {
+
+  private val EntryPrefix = "meta:table="
+
+  private def nsRoot(warehouse: String) = s"$warehouse/_graft_catalog"
+
+  def entries(spark: SparkSession, warehouse: String): Map[String, String] = {
+    val root = nsRoot(warehouse)
+    if (SnapshotStore.versions(spark, root).isEmpty) return Map.empty
+    SnapshotStore.metaLines(spark, root).iterator
+      .filter(_.startsWith(EntryPrefix))
+      .flatMap { l =>
+        val rest = l.stripPrefix(EntryPrefix)
+        val i = rest.indexOf('=')
+        if (i <= 0) None else Some(rest.substring(0, i) -> rest.substring(i + 1))
+      }.toMap
+  }
+
+  def lookup(spark: SparkSession, warehouse: String,
+      name: String): Option[String] = entries(spark, warehouse).get(name)
+
+  private def mutate(spark: SparkSession, warehouse: String,
+      change: Seq[String] => Option[Seq[String]]): Unit = {
+    val root = nsRoot(warehouse)
+    var attempt = 0
+    while (attempt < 20) {
+      val cur = SnapshotStore.versions(spark, root).lastOption.getOrElse(0)
+      val lines = if (cur == 0) Nil else SnapshotStore.metaLines(spark, root)
+      change(lines) match {
+        case None => return // already in the desired state
+        case Some(next) =>
+          try { SnapshotStore.commit(spark, root, next, cur); return }
+          catch { case _: SnapshotStore.CommitConflictException => attempt += 1 }
+      }
+    }
+    throw new SnapshotStore.CommitConflictException(
+      s"namespace update under $root lost 20 consecutive commit races")
+  }
+
+  def put(spark: SparkSession, warehouse: String, name: String,
+      root: String): Unit =
+    mutate(spark, warehouse, { lines =>
+      val entry = s"$EntryPrefix$name=$root"
+      if (lines.contains(entry)) None
+      else Some(lines.filterNot(_.startsWith(s"$EntryPrefix$name=")) :+ entry)
+    })
+
+  def remove(spark: SparkSession, warehouse: String, name: String): Unit =
+    mutate(spark, warehouse, { lines =>
+      val without = lines.filterNot(_.startsWith(s"$EntryPrefix$name="))
+      if (without.length == lines.length) None else Some(without)
+    })
 }
 
 object GraftCatalog {
@@ -263,22 +408,18 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
 
   val files: Seq[String] = SnapshotStore.files(spark, root, snapVersion)
 
-  /** The version's delete vectors as uri-path → ASCENDING tombstoned row
-    * positions — applied INSIDE the scan (a pointer walk against the
-    * reader's in-order row ordinals), so merge-on-read tables read AND
-    * mutate correctly through the catalog: a row-level rewrite sees only
-    * live rows and can never resurrect a tombstone. Collected at load
-    * (size ∝ tombstones; compaction bounds it — the same contract the
-    * read-side anti-join has). */
-  val tombstones: Map[String, Array[Long]] = {
-    val dvs = SnapshotStore.deleteVectors(spark, root, snapVersion)
-    if (dvs.isEmpty) Map.empty
-    else spark.read.parquet(dvs: _*).collect()
-      .groupBy(r => SnapshotStore.uriPath(r.getString(0)))
-      .map { case (f, rows) =>
-        f -> rows.map(_.getLong(1)).sorted
-      }
-  }
+  /** DELETE-VECTOR POINTERS: data-file uri-path → the (dv path, dv byte
+    * length) pairs whose tombstones cover it. FILE-count-scale driver
+    * metadata (one distributed distinct computes the coverage, lengths
+    * come from the manifest's `len=` annotations) — the positions
+    * themselves are loaded and applied EXECUTOR-side by each partition's
+    * reader via the parquet-native row index (split- and skip-safe), so
+    * driver heap stays flat no matter how many tombstones accumulate
+    * between compactions. Merge-on-read tables read AND mutate correctly
+    * through the catalog: a row-level rewrite sees only live rows and can
+    * never resurrect a tombstone. */
+  lazy val dvPointers: Map[String, Seq[(String, Long)]] =
+    SnapshotTable.dvPointersAt(spark, root, snapVersion)
 
   /** The manifest-recorded schema when present (DDL-created or evolved
     * tables — authoritative, footer-free, and lets an EMPTY table exist);
@@ -321,6 +462,23 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
 }
 
 object SnapshotTable {
+
+  /** [[SnapshotTable.dvPointers]] at an arbitrary `version` — the
+    * streaming source plans replayed initial snapshots at their
+    * checkpoint-pinned version through this. Lengths resolve from the
+    * manifest (`len=`), with one stat per legacy unannotated dv file. */
+  private[catalog] def dvPointersAt(spark: SparkSession, root: String,
+      version: Int): Map[String, Seq[(String, Long)]] = {
+    val cov = SnapshotStore.dvCoverage(spark, root, version)
+    if (cov.isEmpty) return Map.empty
+    val lens = SnapshotStore.fileLens(spark, root, version)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def lenOf(d: String): Long = lens.getOrElse(SnapshotStore.uriPath(d), {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    })
+    cov.map { case (f, ds) => f -> ds.map(d => (d, lenOf(d))) }
+  }
 
   /** The group id of group-based row-level operations: which data file a
     * row came from. NOT preserved into the write schema (the rewrite
@@ -421,7 +579,9 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def build(): Scan = {
     val s = new SnapshotScan(spark, table, required, pushed.toSeq,
       forRowLevel = op.isDefined, forDelta = forDelta,
-      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
     op.foreach(_.attachScan(s))
     s
   }
@@ -435,7 +595,8 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   * and parquet's own row-group statistics inside the reader. */
 class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     required: StructType, pushed: Seq[Filter], forRowLevel: Boolean = false,
-    forDelta: Boolean = false, skipChangeCommits: Boolean = false)
+    forDelta: Boolean = false, skipChangeCommits: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
   with SupportsReportStatistics {
 
@@ -447,8 +608,32 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   private val fileOrdinal = required.fieldNames.indexOf(FileCol)
   private val posOrdinal = required.fieldNames.indexOf(PosCol)
 
+  /** The required data fields WITH their evolution metadata resolved by
+    * name from the table schema (column pruning may strip metadata) —
+    * the [[graft.sources.SchemaEvo]] resolution input. */
+  private val evoSchema: StructType = StructType(dataSchema.fields.map(f =>
+    table.schema.fields.find(_.name == f.name).getOrElse(f)))
+  private val evoTrivial = graft.sources.SchemaEvo.isTrivial(table.schema)
+  private lazy val svByFile: Map[String, Int] =
+    if (evoTrivial) Map.empty
+    else SnapshotStore.fileSchemaVersions(spark, table.root, table.snapVersion)
+
+  /** The reader-dispatch key of a file written under schema version `sv`:
+    * its physical column-name vector ("" on evolution-free tables — one
+    * epoch, zero overhead). */
+  private def physKeyOf(sv: Int): String =
+    if (evoTrivial) ""
+    else graft.sources.SchemaEvo.physicalSchema(evoSchema, sv)
+      .fieldNames.mkString("\u0001")
+
+  /** Static file pruning stacks TWO manifest layers before parquet's own
+    * row-group stats: zone stats (per-file [lo, hi] of clustered keys)
+    * and partition tuples (identity/days/bucket transforms) — each
+    * conservative, so they compose by intersection. */
   @volatile private[catalog] var currentFiles: Seq[String] =
-    SnapshotZones.prune(spark, table.root, table.snapVersion, pushed, table.files)
+    SnapshotPartitions.prune(spark, table.root, table.snapVersion, pushed,
+      SnapshotZones.prune(spark, table.root, table.snapVersion, pushed,
+        table.files))
 
   override def readSchema(): StructType = required
 
@@ -486,69 +671,101 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   }
 
   override def estimateStatistics(): Statistics = {
-    val bytes = statuses.map(_.getLen).sum
+    val bytes = fileMeta(currentFiles, table.snapVersion).map(_._2).sum
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.empty()
     }
   }
 
-  /** Memoized on the file list it was computed for — estimateStatistics
-    * and planInputPartitions both need the statuses, and a runtime group
-    * filter may narrow `currentFiles` between them; never pay the
-    * per-file FS round trips twice for the same list. */
-  @volatile private var statusCache
-      : (Seq[String], Seq[org.apache.hadoop.fs.FileStatus]) = null
+  /** (path, byte length) for each file — from the manifest's commit-time
+    * `len=` annotations, so planning issues ZERO per-file filesystem
+    * round trips; only files committed by pre-annotation manifests pay
+    * one `getFileStatus` fallback (counted in
+    * [[SnapshotScan.planStatCalls]] — the zero-RPC pin). Memoized per
+    * file list: estimateStatistics and planInputPartitions share it. */
+  @volatile private var metaCache: (Seq[String], Seq[(String, Long)]) = null
 
-  private def statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
-    val fl = currentFiles
-    val cached = statusCache
+  private def fileMeta(fl: Seq[String], version: Int): Seq[(String, Long)] = {
+    val cached = metaCache
     if (cached != null && (cached._1 eq fl)) return cached._2
+    val lens = SnapshotStore.fileLens(spark, table.root, version)
     val conf = spark.sparkContext.hadoopConfiguration
     val fetched = fl.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p)
+      f -> lens.getOrElse(SnapshotStore.uriPath(f), {
+        SnapshotScan.planStatCalls.incrementAndGet()
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      })
     }
-    statusCache = (fl, fetched)
+    metaCache = (fl, fetched)
     fetched
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Every file — tombstoned or clean — splits by `maxPartitionBytes`:
+    * delete vectors are applied per split via the parquet-native
+    * FILE-ABSOLUTE row index (correct under splits and row-group
+    * skipping), so a 10 GB file with one tombstone keeps full split
+    * parallelism. A tombstoned file's splits carry its dv POINTERS; the
+    * positions load executor-side. `modTime` rides 0 for manifest-planned
+    * files: it only feeds the `_metadata.file_modification_time` constant
+    * column, which this scan never projects. */
+  override def planInputPartitions(): Array[InputPartition] =
+    split(fileMeta(currentFiles, table.snapVersion), table.dvPointers,
+      svByFile, table.snapVersion)
+
+  private def split(meta: Seq[(String, Long)],
+      pointers: Map[String, Seq[(String, Long)]],
+      svs: Map[String, Int], defaultSv: Int): Array[InputPartition] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    statuses.flatMap { s =>
-      val len = s.getLen
-      val path = s.getPath.toString
-      table.tombstones.get(SnapshotStore.uriPath(path)) match {
-        // a tombstoned file reads as ONE unsplit partition: the delete
-        // vector addresses FILE-absolute row ordinals, which only a
-        // whole-file in-order read can count
-        case Some(dv) =>
-          Seq(SnapshotInputPartition(path, 0, len, len,
-            s.getModificationTime, dv))
-        case None =>
-          (0L until len by maxBytes).map { start =>
-            SnapshotInputPartition(path, start,
-              math.min(maxBytes, len - start), len, s.getModificationTime,
-              Array.empty)
-          }
+    meta.flatMap { case (path, len) =>
+      val uri = SnapshotStore.uriPath(path)
+      val dvp = pointers.getOrElse(uri, Nil)
+      val key = physKeyOf(svs.getOrElse(uri, defaultSv))
+      (0L until len by maxBytes).map { start =>
+        SnapshotInputPartition(path, start, math.min(maxBytes, len - start),
+          len, 0L, dvp, key)
       }
     }.toArray
   }
 
-  /** Split an arbitrary (vector-free) file list into read partitions —
-    * the streaming source's per-version diff planning. */
-  private[catalog] def partitionsFor(fl: Seq[String]): Array[InputPartition] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    fl.flatMap { fstr =>
-      val p = new org.apache.hadoop.fs.Path(fstr)
-      val s = p.getFileSystem(conf).getFileStatus(p)
-      (0L until s.getLen by maxBytes).map { start =>
-        SnapshotInputPartition(s.getPath.toString, start,
-          math.min(maxBytes, s.getLen - start), s.getLen,
-          s.getModificationTime, Array.empty)
-      }
-    }.toArray
+  /** Split an arbitrary (vector-free) file list of `version` into read
+    * partitions — the streaming source's per-version diff planning. */
+  private[catalog] def partitionsFor(fl: Seq[String],
+      version: Int): Array[InputPartition] = {
+    val lens = SnapshotStore.fileLens(spark, table.root, version)
+    val svs = if (evoTrivial) Map.empty[String, Int]
+      else SnapshotStore.fileSchemaVersions(spark, table.root, version)
+    split(fl.map { f =>
+      f -> lens.getOrElse(SnapshotStore.uriPath(f), {
+        SnapshotScan.planStatCalls.incrementAndGet()
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      })
+    }, Map.empty, svs, version)
+  }
+
+  /** The scan's own planning pinned at an arbitrary `version` — the
+    * streaming source's INITIAL-SNAPSHOT planning: a replayed first batch
+    * must re-plan the exact version its checkpointed end offset covered,
+    * not whatever the restarted table happens to have loaded (replay
+    * determinism). Vectors and zone pruning follow `version`. */
+  private[catalog] def snapshotPartitionsAt(version: Int): Array[InputPartition] = {
+    if (version == table.snapVersion) return planInputPartitions()
+    val fl = SnapshotPartitions.prune(spark, table.root, version, pushed,
+      SnapshotZones.prune(spark, table.root, version, pushed,
+        SnapshotStore.files(spark, table.root, version)))
+    val lens = SnapshotStore.fileLens(spark, table.root, version)
+    val svs = if (evoTrivial) Map.empty[String, Int]
+      else SnapshotStore.fileSchemaVersions(spark, table.root, version)
+    split(fl.map { f =>
+      f -> lens.getOrElse(SnapshotStore.uriPath(f), {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      })
+    }, SnapshotTable.dvPointersAt(spark, table.root, version), svs, version)
   }
 
   private[catalog] def pushedFilters: Seq[Filter] = pushed
@@ -556,68 +773,150 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   /** `readStream.table("graft.t")`: manifest versions ARE the offsets. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapshotMicroBatchStream(spark, table, this, skipChangeCommits)
+    new SnapshotMicroBatchStream(spark, table, this, skipChangeCommits,
+      maxVersionsPerTrigger)
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    mkReaderFactory(forceRows = false)
+
+  /** Build the reader factory. COLUMNAR batches flow whenever the
+    * PLANNED (pruned) file set is vector-free and no metadata column
+    * rides — Spark's scan exec requires all-or-none columnar partitions,
+    * so the gate is per SCAN over the pruned set, not per table: one
+    * vectored file somewhere in the table no longer costs a disjoint
+    * scan its batches. `forceRows` is the streaming source's uniformity
+    * escape (one micro-batch may mix a vectored initial snapshot with
+    * clean diffs). */
+  private[catalog] def mkReaderFactory(
+      forceRows: Boolean): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    // batches only on the plain-read path of a vector-free table;
-    // `_file`/`_pos` requests and delete vectors all force ROWS
-    // (vectorized decode stays on inside the reader)
-    val batchMode = fmt.supportBatch(spark, dataSchema) &&
-      fileOrdinal < 0 && posOrdinal < 0 && table.tombstones.isEmpty
-    val opts = Map(
-      org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> batchMode.toString)
-    // `_pos` rides the parquet reader's NATIVE row-index machinery: a
-    // generated trailing long column, file-absolute and correct under
-    // splits AND row-group skipping — the reader schema gains it here and
-    // the projection below maps it out.
-    val readerSchema =
-      if (posOrdinal < 0) dataSchema
-      else dataSchema.add(org.apache.spark.sql.execution.datasources.parquet
-        .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType)
+    val plannedVectored = table.dvPointers.nonEmpty &&
+      currentFiles.exists(f =>
+        table.dvPointers.contains(SnapshotStore.uriPath(f)))
+    val batchMode = !forceRows && fmt.supportBatch(spark, dataSchema) &&
+      fileOrdinal < 0 && posOrdinal < 0 && !plannedVectored
     // a GROUP-BASED row-level scan must return EVERY row of every file it
     // plans (the replace-groups contract: carry-over rows ride the
     // rewrite) — its pushed filters prune at FILE granularity only (zone
     // pruning above), never inside the reader where parquet row-group
     // skipping would silently drop carry-over rows of a
-    // partially-matching file. A DELTA scan has no carry-over rows (only
-    // matched rows are written), so its filters DO push into the reader —
-    // `_pos` stays correct because the native row index survives skipping.
-    // Tombstoned files keep the whole-file unfiltered contract for the
-    // ordinal-walk path.
-    def build(filters: Seq[Filter]) = fmt.buildReaderWithPartitionValues(
-      spark, table.schema, new StructType(), readerSchema, filters,
-      opts, spark.sessionState.newHadoopConf())
+    // partially-matching file. Plain and DELTA scans DO push into the
+    // reader — tombstone application stays correct under skipping because
+    // the native row index does.
     val readerFilters = if (forRowLevel && !forDelta) Nil else pushed
-    new SnapshotReaderFactory(build(readerFilters), build(Nil), batchMode,
-      dataSchema, required, fileOrdinal, posOrdinal)
+    // SCHEMA-EVOLUTION EPOCHS: one read function per distinct physical
+    // column-name vector among the table's files (renamed columns read
+    // old files under their write-epoch names — [[graft.sources
+    // .SchemaEvo]]); evolution-free tables collapse to the one ""-keyed
+    // epoch with zero overhead. Pushed filters are translated to each
+    // epoch's names (untranslatable conjuncts drop — pushdown only).
+    val epochSvs: Seq[Int] =
+      if (evoTrivial) Seq(table.snapVersion)
+      else (table.files.map(f =>
+        svByFile.getOrElse(SnapshotStore.uriPath(f), table.snapVersion)) :+
+        table.snapVersion).distinct
+    val epochs: Map[String, (StructType, StructType, Seq[Filter])] =
+      epochSvs.map { sv =>
+        physKeyOf(sv) -> ((
+          graft.sources.SchemaEvo.physicalSchema(evoSchema, sv),
+          if (evoTrivial) table.schema
+          else graft.sources.SchemaEvo.physicalSchema(table.schema, sv),
+          if (evoTrivial) readerFilters
+          else graft.sources.SchemaEvo.translateFilters(readerFilters,
+            evoSchema, sv)))
+      }.toMap
+    def build(full: StructType, schema: StructType, filters: Seq[Filter],
+        batch: Boolean) =
+      fmt.buildReaderWithPartitionValues(spark, full,
+        new StructType(), schema, filters,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> batch.toString),
+        spark.sessionState.newHadoopConf())
+    // `_pos` and delete-vector filtering both ride the parquet reader's
+    // NATIVE row-index machinery: a generated trailing long column,
+    // file-absolute and correct under splits AND row-group skipping.
+    def withIdx(s: StructType) = s.add(org.apache.spark.sql.execution
+      .datasources.parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType)
+    val rowFuncs = epochs.map { case (k, (phys, full, fs)) =>
+      k -> build(full, if (posOrdinal >= 0) withIdx(phys) else phys, fs,
+        batch = false)
+    }
+    val dvRowFuncs =
+      if (posOrdinal >= 0) rowFuncs
+      else epochs.map { case (k, (phys, full, fs)) =>
+        k -> build(full, withIdx(phys), fs, batch = false)
+      }
+    val batchFuncs =
+      if (!batchMode) Map.empty[String, PartitionedFile => Iterator[InternalRow]]
+      else epochs.map { case (k, (phys, full, fs)) =>
+        k -> build(full, phys, fs, batch = true)
+      }
+    // the executor-side reader of delete-vector parquets (file, pos)
+    val dvSchema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("pos", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val dvFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dvSchema, new StructType(), dvSchema, Nil,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new SnapshotReaderFactory(rowFuncs, dvRowFuncs, batchFuncs, dvFunc,
+      batchMode, dataSchema, required, fileOrdinal, posOrdinal)
   }
 }
 
+object SnapshotScan {
+  /** Plan-time per-file `getFileStatus` fallbacks (files whose manifest
+    * line lacks a `len=` annotation) — the zero-RPC planning pin: tables
+    * committed by the annotating commit path must plan without moving
+    * this counter. */
+  val planStatCalls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** One split of one data file: pointers to the delete-vector files
+  * covering it (positions load executor-side) and its schema-epoch
+  * dispatch key (the write-epoch physical column names; "" on
+  * evolution-free tables). */
 case class SnapshotInputPartition(file: String, start: Long, length: Long,
-    fileSize: Long, modTime: Long, dv: Array[Long]) extends InputPartition
+    fileSize: Long, modTime: Long, dvPaths: Seq[(String, Long)],
+    physKey: String = "") extends InputPartition
 
 /** Executor-side reading: Spark's own parquet reader function (vectorized
   * when the session supports it), one split per partition. Columnar
   * batches flow through UNFLATTENED on the plain-read path; when `_file`
   * or `_pos` is requested (row-level operations) rows are projected with
   * the split's file path / the reader's native row index spliced in at
-  * their schema positions. A partition carrying a delete vector drops
-  * tombstoned positions: by sorted binary search on the native row index
-  * when `_pos` rides along (split- and skip-safe), else by the whole-file
-  * in-order ordinal walk. */
+  * their schema positions. A partition carrying delete-vector pointers
+  * loads its file's tombstone positions HERE — executor-side, never on
+  * the driver — and drops them by sorted binary search on the native row
+  * index (split- and skip-safe, so tombstoned files split like clean
+  * ones). */
 class SnapshotReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow],
-    unfilteredFunc: PartitionedFile => Iterator[InternalRow],
+    rowFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
+    dvRowFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
+    batchFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
+    dvFunc: PartitionedFile => Iterator[InternalRow],
     batchMode: Boolean, dataSchema: StructType, outputSchema: StructType,
     fileOrdinal: Int, posOrdinal: Int = -1) extends PartitionReaderFactory {
 
-  private def partitionedFile(p: SnapshotInputPartition): PartitionedFile =
-    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p.file),
-      p.start, p.length, Array.empty, p.modTime, p.fileSize)
+  private def partitionedFile(path: String, start: Long, length: Long,
+      fileSize: Long, modTime: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      start, length, Array.empty, modTime, fileSize)
 
+  /** A partition's epoch key must have been built at factory time — a
+    * miss would silently read wrong column names, so fail loudly. */
+  private def fnOf(m: Map[String, PartitionedFile => Iterator[InternalRow]],
+      key: String): PartitionedFile => Iterator[InternalRow] =
+    m.getOrElse(key, throw new IllegalStateException(
+      s"snapshot scan: no reader for schema epoch '$key' " +
+        s"(have ${m.keys.mkString("|")})"))
+
+  /** Uniform by construction: batchMode is computed from the planned
+    * file set (true ⇒ no planned partition carries vectors), satisfying
+    * the exec's all-or-none columnar contract. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     batchMode && fileOrdinal < 0
 
@@ -628,64 +927,85 @@ class SnapshotReaderFactory(
     // ColumnarBatch behind the erased InternalRow signature (the V1
     // contract); cast the ITERATOR, never per-element (a .map would
     // insert an InternalRow cast on the lambda argument)
-    val it = readFunc(partitionedFile(p))
+    val it = fnOf(batchFuncs, p.physKey)(
+      partitionedFile(p.file, p.start, p.length, p.fileSize, p.modTime))
       .asInstanceOf[Iterator[ColumnarBatch]]
     new IteratorReader(it)
   }
 
-  /** Position of the reader-generated row-index column (after the data
-    * columns), -1 when `_pos` was not requested. */
-  private val rowIdxSrc = if (posOrdinal < 0) -1 else dataSchema.length
+  /** This split's file's tombstone positions, loaded from its dv
+    * pointers and sorted — cost ∝ the covering vectors' bytes, paid by
+    * the executor that owns the split. */
+  private def loadDv(p: SnapshotInputPartition): Array[Long] = {
+    val want = SnapshotStore.uriPath(p.file)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // dv rows for one data file cluster together: memoize the last path
+    // comparison instead of re-normalizing per tombstone
+    var lastRaw: String = null
+    var lastMatch = false
+    p.dvPaths.foreach { case (dvPath, dvLen) =>
+      dvFunc(partitionedFile(dvPath, 0, dvLen, dvLen, 0L))
+        .asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }.foreach { r =>
+          val raw = r.getUTF8String(0).toString
+          if (raw != lastRaw) {
+            lastRaw = raw
+            lastMatch = SnapshotStore.uriPath(raw) == want
+          }
+          if (lastMatch) buf += r.getLong(1)
+        }
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
+    val hasDv = p.dvPaths.nonEmpty
+    // the reader row carries the native row index exactly when `_pos` was
+    // requested OR this split must apply a delete vector
+    val hasIdx = posOrdinal >= 0 || hasDv
+    val rowIdxSrc = if (hasIdx) dataSchema.length else -1
+    val fn = fnOf(if (hasDv) dvRowFuncs else rowFuncs, p.physKey)
     // the V1 reader contract: with vectorization on, the iterator's
     // elements are ColumnarBatch cast as InternalRow — un-hack via Any
-    val fn = if (p.dv.nonEmpty) unfilteredFunc else readFunc
-    val raw = fn(partitionedFile(p)).asInstanceOf[Iterator[Any]].flatMap {
-      case b: ColumnarBatch => b.rowIterator().asScala
-      case r: InternalRow => Iterator.single(r)
-    }
+    val raw = fn(
+      partitionedFile(p.file, p.start, p.length, p.fileSize, p.modTime))
+      .asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
     val rows =
-      if (p.dv.isEmpty) raw
-      else if (rowIdxSrc >= 0)
+      if (!hasDv) raw
+      else {
+        val dv = loadDv(p)
+        if (dv.isEmpty) raw
         // the native row index IS the tombstone coordinate: drop by
         // binary search (the vector is sorted) — correct under splits
-        raw.filter(r =>
-          java.util.Arrays.binarySearch(p.dv, r.getLong(rowIdxSrc)) < 0)
-      else new Iterator[InternalRow] {
-        // rows from the parquet reader REUSE one buffer, so the skip must
-        // advance in hasNext (after the consumer finished with the
-        // previous row), never prefetch past the row it is about to serve
-        private var ord = -1L
-        private var i = 0
-        private var cur: InternalRow = _
-        private var ready = false
-        override def hasNext: Boolean = {
-          if (ready) return true
-          while (raw.hasNext) {
-            val r = raw.next(); ord += 1
-            while (i < p.dv.length && p.dv(i) < ord) i += 1
-            if (i >= p.dv.length || p.dv(i) != ord) {
-              cur = r; ready = true; return true
-            }
-          }
-          false
-        }
-        override def next(): InternalRow = {
-          if (!ready && !hasNext) throw new NoSuchElementException
-          ready = false; cur
-        }
+        // and row-group skipping
+        else raw.filter(r =>
+          java.util.Arrays.binarySearch(dv, r.getLong(rowIdxSrc)) < 0)
       }
     val out =
-      if (fileOrdinal < 0 && posOrdinal < 0) rows
-      else {
+      if (fileOrdinal < 0 && posOrdinal < 0 && !hasIdx) rows
+      else if (fileOrdinal < 0 && posOrdinal < 0) {
+        // plain read over a vectored split: strip the trailing row-index
+        // column the dv filter rode on
+        val proj = UnsafeProjection.create(
+          dataSchema.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable)
+          }.toSeq)
+        rows.map(r => proj(r))
+      } else {
         // splice the metadata columns in at their requested positions:
         // the reader row is data columns [+ native row index], the file
         // path rides a JoinedRow; every other output field maps to its
         // data ordinal (its position minus the metadata fields before it)
-        val fileSrc = dataSchema.length + (if (rowIdxSrc >= 0) 1 else 0)
+        val fileSrc = dataSchema.length + (if (hasIdx) 1 else 0)
         val exprs = outputSchema.fields.zipWithIndex.map { case (f, i) =>
           if (i == fileOrdinal)
             BoundReference(fileSrc, StringType, nullable = false)
@@ -809,24 +1129,35 @@ class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
   override def description(): String =
     s"graft-snapshot-write(${table.name()}, v${table.snapVersion})"
 
-  /** The manifest's partition column when the write's schema carries it —
-    * partitioned tables route through the fanout writer below. */
-  private val partCol: Option[String] =
+  /** The manifest's partition spec bound against the write schema —
+    * partitioned tables route through the fanout writer below. None when
+    * the spec is absent, unparsable, or references columns the write
+    * doesn't carry (the write then lands unannotated — conservative). */
+  private val boundPart: Option[Seq[BoundPartItem]] =
     SnapshotStore.partitionSpecOf(spark, table.root, table.snapVersion)
-      .filter(info.schema().fieldNames.contains)
+      .flatMap(PartitionSpec.parse)
+      .flatMap(items => BoundPartItem.bind(items, info.schema()))
 
-  /** Cluster incoming rows by the partition column (best-effort, the
-    * Iceberg write-distribution contract): each task then holds few
-    * values, so the fanout writer opens few files. Unpartitioned tables
+  /** Cluster incoming rows by the partition TRANSFORM values (the Iceberg
+    * write-distribution contract): Spark resolves `days`/`bucket` through
+    * the catalog's own [[GraftFunctions]] and shuffles on the transformed
+    * value, so each task holds whole tuples and the fanout writer opens
+    * one file per tuple — not one per (task, tuple). Unpartitioned tables
     * impose nothing. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    partCol.map(c =>
+    boundPart.map { bp =>
+      import org.apache.spark.sql.connector.expressions.Expressions
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        Array[org.apache.spark.sql.connector.expressions.Expression](
-          ColumnBridge.fieldReference(c))))
-      .getOrElse(org.apache.spark.sql.connector.distributions
-        .Distributions.unspecified())
+        bp.map[org.apache.spark.sql.connector.expressions.Expression] {
+          _.item match {
+            case IdentityItem(c) => ColumnBridge.fieldReference(c)
+            case DaysItem(c) => Expressions.days(c)
+            case BucketItem(n, c) => Expressions.bucket(n, c)
+          }
+        }.toArray)
+    }.getOrElse(org.apache.spark.sql.connector.distributions
+      .Distributions.unspecified())
 
   override def distributionStrictlyRequired(): Boolean = false
 
@@ -838,10 +1169,10 @@ class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
     val run = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(table.root,
       s"_graft_stage_cat_$run")
-    partCol match {
-      case Some(c) =>
+    boundPart match {
+      case Some(bp) =>
         // PARTITION-FANOUT write: one parquet file per (task, partition
-        // value) through Spark's own OutputWriter; the value rides the
+        // tuple) through Spark's own OutputWriter; the tuple rides the
         // commit message, so the manifest annotates every new file with
         // its partition tuple — catalog writes KEEP partition pruning
         // power, no post-hoc scan of the data just written.
@@ -851,7 +1182,7 @@ class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
           Map.empty[String, String], info.schema())
         new SnapshotFanoutBatchWrite(spark, table, staging.toString, run,
           new SnapshotFanoutWriterFactory(staging.toString, info.schema(),
-            info.schema().fieldIndex(c), owf,
+            bp, owf,
             new SerializableConfiguration(job.getConfiguration)),
           op, truncateAll)
       case None =>
@@ -988,11 +1319,12 @@ class SnapshotFanoutBatchWrite(spark: SparkSession, table: SnapshotTable,
 }
 
 /** Executor-side fanout: rows route to one Spark parquet OutputWriter per
-  * partition value (opened lazily; the requested clustered distribution
-  * keeps the per-task value count small). The value is rendered with the
-  * same `String.valueOf` the manifest annotation layer compares with. */
+  * partition TUPLE (opened lazily; the requested clustered distribution
+  * keeps the per-task tuple count small). Tuples are rendered by the
+  * exact [[PartitionSpec]] functions the read-side pruning compares
+  * with. */
 class SnapshotFanoutWriterFactory(staging: String, schema: StructType,
-    partIdx: Int,
+    bound: Seq[BoundPartItem],
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableConfiguration)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
@@ -1002,7 +1334,6 @@ class SnapshotFanoutWriterFactory(staging: String, schema: StructType,
     new DataWriter[InternalRow] {
       import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 
-      private val dt = schema.fields(partIdx).dataType
       private val writers = scala.collection.mutable.LinkedHashMap
         .empty[String, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
       private var nFiles = 0
@@ -1022,7 +1353,7 @@ class SnapshotFanoutWriterFactory(staging: String, schema: StructType,
       })
 
       override def write(row: InternalRow): Unit =
-        writerFor(String.valueOf(row.get(partIdx, dt)))._1.write(row)
+        writerFor(BoundPartItem.valueOf(bound, row))._1.write(row)
 
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_._1.close())
@@ -1042,7 +1373,14 @@ class SnapshotFanoutWriterFactory(staging: String, schema: StructType,
 case class CompositePartStaged(files: Seq[PartStagedFile])
   extends WriterCommitMessage
 
-/** A manifest version as a streaming offset. */
+/** A manifest version as a streaming offset. NEGATIVE versions encode
+  * "initial snapshot at |version| not yet emitted": the stream's initial
+  * offset pins the version the table was LOADED at, so a replayed first
+  * batch re-plans exactly that snapshot — never whatever newer version a
+  * restarted table happens to resolve (replay determinism after a
+  * commit-then-crash with concurrent writers). Zero is the legacy
+  * pre-pin encoding, handled conservatively (snapshot capped at the
+  * batch's end offset). */
 case class SnapshotVersionOffset(version: Int)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = version.toString
@@ -1069,29 +1407,67 @@ case class SnapshotVersionOffset(version: Int)
   *    the reader's lag (the standard table-format contract).
   */
 class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
-    scan: SnapshotScan, skipChangeCommits: Boolean)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    scan: SnapshotScan, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  override def initialOffset(): Offset = SnapshotVersionOffset(0)
+  /** The initial offset PINS the loaded snapshot version (negative
+    * encoding): a crash before batch 0's commit replays against exactly
+    * this version even if other writers committed meanwhile and the
+    * restarted table loaded newer — the replayed snapshot and the next
+    * diff batch can never overlap. */
+  override def initialOffset(): Offset =
+    SnapshotVersionOffset(-table.snapVersion)
 
-  override def latestOffset(): Offset = SnapshotVersionOffset(
-    math.max(table.snapVersion,
-      SnapshotStore.currentVersion(spark, table.root)))
+  private def versionOf(o: Offset): Int =
+    o.asInstanceOf[SnapshotVersionOffset].version
+
+  private def current: Int = math.max(table.snapVersion,
+    SnapshotStore.currentVersion(spark, table.root))
+
+  override def latestOffset(): Offset = SnapshotVersionOffset(current)
+
+  /** ADMISSION CONTROL (`option("maxVersionsPerTrigger", n)`): a
+    * backlogged table drains in bounded micro-batches — at most n
+    * manifest versions past the start offset per trigger (the initial
+    * snapshot counts as its pinned version) — instead of swallowing its
+    * whole history in one batch. Delta's `maxFilesPerTrigger` contract at
+    * version grain: the manifest diff, not the file count, is this
+    * source's unit of arrival. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = math.abs(versionOf(start))
+    val cap = maxVersionsPerTrigger match {
+      case Some(n) => math.min(current, from + math.max(1, n))
+      case None => current
+    }
+    SnapshotVersionOffset(cap)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = SnapshotVersionOffset(current)
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(json.trim.toInt)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotVersionOffset].version
-    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    val s = versionOf(start)
+    val e = versionOf(end)
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
-    // the initial snapshot: the scan's own planning at the loaded version
-    // (vectors applied, zone-pruned) — never change-checked
-    if (s == 0) parts ++= scan.planInputPartitions()
-    val from = if (s == 0) table.snapVersion else s
+    // the initial snapshot: the scan's planning PINNED at the offset's
+    // version (vectors applied, zone-pruned) — never change-checked. A
+    // legacy 0 offset (pre-pin checkpoint) caps at the batch's end
+    // offset, so a replay can't leak versions past what batch 0 covered.
+    val snapV =
+      if (s < 0) Some(-s)
+      else if (s == 0) Some(math.min(table.snapVersion, math.max(1, e)))
+      else None
+    snapV.foreach(v => parts ++= scan.snapshotPartitionsAt(v))
+    val from = snapV.getOrElse(s)
     SnapshotStore.versions(spark, table.root)
       .filter(v => v > from && v <= e).foreach { v =>
         val prev = SnapshotStore.files(spark, table.root, v - 1)
@@ -1103,25 +1479,36 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
           .map(SnapshotStore.uriPath).toSet --
           SnapshotStore.deleteVectors(spark, table.root, v - 1)
             .map(SnapshotStore.uriPath)
-        if (removed.nonEmpty || dvAdded.nonEmpty) {
+        // a schema-evolution commit (ADD/RENAME/DROP) is a CHANGE commit
+        // too: the stream's schema was fixed at start, so later epochs'
+        // files can't be read under it
+        val schemaChanged = SnapshotStore.schemaOf(spark, table.root, v) !=
+          SnapshotStore.schemaOf(spark, table.root, v - 1)
+        if (removed.nonEmpty || dvAdded.nonEmpty || schemaChanged) {
           if (!skipChangeCommits) throw new IllegalStateException(
             s"streaming read of ${table.name()} hit a CHANGE commit at " +
               s"version $v (${removed.size} files removed, ${dvAdded.size} " +
-              "vectors added): rewrites/deletes cannot re-emit. Set " +
+              s"vectors added, schema changed: $schemaChanged): " +
+              "rewrites/deletes/evolution cannot re-emit. Set " +
               "option(\"skipChangeCommits\", \"true\") to skip such " +
               "versions, or tail an append-only table.")
           // skip the whole version: its additions are rewrite outputs
         } else {
           parts ++= scan.partitionsFor(
-            SnapshotZones.prune(spark, table.root, v, scan.pushedFilters,
-              added))
+            SnapshotPartitions.prune(spark, table.root, v, scan.pushedFilters,
+              SnapshotZones.prune(spark, table.root, v, scan.pushedFilters,
+                added)), v)
         }
       }
     parts.toArray
   }
 
+  /** Row mode always: one micro-batch may mix a vectored initial
+    * snapshot with clean diff partitions, and the exec's columnar
+    * contract is all-or-none. Trigger machinery dominates streaming cost;
+    * vectorized decode stays on inside the reader. */
   override def createReaderFactory(): PartitionReaderFactory =
-    scan.createReaderFactory()
+    scan.mkReaderFactory(forceRows = true)
 
   override def commit(end: Offset): Unit = ()
 

@@ -50,11 +50,16 @@ object GraftProcedures {
     new GraftProcedure(catalogName, ident.name())
   }
 
-  private[catalog] def rootOf(catalogName: String, table: String): String =
-    SparkSession.active.conf
+  private[catalog] def rootOf(catalogName: String, table: String): String = {
+    val spark = SparkSession.active
+    spark.conf
       .getOption(s"spark.sql.catalog.$catalogName.path.$table")
+      .orElse(spark.conf
+        .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+        .flatMap(w => GraftNamespace.lookup(spark, w, table)))
       .getOrElse(throw new RuntimeException(
         s"graft catalog: unknown table $table (register it or CREATE it)"))
+  }
 }
 
 class GraftProcedure(catalogName: String, procName: String)
@@ -136,49 +141,70 @@ class GraftProcedure(catalogName: String, procName: String)
         val dvs = SnapshotStore.deleteVectors(spark, root, cur)
         val live = SnapshotStore.read(spark, root, cur)
         val clusterCols = clusterCol.split(',').map(_.trim).filter(_.nonEmpty)
+        require(clusterCols.length <= 4, "compact: cluster_col takes at " +
+          "most 4 comma-separated columns (z-order interleave)")
         val clustered = clusterCols.length match {
           case 0 => live.coalesce(buckets)
           case 1 => live.repartitionByRange(buckets, col(clusterCols(0)))
-          case 2 =>
-            // OPTIMIZE ZORDER BY (a, b): interleave the two keys into a
-            // Morton value and range-cluster on it — every file then
-            // bounds BOTH dimensions, so predicates on either key prune
-            // (the multi-key stats sidecar persists the bounds). Each
-            // dimension is min-max normalized to 15 bits first: raw bit
-            // widths differ (orderkey ≫ custkey) and an unbalanced
-            // interleave degenerates to single-key clustering.
-            val Array(a, b) = clusterCols
+          case k =>
+            // OPTIMIZE ZORDER BY (a, b[, c, d]): interleave the keys into
+            // one Morton value and range-cluster on it — every file then
+            // bounds ALL interleaved dimensions, so a predicate on any of
+            // them prunes (the multi-key stats sidecar persists the
+            // bounds). Each dimension is min-max normalized to the same
+            // bit width first: raw bit widths differ (orderkey ≫ custkey)
+            // and an unbalanced interleave degenerates to single-key
+            // clustering. 15 bits/dim up to 4 dims: ≤60-bit z, and 2^15
+            // buckets of resolution per key — far beyond any useful file
+            // count.
+            val bits = math.min(15, 62 / k)
             def n(x: Any) = x.asInstanceOf[Number].longValue
-            val r = live.agg(
-              org.apache.spark.sql.functions.min(col(a)),
-              org.apache.spark.sql.functions.max(col(a)),
-              org.apache.spark.sql.functions.min(col(b)),
-              org.apache.spark.sql.functions.max(col(b))).head()
-            if (r.isNullAt(0) || r.isNullAt(2)) live.coalesce(buckets)
+            val aggs = clusterCols.toSeq.flatMap(c => Seq(
+              org.apache.spark.sql.functions.min(col(c)),
+              org.apache.spark.sql.functions.max(col(c))))
+            val r = live.agg(aggs.head, aggs.tail: _*).head()
+            if ((0 until k).exists(i => r.isNullAt(2 * i))) live.coalesce(buckets)
             else {
-            def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
-              org.apache.spark.sql.functions.least(
-                (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
-                  org.apache.spark.sql.functions.lit(32768L) /
-                  org.apache.spark.sql.functions.lit(
-                    math.max(1L, hi - lo + 1)),
-                org.apache.spark.sql.functions.lit(32767L))
-            val z = graft.queries.Layout.zValue(
-              norm(col(a), n(r.get(0)), n(r.get(1))),
-              norm(col(b), n(r.get(2)), n(r.get(3))))
-            live.withColumn("__graft_z", z)
-              .repartitionByRange(buckets, col("__graft_z"))
-              .drop("__graft_z")
+              def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+                org.apache.spark.sql.functions.least(
+                  (c.cast("long") - org.apache.spark.sql.functions.lit(lo)) *
+                    org.apache.spark.sql.functions.lit(1L << bits) /
+                    org.apache.spark.sql.functions.lit(
+                      math.max(1L, hi - lo + 1)),
+                  org.apache.spark.sql.functions.lit((1L << bits) - 1))
+              val z = graft.queries.Layout.zValueN(
+                clusterCols.toSeq.zipWithIndex.map { case (c, i) =>
+                  norm(col(c), n(r.get(2 * i)), n(r.get(2 * i + 1)))
+                }, bits)
+              live.withColumn("__graft_z", z)
+                .repartitionByRange(buckets, col("__graft_z"))
+                .drop("__graft_z")
             }
-          case _ => throw new IllegalArgumentException(
-            "compact: cluster_col takes one column (range clustering) or " +
-              "two comma-separated columns (z-order)")
         }
-        val newFiles = SnapshotStore.writeData(spark, root, clustered, "opt")
         // meta lines (schema, partition spec, write mode) carry; every
-        // data line and vector is replaced by the clustered rewrite
-        val v = SnapshotStore.commit(spark, root,
-          SnapshotStore.metaLines(spark, root, cur) ++ newFiles, cur)
+        // data line and vector is replaced by the clustered rewrite. On a
+        // partitioned table the rewrite fans out per partition value so the
+        // new files KEEP their per-file partition annotations (pruning
+        // power survives OPTIMIZE); a losing OCC committer deletes its
+        // freshly published files (commitOrCleanup) instead of leaking
+        // them forever past vacuum's manifest-referenced reach.
+        val partCol = SnapshotStore.partitionSpecOf(spark, root, cur)
+          .filter(clustered.columns.contains)
+        val (newLines, newFiles) = partCol match {
+          case Some(pc) =>
+            val lines = SnapshotStore.writeDataPartitioned(spark, root,
+              clustered, pc, math.max(1, buckets), clusterCols.headOption
+                .filter(clustered.columns.contains).getOrElse(pc), "opt")
+            (lines, lines.filterNot(_.startsWith("meta:"))
+              .map(_.split('\t').head))
+          case None =>
+            val fl = SnapshotStore.writeData(spark, root, clustered, "opt")
+            (fl, fl)
+        }
+        val carried = SnapshotStore.metaLines(spark, root, cur)
+          .filterNot(l => partCol.isDefined && l.startsWith("meta:partition="))
+        val v = SnapshotStore.commitOrCleanup(spark, root,
+          carried ++ newLines, cur, newFiles)
         InternalRow(v, before.length, newFiles.length, dvs.length)
       case "vacuum" =>
         val keep = input.getInt(1)

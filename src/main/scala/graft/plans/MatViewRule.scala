@@ -230,6 +230,12 @@ object MatViewRule {
               case Seq(e) => aggs += (("count", Some(norm(e))) -> name); true
               case _ => false
             }
+            // a STORED THETA SKETCH of a non-key column: the roll-up
+            // answer to COUNT(DISTINCT x) under the approx opt-in —
+            // sketches are a commutative monoid under union, so any
+            // coarser group re-aggregates by theta_union_agg
+            case ts: org.apache.spark.sql.catalyst.expressions.aggregate.ThetaSketchAgg =>
+              aggs += (("theta", Some(norm(ts.left))) -> name); true
             case _ => false
           }
         case a: Attribute if gset.contains(norm(a)) =>
@@ -370,12 +376,36 @@ object MatViewRule {
       // COUNT(DISTINCT x) where x is (an expression over) view KEYS is
       // EXACT from the view: its rows hold every distinct key combination
       // of the base, so distinct-x over the view equals distinct-x over
-      // the base — re-counted per coarser group (no sketch, no bound)
+      // the base — re-counted per coarser group (no sketch, no bound).
+      // When x is NOT a key but the view STORES a theta sketch of it
+      // (theta_sketch_agg in the defining aggregate), the roll-up is the
+      // sketch union — an APPROXIMATION, so it fires only under the
+      // explicit session opt-in `spark.graft.matview.approxDistinctRollup`
+      // with the documented bound: exact below the sketch's nominal k
+      // (default lg_k=12 → 4096 distincts), ~1/√k relative standard error
+      // above it (±5% covers 3σ at the default k). Off by default: the
+      // transparent tier never silently approximates.
       case al @ Alias(AggregateExpression(c: Count, _, true, None, _), name)
           if c.children.length == 1 =>
         typedGroupExprOf(c.children.head).map { g =>
           Alias(Count(g).toAggregateExpression(isDistinct = true),
-            name)(exprId = al.exprId)
+            name)(exprId = al.exprId): NamedExpression
+        }.orElse {
+          if (session.conf.get(
+              "spark.graft.matview.approxDistinctRollup", "false") != "true")
+            None
+          else for {
+            skN <- e.aggs.get(("theta", Some(norm(c.children.head))))
+            skAttr <- relAttr(skN)
+          } yield {
+            val union = new org.apache.spark.sql.catalyst.expressions
+              .aggregate.ThetaUnionAgg(skAttr).toAggregateExpression()
+            val est: Expression = org.apache.spark.sql.catalyst.expressions
+              .ThetaSketchEstimate(union)
+            val v = if (est.dataType == al.dataType) est
+              else Cast(est, al.dataType, tz)
+            Alias(v, name)(exprId = al.exprId): NamedExpression
+          }
         }
       case al @ Alias(AggregateExpression(f, _, false, None, _), name) =>
         reAgg(f).flatMap { case (vn, mk) =>

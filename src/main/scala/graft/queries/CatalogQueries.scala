@@ -729,6 +729,251 @@ object CatalogQueries {
       |  TRUE AS annotated, TRUE AS pruned_ok
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Planned input-partition count of the (single) V2 snapshot scan in
+    * `df`'s optimized plan — how the partition-pruning gates read what
+    * the scan ACTUALLY plans, not what a helper would prune. */
+  private def plannedParts(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.catalog.SnapshotScan]
+          .planInputPartitions().length
+    }.sum
+
+  /** q339: TIME PARTITIONING — `PARTITIONED BY (days(ts))`: the INSERT
+    * shuffles on the catalog-resolved `days` function (every UTC day
+    * lands whole in one task), the fanout writer stages one file per day
+    * with the day number annotated in the manifest, and a one-day probe
+    * plans ONLY that day's file(s) ([[graft.catalog.SnapshotPartitions]]).
+    * `annotated` pins full tuple coverage, `pruned_ok` that the probe's
+    * planned scan admits a strict subset. At 100 TB this is the ingest
+    * layout every events table wants: retention, backfill, and probe all
+    * become day-file operations. */
+  def catDaysPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ev_days")
+    spark.sql(
+      """CREATE TABLE graft.ev_days
+        |  (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("evdays_src")
+    spark.sql(
+      """INSERT INTO graft.ev_days
+        |SELECT event_id, ts, event_type, value FROM evdays_src""".stripMargin)
+    val root = s"$wh/ev_days"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val annotated = files.nonEmpty &&
+      files.forall(f => pv.contains(SnapshotStore.uriPath(f)))
+    // probe the corpus's first UTC day — bounds derived the same way the
+    // oracle derives them, so the slices agree exactly
+    val minTs = spark.table("graft.ev_days").agg(min(col("ts")))
+      .head().getTimestamp(0)
+    val d0 = java.time.Instant.ofEpochMilli(minTs.getTime)
+      .truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val probe = spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.ev_days
+         |WHERE ts >= TIMESTAMP '${fmt.format(d0)}'
+         |  AND ts < TIMESTAMP '${fmt.format(d0.plus(java.time.Duration.ofDays(1)))}'
+         |GROUP BY event_type""".stripMargin)
+    val planned = plannedParts(probe)
+    val prunedOk = planned >= 1 && planned < files.size
+    probe.select(col("event_type"), col("n"), col("total_value"),
+      lit(annotated).as("annotated"), lit(prunedOk).as("pruned_ok"))
+  }
+
+  private val catDaysPartitionSql =
+    """WITH d0 AS (SELECT date_trunc('day', min(ts)) AS lo FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS annotated, TRUE AS pruned_ok
+      |FROM events, d0
+      |WHERE ts >= lo AND ts < lo + INTERVAL 1 DAY
+      |GROUP BY 1""".stripMargin
+
+  /** q340: MULTI-ITEM + HASH-BUCKET PARTITIONING — `PARTITIONED BY
+    * (event_type, bucket(4, user_id))`: identity and bucket transforms
+    * compose in one spec (the per-file annotation is the URL-encoded
+    * tuple), the INSERT clusters on BOTH transform values, and a point
+    * probe on `user_id` prunes to the matching bucket's files across
+    * types — 1/n of the table without any sort order on the key.
+    * `annotated` pins tuple coverage, `pruned_ok` that the probe planned
+    * a strict subset. The 100 TB shape for high-cardinality point
+    * lookups (user histories, doc ids) where range clustering buys
+    * nothing. */
+  def catBucketPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ev_bkt")
+    spark.sql(
+      """CREATE TABLE graft.ev_bkt
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (event_type, bucket(4, user_id))""".stripMargin)
+    graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("evbkt_src")
+    spark.sql(
+      """INSERT INTO graft.ev_bkt
+        |SELECT event_id, user_id, event_type, value FROM evbkt_src""".stripMargin)
+    val root = s"$wh/ev_bkt"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val annotated = files.nonEmpty &&
+      files.forall(f => pv.contains(SnapshotStore.uriPath(f)))
+    val probeUser = spark.table("graft.ev_bkt").agg(min(col("user_id")))
+      .head().getLong(0)
+    val probe = spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.ev_bkt WHERE user_id = $probeUser
+         |GROUP BY event_type""".stripMargin)
+    val planned = plannedParts(probe)
+    val prunedOk = planned >= 1 && planned < files.size
+    probe.select(col("event_type"), col("n"), col("total_value"),
+      lit(annotated).as("annotated"), lit(prunedOk).as("pruned_ok"))
+  }
+
+  private val catBucketPartitionSql =
+    """WITH u AS (SELECT min(user_id) AS probe_u FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS annotated, TRUE AS pruned_ok
+      |FROM events, u
+      |WHERE user_id = probe_u
+      |GROUP BY 1""".stripMargin
+
+  /** q341: OPTIMIZE ZORDER over THREE keys — `compact(cluster_col =>
+    * 'l_orderkey,l_partkey,l_suppkey')` interleaves three min-max
+    * normalized dimensions into one Morton value
+    * ([[graft.queries.Layout.zValueN]]: bit b of dim j → position 3b+j,
+    * so every file bounds ALL THREE keys), and one multi-key analyze
+    * persists all three bounds. Gates pin the layout theorem at k=3: the
+    * linear orderkey layout is blind to partkey AND suppkey slices
+    * (`linear_blind`), the z-ordered layout prunes on EVERY key
+    * (`z_prunes_all`), and the graded content is a suppkey-slice
+    * aggregate read through the pruned catalog scan. At 100 TB: one
+    * layout serves three access paths at ~∛fraction scan cost each,
+    * instead of three sorted copies. */
+  def catZorder3(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_cat_z3")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+    SnapshotStore.commit(spark, root, SnapshotStore.writeData(spark, root,
+      li.repartitionByRange(16, col("l_orderkey")), "base"), 0)
+    GraftCatalog.register(spark, "cat_li_z3", root)
+    val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey")),
+      max(col("l_suppkey"))).head()
+    def slice(m: Long) = (m / 4, m / 4 + m / 8)
+    val keys = Seq("l_orderkey" -> slice(mx.getLong(0)),
+      "l_partkey" -> slice(mx.getLong(1)), "l_suppkey" -> slice(mx.getLong(2)))
+    def admitted(key: String, lo: Long, hi: Long): Int =
+      graft.catalog.SnapshotZones.prune(spark, root,
+        SnapshotStore.currentVersion(spark, root),
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(key, lo),
+          org.apache.spark.sql.sources.LessThanOrEqual(key, hi)),
+        SnapshotStore.files(spark, root)).size
+    spark.sql(
+      "CALL graft.analyze('cat_li_z3', 'l_orderkey,l_partkey,l_suppkey')")
+    // the linear layout bounds only its sort key
+    val linearBlind = keys.tail.forall { case (k, (lo, hi)) =>
+      admitted(k, lo, hi) == SnapshotStore.files(spark, root).size
+    }
+    spark.sql(
+      """CALL graft.compact(table => 'cat_li_z3', buckets => 64,
+        |cluster_col => 'l_orderkey,l_partkey,l_suppkey')""".stripMargin)
+    spark.sql(
+      "CALL graft.analyze('cat_li_z3', 'l_orderkey,l_partkey,l_suppkey')")
+    val total = SnapshotStore.files(spark, root).size
+    val zOk = keys.forall { case (k, (lo, hi)) => admitted(k, lo, hi) < total }
+    SnapshotStore.dropSkipping(spark, root)
+    val (sLo, sHi) = slice(mx.getLong(2))
+    spark.sql(
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_qty
+         |FROM graft.cat_li_z3
+         |WHERE l_suppkey BETWEEN $sLo AND $sHi
+         |GROUP BY l_returnflag""".stripMargin)
+      .select(col("l_returnflag"), col("n"), col("total_qty"),
+        lit(linearBlind).as("linear_blind"), lit(zOk).as("z_prunes_all"))
+  }
+
+  private val catZorder3Sql =
+    """WITH rng AS (
+      |  SELECT (max(l_suppkey) // 4) AS lo,
+      |         (max(l_suppkey) // 4) + (max(l_suppkey) // 8) AS hi
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_qty,
+      |  TRUE AS linear_blind, TRUE AS z_prunes_all
+      |FROM lineitem, rng
+      |WHERE l_suppkey BETWEEN lo AND hi
+      |GROUP BY 1""".stripMargin
+
+  /** q343: RENAME/DROP COLUMN as pure metadata commits — the field-id
+    * problem solved manifest-side ([[graft.sources.SchemaEvo]]): every
+    * data line carries its write-epoch schema version (`sv=`), every
+    * schema field its name history, and the scan reads each file under
+    * the names it was WRITTEN with. The entry: half of orders lands
+    * under `o_totalprice`, the column is renamed to `price` (zero files
+    * touched — `files_stable`), the other half lands under `price`, and
+    * the graded aggregate sums `price` across BOTH epochs — a lost
+    * old-epoch resolution would halve the totals and hash-fail.
+    * `schema_versioned` pins that time travel resolves the pre-rename
+    * version under its own name. At 100 TB a rename is one manifest
+    * line, not a table rewrite. */
+  def catRename(spark: SparkSession, dir: String): DataFrame = {
+    freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.rn_orders")
+    spark.sql(
+      """CREATE TABLE graft.rn_orders
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |""".stripMargin)
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("rn_src")
+    spark.sql(
+      """INSERT INTO graft.rn_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM rn_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val root =
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/rn_orders"
+    val before = SnapshotStore.files(spark, root).map(Lakehouse.normPath).toSet
+    spark.sql("ALTER TABLE graft.rn_orders RENAME COLUMN o_totalprice TO price")
+    val filesStable =
+      SnapshotStore.files(spark, root).map(Lakehouse.normPath).toSet == before
+    spark.sql(
+      """INSERT INTO graft.rn_orders
+        |SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |FROM rn_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    val schemaVersioned =
+      spark.sql("SELECT * FROM graft.rn_orders VERSION AS OF 2")
+        .columns.toSeq == Seq("o_orderkey", "o_orderstatus", "o_totalprice") &&
+      spark.table("graft.rn_orders").columns
+        .toSeq == Seq("o_orderkey", "o_orderstatus", "price")
+    spark.table("graft.rn_orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("price")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(filesStable).as("files_stable"),
+        lit(schemaVersioned).as("schema_versioned"))
+  }
+
+  private val catRenameSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS files_stable, TRUE AS schema_versioned
+      |FROM orders GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -745,5 +990,11 @@ object CatalogQueries {
     QueryDef("q336_cat_stream_read", catStreamRead, Some(catStreamReadSql)),
     QueryDef("q337_cat_zorder", catZorder, Some(catZorderSql)),
     QueryDef("q338_cat_partition_insert", catPartitionWrite,
-      Some(catPartitionWriteSql)))
+      Some(catPartitionWriteSql)),
+    QueryDef("q339_cat_days_partition", catDaysPartition,
+      Some(catDaysPartitionSql)),
+    QueryDef("q340_cat_bucket_partition", catBucketPartition,
+      Some(catBucketPartitionSql)),
+    QueryDef("q341_cat_zorder3", catZorder3, Some(catZorder3Sql)),
+    QueryDef("q343_cat_rename", catRename, Some(catRenameSql)))
 }

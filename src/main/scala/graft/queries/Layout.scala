@@ -41,6 +41,28 @@ object Layout {
   def zValue(a: Column, b: Column): Column =
     spread31(a).bitwiseOR(shiftleft(spread31(b), 1))
 
+  /** k-WAY Morton interleave: bit `b` of dimension `j` lands at position
+    * `b*k + j`, so every prefix of the Z-value fixes the same number of
+    * high bits of EVERY dimension — the balance property that makes a
+    * z-clustered layout prune on any constrained key. Inputs must already
+    * be normalized to `bits` bits (the compact procedure min-max
+    * normalizes); `k*bits ≤ 62` keeps the value positive in a BIGINT.
+    * Pure codegen'd integer ops (k·bits shift/mask terms — 45 for three
+    * 15-bit dims). For k=2 the layout is bit-identical to [[zValue]] on
+    * the same normalized inputs. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && cols.length * bits <= 62,
+      s"zValueN: need 1..62/bits dims, got ${cols.length} x $bits bits")
+    val k = cols.length
+    val lowMask = lit((1L << bits) - 1)
+    cols.zipWithIndex.map { case (c, j) =>
+      val base = c.cast("long").bitwiseAND(lowMask)
+      (0 until bits).map { b =>
+        shiftleft(shiftright(base, b).bitwiseAND(lit(1L)), b * k + j)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** The same spread as plain SQL, for the DuckDB oracle. */
   private def spreadSql(col: String): String = {
     var x = s"(CAST($col AS BIGINT) & 2147483647)"

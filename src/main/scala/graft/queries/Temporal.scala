@@ -547,6 +547,79 @@ object Temporal {
        |FROM orders
        |GROUP BY 1""".stripMargin
 
+  // ---- q342: matview COUNT DISTINCT over a NON-KEY column via sketches ----
+
+  /** q342: the LAST declined roll-up case, answered by STORED SKETCHES —
+    * `COUNT(DISTINCT o_custkey)` where custkey is NOT a view key cannot
+    * re-aggregate from count/sum partials (distinct values don't add),
+    * so the day-grain view stores a THETA SKETCH of custkey per (day,
+    * status) group (`theta_sketch_agg`, Spark 4's DataSketches binding):
+    * sketches form a commutative monoid under union, so ANY coarser
+    * grain re-aggregates by `theta_union_agg` + estimate. The rewrite is
+    * gated behind the explicit session opt-in
+    * `spark.graft.matview.approxDistinctRollup` — the transparent tier
+    * never silently approximates — with the DOCUMENTED bound: exact
+    * below the sketch's nominal k (lg_k=12 → 4096 distincts; every week
+    * here is far below it), ~1/√k relative error above.
+    *
+    * Grading, q47b-style: the estimate itself is not hash-graded (it is
+    * an estimate); the graded row is (week, exact n, INDEPENDENTLY
+    * computed exact distinct, `rewritten` — the optimized plan scans the
+    * view and not the base — and `within_bound` — |est − exact| ≤
+    * max(16, 5%·exact) per row, which at this scale is equality by the
+    * exact-mode argument). At 100 TB: the one dashboard aggregate that
+    * still forced a base re-scan now rides the nightly day-grain view,
+    * moving sketch bytes instead of raw keys. */
+  def matviewSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_mv_sketch_cd"
+    val confKey = "spark.graft.matview.approxDistinctRollup"
+    def base = Tables(spark, dir, "orders")
+    val defining = base
+      .groupBy(col("o_orderdate"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("theta_sketch_agg(o_custkey)").as("sk_cust"))
+    graft.plans.MatViewRule.register(spark, defining, table)
+    spark.conf.set(confKey, "true")
+    val (est, rewritten) = try {
+      val consumer = base
+        .groupBy(date_trunc("WEEK", col("o_orderdate")).as("week"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("d_est"))
+      val scans = consumer.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString).mkString(";")
+            case _ => ""
+          }
+      }
+      (consumer.localCheckpoint(),
+        scans.exists(_.contains(table)) &&
+          !scans.exists(_.contains("orders.parquet")))
+    } finally {
+      spark.conf.unset(confKey)
+      graft.plans.MatViewRule.drop(table)
+    }
+    // the exact side, computed with the rule dropped — from the base
+    val exact = base
+      .groupBy(date_trunc("WEEK", col("o_orderdate")).as("week"))
+      .agg(countDistinct(col("o_custkey")).as("d_exact"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("n"), col("d_exact"),
+        lit(rewritten).as("rewritten"),
+        (abs(col("d_est") - col("d_exact")) <=
+          greatest(lit(16L), ceil(col("d_exact") * 0.05)))
+          .as("within_bound"))
+  }
+
+  private val matviewSketchRollupSql =
+    s"""SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_exact,
+       |  TRUE AS rewritten, TRUE AS within_bound
+       |FROM orders
+       |GROUP BY 1""".stripMargin
+
   // ---- q222: algebraic incremental view maintenance (delta merge) ---------
 
   /** q222: INCREMENTAL VIEW MAINTENANCE by COUNTING ALGEBRA — the delta
@@ -1093,6 +1166,8 @@ object Temporal {
     QueryDef("q313_matview_rollup", matviewRollup, Some(matviewRollupSql)),
     QueryDef("q326_matview_rollup_avg", matviewRollupAvg,
       Some(matviewRollupAvgSql)),
+    QueryDef("q342_matview_sketch_cd", matviewSketchRollup,
+      Some(matviewSketchRollupSql)),
     QueryDef("q222_ivm_delta", ivmDelta, Some(ivmDeltaSql)),
     QueryDef("q223_stream_ivm", streamIvm, Some(ivmDeltaSql)),
     QueryDef("q213_partition_refresh", partitionRefresh, Some(partitionRefreshSql)),

@@ -91,6 +91,20 @@ object SnapshotStore {
   private val MetaPrefix = "meta:"
   private val PartSuffix = "\tpart="
 
+  /** A non-meta line's annotations: the path is the first tab-separated
+    * token, everything after is `key=value` tokens in any order (`part=`,
+    * `len=`, ...) — new annotation kinds parse past old readers, old
+    * lines parse under new readers. */
+  private def annots(line: String): Map[String, String] =
+    line.split('\t').iterator.drop(1).flatMap { t =>
+      val i = t.indexOf('=')
+      if (i <= 0) None else Some(t.substring(0, i) -> t.substring(i + 1))
+    }.toMap
+
+  /** The path token of a (data or dv) manifest line. */
+  private def pathOf(line: String): String =
+    line.split('\t').head.stripPrefix(DvPrefix)
+
   /** The DATA file list of `version` (default: latest). */
   def files(spark: SparkSession, root: String, version: Int = -1): Seq[String] =
     manifestLines(spark, root, version)
@@ -102,8 +116,59 @@ object SnapshotStore {
   def deleteVectors(spark: SparkSession, root: String,
       version: Int = -1): Seq[String] =
     manifestLines(spark, root, version).collect {
-      case l if l.startsWith(DvPrefix) => l.stripPrefix(DvPrefix)
+      case l if l.startsWith(DvPrefix) => pathOf(l)
     }
+
+  /** Per-file byte lengths recorded AT COMMIT (`len=` annotations on data
+    * and dv lines), uri-path keyed: with them a scan plans its splits and
+    * size statistics from the MANIFEST ALONE — zero per-file filesystem
+    * round trips at plan time (the Iceberg/Delta manifest-stats contract;
+    * at 10⁵-10⁶ files, serial namenode stats would dominate planning).
+    * Files committed by pre-annotation manifests are simply absent —
+    * consumers fall back to one `getFileStatus` for those. */
+  def fileLens(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Long] =
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith(MetaPrefix))
+      .flatMap { l =>
+        annots(l).get("len").flatMap(_.toLongOption)
+          .map(uriPath(pathOf(l)) -> _)
+      }.toMap
+
+  /** Per-file WRITE-EPOCH schema versions (`sv=` annotations), uri-path
+    * keyed — which manifest version's schema each data file was written
+    * under; the resolution key for [[SchemaEvo]] rename/drop evolution.
+    * Files committed before sv-stamping are absent (consumers treat them
+    * as current-named; RENAME/DROP decline on such tables). */
+  def fileSchemaVersions(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Int] =
+    manifestLines(spark, root, version)
+      .filterNot(l => l.startsWith(MetaPrefix) || l.startsWith(DvPrefix))
+      .flatMap { l =>
+        annots(l).get("sv").flatMap(_.toIntOption)
+          .map(uriPath(pathOf(l)) -> _)
+      }.toMap
+
+  /** Which delete-vector files tombstone which data files at `version`:
+    * data-file uri-path → covering dv MANIFEST paths. ONE distributed
+    * distinct over the vectors, so the driver result is FILE-count scale
+    * (≤ |tombstoned files| × |covering dvs| pairs) — never
+    * tombstone-count scale; the positions themselves are loaded and
+    * applied EXECUTOR-side by the scan. */
+  def dvCoverage(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Seq[String]] = {
+    val dvs = deleteVectors(spark, root, version)
+    if (dvs.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val byUri = dvs.map(d => uriPath(d) -> d).toMap
+    spark.read.parquet(dvs: _*)
+      .select(col("file"), input_file_name().as("dvf"))
+      .distinct().collect()
+      .groupBy(r => uriPath(r.getString(0)))
+      .map { case (f, rs) =>
+        f -> rs.map(r => byUri(uriPath(r.getString(1)))).toSeq.distinct.sorted
+      }
+  }
 
   /** Render a delete-vector path as its manifest line. */
   def dvLine(path: String): String = DvPrefix + path
@@ -252,12 +317,10 @@ object SnapshotStore {
     * unconditionally. */
   def partitionValuesOf(spark: SparkSession, root: String,
       version: Int = -1): Map[String, String] =
-    manifestLines(spark, root, version).collect {
-      case l if !l.startsWith(DvPrefix) && !l.startsWith(MetaPrefix) &&
-          l.contains(PartSuffix) =>
-        val i = l.indexOf(PartSuffix)
-        uriPath(l.substring(0, i)) -> l.substring(i + PartSuffix.length)
-    }.toMap
+    manifestLines(spark, root, version).iterator
+      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .flatMap(l => annots(l).get("part").map(uriPath(pathOf(l)) -> _))
+      .toMap
 
   /** The files of `version` whose partition value is `value` under spec
     * column `col` — declines to NO pruning when the version's spec is a
@@ -311,26 +374,48 @@ object SnapshotStore {
     // authoritative: read under it (older files null-fill added columns,
     // no footer union), and an EMPTY table reads as zero rows of it.
     val recorded = schemaOf(spark, root, version)
+    import org.apache.spark.sql.functions.col
+    // row identity for the DV anti-join must attach DIRECTLY above each
+    // file scan (the `_metadata` pseudo-column does not survive unions)
+    val dvs = deleteVectors(spark, root, version)
+    def brand(df: DataFrame): DataFrame =
+      if (dvs.isEmpty) df
+      else df.withColumn("__row_file", normCol(col("_metadata.file_path")))
+        .withColumn("__row_pos", col("_metadata.row_index"))
     val df = recorded match {
       case Some(s) if fl.isEmpty =>
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      case Some(s) => spark.read.schema(s).parquet(fl: _*)
+      case Some(s) if SchemaEvo.isTrivial(s) =>
+        brand(spark.read.schema(s).parquet(fl: _*))
+      case Some(s) =>
+        // RENAMED/DROPPED columns: group files by their WRITE-EPOCH
+        // physical schema ([[SchemaEvo]]), read each group under its own
+        // names, re-alias positionally to the current names, and union —
+        // old files keep resolving their data under whatever the column
+        // was called when they were written
+        val svs = fileSchemaVersions(spark, root, version)
+        val cur = if (version > 0) version else currentVersion(spark, root)
+        fl.groupBy(f =>
+            SchemaEvo.physicalSchema(s, svs.getOrElse(uriPath(f), cur)))
+          .map { case (phys, group) =>
+            brand(spark.read.schema(phys).parquet(group: _*))
+              .select(s.fieldNames.toSeq.zip(phys.fieldNames).map {
+                case (curName, physName) => col(physName).as(curName)
+              } ++ (if (dvs.isEmpty) Nil
+                    else Seq(col("__row_file"), col("__row_pos"))): _*)
+          }.reduce(_ unionByName _)
       case None =>
         val r = spark.read
-        (if (mergeSchema) r.option("mergeSchema", "true") else r)
-          .parquet(fl: _*)
+        brand((if (mergeSchema) r.option("mergeSchema", "true") else r)
+          .parquet(fl: _*))
     }
-    val dvs = deleteVectors(spark, root, version)
-    if (dvs.isEmpty) df
+    if (dvs.isEmpty || fl.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.col
-      val cols = df.columns.toSeq.map(col)
+      val cols = df.columns.toSeq.filterNot(_.startsWith("__row_")).map(col)
       val tomb = spark.read.parquet(dvs: _*)
         .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
-      df.withColumn("__row_file", normCol(col("_metadata.file_path")))
-        .withColumn("__row_pos", col("_metadata.row_index"))
-        .join(tomb, col("__row_file") === col("__dv_file") &&
+      df.join(tomb, col("__row_file") === col("__dv_file") &&
           col("__row_pos") === col("__dv_pos"), "left_anti")
         .select(cols: _*)
     }
@@ -397,10 +482,32 @@ object SnapshotStore {
     val f = fs(spark, d)
     f.mkdirs(d)
     val next = expectedVersion + 1
+    // Record each NEW file's byte length (`len=`) and write-epoch schema
+    // version (`sv=`) in its line: carried lines already have theirs, so
+    // the stat is paid ONCE per file lifetime at commit — every later
+    // scan plans splits from the manifest with zero per-file FS round
+    // trips, and schema evolution ([[SchemaEvo]]) knows which column
+    // names each file was written under. Best-effort on len: a line
+    // whose path can't be stat'd (synthetic tests, foreign schemes)
+    // commits bare and consumers fall back per file.
+    val annotated = fileList.map { l =>
+      if (l.startsWith(MetaPrefix)) l
+      else {
+        val a = annots(l)
+        val withLen =
+          if (a.contains("len")) l
+          else try {
+            val p = new org.apache.hadoop.fs.Path(pathOf(l))
+            s"$l\tlen=${p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen}"
+          } catch { case _: Exception => l }
+        if (l.startsWith(DvPrefix) || a.contains("sv")) withLen
+        else s"$withLen\tsv=$next"
+      }
+    }
     val tmp = new org.apache.hadoop.fs.Path(d,
       s".v$next.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
-    try out.write((fileList.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((annotated.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = new org.apache.hadoop.fs.Path(d, f"v$next%05d.txt")
     val published =
@@ -520,6 +627,18 @@ object SnapshotStore {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "writeStatsMulti: at least one key column")
     val v = if (version > 0) version else currentVersion(spark, root)
+    // stats read files by their FOOTER names: a table holding files from
+    // pre-rename epochs would silently null the renamed column for those
+    // files and record partial (too-narrow — row-losing) bounds. Decline
+    // loudly; compaction rewrites everything under current names.
+    schemaOf(spark, root, v).filterNot(SchemaEvo.isTrivial).foreach { s =>
+      val svs = fileSchemaVersions(spark, root, v)
+      val curPhys = SchemaEvo.physicalSchema(s, v)
+      require(files(spark, root, v).forall(f =>
+        SchemaEvo.physicalSchema(s, svs.getOrElse(uriPath(f), v)) == curPhys),
+        "writeStats: table holds files written under pre-rename schemas - " +
+          "run compact first (footer-name stats would record partial bounds)")
+    }
     val aggs = keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
     val perFile = spark.read.parquet(files(spark, root, v): _*)

@@ -241,12 +241,63 @@ class CatalogSpec extends AnyFunSuite {
     // the pre-evolution version reads under ITS schema
     assert(spark.sql("SELECT * FROM graft.ddl_ev VERSION AS OF 2")
       .columns.toSeq == Seq("k"))
-    // declines: non-append changes
+    // declines: retype (narrowing rewrites history)
     intercept[Throwable] {
-      spark.sql("ALTER TABLE graft.ddl_ev DROP COLUMN note")
+      spark.sql("ALTER TABLE graft.ddl_ev ALTER COLUMN note TYPE BIGINT")
     }
+  }
+
+  test("RENAME/DROP COLUMN are metadata commits: files resolve by write-epoch names") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_rn")
+    spark.sql("CREATE TABLE graft.ddl_rn (k BIGINT, note STRING)")
+    spark.sql("INSERT INTO graft.ddl_rn VALUES (1L, 'a'), (2L, 'b')") // sv=2
+    val root = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/ddl_rn"
+    val before = SnapshotStore.files(spark, root).toSet
+    spark.sql("ALTER TABLE graft.ddl_rn RENAME COLUMN note TO label") // v3
+    // pure metadata: zero data files touched
+    assert(SnapshotStore.files(spark, root).toSet == before)
+    assert(spark.table("graft.ddl_rn").columns.toSeq == Seq("k", "label"))
+    // old files' data resolves under the new name
+    assert(spark.sql("SELECT label FROM graft.ddl_rn WHERE k = 1")
+      .head().getString(0) == "a")
+    spark.sql("INSERT INTO graft.ddl_rn VALUES (3L, 'c')") // sv=4: 'label'
+    // mixed epochs read together; pushdown on the renamed column correct
+    assert(spark.table("graft.ddl_rn").count() == 3)
+    assert(spark.sql("SELECT k FROM graft.ddl_rn WHERE label = 'a'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT k FROM graft.ddl_rn WHERE label = 'c'")
+      .head().getLong(0) == 3L)
+    // time travel reads the pre-rename version under ITS OWN name
+    assert(spark.sql("SELECT * FROM graft.ddl_rn VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "note"))
+    // chained rename: both epochs still resolve
+    spark.sql("ALTER TABLE graft.ddl_rn RENAME COLUMN label TO tag") // v5
+    assert(spark.sql("SELECT tag FROM graft.ddl_rn WHERE k = 2")
+      .head().getString(0) == "b")
+    // COW UPDATE across epochs: the rewrite reads epoch-mapped rows
+    spark.sql("UPDATE graft.ddl_rn SET tag = 'x' WHERE k = 1")
+    assert(spark.sql("SELECT tag FROM graft.ddl_rn WHERE k = 1")
+      .head().getString(0) == "x")
+    assert(spark.table("graft.ddl_rn").count() == 3)
+    // DROP COLUMN: metadata only; re-ADDING an OLD PHYSICAL NAME must
+    // null-fill, never resurrect the dropped field's bytes
+    spark.sql("ALTER TABLE graft.ddl_rn DROP COLUMN tag")
+    assert(spark.table("graft.ddl_rn").columns.toSeq == Seq("k"))
+    assert(spark.table("graft.ddl_rn").count() == 3)
+    spark.sql("ALTER TABLE graft.ddl_rn ADD COLUMN label DOUBLE")
+    assert(spark.table("graft.ddl_rn").where(col("label").isNotNull).isEmpty,
+      "re-added column resurrected a dropped epoch's values")
+    spark.sql("INSERT INTO graft.ddl_rn VALUES (9L, 2.5)")
+    assert(spark.sql("SELECT label FROM graft.ddl_rn WHERE k = 9")
+      .head().getDouble(0) == 2.5)
+    // declines: rename to a taken name; drop of the last column
     intercept[Throwable] {
-      spark.sql("ALTER TABLE graft.ddl_ev RENAME COLUMN note TO m")
+      spark.sql("ALTER TABLE graft.ddl_rn RENAME COLUMN k TO label")
+    }
+    spark.sql("ALTER TABLE graft.ddl_rn DROP COLUMN label")
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ddl_rn DROP COLUMN k")
     }
   }
 
@@ -705,6 +756,275 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(morScans.forall(!_.supportsColumnar))
     assert(mor.count() == 99)
+  }
+
+  test("ADD COLUMN NOT NULL declines; a failing DROP TABLE keeps the registration") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.ddl_nn")
+    spark.sql("CREATE TABLE graft.ddl_nn (k BIGINT)")
+    spark.sql("INSERT INTO graft.ddl_nn VALUES (1L)")
+    // existing rows would null-fill a non-nullable column: decline loudly
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ddl_nn ADD COLUMN c BIGINT NOT NULL")
+    }
+    assert(spark.table("graft.ddl_nn").columns.toSeq == Seq("k"))
+    // a registered-but-never-committed root: DROP reports the table as
+    // nonexistent and must NOT silently deregister the path
+    val empty = java.nio.file.Files.createTempDirectory("catspec_empty")
+    GraftCatalog.register(spark, "t_never", s"$empty/t")
+    intercept[Throwable] { spark.sql("DROP TABLE graft.t_never") }
+    assert(spark.conf
+      .getOption("spark.sql.catalog.graft.path.t_never").isDefined,
+      "failed DROP silently deregistered the table")
+    GraftCatalog.unregister(spark, "t_never")
+  }
+
+  test("CALL graft.compact keeps per-file partition annotations on a partitioned table") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.p_opt")
+    spark.sql("CREATE TABLE graft.p_opt (k BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql(
+      """INSERT INTO graft.p_opt
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(1, 101)""".stripMargin)
+    spark.sql("INSERT INTO graft.p_opt SELECT id, 'a' FROM range(200, 220)")
+    spark.sql(
+      "CALL graft.compact(table => 'p_opt', buckets => 1, cluster_col => 'k')")
+    val root = s"$w/p_opt"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    assert(files.nonEmpty &&
+      files.forall(f => pv.contains(SnapshotStore.uriPath(f))),
+      s"compact dropped annotations: $files vs $pv")
+    assert(SnapshotStore.partitionSpecOf(spark, root).contains("g"))
+    val ga = SnapshotStore.filesWherePartition(spark, root, "g", "a")
+    assert(ga.nonEmpty && ga.size < files.size)
+    assert(spark.read.parquet(ga: _*).where(col("g") =!= "a").isEmpty)
+    assert(spark.table("graft.p_opt").count() == 120)
+  }
+
+  test("zero-RPC planning: manifest len= annotations plan splits without per-file stats") {
+    val root = freshTable("t_lens")
+    val lens = SnapshotStore.fileLens(spark, root)
+    assert(SnapshotStore.files(spark, root)
+      .forall(f => lens.contains(SnapshotStore.uriPath(f))),
+      s"commit left lines unannotated: $lens")
+    val before = graft.catalog.SnapshotScan.planStatCalls.get()
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.t_lens")
+      .head().getLong(0) == 5050L)
+    assert(graft.catalog.SnapshotScan.planStatCalls.get() == before,
+      "planning paid per-file FS stats despite manifest lens")
+  }
+
+  test("a vectored file splits like a clean one; executor-side vectors keep every split correct") {
+    val out = java.nio.file.Files.createTempDirectory("catspec_split")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = (1L to 20000L).map(k => (k, s"value_str_$k", k * 1.0))
+      .toDF("k", "v", "p").coalesce(1)
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "t_split", root)
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root,
+        col("k") % 1000L === 0L).coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    GraftCatalog.register(spark, "t_split", root) // reload at v2
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val df = spark.sql("SELECT k FROM graft.t_split")
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.catalog.SnapshotScan]
+      }
+      val parts = scans.head.planInputPartitions()
+        .map(_.asInstanceOf[graft.catalog.SnapshotInputPartition])
+      assert(parts.forall(_.dvPaths.nonEmpty))
+      assert(parts.length > 1,
+        s"tombstoned file planned unsplit: ${parts.length} partition(s)")
+      // every split applies only ITS OWN slice of the vector (file-absolute
+      // row index): exact count and sum survive the split boundaries
+      assert(df.count() == 20000 - 20)
+      assert(spark.sql("SELECT sum(k) AS s FROM graft.t_split")
+        .head().getLong(0) ==
+        (1L to 20000L).sum - (1L to 20L).map(_ * 1000L).sum)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("columnar gate is per scan: pruning away the vectored file keeps batches") {
+    val root = freshTable("t_colprune")
+    SnapshotStore.writeStats(spark, root, "k") // per-file [lo, hi] of k
+    // tombstone one low key: the vector covers only the file holding k=5
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") === 5L)
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    SnapshotStore.writeStats(spark, root, "k")
+    GraftCatalog.register(spark, "t_colprune", root)
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+    // a scan zone-pruned AWAY from the vectored file keeps columnar batches
+    val high = spark.sql("SELECT k, p FROM graft.t_colprune WHERE k >= 90")
+    assert(scansOf(high).nonEmpty && scansOf(high).forall(_.supportsColumnar),
+      "vector-free pruned scan lost its batches to a disjoint file's vector")
+    assert(high.count() == 11)
+    // a scan that plans the vectored file runs rows — and correctly
+    val low = spark.sql("SELECT k FROM graft.t_colprune WHERE k <= 10")
+    assert(scansOf(low).forall(!_.supportsColumnar))
+    assert(low.count() == 9)
+    SnapshotStore.dropSkipping(spark, root)
+  }
+
+  test("admission control: maxVersionsPerTrigger drains a backlog in bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    freshTable("t_admit") // v1
+    val ck = java.nio.file.Files.createTempDirectory("catspec_admit_ck")
+    val out = java.nio.file.Files.createTempDirectory("catspec_admit_out")
+    def run() = spark.readStream
+      .option("maxVersionsPerTrigger", "2").table("graft.t_admit")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out, "append"))
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def totalRows() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.toString).count()
+    // first run drains the v1 snapshot and checkpoints offset 1
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(totalRows() == 100)
+    // a 6-version backlog accrues while the reader is down
+    (0 until 6).foreach(i => spark.sql(
+      s"INSERT INTO graft.t_admit VALUES (${500L + i}, 'x', 1.0)")) // v2..v7
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      // 6 backlog versions at ≤2 per trigger: at least 3 non-empty batches
+      val nonEmpty = q2.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3, s"backlog drained in $nonEmpty batches")
+    } finally q2.stop()
+    assert(totalRows() == 106) // nothing lost, nothing duplicated
+  }
+
+  test("initial offset pins the loaded snapshot: a replayed batch 0 cannot leak later commits") {
+    val root = freshTable("t_pin") // v1: 100 rows
+    spark.sql("INSERT INTO graft.t_pin VALUES (500L, 'x', 1.0)") // v2
+    // a stream loads at v2 and plans batch 0 = (-2, 2]; it "crashes"
+    // before committing, a concurrent writer lands v3, and the restart —
+    // now loaded at v3 — must replay batch 0 AT v2 and emit v3 separately
+    def streamAt(v: Int) = {
+      val t = new graft.catalog.SnapshotTable(spark, "graft.t_pin", root, v)
+      new graft.catalog.SnapshotScanBuilder(spark, t, None).build()
+        .asInstanceOf[graft.catalog.SnapshotScan]
+        .toMicroBatchStream("unused")
+        .asInstanceOf[graft.catalog.SnapshotMicroBatchStream]
+    }
+    val s2 = streamAt(2)
+    val init = s2.initialOffset()
+    assert(init.json() == "-2", s"initial offset must pin v2: ${init.json()}")
+    val end0 = s2.latestOffset()
+    assert(end0.json() == "2")
+    spark.sql("INSERT INTO graft.t_pin VALUES (501L, 'y', 1.0)") // v3 races in
+    val s3 = streamAt(3) // the restart
+    def rowsOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition],
+        stream: graft.catalog.SnapshotMicroBatchStream): Long = {
+      val f = stream.createReaderFactory()
+      parts.map { p =>
+        val r = f.createReader(p)
+        var n = 0L
+        while (r.next()) n += 1
+        n
+      }.sum
+    }
+    assert(rowsOf(s3.planInputPartitions(init, end0), s3) == 101L,
+      "replayed batch 0 leaked rows from versions past its end offset")
+    assert(rowsOf(s3.planInputPartitions(end0, s3.latestOffset()), s3) == 1L)
+  }
+
+  test("partition transforms: days(ts) and bucket(n,c) route, annotate, and prune") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pt_days")
+    spark.sql(
+      """CREATE TABLE graft.pt_days (k BIGINT, ts TIMESTAMP, g STRING)
+        |PARTITIONED BY (g, days(ts))""".stripMargin)
+    // 3 UTC days × 2 groups = 6 tuples
+    spark.sql(
+      """INSERT INTO graft.pt_days
+        |SELECT id,
+        |  timestampadd(HOUR, CAST(id % 72 AS INT),
+        |    TIMESTAMP '2026-01-01 00:00:00'),
+        |  CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(0, 720)""".stripMargin)
+    val root = s"$w/pt_days"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    assert(files.forall(f => pv.contains(SnapshotStore.uriPath(f))))
+    // the write shuffled on the TRANSFORM values (catalog-resolved days
+    // function): exactly one file per (g, day) tuple
+    assert(files.size == 6, s"expected 6 tuple files, got ${files.size}: $pv")
+    val filters = Seq[org.apache.spark.sql.sources.Filter](EqualTo("g", "a"),
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    val admitted = graft.catalog.SnapshotPartitions.prune(spark, root,
+      SnapshotStore.currentVersion(spark, root), filters, files)
+    assert(admitted.size == 1, s"identity+days pruning admitted $admitted")
+    // content correct THROUGH the pruned catalog plan
+    val probe = spark.sql(
+      """SELECT count(*) AS n FROM graft.pt_days
+        |WHERE g = 'a' AND ts >= TIMESTAMP '2026-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2026-01-03 00:00:00'""".stripMargin)
+    assert(probe.head().getLong(0) == 120)
+    // bucket: a point lookup prunes to 1/n of the files
+    spark.sql("DROP TABLE IF EXISTS graft.pt_bkt")
+    spark.sql(
+      "CREATE TABLE graft.pt_bkt (u BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, u))")
+    spark.sql("INSERT INTO graft.pt_bkt SELECT id, id * 0.5 FROM range(0, 400)")
+    val broot = s"$w/pt_bkt"
+    val bfiles = SnapshotStore.files(spark, broot)
+    assert(bfiles.size == 4, s"expected 4 bucket files, got $bfiles")
+    val badm = graft.catalog.SnapshotPartitions.prune(spark, broot,
+      SnapshotStore.currentVersion(spark, broot),
+      Seq(EqualTo("u", 17L)), bfiles)
+    assert(badm.size == 1, s"bucket pruning admitted $badm")
+    val q = spark.sql("SELECT v FROM graft.pt_bkt WHERE u = 17")
+    assert(q.head().getDouble(0) == 8.5)
+    // the catalog functions are also directly callable
+    assert(spark.sql("SELECT graft.bucket(4, 17L) AS b").head().getInt(0) ==
+      Math.floorMod(java.lang.Long.hashCode(17L), 4))
+    // declines: an unsupported transform
+    intercept[Throwable] {
+      spark.sql("CREATE TABLE graft.pt_bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
+    }
+  }
+
+  test("persistent namespace: a fresh session resolves tables with only the warehouse conf") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.ns_t")
+    spark.sql("CREATE TABLE graft.ns_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.ns_t VALUES (1L), (2L)")
+    // a brand-new session: catalog impl + warehouse conf ONLY — the
+    // name→root mapping must come from the on-disk namespace manifest
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.graft.warehouse", w)
+    assert(s2.conf.getOption("spark.sql.catalog.graft.path.ns_t").isEmpty)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ns_t").head().getLong(0) == 2)
+    assert(s2.sql("CALL graft.history('ns_t')").count() == 2)
+    assert(s2.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ns_t"))
+    // DML through the fresh session commits to the same store
+    s2.sql("INSERT INTO graft.ns_t VALUES (3L)")
+    assert(spark.table("graft.ns_t").count() == 3)
+    // DROP removes the namespace entry: the fresh session then declines
+    spark.sql("DROP TABLE graft.ns_t")
+    intercept[Throwable] { s2.sql("SELECT * FROM graft.ns_t").collect() }
+    assert(!s2.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ns_t"))
   }
 
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {

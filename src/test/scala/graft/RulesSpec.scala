@@ -262,6 +262,46 @@ class RulesSpec extends AnyFunSuite {
     } finally MatViewRule.clear()
   }
 
+  test("matview sketch roll-up: stored theta sketches answer non-key COUNT DISTINCT under the opt-in") {
+    import graft.plans.MatViewRule
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("sketchrollup")
+    // x: a non-key measure with ~500 distinct values scattered over groups
+    (1L to 5000L).map(k => (k % 10, (k * 2654435761L) % 500L))
+      .toDF("g1", "x").write.parquet(s"$out/base.parquet")
+    def base = spark.read.parquet(s"$out/base.parquet")
+    def scansView(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("graft_mv_sketch")
+    // the defining view stores a THETA SKETCH of x per group (plus count)
+    val defining = base.groupBy(col("g1"))
+      .agg(count(lit(1)).as("c"), expr("theta_sketch_agg(x)").as("sk_x"))
+    val confKey = "spark.graft.matview.approxDistinctRollup"
+    try {
+      MatViewRule.register(spark, defining, "graft_mv_sketch")
+      def coarse = base.groupBy((col("g1") % 2).as("parity"))
+        .agg(countDistinct(col("x")).as("d"))
+      // DEFAULT: the transparent tier never silently approximates
+      assert(!scansView(coarse), "sketch roll-up fired without the opt-in")
+      val exact = coarse.orderBy(col("parity")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // OPT-IN: the non-key COUNT DISTINCT rolls up via theta union
+      spark.conf.set(confKey, "true")
+      assert(scansView(coarse), coarse.queryExecution.optimizedPlan.toString)
+      val est = coarse.orderBy(col("parity")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the documented bound: EXACT below the sketch's nominal k (default
+      // lg_k=12 → 4096); ~500 distincts per side is deep in exact mode
+      assert(est.sameElements(exact),
+        s"sketch estimate ${est.toSeq} vs exact ${exact.toSeq}")
+      // an expression with NO stored sketch still declines under the opt-in
+      assert(!scansView(base.groupBy((col("g1") % 2).as("parity"))
+        .agg(countDistinct(col("x") + 1).as("d"))))
+    } finally {
+      spark.conf.unset(confKey)
+      MatViewRule.clear()
+    }
+  }
+
   test("matview lifecycle: staleness declines, re-register, attach, sessions") {
     import graft.plans.MatViewRule
     val out = java.nio.file.Files.createTempDirectory("graft_mv_spec")
