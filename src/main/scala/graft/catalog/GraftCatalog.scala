@@ -672,9 +672,21 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   override def estimateStatistics(): Statistics = {
     val bytes = fileMeta(currentFiles, table.snapVersion).map(_._2).sum
+    // numRows from the manifest's commit-time footer counts when every
+    // planned file carries one (an estimate by contract — tombstoned
+    // rows are not subtracted; pruning-narrowed scans report the
+    // narrowed sum, which is what join planning wants)
+    val rowsByFile = SnapshotStore.fileRows(spark, table.root,
+      table.snapVersion)
+    val rows =
+      if (currentFiles.nonEmpty && currentFiles.forall(f =>
+        rowsByFile.contains(SnapshotStore.uriPath(f))))
+        OptionalLong.of(currentFiles.map(f =>
+          rowsByFile(SnapshotStore.uriPath(f))).sum)
+      else OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = rows
     }
   }
 
@@ -1410,9 +1422,19 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
     scan: SnapshotScan, skipChangeCommits: Boolean,
     maxVersionsPerTrigger: Option[Int] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** `Trigger.AvailableNow`: the target version is pinned HERE, before
+    * the first batch — the query drains up to it (in admission-control
+    * steps when configured) and stops, never chasing writers that keep
+    * committing while it runs. */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(current)
 
   /** The initial offset PINS the loaded snapshot version (negative
     * encoding): a crash before batch 0's commit replays against exactly
@@ -1439,11 +1461,12 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
     * source's unit of arrival. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = math.abs(versionOf(start))
+    val target = availableNowCap.getOrElse(current)
     val cap = maxVersionsPerTrigger match {
-      case Some(n) => math.min(current, from + math.max(1, n))
-      case None => current
+      case Some(n) => math.min(target, from + math.max(1, n))
+      case None => target
     }
-    SnapshotVersionOffset(cap)
+    SnapshotVersionOffset(math.max(from, cap))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

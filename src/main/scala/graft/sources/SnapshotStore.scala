@@ -135,6 +135,18 @@ object SnapshotStore {
           .map(uriPath(pathOf(l)) -> _)
       }.toMap
 
+  /** Per-file ROW COUNTS (`rows=` annotations, recorded from the parquet
+    * footer at commit), uri-path keyed — the scan's numRows statistics
+    * come from the manifest alone. */
+  def fileRows(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Long] =
+    manifestLines(spark, root, version)
+      .filterNot(l => l.startsWith(MetaPrefix) || l.startsWith(DvPrefix))
+      .flatMap { l =>
+        annots(l).get("rows").flatMap(_.toLongOption)
+          .map(uriPath(pathOf(l)) -> _)
+      }.toMap
+
   /** Per-file WRITE-EPOCH schema versions (`sv=` annotations), uri-path
     * keyed — which manifest version's schema each data file was written
     * under; the resolution key for [[SchemaEvo]] rename/drop evolution.
@@ -494,14 +506,26 @@ object SnapshotStore {
       if (l.startsWith(MetaPrefix)) l
       else {
         val a = annots(l)
+        val conf = spark.sparkContext.hadoopConfiguration
         val withLen =
           if (a.contains("len")) l
           else try {
             val p = new org.apache.hadoop.fs.Path(pathOf(l))
-            s"$l\tlen=${p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen}"
+            s"$l\tlen=${p.getFileSystem(conf).getFileStatus(p).getLen}"
           } catch { case _: Exception => l }
-        if (l.startsWith(DvPrefix) || a.contains("sv")) withLen
-        else s"$withLen\tsv=$next"
+        // data lines also record their ROW COUNT (one footer read at
+        // commit) — numRows statistics then come from the manifest alone
+        val withRows =
+          if (l.startsWith(DvPrefix) || a.contains("rows")) withLen
+          else try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(pathOf(l)), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val n = try r.getRecordCount finally r.close()
+            s"$withLen\trows=$n"
+          } catch { case _: Exception => withLen }
+        if (l.startsWith(DvPrefix) || a.contains("sv")) withRows
+        else s"$withRows\tsv=$next"
       }
     }
     val tmp = new org.apache.hadoop.fs.Path(d,

@@ -814,6 +814,16 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 5050L)
     assert(graft.catalog.SnapshotScan.planStatCalls.get() == before,
       "planning paid per-file FS stats despite manifest lens")
+    // numRows statistics come from the manifest's commit-time footer
+    // counts — exact here, zero FS round trips
+    val df = spark.sql("SELECT k FROM graft.t_lens")
+    val stats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.catalog.SnapshotScan].estimateStatistics()
+    }.head
+    assert(stats.numRows().isPresent && stats.numRows().getAsLong == 100L,
+      s"manifest numRows: ${stats.numRows()}")
+    assert(graft.catalog.SnapshotScan.planStatCalls.get() == before)
   }
 
   test("a vectored file splits like a clean one; executor-side vectors keep every split correct") {
@@ -908,6 +918,36 @@ class CatalogSpec extends AnyFunSuite {
       assert(nonEmpty >= 3, s"backlog drained in $nonEmpty batches")
     } finally q2.stop()
     assert(totalRows() == 106) // nothing lost, nothing duplicated
+  }
+
+  test("Trigger.AvailableNow drains the pinned backlog in bounded batches and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    freshTable("t_avnow") // v1
+    val ck = java.nio.file.Files.createTempDirectory("catspec_avnow_ck")
+    val out = java.nio.file.Files.createTempDirectory("catspec_avnow_out")
+    def run(trigger: Trigger) = spark.readStream
+      .option("maxVersionsPerTrigger", "1").table("graft.t_avnow")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out, "append"))
+      .option("checkpointLocation", ck.toString)
+      .trigger(trigger).start()
+    def totalRows() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.toString).count()
+    val q1 = run(Trigger.AvailableNow())
+    assert(q1.awaitTermination(120000), "AvailableNow did not terminate")
+    assert(totalRows() == 100) // the pinned snapshot, then stop
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO graft.t_avnow VALUES (${700L + i}, 'x', 1.0)")) // v2..v4
+    val q2 = run(Trigger.AvailableNow())
+    assert(q2.awaitTermination(120000))
+    assert(totalRows() == 103) // backlog drained (1 version per trigger)
+    assert(q2.recentProgress.count(_.numInputRows > 0) >= 3)
+    // nothing beyond the pinned target was consumed; a THIRD run picks
+    // up only what landed after the second pin
+    spark.sql("INSERT INTO graft.t_avnow VALUES (800L, 'y', 1.0)")
+    val q3 = run(Trigger.AvailableNow())
+    assert(q3.awaitTermination(120000))
+    assert(totalRows() == 104)
   }
 
   test("initial offset pins the loaded snapshot: a replayed batch 0 cannot leak later commits") {
