@@ -947,8 +947,24 @@ class SnapshotReaderFactory(
 
   /** This split's file's tombstone positions, loaded from its dv
     * pointers and sorted — cost ∝ the covering vectors' bytes, paid by
-    * the executor that owns the split. */
+    * the executor that owns the split, ONCE per (executor, file): splits
+    * of the same tombstoned file share the load through a soft-valued
+    * executor-local cache (soft refs: memory pressure evicts, a miss
+    * just re-reads). */
   private def loadDv(p: SnapshotInputPartition): Array[Long] = {
+    val key = p.file + "#" + p.dvPaths.hashCode()
+    val cached = SnapshotReaderFactory.dvCache.get(key)
+    if (cached != null) {
+      val arr = cached.get()
+      if (arr != null) return arr
+    }
+    val arr = readDv(p)
+    SnapshotReaderFactory.dvCache.put(key,
+      new java.lang.ref.SoftReference(arr))
+    arr
+  }
+
+  private def readDv(p: SnapshotInputPartition): Array[Long] = {
     val want = SnapshotStore.uriPath(p.file)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
     // dv rows for one data file cluster together: memoize the last path
@@ -1047,6 +1063,16 @@ class SnapshotReaderFactory(
     override def get(): T = cur
     override def close(): Unit = ()
   }
+}
+
+object SnapshotReaderFactory {
+  /** Executor-local tombstone-position cache (file + pointer set →
+    * sorted positions), soft-valued so the JVM reclaims it under
+    * pressure. Keys carry the dv pointer identity, so a newer snapshot's
+    * vectors never alias an older load. */
+  private[catalog] val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.ref.SoftReference[Array[Long]]]()
 }
 
 /** Zone pruning of a manifest file list from pushed filters, against the
@@ -1578,9 +1604,12 @@ class SnapshotDeltaOperation(spark: SparkSession, table: SnapshotTable,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 }
 
-/** One task's staged delta output: insert data files + tombstone files. */
-case class DeltaStagedFiles(dataFiles: Seq[String], dvFiles: Seq[String])
-  extends WriterCommitMessage
+/** One task's staged delta output: insert data files + tombstone files,
+  * with the data files the tombstones COVER (the task saw exactly the
+  * rows it deleted, so coverage is free here — and recording it in the
+  * manifest makes loading a MoR table a zero-job metadata read). */
+case class DeltaStagedFiles(dataFiles: Seq[String], dvFiles: Seq[String],
+    dvCovers: Seq[String] = Nil) extends WriterCommitMessage
 
 class SnapshotDeltaWrite(spark: SparkSession, table: SnapshotTable,
     info: LogicalWriteInfo)
@@ -1637,7 +1666,8 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
     val f = fs
     val staged = messages.collect { case d: DeltaStagedFiles => d }
     val data = staged.flatMap(_.dataFiles).sorted
-    val dvs = staged.flatMap(_.dvFiles).sorted
+    val dvPairs = staged.flatMap(d => d.dvFiles.map((_, d.dvCovers)))
+      .sortBy(_._1)
     def publish(paths: Seq[String], tag: String): Seq[String] =
       paths.zipWithIndex.map { case (p, i) =>
         val dst = new org.apache.hadoop.fs.Path(table.root,
@@ -1647,13 +1677,20 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
         dst.toString
       }
     try {
-      if (data.nonEmpty || dvs.nonEmpty) {
+      if (data.nonEmpty || dvPairs.nonEmpty) {
         val dataMoved = publish(data, "mor")
-        val dvMoved = publish(dvs, "dv")
+        val dvMoved = publish(dvPairs.map(_._1), "dv")
         val kept = SnapshotStore.linesReplacing(spark, table.root,
           table.snapVersion, Set.empty)
+        // dv lines carry their COVERAGE: later loads resolve pointers
+        // from the manifest alone (no vector-file read, no job)
+        val dvLines = dvMoved.zip(dvPairs.map(_._2)).map {
+          case (p, covers) if covers.nonEmpty =>
+            SnapshotStore.dvLineCovering(p, covers)
+          case (p, _) => SnapshotStore.dvLine(p)
+        }
         SnapshotStore.commitOrCleanup(spark, table.root,
-          kept ++ dataMoved ++ dvMoved.map(SnapshotStore.dvLine),
+          kept ++ dataMoved ++ dvLines,
           table.snapVersion, dataMoved ++ dvMoved)
       }
     } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -1690,6 +1727,9 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
       private var dvW: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dvPath: String = _
       private val dvRow = new GenericInternalRow(2)
+      // the data files this task's tombstones cover — FILE-count scale,
+      // recorded into the manifest so table loads never re-derive it
+      private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
 
       override def insert(row: InternalRow): Unit = {
         if (dataW == null) {
@@ -1718,6 +1758,7 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
         }
         dvRow.update(0, id.getUTF8String(idFileIdx))
         dvRow.update(1, id.getLong(idPosIdx))
+        covered += id.getUTF8String(idFileIdx).toString
         dvW.write(dvRow)
       }
 
@@ -1731,7 +1772,8 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
       override def commit(): WriterCommitMessage = {
         if (dataW != null) dataW.close()
         if (dvW != null) dvW.close()
-        DeltaStagedFiles(Option(dataPath).toSeq, Option(dvPath).toSeq)
+        DeltaStagedFiles(Option(dataPath).toSeq, Option(dvPath).toSeq,
+          covered.toSeq)
       }
 
       override def abort(): Unit = {

@@ -169,8 +169,27 @@ object SnapshotStore {
     * applied EXECUTOR-side by the scan. */
   def dvCoverage(spark: SparkSession, root: String,
       version: Int = -1): Map[String, Seq[String]] = {
-    val dvs = deleteVectors(spark, root, version)
-    if (dvs.isEmpty) return Map.empty
+    val dvLines = manifestLines(spark, root, version)
+      .filter(_.startsWith(DvPrefix))
+    if (dvLines.isEmpty) return Map.empty
+    // fast path: every dv line carries its coverage annotation (the
+    // delta-DML writer records it at commit) — resolve from the manifest
+    // alone, zero jobs
+    val annotatedCovers = dvLines.map { l =>
+      annots(l).get("covers").map(pathOf(l) -> _)
+    }
+    if (annotatedCovers.forall(_.isDefined)) {
+      return annotatedCovers.flatten
+        .flatMap { case (dvPath, enc) =>
+          enc.split("\\|").toSeq.filter(_.nonEmpty).map(e =>
+            uriPath(java.net.URLDecoder.decode(e, "UTF-8")) -> dvPath)
+        }
+        .groupBy(_._1)
+        .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted }
+    }
+    // legacy vectors (no coverage recorded): ONE distributed distinct
+    // over the vector files — driver result stays FILE-count scale
+    val dvs = dvLines.map(pathOf)
     import org.apache.spark.sql.functions.{col, input_file_name}
     val byUri = dvs.map(d => uriPath(d) -> d).toMap
     spark.read.parquet(dvs: _*)
@@ -184,6 +203,17 @@ object SnapshotStore {
 
   /** Render a delete-vector path as its manifest line. */
   def dvLine(path: String): String = DvPrefix + path
+
+  /** Render a delete-vector line WITH its coverage annotation — which
+    * data files its tombstones address (`covers=`, URL-encoded `|`-join).
+    * Writers that know their coverage (the delta DML path does — each
+    * task saw exactly the rows it tombstoned) record it here, and
+    * [[dvCoverage]] then resolves pointers from manifest lines alone:
+    * loading a merge-on-read table costs ZERO jobs and zero vector
+    * reads. */
+  def dvLineCovering(path: String, covers: Seq[String]): String =
+    s"${DvPrefix}$path\tcovers=${covers.map(
+      java.net.URLEncoder.encode(_, "UTF-8")).mkString("|")}"
 
   /** Render a data file + its partition value as its manifest line. */
   def partLine(path: String, value: String): String =

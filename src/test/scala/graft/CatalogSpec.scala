@@ -442,6 +442,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graft.t_mord").count() == 79)
     // the non-catalog read path applies the same vectors
     assert(SnapshotStore.read(spark, root).count() == 79)
+    // the delta writer RECORDED its coverage: dvCoverage resolves from
+    // manifest lines alone (zero jobs at table load) and matches what
+    // the vector files actually contain
+    val fromManifest = SnapshotStore.dvCoverage(spark, root)
+    val fromVectors = spark.read
+      .parquet(SnapshotStore.deleteVectors(spark, root): _*)
+      .select(col("file")).distinct().collect()
+      .map(r => SnapshotStore.uriPath(r.getString(0))).toSet
+    assert(fromManifest.keySet == fromVectors,
+      s"manifest coverage $fromManifest vs vectors $fromVectors")
   }
 
   test("MoR UPDATE is delete-and-insert: tombstones + new file, untouched files intact") {
