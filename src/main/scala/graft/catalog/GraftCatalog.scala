@@ -555,10 +555,50 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     op: Option[SnapshotRowLevelOperation], forDelta: Boolean = false,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
+  private var metaCount: Option[Long] = None
+
+  /** METADATA-ONLY COUNT(*): an unfiltered global count over a
+    * vector-free table is the SUM of the manifest's commit-time footer
+    * counts (`rows=`) — answered without touching a single data byte, at
+    * any table size (the Iceberg/Delta metadata-count contract). Pushes
+    * COMPLETELY (one driver-local row); anything else — filters,
+    * grouping, other aggregates, delete vectors, un-counted legacy
+    * files, row-level scans — declines to the ordinary scan. */
+  private def countFromManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Long] = {
+    if (op.isDefined || forDelta || pushed.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    val exprs = agg.aggregateExpressions()
+    if (exprs.length != 1 || !exprs(0).isInstanceOf[
+      org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      return None
+    if (SnapshotStore.deleteVectors(spark, table.root,
+      table.snapVersion).nonEmpty) return None
+    val rows = SnapshotStore.fileRows(spark, table.root, table.snapVersion)
+    val fl = table.files
+    if (fl.forall(f => rows.contains(SnapshotStore.uriPath(f))))
+      Some(fl.map(f => rows(SnapshotStore.uriPath(f))).sum)
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countFromManifest(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countFromManifest(agg) match {
+      case Some(n) => metaCount = Some(n); true
+      case None => false
+    }
+  }
 
   /** Everything is returned as residual (Spark re-evaluates above the
     * scan); the accepted subset feeds parquet row-group skipping and the
@@ -576,14 +616,25 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val s = new SnapshotScan(spark, table, required, pushed.toSeq,
-      forRowLevel = op.isDefined, forDelta = forDelta,
-      skipChangeCommits = options.getBoolean("skipChangeCommits", false),
-      maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
-    op.foreach(_.attachScan(s))
-    s
+  override def build(): Scan = metaCount match {
+    case Some(n) =>
+      // the completely-pushed count: one driver-local row, zero data IO
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = new StructType()
+          .add("count(*)", org.apache.spark.sql.types.LongType,
+            nullable = false)
+        override def rows(): Array[InternalRow] = Array(InternalRow(n))
+        override def description(): String =
+          s"graft-manifest-count(${table.name()}, v${table.snapVersion})"
+      }
+    case None =>
+      val s = new SnapshotScan(spark, table, required, pushed.toSeq,
+        forRowLevel = op.isDefined, forDelta = forDelta,
+        skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+        maxVersionsPerTrigger =
+          Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      op.foreach(_.attachScan(s))
+      s
   }
 }
 
@@ -598,7 +649,8 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     forDelta: Boolean = false, skipChangeCommits: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None)
   extends Scan with Batch with SupportsRuntimeV2Filtering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val FileCol = SnapshotTable.FileColName
   private val PosCol = SnapshotTable.PosColName
@@ -639,8 +691,14 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   override def toBatch: Batch = this
 
+  /** Runtime filtering is the ROW-LEVEL group filter's channel only (its
+    * scans project `_file`, so the reference resolves); a plain scan
+    * exposing `_file` would trip Spark's dynamic-partition-pruning rule,
+    * which resolves these refs against the scan OUTPUT (no metadata
+    * columns there). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(ColumnBridge.fieldReference(FileCol))
+    if (forRowLevel) Array(ColumnBridge.fieldReference(FileCol))
+    else Array.empty
 
   /** Runtime group filtering: Spark evaluates the matching-rows subquery,
     * collects its `_file` values, and hands them here as `_file IN (...)`;
@@ -724,22 +782,106 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     * column, which this scan never projects. */
   override def planInputPartitions(): Array[InputPartition] =
     split(fileMeta(currentFiles, table.snapVersion), table.dvPointers,
-      svByFile, table.snapVersion)
+      svByFile, table.snapVersion, spjKeys.map(_._2).getOrElse(Map.empty))
 
   private def split(meta: Seq[(String, Long)],
       pointers: Map[String, Seq[(String, Long)]],
-      svs: Map[String, Int], defaultSv: Int): Array[InputPartition] = {
+      svs: Map[String, Int], defaultSv: Int,
+      partKeys: Map[String, InternalRow] = Map.empty): Array[InputPartition] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     meta.flatMap { case (path, len) =>
       val uri = SnapshotStore.uriPath(path)
       val dvp = pointers.getOrElse(uri, Nil)
       val key = physKeyOf(svs.getOrElse(uri, defaultSv))
       (0L until len by maxBytes).map { start =>
-        SnapshotInputPartition(path, start, math.min(maxBytes, len - start),
-          len, 0L, dvp, key)
+        partKeys.get(uri) match {
+          case Some(pk) => new KeyedSnapshotInputPartition(path, start,
+            math.min(maxBytes, len - start), len, 0L, dvp, key, pk)
+          case None => SnapshotInputPartition(path, start,
+            math.min(maxBytes, len - start), len, 0L, dvp, key)
+        }
       }
     }.toArray
   }
+
+  // ---- STORAGE-PARTITIONED JOINS ------------------------------------------
+  //
+  // When every planned file carries a decodable partition tuple, the scan
+  // reports `KeyGroupedPartitioning` over the spec's transforms and every
+  // split carries its TYPED tuple (`HasPartitionKey`): under
+  // `spark.sql.sources.v2.bucketing.enabled`, Spark groups splits by
+  // tuple, recognizes two compatibly-partitioned graft tables joined on
+  // the partition source keys, and plans the join with ZERO shuffle on
+  // either side — the Iceberg SPJ contract, resolved through this
+  // catalog's own FunctionCatalog (`days`/`bucket`). Declines (reports
+  // UnknownPartitioning) on row-level scans, unannotated or undecodable
+  // files — conservative: the join falls back to ordinary exchanges.
+
+  /** Typed partition key per planned file uri, when EVERY file has one. */
+  private lazy val spjKeys: Option[(Seq[PartItem], Map[String, InternalRow])] =
+    if (forRowLevel || forDelta) None
+    else for {
+      spec <- SnapshotStore.partitionSpecOf(spark, table.root, table.snapVersion)
+      items <- PartitionSpec.parse(spec)
+      keys <- {
+        val pv = SnapshotStore.partitionValuesOf(spark, table.root,
+          table.snapVersion)
+        val decoded = currentFiles.map { f =>
+          val uri = SnapshotStore.uriPath(f)
+          pv.get(uri).flatMap(enc => keyRowOf(items, enc)).map(uri -> _)
+        }
+        if (currentFiles.nonEmpty && decoded.forall(_.isDefined))
+          Some(decoded.flatten.toMap)
+        else None
+      }
+    } yield (items, keys)
+
+  /** Decode one file's annotation into the TYPED key row — types must
+    * match what the partitioning expressions produce (bucket/days →
+    * int; identity → the column's type). Any unsupported type or parse
+    * failure declines SPJ whole. */
+  private def keyRowOf(items: Seq[PartItem],
+      enc: String): Option[InternalRow] =
+    PartitionSpec.decode(items, enc).flatMap { vals =>
+      val typed: Seq[Option[Any]] = items.zip(vals).map {
+        case (IdentityItem(c), v) =>
+          table.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+            case org.apache.spark.sql.types.LongType => v.toLongOption
+            case org.apache.spark.sql.types.IntegerType => v.toIntOption
+            case org.apache.spark.sql.types.DateType => v.toIntOption
+            case StringType => Some(UTF8String.fromString(v))
+            case _ => None
+          }
+        case (_: DaysItem, v) => v.toIntOption
+        case (_: BucketItem, v) => v.toIntOption
+      }
+      if (typed.forall(_.isDefined))
+        Some(new GenericInternalRow(typed.map(_.get.asInstanceOf[Any]).toArray))
+      else None
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some((items, _)) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val exprs = items.map[org.apache.spark.sql.connector.expressions.Expression] {
+          case IdentityItem(c) => Expressions.identity(c)
+          case DaysItem(c) => Expressions.days(c)
+          case BucketItem(n, c) => Expressions.bucket(n, c)
+        }.toArray
+        // numPartitions = distinct tuples among the PLANNED files (count
+        // by encoded annotation — InternalRow has no structural equals)
+        val pv = SnapshotStore.partitionValuesOf(spark, table.root,
+          table.snapVersion)
+        val n = currentFiles.flatMap(f =>
+          pv.get(SnapshotStore.uriPath(f))).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Split an arbitrary (vector-free) file list of `version` into read
     * partitions — the streaming source's per-version diff planning. */
@@ -891,9 +1033,31 @@ object SnapshotScan {
   * covering it (positions load executor-side) and its schema-epoch
   * dispatch key (the write-epoch physical column names; "" on
   * evolution-free tables). */
-case class SnapshotInputPartition(file: String, start: Long, length: Long,
+class SnapshotInputPartition(val file: String, val start: Long,
+    val length: Long, val fileSize: Long, val modTime: Long,
+    val dvPaths: Seq[(String, Long)], val physKey: String = "")
+  extends InputPartition
+
+object SnapshotInputPartition {
+  def apply(file: String, start: Long, length: Long, fileSize: Long,
+      modTime: Long, dvPaths: Seq[(String, Long)],
+      physKey: String = ""): SnapshotInputPartition =
+    new SnapshotInputPartition(file, start, length, fileSize, modTime,
+      dvPaths, physKey)
+}
+
+/** A split that also carries its TYPED partition tuple — what Spark's
+  * storage-partitioned join machinery groups on (`HasPartitionKey`):
+  * with both join sides reporting compatible `KeyGroupedPartitioning`,
+  * the join runs with ZERO shuffle on either side. */
+class KeyedSnapshotInputPartition(file: String, start: Long, length: Long,
     fileSize: Long, modTime: Long, dvPaths: Seq[(String, Long)],
-    physKey: String = "") extends InputPartition
+    physKey: String, key: InternalRow)
+  extends SnapshotInputPartition(file, start, length, fileSize, modTime,
+    dvPaths, physKey)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Executor-side reading: Spark's own parquet reader function (vectorized
   * when the session supports it), one split per partition. Columnar

@@ -974,6 +974,96 @@ object CatalogQueries {
       |  TRUE AS files_stable, TRUE AS schema_versioned
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** q344: STORAGE-PARTITIONED JOIN — the flagship shuffle-elimination
+    * of modern table formats: two tables `PARTITIONED BY (bucket(8,
+    * key))` on their join keys report `KeyGroupedPartitioning` from the
+    * manifest tuples ([[graft.catalog.SnapshotScan]]:
+    * `SupportsReportPartitioning` + per-split `HasPartitionKey`), and
+    * Spark plans the fact-fact join with ZERO exchange on either side —
+    * rows of bucket b meet rows of bucket b where they already sit.
+    * `spj_ok` pins the plan (no hash exchange on either join key, no
+    * broadcast — the threshold is disabled for the statement); the
+    * oracle recomputes the join from the raw tables. At 100 TB this is
+    * THE fact-fact join strategy: co-located by layout, no sort order
+    * maintained, no shuffle paid per query. */
+  def catSpj(spark: SparkSession, dir: String): DataFrame = {
+    freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.spj_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.spj_cust")
+    spark.sql(
+      """CREATE TABLE graft.spj_orders
+        |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.spj_cust
+        |  (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+        |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("spj_o_src")
+    graft.Tables(spark, dir, "customer").createOrReplaceTempView("spj_c_src")
+    spark.sql(
+      """INSERT INTO graft.spj_orders
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM spj_o_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.spj_cust
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM spj_c_src""".stripMargin)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           |  ${graft.Exact.sqlSum2("o.o_totalprice")} AS total_price
+           |FROM graft.spj_orders o JOIN graft.spj_cust c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment""".stripMargin)
+      val p = j.queryExecution.executedPlan.toString
+      // the JOIN pays no exchange on either key and no broadcast; the
+      // final GROUP BY's one exchange on mktsegment is expected
+      val spjOk = !p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey") &&
+        !p.contains("BroadcastExchange")
+      j.localCheckpoint()
+        .select(col("c_mktsegment"), col("n"), col("total_price"),
+          lit(spjOk).as("spj_ok"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val catSpjSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS spj_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** q345: METADATA-ONLY COUNT — `SELECT count(*) FROM graft.t` pushes
+    * completely into the scan builder
+    * (`SupportsPushDownAggregates`) and answers as ONE driver-local row
+    * summed from the manifest's commit-time footer counts (`rows=`):
+    * zero data bytes read at any table size (the Iceberg/Delta
+    * metadata-count contract). `meta_only` pins the plan (a
+    * LocalTableScan, no BatchScan); filters, grouping, delete vectors,
+    * or un-counted legacy files all decline to the ordinary scan —
+    * counts are EXACT or not pushed at all. */
+  def catMetaCount(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_cnt", root)
+    val df = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM graft.cat_orders_cnt")
+    val p = df.queryExecution.executedPlan.toString
+    val metaOnly = p.contains("LocalTableScan") && !p.contains("BatchScan")
+    df.select(col("n"), lit(metaOnly).as("meta_only"))
+  }
+
+  private val catMetaCountSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS meta_only
+      |FROM orders""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -996,5 +1086,7 @@ object CatalogQueries {
     QueryDef("q340_cat_bucket_partition", catBucketPartition,
       Some(catBucketPartitionSql)),
     QueryDef("q341_cat_zorder3", catZorder3, Some(catZorder3Sql)),
-    QueryDef("q343_cat_rename", catRename, Some(catRenameSql)))
+    QueryDef("q343_cat_rename", catRename, Some(catRenameSql)),
+    QueryDef("q344_cat_spj", catSpj, Some(catSpjSql)),
+    QueryDef("q345_cat_meta_count", catMetaCount, Some(catMetaCountSql)))
 }

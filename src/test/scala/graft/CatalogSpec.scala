@@ -1052,6 +1052,72 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join: compatibly bucketed tables join with ZERO shuffle") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.spj_a")
+    spark.sql("DROP TABLE IF EXISTS graft.spj_b")
+    spark.sql(
+      "CREATE TABLE graft.spj_a (k BIGINT, va DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      "CREATE TABLE graft.spj_b (k BIGINT, vb BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.spj_a SELECT id, id * 0.5 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.spj_b SELECT id, id * 10 FROM range(0, 1000, 2)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        """SELECT count(*) AS n,
+          |  sum(CAST(a.va AS DECIMAL(18,1))) AS s, sum(b.vb) AS t
+          |FROM graft.spj_a a JOIN graft.spj_b b ON a.k = b.k""".stripMargin)
+      val p = j.queryExecution.executedPlan.toString
+      // the storage-partitioned join: no shuffle on EITHER side (and no
+      // broadcast — the threshold is off), the join rides the reported
+      // KeyGroupedPartitioning
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"SPJ did not engage:\n$p")
+      assert(!p.contains("BroadcastExchange"), p)
+      val r = j.head()
+      assert(r.getLong(0) == 500L)
+      assert(r.getDecimal(1).doubleValue() ==
+        (0L until 1000L by 2).map(_ * 0.5).sum)
+      assert(r.getLong(2) == (0L until 1000L by 2).map(_ * 10).sum)
+      // ground truth with SPJ off: identical values
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val r2 = j.head()
+      assert(r.toSeq == r2.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("metadata-only COUNT(*): unfiltered counts answer from manifest row counts") {
+    val root = freshTable("t_cnt")
+    val df = spark.sql("SELECT count(*) AS n FROM graft.t_cnt")
+    assert(df.head().getLong(0) == 100L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"),
+      s"count not answered from metadata:\n$p")
+    assert(!p.contains("BatchScan"), p)
+    // filters decline the pushdown — ordinary scan, correct values
+    val f = spark.sql("SELECT count(*) AS n FROM graft.t_cnt WHERE k <= 10")
+    assert(f.head().getLong(0) == 10L)
+    assert(f.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // delete vectors decline it too: counts reflect LIVE rows only
+    val dv = SnapshotStore.writeData(spark, root,
+      SnapshotStore.tombstonesWhere(spark, root, col("k") === 1L)
+        .coalesce(1), "dv")
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.files(spark, root) ++ dv.map(SnapshotStore.dvLine), 1)
+    GraftCatalog.register(spark, "t_cnt", root) // reload at v2
+    val g = spark.sql("SELECT count(*) AS n FROM graft.t_cnt")
+    assert(g.head().getLong(0) == 99L)
+    assert(g.queryExecution.executedPlan.toString.contains("BatchScan"))
+  }
+
   test("persistent namespace: a fresh session resolves tables with only the warehouse conf") {
     val w = freshWarehouse()
     spark.sql("DROP TABLE IF EXISTS graft.ns_t")
