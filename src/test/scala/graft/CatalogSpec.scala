@@ -1088,6 +1088,14 @@ class CatalogSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val r2 = j.head()
       assert(r.toSeq == r2.toSeq)
+      // AGGREGATION over the bucket source key rides the same reported
+      // partitioning: partial+final hash agg with NO exchange at all
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val a = spark.sql("SELECT k, count(*) AS c FROM graft.spj_a GROUP BY k")
+      assert(!a.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        a.queryExecution.executedPlan.toString)
+      assert(a.count() == 1000)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -874,4 +874,69 @@ class PropertySpec extends AnyFunSuite {
     assert(d2s.forall(_ > 0))
     assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b }, d2s.toSeq)
   }
+
+  test("partition-spec tuple encoding round-trips hostile values (property)") {
+    import graft.catalog.{BucketItem, DaysItem, IdentityItem, PartitionSpec}
+    val hostile = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s.take(12)),
+      Gen.oneOf("a|b", "x=y", "100%", "tab\there", "comma,sep", "",
+        "__null__", "日本語", "a(b)c", "sp ace"))
+    val items = Seq(IdentityItem("g"), DaysItem("ts"), BucketItem(8, "u"))
+    (1L to 200L).foreach { seed =>
+      val vals = (0 until 3).map(i =>
+        hostile(Gen.Parameters.default, Seed(seed * 31 + i)).get)
+      val enc = PartitionSpec.encode(items, vals)
+      assert(PartitionSpec.decode(items, enc).contains(vals),
+        s"roundtrip failed for $vals via '$enc'")
+      // annotation embedding: a manifest line's tab-separated annots
+      // must never be split by an encoded tuple
+      assert(!enc.contains('\t') && !enc.contains('\n'), enc)
+    }
+    // spec-string parse/render round-trip, including nested commas
+    val specs = Seq(
+      Seq(IdentityItem("status")),
+      Seq(DaysItem("ts")),
+      Seq(BucketItem(16, "user_id")),
+      Seq(IdentityItem("a"), DaysItem("b"), BucketItem(4, "c")))
+    specs.foreach { s =>
+      assert(PartitionSpec.parse(PartitionSpec.renderSpec(s)).contains(s))
+    }
+    // single-identity keeps the LEGACY raw rendering
+    assert(PartitionSpec.encode(Seq(IdentityItem("g")), Seq("F")) == "F")
+  }
+
+  test("schema-evolution name resolution: rename chains resolve every epoch (property)") {
+    import graft.sources.SchemaEvo
+    import org.apache.spark.sql.types.{LongType, StructField}
+    // build a rename chain a0 -> a1 -> ... -> a5 at versions 2,4,6,8,10
+    var f = StructField("a0", LongType)
+    val renames = (1 to 5).map(i => (2 * i, s"a$i"))
+    renames.foreach { case (v, n) => f = SchemaEvo.renamed(f, n, v) }
+    // at any sv, the resolved name is the one active at that version
+    assert(SchemaEvo.nameAt(f, 0).contains("a0"))
+    assert(SchemaEvo.nameAt(f, 1).contains("a0"))
+    (1 to 5).foreach { i =>
+      assert(SchemaEvo.nameAt(f, 2 * i).contains(s"a$i"),
+        s"sv=${2 * i}: ${SchemaEvo.nameAt(f, 2 * i)}")
+      assert(SchemaEvo.nameAt(f, 2 * i + 1).contains(s"a$i"))
+    }
+    assert(SchemaEvo.nameAt(f, 99).contains("a5"))
+    // a field born at version 7 is ABSENT for files older than that
+    val born = SchemaEvo.added(StructField("x", LongType), 7)
+    assert(SchemaEvo.nameAt(born, 6).isEmpty)
+    assert(SchemaEvo.nameAt(born, 7).contains("x"))
+    // filter translation never invents references: untranslatable
+    // conjuncts drop whole (conservative pushdown)
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan}
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType(Seq(f, born))
+    val filters = Seq[org.apache.spark.sql.sources.Filter](
+      EqualTo("a5", 1L), GreaterThan("x", 2L),
+      And(EqualTo("a5", 3L), EqualTo("x", 4L)))
+    val at6 = SchemaEvo.translateFilters(filters, schema, 6)
+    // x doesn't exist at sv=6: its conjuncts drop, a5 resolves to a3
+    assert(at6.contains(EqualTo("a3", 1L)), at6)
+    assert(at6.contains(EqualTo("a3", 3L)), at6)
+    assert(!at6.exists(_.references.contains("x")), at6)
+  }
 }
