@@ -560,42 +560,79 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
 
   private var required: StructType = table.schema
   private var pushed: Array[Filter] = Array.empty
-  private var metaCount: Option[Long] = None
+  private var metaAggResult: Option[(StructType, InternalRow)] = None
 
-  /** METADATA-ONLY COUNT(*): an unfiltered global count over a
-    * vector-free table is the SUM of the manifest's commit-time footer
-    * counts (`rows=`) — answered without touching a single data byte, at
-    * any table size (the Iceberg/Delta metadata-count contract). Pushes
-    * COMPLETELY (one driver-local row); anything else — filters,
-    * grouping, other aggregates, delete vectors, un-counted legacy
-    * files, row-level scans — declines to the ordinary scan. */
-  private def countFromManifest(
+  /** METADATA-ONLY AGGREGATES: an unfiltered global COUNT(*)/MIN/MAX
+    * over a vector-free table answers from manifest metadata alone —
+    * counts are the SUM of the commit-time footer counts (`rows=`),
+    * MIN/MAX come from the version's zone-stats sidecar (per-file exact
+    * [lo, hi] of analyzed keys) — without touching a single data byte,
+    * at any table size (the Iceberg/Delta metadata-aggregate contract).
+    * Pushes COMPLETELY (one driver-local row); anything else — filters,
+    * grouping, other aggregates, delete vectors, un-counted or
+    * un-analyzed files, non-long keys, row-level scans — declines to
+    * the ordinary scan: metadata answers are EXACT or not given. */
+  private def metaAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Long] = {
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.LongType
     if (op.isDefined || forDelta || pushed.nonEmpty) return None
     if (agg.groupByExpressions().nonEmpty) return None
-    val exprs = agg.aggregateExpressions()
-    if (exprs.length != 1 || !exprs(0).isInstanceOf[
-      org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-      return None
+    if (agg.aggregateExpressions().isEmpty) return None
     if (SnapshotStore.deleteVectors(spark, table.root,
       table.snapVersion).nonEmpty) return None
-    val rows = SnapshotStore.fileRows(spark, table.root, table.snapVersion)
-    val fl = table.files
-    if (fl.forall(f => rows.contains(SnapshotStore.uriPath(f))))
-      Some(fl.map(f => rows(SnapshotStore.uriPath(f))).sum)
-    else None
+    val fl = table.files.map(SnapshotStore.uriPath)
+    if (fl.isEmpty) return None
+    lazy val rowCounts = SnapshotStore.fileRows(spark, table.root,
+      table.snapVersion)
+    lazy val stats = SnapshotStore.statsAllOf(spark, table.root,
+      table.snapVersion)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0)).filter(c =>
+          table.schema.fields.exists(f => f.name == c && f.dataType == LongType))
+      case _ => None
+    }
+    def boundsOf(c: String): Option[Seq[(Long, Long)]] =
+      stats.get(c).flatMap { byFile =>
+        val bs = fl.map(byFile.get)
+        if (bs.forall(_.isDefined)) Some(bs.flatten) else None
+      }
+    val answered: Seq[Option[(String, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          if (fl.forall(rowCounts.contains))
+            Some(("count(*)", fl.map(rowCounts).sum))
+          else None
+        case m: Min =>
+          colOf(m.column()).flatMap(c =>
+            boundsOf(c).map(bs => (s"min($c)", bs.map(_._1).min)))
+        case m: Max =>
+          colOf(m.column()).flatMap(c =>
+            boundsOf(c).map(bs => (s"max($c)", bs.map(_._2).max)))
+        case _ => None
+      }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val cols = answered.flatten
+      Some((StructType(cols.map { case (n, _) =>
+        StructField(n, LongType, nullable = false)
+      }),
+        InternalRow.fromSeq(cols.map(_._2))))
+    }
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countFromManifest(agg).isDefined
+      : Boolean = metaAgg(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    countFromManifest(agg) match {
-      case Some(n) => metaCount = Some(n); true
+    metaAgg(agg) match {
+      case Some(r) => metaAggResult = Some(r); true
       case None => false
     }
   }
@@ -616,16 +653,15 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = metaCount match {
-    case Some(n) =>
-      // the completely-pushed count: one driver-local row, zero data IO
+  override def build(): Scan = metaAggResult match {
+    case Some((schema, row)) =>
+      // the completely-pushed aggregates: one driver-local row, zero
+      // data IO
       new org.apache.spark.sql.connector.read.LocalScan {
-        override def readSchema(): StructType = new StructType()
-          .add("count(*)", org.apache.spark.sql.types.LongType,
-            nullable = false)
-        override def rows(): Array[InternalRow] = Array(InternalRow(n))
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(row)
         override def description(): String =
-          s"graft-manifest-count(${table.name()}, v${table.snapVersion})"
+          s"graft-manifest-agg(${table.name()}, v${table.snapVersion})"
       }
     case None =>
       val s = new SnapshotScan(spark, table, required, pushed.toSeq,

@@ -1041,27 +1041,34 @@ object CatalogQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
-  /** q345: METADATA-ONLY COUNT — `SELECT count(*) FROM graft.t` pushes
-    * completely into the scan builder
-    * (`SupportsPushDownAggregates`) and answers as ONE driver-local row
-    * summed from the manifest's commit-time footer counts (`rows=`):
-    * zero data bytes read at any table size (the Iceberg/Delta
-    * metadata-count contract). `meta_only` pins the plan (a
-    * LocalTableScan, no BatchScan); filters, grouping, delete vectors,
-    * or un-counted legacy files all decline to the ordinary scan —
-    * counts are EXACT or not pushed at all. */
+  /** q345: METADATA-ONLY AGGREGATES — `SELECT count(*), min(k), max(k)
+    * FROM graft.t` pushes completely into the scan builder
+    * (`SupportsPushDownAggregates`) and answers as ONE driver-local row:
+    * the count summed from the manifest's commit-time footer counts
+    * (`rows=`), MIN/MAX from the analyze procedure's per-file exact
+    * zone-stats sidecar — zero data bytes read at any table size (the
+    * Iceberg/Delta metadata-aggregate contract). `meta_only` pins the
+    * plan (a LocalTableScan, no BatchScan); filters, grouping, delete
+    * vectors, un-analyzed keys, or un-counted legacy files all decline
+    * to the ordinary scan — metadata answers are EXACT or not given. */
   def catMetaCount(spark: SparkSession, dir: String): DataFrame = {
     val (root, _) = Lakehouse.initStore(spark, dir)
     GraftCatalog.register(spark, "cat_orders_cnt", root)
+    // MIN/MAX ride the zone-stats sidecar the analyze procedure builds
+    spark.sql("CALL graft.analyze('cat_orders_cnt', 'o_orderkey')")
+    SnapshotStore.dropSkipping(spark, root) // session tidiness
     val df = spark.sql(
-      "SELECT CAST(count(*) AS BIGINT) AS n FROM graft.cat_orders_cnt")
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |FROM graft.cat_orders_cnt""".stripMargin)
     val p = df.queryExecution.executedPlan.toString
     val metaOnly = p.contains("LocalTableScan") && !p.contains("BatchScan")
-    df.select(col("n"), lit(metaOnly).as("meta_only"))
+    df.select(col("n"), col("lo"), col("hi"), lit(metaOnly).as("meta_only"))
   }
 
   private val catMetaCountSql =
-    """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS meta_only
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(o_orderkey) AS lo, max(o_orderkey) AS hi, TRUE AS meta_only
       |FROM orders""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -648,6 +648,11 @@ object SnapshotStore {
     val sp = statsPath(root, v)
     if (v <= 0 || !fs(spark, sp).exists(sp)) return Map.empty
     val rows = spark.read.parquet(sp.toString).collect()
+      // an all-null key column yields null bounds: such files carry NO
+      // usable interval (getLong would silently read 0) — drop the row;
+      // consumers treat the file as bound-less (kept by pruning,
+      // declining metadata MIN/MAX)
+      .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
     try rows.groupBy(_.getString(3)).map { case (key, rs) =>
       key -> rs.map { r =>
         uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))

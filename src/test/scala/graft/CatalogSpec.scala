@@ -1110,6 +1110,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(p.contains("LocalTableScan"),
       s"count not answered from metadata:\n$p")
     assert(!p.contains("BatchScan"), p)
+    // MIN/MAX answer from the zone-stats sidecar once the key is analyzed
+    SnapshotStore.writeStats(spark, root, "k")
+    val mm = spark.sql(
+      "SELECT min(k) AS lo, max(k) AS hi, count(*) AS n FROM graft.t_cnt")
+    assert(mm.head().toSeq == Seq(1L, 100L, 100L))
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      mm.queryExecution.executedPlan.toString)
+    // a non-long / un-analyzed column declines to the real scan
+    val pm = spark.sql("SELECT min(p) AS lo FROM graft.t_cnt")
+    assert(pm.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(pm.head().getDouble(0) == 1.0)
     // filters decline the pushdown — ordinary scan, correct values
     val f = spark.sql("SELECT count(*) AS n FROM graft.t_cnt WHERE k <= 10")
     assert(f.head().getLong(0) == 10L)
