@@ -121,13 +121,27 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, -1)
 
-  /** Native `VERSION AS OF`: the analyzer hands the version string here. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new NoSuchTableException(ident)
+  /** Native `VERSION AS OF`: an integer resolves a version, anything else
+    * a NAMED REF (`VERSION AS OF 'audit'` — branch or tag; floating refs
+    * resolve to the tip). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    version.toIntOption match {
+      case Some(v) => load(ident, v)
+      case None =>
+        val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+        val spark = SparkSession.active
+        if (SnapshotStore.currentVersion(spark, root) <= 0)
+          throw new NoSuchTableException(ident)
+        SnapshotStore.refsOf(spark, root).get(version) match {
+          case Some(Some(v)) => load(ident, v)
+          case Some(None) => // floating: the tip, IGNORING any main pin
+            val latest = SnapshotStore.currentVersion(spark, root)
+            if (latest <= 0) throw new NoSuchTableException(ident)
+            new SnapshotTable(spark, s"$catalogName.${ident.name()}", root,
+              latest)
+          case None => throw new NoSuchTableException(ident)
+        }
     }
-    load(ident, v)
-  }
 
   /** Native `TIMESTAMP AS OF`: the analyzer hands the instant here as
     * MICROSECONDS since the epoch; resolution is the latest version whose
@@ -147,7 +161,17 @@ class GraftCatalog extends TableCatalog
     val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
     val versions = SnapshotStore.versions(spark, root)
-    val v = if (version > 0) version else versions.lastOption.getOrElse(0)
+    // a PINNED `main` ref (write-audit-publish staging) redirects bare
+    // reads: readers on the default branch never see staged commits;
+    // explicit VERSION AS OF still reaches anything
+    val v =
+      if (version > 0) version
+      else versions.lastOption match {
+        case None => 0
+        case Some(latest) =>
+          SnapshotStore.refsOf(spark, root).get("main").flatten
+            .getOrElse(latest)
+      }
     if (v <= 0 || !versions.contains(v)) throw new NoSuchTableException(ident)
     new SnapshotTable(spark, s"$catalogName.${ident.name()}", root, v)
   }
@@ -280,9 +304,32 @@ class GraftCatalog extends TableCatalog
           s"graft catalog: DROP COLUMN $from would leave an empty table")
         requireEvolvable("DROP COLUMN", from)
         StructType(s.fields.filterNot(_.name == from))
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        // TYPE WIDENING as a pure metadata commit (Iceberg V1's safe
+        // promotions): existing files keep their narrow physical type and
+        // the parquet reader up-casts at scan time (Spark 4's native
+        // widening reads — verified incl. pushed filters); new files land
+        // wide. Anything non-widening rewrites history — decline loudly.
+        // Partition-spec columns decline too: bucket hashes differ across
+        // widths (Int.hashCode vs Long.hashCode), so a widened bucket
+        // column would route new rows inconsistently with old pruning.
+        val name = u.fieldNames()(0)
+        val f = s.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: ALTER COLUMN $name: no such column"))
+        require(!partCols.contains(name),
+          s"graft catalog: ALTER COLUMN $name TYPE: column is in the " +
+            "partition spec")
+        require(GraftCatalog.isSafeWiden(f.dataType, u.newDataType()),
+          s"graft catalog: ALTER COLUMN $name TYPE ${u.newDataType().sql}: " +
+            s"only safe widenings of ${f.dataType.sql} are supported " +
+            "(integral up-casts, FLOAT->DOUBLE, DECIMAL precision growth " +
+            "at the same scale)")
+        StructType(s.fields.map(x =>
+          if (x.name == name) x.copy(dataType = u.newDataType()) else x))
       case other => throw new UnsupportedOperationException(
         "graft catalog: ALTER TABLE supports top-level ADD/RENAME/DROP " +
-          s"COLUMN, got $other")
+          s"COLUMN and widening ALTER COLUMN TYPE, got $other")
     }}
     val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
     SnapshotStore.commit(spark, root,
@@ -382,6 +429,23 @@ object GraftNamespace {
 }
 
 object GraftCatalog {
+
+  /** Is `from` → `to` a SAFE type widening — every value representable
+    * exactly, the parquet reader able to up-cast old files in place?
+    * (Iceberg V1's promotion set; Spark 4's widening reads cover each.) */
+  private[catalog] def isSafeWiden(from: DataType,
+      to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   /** Install the catalog (idempotent) and map `graft.<name>` to the
     * snapshot root — one dynamic conf each, session-isolated. */
@@ -503,6 +567,28 @@ object SnapshotTable {
         """"__preserve_on_reinsert":true}"""
   }
 
+  /** Publish `lines` as a PURE APPEND onto the current tip, OCC-retrying
+    * against interleaved committers (appends commute); on giving up, the
+    * already-renamed `published` files are deleted (nothing references
+    * them). Returns the committed version. */
+  private[catalog] def appendCommit(spark: SparkSession, root: String,
+      loadedVersion: Int, lines: Seq[String], published: Seq[String]): Int = {
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 5) {
+      val cur = math.max(loadedVersion,
+        SnapshotStore.currentVersion(spark, root))
+      val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
+      try return SnapshotStore.commit(spark, root, kept ++ lines, cur)
+      catch { case _: SnapshotStore.CommitConflictException => attempt += 1 }
+    }
+    published.foreach(p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), false))
+    throw new SnapshotStore.CommitConflictException(
+      s"append under $root lost 5 consecutive commit races")
+  }
+
   /** The second half of the delta row id: the row's FILE-ABSOLUTE ordinal,
     * produced by the parquet reader's native row-index machinery (correct
     * under splits and row-group skipping) — exactly the position a delete
@@ -565,18 +651,20 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
   /** METADATA-ONLY AGGREGATES: an unfiltered global COUNT(*)/MIN/MAX
     * over a vector-free table answers from manifest metadata alone —
     * counts are the SUM of the commit-time footer counts (`rows=`),
-    * MIN/MAX come from the version's zone-stats sidecar (per-file exact
-    * [lo, hi] of analyzed keys) — without touching a single data byte,
-    * at any table size (the Iceberg/Delta metadata-aggregate contract).
+    * MIN/MAX come from the version's TYPED zone-stats sidecar (per-file
+    * exact [lo, hi] of analyzed keys: integers, timestamps, dates,
+    * strings, floats/doubles) — without touching a single data byte, at
+    * any table size (the Iceberg/Delta metadata-aggregate contract).
     * Pushes COMPLETELY (one driver-local row); anything else — filters,
     * grouping, other aggregates, delete vectors, un-counted or
-    * un-analyzed files, non-long keys, row-level scans — declines to
-    * the ordinary scan: metadata answers are EXACT or not given. */
+    * un-analyzed files, INEXACT bounds (truncated long strings),
+    * kind-mismatched sidecars, row-level scans — declines to the
+    * ordinary scan: metadata answers are EXACT or not given. */
   private def metaAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, InternalRow)] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types._
     if (op.isDefined || forDelta || pushed.nonEmpty) return None
     if (agg.groupByExpressions().nonEmpty) return None
     if (agg.aggregateExpressions().isEmpty) return None
@@ -586,39 +674,71 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     if (fl.isEmpty) return None
     lazy val rowCounts = SnapshotStore.fileRows(spark, table.root,
       table.snapVersion)
-    lazy val stats = SnapshotStore.statsAllOf(spark, table.root,
+    lazy val typed = SnapshotStore.statsTypedOf(spark, table.root,
       table.snapVersion)
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] = e match {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
-        Some(r.fieldNames()(0)).filter(c =>
-          table.schema.fields.exists(f => f.name == c && f.dataType == LongType))
+        table.schema.fields.find(_.name == r.fieldNames()(0))
       case _ => None
     }
-    def boundsOf(c: String): Option[Seq[(Long, Long)]] =
-      stats.get(c).flatMap { byFile =>
-        val bs = fl.map(byFile.get)
-        if (bs.forall(_.isDefined)) Some(bs.flatten) else None
+    // the column's canonical bound kind — the sidecar must agree (a
+    // type-widened column still agrees: INT and BIGINT both render "long")
+    def kindOf(dt: DataType): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case TimestampType => Some("micros")
+      case DateType => Some("days")
+      case StringType => Some("string")
+      case FloatType | DoubleType => Some("double")
+      case _ => None // decimal bounds prune files but don't answer MIN/MAX
+    }
+    // the extremum of f over ALL files, as the column's INTERNAL value —
+    // requires every planned file to carry an EXACT parsed bound
+    def boundOf(f: StructField, isMin: Boolean): Option[Any] = for {
+      kind <- kindOf(f.dataType)
+      ts <- typed.get(f.name)
+      if ts.kind == kind
+      dom <- SnapshotZones.domOf(kind)
+      vals <- {
+        val sides = fl.map(u => ts.byUri.get(u).filter(_.exact)
+          .flatMap(b => if (isMin) b.lo else b.hi).flatMap(dom.parse))
+        if (sides.forall(_.isDefined)) Some(sides.flatten) else None
       }
-    val answered: Seq[Option[(String, Any)]] =
+    } yield {
+      val ext = if (isMin) vals.min(dom.ord) else vals.max(dom.ord)
+      (kind, f.dataType) match {
+        case ("long", ByteType) => ext.asInstanceOf[java.lang.Long].byteValue
+        case ("long", ShortType) => ext.asInstanceOf[java.lang.Long].shortValue
+        case ("long", IntegerType) => ext.asInstanceOf[java.lang.Long].intValue
+        case ("long", LongType) => ext
+        case ("micros", TimestampType) => ext // micros ARE the internal form
+        case ("days", DateType) => ext.asInstanceOf[java.lang.Long].intValue
+        case ("string", StringType) => ext // UTF8String
+        case ("double", DoubleType) => ext
+        case ("double", FloatType) =>
+          ext.asInstanceOf[java.lang.Double].floatValue
+        case _ => return None
+      }
+    }
+    val answered: Seq[Option[(String, Any, DataType)]] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           if (fl.forall(rowCounts.contains))
-            Some(("count(*)", fl.map(rowCounts).sum))
+            Some(("count(*)", fl.map(rowCounts).sum, LongType))
           else None
         case m: Min =>
-          colOf(m.column()).flatMap(c =>
-            boundsOf(c).map(bs => (s"min($c)", bs.map(_._1).min)))
+          fieldOf(m.column()).flatMap(f => boundOf(f, isMin = true)
+            .map(v => (s"min(${f.name})", v, f.dataType)))
         case m: Max =>
-          colOf(m.column()).flatMap(c =>
-            boundsOf(c).map(bs => (s"max($c)", bs.map(_._2).max)))
+          fieldOf(m.column()).flatMap(f => boundOf(f, isMin = false)
+            .map(v => (s"max(${f.name})", v, f.dataType)))
         case _ => None
       }
     if (answered.exists(_.isEmpty)) None
     else {
       val cols = answered.flatten
-      Some((StructType(cols.map { case (n, _) =>
-        StructField(n, LongType, nullable = false)
+      Some((StructType(cols.map { case (n, _, dt) =>
+        StructField(n, dt, nullable = false)
       }),
         InternalRow.fromSeq(cols.map(_._2))))
     }
@@ -862,9 +982,14 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
       keys <- {
         val pv = SnapshotStore.partitionValuesOf(spark, table.root,
           table.snapVersion)
+        // spec evolution: a file annotated under an EARLIER spec carries a
+        // tuple in another domain — decline SPJ whole (ordinary exchanges)
+        val epochs = SnapshotStore.partitionSpecEpochsOf(spark, table.root,
+          table.snapVersion)
         val decoded = currentFiles.map { f =>
           val uri = SnapshotStore.uriPath(f)
-          pv.get(uri).flatMap(enc => keyRowOf(items, enc)).map(uri -> _)
+          if (epochs.get(uri).exists(_ != spec)) None
+          else pv.get(uri).flatMap(enc => keyRowOf(items, enc)).map(uri -> _)
         }
         if (currentFiles.nonEmpty && decoded.forall(_.isDefined))
           Some(decoded.flatten.toMap)
@@ -879,9 +1004,11 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   private def keyRowOf(items: Seq[PartItem],
       enc: String): Option[InternalRow] =
     PartitionSpec.decode(items, enc).flatMap { vals =>
+      def dtOf(c: String) = table.schema.fields.find(_.name == c)
+        .map(_.dataType)
       val typed: Seq[Option[Any]] = items.zip(vals).map {
         case (IdentityItem(c), v) =>
-          table.schema.fields.find(_.name == c).map(_.dataType).flatMap {
+          dtOf(c).flatMap {
             case org.apache.spark.sql.types.LongType => v.toLongOption
             case org.apache.spark.sql.types.IntegerType => v.toIntOption
             case org.apache.spark.sql.types.DateType => v.toIntOption
@@ -889,7 +1016,18 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
             case _ => None
           }
         case (_: DaysItem, v) => v.toIntOption
+        case (_: HoursItem, v) => v.toIntOption
+        case (_: MonthsItem, v) => v.toIntOption
+        case (_: YearsItem, v) => v.toIntOption
         case (_: BucketItem, v) => v.toIntOption
+        case (TruncateItem(_, c), v) =>
+          // truncate's key type mirrors its input column's
+          dtOf(c).flatMap {
+            case org.apache.spark.sql.types.LongType => v.toLongOption
+            case org.apache.spark.sql.types.IntegerType => v.toIntOption
+            case StringType => Some(UTF8String.fromString(v))
+            case _ => None
+          }
       }
       if (typed.forall(_.isDefined))
         Some(new GenericInternalRow(typed.map(_.get.asInstanceOf[Any]).toArray))
@@ -901,11 +1039,8 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     spjKeys match {
       case Some((items, _)) =>
         import org.apache.spark.sql.connector.expressions.Expressions
-        val exprs = items.map[org.apache.spark.sql.connector.expressions.Expression] {
-          case IdentityItem(c) => Expressions.identity(c)
-          case DaysItem(c) => Expressions.days(c)
-          case BucketItem(n, c) => Expressions.bucket(n, c)
-        }.toArray
+        val exprs = items.map[org.apache.spark.sql.connector.expressions.Expression](
+          SnapshotScan.transformOf).toArray
         // numPartitions = distinct tuples among the PLANNED files (count
         // by encoded annotation — InternalRow has no structural equals)
         val pv = SnapshotStore.partitionValuesOf(spark, table.root,
@@ -1042,17 +1177,25 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
       else epochs.map { case (k, (phys, full, fs)) =>
         k -> build(full, phys, fs, batch = true)
       }
-    // the executor-side reader of delete-vector parquets (file, pos)
+    // the executor-side readers of delete-vector parquets — BOTH payload
+    // generations: legacy per-position rows (file, pos) and compressed
+    // bitmap rows (file, bm); dispatch is per dv FILE by name
     val dvSchema = StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("pos", org.apache.spark.sql.types.LongType,
         nullable = false)))
-    val dvFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dvSchema, new StructType(), dvSchema, Nil,
-      Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConf())
-    new SnapshotReaderFactory(rowFuncs, dvRowFuncs, batchFuncs, dvFunc,
+    val dvbSchema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("bm", org.apache.spark.sql.types.BinaryType,
+        nullable = false)))
+    def dvReader(s: StructType) =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, s, new StructType(), s, Nil,
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        spark.sessionState.newHadoopConf())
+    new SnapshotReaderFactory(rowFuncs, dvRowFuncs, batchFuncs,
+      dvReader(dvSchema), dvReader(dvbSchema),
       batchMode, dataSchema, required, fileOrdinal, posOrdinal)
   }
 }
@@ -1063,6 +1206,24 @@ object SnapshotScan {
     * committed by the annotating commit path must plan without moving
     * this counter. */
   val planStatCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** A [[PartItem]] as Spark's V2 transform expression — the shared
+    * vocabulary of the scan's reported partitioning (SPJ) and the write's
+    * requested distribution; all resolve through [[GraftFunctions]]. */
+  private[catalog] def transformOf(item: PartItem)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    item match {
+      case IdentityItem(c) => Expressions.identity(c)
+      case DaysItem(c) => Expressions.days(c)
+      case HoursItem(c) => Expressions.hours(c)
+      case MonthsItem(c) => Expressions.months(c)
+      case YearsItem(c) => Expressions.years(c)
+      case BucketItem(n, c) => Expressions.bucket(n, c)
+      case TruncateItem(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+    }
+  }
 }
 
 /** One split of one data file: pointers to the delete-vector files
@@ -1110,6 +1271,7 @@ class SnapshotReaderFactory(
     dvRowFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
     batchFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
     dvFunc: PartitionedFile => Iterator[InternalRow],
+    dvbFunc: PartitionedFile => Iterator[InternalRow],
     batchMode: Boolean, dataSchema: StructType, outputSchema: StructType,
     fileOrdinal: Int, posOrdinal: Int = -1) extends PartitionReaderFactory {
 
@@ -1151,43 +1313,56 @@ class SnapshotReaderFactory(
     * of the same tombstoned file share the load through a soft-valued
     * executor-local cache (soft refs: memory pressure evicts, a miss
     * just re-reads). */
-  private def loadDv(p: SnapshotInputPartition): Array[Long] = {
-    val key = p.file + "#" + p.dvPaths.hashCode()
+  private def loadDv(p: SnapshotInputPartition): Tombstones = {
+    // key on the FULL pointer list, never its hashCode: a collision
+    // between two successive snapshots' pointer sets for the same file
+    // would silently apply the wrong tombstones
+    val key = p.file + "#" +
+      p.dvPaths.map { case (d, l) => s"$d:$l" }.mkString(",")
     val cached = SnapshotReaderFactory.dvCache.get(key)
     if (cached != null) {
-      val arr = cached.get()
-      if (arr != null) return arr
+      val t = cached.get()
+      if (t != null) return t
     }
-    val arr = readDv(p)
+    val t = readDv(p)
     SnapshotReaderFactory.dvCache.put(key,
-      new java.lang.ref.SoftReference(arr))
-    arr
+      new java.lang.ref.SoftReference(t))
+    t
   }
 
-  private def readDv(p: SnapshotInputPartition): Array[Long] = {
+  private def readDv(p: SnapshotInputPartition): Tombstones = {
     val want = SnapshotStore.uriPath(p.file)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bms = scala.collection.mutable.ArrayBuffer.empty[PosBitmap]
     // dv rows for one data file cluster together: memoize the last path
     // comparison instead of re-normalizing per tombstone
     var lastRaw: String = null
     var lastMatch = false
     p.dvPaths.foreach { case (dvPath, dvLen) =>
-      dvFunc(partitionedFile(dvPath, 0, dvLen, dvLen, 0L))
+      val rows = (if (SnapshotReaderFactory.isBitmapDv(dvPath)) dvbFunc
+                  else dvFunc)(
+        partitionedFile(dvPath, 0, dvLen, dvLen, 0L))
         .asInstanceOf[Iterator[Any]].flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case r: InternalRow => Iterator.single(r)
-        }.foreach { r =>
-          val raw = r.getUTF8String(0).toString
-          if (raw != lastRaw) {
-            lastRaw = raw
-            lastMatch = SnapshotStore.uriPath(raw) == want
-          }
-          if (lastMatch) buf += r.getLong(1)
         }
+      if (SnapshotReaderFactory.isBitmapDv(dvPath)) {
+        rows.foreach { r =>
+          if (SnapshotStore.uriPath(r.getUTF8String(0).toString) == want)
+            bms += PosBitmap.deserialize(r.getBinary(1))
+        }
+      } else rows.foreach { r =>
+        val raw = r.getUTF8String(0).toString
+        if (raw != lastRaw) {
+          lastRaw = raw
+          lastMatch = SnapshotStore.uriPath(raw) == want
+        }
+        if (lastMatch) buf += r.getLong(1)
+      }
     }
     val arr = buf.toArray
     java.util.Arrays.sort(arr)
-    arr
+    new Tombstones(arr, bms.toArray)
   }
 
   override def createReader(
@@ -1213,10 +1388,9 @@ class SnapshotReaderFactory(
         val dv = loadDv(p)
         if (dv.isEmpty) raw
         // the native row index IS the tombstone coordinate: drop by
-        // binary search (the vector is sorted) — correct under splits
-        // and row-group skipping
-        else raw.filter(r =>
-          java.util.Arrays.binarySearch(dv, r.getLong(rowIdxSrc)) < 0)
+        // bitmap/sorted-array membership — correct under splits and
+        // row-group skipping
+        else raw.filter(r => !dv.contains(r.getLong(rowIdxSrc)))
       }
     val out =
       if (fileOrdinal < 0 && posOrdinal < 0 && !hasIdx) rows
@@ -1266,71 +1440,163 @@ class SnapshotReaderFactory(
 }
 
 object SnapshotReaderFactory {
-  /** Executor-local tombstone-position cache (file + pointer set →
-    * sorted positions), soft-valued so the JVM reclaims it under
-    * pressure. Keys carry the dv pointer identity, so a newer snapshot's
-    * vectors never alias an older load. */
+  /** Executor-local tombstone cache (file + pointer set → decoded
+    * [[Tombstones]]), soft-valued so the JVM reclaims it under pressure.
+    * Keys carry the dv pointer identity, so a newer snapshot's vectors
+    * never alias an older load. Bitmap payloads stay COMPRESSED in the
+    * cache (contains() runs on the containers directly). */
   private[catalog] val dvCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      java.lang.ref.SoftReference[Array[Long]]]()
+      java.lang.ref.SoftReference[Tombstones]]()
+
+  /** Bitmap-generation dv files carry the `dvb_` name marker. */
+  private[catalog] def isBitmapDv(path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path).getName.startsWith("dvb")
+}
+
+/** One split's decoded tombstone set — legacy sorted positions plus any
+  * number of compressed bitmaps, membership-tested per surviving row. */
+private[catalog] final class Tombstones(sorted: Array[Long],
+    bitmaps: Array[PosBitmap]) extends Serializable {
+  def isEmpty: Boolean = sorted.isEmpty && bitmaps.forall(_.isEmpty)
+  def contains(pos: Long): Boolean = {
+    if (sorted.length > 0 &&
+      java.util.Arrays.binarySearch(sorted, pos) >= 0) return true
+    var i = 0
+    while (i < bitmaps.length) {
+      if (bitmaps(i).contains(pos)) return true
+      i += 1
+    }
+    false
+  }
 }
 
 /** Zone pruning of a manifest file list from pushed filters, against the
-  * commit-versioned stats sidecar (q306's machinery consulted by the V2
-  * scan itself). Strict bounds are treated as inclusive and non-numeric
-  * comparisons ignored — conservative both ways: extra files are kept,
-  * rows are never lost. */
+  * commit-versioned TYPED stats sidecar (q306's machinery consulted by
+  * the V2 scan itself). Every sidecar kind prunes in its own canonical
+  * domain — integers as longs, timestamps as micros, dates as epoch days,
+  * strings in UTF8 binary order, doubles, decimals — with pushed-filter
+  * LITERALS converted into that domain (`events.ts` range probes prune
+  * exactly like integer keys). Strict bounds are treated as inclusive,
+  * unconvertible literals skip their conjunct, open file bounds admit —
+  * conservative every way: extra files are kept, rows are never lost. */
 object SnapshotZones {
 
   def prune(spark: SparkSession, root: String, version: Int,
       pushed: Seq[Filter], files: Seq[String]): Seq[String] = {
     if (pushed.isEmpty) return files
-    val stats = SnapshotStore.statsAllOf(spark, root, version)
+    val stats = SnapshotStore.statsTypedOf(spark, root, version)
     if (stats.isEmpty) return files
     // intersect admissibility across EVERY constrained key the sidecar
     // covers — a z-ordered layout bounds all interleaved dimensions, so a
     // predicate on any of them prunes; unconstrained keys admit everything
+    val tests: Seq[(SnapshotStore.TypedStats, ZoneTest)] =
+      stats.toSeq.flatMap { case (key, ts) =>
+        domOf(ts.kind).flatMap(interval(pushed, key, _)).map(ts -> _)
+      }
+    if (tests.isEmpty) return files
     files.filter { f =>
       val uri = SnapshotStore.uriPath(f)
-      stats.forall { case (key, byFile) =>
-        interval(pushed, key) match {
+      tests.forall { case (ts, t) =>
+        ts.byUri.get(uri) match {
+          case Some(b) => t.admits(b)
           case None => true
-          case Some((lo, hi)) =>
-            byFile.get(uri) match {
-              case Some((flo, fhi)) => !(fhi < lo || flo > hi)
-              case None => true
-            }
         }
       }
     }
   }
 
-  /** The [lo, hi] the conjuncts admit for `key`, None when unconstrained. */
-  private def interval(pushed: Seq[Filter],
-      key: String): Option[(Long, Long)] = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    var any = false
-    def num(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue())
+  /** One canonical bound domain: parse a stored bound string, convert a
+    * pushed-filter literal, compare. */
+  private[catalog] case class Dom(parse: String => Option[Any],
+      lit: Any => Option[Any], ord: Ordering[Any])
+
+  private def longDom(litOf: Any => Option[Long]) = Dom(
+    _.toLongOption,
+    litOf.andThen(_.map(Long.box)),
+    Ordering.by[Any, Long](_.asInstanceOf[java.lang.Long].longValue))
+
+  private[catalog] def domOf(kind: String): Option[Dom] = kind match {
+    case "long" => Some(longDom {
+      case n: Number => Some(n.longValue); case _ => None
+    })
+    case "micros" => Some(longDom(v =>
+      PartitionSpec.internalOfLiteral(v).collect {
+        case l: java.lang.Long => l.longValue // Timestamp/Instant → micros
+      }))
+    case "days" => Some(longDom {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
-    }
+    })
+    case "string" => Some(Dom(
+      s => Some(UTF8String.fromString(s)),
+      { case s: String => Some(UTF8String.fromString(s))
+        case s: UTF8String => Some(s)
+        case _ => None },
+      Ordering.by[Any, UTF8String](_.asInstanceOf[UTF8String])(
+        Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[UTF8String]()))))
+    case "double" => Some(Dom(
+      _.toDoubleOption.filterNot(_.isNaN).map(Double.box),
+      { case n: Number =>
+          Some(n.doubleValue).filterNot(_.isNaN).map(Double.box)
+        case _ => None },
+      Ordering.by[Any, Double](_.asInstanceOf[java.lang.Double].doubleValue)))
+    case "decimal" => Some(Dom(
+      s => try Some(new java.math.BigDecimal(s))
+        catch { case _: NumberFormatException => None },
+      { case d: java.math.BigDecimal => Some(d)
+        case d: scala.math.BigDecimal => Some(d.bigDecimal)
+        case _ => None },
+      Ordering.by[Any, java.math.BigDecimal](
+        _.asInstanceOf[java.math.BigDecimal])(
+        Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[java.math.BigDecimal]()))))
+    case _ => None
+  }
+
+  /** The admissibility test the conjuncts imply for `key` in `dom`, None
+    * when unconstrained. Open predicate or file sides never exclude. */
+  private def interval(pushed: Seq[Filter], key: String,
+      dom: Dom): Option[ZoneTest] = {
+    var lo: Option[Any] = None
+    var hi: Option[Any] = None
+    def raiseLo(v: Any): Unit =
+      lo = Some(lo.filter(l => dom.ord.gteq(l, v)).getOrElse(v))
+    def lowerHi(v: Any): Unit =
+      hi = Some(hi.filter(h => dom.ord.lteq(h, v)).getOrElse(v))
     def visit(f: Filter): Unit = f match {
       case And(l, r) => visit(l); visit(r)
       case EqualTo(a, v) if a == key =>
-        num(v).foreach { n => lo = lo.max(n); hi = hi.min(n); any = true }
-      case GreaterThan(a, v) if a == key =>
-        num(v).foreach { n => lo = lo.max(n); any = true }
-      case GreaterThanOrEqual(a, v) if a == key =>
-        num(v).foreach { n => lo = lo.max(n); any = true }
-      case LessThan(a, v) if a == key =>
-        num(v).foreach { n => hi = hi.min(n); any = true }
-      case LessThanOrEqual(a, v) if a == key =>
-        num(v).foreach { n => hi = hi.min(n); any = true }
+        dom.lit(v).foreach { x => raiseLo(x); lowerHi(x) }
+      case GreaterThan(a, v) if a == key => dom.lit(v).foreach(raiseLo)
+      case GreaterThanOrEqual(a, v) if a == key => dom.lit(v).foreach(raiseLo)
+      case LessThan(a, v) if a == key => dom.lit(v).foreach(lowerHi)
+      case LessThanOrEqual(a, v) if a == key => dom.lit(v).foreach(lowerHi)
       case _ => ()
     }
     pushed.foreach(visit)
-    if (any) Some((lo, hi)) else None
+    if (lo.isEmpty && hi.isEmpty) None
+    else Some(ZoneTest(dom, lo, hi))
+  }
+
+  private case class ZoneTest(dom: Dom, lo: Option[Any], hi: Option[Any]) {
+    def admits(b: SnapshotStore.TypedBounds): Boolean = {
+      val fLo = b.lo.flatMap(dom.parse)
+      val fHi = b.hi.flatMap(dom.parse)
+      // disjointness, each side only when BOTH ends are known:
+      // [fLo, fHi] ∩ [lo, hi] = ∅ ⇔ fHi < lo ∨ fLo > hi
+      val belowPred = (fHi, lo) match {
+        case (Some(fh), Some(l)) => dom.ord.lt(fh, l)
+        case _ => false
+      }
+      val abovePred = (fLo, hi) match {
+        case (Some(fl), Some(h)) => dom.ord.gt(fl, h)
+        case _ => false
+      }
+      !(belowPred || abovePred)
+    }
   }
 }
 
@@ -1385,13 +1651,11 @@ class SnapshotWrite(spark: SparkSession, table: SnapshotTable,
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     boundPart.map { bp =>
-      import org.apache.spark.sql.connector.expressions.Expressions
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         bp.map[org.apache.spark.sql.connector.expressions.Expression] {
-          _.item match {
+          b => b.item match {
             case IdentityItem(c) => ColumnBridge.fieldReference(c)
-            case DaysItem(c) => Expressions.days(c)
-            case BucketItem(n, c) => Expressions.bucket(n, c)
+            case other => SnapshotScan.transformOf(other)
           }
         }.toArray)
     }.getOrElse(org.apache.spark.sql.connector.distributions
@@ -1484,18 +1748,29 @@ class SnapshotBatchWrite(spark: SparkSession, table: SnapshotTable,
     f.delete(stagingP, true)
     val replaced = op.map(_.replacedFiles).getOrElse(Nil)
       .map(SnapshotStore.uriPath).toSet
-    // carry every non-replaced manifest line VERBATIM (partition
-    // annotations, the spec meta line) — only the replaced data lines go;
-    // new files land unannotated (pruning power narrows, rows never). A
-    // truncating overwrite keeps ONLY the meta lines: schema and spec
-    // survive, every data line and vector goes.
-    val kept =
-      if (truncateAll) SnapshotStore.metaLines(spark, table.root,
-        table.snapVersion)
-      else SnapshotStore.linesReplacing(spark, table.root,
-        table.snapVersion, replaced)
-    SnapshotStore.commitOrCleanup(spark, table.root, kept ++ moved,
-      table.snapVersion, moved)
+    if (op.isEmpty && !truncateAll) {
+      // PURE APPEND: rebase onto the CURRENT tip with OCC retry — new
+      // files commute with any interleaved commit (the snapshot-isolation
+      // append contract every table format gives), and a write-audit-
+      // publish staging INSERT (table loaded at a pinned `main`, tip
+      // already past it) lands on the branch instead of conflicting.
+      SnapshotTable.appendCommit(spark, table.root, table.snapVersion,
+        moved, moved)
+    } else {
+      // carry every non-replaced manifest line VERBATIM (partition
+      // annotations, the spec meta line) — only the replaced data lines
+      // go; new files land unannotated (pruning power narrows, rows
+      // never). A truncating overwrite keeps ONLY the meta lines: schema
+      // and spec survive, every data line and vector goes. Strict OCC on
+      // the loaded version: a rewrite must never silently rebase.
+      val kept =
+        if (truncateAll) SnapshotStore.metaLines(spark, table.root,
+          table.snapVersion)
+        else SnapshotStore.linesReplacing(spark, table.root,
+          table.snapVersion, replaced)
+      SnapshotStore.commitOrCleanup(spark, table.root, kept ++ moved,
+        table.snapVersion, moved)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1542,14 +1817,20 @@ class SnapshotFanoutBatchWrite(spark: SparkSession, table: SnapshotTable,
     f.delete(new org.apache.hadoop.fs.Path(staging), true)
     val replaced = op.map(_.replacedFiles).getOrElse(Nil)
       .map(SnapshotStore.uriPath).toSet
-    val kept =
-      if (truncateAll) SnapshotStore.metaLines(spark, table.root,
-        table.snapVersion)
-      else SnapshotStore.linesReplacing(spark, table.root,
-        table.snapVersion, replaced)
-    SnapshotStore.commitOrCleanup(spark, table.root,
-      kept ++ moved.map { case (p, v) => SnapshotStore.partLine(p, v) },
-      table.snapVersion, moved.map(_._1))
+    val partLines = moved.map { case (p, v) => SnapshotStore.partLine(p, v) }
+    if (op.isEmpty && !truncateAll) {
+      // pure append: rebase onto the tip (see SnapshotBatchWrite.commit)
+      SnapshotTable.appendCommit(spark, table.root, table.snapVersion,
+        partLines, moved.map(_._1))
+    } else {
+      val kept =
+        if (truncateAll) SnapshotStore.metaLines(spark, table.root,
+          table.snapVersion)
+        else SnapshotStore.linesReplacing(spark, table.root,
+          table.snapVersion, replaced)
+      SnapshotStore.commitOrCleanup(spark, table.root, kept ++ partLines,
+        table.snapVersion, moved.map(_._1))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1823,9 +2104,12 @@ class SnapshotDeltaWrite(spark: SparkSession, table: SnapshotTable,
     val staging = new org.apache.hadoop.fs.Path(table.root,
       s"_graft_stage_delta_$run").toString
     val dataSchema = info.schema()
+    // tombstones land as one COMPRESSED POSITION BITMAP row per covered
+    // data file ([[PosBitmap]] — the roaring-style payload), not one row
+    // per position: wire/cache bytes shrink 10-50× on clustered deletes
     val dvSchema = StructType(Seq(
       StructField("file", StringType, nullable = false),
-      StructField("pos", org.apache.spark.sql.types.LongType,
+      StructField("bm", org.apache.spark.sql.types.BinaryType,
         nullable = false)))
     def prepared(s: StructType) = {
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
@@ -1879,7 +2163,9 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
     try {
       if (data.nonEmpty || dvPairs.nonEmpty) {
         val dataMoved = publish(data, "mor")
-        val dvMoved = publish(dvPairs.map(_._1), "dv")
+        // `dvb_` names mark the bitmap payload generation — readers
+        // dispatch per FILE, so legacy per-position vectors coexist
+        val dvMoved = publish(dvPairs.map(_._1), "dvb")
         val kept = SnapshotStore.linesReplacing(spark, table.root,
           table.snapVersion, Set.empty)
         // dv lines carry their COVERAGE: later loads resolve pointers
@@ -1924,12 +2210,12 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
 
       private var dataW: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dataPath: String = _
-      private var dvW: org.apache.spark.sql.execution.datasources.OutputWriter = _
-      private var dvPath: String = _
-      private val dvRow = new GenericInternalRow(2)
-      // the data files this task's tombstones cover — FILE-count scale,
-      // recorded into the manifest so table loads never re-derive it
-      private val covered = scala.collection.mutable.LinkedHashSet.empty[String]
+      // tombstone positions buffered PER COVERED FILE (8 B per deleted
+      // row, bounded by the task's changed rows — what the old per-row
+      // parquet writer buffered anyway), compressed into one [[PosBitmap]]
+      // row each at commit
+      private val dvPositions = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 
       override def insert(row: InternalRow): Unit = {
         if (dataW == null) {
@@ -1945,22 +2231,10 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
         dataW.write(row)
       }
 
-      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-        if (dvW == null) {
-          val c = ctx(dvConf)
-          dvPath = new org.apache.hadoop.fs.Path(staging,
-            f"dv-$partitionId%05d-$taskId${dvOwf.getFileExtension(c)}")
-            .toString
-          new org.apache.hadoop.fs.Path(staging)
-            .getFileSystem(dvConf.value).mkdirs(
-              new org.apache.hadoop.fs.Path(staging))
-          dvW = dvOwf.newInstance(dvPath, dvSchema, c)
-        }
-        dvRow.update(0, id.getUTF8String(idFileIdx))
-        dvRow.update(1, id.getLong(idPosIdx))
-        covered += id.getUTF8String(idFileIdx).toString
-        dvW.write(dvRow)
-      }
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        dvPositions.getOrElseUpdate(id.getUTF8String(idFileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          id.getLong(idPosIdx)
 
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
@@ -1971,14 +2245,32 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
 
       override def commit(): WriterCommitMessage = {
         if (dataW != null) dataW.close()
-        if (dvW != null) dvW.close()
+        var dvPath: String = null
+        if (dvPositions.nonEmpty) {
+          val c = ctx(dvConf)
+          dvPath = new org.apache.hadoop.fs.Path(staging,
+            f"dv-$partitionId%05d-$taskId${dvOwf.getFileExtension(c)}")
+            .toString
+          new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(dvConf.value).mkdirs(
+              new org.apache.hadoop.fs.Path(staging))
+          val dvW = dvOwf.newInstance(dvPath, dvSchema, c)
+          try {
+            val dvRow = new GenericInternalRow(2)
+            dvPositions.foreach { case (file, positions) =>
+              dvRow.update(0, UTF8String.fromString(file))
+              dvRow.update(1,
+                PosBitmap.fromPositions(positions.toArray).serialize)
+              dvW.write(dvRow)
+            }
+          } finally dvW.close()
+        }
         DeltaStagedFiles(Option(dataPath).toSeq, Option(dvPath).toSeq,
-          covered.toSeq)
+          dvPositions.keys.toSeq)
       }
 
       override def abort(): Unit = {
         if (dataW != null) dataW.close()
-        if (dvW != null) dvW.close()
       }
 
       override def close(): Unit = ()

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   * one definition. */
 object GraftFunctions {
 
-  val Names: Seq[String] = Seq("days", "bucket")
+  val Names: Seq[String] =
+    Seq("days", "hours", "months", "years", "bucket", "truncate")
 
   def load(catalogName: String, ident: Identifier): UnboundFunction = {
     if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
@@ -25,6 +26,10 @@ object GraftFunctions {
         ident)
     ident.name() match {
       case "days" => DaysUnbound
+      case "hours" => HoursUnbound
+      case "months" => MonthsUnbound
+      case "years" => YearsUnbound
+      case "truncate" => TruncateUnbound
       case _ => BucketUnbound
     }
   }
@@ -65,6 +70,98 @@ object GraftFunctions {
     extends GraftScalar("days", Array(DateType), IntegerType) {
     override def produceResult(input: InternalRow): Any =
       if (input.isNullAt(0)) null else input.getInt(0)
+  }
+
+  object HoursUnbound extends UnboundFunction {
+    override def name(): String = "hours"
+    override def description(): String =
+      "hours(ts): the UTC hour number of a timestamp (partition transform)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"hours takes one argument, got ${inputType.fields.length}")
+      inputType.fields(0).dataType match {
+        case TimestampType | TimestampNTZType => HoursOfMicros
+        case other => throw new UnsupportedOperationException(
+          s"hours: unsupported input type $other")
+      }
+    }
+  }
+
+  private object HoursOfMicros
+    extends GraftScalar("hours", Array(TimestampType), IntegerType) {
+    override def produceResult(input: InternalRow): Any =
+      if (input.isNullAt(0)) null
+      else Math.floorDiv(input.getLong(0), PartitionSpec.MicrosPerHour).toInt
+  }
+
+  /** months/years share one shape: a temporal input reduced to its UTC
+    * epoch day, then exact calendar arithmetic ([[PartitionSpec]]). */
+  private def calendarUnbound(fname: String,
+      ofDay: Long => Int): UnboundFunction = new UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(ts): calendar $fname since 1970 (partition transform)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$fname takes one argument, got ${inputType.fields.length}")
+      inputType.fields(0).dataType match {
+        case TimestampType | TimestampNTZType =>
+          new GraftScalar(fname, Array(TimestampType), IntegerType) {
+            override def produceResult(input: InternalRow): Any =
+              if (input.isNullAt(0)) null
+              else ofDay(Math.floorDiv(input.getLong(0),
+                PartitionSpec.MicrosPerDay))
+          }
+        case DateType =>
+          new GraftScalar(fname, Array(DateType), IntegerType) {
+            override def produceResult(input: InternalRow): Any =
+              if (input.isNullAt(0)) null else ofDay(input.getInt(0).toLong)
+          }
+        case other => throw new UnsupportedOperationException(
+          s"$fname: unsupported input type $other")
+      }
+    }
+  }
+
+  val MonthsUnbound: UnboundFunction =
+    calendarUnbound("months", PartitionSpec.monthIndexOfDay)
+  val YearsUnbound: UnboundFunction =
+    calendarUnbound("years", PartitionSpec.yearIndexOfDay)
+
+  object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, c): c truncated to width w — integers to the " +
+        "w-multiple at or below, strings to their first w chars " +
+        "(partition transform)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate takes (w, col), got ${inputType.fields.length} arguments")
+      val dt = inputType.fields(1).dataType
+      dt match {
+        case LongType | IntegerType | org.apache.spark.sql.types.StringType =>
+          new GraftScalar("truncate", Array(IntegerType, dt), dt) {
+            override def produceResult(input: InternalRow): Any =
+              if (input.isNullAt(0) || input.isNullAt(1)) null
+              else {
+                val w = input.getInt(0)
+                dt match {
+                  case LongType =>
+                    val v = input.getLong(1)
+                    v - Math.floorMod(v, w.toLong)
+                  case IntegerType =>
+                    val v = input.getInt(1)
+                    v - Math.floorMod(v, w)
+                  case _ =>
+                    org.apache.spark.unsafe.types.UTF8String.fromString(
+                      input.getUTF8String(1).toString.take(w))
+                }
+              }
+          }
+        case other => throw new UnsupportedOperationException(
+          s"truncate: unsupported input type $other")
+      }
+    }
   }
 
   object BucketUnbound extends UnboundFunction {

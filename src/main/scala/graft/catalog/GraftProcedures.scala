@@ -40,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "analyze",
-    "set_write_mode", "history")
+    "set_write_mode", "set_partition_spec", "branch", "tag", "publish",
+    "drop_ref", "history")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
@@ -76,6 +77,17 @@ class GraftProcedure(catalogName: String, procName: String)
       "stats sidecar for `key`"
     case "history" => "every retained version: commit time, file/vector " +
       "counts, write mode — the table's audit log IS its manifest chain"
+    case "set_partition_spec" => "evolve the partition spec from the next " +
+      "commit on (metadata only): new writes land under the new spec, " +
+      "existing files keep pruning under their own"
+    case "branch" => "open a staging branch (write-audit-publish): `main` " +
+      "pins at the current version — bare readers keep seeing it — while " +
+      "appends land on the named floating branch (VERSION AS OF '<name>')"
+    case "tag" => "pin a named ref at a committed version: VERSION AS OF " +
+      "'<name>' resolves it forever, and vacuum keeps it as a retention root"
+    case "publish" => "fast-forward: drop the `main` pin (bare readers see " +
+      "the audited tip) and consume the named staging branch"
+    case "drop_ref" => "remove a named ref (its target becomes vacuumable)"
     case _ => "set row-level DML mode: 'cow' (copy-on-write) or 'mor' " +
       "(merge-on-read delete vectors)"
   }
@@ -96,6 +108,12 @@ class GraftProcedure(catalogName: String, procName: String)
       ProcedureParameter.in("keep", IntegerType).defaultValue("1").build())
     case "analyze" => Array(in("table", StringType), in("key", StringType))
     case "history" => Array(in("table", StringType))
+    case "set_partition_spec" =>
+      Array(in("table", StringType), in("spec", StringType))
+    case "branch" | "publish" | "drop_ref" =>
+      Array(in("table", StringType), in("name", StringType))
+    case "tag" => Array(in("table", StringType), in("name", StringType),
+      in("version", IntegerType))
     case _ => Array(in("table", StringType), in("mode", StringType))
   }
 
@@ -112,6 +130,12 @@ class GraftProcedure(catalogName: String, procName: String)
       .add("committed_at", org.apache.spark.sql.types.TimestampType)
       .add("n_files", IntegerType).add("n_vectors", IntegerType)
       .add("write_mode", StringType)
+    case "set_partition_spec" => new StructType()
+      .add("version", IntegerType).add("old_spec", StringType)
+      .add("new_spec", StringType)
+    case "branch" | "tag" | "publish" | "drop_ref" => new StructType()
+      .add("version", IntegerType).add("ref", StringType)
+      .add("target", StringType)
     case _ => new StructType()
       .add("version", IntegerType).add("mode", StringType)
   }
@@ -143,9 +167,23 @@ class GraftProcedure(catalogName: String, procName: String)
         val clusterCols = clusterCol.split(',').map(_.trim).filter(_.nonEmpty)
         require(clusterCols.length <= 4, "compact: cluster_col takes at " +
           "most 4 comma-separated columns (z-order interleave)")
+        // the partition spec bound against the live schema: the rewrite
+        // then routes through the SAME fanout writer the catalog INSERT
+        // path uses, so EVERY spec shape (identity, days, bucket,
+        // multi-item) keeps its per-file annotations through OPTIMIZE —
+        // one rendering dialect, pruning and SPJ power survive. Range
+        // partitioning leads with the partition SOURCE columns so each
+        // task holds few open tuples (bounded writer memory).
+        val bound = SnapshotStore.partitionSpecOf(spark, root, cur)
+          .flatMap(PartitionSpec.parse)
+          .flatMap(items => BoundPartItem.bind(items, live.schema))
+        val partSrc = bound.map(_.map(_.item.col).distinct).getOrElse(Nil)
+          .map(col)
         val clustered = clusterCols.length match {
-          case 0 => live.coalesce(buckets)
-          case 1 => live.repartitionByRange(buckets, col(clusterCols(0)))
+          case 0 if partSrc.isEmpty => live.coalesce(buckets)
+          case 0 => live.repartitionByRange(buckets, partSrc: _*)
+          case 1 => live.repartitionByRange(buckets,
+            partSrc :+ col(clusterCols(0)): _*)
           case k =>
             // OPTIMIZE ZORDER BY (a, b[, c, d]): interleave the keys into
             // one Morton value and range-cluster on it — every file then
@@ -177,32 +215,30 @@ class GraftProcedure(catalogName: String, procName: String)
                   norm(col(c), n(r.get(2 * i)), n(r.get(2 * i + 1)))
                 }, bits)
               live.withColumn("__graft_z", z)
-                .repartitionByRange(buckets, col("__graft_z"))
+                .repartitionByRange(buckets, partSrc :+ col("__graft_z"): _*)
                 .drop("__graft_z")
             }
         }
-        // meta lines (schema, partition spec, write mode) carry; every
-        // data line and vector is replaced by the clustered rewrite. On a
-        // partitioned table the rewrite fans out per partition value so the
-        // new files KEEP their per-file partition annotations (pruning
-        // power survives OPTIMIZE); a losing OCC committer deletes its
-        // freshly published files (commitOrCleanup) instead of leaking
-        // them forever past vacuum's manifest-referenced reach.
-        val partCol = SnapshotStore.partitionSpecOf(spark, root, cur)
-          .filter(clustered.columns.contains)
-        val (newLines, newFiles) = partCol match {
-          case Some(pc) =>
-            val lines = SnapshotStore.writeDataPartitioned(spark, root,
-              clustered, pc, math.max(1, buckets), clusterCols.headOption
-                .filter(clustered.columns.contains).getOrElse(pc), "opt")
-            (lines, lines.filterNot(_.startsWith("meta:"))
-              .map(_.split('\t').head))
+        // meta lines (schema, partition spec, write mode) carry VERBATIM;
+        // every data line and vector is replaced by the clustered rewrite.
+        // On a partitioned table the rewrite fans out per partition TUPLE
+        // (the catalog write's own machinery) so the new files KEEP their
+        // per-file annotations (pruning power survives OPTIMIZE); an
+        // unparseable/unbindable spec writes unannotated — conservative:
+        // such files are kept unconditionally by pruning. A losing OCC
+        // committer deletes its freshly published files (commitOrCleanup)
+        // instead of leaking them forever past vacuum's
+        // manifest-referenced reach.
+        val (newLines, newFiles) = bound match {
+          case Some(bp) =>
+            val pairs = SnapshotFanout.write(spark, root, clustered, bp, "opt")
+            (pairs.map { case (p, v) => SnapshotStore.partLine(p, v) },
+              pairs.map(_._1))
           case None =>
             val fl = SnapshotStore.writeData(spark, root, clustered, "opt")
             (fl, fl)
         }
         val carried = SnapshotStore.metaLines(spark, root, cur)
-          .filterNot(l => partCol.isDefined && l.startsWith("meta:partition="))
         val v = SnapshotStore.commitOrCleanup(spark, root,
           carried ++ newLines, cur, newFiles)
         InternalRow(v, before.length, newFiles.length, dvs.length)
@@ -218,6 +254,67 @@ class GraftProcedure(catalogName: String, procName: String)
         SnapshotStore.writeStatsMulti(spark, root, keys)
         val v = SnapshotStore.attachSkipping(spark, root)
         InternalRow(v, SnapshotStore.files(spark, root).length.toLong)
+      case "branch" =>
+        val name = input.getUTF8String(1).toString
+        val refs = SnapshotStore.refsOf(spark, root)
+        require(!refs.get("main").exists(_.isDefined),
+          "branch: `main` is already pinned — publish or drop the open " +
+            "staging branch first")
+        require(!refs.contains(name), s"branch: ref '$name' already exists")
+        require(name != "main", "branch: 'main' is the default branch")
+        val pinAt = SnapshotStore.currentVersion(spark, root)
+        // two metadata commits: main pinned at the pre-branch version,
+        // then the staging branch floating at the tip (each OCC-safe;
+        // readers between them still resolve the pin)
+        SnapshotStore.setRef(spark, root, "main", Some(pinAt))
+        val v = SnapshotStore.setRef(spark, root, name, None)
+        InternalRow(v, UTF8String.fromString(name),
+          UTF8String.fromString(s"tip (main pinned at $pinAt)"))
+      case "tag" =>
+        val name = input.getUTF8String(1).toString
+        val target = input.getInt(2)
+        require(name != "main", "tag: 'main' is reserved for staging pins")
+        val v = SnapshotStore.setRef(spark, root, name, Some(target))
+        InternalRow(v, UTF8String.fromString(name),
+          UTF8String.fromString(target.toString))
+      case "publish" =>
+        val name = input.getUTF8String(1).toString
+        val refs = SnapshotStore.refsOf(spark, root)
+        require(refs.get(name).exists(_.isEmpty),
+          s"publish: '$name' is not an open (floating) staging branch")
+        val tip = SnapshotStore.currentVersion(spark, root)
+        // fast-forward: one commit drops BOTH the main pin and the
+        // consumed branch marker — bare readers see the audited tip
+        val v = SnapshotStore.dropRefs(spark, root, Seq("main", name))
+        InternalRow(v, UTF8String.fromString(name),
+          UTF8String.fromString(s"published $tip"))
+      case "drop_ref" =>
+        val name = input.getUTF8String(1).toString
+        val v = SnapshotStore.dropRefs(spark, root, Seq(name))
+        InternalRow(v, UTF8String.fromString(name),
+          UTF8String.fromString("dropped"))
+      case "set_partition_spec" =>
+        val raw = input.getUTF8String(1).toString.trim
+        val newSpec = Option(raw).filter(_.nonEmpty).filter(_ != "none")
+        // validate loudly BEFORE committing: the spec must parse and its
+        // source columns must exist in the current schema
+        newSpec.foreach { s =>
+          val items = PartitionSpec.parse(s).getOrElse(
+            throw new IllegalArgumentException(
+              s"set_partition_spec: unparsable spec '$s'"))
+          val schema = SnapshotStore.schemaOf(spark, root).getOrElse(
+            spark.read.parquet(
+              SnapshotStore.files(spark, root): _*).schema)
+          // bind validates column existence AND transform/type pairing
+          BoundPartItem.bind(items, schema).getOrElse(
+            throw new IllegalArgumentException(
+              s"set_partition_spec: spec '$s' references columns absent " +
+                "from the table schema"))
+        }
+        val oldSpec = SnapshotStore.partitionSpecOf(spark, root)
+        val v = SnapshotStore.setPartitionSpec(spark, root, newSpec)
+        InternalRow(v, UTF8String.fromString(oldSpec.getOrElse("")),
+          UTF8String.fromString(newSpec.getOrElse("")))
       case _ =>
         val mode = input.getUTF8String(1).toString
         require(mode == "cow" || mode == "mor",

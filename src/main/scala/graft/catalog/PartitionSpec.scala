@@ -4,7 +4,7 @@ import graft.sources.SnapshotStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -73,14 +73,84 @@ case class BucketItem(n: Int, col: String) extends PartItem {
     else Math.floorMod(PartitionSpec.bucketHash(v), n).toString
 }
 
+case class HoursItem(col: String) extends PartItem {
+  def render: String = s"hours($col)"
+  def valueOf(v: Any): String = v match {
+    case null => PartitionSpec.NullValue
+    case micros: java.lang.Long =>
+      Math.floorDiv(micros, PartitionSpec.MicrosPerHour).toString
+    case other => PartitionSpec.NullValue + ":" + other.getClass.getSimpleName
+  }
+}
+
+case class MonthsItem(col: String) extends PartItem {
+  def render: String = s"months($col)"
+  def valueOf(v: Any): String = v match {
+    case null => PartitionSpec.NullValue
+    case micros: java.lang.Long => PartitionSpec.monthIndexOfDay(
+      Math.floorDiv(micros, PartitionSpec.MicrosPerDay)).toString
+    case epochDays: java.lang.Integer =>
+      PartitionSpec.monthIndexOfDay(epochDays.toLong).toString
+    case other => PartitionSpec.NullValue + ":" + other.getClass.getSimpleName
+  }
+}
+
+case class YearsItem(col: String) extends PartItem {
+  def render: String = s"years($col)"
+  def valueOf(v: Any): String = v match {
+    case null => PartitionSpec.NullValue
+    case micros: java.lang.Long => PartitionSpec.yearIndexOfDay(
+      Math.floorDiv(micros, PartitionSpec.MicrosPerDay)).toString
+    case epochDays: java.lang.Integer =>
+      PartitionSpec.yearIndexOfDay(epochDays.toLong).toString
+    case other => PartitionSpec.NullValue + ":" + other.getClass.getSimpleName
+  }
+}
+
+/** Iceberg's `truncate(w, c)`: integers truncate to the w-multiple at or
+  * below (`v - floorMod(v, w)` — monotonic, range-prunable); strings to
+  * their first w chars (point-prunable, incl. sufficiently long
+  * prefixes). */
+case class TruncateItem(w: Int, col: String) extends PartItem {
+  def render: String = s"truncate($w,$col)"
+  def valueOf(v: Any): String = v match {
+    case null => PartitionSpec.NullValue
+    case l: java.lang.Long => (l - Math.floorMod(l, w.toLong)).toString
+    case i: java.lang.Integer =>
+      (i.intValue - Math.floorMod(i.intValue, w)).toString
+    case s: java.lang.Short =>
+      (s.intValue - Math.floorMod(s.intValue, w)).toString
+    case b: java.lang.Byte =>
+      (b.intValue - Math.floorMod(b.intValue, w)).toString
+    case s: UTF8String => s.toString.take(w)
+    case s: String => s.take(w)
+    case other => PartitionSpec.NullValue + ":" + other.getClass.getSimpleName
+  }
+}
+
 object PartitionSpec {
 
   val MicrosPerDay: Long = 86400000000L
+  val MicrosPerHour: Long = 3600000000L
   private val MillisPerDay: Long = 86400000L
   val NullValue = "__null__"
 
+  /** Months-since-1970-01 of an epoch day (exact calendar arithmetic). */
+  def monthIndexOfDay(epochDay: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  /** Years-since-1970 of an epoch day. */
+  def yearIndexOfDay(epochDay: Long): Int =
+    java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
+
   private val DaysRe = """days\(([^()]+)\)""".r
+  private val HoursRe = """hours\(([^()]+)\)""".r
+  private val MonthsRe = """months\(([^()]+)\)""".r
+  private val YearsRe = """years\(([^()]+)\)""".r
   private val BucketRe = """bucket\((\d+)\s*,\s*([^()]+)\)""".r
+  private val TruncateRe = """truncate\((\d+)\s*,\s*([^()]+)\)""".r
 
   /** Split on top-level commas only — `bucket(4,u)` is one item. */
   private def splitTop(s: String): Seq[String] = {
@@ -102,7 +172,11 @@ object PartitionSpec {
   def parse(spec: String): Option[Seq[PartItem]] = {
     val items = splitTop(spec).map {
       case DaysRe(c) => Some(DaysItem(c.trim))
+      case HoursRe(c) => Some(HoursItem(c.trim))
+      case MonthsRe(c) => Some(MonthsItem(c.trim))
+      case YearsRe(c) => Some(YearsItem(c.trim))
       case BucketRe(n, c) => Some(BucketItem(n.toInt, c.trim))
+      case TruncateRe(w, c) => Some(TruncateItem(w.toInt, c.trim))
       case c if !c.contains('(') => Some(IdentityItem(c))
       case _ => None
     }.toSeq
@@ -119,23 +193,31 @@ object PartitionSpec {
           s"graft catalog: transform ${t.name()} takes one top-level column")
         t.references()(0).fieldNames()(0)
       }
+      def litArg(what: String): Int = {
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case l2: java.lang.Long => l2.toInt
+            }
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"graft catalog: ${t.name()} transform needs a literal $what"))
+        require(n >= 1,
+          s"graft catalog: ${t.name()} $what must be >= 1, got $n")
+        n
+      }
       t.name() match {
         case "identity" => IdentityItem(oneRef)
         case "days" => DaysItem(oneRef)
-        case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value() match {
-                case i: java.lang.Integer => i.intValue()
-                case l2: java.lang.Long => l2.toInt
-              }
-          }.getOrElse(throw new UnsupportedOperationException(
-            s"graft catalog: bucket transform needs a literal bucket count"))
-          require(n >= 1, s"graft catalog: bucket count must be >= 1, got $n")
-          BucketItem(n, oneRef)
+        case "hours" => HoursItem(oneRef)
+        case "months" => MonthsItem(oneRef)
+        case "years" => YearsItem(oneRef)
+        case "bucket" => BucketItem(litArg("bucket count"), oneRef)
+        case "truncate" => TruncateItem(litArg("width"), oneRef)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform $other " +
-            "(supported: identity, days, bucket)")
+            "(supported: identity, days, hours, months, years, bucket, " +
+            "truncate)")
       }
     }
 
@@ -156,11 +238,21 @@ object PartitionSpec {
 
   /** Encode a row's per-item values as the manifest annotation. A
     * single-identity spec keeps the ORIGINAL raw rendering (full
-    * back-compat with every existing manifest); anything else is a
-    * `|`-joined URL-encoded tuple. */
+    * back-compat with every existing manifest) — but REJECTS values
+    * carrying manifest structural characters loudly: a tab would truncate
+    * the annotation at parse time (a later exact-match probe then wrongly
+    * prunes the file) and a newline would split the manifest line into a
+    * bogus data-file entry. Anything else is a `|`-joined URL-encoded
+    * tuple (structural characters encode away). */
   def encode(items: Seq[PartItem], values: Seq[String]): String =
     items match {
-      case Seq(_: IdentityItem) => values.head
+      case Seq(_: IdentityItem) =>
+        val v = values.head
+        require(!v.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          "graft: identity partition value contains a manifest structural " +
+            "character (tab/newline/CR); partition such columns by " +
+            "bucket(n, c) instead")
+        v
       case _ => values.map(java.net.URLEncoder.encode(_, "UTF-8"))
         .mkString("|")
     }
@@ -175,6 +267,37 @@ object PartitionSpec {
         if (parts.length != items.length) None
         else Some(parts.map(java.net.URLDecoder.decode(_, "UTF-8")))
     }
+
+  /** A pushed-filter LITERAL converted into the write side's INTERNAL
+    * value domain — the domain [[PartItem.valueOf]] rendered and
+    * [[bucketHash]] hashed at write time (epoch-day Int for dates, micros
+    * Long for timestamps/instants, raw for strings, boxed primitives
+    * unchanged). Pushed filters carry EXTERNAL literal classes
+    * (java.sql.Date/Timestamp, java.time.LocalDate/Instant), whose
+    * `String.valueOf`/`hashCode` disagree with the internal rendering —
+    * comparing them raw would admit ZERO files on a date/timestamp
+    * partition column (silent empty results). None for any class not
+    * explicitly modeled here: callers skip that conjunct — pruning loses
+    * power, never rows. */
+  def internalOfLiteral(v: Any): Option[Any] = v match {
+    case null => None
+    case s: String => Some(s)
+    case s: UTF8String => Some(s.toString)
+    case d: java.sql.Date => Some(Int.box(d.toLocalDate.toEpochDay.toInt))
+    case d: java.time.LocalDate => Some(Int.box(d.toEpochDay.toInt))
+    case t: java.sql.Timestamp =>
+      // millis carry the sub-second millis; only the sub-milli remainder
+      // of nanos is missing from getTime
+      Some(Long.box(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        (t.getNanos % 1000000L) / 1000L)))
+    case i: java.time.Instant =>
+      Some(Long.box(Math.addExact(
+        Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)))
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte | _: java.lang.Boolean | _: java.lang.Float |
+              _: java.lang.Double) => Some(n)
+    case _ => None // BigDecimal & co: internal rendering unmodeled — skip
+  }
 
   /** The UTC (day, is-exact-midnight) of a filter literal (both legacy
     * and java8 datetime classes arrive depending on session conf). The
@@ -192,6 +315,55 @@ object PartitionSpec {
     case d: java.time.LocalDate => Some((d.toEpochDay, true))
     case _ => None
   }
+
+  /** The UTC (hour, is-exact-hour-start) of a timestamp literal. */
+  def hourOfLiteral(v: Any): Option[(Long, Boolean)] =
+    internalOfLiteral(v).collect {
+      case micros: java.lang.Long =>
+        (Math.floorDiv(micros, MicrosPerHour),
+          Math.floorMod(micros, MicrosPerHour) == 0L)
+    }
+
+  /** The UTC day (and sub-day exactness) of a temporal literal — the
+    * months/years converters build on it. */
+  private def dayAndExact(v: Any): Option[(Long, Boolean)] = v match {
+    case _: java.sql.Date | _: java.time.LocalDate => dayOfLiteral(v)
+    case _: java.sql.Timestamp | _: java.time.Instant => dayOfLiteral(v)
+    case _ => None
+  }
+
+  /** (months-since-1970-01, is-exactly-month-start) of a date/timestamp
+    * literal. */
+  def monthOfLiteral(v: Any): Option[(Long, Boolean)] =
+    dayAndExact(v).map { case (day, midnight) =>
+      val d = java.time.LocalDate.ofEpochDay(day)
+      (monthIndexOfDay(day).toLong, midnight && d.getDayOfMonth == 1)
+    }
+
+  /** (years-since-1970, is-exactly-year-start) of a date/timestamp
+    * literal. */
+  def yearOfLiteral(v: Any): Option[(Long, Boolean)] =
+    dayAndExact(v).map { case (day, midnight) =>
+      val d = java.time.LocalDate.ofEpochDay(day)
+      (yearIndexOfDay(day).toLong,
+        midnight && d.getDayOfYear == 1)
+    }
+
+  /** (w-truncated value, literal is exactly a truncation boundary) of an
+    * integral literal. */
+  def truncOfLiteral(w: Int, v: Any): Option[(Long, Boolean)] = {
+    val l: Option[Long] = v match {
+      case x: java.lang.Long => Some(x)
+      case x: java.lang.Integer => Some(x.longValue)
+      case x: java.lang.Short => Some(x.longValue)
+      case x: java.lang.Byte => Some(x.longValue)
+      case _ => None
+    }
+    l.map { x =>
+      val m = Math.floorMod(x, w.toLong)
+      (x - m, m == 0L)
+    }
+  }
 }
 
 /** PARTITION PRUNING of a manifest file list from pushed filters against
@@ -204,21 +376,33 @@ object SnapshotPartitions {
   def prune(spark: SparkSession, root: String, version: Int,
       pushed: Seq[Filter], files: Seq[String]): Seq[String] = {
     if (pushed.isEmpty || files.isEmpty) return files
-    val items = SnapshotStore.partitionSpecOf(spark, root, version)
-      .flatMap(PartitionSpec.parse).getOrElse(return files)
-    val tests = items.map(test(pushed, _))
-    if (tests.forall(_.isEmpty)) return files
+    val curSpec = SnapshotStore.partitionSpecOf(spark, root, version)
+    // SPEC EVOLUTION: each file's annotation decodes under the spec that
+    // WROTE it (its `pspec=` epoch; absent = the current spec). Pruning
+    // then STACKS across epochs — a probe on the old spec's column prunes
+    // the old files, one on the new spec's the new files — and a
+    // days-encoded value can never be misread under a later bucket spec.
+    val epochs = SnapshotStore.partitionSpecEpochsOf(spark, root, version)
+    if (curSpec.isEmpty && epochs.isEmpty) return files
     val pv = SnapshotStore.partitionValuesOf(spark, root, version)
+    // per distinct spec: parsed items + their per-item tests (memoized —
+    // a manifest holds at most a handful of spec epochs)
+    val testCache = scala.collection.mutable.Map
+      .empty[String, Option[(Seq[PartItem], Seq[Option[String => Boolean]])]]
+    def testsOf(spec: String) = testCache.getOrElseUpdate(spec,
+      PartitionSpec.parse(spec).map(items => (items, items.map(test(pushed, _)))))
     files.filter { f =>
-      pv.get(SnapshotStore.uriPath(f)) match {
-        case None => true // unannotated: keep unconditionally
-        case Some(enc) =>
+      val uri = SnapshotStore.uriPath(f)
+      val spec = epochs.get(uri).orElse(curSpec)
+      (spec.flatMap(testsOf), pv.get(uri)) match {
+        case (Some((items, tests)), Some(enc)) if tests.exists(_.isDefined) =>
           PartitionSpec.decode(items, enc) match {
             case None => true
             case Some(vals) => tests.lazyZip(vals).forall { (t, v) =>
               t.forall(_(v))
             }
           }
+        case _ => true // unannotated / unparsable / unconstrained: keep
       }
     }
   }
@@ -230,56 +414,103 @@ object SnapshotPartitions {
     val conjuncts = pushed.flatMap(flatten)
     item match {
       case IdentityItem(c) =>
+        // admissible annotation strings of one literal: BOTH the internal
+        // rendering (the fanout writer's dialect — epoch days, micros) and
+        // the external `String.valueOf` (the legacy writeDataPartitioned
+        // dialect). The union can only ADMIT extra files, never prune a
+        // matching one — safe under either write dialect.
+        def renderings(v: Any): Set[String] =
+          Set(String.valueOf(v)) ++
+            PartitionSpec.internalOfLiteral(v).map(String.valueOf(_))
         val allowed = conjuncts.collect {
-          case EqualTo(a, v) if a == c => Set(String.valueOf(v))
-          case In(a, vs) if a == c => vs.map(String.valueOf(_)).toSet
+          case EqualTo(a, v) if a == c => renderings(v)
+          case In(a, vs) if a == c => vs.toSet.flatMap(renderings)
         }
         allowed.reduceOption(_ intersect _).map(s => s.contains(_))
       case BucketItem(n, c) =>
-        val allowed = conjuncts.collect {
-          case EqualTo(a, v) if a == c =>
-            Set(Math.floorMod(PartitionSpec.bucketHash(v), n).toString)
+        // bucketHash must see the INTERNAL value (what the write side
+        // hashed); an unmodeled literal class skips its conjunct — no
+        // pruning from it, never a wrong bucket
+        def bucketOf(v: Any): Option[String] =
+          PartitionSpec.internalOfLiteral(v).map(iv =>
+            Math.floorMod(PartitionSpec.bucketHash(iv), n).toString)
+        val allowed = conjuncts.flatMap {
+          case EqualTo(a, v) if a == c => bucketOf(v).map(Set(_))
           case In(a, vs) if a == c =>
-            vs.map(v =>
-              Math.floorMod(PartitionSpec.bucketHash(v), n).toString).toSet
+            val bs = vs.toSeq.map(bucketOf)
+            if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+          case _ => None
         }
         allowed.reduceOption(_ intersect _).map(s => s.contains(_))
       case DaysItem(c) =>
-        var lo = Long.MinValue
-        var hi = Long.MaxValue
-        var any = false
-        conjuncts.foreach {
-          case EqualTo(a, v) if a == c =>
-            PartitionSpec.dayOfLiteral(v).foreach { case (d, _) =>
-              lo = lo.max(d); hi = hi.min(d); any = true
-            }
-          case GreaterThan(a, v) if a == c =>
-            PartitionSpec.dayOfLiteral(v).foreach { case (d, _) =>
-              lo = lo.max(d); any = true // strict treated inclusive: safe
-            }
-          case GreaterThanOrEqual(a, v) if a == c =>
-            PartitionSpec.dayOfLiteral(v).foreach { case (d, _) =>
-              lo = lo.max(d); any = true
-            }
-          case LessThan(a, v) if a == c =>
-            PartitionSpec.dayOfLiteral(v).foreach { case (d, midnight) =>
-              // `< d 00:00:00` excludes all of day d; any remainder keeps
-              // the bound inclusive (conservative)
-              hi = hi.min(if (midnight) d - 1 else d); any = true
-            }
-          case LessThanOrEqual(a, v) if a == c =>
-            PartitionSpec.dayOfLiteral(v).foreach { case (d, _) =>
-              hi = hi.min(d); any = true
-            }
-          case _ => ()
+        rangeTest(conjuncts, c, PartitionSpec.dayOfLiteral, step = 1L)
+      case HoursItem(c) =>
+        rangeTest(conjuncts, c, PartitionSpec.hourOfLiteral, step = 1L)
+      case MonthsItem(c) =>
+        rangeTest(conjuncts, c, PartitionSpec.monthOfLiteral, step = 1L)
+      case YearsItem(c) =>
+        rangeTest(conjuncts, c, PartitionSpec.yearOfLiteral, step = 1L)
+      case TruncateItem(w, c) =>
+        // STRING truncation: point tests (equality / long-enough prefixes)
+        // on the truncated literal; INTEGER truncation: monotonic range
+        // test in the raw domain with step w
+        val strAllowed = conjuncts.collect {
+          case EqualTo(a, v: String) if a == c => Set(v.take(w))
+          case EqualTo(a, v: UTF8String) if a == c => Set(v.toString.take(w))
+          case In(a, vs) if a == c && vs.nonEmpty && vs.forall(v =>
+              v.isInstanceOf[String] || v.isInstanceOf[UTF8String]) =>
+            vs.map(v => String.valueOf(v).take(w)).toSet
+          case StringStartsWith(a, p) if a == c && p.length >= w =>
+            Set(p.take(w))
         }
-        if (!any) None
-        else Some { s =>
-          s.toLongOption match {
-            case Some(d) => d >= lo && d <= hi
-            case None => true // null marker / unparsable: keep
-          }
+        if (strAllowed.nonEmpty)
+          strAllowed.reduceOption(_ intersect _).map(s => s.contains(_))
+        else rangeTest(conjuncts, c,
+          PartitionSpec.truncOfLiteral(w, _), step = w.toLong)
+    }
+  }
+
+  /** Shared monotonic-bucket range test (days/hours/months/years/
+    * truncate-int): `toBucket` maps a literal to (bucket value, the
+    * literal IS exactly the bucket's lower boundary); `step` is one
+    * bucket's width in the bucket-value domain. A strict upper bound AT a
+    * boundary excludes its whole bucket; everything else stays inclusive
+    * (conservative). Unconvertible literals skip their conjunct. */
+  private def rangeTest(conjuncts: Seq[Filter], c: String,
+      toBucket: Any => Option[(Long, Boolean)],
+      step: Long): Option[String => Boolean] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var any = false
+    conjuncts.foreach {
+      case EqualTo(a, v) if a == c =>
+        toBucket(v).foreach { case (d, _) =>
+          lo = lo.max(d); hi = hi.min(d); any = true
         }
+      case GreaterThan(a, v) if a == c =>
+        toBucket(v).foreach { case (d, _) =>
+          lo = lo.max(d); any = true // strict treated inclusive: safe
+        }
+      case GreaterThanOrEqual(a, v) if a == c =>
+        toBucket(v).foreach { case (d, _) =>
+          lo = lo.max(d); any = true
+        }
+      case LessThan(a, v) if a == c =>
+        toBucket(v).foreach { case (d, atBoundary) =>
+          hi = hi.min(if (atBoundary) d - step else d); any = true
+        }
+      case LessThanOrEqual(a, v) if a == c =>
+        toBucket(v).foreach { case (d, _) =>
+          hi = hi.min(d); any = true
+        }
+      case _ => ()
+    }
+    if (!any) None
+    else Some { s =>
+      s.toLongOption match {
+        case Some(d) => d >= lo && d <= hi
+        case None => true // null marker / unparsable: keep
+      }
     }
   }
 
@@ -304,13 +535,33 @@ object BoundPartItem {
       if (i < 0) None
       else {
         val dt = schema.fields(i).dataType
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, TimestampNTZType}
+        def temporal = dt == TimestampType || dt == DateType ||
+          dt == TimestampNTZType
         it match {
-          case _: DaysItem
-              if dt != TimestampType && dt != DateType &&
-                dt != org.apache.spark.sql.types.TimestampNTZType =>
+          case _: DaysItem if !temporal =>
             throw new UnsupportedOperationException(
               s"graft catalog: days(${it.col}) needs a timestamp/date " +
                 s"column, got $dt")
+          case _: HoursItem
+              if dt != TimestampType && dt != TimestampNTZType =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: hours(${it.col}) needs a timestamp " +
+                s"column, got $dt")
+          case _: MonthsItem if !temporal =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: months(${it.col}) needs a timestamp/date " +
+                s"column, got $dt")
+          case _: YearsItem if !temporal =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: years(${it.col}) needs a timestamp/date " +
+                s"column, got $dt")
+          case _: TruncateItem
+              if dt != LongType && dt != IntegerType && dt != ShortType &&
+                dt != ByteType && dt != StringType =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: truncate(w, ${it.col}) needs an integer or " +
+                s"string column, got $dt")
           case _ => ()
         }
         Some(BoundPartItem(it, i, dt))

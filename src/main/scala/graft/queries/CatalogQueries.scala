@@ -1071,6 +1071,283 @@ object CatalogQueries {
       |  min(o_orderkey) AS lo, max(o_orderkey) AS hi, TRUE AS meta_only
       |FROM orders""".stripMargin
 
+  /** q346: TYPED ZONE STATS — `CALL graft.analyze(t, 'ts')` over a
+    * TIMESTAMP key: the sidecar stores per-file bounds as epoch MICROS
+    * (the Iceberg typed-bound model; [[SnapshotStore.canonicalBounds]]),
+    * and a pushed ts-range probe converts its Timestamp literals into the
+    * same domain and plans ONLY the admissible files
+    * ([[graft.catalog.SnapshotZones]]). This kills the engine's oldest
+    * pruning restriction — integer-keyed-only zone stats — on THE most
+    * common real pruning key (`events.ts`). `pruned_ok` pins that the
+    * probe's planned scan admitted a strict non-empty subset of the
+    * 8-way ts-clustered layout; the oracle re-derives the slice from the
+    * raw corpus. */
+  def catTsZones(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_tszones")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val root = s"$out/table"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = graft.Tables(spark, dir, "events")
+      .repartitionByRange(8, col("ts"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "cat_events_z", root)
+    spark.sql("CALL graft.analyze('cat_events_z', 'ts')")
+    SnapshotStore.dropSkipping(spark, root) // session tidiness
+    val probe = spark.sql(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS lo_id, max(event_id) AS hi_id
+        |FROM graft.cat_events_z
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY event_type""".stripMargin)
+    val planned = plannedParts(probe)
+    val files = SnapshotStore.files(spark, root)
+    val prunedOk = planned >= 1 && planned < files.size
+    probe.select(col("event_type"), col("n"), col("lo_id"), col("hi_id"),
+      lit(prunedOk).as("pruned_ok"))
+  }
+
+  private val catTsZonesSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(event_id) AS lo_id, max(event_id) AS hi_id, TRUE AS pruned_ok
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** q347: TYPED METADATA MIN/MAX — `SELECT count(*), min(ts), max(ts),
+    * min(event_type), max(event_type)` answers as ONE driver-local row
+    * from the manifest + typed sidecar: timestamp bounds decode from
+    * micros, string bounds compare in UTF8 binary order (exact only —
+    * truncated long-string bounds decline the pushdown). `meta_only`
+    * pins the plan read zero data bytes; the oracle recomputes the same
+    * extrema from the raw corpus. */
+  def catMetaTyped(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_metatyped")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    val root = s"$out/table"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = graft.Tables(spark, dir, "events")
+      .repartitionByRange(8, col("ts"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "cat_events_mm", root)
+    spark.sql("CALL graft.analyze('cat_events_mm', 'ts,event_type')")
+    SnapshotStore.dropSkipping(spark, root)
+    val df = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  min(ts) AS ts_lo, max(ts) AS ts_hi,
+        |  min(event_type) AS et_lo, max(event_type) AS et_hi
+        |FROM graft.cat_events_mm""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    val metaOnly = p.contains("LocalTableScan") && !p.contains("BatchScan")
+    df.select(col("n"), col("ts_lo"), col("ts_hi"), col("et_lo"),
+      col("et_hi"), lit(metaOnly).as("meta_only"))
+  }
+
+  private val catMetaTypedSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  min(ts) AS ts_lo, max(ts) AS ts_hi,
+      |  min(event_type) AS et_lo, max(event_type) AS et_hi,
+      |  TRUE AS meta_only
+      |FROM events""".stripMargin
+
+  /** q348: TYPE-WIDENING SCHEMA EVOLUTION — `ALTER TABLE ... ALTER COLUMN
+    * k TYPE BIGINT` as a pure metadata commit: pre-widen files keep their
+    * INT32 parquet pages and the reader up-casts them in place (Spark 4's
+    * widening reads), post-widen inserts land 64-bit — the graded
+    * aggregate SPANS both epochs and a pushed long filter crosses the
+    * widen. The most common safe evolution in production lakehouses
+    * (Iceberg V1 promotions), previously a loud decline. */
+  def catWiden(spark: SparkSession, dir: String): DataFrame = {
+    freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.wd_t")
+    spark.sql(
+      "CREATE TABLE graft.wd_t (k INT, status STRING, price DECIMAL(18,2))")
+    graft.Tables(spark, dir, "orders").createOrReplaceTempView("wd_src")
+    spark.sql(
+      """INSERT INTO graft.wd_t
+        |SELECT CAST(o_orderkey AS INT), o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) FROM wd_src""".stripMargin)
+    spark.sql("ALTER TABLE graft.wd_t ALTER COLUMN k TYPE BIGINT")
+    // rows only a 64-bit key can hold — impossible before the widen
+    spark.sql(
+      """INSERT INTO graft.wd_t
+        |SELECT o_orderkey + 3000000000, o_orderstatus,
+        |  CAST(o_totalprice AS DECIMAL(18,2))
+        |FROM wd_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(
+      """SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS s, CAST(sum(price) AS DOUBLE) AS total
+        |FROM (SELECT k, status, price FROM graft.wd_t WHERE k >= 10)
+        |GROUP BY status""".stripMargin)
+  }
+
+  private val catWidenSql =
+    """WITH w AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS status,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 3000000000, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS s, CAST(sum(price) AS DOUBLE) AS total
+      |FROM w WHERE k >= 10 GROUP BY 1""".stripMargin
+
+  /** q350: WRITE-AUDIT-PUBLISH — the quarantined-ingestion pattern every
+    * production lakehouse pipeline runs, as named refs
+    * (`meta:ref=<name>=<version|tip>`): `CALL graft.branch(t, 'audit')`
+    * pins `main` at the current version (bare readers keep seeing it),
+    * the staged INSERT lands on the floating branch tip, the audit gate
+    * reads `VERSION AS OF 'audit'`, and `CALL graft.publish(t, 'audit')`
+    * fast-forwards — one metadata commit makes the audited rows visible.
+    * `isolated` pins that a bare read DURING staging saw zero staged
+    * rows; `audit_saw` that the branch read saw exactly the staged
+    * count; the oracle recomputes the published table from the change
+    * model. */
+  def catWap(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_wap", root)
+    val baseCount = spark.table("graft.cat_orders_wap").count()
+    spark.sql("CALL graft.branch('cat_orders_wap', 'audit')")
+    // stage: quarantined rows (status 'W') appended to the branch tip
+    graft.Tables(spark, dir, "orders")
+      .where(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + lit(900000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("W").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .createOrReplaceTempView("wap_staged")
+    val stagedCount = spark.table("wap_staged").count()
+    spark.sql("INSERT INTO graft.cat_orders_wap SELECT * FROM wap_staged")
+    // ISOLATION: a bare read mid-staging resolves the pinned main
+    val during = spark.table("graft.cat_orders_wap")
+    val isolated = during.count() == baseCount &&
+      during.where(col("o_orderstatus") === "W").isEmpty
+    // AUDIT GATE: the branch read sees exactly the staged rows
+    val auditSaw = spark.sql(
+      """SELECT count(*) AS n FROM graft.cat_orders_wap VERSION AS OF 'audit'
+        |WHERE o_orderstatus = 'W'""".stripMargin)
+      .head().getLong(0) == stagedCount
+    spark.sql("CALL graft.publish('cat_orders_wap', 'audit')")
+    spark.table("graft.cat_orders_wap")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(isolated).as("isolated"), lit(auditSaw).as("audit_saw"))
+  }
+
+  private val catWapSql =
+    """WITH pub AS (
+      |  SELECT o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 'W', o_totalprice + 1.0 FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price,
+      |  TRUE AS isolated, TRUE AS audit_saw
+      |FROM pub GROUP BY 1""".stripMargin
+
+  /** q351: CHANGE FEED OVER A MERGE-ON-READ COMMIT — q303's manifest-diff
+    * CDC extended to `dv:` lines: a MoR MERGE commits insert files +
+    * tombstone vectors (no data file removed), so the feed's PRE-IMAGES
+    * are the rows the NEW vectors tombstone (read by joining the
+    * decompressed (file, pos) tombstones back against their files' native
+    * row ids — cost ∝ tombstones, never table) and the POST-IMAGES the
+    * added files' rows; a full-outer join on the key classifies
+    * update/delete/insert exactly as q303 does for COW. SAME oracle as
+    * q303 (the q308 change model) — the feed must be identical no matter
+    * which write mode produced the commit. */
+  def catMorFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_mfd", root)
+    spark.sql("CALL graft.set_write_mode('cat_orders_mfd', 'mor')")
+    val lo = mx / 2; val hi = lo + mx / 10
+    changesView(spark, root, lo, hi, "mor_feed_changes")
+    spark.sql(MergeSql.format("cat_orders_mfd", "mor_feed_changes"))
+    val to = SnapshotStore.currentVersion(spark, root)
+    val from = to - 1
+    // pre-images: rows tombstoned by the vectors ADDED in (from, to]
+    val newDvs = SnapshotStore.deleteVectors(spark, root, to)
+      .filterNot(SnapshotStore.deleteVectors(spark, root, from).toSet)
+    val tomb = SnapshotStore.tombstoneFrame(spark, newDvs)
+      .select(SnapshotStore.normCol(col("file")).as("__t_file"),
+        col("pos").as("__t_pos"))
+    val pre = SnapshotStore.readWithRowId(spark, root, from)
+      .join(tomb,
+        SnapshotStore.normCol(col("__row_file")) === col("__t_file") &&
+          col("__row_pos") === col("__t_pos"), "left_semi")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("pre_price"),
+        col("o_orderpriority").as("pre_prio"))
+    // post-images: the added data files' rows
+    val before = SnapshotStore.files(spark, root, from)
+      .map(Lakehouse.normPath).toSet
+    val added = SnapshotStore.files(spark, root, to)
+      .filterNot(f => before(Lakehouse.normPath(f)))
+    val post = spark.read.parquet(added: _*)
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("post_price"),
+        col("o_orderpriority").as("post_prio"))
+    pre.join(post, col("k") === col("k2"), "full")
+      .withColumn("op",
+        when(col("k").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("pre_price") =!= col("post_price") ||
+            col("pre_prio") =!= col("post_prio"), lit("update"))
+          .otherwise(lit("none")))
+      .where(col("op") =!= "none")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("pre_price")).as("pre_total"),
+        graft.Exact.dsum2(col("post_price")).as("post_total"))
+  }
+
+  /** q349: HOUR PARTITIONING — `PARTITIONED BY (hours(ts))`: the INSERT
+    * shuffles on the catalog-resolved `hours` function, one file per UTC
+    * hour lands annotated, and a one-hour probe plans ONLY that hour's
+    * file(s) — the finest-grain edition of the days() ingest layout
+    * (`pruned_ok` pins a strict planned subset). */
+  def catHoursPartition(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ev_hours")
+    spark.sql(
+      """CREATE TABLE graft.ev_hours
+        |  (event_id BIGINT, ts TIMESTAMP, event_type STRING)
+        |PARTITIONED BY (hours(ts))""".stripMargin)
+    graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .where(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .createOrReplaceTempView("evhours_src")
+    spark.sql("INSERT INTO graft.ev_hours SELECT * FROM evhours_src")
+    val root = s"$wh/ev_hours"
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val annotated = files.nonEmpty &&
+      files.forall(f => pv.contains(SnapshotStore.uriPath(f)))
+    val probe = spark.sql(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS lo_id, max(event_id) AS hi_id
+        |FROM graft.ev_hours
+        |WHERE ts >= TIMESTAMP '2024-01-01 05:00:00'
+        |  AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        |GROUP BY event_type""".stripMargin)
+    val planned = plannedParts(probe)
+    val prunedOk = planned >= 1 && planned < files.size
+    probe.select(col("event_type"), col("n"), col("lo_id"), col("hi_id"),
+      lit(annotated).as("annotated"), lit(prunedOk).as("pruned_ok"))
+  }
+
+  private val catHoursPartitionSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  min(event_id) AS lo_id, max(event_id) AS hi_id,
+      |  TRUE AS annotated, TRUE AS pruned_ok
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01 05:00:00'
+      |  AND ts < TIMESTAMP '2024-01-01 06:00:00'
+      |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -1095,5 +1372,12 @@ object CatalogQueries {
     QueryDef("q341_cat_zorder3", catZorder3, Some(catZorder3Sql)),
     QueryDef("q343_cat_rename", catRename, Some(catRenameSql)),
     QueryDef("q344_cat_spj", catSpj, Some(catSpjSql)),
-    QueryDef("q345_cat_meta_count", catMetaCount, Some(catMetaCountSql)))
+    QueryDef("q345_cat_meta_count", catMetaCount, Some(catMetaCountSql)),
+    QueryDef("q346_cat_ts_zones", catTsZones, Some(catTsZonesSql)),
+    QueryDef("q347_cat_meta_typed", catMetaTyped, Some(catMetaTypedSql)),
+    QueryDef("q348_cat_widen", catWiden, Some(catWidenSql)),
+    QueryDef("q349_cat_hours", catHoursPartition,
+      Some(catHoursPartitionSql)),
+    QueryDef("q350_cat_wap", catWap, Some(catWapSql)),
+    QueryDef("q351_mor_feed", catMorFeed, Some(Lakehouse.changeFeedSql)))
 }

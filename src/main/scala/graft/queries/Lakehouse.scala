@@ -788,7 +788,7 @@ object Lakehouse {
         dsum2(col("post_price")).as("post_total"))
   }
 
-  private val changeFeedSql =
+  private[graft] val changeFeedSql =
     s"""WITH rng AS (
        |  SELECT (max(o_orderkey) // 2) AS lo,
        |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi

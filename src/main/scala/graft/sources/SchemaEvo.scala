@@ -112,7 +112,7 @@ object SchemaEvo {
     import org.apache.spark.sql.sources._
     val m: Map[String, Option[String]] =
       schema.fields.map(f => f.name -> nameAt(f, sv)).toMap
-    def tr(f: Filter): Option[Filter] = f match {
+    def tr(f: Filter, neg: Boolean): Option[Filter] = f match {
       case EqualTo(a, v) => m.get(a).flatten.map(EqualTo(_, v))
       case EqualNullSafe(a, v) => m.get(a).flatten.map(EqualNullSafe(_, v))
       case GreaterThan(a, v) => m.get(a).flatten.map(GreaterThan(_, v))
@@ -128,14 +128,19 @@ object SchemaEvo {
         m.get(a).flatten.map(StringStartsWith(_, v))
       case StringEndsWith(a, v) => m.get(a).flatten.map(StringEndsWith(_, v))
       case StringContains(a, v) => m.get(a).flatten.map(StringContains(_, v))
-      case And(l, r) => (tr(l), tr(r)) match {
+      case And(l, r) => (tr(l, neg), tr(r, neg)) match {
         case (Some(a), Some(b)) => Some(And(a, b))
-        case (one, other) => one.orElse(other) // a conjunct may drop alone
+        // a conjunct may drop alone ONLY in positive polarity — under a
+        // NOT, weakening the conjunction STRENGTHENS the whole filter
+        // (Not(And(a,b)) -> Not(a) would drop live rows)
+        case (one, other) if !neg => one.orElse(other)
+        case _ => None
       }
-      case Or(l, r) => for { a <- tr(l); b <- tr(r) } yield Or(a, b)
-      case Not(c) => tr(c).map(Not(_))
+      case Or(l, r) =>
+        for { a <- tr(l, neg); b <- tr(r, neg) } yield Or(a, b)
+      case Not(c) => tr(c, !neg).map(Not(_))
       case _ => None
     }
-    filters.flatMap(tr)
+    filters.flatMap(tr(_, neg = false))
   }
 }

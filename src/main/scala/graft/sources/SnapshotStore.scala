@@ -94,12 +94,21 @@ object SnapshotStore {
   /** A non-meta line's annotations: the path is the first tab-separated
     * token, everything after is `key=value` tokens in any order (`part=`,
     * `len=`, ...) — new annotation kinds parse past old readers, old
-    * lines parse under new readers. */
-  private def annots(line: String): Map[String, String] =
-    line.split('\t').iterator.drop(1).flatMap { t =>
+    * lines parse under new readers. A token WITHOUT '=' re-joins the
+    * preceding value: legacy manifests could render a raw identity
+    * partition value containing a tab (new writers reject those —
+    * [[graft.catalog.PartitionSpec.encode]]), and truncating it at the
+    * tab would make a later exact-match probe wrongly prune the file. */
+  private def annots(line: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
+    line.split('\t').iterator.drop(1).foreach { t =>
       val i = t.indexOf('=')
-      if (i <= 0) None else Some(t.substring(0, i) -> t.substring(i + 1))
-    }.toMap
+      if (i > 0) { lastKey = t.substring(0, i); out(lastKey) = t.substring(i + 1) }
+      else if (lastKey != null) out(lastKey) = out(lastKey) + "\t" + t
+    }
+    out.toMap
+  }
 
   /** The path token of a (data or dv) manifest line. */
   private def pathOf(line: String): String =
@@ -298,6 +307,72 @@ object SnapshotStore {
     epochLine(queryId, epoch) +:
       lines.filterNot(_.startsWith(s"$EpochPrefix$queryId:"))
 
+  /** NAMED REFS (branches and tags) as manifest meta lines:
+    * `meta:ref=<name>=<version|tip>` — a PINNED ref targets one committed
+    * version (a tag, or `main` during write-audit-publish staging); a
+    * FLOATING ref (`tip`) tracks the latest commit (a branch head). Refs
+    * live in the LATEST manifest (every commit path carries meta lines
+    * verbatim, so they ride forward); updating one is an ordinary OCC
+    * commit — the manifest chain is the ref audit log. The catalog reads
+    * them two ways: a bare `graft.t` resolves through a pinned `main`
+    * when one exists (readers never see staged work), and `VERSION AS OF
+    * '<name>'` resolves any ref by name. Vacuum treats pinned targets as
+    * retention roots. */
+  private val RefPrefix = s"${MetaPrefix}ref="
+
+  /** Floating-ref target marker. */
+  private val RefTip = "tip"
+
+  private val RefNameRe = "[A-Za-z][A-Za-z0-9_.-]*".r
+
+  /** `version`'s named refs: name → Some(pinned version) | None (tip). */
+  def refsOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Option[Int]] =
+    manifestLines(spark, root, version).iterator
+      .filter(_.startsWith(RefPrefix))
+      .flatMap { l =>
+        val rest = l.stripPrefix(RefPrefix)
+        val i = rest.lastIndexOf('=')
+        if (i <= 0) None
+        else {
+          val target = rest.substring(i + 1)
+          if (target == RefTip) Some(rest.substring(0, i) -> None)
+          else target.toIntOption.map(v => rest.substring(0, i) -> Some(v))
+        }
+      }.toMap
+
+  /** Render one ref meta line. */
+  def refLine(name: String, target: Option[Int]): String =
+    s"$RefPrefix$name=${target.map(_.toString).getOrElse(RefTip)}"
+
+  /** Commit a ref update: `name` → `target` (Some = pinned version,
+    * None = floating tip); every other line carries verbatim. Validates
+    * the name shape (a ref must not shadow `VERSION AS OF <n>`) and that
+    * a pinned target is actually committed. Returns the new version. */
+  def setRef(spark: SparkSession, root: String, name: String,
+      target: Option[Int]): Int = {
+    require(RefNameRe.matches(name),
+      s"ref name '$name' must match ${RefNameRe.regex}")
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"no committed snapshot under $root")
+    target.foreach(v => require(versions(spark, root).contains(v),
+      s"ref $name: version $v is not committed under $root"))
+    val kept = manifestLines(spark, root, cur)
+      .filterNot(_.startsWith(s"$RefPrefix$name="))
+    commit(spark, root, refLine(name, target) +: kept, cur)
+  }
+
+  /** Commit the removal of refs `names`; absent names are a no-op within
+    * the same commit. Returns the new version. */
+  def dropRefs(spark: SparkSession, root: String,
+      names: Seq[String]): Int = {
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"no committed snapshot under $root")
+    val prefixes = names.map(n => s"$RefPrefix$n=")
+    commit(spark, root, manifestLines(spark, root, cur)
+      .filterNot(l => prefixes.exists(l.startsWith)), cur)
+  }
+
   /** WRITE-MODE meta line: `meta:writemode=mor` opts the table's
     * row-level operations into MERGE-ON-READ — the V2 catalog then plans
     * DELETE/UPDATE/MERGE as delta writes (tombstone vectors + insert
@@ -363,6 +438,48 @@ object SnapshotStore {
       .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
       .flatMap(l => annots(l).get("part").map(uriPath(pathOf(l)) -> _))
       .toMap
+
+  /** `version`'s per-file partition-SPEC epochs (uri-path keyed):
+    * `pspec=` annotations record which spec a file's `part=` value was
+    * ENCODED under — stamped by [[setPartitionSpec]] onto every
+    * pre-evolution data line, so after a spec change each file keeps
+    * pruning under its OWN spec (files without the annotation are
+    * current-spec). Without this, a days-encoded annotation decoded under
+    * a later bucket spec could wrongly prune. */
+  def partitionSpecEpochsOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, String] =
+    manifestLines(spark, root, version).iterator
+      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .flatMap(l => annots(l).get("pspec").map(e =>
+        uriPath(pathOf(l)) -> java.net.URLDecoder.decode(e, "UTF-8")))
+      .toMap
+
+  /** PARTITION-SPEC EVOLUTION as one metadata commit (Iceberg's spec
+    * evolution contract): the `meta:partition=` line becomes `newSpec`
+    * (or disappears for an empty spec), and every data line annotated
+    * under the OLD spec that does not yet carry a `pspec=` epoch gets one
+    * — its `part=` value keeps decoding under the spec that wrote it.
+    * New writes land under the new spec; readers prune each file under
+    * its own epoch; no data file is touched. Returns the new version. */
+  def setPartitionSpec(spark: SparkSession, root: String,
+      newSpec: Option[String]): Int = {
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"no committed snapshot under $root")
+    val oldSpec = partitionSpecOf(spark, root, cur)
+    val stamped = manifestLines(spark, root, cur).map { l =>
+      if (l.startsWith(MetaPrefix) || l.startsWith(DvPrefix)) l
+      else {
+        val a = annots(l)
+        if (!a.contains("part") || a.contains("pspec") || oldSpec.isEmpty) l
+        else l + "\tpspec=" +
+          java.net.URLEncoder.encode(oldSpec.get, "UTF-8")
+      }
+    }
+    val withoutSpec = stamped.filterNot(_.startsWith(s"${MetaPrefix}partition="))
+    commit(spark, root,
+      newSpec.map(s => partSpecLine(s) +: withoutSpec).getOrElse(withoutSpec),
+      cur)
+  }
 
   /** The files of `version` whose partition value is `value` under spec
     * column `col` — declines to NO pruning when the version's spec is a
@@ -455,7 +572,7 @@ object SnapshotStore {
     if (dvs.isEmpty || fl.isEmpty) df
     else {
       val cols = df.columns.toSeq.filterNot(_.startsWith("__row_")).map(col)
-      val tomb = spark.read.parquet(dvs: _*)
+      val tomb = tombstoneFrame(spark, dvs)
         .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
       df.join(tomb, col("__row_file") === col("__dv_file") &&
           col("__row_pos") === col("__dv_pos"), "left_anti")
@@ -463,11 +580,45 @@ object SnapshotStore {
     }
   }
 
+  /** The (file, pos) tombstone rows of a mixed-generation dv file list:
+    * legacy per-position parquets read as-is; bitmap-generation files
+    * (`dvb_` names — [[graft.catalog.PosBitmap]] payloads) decode
+    * executor-side, one flatMap per bitmap row. */
+  private[graft] def tombstoneFrame(spark: SparkSession,
+      dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (bitmapDvs, legacyDvs) = dvs.partition(d =>
+      new org.apache.hadoop.fs.Path(d).getName.startsWith("dvb"))
+    val legacy =
+      if (legacyDvs.isEmpty) None
+      else Some(spark.read.parquet(legacyDvs: _*).select(col("file"),
+        col("pos")))
+    val decoded =
+      if (bitmapDvs.isEmpty) None
+      else {
+        implicit val enc: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.BINARY)
+        implicit val outEnc: org.apache.spark.sql.Encoder[(String, Long)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong)
+        Some(spark.read.parquet(bitmapDvs: _*)
+          .select(col("file"), col("bm")).as[(String, Array[Byte])]
+          .flatMap { case (f, bytes) =>
+            graft.catalog.PosBitmap.positionsOf(
+              graft.catalog.PosBitmap.deserialize(bytes)).map(p => (f, p))
+          }.toDF("file", "pos"))
+      }
+    (legacy.toSeq ++ decoded.toSeq).reduce(_ unionByName _)
+  }
+
   /** Column-expression edition of [[uriPath]] for the DV anti-joins:
     * strips the scheme (+authority) so `file:///x`, `file:/x`, and `/x`
     * all compare equal — different producers render the same file
     * differently (`_metadata.file_path` vs `FileStatus.getPath`). */
-  private def normCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def normCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(c,
       "^[a-zA-Z0-9+.-]+:(//[^/]*)?", "")
 
@@ -483,7 +634,7 @@ object SnapshotStore {
     val dvs = deleteVectors(spark, root, version)
     if (dvs.isEmpty) base
     else {
-      val tomb = spark.read.parquet(dvs: _*)
+      val tomb = tombstoneFrame(spark, dvs)
         .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
       base.join(tomb, normCol(col("__row_file")) === col("__dv_file") &&
         col("__row_pos") === col("__dv_pos"), "left_anti")
@@ -636,30 +787,93 @@ object SnapshotStore {
   private[graft] def uriPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
-  /** `version`'s stats sidecar as key column → (uri-path → [lo, hi]) —
-    * empty when the sidecar is missing, empty, or non-integer-keyed. A
-    * sidecar may carry SEVERAL keys (multi-dimensional layouts: z-order
-    * compaction bounds every interleaved dimension, so each gets its own
-    * rows); the V2 catalog scan ([[graft.catalog.SnapshotZones]])
-    * intersects pruning across all constrained keys. */
-  private[graft] def statsAllOf(spark: SparkSession, root: String,
-      version: Int = -1): Map[String, Map[String, (Long, Long)]] = {
+  /** One zone key's TYPED per-file bounds. `kind` names the canonical
+    * bound domain the sidecar rendered into — "long" (integers), "micros"
+    * (timestamps), "days" (dates), "string", "double", "decimal" — and
+    * `dtJson` the key column's Spark type at analyze time (the decode key
+    * for re-typing bounds). Bounds are canonical STRINGS; a side may be
+    * OPEN (None — e.g. a >256-char string max is stored unbounded rather
+    * than wrong). `exact` = both stored bounds are exactly the file's
+    * min/max (metadata-only MIN/MAX requires exactness; pruning never
+    * does — a truncated string lower bound still excludes correctly). */
+  private[graft] case class TypedBounds(lo: Option[String],
+      hi: Option[String], exact: Boolean)
+
+  private[graft] case class TypedStats(kind: String, dtJson: String,
+      byFile: Map[String, TypedBounds]) {
+    /** uri-path-keyed view (manifest paths vs `input_file_name` URIs). */
+    lazy val byUri: Map[String, TypedBounds] =
+      byFile.map { case (f, b) => uriPath(f) -> b }
+  }
+
+  /** `version`'s stats sidecar in the TYPED model — key column →
+    * [[TypedStats]]; empty when the sidecar is missing or empty. Reads
+    * both sidecar generations: the typed layout (string bounds + kind +
+    * dt columns) and the legacy long-typed layout (surfaced as kind
+    * "long"; legacy non-long sidecars decline whole, as they always
+    * did). A sidecar may carry SEVERAL keys (multi-dimensional layouts:
+    * z-order compaction bounds every interleaved dimension); the V2
+    * catalog scan ([[graft.catalog.SnapshotZones]]) intersects pruning
+    * across all constrained keys. */
+  private[graft] def statsTypedOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, TypedStats] = {
     val v = if (version > 0) version else currentVersion(spark, root)
     val sp = statsPath(root, v)
     if (v <= 0 || !fs(spark, sp).exists(sp)) return Map.empty
-    val rows = spark.read.parquet(sp.toString).collect()
-      // an all-null key column yields null bounds: such files carry NO
-      // usable interval (getLong would silently read 0) — drop the row;
-      // consumers treat the file as bound-less (kept by pruning,
-      // declining metadata MIN/MAX)
-      .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-    try rows.groupBy(_.getString(3)).map { case (key, rs) =>
-      key -> rs.map { r =>
-        uriPath(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))
-      }.toMap
+    val df = spark.read.parquet(sp.toString)
+    if (df.schema.fieldNames.contains("kind")) {
+      val rows = df.select("file", "lo", "hi", "key", "kind", "dt", "exact")
+        .collect()
+      rows.groupBy(_.getString(3)).flatMap { case (key, rs) =>
+        val kinds = rs.map(_.getString(4)).distinct
+        val dts = rs.map(_.getString(5)).distinct
+        if (kinds.length != 1 || dts.length != 1) None // malformed: decline
+        else Some(key -> TypedStats(kinds.head, dts.head,
+          rs.flatMap { r =>
+            val lo = if (r.isNullAt(1)) None else Some(r.getString(1))
+            val hi = if (r.isNullAt(2)) None else Some(r.getString(2))
+            // an all-null key column yields null bounds: no usable
+            // interval — drop the row; consumers keep the file
+            if (lo.isEmpty && hi.isEmpty) None
+            else Some(r.getString(0) -> TypedBounds(lo, hi,
+              !r.isNullAt(6) && r.getBoolean(6)))
+          }.toMap))
+      }
+    } else {
+      // legacy sidecar: native-typed lo/hi columns; only long-keyed ones
+      // were ever usable — surface them, decline the rest (as before)
+      if (df.schema("lo").dataType != org.apache.spark.sql.types.LongType)
+        return Map.empty
+      val rows = df.collect().filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+      rows.groupBy(_.getString(3)).map { case (key, rs) =>
+        key -> TypedStats("long", org.apache.spark.sql.types.LongType.json,
+          rs.map { r =>
+            r.getString(0) -> TypedBounds(Some(r.getLong(1).toString),
+              Some(r.getLong(2).toString), exact = true)
+          }.toMap)
+      }
     }
-    catch { case _: ClassCastException => Map.empty }
   }
+
+  /** The integer-domain view of [[statsTypedOf]]: key column → (uri-path
+    * → [lo, hi] as longs) for keys whose canonical domain IS a long
+    * (integers, timestamp micros, date epoch-days). Non-integer keys keep
+    * their ENTRY with an empty map — consumers see the key exists (so a
+    * single-key signature never silently prunes by the wrong key) but get
+    * no bounds from this view; typed consumers go through
+    * [[statsTypedOf]]. */
+  private[graft] def statsAllOf(spark: SparkSession, root: String,
+      version: Int = -1): Map[String, Map[String, (Long, Long)]] =
+    statsTypedOf(spark, root, version).map { case (key, ts) =>
+      key -> (if (!Set("long", "micros", "days").contains(ts.kind)) {
+        Map.empty[String, (Long, Long)]
+      } else ts.byFile.flatMap { case (f, b) =>
+        for {
+          l <- b.lo.flatMap(_.toLongOption)
+          h <- b.hi.flatMap(_.toLongOption)
+        } yield uriPath(f) -> ((l, h))
+      })
+    }
 
   /** Single-key view of the sidecar (the first key, rows filtered to it —
     * a multi-key sidecar must never mix keys' bounds into one map). */
@@ -677,10 +891,56 @@ object SnapshotStore {
       version: Int = -1): Unit =
     writeStatsMulti(spark, root, Seq(keyCol), version)
 
+  /** The canonical bound encodings of one key column — the TYPED bound
+    * model (Iceberg's lower/upper-bound contract): integers render as
+    * longs, timestamps as epoch MICROS, dates as epoch DAYS, floats as
+    * doubles, decimals as plain decimal strings; strings store a
+    * ≤256-char lower bound (a truncated PREFIX is still a valid lower
+    * bound in binary order) and leave the upper bound OPEN past 256 chars
+    * (an open side prunes less, never wrong). Returns (lo, hi, exact,
+    * kind) — `exact` marks bounds that ARE the file's min/max (what
+    * metadata-only MIN/MAX requires). Declines loudly on types without a
+    * modeled canonical domain. */
+  private def canonicalBounds(lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, String) = {
+    import org.apache.spark.sql.functions.{coalesce, datediff, length, lit, substring, unix_micros, when}
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (lo.cast("long").cast("string"), hi.cast("long").cast("string"),
+          lit(true), "long")
+      case TimestampType =>
+        (unix_micros(lo).cast("string"), unix_micros(hi).cast("string"),
+          lit(true), "micros")
+      case DateType =>
+        val epoch = lit("1970-01-01").cast(DateType)
+        (datediff(lo, epoch).cast("long").cast("string"),
+          datediff(hi, epoch).cast("long").cast("string"), lit(true), "days")
+      case StringType =>
+        (substring(lo, 1, 256), when(length(hi) <= 256, hi),
+          coalesce(length(lo) <= 256 && length(hi) <= 256, lit(false)),
+          "string")
+      case FloatType | DoubleType =>
+        (lo.cast("double").cast("string"), hi.cast("double").cast("string"),
+          lit(true), "double")
+      case _: DecimalType =>
+        (lo.cast("string"), hi.cast("string"), lit(true), "decimal")
+      case other => throw new UnsupportedOperationException(
+        s"graft analyze: unsupported zone-stats key type $other (supported: " +
+          "integers, timestamp, date, string, float/double, decimal)")
+    }
+  }
+
   /** Multi-key edition: one aggregate computes [min, max] for EVERY key
-    * per file; the sidecar carries one row per (file, key). The layout a
-    * z-order compaction produces bounds all interleaved dimensions, and
-    * this is where those bounds get persisted for plan-time pruning. */
+    * per file; the sidecar carries one row per (file, key), bounds
+    * rendered into the key's canonical TYPED domain ([[canonicalBounds]])
+    * — `events.ts`-style timestamp/date/string keys zone-prune and answer
+    * metadata MIN/MAX exactly like integer keys. The layout a z-order
+    * compaction produces bounds all interleaved dimensions, and this is
+    * where those bounds get persisted for plan-time pruning. */
   def writeStatsMulti(spark: SparkSession, root: String,
       keyCols: Seq[String], version: Int = -1): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
@@ -700,12 +960,27 @@ object SnapshotStore {
     }
     val aggs = keyCols.flatMap(k =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-    val perFile = spark.read.parquet(files(spark, root, v): _*)
+    // read under the manifest-recorded schema when one exists: a
+    // type-widened table holds files of MIXED physical widths (INT32 +
+    // INT64), which a footer-inferred read would refuse; the recorded
+    // schema up-casts old files in place (and bounds come out in the
+    // CURRENT — widest — domain, which is what consumers compare in)
+    val reader = schemaOf(spark, root, v) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+    val perFile = reader.parquet(files(spark, root, v): _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     keyCols.map { k =>
-      perFile.select(col("file"), col(s"__lo_$k").as("lo"),
-        col(s"__hi_$k").as("hi"), lit(k).as("key"))
+      val dt = perFile.schema(s"__lo_$k").dataType
+      val (lo, hi, exact, kind) =
+        canonicalBounds(col(s"__lo_$k"), col(s"__hi_$k"), dt)
+      // all-string bound columns: keys of DIFFERENT types union cleanly
+      // into one sidecar (a mixed-type multi-key analyze used to coerce
+      // or fail)
+      perFile.select(col("file"), lo.as("lo"), hi.as("hi"), lit(k).as("key"),
+        lit(kind).as("kind"), lit(dt.json).as("dt"), exact.as("exact"))
     }.reduce(_ unionByName _)
       .coalesce(1).write.mode("overwrite")
       .parquet(statsPath(root, v).toString)
@@ -725,19 +1000,54 @@ object SnapshotStore {
   def attachSkipping(spark: SparkSession, root: String,
       version: Int = -1): Int = {
     val v = if (version > 0) version else currentVersion(spark, root)
-    val sp = statsPath(root, v)
-    if (!fs(spark, sp).exists(sp)) return -1
-    val df = spark.read.parquet(sp.toString)
-    val dt = df.schema("lo").dataType
-    val rows = df.collect()
-    if (rows.isEmpty) return -1
+    val typed = statsTypedOf(spark, root, v)
+    if (typed.isEmpty) return -1
     // multi-key sidecars: register the FIRST key's map (the rule holds one
     // zone map per root); the V2 catalog scan intersects ALL keys itself
-    val keyCol = rows.map(_.getString(3)).min
+    val keyCol = typed.keys.min
+    val ts = typed(keyCol)
+    val dt = org.apache.spark.sql.types.DataType.fromJson(ts.dtJson)
+    // decode canonical bounds back to EXTERNAL values of the key's own
+    // type (the rule converts to Catalyst internal form and compares with
+    // the type's interpreted ordering); open-bounded files are left out —
+    // the rule keeps unknown files unconditionally
+    val zones = ts.byFile.flatMap { case (f, b) =>
+      for {
+        lo <- b.lo.flatMap(externalBoundOf(_, ts.kind, dt))
+        hi <- b.hi.flatMap(externalBoundOf(_, ts.kind, dt))
+      } yield f -> ((lo, hi))
+    }
     graft.plans.SkippingIndexRule.registerZoneMapEntries(spark, root, keyCol,
-      dt, rows.filter(_.getString(3) == keyCol)
-        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap)
+      dt, zones)
     v
+  }
+
+  /** A canonical bound string decoded to the EXTERNAL Scala value of the
+    * key's Spark type — what `CatalystTypeConverters` expects. None on any
+    * mismatch (the bound is then treated as open — kept files, never lost
+    * rows). */
+  private[graft] def externalBoundOf(s: String, kind: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (kind, dt) match {
+      case ("long", LongType) => s.toLongOption
+      case ("long", IntegerType) => s.toIntOption
+      case ("long", ShortType) => s.toShortOption
+      case ("long", ByteType) => s.toByteOption
+      case ("micros", TimestampType) => s.toLongOption.map(us =>
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L))
+      case ("days", DateType) =>
+        s.toLongOption.map(d => java.time.LocalDate.ofEpochDay(d))
+      case ("string", StringType) => Some(s)
+      case ("double", DoubleType) => s.toDoubleOption.filterNot(_.isNaN)
+      case ("double", FloatType) =>
+        s.toDoubleOption.filterNot(_.isNaN).map(_.toFloat)
+      case ("decimal", _: DecimalType) =>
+        try Some(new java.math.BigDecimal(s))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
   }
 
   /** Drop this session's transparent-skipping registration for `root`. */
@@ -774,7 +1084,13 @@ object SnapshotStore {
       keep: Int): (Seq[String], Seq[Int]) = {
     require(keep >= 1, "vacuum must keep at least the latest snapshot")
     val all = versions(spark, root)
-    val expired = all.dropRight(keep)
+    // pinned refs (tags, a staged `main`) are RETENTION ROOTS: their
+    // target manifests — and therefore every data file those reference —
+    // survive any retention window (the table-format contract: a tag
+    // means "keep this snapshot readable")
+    val pinned = refsOf(spark, root).values.flatten.toSet
+    val retained = all.takeRight(keep).toSet ++ pinned
+    val expired = all.filterNot(retained)
     if (expired.isEmpty) return (Nil, Nil)
     // delete-vector files are references too: a DV lives exactly as long
     // as some retained manifest carries it; partition annotations and
@@ -783,7 +1099,7 @@ object SnapshotStore {
       .filterNot(_.startsWith(MetaPrefix))
       .map(_.stripPrefix(DvPrefix))
       .map(_.split('\t').head)
-    val live = all.takeRight(keep).flatMap(refs).toSet
+    val live = all.filter(retained).flatMap(refs).toSet
     val doomed = expired.flatMap(refs).distinct.filterNot(live)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))
     doomed.foreach(p =>

@@ -1046,9 +1046,10 @@ class CatalogSpec extends AnyFunSuite {
     // the catalog functions are also directly callable
     assert(spark.sql("SELECT graft.bucket(4, 17L) AS b").head().getInt(0) ==
       Math.floorMod(java.lang.Long.hashCode(17L), 4))
-    // declines: an unsupported transform
+    // declines: an unsupported transform (years/hours/months/truncate are
+    // supported since r15 — the decline pin moved to a truly unknown one)
     intercept[Throwable] {
-      spark.sql("CREATE TABLE graft.pt_bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
+      spark.sql("CREATE TABLE graft.pt_bad (k BIGINT, ts TIMESTAMP) PARTITIONED BY (zorder(ts))")
     }
   }
 
@@ -1137,6 +1138,357 @@ class CatalogSpec extends AnyFunSuite {
     assert(g.queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
+  private def plannedSplits(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.catalog.SnapshotScan]
+          .planInputPartitions().length
+    }.sum
+
+  test("typed zone stats: timestamp/string keys prune and answer metadata MIN/MAX") {
+    val out = java.nio.file.Files.createTempDirectory("catspec_tsz")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val base = spark.range(0, 96).select(
+      col("id").as("k"),
+      expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2026-01-01 00:00:00')")
+        .as("ts"),
+      concat(lit("name_"), lpad(col("id").cast("string"), 3, "0")).as("s"))
+      .repartitionByRange(4, col("ts"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "t_tsz", root)
+    // ONE sidecar over keys of DIFFERENT types (used to coerce or fail)
+    SnapshotStore.writeStatsMulti(spark, root, Seq("ts", "s"))
+    // a ts-range probe prunes at plan time (the r14 gap: events.ts got
+    // no zone pruning because the sidecar was integer-keyed only)
+    val probe = spark.sql(
+      """SELECT count(*) AS n FROM graft.t_tsz
+        |WHERE ts >= TIMESTAMP '2026-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2026-01-03 00:00:00'""".stripMargin)
+    assert(probe.head().getLong(0) == 24)
+    val scanned = plannedSplits(probe)
+    assert(scanned >= 1 && scanned < 4, s"no ts zone pruning: $scanned of 4")
+    // a string probe prunes too (range-clustered by ts ≈ s here)
+    val sprobe = spark.sql(
+      "SELECT count(*) AS n FROM graft.t_tsz WHERE s <= 'name_010'")
+    assert(sprobe.head().getLong(0) == 11)
+    assert(plannedSplits(sprobe) < 4, "no string zone pruning")
+    // metadata-only MIN/MAX: timestamp AND string extrema from the
+    // sidecar alone, count from manifest row counts — zero data bytes
+    val mm = spark.sql(
+      """SELECT min(ts) AS lo, max(ts) AS hi, min(s) AS slo, max(s) AS shi,
+        |  count(*) AS n FROM graft.t_tsz""".stripMargin)
+    val p = mm.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") && !p.contains("BatchScan"), p)
+    val r = mm.head()
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2026-01-04 23:00:00"))
+    assert(r.getString(2) == "name_000" && r.getString(3) == "name_095")
+    assert(r.getLong(4) == 96L)
+    // the transparent-skipping rule registers the TYPED zone map too
+    assert(SnapshotStore.attachSkipping(spark, root) == 1)
+    try {
+      val direct = SnapshotStore.read(spark, root)
+        .where(col("ts") < java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))
+      assert(direct.count() == 6)
+    } finally SnapshotStore.dropSkipping(spark, root)
+  }
+
+  test("typed zone stats: >256-char string bounds stay sound and decline metadata MAX") {
+    val out = java.nio.file.Files.createTempDirectory("catspec_longs")
+    val root = s"$out/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // one file's max is a 300-char string: its upper bound is stored OPEN
+    // (never a truncated — i.e. smaller — value that could wrongly prune)
+    val base = spark.range(0, 20).select(col("id").as("k"),
+      when(col("id") === 19, concat(lit("zz"), lpad(lit("x"), 300, "x")))
+        .otherwise(concat(lit("m_"), col("id").cast("string"))).as("s"))
+      .repartitionByRange(2, col("k"))
+    SnapshotStore.commit(spark, root,
+      SnapshotStore.writeData(spark, root, base, "base"), 0)
+    GraftCatalog.register(spark, "t_longs", root)
+    SnapshotStore.writeStats(spark, root, "s")
+    // the probe for the long string must NOT lose it to pruning
+    val q = spark.table("graft.t_longs").where(col("s") >= "zz")
+    assert(q.count() == 1)
+    // metadata MAX over an inexactly-bounded key declines to a real scan
+    // and still answers correctly
+    val mx = spark.sql("SELECT max(s) AS hi FROM graft.t_longs")
+    assert(mx.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(mx.head().getString(0).startsWith("zz"))
+  }
+
+  test("type widening: INT->BIGINT is a metadata commit, old files up-cast in place") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.tw_t")
+    spark.sql(
+      "CREATE TABLE graft.tw_t (k INT, f FLOAT, d DECIMAL(10,2), g STRING)")
+    spark.sql(
+      """INSERT INTO graft.tw_t
+        |SELECT CAST(id AS INT), CAST(id * 0.5 AS FLOAT),
+        |  CAST(id AS DECIMAL(10,2)), 'a' FROM range(0, 100)""".stripMargin)
+    val root = s"$w/tw_t"
+    val filesBefore = SnapshotStore.files(spark, root).toSet
+    spark.sql("ALTER TABLE graft.tw_t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.tw_t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE graft.tw_t ALTER COLUMN d TYPE DECIMAL(18,2)")
+    // pure metadata: not one data file rewritten
+    assert(SnapshotStore.files(spark, root).toSet == filesBefore)
+    // a key only the wide type can hold
+    spark.sql(
+      "INSERT INTO graft.tw_t VALUES (9000000000, 1.5D, CAST(1 AS DECIMAL(18,2)), 'b')")
+    val t = spark.table("graft.tw_t")
+    assert(t.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.count() == 101)
+    // the aggregate spans pre- and post-widen files
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.tw_t").head().getLong(0) ==
+      (0L until 100L).sum + 9000000000L)
+    // pushed filters cross the widen: a long literal over INT32 files
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.tw_t WHERE k >= 90").head()
+      .getLong(0) == 11)
+    assert(spark.sql(
+      "SELECT k FROM graft.tw_t WHERE k = 9000000000").count() == 1)
+    // a sidecar analyzed over the widened key still answers metadata
+    // MIN/MAX (kind 'long' is width-agnostic)
+    SnapshotStore.writeStats(spark, root, "k")
+    GraftCatalog.register(spark, "tw_t", root) // reload at the new version
+    val mm = spark.sql("SELECT min(k) AS lo, max(k) AS hi FROM graft.tw_t")
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(mm.head().toSeq == Seq(0L, 9000000000L))
+    // declines: narrowing, non-widening, partition-spec columns
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.tw_t ALTER COLUMN k TYPE INT")
+    }
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.tw_t ALTER COLUMN g TYPE BIGINT")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.tw_p")
+    spark.sql(
+      "CREATE TABLE graft.tw_p (k INT, u INT) PARTITIONED BY (bucket(4, u))")
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.tw_p ALTER COLUMN u TYPE BIGINT")
+    }
+  }
+
+  test("partition transforms: hours/months/years/truncate route, annotate, and prune") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan, StringStartsWith}
+    val w = freshWarehouse()
+    // hours(ts): 48 hourly tuples, a one-hour probe admits exactly one
+    spark.sql("DROP TABLE IF EXISTS graft.pt_hrs")
+    spark.sql(
+      """CREATE TABLE graft.pt_hrs (k BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (hours(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt_hrs
+        |SELECT id, timestampadd(MINUTE, CAST(id AS INT),
+        |  TIMESTAMP '2026-01-01 00:00:00')
+        |FROM range(0, 2880)""".stripMargin)
+    val hroot = s"$w/pt_hrs"
+    val hfiles = SnapshotStore.files(spark, hroot)
+    assert(hfiles.size == 48, s"expected 48 hour files, got ${hfiles.size}")
+    val hadm = graft.catalog.SnapshotPartitions.prune(spark, hroot,
+      SnapshotStore.currentVersion(spark, hroot),
+      Seq(GreaterThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2026-01-01 05:00:00")),
+        LessThan("ts", java.sql.Timestamp.valueOf("2026-01-01 06:00:00"))),
+      hfiles)
+    assert(hadm.size == 1, s"hours pruning admitted ${hadm.size}")
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graft.pt_hrs
+        |WHERE ts >= TIMESTAMP '2026-01-01 05:00:00'
+        |  AND ts < TIMESTAMP '2026-01-01 06:00:00'""".stripMargin)
+      .head().getLong(0) == 60)
+    // months(d) over a DATE column: a month-range probe prunes exactly
+    spark.sql("DROP TABLE IF EXISTS graft.pt_mon")
+    spark.sql(
+      """CREATE TABLE graft.pt_mon (k BIGINT, d DATE)
+        |PARTITIONED BY (months(d))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt_mon
+        |SELECT id, date_add(DATE '2025-11-15', CAST(id AS INT))
+        |FROM range(0, 120)""".stripMargin)
+    val mroot = s"$w/pt_mon"
+    val mfiles = SnapshotStore.files(spark, mroot)
+    assert(mfiles.size == 5, s"expected 5 month files, got ${mfiles.size}")
+    val madm = graft.catalog.SnapshotPartitions.prune(spark, mroot,
+      SnapshotStore.currentVersion(spark, mroot),
+      Seq(GreaterThanOrEqual("d", java.sql.Date.valueOf("2026-01-01")),
+        LessThan("d", java.sql.Date.valueOf("2026-02-01"))), mfiles)
+    assert(madm.size == 1, s"months pruning admitted ${madm.size}")
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graft.pt_mon
+        |WHERE d >= DATE '2026-01-01' AND d < DATE '2026-02-01'""".stripMargin)
+      .head().getLong(0) == 31)
+    // years(ts): one file per year, a year-equality probe admits one
+    spark.sql("DROP TABLE IF EXISTS graft.pt_yrs")
+    spark.sql(
+      """CREATE TABLE graft.pt_yrs (k BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (years(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt_yrs
+        |SELECT id, timestampadd(DAY, CAST(id * 100 AS INT),
+        |  TIMESTAMP '2024-06-01 12:00:00')
+        |FROM range(0, 12)""".stripMargin)
+    val yroot = s"$w/pt_yrs"
+    val yfiles = SnapshotStore.files(spark, yroot)
+    assert(yfiles.size >= 3, s"expected >=3 year files, got ${yfiles.size}")
+    val yadm = graft.catalog.SnapshotPartitions.prune(spark, yroot,
+      SnapshotStore.currentVersion(spark, yroot),
+      Seq(GreaterThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2025-01-01 00:00:00")),
+        LessThan("ts", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+      yfiles)
+    assert(yadm.size == 1, s"years pruning admitted ${yadm.size}")
+    // truncate(3, s) over strings: prefix files, equality and long
+    // prefixes prune
+    spark.sql("DROP TABLE IF EXISTS graft.pt_trs")
+    spark.sql(
+      """CREATE TABLE graft.pt_trs (k BIGINT, s STRING)
+        |PARTITIONED BY (truncate(3, s))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt_trs
+        |SELECT id, concat(CASE WHEN id % 2 = 0 THEN 'abc' ELSE 'xyz' END,
+        |  '_', CAST(id AS STRING))
+        |FROM range(0, 100)""".stripMargin)
+    val troot = s"$w/pt_trs"
+    val tfiles = SnapshotStore.files(spark, troot)
+    assert(tfiles.size == 2, s"expected 2 prefix files, got ${tfiles.size}")
+    val tadm = graft.catalog.SnapshotPartitions.prune(spark, troot,
+      SnapshotStore.currentVersion(spark, troot),
+      Seq(EqualTo("s", "abc_42")), tfiles)
+    assert(tadm.size == 1, s"truncate equality admitted ${tadm.size}")
+    val tadm2 = graft.catalog.SnapshotPartitions.prune(spark, troot,
+      SnapshotStore.currentVersion(spark, troot),
+      Seq(StringStartsWith("s", "xyz_")), tfiles)
+    assert(tadm2.size == 1, s"truncate prefix admitted ${tadm2.size}")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.pt_trs WHERE s = 'abc_42'")
+      .head().getLong(0) == 1)
+    // truncate(10, k) over integers: range pruning in the raw domain
+    spark.sql("DROP TABLE IF EXISTS graft.pt_tri")
+    spark.sql(
+      """CREATE TABLE graft.pt_tri (k BIGINT, v DOUBLE)
+        |PARTITIONED BY (truncate(10, k))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.pt_tri SELECT id, id * 0.5 FROM range(0, 100)")
+    val iroot = s"$w/pt_tri"
+    val ifiles = SnapshotStore.files(spark, iroot)
+    assert(ifiles.size == 10, s"expected 10 decade files, got ${ifiles.size}")
+    val iadm = graft.catalog.SnapshotPartitions.prune(spark, iroot,
+      SnapshotStore.currentVersion(spark, iroot),
+      Seq(GreaterThanOrEqual("k", 35L), LessThan("k", 50L)), ifiles)
+    assert(iadm.size == 2, s"truncate range admitted ${iadm.size}")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.pt_tri WHERE k >= 35 AND k < 50")
+      .head().getLong(0) == 15)
+  }
+
+  test("partition-spec evolution: each file prunes under its OWN spec epoch") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pse_t")
+    // identity values are NUMERIC strings on purpose: decoded under the
+    // LATER days() spec they would parse as day numbers and wrongly prune
+    spark.sql(
+      """CREATE TABLE graft.pse_t (k BIGINT, g STRING, ts TIMESTAMP)
+        |PARTITIONED BY (g)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pse_t
+        |SELECT id, CAST(100 + id % 2 AS STRING),
+        |  timestampadd(HOUR, CAST(id % 48 AS INT),
+        |    TIMESTAMP '2026-01-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin)
+    val root = s"$w/pse_t"
+    val oldFiles = SnapshotStore.files(spark, root)
+    assert(oldFiles.size == 2)
+    val r = spark.sql(
+      "CALL graft.set_partition_spec('pse_t', 'days(ts)')").head()
+    assert(r.getString(1) == "g" && r.getString(2) == "days(ts)")
+    spark.sql(
+      """INSERT INTO graft.pse_t
+        |SELECT 1000 + id, 'x',
+        |  timestampadd(HOUR, CAST(id % 48 AS INT),
+        |    TIMESTAMP '2026-01-01 00:00:00')
+        |FROM range(0, 96)""".stripMargin)
+    val files = SnapshotStore.files(spark, root)
+    assert(files.size == 4, s"expected 2 old + 2 day files: $files")
+    val cur = SnapshotStore.currentVersion(spark, root)
+    // a ts-day probe: the two NEW files prune to one; the OLD files'
+    // numeric identity annotations must NOT be misread as day numbers
+    val dayFilter = Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    val dayAdm = graft.catalog.SnapshotPartitions.prune(spark, root, cur,
+      dayFilter, files)
+    assert(dayAdm.size == 3,
+      s"expected both old files + one day file, got $dayAdm")
+    // an identity probe on the OLD spec column still prunes the old files
+    val gAdm = graft.catalog.SnapshotPartitions.prune(spark, root, cur,
+      Seq(EqualTo("g", "100")), files)
+    assert(gAdm.size == 3, s"expected one old file + both new, got $gAdm")
+    // stacked: both constraints intersect to (old 'g=100') + (new day-2)
+    val both = graft.catalog.SnapshotPartitions.prune(spark, root, cur,
+      EqualTo("g", "100") +: dayFilter, files)
+    assert(both.size == 2, s"stacked pruning admitted $both")
+    // content exact through the catalog plan
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graft.pse_t
+        |WHERE ts >= TIMESTAMP '2026-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2026-01-03 00:00:00'""".stripMargin)
+      .head().getLong(0) == 96)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.pse_t WHERE g = '100'")
+      .head().getLong(0) == 48)
+    // declines: unparsable spec, unknown column
+    intercept[Throwable] {
+      spark.sql("CALL graft.set_partition_spec('pse_t', 'wat(k')")
+    }
+    intercept[Throwable] {
+      spark.sql("CALL graft.set_partition_spec('pse_t', 'days(nope)')")
+    }
+  }
+
+  test("branches/tags + write-audit-publish: staged commits invisible on main until publish; vacuum keeps ref roots") {
+    val root = freshTable("t_wap")
+    spark.sql("CALL graft.branch('t_wap', 'stage')")
+    spark.sql("INSERT INTO graft.t_wap VALUES (500L, 'staged', 5.0)")
+    // bare reads resolve the pinned main: zero staged rows
+    assert(spark.table("graft.t_wap").count() == 100)
+    assert(spark.table("graft.t_wap")
+      .where(col("v") === "staged").isEmpty)
+    // the branch (floating ref) sees the staged tip
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_wap VERSION AS OF 'stage'")
+      .head().getLong(0) == 101)
+    // a second staging branch declines while one is open
+    intercept[Throwable] { spark.sql("CALL graft.branch('t_wap', 'other')") }
+    // publish: one metadata commit fast-forwards main
+    spark.sql("CALL graft.publish('t_wap', 'stage')")
+    assert(spark.table("graft.t_wap").count() == 101)
+    // publishing a non-open ref declines
+    intercept[Throwable] { spark.sql("CALL graft.publish('t_wap', 'stage')") }
+    // tags pin a version through vacuum (retention roots)
+    spark.sql("CALL graft.tag('t_wap', 'launch', 1)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_wap VERSION AS OF 'launch'")
+      .head().getLong(0) == 100)
+    spark.sql("CALL graft.vacuum('t_wap', 1)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_wap VERSION AS OF 'launch'")
+      .head().getLong(0) == 100, "vacuum collected a tagged version")
+    assert(SnapshotStore.versions(spark, root).contains(1))
+    // dropping the ref releases the root: the next vacuum collects it
+    spark.sql("CALL graft.drop_ref('t_wap', 'launch')")
+    spark.sql("CALL graft.vacuum('t_wap', 1)")
+    assert(SnapshotStore.versions(spark, root).size == 1)
+    intercept[Throwable] {
+      spark.sql(
+        "SELECT * FROM graft.t_wap VERSION AS OF 'launch'").collect()
+    }
+  }
+
   test("persistent namespace: a fresh session resolves tables with only the warehouse conf") {
     val w = freshWarehouse()
     spark.sql("DROP TABLE IF EXISTS graft.ns_t")
@@ -1160,6 +1512,106 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Throwable] { s2.sql("SELECT * FROM graft.ns_t").collect() }
     assert(!s2.sql("SHOW TABLES IN graft").collect()
       .map(_.getString(1)).contains("ns_t"))
+  }
+
+  test("identity/bucket pruning on DATE and TIMESTAMP columns: typed literals match the write rendering") {
+    val w = freshWarehouse()
+    // identity partition on a DATE column: the manifest annotation is the
+    // INTERNAL epoch-day rendering; the pushed literal is an external
+    // java.sql.Date — before the typed-renderer fix every file failed the
+    // admissibility test and the probe silently returned zero rows
+    spark.sql("DROP TABLE IF EXISTS graft.pt_date")
+    spark.sql(
+      "CREATE TABLE graft.pt_date (k BIGINT, d DATE) PARTITIONED BY (d)")
+    spark.sql(
+      """INSERT INTO graft.pt_date
+        |SELECT id, date_add(DATE '2026-03-01', CAST(id % 3 AS INT))
+        |FROM range(0, 300)""".stripMargin)
+    val root = s"$w/pt_date"
+    val files = SnapshotStore.files(spark, root)
+    assert(files.size == 3, s"expected one file per day, got $files")
+    val probe = spark.sql(
+      "SELECT count(*) AS n FROM graft.pt_date WHERE d = DATE '2026-03-02'")
+    assert(probe.head().getLong(0) == 100L, "date-identity probe lost rows")
+    // and it actually PRUNES: only one file admitted
+    val adm = graft.catalog.SnapshotPartitions.prune(spark, root,
+      SnapshotStore.currentVersion(spark, root),
+      Seq(org.apache.spark.sql.sources.EqualTo("d",
+        java.sql.Date.valueOf("2026-03-02"))), files)
+    assert(adm.size == 1, s"date-identity pruning admitted $adm")
+    // bucket over a DATE column: the hash must see the internal epoch-day
+    spark.sql("DROP TABLE IF EXISTS graft.pt_bdate")
+    spark.sql(
+      "CREATE TABLE graft.pt_bdate (k BIGINT, d DATE) PARTITIONED BY (bucket(4, d))")
+    spark.sql(
+      """INSERT INTO graft.pt_bdate
+        |SELECT id, date_add(DATE '2026-03-01', CAST(id % 16 AS INT))
+        |FROM range(0, 160)""".stripMargin)
+    val broot = s"$w/pt_bdate"
+    val bprobe = spark.sql(
+      "SELECT count(*) AS n FROM graft.pt_bdate WHERE d = DATE '2026-03-05'")
+    assert(bprobe.head().getLong(0) == 10L, "date-bucket probe lost rows")
+    val bfiles = SnapshotStore.files(spark, broot)
+    val badm = graft.catalog.SnapshotPartitions.prune(spark, broot,
+      SnapshotStore.currentVersion(spark, broot),
+      Seq(org.apache.spark.sql.sources.EqualTo("d",
+        java.sql.Date.valueOf("2026-03-05"))), bfiles)
+    assert(badm.size < bfiles.size, s"date-bucket pruning admitted $badm")
+  }
+
+  test("compact keeps annotations through transform and multi-item specs") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pt_opt2")
+    spark.sql(
+      """CREATE TABLE graft.pt_opt2 (k BIGINT, ts TIMESTAMP, g STRING)
+        |PARTITIONED BY (g, days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt_opt2
+        |SELECT id, timestampadd(HOUR, CAST(id % 72 AS INT),
+        |  TIMESTAMP '2026-01-01 00:00:00'),
+        |  CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(0, 720)""".stripMargin)
+    val root = s"$w/pt_opt2"
+    spark.sql("CALL graft.compact(table => 'pt_opt2', buckets => 2, cluster_col => 'k')")
+    val files = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    assert(files.forall(f => pv.contains(SnapshotStore.uriPath(f))),
+      s"compact dropped annotations on a transform spec: $files vs $pv")
+    // pruning power survives OPTIMIZE: a one-day one-group probe admits a
+    // strict subset, and content is intact
+    val admitted = graft.catalog.SnapshotPartitions.prune(spark, root,
+      SnapshotStore.currentVersion(spark, root),
+      Seq[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("g", "a"),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+          java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+        org.apache.spark.sql.sources.LessThan("ts",
+          java.sql.Timestamp.valueOf("2026-01-03 00:00:00"))), files)
+    assert(admitted.size < files.size,
+      s"no pruning after compact: $admitted of ${files.size}")
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graft.pt_opt2
+        |WHERE g = 'a' AND ts >= TIMESTAMP '2026-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2026-01-03 00:00:00'""".stripMargin)
+      .head().getLong(0) == 120)
+    assert(spark.table("graft.pt_opt2").count() == 720)
+  }
+
+  test("identity partition values with structural characters decline loudly at write") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pt_tab")
+    spark.sql(
+      "CREATE TABLE graft.pt_tab (k BIGINT, g STRING) PARTITIONED BY (g)")
+    val e = intercept[Throwable] {
+      spark.sql("INSERT INTO graft.pt_tab VALUES (1L, 'a\tb')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("structural character")),
+      s"unexpected error: $e")
+    // the failed write must not have committed anything
+    assert(spark.table("graft.pt_tab").count() == 0)
   }
 
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {

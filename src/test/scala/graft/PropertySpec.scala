@@ -938,5 +938,99 @@ class PropertySpec extends AnyFunSuite {
     assert(at6.contains(EqualTo("a3", 1L)), at6)
     assert(at6.contains(EqualTo("a3", 3L)), at6)
     assert(!at6.exists(_.references.contains("x")), at6)
+    // NEGATIVE polarity: Not(And(a,b)) with an untranslatable conjunct
+    // must drop WHOLE — Not(a) alone is strictly stronger and would drop
+    // live rows as a reader-pushed filter
+    import org.apache.spark.sql.sources.Not
+    val negged = SchemaEvo.translateFilters(
+      Seq(Not(And(EqualTo("a5", 3L), EqualTo("x", 4L)))), schema, 6)
+    assert(negged.isEmpty, negged)
+    // ... while a fully-translatable Not(And) still goes through
+    val negOk = SchemaEvo.translateFilters(
+      Seq(Not(And(EqualTo("a5", 3L), EqualTo("a5", 4L)))), schema, 6)
+    assert(negOk == Seq(Not(And(EqualTo("a3", 3L), EqualTo("a3", 4L)))), negOk)
+    // double negation restores positive polarity: partial drop allowed
+    val dblNeg = SchemaEvo.translateFilters(
+      Seq(Not(Not(And(EqualTo("a5", 3L), EqualTo("x", 4L))))), schema, 6)
+    assert(dblNeg == Seq(Not(Not(EqualTo("a3", 3L)))), dblNeg)
+  }
+
+  test("PosBitmap: exact membership, round-trip, and compression (property)") {
+    import graft.catalog.PosBitmap
+    val shapes: Seq[Long => Seq[Long]] = Seq(
+      // sparse scatter across many containers
+      seed => (0 until 200).map(i => (seed * 31 + i * 7919) % 5000000L),
+      // one dense clustered run (the row-level DML shape)
+      seed => (0L until 9000L).map(_ + (seed % 100000L)),
+      // container boundaries and duplicates
+      seed => Seq(0L, 1L, 65535L, 65536L, 65537L, 131071L, 131072L,
+        seed % 1000L, seed % 1000L),
+      // dense-past-threshold container (bitmap encoding) + a sparse tail
+      seed => (0L until 5000L).map(_ * 2 + (seed % 7L)) ++
+        Seq(10000000L, 20000000L))
+    (1L to 25L).foreach { seed =>
+      shapes.foreach { shape =>
+        val positions = shape(seed)
+        val bm = PosBitmap.fromPositions(positions.toArray)
+        val set = positions.toSet
+        // membership exact on members, neighbors, and far misses
+        set.foreach(p => assert(bm.contains(p), s"lost $p"))
+        set.foreach { p =>
+          assert(bm.contains(p - 1) == set.contains(p - 1))
+          assert(bm.contains(p + 1) == set.contains(p + 1))
+        }
+        assert(!bm.contains(-1L))
+        assert(!bm.contains(999999999999L))
+        assert(bm.cardinality == set.size)
+        // byte round-trip
+        val back = PosBitmap.deserialize(bm.serialize)
+        set.foreach(p => assert(back.contains(p)))
+        assert(back.cardinality == set.size)
+        assert(PosBitmap.positionsOf(back).toSeq == set.toSeq.sorted)
+      }
+    }
+    // the compression claim: a clustered delete's payload is far below
+    // the legacy 8 B/position
+    val run = (0L until 100000L).toArray
+    val bm = PosBitmap.fromPositions(run)
+    assert(bm.serializedSize < run.length, // ≤1 byte/position here
+      s"clustered run compressed to ${bm.serializedSize} B")
+    // a foreign payload fails loudly, never misreads
+    intercept[IllegalArgumentException] {
+      PosBitmap.deserialize(Array.fill[Byte](64)(7))
+    }
+  }
+
+  test("typed partition-literal rendering matches the write side (dates, timestamps)") {
+    import graft.catalog.PartitionSpec
+    // internal rendering: what IdentityItem.valueOf produced at write time
+    val d = java.sql.Date.valueOf("2026-03-02")
+    assert(PartitionSpec.internalOfLiteral(d)
+      .map(String.valueOf(_)).contains(d.toLocalDate.toEpochDay.toString))
+    assert(PartitionSpec.internalOfLiteral(java.time.LocalDate.of(2026, 3, 2))
+      == PartitionSpec.internalOfLiteral(d))
+    val t = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+    val micros = PartitionSpec.internalOfLiteral(t).get
+      .asInstanceOf[java.lang.Long].longValue
+    assert(micros % 1000000L == 5123456L % 1000000L)
+    assert(PartitionSpec.internalOfLiteral(
+      t.toInstant).contains(Long.box(micros)))
+    // bucketHash agreement: internal date value hashes as the epoch-day int
+    val epochDay = d.toLocalDate.toEpochDay.toInt
+    assert(PartitionSpec.bucketHash(
+      PartitionSpec.internalOfLiteral(d).get) == epochDay)
+    // unmodeled classes decline (callers skip the conjunct)
+    assert(PartitionSpec.internalOfLiteral(new java.math.BigDecimal("1.5")).isEmpty)
+    assert(PartitionSpec.internalOfLiteral(null).isEmpty)
+    // structural characters reject at single-identity encode; multi-item
+    // tuples URL-encode them away
+    import graft.catalog.{BucketItem, IdentityItem}
+    intercept[IllegalArgumentException] {
+      PartitionSpec.encode(Seq(IdentityItem("g")), Seq("a\tb"))
+    }
+    val multi = Seq(IdentityItem("g"), BucketItem(4, "u"))
+    val enc = PartitionSpec.encode(multi, Seq("a\tb", "2"))
+    assert(!enc.contains('\t'))
+    assert(PartitionSpec.decode(multi, enc).contains(Seq("a\tb", "2")))
   }
 }
