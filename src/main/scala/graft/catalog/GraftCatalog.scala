@@ -1220,8 +1220,11 @@ object SnapshotScan {
       case MonthsItem(c) => Expressions.months(c)
       case YearsItem(c) => Expressions.years(c)
       case BucketItem(n, c) => Expressions.bucket(n, c)
-      case TruncateItem(w, c) => Expressions.apply("truncate",
-        Expressions.literal(w), Expressions.column(c))
+      // width-hoisted name, column-only child: Spark's SPJ satisfies test
+      // requires single-leaf partition expressions (see
+      // GraftFunctions.fixedTruncate)
+      case TruncateItem(w, c) => Expressions.apply(s"truncate_$w",
+        Expressions.column(c))
     }
   }
 }
@@ -1570,6 +1573,15 @@ object SnapshotZones {
       case And(l, r) => visit(l); visit(r)
       case EqualTo(a, v) if a == key =>
         dom.lit(v).foreach { x => raiseLo(x); lowerHi(x) }
+      case org.apache.spark.sql.sources.In(a, vs) if a == key &&
+          vs.nonEmpty =>
+        // a value LIST constrains to its [min, max] envelope — exact for
+        // the interval test; any unconvertible member skips the conjunct
+        val cs = vs.toSeq.map(dom.lit)
+        if (cs.forall(_.isDefined)) {
+          val vals = cs.flatten
+          raiseLo(vals.min(dom.ord)); lowerHi(vals.max(dom.ord))
+        }
       case GreaterThan(a, v) if a == key => dom.lit(v).foreach(raiseLo)
       case GreaterThanOrEqual(a, v) if a == key => dom.lit(v).foreach(raiseLo)
       case LessThan(a, v) if a == key => dom.lit(v).foreach(lowerHi)
@@ -1954,8 +1966,18 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
   private def versionOf(o: Offset): Int =
     o.asInstanceOf[SnapshotVersionOffset].version
 
-  private def current: Int = math.max(table.snapVersion,
-    SnapshotStore.currentVersion(spark, table.root))
+  /** The newest version this stream may emit. A PINNED `main` ref caps it
+    * (write-audit-publish staging): a stream tailing the default branch
+    * must not leak staged commits — it resumes past the pin only when
+    * publish moves it. Explicit branch readers load their own version. */
+  private def current: Int = {
+    val tip = math.max(table.snapVersion,
+      SnapshotStore.currentVersion(spark, table.root))
+    SnapshotStore.refsOf(spark, table.root).get("main").flatten match {
+      case Some(pin) if pin >= table.snapVersion => pin
+      case _ => tip
+    }
+  }
 
   override def latestOffset(): Offset = SnapshotVersionOffset(current)
 

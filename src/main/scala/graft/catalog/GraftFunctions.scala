@@ -20,17 +20,66 @@ object GraftFunctions {
   val Names: Seq[String] =
     Seq("days", "hours", "months", "years", "bucket", "truncate")
 
+  /** `truncate_<w>` — the WIDTH-HOISTED single-argument edition of
+    * truncate. Spark's storage-partitioned-join test
+    * (`KeyGroupedPartitioning.satisfies0`) requires each partition
+    * expression to have exactly ONE leaf, so a generic transform with a
+    * literal width argument can never satisfy a clustered distribution
+    * (bucket only works because Spark hoists its literal into
+    * `numBucketsOpt`). The scan therefore REPORTS `truncate_100(k)` —
+    * width baked into the resolvable function name, column as the only
+    * child — which this catalog binds back to the same semantics;
+    * canonical names agree across both join sides. */
+  private val FixedTruncRe = "truncate_(\\d+)".r
+
   def load(catalogName: String, ident: Identifier): UnboundFunction = {
-    if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
+    def unknown() =
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
         ident)
+    if (ident.namespace().nonEmpty) unknown()
     ident.name() match {
       case "days" => DaysUnbound
       case "hours" => HoursUnbound
       case "months" => MonthsUnbound
       case "years" => YearsUnbound
       case "truncate" => TruncateUnbound
-      case _ => BucketUnbound
+      case "bucket" => BucketUnbound
+      case FixedTruncRe(w) if w.toIntOption.exists(_ >= 1) =>
+        fixedTruncate(w.toInt)
+      case _ => unknown()
+    }
+  }
+
+  private def fixedTruncate(w: Int): UnboundFunction = new UnboundFunction {
+    override def name(): String = s"truncate_$w"
+    override def description(): String =
+      s"truncate_$w(c): c truncated to width $w (the width-hoisted " +
+        "single-argument edition of truncate — storage-partitioned-join " +
+        "resolvable)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"truncate_$w takes one argument, got ${inputType.fields.length}")
+      val dt = inputType.fields(0).dataType
+      dt match {
+        case LongType | IntegerType | org.apache.spark.sql.types.StringType =>
+          new GraftScalar(s"truncate_$w", Array(dt), dt) {
+            override def produceResult(input: InternalRow): Any =
+              if (input.isNullAt(0)) null
+              else dt match {
+                case LongType =>
+                  val v = input.getLong(0)
+                  v - Math.floorMod(v, w.toLong)
+                case IntegerType =>
+                  val v = input.getInt(0)
+                  v - Math.floorMod(v, w)
+                case _ =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    input.getUTF8String(0).toString.take(w))
+              }
+          }
+        case other => throw new UnsupportedOperationException(
+          s"truncate_$w: unsupported input type $other")
+      }
     }
   }
 

@@ -41,7 +41,7 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("compact", "vacuum", "analyze",
     "set_write_mode", "set_partition_spec", "branch", "tag", "publish",
-    "drop_ref", "history")
+    "drop_ref", "rollback", "remove_orphans", "history")
 
   def load(catalogName: String, ident: Identifier): UnboundProcedure = {
     if (ident.namespace().nonEmpty || !Names.contains(ident.name()))
@@ -88,6 +88,12 @@ class GraftProcedure(catalogName: String, procName: String)
     case "publish" => "fast-forward: drop the `main` pin (bare readers see " +
       "the audited tip) and consume the named staging branch"
     case "drop_ref" => "remove a named ref (its target becomes vacuumable)"
+    case "rollback" => "restore a committed version's state as a NEW " +
+      "commit (the undo every table format ships): history stays intact " +
+      "and time-travelable, nothing is deleted"
+    case "remove_orphans" => "delete root files no retained manifest " +
+      "references and older than `grace_ms` (crash-leaked staging " +
+      "publications); live data is untouchable by construction"
     case _ => "set row-level DML mode: 'cow' (copy-on-write) or 'mor' " +
       "(merge-on-read delete vectors)"
   }
@@ -114,6 +120,11 @@ class GraftProcedure(catalogName: String, procName: String)
       Array(in("table", StringType), in("name", StringType))
     case "tag" => Array(in("table", StringType), in("name", StringType),
       in("version", IntegerType))
+    case "rollback" =>
+      Array(in("table", StringType), in("version", IntegerType))
+    case "remove_orphans" => Array(in("table", StringType),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("3600000")
+        .build())
     case _ => Array(in("table", StringType), in("mode", StringType))
   }
 
@@ -136,6 +147,10 @@ class GraftProcedure(catalogName: String, procName: String)
     case "branch" | "tag" | "publish" | "drop_ref" => new StructType()
       .add("version", IntegerType).add("ref", StringType)
       .add("target", StringType)
+    case "rollback" => new StructType()
+      .add("version", IntegerType).add("restored_from", IntegerType)
+    case "remove_orphans" => new StructType()
+      .add("removed", IntegerType)
     case _ => new StructType()
       .add("version", IntegerType).add("mode", StringType)
   }
@@ -293,6 +308,14 @@ class GraftProcedure(catalogName: String, procName: String)
         val v = SnapshotStore.dropRefs(spark, root, Seq(name))
         InternalRow(v, UTF8String.fromString(name),
           UTF8String.fromString("dropped"))
+      case "rollback" =>
+        val target = input.getInt(1)
+        val v = SnapshotStore.rollbackTo(spark, root, target)
+        InternalRow(v, target)
+      case "remove_orphans" =>
+        val grace = input.getLong(1)
+        val removed = SnapshotStore.removeOrphans(spark, root, grace)
+        InternalRow(removed.length)
       case "set_partition_spec" =>
         val raw = input.getUTF8String(1).toString.trim
         val newSpec = Option(raw).filter(_.nonEmpty).filter(_ != "none")

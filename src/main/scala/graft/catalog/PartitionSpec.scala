@@ -214,6 +214,11 @@ object PartitionSpec {
         case "years" => YearsItem(oneRef)
         case "bucket" => BucketItem(litArg("bucket count"), oneRef)
         case "truncate" => TruncateItem(litArg("width"), oneRef)
+        case n if n.startsWith("truncate_") &&
+            n.stripPrefix("truncate_").toIntOption.exists(_ >= 1) =>
+          // the width-hoisted spelling the scan reports for SPJ — accept
+          // it in DDL too, same semantics
+          TruncateItem(n.stripPrefix("truncate_").toInt, oneRef)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform $other " +
             "(supported: identity, days, hours, months, years, bucket, " +
@@ -486,6 +491,14 @@ object SnapshotPartitions {
       case EqualTo(a, v) if a == c =>
         toBucket(v).foreach { case (d, _) =>
           lo = lo.max(d); hi = hi.min(d); any = true
+        }
+      case In(a, vs) if a == c && vs.nonEmpty =>
+        // the value list's [min, max] bucket envelope; any unconvertible
+        // member skips the conjunct
+        val bs = vs.toSeq.map(toBucket)
+        if (bs.forall(_.isDefined)) {
+          val ds = bs.flatten.map(_._1)
+          lo = lo.max(ds.min); hi = hi.min(ds.max); any = true
         }
       case GreaterThan(a, v) if a == c =>
         toBucket(v).foreach { case (d, _) =>

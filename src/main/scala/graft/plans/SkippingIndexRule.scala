@@ -175,13 +175,18 @@ object SkippingIndexRule {
       zones: Map[String, (Any, Any)]) extends Index {
     def bind(preds: Seq[Expression], attr: Attribute): Option[BoundIndex] = {
       val bounds = preds.flatMap(boundOf(_, attr))
-      if (bounds.isEmpty) None
+      // IN lists zone-prune too: a file is admissible for a value-list
+      // conjunct iff AT LEAST ONE listed value falls in its [lo, hi]
+      val pointSets = preds.flatMap(eqValuesOf(_, attr)).filter(_.nonEmpty)
+      if (bounds.isEmpty && pointSets.isEmpty) None
       else {
         val ord = TypeUtils.getInterpretedOrdering(dataType)
         Some(new BoundIndex {
           def admits(file: String): Boolean = zones.get(file) match {
             case Some((lo, hi)) if lo != null && hi != null =>
-              bounds.forall(_.satisfiable(lo, hi, ord))
+              bounds.forall(_.satisfiable(lo, hi, ord)) &&
+                pointSets.forall(_.exists(v =>
+                  ord.lteq(lo, v) && ord.lteq(v, hi)))
             case _ => true // unknown or all-null file: keep — sound
           }
         })

@@ -1304,6 +1304,84 @@ object CatalogQueries {
         graft.Exact.dsum2(col("post_price")).as("post_total"))
   }
 
+  /** q352: ROLLBACK — `CALL graft.rollback(t, v)` restores a committed
+    * version's state as a NEW commit (Iceberg's rollback_to_snapshot):
+    * after a bad catalog DELETE, one metadata commit undoes it; the
+    * table reads back EXACTLY the original (the oracle is the raw
+    * corpus), the bad version stays time-travelable (`bad_visible`
+    * pins it), and nothing is deleted (`history_intact`). */
+  def catRollback(spark: SparkSession, dir: String): DataFrame = {
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_rb", root)
+    val lo = mx / 10; val hi = lo + mx / 20
+    spark.sql(
+      s"DELETE FROM graft.cat_orders_rb WHERE o_orderkey BETWEEN $lo AND $hi")
+    val badCount = spark.table("graft.cat_orders_rb").count()
+    val r = spark.sql("CALL graft.rollback('cat_orders_rb', 1)").head()
+    val restoredTo = r.getInt(0)
+    // the bad version is still there, between the original and the undo
+    val badVisible = spark.sql(
+      s"""SELECT count(*) AS n FROM graft.cat_orders_rb
+         |VERSION AS OF ${restoredTo - 1}""".stripMargin)
+      .head().getLong(0) == badCount
+    val historyIntact =
+      SnapshotStore.versions(spark, root) == Seq(1, 2, 3)
+    spark.table("graft.cat_orders_rb")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(badVisible).as("bad_visible"),
+        lit(historyIntact).as("history_intact"))
+  }
+
+  private val catRollbackSql =
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("o_totalprice")} AS total_price,
+       |  TRUE AS bad_visible, TRUE AS history_intact
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** q353: ORPHAN-FILE CLEANUP — `CALL graft.remove_orphans(t, grace)`:
+    * a crashed writer that renamed its staged files into the root but
+    * never committed leaks bytes no manifest references and no vacuum
+    * can reach (vacuum GCs only manifest-referenced files). The
+    * procedure deletes exactly the unreferenced-and-old files; the
+    * table reads back unchanged under the oracle, the orphan is gone,
+    * and every live file survives. */
+  def catOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_orph", root)
+    // simulate the crash leak: an unreferenced parquet in the root
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = SnapshotStore.files(spark, root)
+    val orphan = new org.apache.hadoop.fs.Path(root, "cat_dead0_0.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(live.head), f, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    // age the orphan past any grace cutoff (a real leak is hours old)
+    f.setTimes(orphan, System.currentTimeMillis() - 60000L, -1)
+    val removed = spark.sql(
+      "CALL graft.remove_orphans('cat_orders_orph', grace_ms => 0)")
+      .head().getInt(0)
+    val orphanGone = !f.exists(orphan)
+    val liveIntact = live.forall(p =>
+      f.exists(new org.apache.hadoop.fs.Path(p)))
+    spark.table("graft.cat_orders_orph")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(removed == 1 && orphanGone).as("orphan_removed"),
+        lit(liveIntact).as("live_intact"))
+  }
+
+  private val catOrphansSql =
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("o_totalprice")} AS total_price,
+       |  TRUE AS orphan_removed, TRUE AS live_intact
+       |FROM orders GROUP BY 1""".stripMargin
+
   /** q349: HOUR PARTITIONING — `PARTITIONED BY (hours(ts))`: the INSERT
     * shuffles on the catalog-resolved `hours` function, one file per UTC
     * hour lands annotated, and a one-hour probe plans ONLY that hour's
@@ -1379,5 +1457,7 @@ object CatalogQueries {
     QueryDef("q349_cat_hours", catHoursPartition,
       Some(catHoursPartitionSql)),
     QueryDef("q350_cat_wap", catWap, Some(catWapSql)),
-    QueryDef("q351_mor_feed", catMorFeed, Some(Lakehouse.changeFeedSql)))
+    QueryDef("q351_mor_feed", catMorFeed, Some(Lakehouse.changeFeedSql)),
+    QueryDef("q352_cat_rollback", catRollback, Some(catRollbackSql)),
+    QueryDef("q353_cat_orphans", catOrphans, Some(catOrphansSql)))
 }

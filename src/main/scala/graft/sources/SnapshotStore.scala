@@ -1077,6 +1077,51 @@ object SnapshotStore {
     }
   }
 
+  /** ROLLBACK: restore `version`'s state as a NEW commit — its data/dv/
+    * meta lines verbatim, with the CURRENT refs carried (tags must
+    * survive an undo). History stays intact: the bad commits remain
+    * time-travelable until vacuumed, exactly Iceberg's
+    * rollback_to_snapshot contract. Declines while a staging `main` pin
+    * is open (rolling back under an open branch would tangle the pin).
+    * Returns the new version. */
+  def rollbackTo(spark: SparkSession, root: String, version: Int): Int = {
+    val cur = currentVersion(spark, root)
+    require(versions(spark, root).contains(version),
+      s"rollback: version $version is not committed under $root")
+    require(!refsOf(spark, root).get("main").exists(_.isDefined),
+      "rollback: `main` is pinned (open staging branch) — publish or " +
+        "drop it first")
+    val restored = manifestLines(spark, root, version)
+      .filterNot(_.startsWith(RefPrefix))
+    val refs = manifestLines(spark, root, cur).filter(_.startsWith(RefPrefix))
+    commit(spark, root, refs ++ restored, cur)
+  }
+
+  /** ORPHAN-FILE CLEANUP: delete top-level root files that (a) no
+    * RETAINED manifest references, (b) are not manifests/sidecars
+    * themselves, and (c) are older than `graceMs` (the window protecting
+    * a writer that has renamed its staged files but not yet committed —
+    * the crash-leak this procedure exists for happens when that commit
+    * never comes). Live data is untouchable by construction: every
+    * referenced path is excluded. Returns the deleted paths. */
+  def removeOrphans(spark: SparkSession, root: String,
+      graceMs: Long): Seq[String] = {
+    val all = versions(spark, root)
+    if (all.isEmpty) return Nil
+    val referenced = all.flatMap(v => manifestLines(spark, root, v))
+      .filterNot(_.startsWith(MetaPrefix))
+      .map(l => uriPath(pathOf(l))).toSet
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootP)
+    val cutoff = System.currentTimeMillis() - graceMs
+    f.listStatus(rootP).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        s.getModificationTime < cutoff &&
+        !referenced(uriPath(s.getPath.toString)))
+      .map { s => f.delete(s.getPath, false); s.getPath.toString }
+  }
+
   /** Retain the newest `keep` versions; delete expired manifests and every
     * data file no retained version references. Returns (removed data
     * files, removed versions). */

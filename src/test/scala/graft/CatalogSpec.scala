@@ -1174,6 +1174,13 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM graft.t_tsz WHERE s <= 'name_010'")
     assert(sprobe.head().getLong(0) == 11)
     assert(plannedSplits(sprobe) < 4, "no string zone pruning")
+    // an IN list prunes by its [min, max] envelope
+    val inprobe = spark.sql(
+      """SELECT count(*) AS n FROM graft.t_tsz
+        |WHERE ts IN (TIMESTAMP '2026-01-01 03:00:00',
+        |             TIMESTAMP '2026-01-01 07:00:00')""".stripMargin)
+    assert(inprobe.head().getLong(0) == 2)
+    assert(plannedSplits(inprobe) < 4, "no IN-list zone pruning")
     // metadata-only MIN/MAX: timestamp AND string extrema from the
     // sidecar alone, count from manifest row counts — zero data bytes
     val mm = spark.sql(
@@ -1300,6 +1307,13 @@ class CatalogSpec extends AnyFunSuite {
         |WHERE ts >= TIMESTAMP '2026-01-01 05:00:00'
         |  AND ts < TIMESTAMP '2026-01-01 06:00:00'""".stripMargin)
       .head().getLong(0) == 60)
+    // an IN list prunes partition tuples by its bucket envelope
+    val hin = graft.catalog.SnapshotPartitions.prune(spark, hroot,
+      SnapshotStore.currentVersion(spark, hroot),
+      Seq(org.apache.spark.sql.sources.In("ts", Array(
+        java.sql.Timestamp.valueOf("2026-01-01 05:10:00"),
+        java.sql.Timestamp.valueOf("2026-01-01 06:10:00")))), hfiles)
+    assert(hin.size == 2, s"hours IN pruning admitted ${hin.size}")
     // months(d) over a DATE column: a month-range probe prunes exactly
     spark.sql("DROP TABLE IF EXISTS graft.pt_mon")
     spark.sql(
@@ -1487,6 +1501,128 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql(
         "SELECT * FROM graft.t_wap VERSION AS OF 'launch'").collect()
     }
+  }
+
+  test("rollback restores a version as a new commit; declines under an open staging branch") {
+    val root = freshTable("t_rb")
+    spark.sql("DELETE FROM graft.t_rb WHERE k <= 50")
+    assert(spark.table("graft.t_rb").count() == 50)
+    val r = spark.sql("CALL graft.rollback('t_rb', 1)").head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 1)
+    assert(spark.table("graft.t_rb").count() == 100)
+    // the bad version is still time-travelable (history intact)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_rb VERSION AS OF 2")
+      .head().getLong(0) == 50)
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 2, 3))
+    // refs survive a rollback; rollback declines while main is pinned
+    spark.sql("CALL graft.tag('t_rb', 'keep', 2)")
+    spark.sql("CALL graft.rollback('t_rb', 2)")
+    assert(spark.table("graft.t_rb").count() == 50)
+    assert(SnapshotStore.refsOf(spark, root).get("keep").contains(Some(2)))
+    spark.sql("CALL graft.branch('t_rb', 'stage2')")
+    intercept[Throwable] { spark.sql("CALL graft.rollback('t_rb', 1)") }
+    spark.sql("CALL graft.publish('t_rb', 'stage2')")
+    // unknown version declines
+    intercept[Throwable] { spark.sql("CALL graft.rollback('t_rb', 99)") }
+  }
+
+  test("remove_orphans deletes only unreferenced old files; grace protects fresh ones") {
+    val root = freshTable("t_orph")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = SnapshotStore.files(spark, root)
+    val oldOrphan = new org.apache.hadoop.fs.Path(root, "base_dead_0.parquet")
+    val freshOrphan = new org.apache.hadoop.fs.Path(root, "base_new_0.parquet")
+    Seq(oldOrphan, freshOrphan).foreach(p =>
+      org.apache.hadoop.fs.FileUtil.copy(f,
+        new org.apache.hadoop.fs.Path(live.head), f, p, false,
+        spark.sparkContext.hadoopConfiguration))
+    f.setTimes(oldOrphan, System.currentTimeMillis() - 7200000L, -1)
+    val removed = spark.sql(
+      "CALL graft.remove_orphans('t_orph', grace_ms => 3600000)")
+      .head().getInt(0)
+    assert(removed == 1, s"expected only the old orphan removed: $removed")
+    assert(!f.exists(oldOrphan) && f.exists(freshOrphan))
+    // live data untouched, content intact; a file referenced ONLY by an
+    // old version is still protected (it is referenced)
+    assert(live.forall(p => f.exists(new org.apache.hadoop.fs.Path(p))))
+    assert(spark.table("graft.t_orph").count() == 100)
+    f.delete(freshOrphan, false)
+  }
+
+  test("streaming read of a WAP-staged table never emits staged versions until publish") {
+    freshTable("t_wstream")
+    val out = java.nio.file.Files.createTempDirectory("catspec_wstream")
+    spark.sql("CALL graft.branch('t_wstream', 'wst')")
+    spark.sql("INSERT INTO graft.t_wstream VALUES (901L, 'staged', 1.0)")
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.t_wstream")
+        .writeStream.format("parquet")
+        .option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    drain()
+    // the stream drained to the PIN: base rows only, no staged row
+    val sunk1 = spark.read.parquet(s"$out/sink")
+    assert(sunk1.count() == 100)
+    assert(sunk1.where(col("v") === "staged").isEmpty)
+    spark.sql("CALL graft.publish('t_wstream', 'wst')")
+    drain() // resume from the same checkpoint
+    // post-publish the staged row arrives exactly once
+    val sunk2 = spark.read.parquet(s"$out/sink")
+    assert(sunk2.count() == 101)
+    assert(sunk2.where(col("v") === "staged").count() == 1)
+  }
+
+  test("SPJ engages on truncate-partitioned tables; time travel crosses a widen") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.spj_t1")
+    spark.sql("DROP TABLE IF EXISTS graft.spj_t2")
+    spark.sql(
+      "CREATE TABLE graft.spj_t1 (k BIGINT, va DOUBLE) PARTITIONED BY (truncate(100, k))")
+    spark.sql(
+      "CREATE TABLE graft.spj_t2 (k BIGINT, vb BIGINT) PARTITIONED BY (truncate(100, k))")
+    spark.sql("INSERT INTO graft.spj_t1 SELECT id, id * 0.5 FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.spj_t2 SELECT id, id * 10 FROM range(0, 1000, 2)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        """SELECT count(*) AS n FROM graft.spj_t1 a
+          |JOIN graft.spj_t2 b ON a.k = b.k""".stripMargin)
+      j.queryExecution.optimizedPlan.foreach {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          val op = r.scan.asInstanceOf[graft.catalog.SnapshotScan]
+            .outputPartitioning()
+          info(s"scan partitioning: ${op.getClass.getSimpleName} $op")
+        case _ => ()
+      }
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"truncate SPJ did not engage:\n$p")
+      assert(j.head().getLong(0) == 500L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // time travel to a pre-widen version reads under ITS schema
+    spark.sql("DROP TABLE IF EXISTS graft.tt_w")
+    spark.sql("CREATE TABLE graft.tt_w (k INT)")
+    spark.sql("INSERT INTO graft.tt_w SELECT CAST(id AS INT) FROM range(0, 5)")
+    spark.sql("ALTER TABLE graft.tt_w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO graft.tt_w VALUES (8000000000)")
+    val v2 = spark.sql("SELECT * FROM graft.tt_w VERSION AS OF 2")
+    assert(v2.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(v2.count() == 5)
+    assert(spark.table("graft.tt_w").count() == 6)
   }
 
   test("persistent namespace: a fresh session resolves tables with only the warehouse conf") {
