@@ -690,7 +690,8 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
       case DateType => Some("days")
       case StringType => Some("string")
       case FloatType | DoubleType => Some("double")
-      case _ => None // decimal bounds prune files but don't answer MIN/MAX
+      case _: DecimalType => Some("decimal")
+      case _ => None
     }
     // the extremum of f over ALL files, as the column's INTERNAL value —
     // requires every planned file to carry an EXACT parsed bound
@@ -717,6 +718,11 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
         case ("double", DoubleType) => ext
         case ("double", FloatType) =>
           ext.asInstanceOf[java.lang.Double].floatValue
+        case ("decimal", d: DecimalType) =>
+          // bounds came from this column's own values, so they fit its
+          // precision/scale by construction
+          org.apache.spark.sql.types.Decimal(
+            ext.asInstanceOf[java.math.BigDecimal], d.precision, d.scale)
         case _ => return None
       }
     }

@@ -112,7 +112,8 @@ class GraftProcedure(catalogName: String, procName: String)
         .build())
     case "vacuum" => Array(in("table", StringType),
       ProcedureParameter.in("keep", IntegerType).defaultValue("1").build())
-    case "analyze" => Array(in("table", StringType), in("key", StringType))
+    case "analyze" => Array(in("table", StringType),
+      ProcedureParameter.in("key", StringType).defaultValue("''").build())
     case "history" => Array(in("table", StringType))
     case "set_partition_spec" =>
       Array(in("table", StringType), in("spec", StringType))
@@ -263,9 +264,24 @@ class GraftProcedure(catalogName: String, procName: String)
         InternalRow(files.length, versions.length)
       case "analyze" =>
         // comma-separated keys build a MULTI-KEY sidecar (the z-order
-        // companion: every interleaved dimension gets its bounds)
-        val keys = input.getUTF8String(1).toString
+        // companion: every interleaved dimension gets its bounds); an
+        // EMPTY key list analyzes every supported-type top-level column
+        // (the ANALYZE TABLE default)
+        val explicit = input.getUTF8String(1).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val keys =
+          if (explicit.nonEmpty) explicit
+          else {
+            val schema = SnapshotStore.schemaOf(spark, root).getOrElse(
+              spark.read.parquet(SnapshotStore.files(spark, root): _*)
+                .schema)
+            val all = schema.fields
+              .filter(f => SnapshotStore.zoneSupported(f.dataType))
+              .map(_.name).toSeq
+            require(all.nonEmpty,
+              "analyze: no zone-stats-capable columns in the table schema")
+            all
+          }
         SnapshotStore.writeStatsMulti(spark, root, keys)
         val v = SnapshotStore.attachSkipping(spark, root)
         InternalRow(v, SnapshotStore.files(spark, root).length.toLong)

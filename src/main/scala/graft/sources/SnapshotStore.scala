@@ -883,6 +883,18 @@ object SnapshotStore {
     all.keys.toSeq.sorted.headOption.map(k => (k, all(k)))
   }
 
+  /** Does `dt` have a canonical zone-stats bound domain? (The analyze
+    * procedure's all-columns default filters by this.) */
+  def zoneSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+           DateType | StringType | FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   /** Compute and persist per-file [min, max] of `keyCol` for `version`
     * (default: latest) — one aggregate over the snapshot's files. The
     * sidecar records the column name so [[attachSkipping]] can turn it

@@ -1202,6 +1202,38 @@ class CatalogSpec extends AnyFunSuite {
     } finally SnapshotStore.dropSkipping(spark, root)
   }
 
+  test("decimal metadata MIN/MAX; analyze with no key covers every supported column") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.t_dec")
+    spark.sql(
+      "CREATE TABLE graft.t_dec (k BIGINT, d DECIMAL(12,2), ts TIMESTAMP, b BINARY)")
+    spark.sql(
+      """INSERT INTO graft.t_dec
+        |SELECT id, CAST(id * 1.25 AS DECIMAL(12,2)),
+        |  timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2026-02-01 00:00:00'),
+        |  CAST('x' AS BINARY)
+        |FROM range(0, 50)""".stripMargin)
+    // analyze with NO key: every supported-type column gets bounds (the
+    // BINARY column is skipped, not fatal)
+    spark.sql("CALL graft.analyze('t_dec')")
+    SnapshotStore.dropSkipping(spark, s"$w/t_dec")
+    val mm = spark.sql(
+      """SELECT min(d) AS lo, max(d) AS hi, min(k) AS klo, max(ts) AS thi
+        |FROM graft.t_dec""".stripMargin)
+    val p = mm.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") && !p.contains("BatchScan"), p)
+    val r = mm.head()
+    assert(r.getDecimal(0) == new java.math.BigDecimal("0.00"))
+    assert(r.getDecimal(1) == new java.math.BigDecimal("61.25"))
+    assert(r.getLong(2) == 0L)
+    assert(r.getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("2026-02-03 01:00:00"))
+    // decimal zone pruning through the catalog plan
+    val probe = spark.sql(
+      "SELECT count(*) AS n FROM graft.t_dec WHERE d >= CAST(50 AS DECIMAL(12,2))")
+    assert(probe.head().getLong(0) == 10)
+  }
+
   test("typed zone stats: >256-char string bounds stay sound and decline metadata MAX") {
     val out = java.nio.file.Files.createTempDirectory("catspec_longs")
     val root = s"$out/t"
