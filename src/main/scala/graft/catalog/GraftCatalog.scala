@@ -570,23 +570,40 @@ object SnapshotTable {
   /** Publish `lines` as a PURE APPEND onto the current tip, OCC-retrying
     * against interleaved committers (appends commute); on giving up, the
     * already-renamed `published` files are deleted (nothing references
-    * them). Returns the committed version. */
+    * them). `validate` inspects each rebase target version before the
+    * attempt — returning false aborts LOUDLY (a conflict the operation's
+    * semantics cannot commute over, e.g. a concurrent schema change:
+    * these files were written and sv-stamped under the LOADED schema, so
+    * rebasing past an evolution commit would resolve their columns under
+    * the wrong epoch). Returns the committed version. */
   private[catalog] def appendCommit(spark: SparkSession, root: String,
-      loadedVersion: Int, lines: Seq[String], published: Seq[String]): Int = {
+      loadedVersion: Int, lines: Seq[String], published: Seq[String],
+      validate: Int => Boolean = _ => true): Int = {
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def abandon(msg: String): Nothing = {
+      published.foreach(p =>
+        f.delete(new org.apache.hadoop.fs.Path(p), false))
+      throw new SnapshotStore.CommitConflictException(msg)
+    }
     var attempt = 0
     while (attempt < 5) {
       val cur = math.max(loadedVersion,
         SnapshotStore.currentVersion(spark, root))
+      if (cur != loadedVersion) {
+        if (SnapshotStore.schemaOf(spark, root, cur) !=
+            SnapshotStore.schemaOf(spark, root, loadedVersion))
+          abandon(s"append under $root: the schema evolved concurrently " +
+            s"(v$loadedVersion -> v$cur) — rerun against the new schema")
+        if (!validate(cur))
+          abandon(s"append under $root: a concurrent commit " +
+            s"(v$loadedVersion -> v$cur) conflicts with this operation")
+      }
       val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
       try return SnapshotStore.commit(spark, root, kept ++ lines, cur)
       catch { case _: SnapshotStore.CommitConflictException => attempt += 1 }
     }
-    published.foreach(p =>
-      f.delete(new org.apache.hadoop.fs.Path(p), false))
-    throw new SnapshotStore.CommitConflictException(
-      s"append under $root lost 5 consecutive commit races")
+    abandon(s"append under $root lost 5 consecutive commit races")
   }
 
   /** The second half of the delta row id: the row's FILE-ABSOLUTE ordinal,
@@ -2194,8 +2211,6 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
         // `dvb_` names mark the bitmap payload generation — readers
         // dispatch per FILE, so legacy per-position vectors coexist
         val dvMoved = publish(dvPairs.map(_._1), "dvb")
-        val kept = SnapshotStore.linesReplacing(spark, table.root,
-          table.snapVersion, Set.empty)
         // dv lines carry their COVERAGE: later loads resolve pointers
         // from the manifest alone (no vector-file read, no job)
         val dvLines = dvMoved.zip(dvPairs.map(_._2)).map {
@@ -2203,9 +2218,20 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
             SnapshotStore.dvLineCovering(p, covers)
           case (p, _) => SnapshotStore.dvLine(p)
         }
-        SnapshotStore.commitOrCleanup(spark, table.root,
-          kept ++ dataMoved ++ dvLines,
-          table.snapVersion, dataMoved ++ dvMoved)
+        // a delta commit only ADDS lines (insert files + vectors), so it
+        // commutes with interleaved commits EXACTLY WHEN every file its
+        // tombstones cover is still live at the rebase target (a
+        // concurrent rewrite/compaction of a covered file would leave
+        // tombstones addressing dead rows — decline loudly); appendCommit
+        // also guards schema drift. Delta's conflict-resolution contract,
+        // and what lets a MoR DELETE/MERGE land on a write-audit-publish
+        // staging branch while `main` is pinned.
+        val covers = dvPairs.flatMap(_._2).map(SnapshotStore.uriPath).toSet
+        SnapshotTable.appendCommit(spark, table.root, table.snapVersion,
+          dataMoved ++ dvLines, dataMoved ++ dvMoved,
+          validate = cur => covers.subsetOf(
+            SnapshotStore.files(spark, table.root, cur)
+              .map(SnapshotStore.uriPath).toSet))
       }
     } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
   }

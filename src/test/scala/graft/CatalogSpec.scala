@@ -1657,6 +1657,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graft.tt_w").count() == 6)
   }
 
+  test("MoR row-level DML lands on a staging branch: tombstones rebase onto the tip") {
+    val root = freshTable("t_wmor")
+    spark.sql("CALL graft.set_write_mode('t_wmor', 'mor')")
+    spark.sql("CALL graft.branch('t_wmor', 'wm')")
+    // the DELETE loads the table at the pinned main but its delta commit
+    // rebases onto the branch tip (covered files untouched, schema
+    // unchanged) — previously this OCC-conflicted outright
+    spark.sql("DELETE FROM graft.t_wmor WHERE k <= 10")
+    assert(spark.table("graft.t_wmor").count() == 100,
+      "staged MoR delete leaked to main")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_wmor VERSION AS OF 'wm'")
+      .head().getLong(0) == 90)
+    spark.sql("CALL graft.publish('t_wmor', 'wm')")
+    assert(spark.table("graft.t_wmor").count() == 90)
+    assert(spark.table("graft.t_wmor").where(col("k") <= 10).isEmpty)
+    // the vectors landed as bitmap payloads and survive a compaction
+    assert(SnapshotStore.deleteVectors(spark, root).nonEmpty)
+    spark.sql("CALL graft.compact(table => 't_wmor', buckets => 2, cluster_col => 'k')")
+    assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
+    assert(spark.table("graft.t_wmor").count() == 90)
+  }
+
   test("persistent namespace: a fresh session resolves tables with only the warehouse conf") {
     val w = freshWarehouse()
     spark.sql("DROP TABLE IF EXISTS graft.ns_t")
