@@ -119,7 +119,16 @@ class GraftCatalog extends TableCatalog
           .flatMap(w => GraftNamespace.lookup(spark, w, ident.name())))
     }
 
-  override def loadTable(ident: Identifier): Table = load(ident, -1)
+  override def loadTable(ident: Identifier): Table =
+    // `graft.<t>.changes` — the CHANGE-DATA-FEED table (Iceberg's
+    // changelog-table surface): batch = the full classified feed,
+    // readStream = per-version change batches ([[ChangeFeedTable]])
+    if (ident.namespace().length == 1 && ident.name() == "changes") {
+      val base = load(Identifier.of(Array.empty, ident.namespace()(0)), -1)
+        .asInstanceOf[SnapshotTable]
+      new ChangeFeedTable(SparkSession.active,
+        s"$catalogName.${ident.namespace()(0)}.changes", base)
+    } else load(ident, -1)
 
   /** Native `VERSION AS OF`: an integer resolves a version, anything else
     * a NAMED REF (`VERSION AS OF 'audit'` — branch or tag; floating refs
@@ -270,7 +279,53 @@ class GraftCatalog extends TableCatalog
           "write-epoch (sv=) stamping, so their column names can't be " +
           "resolved; compact the table first")
     }
+    // replace top-level struct field `parent`'s children via `f` —
+    // the nested-evolution editing primitive (one level deep: the
+    // Iceberg-parity surface for struct columns)
+    def editStruct(s: StructType, parent: String, op: String)(
+        f: StructType => StructType): StructType = {
+      val pf = s.fields.find(_.name == parent).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: $op $parent: no such column"))
+      val st = pf.dataType match {
+        case t: StructType => t
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: $op inside $parent: not a struct (${other.sql})")
+      }
+      StructType(s.fields.map(x =>
+        if (x.name == parent) x.copy(dataType = f(st)) else x))
+    }
     val evolved = changes.foldLeft(base) { (s, ch) => ch match {
+      case a: TableChange.AddColumn if a.fieldNames().length == 2 &&
+          a.position() == null =>
+        // ADD COLUMN a.b: the child carries its birth version, so files
+        // written before it null-fill INSIDE the struct (sentinel name)
+        val Array(parent, name) = a.fieldNames()
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN $parent.$name NOT NULL is not " +
+            "supported — existing rows would null-fill it")
+        editStruct(s, parent, "ADD COLUMN") { st =>
+          require(!st.fieldNames.contains(name),
+            s"graft catalog: column $parent.$name already exists")
+          st.add(graft.sources.SchemaEvo.added(
+            StructField(name, a.dataType(), a.isNullable), cur + 1))
+        }
+      case r: TableChange.RenameColumn if r.fieldNames().length == 2 =>
+        // RENAME COLUMN a.b TO c: pure metadata — the old name joins the
+        // NESTED field's history chain; per-epoch readers resolve it
+        val Array(parent, from) = r.fieldNames()
+        requireEvolvable("RENAME COLUMN", parent)
+        editStruct(s, parent, "RENAME COLUMN") { st =>
+          require(st.fieldNames.contains(from),
+            s"graft catalog: RENAME COLUMN $parent.$from: no such column")
+          require(!st.fieldNames.contains(r.newName()),
+            s"graft catalog: RENAME COLUMN to $parent.${r.newName()}: " +
+              "name taken")
+          StructType(st.fields.map(f =>
+            if (f.name == from)
+              graft.sources.SchemaEvo.renamed(f, r.newName(), cur + 1)
+            else f))
+        }
       case a: TableChange.AddColumn if a.fieldNames().length == 1 &&
           a.position() == null =>
         val name = a.fieldNames()(0)
@@ -329,7 +384,8 @@ class GraftCatalog extends TableCatalog
           if (x.name == name) x.copy(dataType = u.newDataType()) else x))
       case other => throw new UnsupportedOperationException(
         "graft catalog: ALTER TABLE supports top-level ADD/RENAME/DROP " +
-          s"COLUMN and widening ALTER COLUMN TYPE, got $other")
+          "COLUMN, struct-field ADD/RENAME (a.b), and widening ALTER " +
+          s"COLUMN TYPE, got $other")
     }}
     val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
     SnapshotStore.commit(spark, root,
@@ -485,6 +541,24 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
   lazy val dvPointers: Map[String, Seq[(String, Long)]] =
     SnapshotTable.dvPointersAt(spark, root, snapVersion)
 
+  /** EQUALITY-DELETE POINTERS: the version's key-tombstone files (path,
+    * byte length, key columns, sequence) — manifest-only driver metadata;
+    * the key SETS load executor-side per scan partition and apply as an
+    * anti-probe to every data file whose write epoch predates the
+    * sequence (the no-read-before-write upsert's read half). */
+  lazy val eqPointers: Seq[(SnapshotStore.EqDelete, Long)] = {
+    val eqs = SnapshotStore.eqDeletes(spark, root, snapVersion)
+    if (eqs.isEmpty) Nil
+    else {
+      val lens = SnapshotStore.fileLens(spark, root, snapVersion)
+      val conf = spark.sparkContext.hadoopConfiguration
+      eqs.map(e => e -> lens.getOrElse(SnapshotStore.uriPath(e.path), {
+        val p = new org.apache.hadoop.fs.Path(e.path)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }))
+    }
+  }
+
   /** The manifest-recorded schema when present (DDL-created or evolved
     * tables — authoritative, footer-free, and lets an EMPTY table exist);
     * else derived from the files' footers (pre-DDL snapshot roots). */
@@ -576,9 +650,10 @@ object SnapshotTable {
     * these files were written and sv-stamped under the LOADED schema, so
     * rebasing past an evolution commit would resolve their columns under
     * the wrong epoch). Returns the committed version. */
-  private[catalog] def appendCommit(spark: SparkSession, root: String,
+  private[graft] def appendCommit(spark: SparkSession, root: String,
       loadedVersion: Int, lines: Seq[String], published: Seq[String],
-      validate: Int => Boolean = _ => true): Int = {
+      validate: Int => Boolean = _ => true,
+      keptTransform: Seq[String] => Seq[String] = identity): Int = {
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abandon(msg: String): Nothing = {
@@ -595,15 +670,56 @@ object SnapshotTable {
             SnapshotStore.schemaOf(spark, root, loadedVersion))
           abandon(s"append under $root: the schema evolved concurrently " +
             s"(v$loadedVersion -> v$cur) — rerun against the new schema")
+        // partition-spec drift is equally un-rebasable: the new files'
+        // part= annotations (or their absence) were encoded under the
+        // LOADED spec with no pspec= epoch, so readers at the target
+        // would decode them under the NEW spec and wrongly prune
+        // (silent missing rows) — decline loudly, rerun under the new spec
+        if (SnapshotStore.partitionSpecOf(spark, root, cur) !=
+            SnapshotStore.partitionSpecOf(spark, root, loadedVersion))
+          abandon(s"append under $root: the partition spec evolved " +
+            s"concurrently (v$loadedVersion -> v$cur) — rerun against " +
+            "the new spec")
         if (!validate(cur))
           abandon(s"append under $root: a concurrent commit " +
             s"(v$loadedVersion -> v$cur) conflicts with this operation")
       }
-      val kept = SnapshotStore.linesReplacing(spark, root, cur, Set.empty)
+      val kept = keptTransform(
+        SnapshotStore.linesReplacing(spark, root, cur, Set.empty))
       try return SnapshotStore.commit(spark, root, kept ++ lines, cur)
       catch { case _: SnapshotStore.CommitConflictException => attempt += 1 }
     }
     abandon(s"append under $root lost 5 consecutive commit races")
+  }
+
+  /** CAN A VECTOR COMMIT planned at `loadedVersion`, tombstoning rows of
+    * `covers` (uri paths), rebase onto `cur`? Two conditions, both
+    * Delta's row-level conflict contract:
+    *
+    *  1. every covered file is STILL LIVE at `cur` — a concurrent
+    *     rewrite/compaction of a covered file would leave the tombstones
+    *     addressing dead rows;
+    *  2. NO version in (loadedVersion, cur] added delete vectors covering
+    *     any file this commit's vectors cover — two row-level writers on
+    *     the SAME file do not commute: UPDATE∥DELETE on overlapping rows
+    *     would let the update's re-insert survive a delete that committed
+    *     after it was planned (the row resurrects as its updated image).
+    *     Disjoint-file vector commits still both land.
+    */
+  private[graft] def vectorCommitValidate(spark: SparkSession,
+      root: String, loadedVersion: Int, covers: Set[String])
+      (cur: Int): Boolean = {
+    val liveAtCur = SnapshotStore.files(spark, root, cur)
+      .map(SnapshotStore.uriPath).toSet
+    covers.subsetOf(liveAtCur) && {
+      lazy val curCov = SnapshotStore.dvCoverage(spark, root, cur)
+      lazy val loadedCov = SnapshotStore.dvCoverage(spark, root, loadedVersion)
+      covers.forall { f =>
+        val newDvs = curCov.getOrElse(f, Nil).toSet --
+          loadedCov.getOrElse(f, Nil)
+        newDvs.isEmpty
+      }
+    }
   }
 
   /** The second half of the delta row id: the row's FILE-ABSOLUTE ordinal,
@@ -687,6 +803,7 @@ class SnapshotScanBuilder(spark: SparkSession, table: SnapshotTable,
     if (agg.aggregateExpressions().isEmpty) return None
     if (SnapshotStore.deleteVectors(spark, table.root,
       table.snapVersion).nonEmpty) return None
+    if (table.eqPointers.nonEmpty) return None
     val fl = table.files.map(SnapshotStore.uriPath)
     if (fl.isEmpty) return None
     lazy val rowCounts = SnapshotStore.fileRows(spark, table.root,
@@ -831,6 +948,8 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
+  SnapshotScan.created.incrementAndGet() // the no-read-before-write gate
+
   private val FileCol = SnapshotTable.FileColName
   private val PosCol = SnapshotTable.PosColName
   /** What is actually read from parquet (metadata columns stripped). */
@@ -841,9 +960,40 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
 
   /** The required data fields WITH their evolution metadata resolved by
     * name from the table schema (column pruning may strip metadata) —
-    * the [[graft.sources.SchemaEvo]] resolution input. */
-  private val evoSchema: StructType = StructType(dataSchema.fields.map(f =>
-    table.schema.fields.find(_.name == f.name).getOrElse(f)))
+    * the [[graft.sources.SchemaEvo]] resolution input. Metadata grafts
+    * onto the REQUIRED structure at every nesting level, so nested
+    * pruning survives (substituting the whole table field would silently
+    * re-read a pruned struct in full and misalign the output). */
+  /** EQUALITY-DELETE key columns (one set per table by construction) and
+    * the key fields the read schema must be AUGMENTED with when column
+    * pruning stripped them: the reader projects keys for the anti-probe,
+    * the output strips them back off. Appended AFTER the data columns, so
+    * every data ordinal is stable. */
+  private val eqKeys: Seq[String] = {
+    val sets = table.eqPointers.map(_._1.keys).distinct
+    require(sets.size <= 1,
+      s"scan of ${table.name()}: mixed equality-delete key sets $sets")
+    sets.headOption.getOrElse(Nil)
+  }
+  private val augFields: Seq[StructField] =
+    eqKeys.filterNot(k => dataSchema.fieldNames.contains(k)).map(k =>
+      table.schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete key $k is not a column of ${table.name()}")))
+  /** What the parquet reader actually decodes: the required data columns
+    * plus any stripped eq-key columns. */
+  private val readDataSchema = StructType(dataSchema.fields ++ augFields)
+
+  /** Per-file write epochs for equality-delete applicability — loaded
+    * only when the table carries eq lines. */
+  private lazy val svForEq: Map[String, Int] =
+    if (table.eqPointers.isEmpty) Map.empty
+    else SnapshotStore.fileSchemaVersions(spark, table.root, table.snapVersion)
+
+  private val evoSchema: StructType = StructType(readDataSchema.fields.map(f =>
+    table.schema.fields.find(_.name == f.name)
+      .map(tf => graft.sources.SchemaEvo.withEvoMetadata(f, tf))
+      .getOrElse(f)))
   private val evoTrivial = graft.sources.SchemaEvo.isTrivial(table.schema)
   private lazy val svByFile: Map[String, Int] =
     if (evoTrivial) Map.empty
@@ -854,8 +1004,9 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     * epoch, zero overhead). */
   private def physKeyOf(sv: Int): String =
     if (evoTrivial) ""
-    else graft.sources.SchemaEvo.physicalSchema(evoSchema, sv)
-      .fieldNames.mkString("\u0001")
+    // the full SQL rendering INCLUDES nested names: two epochs differing
+    // only inside a struct must not collapse to one reader
+    else graft.sources.SchemaEvo.physicalSchema(evoSchema, sv).sql
 
   /** Static file pruning stacks TWO manifest layers before parquet's own
     * row-group stats: zone stats (per-file [lo, hi] of clustered keys)
@@ -961,23 +1112,34 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     * column, which this scan never projects. */
   override def planInputPartitions(): Array[InputPartition] =
     split(fileMeta(currentFiles, table.snapVersion), table.dvPointers,
-      svByFile, table.snapVersion, spjKeys.map(_._2).getOrElse(Map.empty))
+      svByFile, table.snapVersion, spjKeys.map(_._2).getOrElse(Map.empty),
+      table.eqPointers, svForEq)
 
   private def split(meta: Seq[(String, Long)],
       pointers: Map[String, Seq[(String, Long)]],
       svs: Map[String, Int], defaultSv: Int,
-      partKeys: Map[String, InternalRow] = Map.empty): Array[InputPartition] = {
+      partKeys: Map[String, InternalRow] = Map.empty,
+      eqs: Seq[(SnapshotStore.EqDelete, Long)] = Nil,
+      eqSvs: Map[String, Int] = Map.empty): Array[InputPartition] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     meta.flatMap { case (path, len) =>
       val uri = SnapshotStore.uriPath(path)
       val dvp = pointers.getOrElse(uri, Nil)
+      // an equality delete applies to files whose write epoch STRICTLY
+      // precedes its sequence — an upsert never self-deletes its inserts
+      val eqp =
+        if (eqs.isEmpty) Nil
+        else {
+          val sv = eqSvs.getOrElse(uri, 0)
+          eqs.collect { case (e, l) if e.seq > sv => (e.path, l) }
+        }
       val key = physKeyOf(svs.getOrElse(uri, defaultSv))
       (0L until len by maxBytes).map { start =>
         partKeys.get(uri) match {
           case Some(pk) => new KeyedSnapshotInputPartition(path, start,
-            math.min(maxBytes, len - start), len, 0L, dvp, key, pk)
+            math.min(maxBytes, len - start), len, 0L, dvp, key, pk, eqp)
           case None => SnapshotInputPartition(path, start,
-            math.min(maxBytes, len - start), len, 0L, dvp, key)
+            math.min(maxBytes, len - start), len, 0L, dvp, key, eqp)
         }
       }
     }.toArray
@@ -1107,13 +1269,23 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
     val lens = SnapshotStore.fileLens(spark, table.root, version)
     val svs = if (evoTrivial) Map.empty[String, Int]
       else SnapshotStore.fileSchemaVersions(spark, table.root, version)
+    val eqs = SnapshotStore.eqDeletes(spark, table.root, version).map(e =>
+      e -> lens.getOrElse(SnapshotStore.uriPath(e.path), {
+        val p = new org.apache.hadoop.fs.Path(e.path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      }))
     split(fl.map { f =>
       f -> lens.getOrElse(SnapshotStore.uriPath(f), {
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .getFileStatus(p).getLen
       })
-    }, SnapshotTable.dvPointersAt(spark, table.root, version), svs, version)
+    }, SnapshotTable.dvPointersAt(spark, table.root, version), svs, version,
+      Map.empty,
+      eqs,
+      if (eqs.isEmpty) Map.empty
+      else SnapshotStore.fileSchemaVersions(spark, table.root, version))
   }
 
   private[catalog] def pushedFilters: Seq[Filter] = pushed
@@ -1127,22 +1299,22 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
   override def createReaderFactory(): PartitionReaderFactory =
     mkReaderFactory(forceRows = false)
 
-  /** Build the reader factory. COLUMNAR batches flow whenever the
-    * PLANNED (pruned) file set is vector-free and no metadata column
-    * rides — Spark's scan exec requires all-or-none columnar partitions,
-    * so the gate is per SCAN over the pruned set, not per table: one
-    * vectored file somewhere in the table no longer costs a disjoint
-    * scan its batches. `forceRows` is the streaming source's uniformity
-    * escape (one micro-batch may mix a vectored initial snapshot with
-    * clean diffs). */
+  /** Build the reader factory. COLUMNAR batches flow whenever the output
+    * is pure data columns — INCLUDING splits carrying delete vectors: a
+    * vectored split reads batches WITH the parquet-native row index, drops
+    * tombstoned ordinals through a zero-copy selection wrapper
+    * ([[SelectedColumnVector]]), and hands downstream a batch of only
+    * live rows — so MoR reads keep whole-stage columnar throughput no
+    * matter how many vectors accumulate (the Iceberg/Delta
+    * vectorized-delete contract; previously ONE vectored file dropped the
+    * whole scan to row mode). `forceRows` is the streaming source's
+    * uniformity escape (one micro-batch may mix a vectored initial
+    * snapshot with clean diffs). */
   private[catalog] def mkReaderFactory(
       forceRows: Boolean): PartitionReaderFactory = {
     val fmt = new ParquetFileFormat()
-    val plannedVectored = table.dvPointers.nonEmpty &&
-      currentFiles.exists(f =>
-        table.dvPointers.contains(SnapshotStore.uriPath(f)))
-    val batchMode = !forceRows && fmt.supportBatch(spark, dataSchema) &&
-      fileOrdinal < 0 && posOrdinal < 0 && !plannedVectored
+    val batchMode = !forceRows && fmt.supportBatch(spark, readDataSchema) &&
+      fileOrdinal < 0 && posOrdinal < 0
     // a GROUP-BASED row-level scan must return EVERY row of every file it
     // plans (the replace-groups contract: carry-over rows ride the
     // rewrite) — its pushed filters prune at FILE granularity only (zone
@@ -1200,6 +1372,15 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
       else epochs.map { case (k, (phys, full, fs)) =>
         k -> build(full, phys, fs, batch = true)
       }
+    // batch readers WITH the native row index appended — what a
+    // vectored split's columnar read decodes (the trailing index column
+    // feeds the tombstone filter and is stripped from the output batch)
+    val dvBatchFuncs =
+      if (!batchMode || table.dvPointers.isEmpty)
+        Map.empty[String, PartitionedFile => Iterator[InternalRow]]
+      else epochs.map { case (k, (phys, full, fs)) =>
+        k -> build(full, withIdx(phys), fs, batch = true)
+      }
     // the executor-side readers of delete-vector parquets — BOTH payload
     // generations: legacy per-position rows (file, pos) and compressed
     // bitmap rows (file, bm); dispatch is per dv FILE by name
@@ -1217,13 +1398,28 @@ class SnapshotScan(spark: SparkSession, table: SnapshotTable,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         spark.sessionState.newHadoopConf())
-    new SnapshotReaderFactory(rowFuncs, dvRowFuncs, batchFuncs,
+    // the equality-delete key reader + the probe coordinates: key
+    // ordinals inside the (augmented) reader row, and the key schema both
+    // projections share (bitwise-comparable UnsafeRows)
+    val eqSchema = StructType(eqKeys.map(k =>
+      StructField(k, table.schema.fields.find(_.name == k).get.dataType,
+        nullable = true)))
+    val eqFunc = if (eqKeys.isEmpty) null else dvReader(eqSchema)
+    val eqOrdinals = eqKeys.map(k =>
+      readDataSchema.fieldNames.indexOf(k)).toArray
+    new SnapshotReaderFactory(rowFuncs, dvRowFuncs, batchFuncs, dvBatchFuncs,
       dvReader(dvSchema), dvReader(dvbSchema),
-      batchMode, dataSchema, required, fileOrdinal, posOrdinal)
+      batchMode, dataSchema, required, fileOrdinal, posOrdinal,
+      eqFunc, eqSchema, eqOrdinals, augFields.length)
   }
 }
 
 object SnapshotScan {
+  /** Total scans constructed this JVM — the plan gate no-read-before-
+    * write paths (GraftUpsert) pin against: a write phase that scanned
+    * the target moves this counter. */
+  val created = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Plan-time per-file `getFileStatus` fallbacks (files whose manifest
     * line lacks a `len=` annotation) — the zero-RPC planning pin: tables
     * committed by the annotating commit path must plan without moving
@@ -1258,15 +1454,17 @@ object SnapshotScan {
   * evolution-free tables). */
 class SnapshotInputPartition(val file: String, val start: Long,
     val length: Long, val fileSize: Long, val modTime: Long,
-    val dvPaths: Seq[(String, Long)], val physKey: String = "")
+    val dvPaths: Seq[(String, Long)], val physKey: String = "",
+    val eqPaths: Seq[(String, Long)] = Nil)
   extends InputPartition
 
 object SnapshotInputPartition {
   def apply(file: String, start: Long, length: Long, fileSize: Long,
       modTime: Long, dvPaths: Seq[(String, Long)],
-      physKey: String = ""): SnapshotInputPartition =
+      physKey: String = "",
+      eqPaths: Seq[(String, Long)] = Nil): SnapshotInputPartition =
     new SnapshotInputPartition(file, start, length, fileSize, modTime,
-      dvPaths, physKey)
+      dvPaths, physKey, eqPaths)
 }
 
 /** A split that also carries its TYPED partition tuple — what Spark's
@@ -1275,9 +1473,9 @@ object SnapshotInputPartition {
   * the join runs with ZERO shuffle on either side. */
 class KeyedSnapshotInputPartition(file: String, start: Long, length: Long,
     fileSize: Long, modTime: Long, dvPaths: Seq[(String, Long)],
-    physKey: String, key: InternalRow)
+    physKey: String, key: InternalRow, eqPaths: Seq[(String, Long)] = Nil)
   extends SnapshotInputPartition(file, start, length, fileSize, modTime,
-    dvPaths, physKey)
+    dvPaths, physKey, eqPaths)
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1296,10 +1494,15 @@ class SnapshotReaderFactory(
     rowFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
     dvRowFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
     batchFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
+    dvBatchFuncs: Map[String, PartitionedFile => Iterator[InternalRow]],
     dvFunc: PartitionedFile => Iterator[InternalRow],
     dvbFunc: PartitionedFile => Iterator[InternalRow],
     batchMode: Boolean, dataSchema: StructType, outputSchema: StructType,
-    fileOrdinal: Int, posOrdinal: Int = -1) extends PartitionReaderFactory {
+    fileOrdinal: Int, posOrdinal: Int = -1,
+    eqFunc: PartitionedFile => Iterator[InternalRow] = null,
+    eqSchema: StructType = new StructType(),
+    eqOrdinals: Array[Int] = Array.empty,
+    nAug: Int = 0) extends PartitionReaderFactory {
 
   private def partitionedFile(path: String, start: Long, length: Long,
       fileSize: Long, modTime: Long): PartitionedFile =
@@ -1314,22 +1517,76 @@ class SnapshotReaderFactory(
       s"snapshot scan: no reader for schema epoch '$key' " +
         s"(have ${m.keys.mkString("|")})"))
 
-  /** Uniform by construction: batchMode is computed from the planned
-    * file set (true ⇒ no planned partition carries vectors), satisfying
-    * the exec's all-or-none columnar contract. */
+  /** Uniform by construction: batchMode is factory-wide (vectored splits
+    * filter INSIDE the columnar read), satisfying the exec's all-or-none
+    * columnar contract. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     batchMode && fileOrdinal < 0
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
+    val hasDv = p.dvPaths.nonEmpty
+    val hasEq = p.eqPaths.nonEmpty
     // the reader was built with returning_batch=true: elements ARE
     // ColumnarBatch behind the erased InternalRow signature (the V1
     // contract); cast the ITERATOR, never per-element (a .map would
     // insert an InternalRow cast on the lambda argument)
-    val it = fnOf(batchFuncs, p.physKey)(
+    if (!hasDv && !hasEq && nAug == 0) {
+      val it = fnOf(batchFuncs, p.physKey)(
+        partitionedFile(p.file, p.start, p.length, p.fileSize, p.modTime))
+        .asInstanceOf[Iterator[ColumnarBatch]]
+      return new IteratorReader(it)
+    }
+    // FILTERED SPLIT, STILL COLUMNAR: decode batches (with the native row
+    // index as a trailing column when vectors apply), drop tombstoned
+    // ordinals and equality-deleted keys by remapping each data column
+    // through a zero-copy selection vector ([[SelectedColumnVector]]),
+    // and strip the aug-key/index columns from the output — downstream
+    // keeps whole-stage columnar processing; cost is one O(numRows)
+    // membership pass per batch (what the row path paid) plus a
+    // live-ordinal int array
+    val dv = if (hasDv) loadDv(p) else null
+    val useIdx = dv != null && !dv.isEmpty
+    val eqSet = if (hasEq) loadEq(p) else null
+    val kp = if (eqSet != null && !eqSet.isEmpty) eqKeyProjection() else null
+    val n = dataSchema.length
+    val idxOrd = n + nAug
+    val raw = fnOf(if (useIdx) dvBatchFuncs else batchFuncs, p.physKey)(
       partitionedFile(p.file, p.start, p.length, p.fileSize, p.modTime))
       .asInstanceOf[Iterator[ColumnarBatch]]
+    val it = raw.map { b =>
+      val total = b.numRows()
+      val cols = new Array[org.apache.spark.sql.vectorized.ColumnVector](n)
+      def stripped(rows: Int): ColumnarBatch = {
+        var j = 0
+        while (j < n) { cols(j) = b.column(j); j += 1 }
+        new ColumnarBatch(cols, rows)
+      }
+      if (!useIdx && kp == null) stripped(total) // clean: just strip
+      else {
+        val idx = if (useIdx) b.column(idxOrd) else null
+        val sel = new Array[Int](total)
+        var m = 0
+        var i = 0
+        while (i < total) {
+          val dead = (idx != null && dv.contains(idx.getLong(i))) ||
+            (kp != null && eqSet.contains(kp(b.getRow(i))))
+          if (!dead) { sel(m) = i; m += 1 }
+          i += 1
+        }
+        if (m == total) stripped(total)
+        else {
+          val live = java.util.Arrays.copyOf(sel, m)
+          var j = 0
+          while (j < n) {
+            cols(j) = new SelectedColumnVector(b.column(j), live)
+            j += 1
+          }
+          new ColumnarBatch(cols, m)
+        }
+      }
+    }
     new IteratorReader(it)
   }
 
@@ -1339,66 +1596,53 @@ class SnapshotReaderFactory(
     * of the same tombstoned file share the load through a soft-valued
     * executor-local cache (soft refs: memory pressure evicts, a miss
     * just re-reads). */
-  private def loadDv(p: SnapshotInputPartition): Tombstones = {
-    // key on the FULL pointer list, never its hashCode: a collision
-    // between two successive snapshots' pointer sets for the same file
-    // would silently apply the wrong tombstones
-    val key = p.file + "#" +
-      p.dvPaths.map { case (d, l) => s"$d:$l" }.mkString(",")
-    val cached = SnapshotReaderFactory.dvCache.get(key)
-    if (cached != null) {
-      val t = cached.get()
-      if (t != null) return t
-    }
-    val t = readDv(p)
-    SnapshotReaderFactory.dvCache.put(key,
-      new java.lang.ref.SoftReference(t))
-    t
-  }
+  private def loadDv(p: SnapshotInputPartition): Tombstones =
+    SnapshotReaderFactory.loadTombstones(p.file, p.dvPaths, dvFunc, dvbFunc)
 
-  private def readDv(p: SnapshotInputPartition): Tombstones = {
-    val want = SnapshotStore.uriPath(p.file)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val bms = scala.collection.mutable.ArrayBuffer.empty[PosBitmap]
-    // dv rows for one data file cluster together: memoize the last path
-    // comparison instead of re-normalizing per tombstone
-    var lastRaw: String = null
-    var lastMatch = false
-    p.dvPaths.foreach { case (dvPath, dvLen) =>
-      val rows = (if (SnapshotReaderFactory.isBitmapDv(dvPath)) dvbFunc
-                  else dvFunc)(
-        partitionedFile(dvPath, 0, dvLen, dvLen, 0L))
+  /** This split's applicable EQUALITY-DELETE key set, loaded from its eq
+    * pointers into a hash set of UnsafeRows — executor-side, shared per
+    * (executor, pointer list) through the same soft-valued cache
+    * discipline as tombstones. */
+  private def loadEq(p: SnapshotInputPartition): java.util.HashSet[InternalRow] = {
+    val key = p.eqPaths.map { case (d, l) => s"$d:$l" }.mkString(",")
+    val cached = SnapshotReaderFactory.eqCache.get(key)
+    if (cached != null) {
+      val set = cached.get()
+      if (set != null) return set
+    }
+    val set = new java.util.HashSet[InternalRow]()
+    val proj = UnsafeProjection.create(eqSchema)
+    p.eqPaths.foreach { case (path, len) =>
+      eqFunc(partitionedFile(path, 0, len, len, 0L))
         .asInstanceOf[Iterator[Any]].flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case r: InternalRow => Iterator.single(r)
-        }
-      if (SnapshotReaderFactory.isBitmapDv(dvPath)) {
-        rows.foreach { r =>
-          if (SnapshotStore.uriPath(r.getUTF8String(0).toString) == want)
-            bms += PosBitmap.deserialize(r.getBinary(1))
-        }
-      } else rows.foreach { r =>
-        val raw = r.getUTF8String(0).toString
-        if (raw != lastRaw) {
-          lastRaw = raw
-          lastMatch = SnapshotStore.uriPath(raw) == want
-        }
-        if (lastMatch) buf += r.getLong(1)
-      }
+        }.foreach(r => set.add(proj(r).copy()))
     }
-    val arr = buf.toArray
-    java.util.Arrays.sort(arr)
-    new Tombstones(arr, bms.toArray)
+    SnapshotReaderFactory.eqCache.put(key,
+      new java.lang.ref.SoftReference(set))
+    set
   }
+
+  /** Project a reader row's key columns into the SAME UnsafeRow layout
+    * [[loadEq]] stored — equal keys compare bitwise-equal (null keys
+    * match null-safely, Iceberg's contract). */
+  private def eqKeyProjection(): UnsafeProjection =
+    UnsafeProjection.create(eqOrdinals.toSeq.zipWithIndex.map {
+      case (ord, i) =>
+        BoundReference(ord, eqSchema.fields(i).dataType, nullable = true)
+    })
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotInputPartition]
     val hasDv = p.dvPaths.nonEmpty
+    val hasEq = p.eqPaths.nonEmpty
     // the reader row carries the native row index exactly when `_pos` was
-    // requested OR this split must apply a delete vector
+    // requested OR this split must apply a delete vector; eq-key aug
+    // columns (nAug) sit between the data columns and the index
     val hasIdx = posOrdinal >= 0 || hasDv
-    val rowIdxSrc = if (hasIdx) dataSchema.length else -1
+    val rowIdxSrc = if (hasIdx) dataSchema.length + nAug else -1
     val fn = fnOf(if (hasDv) dvRowFuncs else rowFuncs, p.physKey)
     // the V1 reader contract: with vectorization on, the iterator's
     // elements are ColumnarBatch cast as InternalRow — un-hack via Any
@@ -1408,7 +1652,7 @@ class SnapshotReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
-    val rows =
+    val dvRows =
       if (!hasDv) raw
       else {
         val dv = loadDv(p)
@@ -1418,11 +1662,23 @@ class SnapshotReaderFactory(
         // row-group skipping
         else raw.filter(r => !dv.contains(r.getLong(rowIdxSrc)))
       }
+    // equality deletes apply AFTER position vectors: match the row's key
+    // against the split's applicable key set
+    val rows =
+      if (!hasEq) dvRows
+      else {
+        val eqSet = loadEq(p)
+        if (eqSet.isEmpty) dvRows
+        else {
+          val kp = eqKeyProjection()
+          dvRows.filter(r => !eqSet.contains(kp(r)))
+        }
+      }
     val out =
-      if (fileOrdinal < 0 && posOrdinal < 0 && !hasIdx) rows
+      if (fileOrdinal < 0 && posOrdinal < 0 && !hasIdx && nAug == 0) rows
       else if (fileOrdinal < 0 && posOrdinal < 0) {
-        // plain read over a vectored split: strip the trailing row-index
-        // column the dv filter rode on
+        // plain read over a vectored/augmented split: strip the trailing
+        // aug-key and row-index columns the filters rode on
         val proj = UnsafeProjection.create(
           dataSchema.fields.zipWithIndex.map { case (f, i) =>
             BoundReference(i, f.dataType, f.nullable)
@@ -1433,7 +1689,7 @@ class SnapshotReaderFactory(
         // the reader row is data columns [+ native row index], the file
         // path rides a JoinedRow; every other output field maps to its
         // data ordinal (its position minus the metadata fields before it)
-        val fileSrc = dataSchema.length + (if (hasIdx) 1 else 0)
+        val fileSrc = dataSchema.length + nAug + (if (hasIdx) 1 else 0)
         val exprs = outputSchema.fields.zipWithIndex.map { case (f, i) =>
           if (i == fileOrdinal)
             BoundReference(fileSrc, StringType, nullable = false)
@@ -1475,9 +1731,117 @@ object SnapshotReaderFactory {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.lang.ref.SoftReference[Tombstones]]()
 
+  /** Executor-local equality-delete key-set cache (pointer list →
+    * UnsafeRow hash set), same soft-valued discipline as [[dvCache]]. */
+  private[catalog] val eqCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.ref.SoftReference[java.util.HashSet[InternalRow]]]()
+
   /** Bitmap-generation dv files carry the `dvb_` name marker. */
   private[catalog] def isBitmapDv(path: String): Boolean =
     new org.apache.hadoop.fs.Path(path).getName.startsWith("dvb")
+
+  private def pf(path: String, len: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      0, len, Array.empty, 0L, len)
+
+  /** `file`'s tombstone positions from its dv pointers, decoded and
+    * cached per (executor, file, pointer list) — keyed on the FULL
+    * pointer list, never its hashCode: a collision between two
+    * successive snapshots' pointer sets for the same file would silently
+    * apply the wrong tombstones. Shared by the snapshot scan AND the
+    * change-feed reader. */
+  private[catalog] def loadTombstones(file: String,
+      dvPaths: Seq[(String, Long)],
+      dvFunc: PartitionedFile => Iterator[InternalRow],
+      dvbFunc: PartitionedFile => Iterator[InternalRow]): Tombstones = {
+    val key = file + "#" +
+      dvPaths.map { case (d, l) => s"$d:$l" }.mkString(",")
+    val cached = dvCache.get(key)
+    if (cached != null) {
+      val t = cached.get()
+      if (t != null) return t
+    }
+    val want = SnapshotStore.uriPath(file)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bms = scala.collection.mutable.ArrayBuffer.empty[PosBitmap]
+    // dv rows for one data file cluster together: memoize the last path
+    // comparison instead of re-normalizing per tombstone
+    var lastRaw: String = null
+    var lastMatch = false
+    dvPaths.foreach { case (dvPath, dvLen) =>
+      val rows = (if (isBitmapDv(dvPath)) dvbFunc else dvFunc)(
+        pf(dvPath, dvLen))
+        .asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+      if (isBitmapDv(dvPath)) {
+        rows.foreach { r =>
+          if (SnapshotStore.uriPath(r.getUTF8String(0).toString) == want)
+            bms += PosBitmap.deserialize(r.getBinary(1))
+        }
+      } else rows.foreach { r =>
+        val raw = r.getUTF8String(0).toString
+        if (raw != lastRaw) {
+          lastRaw = raw
+          lastMatch = SnapshotStore.uriPath(raw) == want
+        }
+        if (lastMatch) buf += r.getLong(1)
+      }
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    val t = new Tombstones(arr, bms.toArray)
+    dvCache.put(key, new java.lang.ref.SoftReference(t))
+    t
+  }
+}
+
+/** A column vector view exposing only SELECTED ordinals of its delegate —
+  * row `i` of this vector is row `sel(i)` of the delegate. Zero-copy: the
+  * delegate's decoded buffers are shared, only the int selection array is
+  * new (the Iceberg `ColumnVectorWithFilter` shape — how deletes apply
+  * INSIDE a vectorized read without dropping the scan to row mode).
+  * Struct/interval/variant access rides the final base-class accessors
+  * through [[getChild]], which remaps with the SAME selection (struct
+  * children are parent-positional); array/map entries delegate whole —
+  * their offsets address the delegate's CHILD space, untouched by parent
+  * row selection. `close` is a no-op: the delegate is owned by the
+  * underlying parquet reader's task-completion hook. */
+private[catalog] final class SelectedColumnVector(
+    delegate: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+  extends org.apache.spark.sql.vectorized.ColumnVector(delegate.dataType()) {
+
+  override def close(): Unit = ()
+  // conservative pass-throughs: may overcount after filtering, which only
+  // keeps null checks enabled — never wrong
+  override def hasNull: Boolean = delegate.hasNull
+  override def numNulls(): Int = delegate.numNulls()
+  override def isNullAt(rowId: Int): Boolean = delegate.isNullAt(sel(rowId))
+  override def getBoolean(rowId: Int): Boolean = delegate.getBoolean(sel(rowId))
+  override def getByte(rowId: Int): Byte = delegate.getByte(sel(rowId))
+  override def getShort(rowId: Int): Short = delegate.getShort(sel(rowId))
+  override def getInt(rowId: Int): Int = delegate.getInt(sel(rowId))
+  override def getLong(rowId: Int): Long = delegate.getLong(sel(rowId))
+  override def getFloat(rowId: Int): Float = delegate.getFloat(sel(rowId))
+  override def getDouble(rowId: Int): Double = delegate.getDouble(sel(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    delegate.getArray(sel(rowId))
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    delegate.getMap(sel(ordinal))
+  override def getDecimal(rowId: Int, precision: Int,
+      scale: Int): org.apache.spark.sql.types.Decimal =
+    delegate.getDecimal(sel(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String =
+    delegate.getUTF8String(sel(rowId))
+  override def getBinary(rowId: Int): Array[Byte] =
+    delegate.getBinary(sel(rowId))
+  private lazy val childCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, SelectedColumnVector]()
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    childCache.computeIfAbsent(ordinal,
+      o => new SelectedColumnVector(delegate.getChild(o), sel))
 }
 
 /** One split's decoded tombstone set — legacy sorted positions plus any
@@ -2054,16 +2418,24 @@ class SnapshotMicroBatchStream(spark: SparkSession, table: SnapshotTable,
           .map(SnapshotStore.uriPath).toSet --
           SnapshotStore.deleteVectors(spark, table.root, v - 1)
             .map(SnapshotStore.uriPath)
+        // an equality-delete commit mutates earlier files' rows: a
+        // CHANGE commit exactly like a vector commit
+        val eqAdded = SnapshotStore.eqDeletes(spark, table.root, v)
+          .map(e => SnapshotStore.uriPath(e.path)).toSet --
+          SnapshotStore.eqDeletes(spark, table.root, v - 1)
+            .map(e => SnapshotStore.uriPath(e.path))
         // a schema-evolution commit (ADD/RENAME/DROP) is a CHANGE commit
         // too: the stream's schema was fixed at start, so later epochs'
         // files can't be read under it
         val schemaChanged = SnapshotStore.schemaOf(spark, table.root, v) !=
           SnapshotStore.schemaOf(spark, table.root, v - 1)
-        if (removed.nonEmpty || dvAdded.nonEmpty || schemaChanged) {
+        if (removed.nonEmpty || dvAdded.nonEmpty || eqAdded.nonEmpty ||
+            schemaChanged) {
           if (!skipChangeCommits) throw new IllegalStateException(
             s"streaming read of ${table.name()} hit a CHANGE commit at " +
               s"version $v (${removed.size} files removed, ${dvAdded.size} " +
-              s"vectors added, schema changed: $schemaChanged): " +
+              s"vectors + ${eqAdded.size} equality deletes added, " +
+              s"schema changed: $schemaChanged): " +
               "rewrites/deletes/evolution cannot re-emit. Set " +
               "option(\"skipChangeCommits\", \"true\") to skip such " +
               "versions, or tail an append-only table.")
@@ -2220,18 +2592,17 @@ class SnapshotDeltaBatchWrite(spark: SparkSession, table: SnapshotTable,
         }
         // a delta commit only ADDS lines (insert files + vectors), so it
         // commutes with interleaved commits EXACTLY WHEN every file its
-        // tombstones cover is still live at the rebase target (a
-        // concurrent rewrite/compaction of a covered file would leave
-        // tombstones addressing dead rows — decline loudly); appendCommit
-        // also guards schema drift. Delta's conflict-resolution contract,
-        // and what lets a MoR DELETE/MERGE land on a write-audit-publish
-        // staging branch while `main` is pinned.
+        // tombstones cover is still live at the rebase target AND no
+        // interleaved commit added vectors over the same files
+        // ([[SnapshotTable.vectorCommitValidate]] — Delta's row-level
+        // conflict contract); appendCommit also guards schema/spec drift.
+        // This is what lets a MoR DELETE/MERGE land on a
+        // write-audit-publish staging branch while `main` is pinned.
         val covers = dvPairs.flatMap(_._2).map(SnapshotStore.uriPath).toSet
         SnapshotTable.appendCommit(spark, table.root, table.snapVersion,
           dataMoved ++ dvLines, dataMoved ++ dvMoved,
-          validate = cur => covers.subsetOf(
-            SnapshotStore.files(spark, table.root, cur)
-              .map(SnapshotStore.uriPath).toSet))
+          validate = SnapshotTable.vectorCommitValidate(spark, table.root,
+            table.snapVersion, covers))
       }
     } finally f.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
@@ -2264,12 +2635,12 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
 
       private var dataW: org.apache.spark.sql.execution.datasources.OutputWriter = _
       private var dataPath: String = _
-      // tombstone positions buffered PER COVERED FILE (8 B per deleted
-      // row, bounded by the task's changed rows — what the old per-row
-      // parquet writer buffered anyway), compressed into one [[PosBitmap]]
-      // row each at commit
+      // tombstone positions buffered PER COVERED FILE in a PRIMITIVE
+      // long buffer (a true 8 B per deleted row — ArrayBuffer[Long]
+      // boxes to ~24+ B/entry), compressed into one [[PosBitmap]] row
+      // each at commit
       private val dvPositions = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        .empty[String, LongVec]
 
       override def insert(row: InternalRow): Unit = {
         if (dataW == null) {
@@ -2287,8 +2658,7 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
 
       override def delete(metadata: InternalRow, id: InternalRow): Unit =
         dvPositions.getOrElseUpdate(id.getUTF8String(idFileIdx).toString,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-          id.getLong(idPosIdx)
+          new LongVec()).add(id.getLong(idPosIdx))
 
       override def update(metadata: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {
@@ -2316,7 +2686,7 @@ class SnapshotDeltaWriterFactory(staging: String, dataSchema: StructType,
               dvRow.update(1,
                 PosBitmap.fromPositions(positions.toArray).serialize)
               dvW.write(dvRow)
-            }
+            } // positions.toArray: one primitive copy per covered file
           } finally dvW.close()
         }
         DeltaStagedFiles(Option(dataPath).toSeq, Option(dvPath).toSeq,

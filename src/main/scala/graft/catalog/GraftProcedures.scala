@@ -61,6 +61,23 @@ object GraftProcedures {
       .getOrElse(throw new RuntimeException(
         s"graft catalog: unknown table $table (register it or CREATE it)"))
   }
+
+  /** A user predicate STRING as pushed-filter form: resolved against the
+    * version's snapshot read, conjuncts split from the optimized plan and
+    * translated to `sources.Filter` — the admission vocabulary the
+    * manifest's zone/partition pruning understands. Untranslatable
+    * conjuncts drop (admission stays conservative: more files rewritten,
+    * never a wrong scope). */
+  private[catalog] def filtersOf(spark: SparkSession, root: String,
+      version: Int, pred: String): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = SnapshotStore.read(spark, root, version)
+      .where(org.apache.spark.sql.functions.expr(pred))
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(ColumnBridge.splitConjuncts)
+      .flatMap(ColumnBridge.translateFilter)
+  }
 }
 
 class GraftProcedure(catalogName: String, procName: String)
@@ -109,9 +126,14 @@ class GraftProcedure(catalogName: String, procName: String)
     case "compact" => Array(in("table", StringType),
       ProcedureParameter.in("buckets", IntegerType).defaultValue("8").build(),
       ProcedureParameter.in("cluster_col", StringType).defaultValue("''")
+        .build(),
+      ProcedureParameter.in("where", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("min_files", IntegerType).defaultValue("0")
         .build())
     case "vacuum" => Array(in("table", StringType),
-      ProcedureParameter.in("keep", IntegerType).defaultValue("1").build())
+      ProcedureParameter.in("keep", IntegerType).defaultValue("1").build(),
+      ProcedureParameter.in("older_than", StringType).defaultValue("''")
+        .build())
     case "analyze" => Array(in("table", StringType),
       ProcedureParameter.in("key", StringType).defaultValue("''").build())
     case "history" => Array(in("table", StringType))
@@ -176,10 +198,53 @@ class GraftProcedure(catalogName: String, procName: String)
         val buckets = input.getInt(1)
         require(buckets >= 1, s"compact: buckets must be >= 1, got $buckets")
         val clusterCol = input.getUTF8String(2).toString
+        val whereStr = input.getUTF8String(3).toString.trim
+        val minFiles = input.getInt(4)
         val cur = SnapshotStore.currentVersion(spark, root)
         val before = SnapshotStore.files(spark, root, cur)
-        val dvs = SnapshotStore.deleteVectors(spark, root, cur)
-        val live = SnapshotStore.read(spark, root, cur)
+        // SCOPED COMPACTION (`where => '<pred>'`): rewrite only the files
+        // the predicate ADMITS through the same manifest-metadata pruning
+        // a scan uses (partition tuples + zone stats) — at 100 TB the
+        // maintenance pass touches one partition's bytes, not the table's.
+        // Admission is conservative (extra files may be rewritten — their
+        // rows carry verbatim through the rewrite), and an untranslatable
+        // predicate declines loudly rather than silently compacting
+        // everything. `min_files => n` gates the rewrite on at least n
+        // admitted inputs (the Iceberg rewrite_data_files knob): below it,
+        // the call is a NO-OP — no commit, no version churn.
+        val scoped: Seq[String] =
+          if (whereStr.isEmpty) before
+          else {
+            val filters = GraftProcedures.filtersOf(spark, root, cur, whereStr)
+            require(filters.nonEmpty,
+              s"compact: where '$whereStr' translates to no pushable " +
+                "filter - scoping would silently cover the whole table")
+            SnapshotPartitions.prune(spark, root, cur, filters,
+              SnapshotZones.prune(spark, root, cur, filters, before))
+          }
+        val scopedSet = scoped.map(SnapshotStore.uriPath).toSet
+        if (scoped.isEmpty || scoped.size < minFiles) {
+          // nothing admitted (or below the bin-packing floor): no-op
+          return Iterator[Scan](new ProcedureResultScan(resultSchema,
+            Array(InternalRow(cur, before.length, before.length, 0))))
+            .asJava
+        }
+        // vector reconciliation FOLLOWS the scope: a dv file dies exactly
+        // when every file it covers is being rewritten here; vectors over
+        // out-of-scope files carry verbatim (their files are untouched)
+        val cov = SnapshotStore.dvCoverage(spark, root, cur)
+        val dvsDropped: Set[String] = cov.toSeq
+          .flatMap { case (f, ds) => ds.map(d => (d, f)) }
+          .groupBy(_._1).collect {
+            // judge liveness-aware: covered files already dead (compacted
+            // by an earlier scoped pass) don't pin the vector alive
+            case (d, pairs) if pairs.map(_._2).toSet
+                .intersect(before.map(SnapshotStore.uriPath).toSet)
+                .subsetOf(scopedSet) =>
+              SnapshotStore.uriPath(d)
+          }.toSet
+        val live = SnapshotStore.read(spark, root, cur,
+          only = Some(scopedSet))
         val clusterCols = clusterCol.split(',').map(_.trim).filter(_.nonEmpty)
         require(clusterCols.length <= 4, "compact: cluster_col takes at " +
           "most 4 comma-separated columns (z-order interleave)")
@@ -236,14 +301,16 @@ class GraftProcedure(catalogName: String, procName: String)
             }
         }
         // meta lines (schema, partition spec, write mode) carry VERBATIM;
-        // every data line and vector is replaced by the clustered rewrite.
-        // On a partitioned table the rewrite fans out per partition TUPLE
-        // (the catalog write's own machinery) so the new files KEEP their
-        // per-file annotations (pruning power survives OPTIMIZE); an
-        // unparseable/unbindable spec writes unannotated — conservative:
-        // such files are kept unconditionally by pruning. A losing OCC
-        // committer deletes its freshly published files (commitOrCleanup)
-        // instead of leaking them forever past vacuum's
+        // the SCOPED data lines and the vectors they fully reconcile are
+        // replaced by the clustered rewrite — out-of-scope data lines and
+        // their vectors carry byte-identical (untouched partitions keep
+        // their files). On a partitioned table the rewrite fans out per
+        // partition TUPLE (the catalog write's own machinery) so the new
+        // files KEEP their per-file annotations (pruning power survives
+        // OPTIMIZE); an unparseable/unbindable spec writes unannotated —
+        // conservative: such files are kept unconditionally by pruning. A
+        // losing OCC committer deletes its freshly published files
+        // (commitOrCleanup) instead of leaking them forever past vacuum's
         // manifest-referenced reach.
         val (newLines, newFiles) = bound match {
           case Some(bp) =>
@@ -254,13 +321,39 @@ class GraftProcedure(catalogName: String, procName: String)
             val fl = SnapshotStore.writeData(spark, root, clustered, "opt")
             (fl, fl)
         }
-        val carried = SnapshotStore.metaLines(spark, root, cur)
+        // a FULL-scope compact also reconciles equality deletes: every
+        // rewritten file's epoch now postdates every eq sequence, so the
+        // key tombstones address nothing — drop their lines. A scoped
+        // compact keeps them (they still cover out-of-scope files).
+        val isFull = scopedSet == before.map(SnapshotStore.uriPath).toSet
+        val kept = SnapshotStore.linesReplacing(spark, root, cur, scopedSet)
+          .filterNot(l => l.startsWith("dv:") && dvsDropped(
+            SnapshotStore.uriPath(
+              l.stripPrefix("dv:").split('\t').head)))
+          .filterNot(l => isFull && l.startsWith("eq:"))
+        // the commit is strict-OCC (never rebases), so its version is
+        // cur+1 — stamp it dataChange=false: a compaction moves bytes,
+        // never rows, and a change feed must emit nothing for it
         val v = SnapshotStore.commitOrCleanup(spark, root,
-          carried ++ newLines, cur, newFiles)
-        InternalRow(v, before.length, newFiles.length, dvs.length)
+          kept ++ newLines :+ SnapshotStore.maintenanceLine(cur + 1),
+          cur, newFiles)
+        InternalRow(v, before.length,
+          before.length - scoped.length + newFiles.length, dvsDropped.size)
       case "vacuum" =>
         val keep = input.getInt(1)
-        val (files, versions) = SnapshotStore.vacuum(spark, root, keep)
+        // `older_than => '<ts>'`: time-based retention on the manifest-
+        // mtime clock (the TIMESTAMP AS OF clock) — versions committed
+        // at-or-after the cutoff survive regardless of `keep`
+        val olderThan = input.getUTF8String(2).toString.trim
+        val cutoff: Option[Long] =
+          if (olderThan.isEmpty) None
+          else Some(try
+            java.sql.Timestamp.valueOf(olderThan).getTime
+          catch { case _: IllegalArgumentException =>
+            java.time.Instant.parse(olderThan).toEpochMilli
+          })
+        val (files, versions) = SnapshotStore.vacuum(spark, root, keep,
+          cutoff)
         InternalRow(files.length, versions.length)
       case "analyze" =>
         // comma-separated keys build a MULTI-KEY sidecar (the z-order

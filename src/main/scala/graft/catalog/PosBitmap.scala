@@ -121,6 +121,22 @@ final class PosBitmap private[catalog] (
   }
 }
 
+/** Growable PRIMITIVE long buffer (manual doubling) — 8 B/entry flat,
+  * where `ArrayBuffer[Long]` boxes every element (~24+ B each): the
+  * delta writer buffers one of these per covered file until task commit,
+  * so a large MoR DELETE stays at true 8 B/tombstone executor heap. */
+private[catalog] final class LongVec(initialCapacity: Int = 64) {
+  private var arr = new Array[Long](math.max(1, initialCapacity))
+  private var n = 0
+  def add(v: Long): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    arr(n) = v
+    n += 1
+  }
+  def length: Int = n
+  def toArray: Array[Long] = java.util.Arrays.copyOf(arr, n)
+}
+
 object PosBitmap {
 
   private[catalog] val Magic = 0x47524254 // "GRBT"
@@ -210,7 +226,12 @@ object PosBitmap {
     * input — |positions|-scale, only materialized where a DataFrame of
     * tombstones is genuinely needed). */
   def positionsOf(bm: PosBitmap): Array[Long] = {
-    val out = new Array[Long](bm.cardinality.toInt)
+    val card = bm.cardinality
+    // unreachable for parquet files today (row counts fit an Int), but a
+    // silent toInt overflow would mis-size the array — fail loudly
+    require(card <= Int.MaxValue,
+      s"positionsOf: $card tombstones exceed one array (decode per container)")
+    val out = new Array[Long](card.toInt)
     var n = 0
     var i = 0
     while (i < bm.containerCount) {

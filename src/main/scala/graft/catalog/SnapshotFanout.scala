@@ -37,7 +37,12 @@ object SnapshotFanout {
       val msgs = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
-          val w = factory.createWriter(pid, pid.toLong)
+          // taskId must be UNIQUE PER ATTEMPT: a retried/speculative
+          // attempt reusing the original's id would stage the same file
+          // path, letting a zombie first attempt corrupt the winner's
+          // staged bytes before the driver renames them
+          val w = factory.createWriter(pid,
+            org.apache.spark.TaskContext.get().taskAttemptId())
           var ok = false
           try {
             it.foreach(w.write)

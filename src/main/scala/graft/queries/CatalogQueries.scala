@@ -1426,6 +1426,264 @@ object CatalogQueries {
       |  AND ts < TIMESTAMP '2024-01-01 06:00:00'
       |GROUP BY 1""".stripMargin
 
+  /** q354: SCOPED + BIN-PACKING COMPACTION — `CALL graft.compact(t,
+    * buckets, cluster, where => '<pred>', min_files => n)`: the rewrite
+    * admits files through the same manifest partition/zone pruning a scan
+    * uses, so OPTIMIZE touches ONE partition's bytes at 100 TB, not the
+    * table's. Here a status-partitioned, thrice-fragmented MoR orders
+    * table takes per-partition deletes (vectors on 'F' and 'O'), then a
+    * `where => status='F'` compaction: `untouched_ok` pins every
+    * non-scoped partition's files byte-identical (path+len+mtime — the
+    * q213 discipline), `scope_ok` that the F files were rewritten
+    * bin-packed AND that a below-`min_files` call was a version-free
+    * no-op, `vectors_ok` that exactly the F vectors reconciled while O's
+    * survive. The oracle rebuilds the table from the change model. */
+  def catScopedCompact(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshWarehouse(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ord_scomp")
+    spark.sql(
+      """CREATE TABLE graft.ord_scomp
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderstatus)""".stripMargin)
+    graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView("scomp_src")
+    // fragment: three interleaved inserts -> >=3 files per partition
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO graft.ord_scomp SELECT * FROM scomp_src WHERE o_orderkey % 3 = $i"))
+    val root = s"$wh/ord_scomp"
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    spark.sql(
+      "DELETE FROM graft.ord_scomp WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    spark.sql(
+      "DELETE FROM graft.ord_scomp WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 0")
+    val before = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val scopedBefore = before.filter(f =>
+      pv.get(SnapshotStore.uriPath(f)).contains("F")).toSet
+    val untouched = before.toSet -- scopedBefore
+    val cov = SnapshotStore.dvCoverage(spark, root)
+    def dvsOf(files: Set[String]) = files.flatMap(f =>
+      cov.getOrElse(SnapshotStore.uriPath(f), Nil)).map(SnapshotStore.uriPath)
+    val (dvF, dvO) = (dvsOf(scopedBefore), dvsOf(untouched))
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(p: String) = {
+      val st = fsys.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (st.getLen, st.getModificationTime)
+    }
+    val stamps = untouched.map(f => f -> stamp(f)).toMap
+    // below the bin-packing floor: a version-free no-op
+    val v0 = SnapshotStore.currentVersion(spark, root)
+    spark.sql("CALL graft.compact(table => 'ord_scomp', buckets => 1, " +
+      "where => 'o_orderstatus = \\'F\\'', min_files => 1000)")
+    val noopOk = SnapshotStore.currentVersion(spark, root) == v0
+    spark.sql("CALL graft.compact(table => 'ord_scomp', buckets => 1, " +
+      "cluster_col => 'o_orderkey', where => 'o_orderstatus = \\'F\\'', " +
+      "min_files => 2)")
+    val after = SnapshotStore.files(spark, root).toSet
+    val untouchedOk = untouched.subsetOf(after) &&
+      untouched.forall(f => stamp(f) == stamps(f))
+    val scopeOk = noopOk && (after intersect scopedBefore).isEmpty &&
+      (after -- untouched).size < scopedBefore.size
+    val dvAfter = SnapshotStore.deleteVectors(spark, root)
+      .map(SnapshotStore.uriPath).toSet
+    val vectorsOk = dvAfter == dvO && (dvAfter intersect dvF).isEmpty
+    spark.table("graft.ord_scomp")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(untouchedOk).as("untouched_ok"), lit(scopeOk).as("scope_ok"),
+        lit(vectorsOk).as("vectors_ok"))
+  }
+
+  private val catScopedCompactSql =
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("o_totalprice")} AS total_price,
+       |  TRUE AS untouched_ok, TRUE AS scope_ok, TRUE AS vectors_ok
+       |FROM orders
+       |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+       |  AND NOT (o_orderstatus = 'O' AND o_orderkey % 11 = 0)
+       |GROUP BY 1""".stripMargin
+
+  /** q355: EQUALITY-DELETE STREAMING UPSERT — the no-read-before-write
+    * CDC path (q290's twin with the read half removed): each micro-batch
+    * commits its rows as insert files PLUS one `eq:` key-tombstone file
+    * ([[graft.catalog.GraftUpsert]]), sequenced to delete matching keys
+    * only in EARLIER files; the target is NEVER scanned during the write
+    * (`no_read_ok` pins the SnapshotScan construction counter flat across
+    * the whole stream), a replayed epoch is a version-free no-op
+    * (`replay_ok` — exactly-once from at-least-once), and the final
+    * catalog read — the eq anti-probe inside the vectorized scan — is
+    * graded by the same change-model oracle as the COW merge family. */
+  def catEqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, mx) = Lakehouse.initStore(spark, dir)
+    GraftCatalog.register(spark, "cat_orders_eq", root)
+    val lo = mx / 2; val hi = lo + mx / 10
+    val ch = SnapshotStore.read(spark, root)
+      .where(col("o_orderkey").between(lo, hi)).localCheckpoint()
+    val changes = ch.where(col("o_orderkey") % 3 <= 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("E").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+        col("o_orderdate"), lit("EQU").as("o_orderpriority"))
+      .unionByName(ch.where(col("o_orderkey") % 3 === 2)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")))
+    val stage = java.nio.file.Files.createTempDirectory("graft_equps")
+    graft.streaming.EventStreams.deleteTreeOnExit(stage)
+    changes.repartition(3).write.mode("overwrite").parquet(stage.toString)
+    val ck = java.nio.file.Files.createTempDirectory("graft_equps_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(ck)
+    val scansBefore = graft.catalog.SnapshotScan.created.get()
+    val qid = "equps_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .writeStream.option("checkpointLocation", ck.toString)
+      .foreachBatch((b: DataFrame, e: Long) => {
+        graft.catalog.GraftUpsert.upsert(spark, root, b,
+          Seq("o_orderkey"), qid, e)
+        ()
+      })
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val noReadOk = graft.catalog.SnapshotScan.created.get() == scansBefore
+    // replay: redelivering an already-stamped epoch commits NOTHING
+    val vBefore = SnapshotStore.currentVersion(spark, root)
+    graft.catalog.GraftUpsert.upsert(spark, root,
+      spark.read.parquet(stage.toString), Seq("o_orderkey"), qid, 0L)
+    val replayOk = SnapshotStore.currentVersion(spark, root) == vBefore &&
+      vBefore > 1
+    spark.table("graft.cat_orders_eq")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("o_totalprice")).as("total_price"))
+      .select(col("o_orderstatus"), col("n"), col("total_price"),
+        lit(noReadOk).as("no_read_ok"), lit(replayOk).as("replay_ok"))
+  }
+
+  private val catEqUpsertSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 10) AS hi
+       |  FROM orders),
+       |ch AS (SELECT o_orderkey, o_totalprice FROM orders, rng
+       |       WHERE o_orderkey BETWEEN lo AND hi),
+       |ups AS (
+       |  SELECT 'E' AS o_orderstatus, o_totalprice + 1000.0 AS p
+       |  FROM ch WHERE o_orderkey % 3 <= 1
+       |  UNION ALL
+       |  SELECT 'N', o_totalprice FROM ch WHERE o_orderkey % 3 = 2),
+       |kept AS (
+       |  SELECT o_orderstatus, o_totalprice AS p FROM orders, rng
+       |  WHERE NOT (o_orderkey BETWEEN lo AND hi AND o_orderkey % 3 <= 1))
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.Exact.sqlSum2("p")} AS total_price,
+       |  TRUE AS no_read_ok, TRUE AS replay_ok
+       |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+       |GROUP BY 1""".stripMargin
+
+  /** q356: STREAMING CHANGE-DATA-FEED READ — `readStream.table(
+    * "graft.t.changes")` (Iceberg's changelog-table surface): manifest
+    * versions are offsets and batch n is EXACTLY version n's classified
+    * feed, so the change commits the plain table stream must fail/skip on
+    * (COW rewrites, MoR vector deletes) arrive as `_change_type` +
+    * `_commit_version` rows. The entry drains an INSERT → COW UPDATE →
+    * MoR DELETE chain from genesis (`startingVersion=0`), net-classifies
+    * per (key, version) — carry-over delete+insert pairs cancel — and is
+    * graded by the change-model oracle; `batch_matches` pins that the
+    * BATCH feed read returns the identical row multiset. */
+  def catCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, mx) = Lakehouse.initStore(spark, dir) // v1
+    GraftCatalog.register(spark, "cat_orders_cdf", root)
+    graft.Tables(spark, dir, "orders").where(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + lit(900000000L)).as("o_orderkey"),
+        col("o_custkey"), lit("C").as("o_orderstatus"),
+        (col("o_totalprice") + lit(2.0)).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .createOrReplaceTempView("cdf_ins")
+    spark.sql("INSERT INTO graft.cat_orders_cdf SELECT * FROM cdf_ins") // v2
+    val lo = mx / 2; val hi = lo + mx / 20
+    spark.sql(
+      s"""UPDATE graft.cat_orders_cdf
+         |SET o_totalprice = o_totalprice + 1.0, o_orderpriority = 'UPD'
+         |WHERE o_orderkey BETWEEN $lo AND $hi""".stripMargin) // v3 (COW)
+    spark.sql("CALL graft.set_write_mode('cat_orders_cdf', 'mor')") // v4
+    val dlo = mx / 10; val dhi = dlo + mx / 20
+    spark.sql(
+      s"""DELETE FROM graft.cat_orders_cdf
+         |WHERE o_orderkey BETWEEN $dlo AND $dhi""".stripMargin) // v5 (MoR)
+    val out = java.nio.file.Files.createTempDirectory("graft_cdf_out")
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdf_ck")
+    graft.streaming.EventStreams.deleteTreeOnExit(out)
+    graft.streaming.EventStreams.deleteTreeOnExit(ck)
+    val q = spark.readStream.option("startingVersion", "0")
+      .table("graft.cat_orders_cdf.changes")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out, "append"))
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.toString).localCheckpoint()
+    val batchMatches =
+      spark.table("graft.cat_orders_cdf.changes").count() == feed.count()
+    val pre = feed.where(col("_change_type") === "delete")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("pre_price"),
+        col("o_orderpriority").as("pre_prio"), col("_commit_version").as("v"))
+    val post = feed.where(col("_change_type") === "insert")
+      .select(col("o_orderkey").as("k2"),
+        col("o_totalprice").as("post_price"),
+        col("o_orderpriority").as("post_prio"),
+        col("_commit_version").as("v2"))
+    pre.join(post, col("k") === col("k2") && col("v") === col("v2"), "full")
+      .withColumn("op",
+        when(col("k").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("pre_price") =!= col("post_price") ||
+            col("pre_prio") =!= col("post_prio"), lit("update"))
+          .otherwise(lit("none")))
+      .where(col("op") =!= "none")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum2(col("pre_price")).as("pre_total"),
+        graft.Exact.dsum2(col("post_price")).as("post_total"))
+      .select(col("op"), col("n"), col("pre_total"), col("post_total"),
+        lit(batchMatches).as("batch_matches"))
+  }
+
+  private val catCdfStreamSql =
+    s"""WITH rng AS (
+       |  SELECT (max(o_orderkey) // 2) AS lo,
+       |         (max(o_orderkey) // 2) + (max(o_orderkey) // 20) AS hi,
+       |         (max(o_orderkey) // 10) AS dlo,
+       |         (max(o_orderkey) // 10) + (max(o_orderkey) // 20) AS dhi
+       |  FROM orders),
+       |ivals AS (
+       |  SELECT o_totalprice AS p FROM orders
+       |  UNION ALL
+       |  SELECT o_totalprice + 2.0 FROM orders WHERE o_orderkey % 5 = 0),
+       |upd AS (SELECT o_totalprice AS p FROM orders, rng
+       |        WHERE o_orderkey BETWEEN lo AND hi),
+       |del AS (SELECT o_totalprice AS p FROM orders, rng
+       |        WHERE o_orderkey BETWEEN dlo AND dhi)
+       |SELECT 'insert' AS op, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(NULL AS DOUBLE) AS pre_total,
+       |  ${graft.Exact.sqlSum2("p")} AS post_total, TRUE AS batch_matches
+       |FROM ivals
+       |UNION ALL
+       |SELECT 'update', count(*), ${graft.Exact.sqlSum2("p")},
+       |  ${graft.Exact.sqlSum2("p + 1.0")}, TRUE
+       |FROM upd
+       |UNION ALL
+       |SELECT 'delete', count(*), ${graft.Exact.sqlSum2("p")},
+       |  CAST(NULL AS DOUBLE), TRUE
+       |FROM del""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q319_cat_merge", catMerge, Some(Lakehouse.snapMergeSql)),
     QueryDef("q320_cat_delete", catDelete, Some(SqlDml.sqlDeleteSql)),
@@ -1459,5 +1717,9 @@ object CatalogQueries {
     QueryDef("q350_cat_wap", catWap, Some(catWapSql)),
     QueryDef("q351_mor_feed", catMorFeed, Some(Lakehouse.changeFeedSql)),
     QueryDef("q352_cat_rollback", catRollback, Some(catRollbackSql)),
-    QueryDef("q353_cat_orphans", catOrphans, Some(catOrphansSql)))
+    QueryDef("q353_cat_orphans", catOrphans, Some(catOrphansSql)),
+    QueryDef("q354_scoped_compact", catScopedCompact,
+      Some(catScopedCompactSql)),
+    QueryDef("q355_eq_upsert", catEqUpsert, Some(catEqUpsertSql)),
+    QueryDef("q356_cdf_stream", catCdfStream, Some(catCdfStreamSql)))
 }

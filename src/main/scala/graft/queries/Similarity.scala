@@ -39,8 +39,18 @@ object Similarity {
     """SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
       |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
 
-  /** Exact cosine top-10 for query vectors (vec_id < 5). */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact cosine top-10 for query vectors (vec_id < 5). MEMOIZED per
+    * (session, sf): the brute-force ground truth grades FOUR registered
+    * entries (q60 itself, q64's recall gate, q209's MRR, q226's PQ gate)
+    * — one pays the exact pass, the rest reuse the checkpointed
+    * |queries|×10 rows ([[Memo]] lifecycle; Bench clears between
+    * passes). */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    Memo("knn_brute", spark, dir) {
+      computeKnnBrute(spark, dir).localCheckpoint()
+    }
+
+  private def computeKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1392,11 +1402,16 @@ object Similarity {
   val pqDepth = 100
 
   /** Unit-normalized vectors (cosine space: L2² on the sphere is
-    * 2 − 2·cos, so PQ's L2 machinery ranks by cosine). */
+    * 2 − 2·cos, so PQ's L2 machinery ranks by cosine). Memoized +
+    * checkpointed: codebook training, corpus encoding, and the query/
+    * re-rank sides all read the same materialization. */
   private def pqNorm(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).where(col("nrm") > 0)
-      .select(col("vec_id"),
-        expr("transform(v, x -> x / nrm)").as("vn"))
+    Memo("pq_base", spark, dir) {
+      vectors(spark, dir).where(col("nrm") > 0)
+        .select(col("vec_id"),
+          expr("transform(v, x -> x / nrm)").as("vn"))
+        .localCheckpoint()
+    }
 
   /** Exploded subvectors (vec_id, s, sub, ssq) — one row per subspace. */
   private def pqSubs(base: DataFrame): DataFrame =
@@ -1406,43 +1421,60 @@ object Similarity {
       .withColumn("ssq", dot_d(col("sub"), col("sub")))
 
   /** Assign every subvector its nearest codeword (exact L2² argmin,
-    * code-ascending tiebreak via the struct order). */
+    * code-ascending tiebreak via the struct order). Shaped as a broadcast
+    * JOIN against the codebook rows + a map-side-partial min over
+    * (d2, code) structs: every distance stays inside whole-stage codegen
+    * (the previous `array_min(transform(...))` over a 256-struct array
+    * column evaluated INTERPRETED, allocating 256 structs per subvector —
+    * the q226 bench tail's hot spot), and the partial aggregation ships
+    * one row per (vec_id, s) regardless of k. */
   private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb.groupBy(col("s"))
-        .agg(collect_list(struct(col("code"), col("cw"), col("cwsq"))).as("cs"))),
-      Seq("s"))
-      .withColumn("a", expr(
-        """array_min(transform(cs, c -> struct(
-          |  ssq + c.cwsq - 2.0D * dot_d(sub, c.cw) AS d2,
-          |  c.code AS code)))""".stripMargin))
+    subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2",
+        col("ssq") + col("cwsq") - lit(2.0) * dot_d(col("sub"), col("cw")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("a"),
+        first(col("sub")).as("sub"), first(col("ssq")).as("ssq"))
       .select(col("vec_id"), col("s"), col("sub"), col("ssq"),
-        col("a.code").as("code"))
+        col("a").getField("code").as("code"))
 
-  /** The trained codebook (s, code, cw, cwsq): projection-quantile init
-    * (per subspace, [[pqK]] buckets by exact percentile fences of the
-    * subvector's first component — deterministic, no RNG) refined by ONE
+  /** The trained codebook (s, code, cw, cwsq): equal-count projection
+    * init (per subspace, `ntile(k)` over the total (first-component,
+    * vec_id) order — deterministic, no RNG, exactly balanced buckets;
+    * replaced the r15 percentile-fence + interpreted-HOF bucketing,
+    * which was the q226 bench tail's other hot spot) refined by ONE
     * exact-L2 Lloyd pass in the full subspace. Codeword coordinates are
     * DECIMAL-summed means (the q203 sufficient-statistics discipline) so
     * the codebook is bit-stable across partitionings — the property that
-    * lets the recall gate hold a hard threshold. */
-  private def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    * lets the recall gate hold a hard threshold. Memoized per (session,
+    * sf). */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Memo("pq_codebook", spark, dir) {
+      computePqCodebook(spark, dir).localCheckpoint()
+    }
+
+  private def computePqCodebook(spark: SparkSession, dir: String): DataFrame = {
     val subs = pqSubs(pqNorm(spark, dir))
-    val fracs = (1 until pqK).map(i => i.toDouble / pqK).mkString(", ")
-    val fences = subs.groupBy(col("s"))
-      .agg(expr(s"percentile(sub[0], array($fracs))").as("f"))
-    val bucketed = subs.join(broadcast(fences), Seq("s"))
-      .withColumn("code",
-        expr("aggregate(f, 0, (acc, x) -> acc + IF(sub[0] > x, 1, 0))"))
-    def means(df: DataFrame): DataFrame = df
-      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
-      .groupBy(col("s"), col("code"), col("pos"))
-      .agg((sum(col("x").cast(DecimalType(30, 15))) / count(lit(1)))
-        .cast("double").as("cx"))
-      .groupBy(col("s"), col("code"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), p -> p.cx)")
-        .as("cw"))
-      .withColumn("cwsq", dot_d(col("cw"), col("cw")))
-    val cw0 = means(bucketed).localCheckpoint()
+    val wInit = Window.partitionBy(col("s"))
+      .orderBy(col("sub").getItem(0).asc, col("vec_id").asc)
+    val bucketed = subs.withColumn("code", ntile(pqK).over(wInit) - 1)
+    // ONE codegen'd shuffle per means pass: each of the pqSubDim
+    // coordinates is its own decimal-mean aggregate column (exact, any
+    // arrival order), re-assembled into the codeword array — replaces
+    // the posexplode + per-position groupBy + collect_list/array_sort
+    // double shuffle
+    def means(df: DataFrame): DataFrame = {
+      val sums = (0 until pqSubDim).map(i =>
+        (sum(col("sub").getItem(i).cast(DecimalType(30, 15))) /
+          count(lit(1))).cast("double").as(s"__c$i"))
+      df.groupBy(col("s"), col("code"))
+        .agg(sums.head, sums.tail: _*)
+        .withColumn("cw", array((0 until pqSubDim).map(i =>
+          col(s"__c$i")): _*))
+        .select(col("s"), col("code"), col("cw"))
+        .withColumn("cwsq", dot_d(col("cw"), col("cw")))
+    }
+    val cw0 = means(bucketed) // used once: the Lloyd pass's broadcast
     means(pqAssign(subs, cw0))
   }
 
@@ -1477,8 +1509,8 @@ object Similarity {
     * production trains on a sample, identical plumbing. */
   def pqAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftExtensions.registerDotD(spark)
-    val base = pqNorm(spark, dir).localCheckpoint()
-    val cb = pqCodebook(spark, dir).localCheckpoint() // m·k rows
+    val base = pqNorm(spark, dir) // memoized + checkpointed
+    val cb = pqCodebook(spark, dir) // m·k rows, memoized + checkpointed
     val codes = pqAssign(pqSubs(base), cb)
       .select(col("vec_id"), col("s"), col("code"))
     val qsubs = pqSubs(base.where(col("vec_id") < 5))

@@ -2768,8 +2768,15 @@ object TextAnalysis {
     // per-doc count table re-aggregated (Σ over docs of per-doc counts IS
     // the per-lang count), so the corpus-scale shuffle happens once and
     // both branches share its exchange instead of re-tokenizing the scan
-    val dp0 = tri.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    // the per-doc trigram count table IS the model's sufficient
+    // statistic: memoized + checkpointed per (session, sf), so the
+    // corpus tokenize+aggregate pass is paid once and BOTH branches
+    // (model re-aggregation, doc profiles) read the cached blocks —
+    // and a session re-run retrains for free ([[Memo]] lifecycle)
+    val dp0 = Memo("ct_dp0", spark, dir) {
+      tri.groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+    }
     val wl = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("g").asc)
     val langProfile = dp0.groupBy(col("lang"), col("g"))

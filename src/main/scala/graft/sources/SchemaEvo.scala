@@ -87,19 +87,52 @@ object SchemaEvo {
 
   /** The physical reader schema of `schema`'s fields for a file written
     * under version `sv` — current types in current order, write-epoch
-    * names (sentinels for not-yet-born fields). Positional rows from a
-    * read under this schema align 1:1 with the current schema. */
+    * names (sentinels for not-yet-born fields), RECURSING into struct
+    * fields (nested evolution: `a.b` renames/adds carry their history on
+    * the nested StructField itself). Positional rows from a read under
+    * this schema align 1:1 with the current schema at every nesting
+    * level — parquet resolves nested columns by name per level, so an
+    * epoch-named (or sentinel) child reads (or null-fills) exactly like a
+    * top-level one. */
   def physicalSchema(schema: StructType, sv: Int): StructType =
-    StructType(schema.fields.map { f =>
-      StructField(nameAt(f, sv).getOrElse(sentinel(f)), f.dataType,
-        f.nullable)
-    })
+    StructType(schema.fields.map(physField(_, sv)))
 
-  /** True when no field carries any evolution metadata — every version
-    * maps to current names and readers can take the single-epoch path. */
+  private def physField(f: StructField, sv: Int): StructField = {
+    val dt = f.dataType match {
+      case st: StructType => StructType(st.fields.map(physField(_, sv)))
+      case other => other
+    }
+    StructField(nameAt(f, sv).getOrElse(sentinel(f)), dt, f.nullable)
+  }
+
+  /** True when no field — at any nesting level — carries evolution
+    * metadata: every version maps to current names and readers can take
+    * the single-epoch path. */
   def isTrivial(schema: StructType): Boolean =
-    schema.fields.forall(f =>
-      !f.metadata.contains(HistoryKey) && !f.metadata.contains(AddedAtKey))
+    schema.fields.forall(trivialField)
+
+  private def trivialField(f: StructField): Boolean =
+    !f.metadata.contains(HistoryKey) && !f.metadata.contains(AddedAtKey) &&
+      (f.dataType match {
+        case st: StructType => st.fields.forall(trivialField)
+        case _ => true
+      })
+
+  /** `req`'s structure (names, types, NESTED PRUNING) with `tab`'s
+    * evolution metadata grafted on by name at every level — how a scan's
+    * pruned required schema regains the name-history the pruner stripped
+    * without losing its pruning (substituting the full table field would
+    * silently un-prune a nested struct). */
+  def withEvoMetadata(req: StructField, tab: StructField): StructField = {
+    val dt = (req.dataType, tab.dataType) match {
+      case (rs: StructType, ts: StructType) =>
+        StructType(rs.fields.map(rf =>
+          ts.fields.find(_.name == rf.name)
+            .map(tf => withEvoMetadata(rf, tf)).getOrElse(rf)))
+      case _ => req.dataType
+    }
+    StructField(req.name, dt, req.nullable, tab.metadata)
+  }
 
   /** Rename pushed-filter attribute references from current names to the
     * epoch's physical names; filters touching a not-yet-born field (or a
@@ -110,8 +143,20 @@ object SchemaEvo {
       schema: StructType, sv: Int)
       : Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
+    // dotted nested paths translate level-by-level; a conjunct on a
+    // renamed-or-unborn nested field whose epoch path can't be built
+    // DROPS for that epoch (pushdown loses power, rows never)
     val m: Map[String, Option[String]] =
-      schema.fields.map(f => f.name -> nameAt(f, sv)).toMap
+      schema.fields.flatMap { f =>
+        (f.name -> nameAt(f, sv)) +: (f.dataType match {
+          case st: StructType => st.fields.toSeq.map { c =>
+            s"${f.name}.${c.name}" -> (for {
+              p <- nameAt(f, sv); cn <- nameAt(c, sv)
+            } yield s"$p.$cn")
+          }
+          case _ => Nil
+        })
+      }.toMap
     def tr(f: Filter, neg: Boolean): Option[Filter] = f match {
       case EqualTo(a, v) => m.get(a).flatten.map(EqualTo(_, v))
       case EqualNullSafe(a, v) => m.get(a).flatten.map(EqualNullSafe(_, v))

@@ -70,6 +70,21 @@ object SnapshotStore {
     * files, so every pre-DV manifest parses unchanged. */
   private val DvPrefix = "dv:"
 
+  /** An `eq:`-prefixed line references an EQUALITY-DELETE file (a parquet
+    * of key values): at sequence `seq=` it tombstones every row whose key
+    * matches in any data file with an EARLIER write epoch (`sv=` < seq) —
+    * the Iceberg-v2 equality-delete contract, the no-read-before-write
+    * half of streaming upsert. Line shape:
+    * `eq:<path>\tkeys=<urlenc,cols>\tseq=<v>\tlen=<n>` (seq/len stamped
+    * at commit). Applied in scans as a key-set anti-probe BEFORE position
+    * vectors; compaction reconciles both. */
+  private val EqPrefix = "eq:"
+
+  /** Is this line a non-data reference line (delete vector / equality
+    * delete)? Meta lines are tested separately. */
+  private def isAux(l: String): Boolean =
+    l.startsWith(DvPrefix) || l.startsWith(EqPrefix)
+
   private def manifestLines(spark: SparkSession, root: String,
       version: Int): Seq[String] = {
     val v = if (version > 0) version else currentVersion(spark, root)
@@ -110,14 +125,14 @@ object SnapshotStore {
     out.toMap
   }
 
-  /** The path token of a (data or dv) manifest line. */
+  /** The path token of a (data, dv, or eq) manifest line. */
   private def pathOf(line: String): String =
-    line.split('\t').head.stripPrefix(DvPrefix)
+    line.split('\t').head.stripPrefix(DvPrefix).stripPrefix(EqPrefix)
 
   /** The DATA file list of `version` (default: latest). */
   def files(spark: SparkSession, root: String, version: Int = -1): Seq[String] =
     manifestLines(spark, root, version)
-      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .filterNot(l => isAux(l) || l.startsWith(MetaPrefix))
       .map(_.split('\t').head)
 
   /** The delete-vector files of `version` (default: latest) — empty for
@@ -150,7 +165,7 @@ object SnapshotStore {
   def fileRows(spark: SparkSession, root: String,
       version: Int = -1): Map[String, Long] =
     manifestLines(spark, root, version)
-      .filterNot(l => l.startsWith(MetaPrefix) || l.startsWith(DvPrefix))
+      .filterNot(l => l.startsWith(MetaPrefix) || isAux(l))
       .flatMap { l =>
         annots(l).get("rows").flatMap(_.toLongOption)
           .map(uriPath(pathOf(l)) -> _)
@@ -164,7 +179,7 @@ object SnapshotStore {
   def fileSchemaVersions(spark: SparkSession, root: String,
       version: Int = -1): Map[String, Int] =
     manifestLines(spark, root, version)
-      .filterNot(l => l.startsWith(MetaPrefix) || l.startsWith(DvPrefix))
+      .filterNot(l => l.startsWith(MetaPrefix) || isAux(l))
       .flatMap { l =>
         annots(l).get("sv").flatMap(_.toIntOption)
           .map(uriPath(pathOf(l)) -> _)
@@ -213,6 +228,37 @@ object SnapshotStore {
   /** Render a delete-vector path as its manifest line. */
   def dvLine(path: String): String = DvPrefix + path
 
+  /** One equality-delete reference: the key-file path, the key column
+    * names, and its SEQUENCE — the commit version it landed in (stamped
+    * at commit, like `sv=` on data lines): it tombstones matching keys in
+    * every data file whose `sv` is strictly earlier, so an upsert's own
+    * insert files (same commit ⇒ sv == seq) are never self-deleted. */
+  case class EqDelete(path: String, keys: Seq[String], seq: Int)
+
+  /** Render an equality-delete file + its key columns as a manifest line
+    * (`seq=`/`len=` stamp at commit). */
+  def eqLine(path: String, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "equality delete needs at least one key column")
+    s"$EqPrefix$path\tkeys=${java.net.URLEncoder.encode(
+      keys.mkString(","), "UTF-8")}"
+  }
+
+  /** `version`'s equality deletes — empty for tables that never saw a
+    * no-read upsert. An unstamped line (foreign writer) declines loudly:
+    * without a sequence there is no correct file set to apply it to. */
+  def eqDeletes(spark: SparkSession, root: String,
+      version: Int = -1): Seq[EqDelete] =
+    manifestLines(spark, root, version).collect {
+      case l if l.startsWith(EqPrefix) =>
+        val a = annots(l)
+        EqDelete(pathOf(l),
+          a.get("keys").map(k => java.net.URLDecoder.decode(k, "UTF-8"))
+            .getOrElse("").split(',').toSeq.filter(_.nonEmpty),
+          a.get("seq").flatMap(_.toIntOption).getOrElse(
+            throw new IllegalStateException(
+              s"equality-delete line without a seq= stamp under $root: $l")))
+    }
+
   /** Render a delete-vector line WITH its coverage annotation — which
     * data files its tombstones address (`covers=`, URL-encoded `|`-join).
     * Writers that know their coverage (the delta DML path does — each
@@ -239,7 +285,7 @@ object SnapshotStore {
   def linesReplacing(spark: SparkSession, root: String, version: Int,
       replaced: Set[String]): Seq[String] =
     manifestLines(spark, root, version).filter { l =>
-      l.startsWith(MetaPrefix) || l.startsWith(DvPrefix) ||
+      l.startsWith(MetaPrefix) || isAux(l) ||
         !replaced(uriPath(l.split('\t').head))
     }
 
@@ -306,6 +352,22 @@ object SnapshotStore {
       epoch: Long): Seq[String] =
     epochLine(queryId, epoch) +:
       lines.filterNot(_.startsWith(s"$EpochPrefix$queryId:"))
+
+  /** MAINTENANCE meta line: `meta:maintenance=<version>` marks a commit
+    * as dataChange=false (compaction — identical rows before and after),
+    * Delta's per-file dataChange flag at commit grain: a change feed
+    * emits NOTHING for a marked version. Markers carry forward through
+    * every commit (the list is the maintenance history). */
+  def maintenanceLine(v: Int): String = s"${MetaPrefix}maintenance=$v"
+
+  /** The versions `version`'s manifest marks as maintenance commits. */
+  def maintenanceVersionsOf(spark: SparkSession, root: String,
+      version: Int = -1): Set[Int] =
+    manifestLines(spark, root, version).iterator.flatMap { l =>
+      if (l.startsWith(s"${MetaPrefix}maintenance="))
+        l.stripPrefix(s"${MetaPrefix}maintenance=").toIntOption
+      else None
+    }.toSet
 
   /** NAMED REFS (branches and tags) as manifest meta lines:
     * `meta:ref=<name>=<version|tip>` — a PINNED ref targets one committed
@@ -435,7 +497,7 @@ object SnapshotStore {
   def partitionValuesOf(spark: SparkSession, root: String,
       version: Int = -1): Map[String, String] =
     manifestLines(spark, root, version).iterator
-      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .filterNot(l => isAux(l) || l.startsWith(MetaPrefix))
       .flatMap(l => annots(l).get("part").map(uriPath(pathOf(l)) -> _))
       .toMap
 
@@ -449,7 +511,7 @@ object SnapshotStore {
   def partitionSpecEpochsOf(spark: SparkSession, root: String,
       version: Int = -1): Map[String, String] =
     manifestLines(spark, root, version).iterator
-      .filterNot(l => l.startsWith(DvPrefix) || l.startsWith(MetaPrefix))
+      .filterNot(l => isAux(l) || l.startsWith(MetaPrefix))
       .flatMap(l => annots(l).get("pspec").map(e =>
         uriPath(pathOf(l)) -> java.net.URLDecoder.decode(e, "UTF-8")))
       .toMap
@@ -467,7 +529,7 @@ object SnapshotStore {
     require(cur > 0, s"no committed snapshot under $root")
     val oldSpec = partitionSpecOf(spark, root, cur)
     val stamped = manifestLines(spark, root, cur).map { l =>
-      if (l.startsWith(MetaPrefix) || l.startsWith(DvPrefix)) l
+      if (l.startsWith(MetaPrefix) || isAux(l)) l
       else {
         val a = annots(l)
         if (!a.contains("part") || a.contains("pspec") || oldSpec.isEmpty) l
@@ -525,10 +587,19 @@ object SnapshotStore {
     * `_metadata.(file_path, row_index)` against the tombstone set. Data
     * files are never modified; the join cost is ∝ |tombstones|, and a
     * compaction ([[Lakehouse]] q304 machinery) reconciles vectors back to
-    * clean files when they accumulate. */
+    * clean files when they accumulate.
+    *
+    * `only` (uri-path set) restricts the read to a SUBSET of the
+    * version's files — the scoped-compaction input: exactly those files'
+    * live rows, their vectors applied, everything else untouched. */
   def read(spark: SparkSession, root: String, version: Int = -1,
-      mergeSchema: Boolean = false): DataFrame = {
-    val fl = files(spark, root, version)
+      mergeSchema: Boolean = false,
+      only: Option[Set[String]] = None): DataFrame = {
+    val fl0 = files(spark, root, version)
+    val fl = only match {
+      case Some(s) => fl0.filter(f => s(uriPath(f)))
+      case None => fl0
+    }
     // A manifest-recorded schema (DDL-created or evolved tables) is
     // authoritative: read under it (older files null-fill added columns,
     // no footer union), and an EMPTY table reads as zero rows of it.
@@ -537,8 +608,10 @@ object SnapshotStore {
     // row identity for the DV anti-join must attach DIRECTLY above each
     // file scan (the `_metadata` pseudo-column does not survive unions)
     val dvs = deleteVectors(spark, root, version)
+    val eqs = eqDeletes(spark, root, version)
+    val needId = dvs.nonEmpty || eqs.nonEmpty
     def brand(df: DataFrame): DataFrame =
-      if (dvs.isEmpty) df
+      if (!needId) df
       else df.withColumn("__row_file", normCol(col("_metadata.file_path")))
         .withColumn("__row_pos", col("_metadata.row_index"))
     val df = recorded match {
@@ -559,9 +632,15 @@ object SnapshotStore {
             SchemaEvo.physicalSchema(s, svs.getOrElse(uriPath(f), cur)))
           .map { case (phys, group) =>
             brand(spark.read.schema(phys).parquet(group: _*))
-              .select(s.fieldNames.toSeq.zip(phys.fieldNames).map {
-                case (curName, physName) => col(physName).as(curName)
-              } ++ (if (dvs.isEmpty) Nil
+              .select(s.fields.toSeq.zip(phys.fields).map {
+                // NESTED evolution: a struct read under epoch child names
+                // casts back to the current type (struct casts are
+                // positional — exactly the epoch↔current alignment)
+                case (curF, physF) =>
+                  val c = col(physF.name)
+                  (if (physF.dataType == curF.dataType) c
+                   else c.cast(curF.dataType)).as(curF.name)
+              } ++ (if (!needId) Nil
                     else Seq(col("__row_file"), col("__row_pos"))): _*)
           }.reduce(_ unionByName _)
       case None =>
@@ -569,15 +648,47 @@ object SnapshotStore {
         brand((if (mergeSchema) r.option("mergeSchema", "true") else r)
           .parquet(fl: _*))
     }
-    if (dvs.isEmpty || fl.isEmpty) df
+    if (!needId || fl.isEmpty) df
     else {
       val cols = df.columns.toSeq.filterNot(_.startsWith("__row_")).map(col)
-      val tomb = tombstoneFrame(spark, dvs)
-        .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
-      df.join(tomb, col("__row_file") === col("__dv_file") &&
+      var out = df
+      if (dvs.nonEmpty) {
+        val tomb = tombstoneFrame(spark, dvs)
+          .select(normCol(col("file")).as("__dv_file"),
+            col("pos").as("__dv_pos"))
+        out = out.join(tomb, col("__row_file") === col("__dv_file") &&
           col("__row_pos") === col("__dv_pos"), "left_anti")
-        .select(cols: _*)
+      }
+      if (eqs.nonEmpty) out = applyEqDeletes(spark, root, version, out, eqs, fl)
+      out.select(cols: _*)
     }
+  }
+
+  /** Drop EQUALITY-DELETED rows from `df` (which carries a normalized
+    * `__row_file`): a row dies when some eq delete whose sequence is
+    * LATER than its file\u0027s write epoch matches its key — the scan-side
+    * anti-probe (broadcast: eq sets are micro-batch-sized by
+    * construction). Null keys match null-safely (Iceberg\u0027s contract). */
+  private def applyEqDeletes(spark: SparkSession, root: String, version: Int,
+      df: DataFrame, eqs: Seq[EqDelete], fl: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val svs = fileSchemaVersions(spark, root, version)
+    val pairs = fl.map(f => (uriPath(f), svs.getOrElse(uriPath(f), 0)))
+    val svDf = spark.createDataFrame(pairs).toDF("__sv_file", "__row_sv")
+    var out = df.join(broadcast(svDf),
+      normCol(col("__row_file")) === col("__sv_file"), "left")
+      .drop("__sv_file")
+    eqs.groupBy(_.keys).foreach { case (keys, group) =>
+      val eqDf = group.map(e =>
+          spark.read.parquet(e.path).select(keys.map(col): _*)
+            .withColumn("__eq_seq", lit(e.seq)))
+        .reduce(_ unionByName _)
+        .select(keys.map(k => col(k).as(s"__eq_$k")) :+ col("__eq_seq"): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__eq_$k")).reduce(_ && _) &&
+        col("__eq_seq") > coalesce(col("__row_sv"), lit(0))
+      out = out.join(broadcast(eqDf), cond, "left_anti")
+    }
+    out.drop("__row_sv")
   }
 
   /** The (file, pos) tombstone rows of a mixed-generation dv file list:
@@ -632,13 +743,19 @@ object SnapshotStore {
       .withColumn("__row_file", col("_metadata.file_path"))
       .withColumn("__row_pos", col("_metadata.row_index"))
     val dvs = deleteVectors(spark, root, version)
-    if (dvs.isEmpty) base
-    else {
-      val tomb = tombstoneFrame(spark, dvs)
-        .select(normCol(col("file")).as("__dv_file"), col("pos").as("__dv_pos"))
-      base.join(tomb, normCol(col("__row_file")) === col("__dv_file") &&
-        col("__row_pos") === col("__dv_pos"), "left_anti")
-    }
+    val afterDv =
+      if (dvs.isEmpty) base
+      else {
+        val tomb = tombstoneFrame(spark, dvs)
+          .select(normCol(col("file")).as("__dv_file"),
+            col("pos").as("__dv_pos"))
+        base.join(tomb, normCol(col("__row_file")) === col("__dv_file") &&
+          col("__row_pos") === col("__dv_pos"), "left_anti")
+      }
+    val eqs = eqDeletes(spark, root, version)
+    if (eqs.isEmpty) afterDv
+    else applyEqDeletes(spark, root, version, afterDv, eqs,
+      files(spark, root, version))
   }
 
   /** The tombstones a merge-on-read MERGE/DELETE adds: (file, pos) of the
@@ -697,7 +814,7 @@ object SnapshotStore {
         // data lines also record their ROW COUNT (one footer read at
         // commit) — numRows statistics then come from the manifest alone
         val withRows =
-          if (l.startsWith(DvPrefix) || a.contains("rows")) withLen
+          if (isAux(l) || a.contains("rows")) withLen
           else try {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new org.apache.hadoop.fs.Path(pathOf(l)), conf)
@@ -705,7 +822,11 @@ object SnapshotStore {
             val n = try r.getRecordCount finally r.close()
             s"$withLen\trows=$n"
           } catch { case _: Exception => withLen }
-        if (l.startsWith(DvPrefix) || a.contains("sv")) withRows
+        // an equality delete's SEQUENCE is its commit version (the `sv=`
+        // twin for key tombstones)
+        if (l.startsWith(EqPrefix))
+          (if (a.contains("seq")) withRows else s"$withRows\tseq=$next")
+        else if (l.startsWith(DvPrefix) || a.contains("sv")) withRows
         else s"$withRows\tsv=$next"
       }
     }
@@ -1136,17 +1257,30 @@ object SnapshotStore {
 
   /** Retain the newest `keep` versions; delete expired manifests and every
     * data file no retained version references. Returns (removed data
-    * files, removed versions). */
+    * files, removed versions).
+    *
+    * `olderThanMs` adds TIME-BASED retention (Iceberg's
+    * `expire_snapshots(older_than)` / Delta VACUUM retention): versions
+    * whose manifest was committed AT-OR-AFTER the cutoff are retained
+    * regardless of count — the clock is the manifest mtime, exactly what
+    * `TIMESTAMP AS OF` resolves against, so "every snapshot a timestamp
+    * travel inside the window can reach" survives by construction. The
+    * newest `keep` versions and pinned-ref targets stay retention roots
+    * either way. */
   def vacuum(spark: SparkSession, root: String,
-      keep: Int): (Seq[String], Seq[Int]) = {
+      keep: Int, olderThanMs: Option[Long] = None): (Seq[String], Seq[Int]) = {
     require(keep >= 1, "vacuum must keep at least the latest snapshot")
     val all = versions(spark, root)
+    if (all.isEmpty) return (Nil, Nil) // never-committed root: nothing to GC
     // pinned refs (tags, a staged `main`) are RETENTION ROOTS: their
     // target manifests — and therefore every data file those reference —
     // survive any retention window (the table-format contract: a tag
     // means "keep this snapshot readable")
     val pinned = refsOf(spark, root).values.flatten.toSet
-    val retained = all.takeRight(keep).toSet ++ pinned
+    val inWindow = olderThanMs.map(cut =>
+      versionTimes(spark, root).filter(_._2 >= cut).map(_._1).toSet)
+      .getOrElse(Set.empty)
+    val retained = all.takeRight(keep).toSet ++ pinned ++ inWindow
     val expired = all.filterNot(retained)
     if (expired.isEmpty) return (Nil, Nil)
     // delete-vector files are references too: a DV lives exactly as long
@@ -1154,8 +1288,7 @@ object SnapshotStore {
     // meta lines are not paths
     def refs(v: Int) = manifestLines(spark, root, v)
       .filterNot(_.startsWith(MetaPrefix))
-      .map(_.stripPrefix(DvPrefix))
-      .map(_.split('\t').head)
+      .map(pathOf)
     val live = all.filter(retained).flatMap(refs).toSet
     val doomed = expired.flatMap(refs).distinct.filterNot(live)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))

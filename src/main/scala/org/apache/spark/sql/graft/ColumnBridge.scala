@@ -28,6 +28,22 @@ object ColumnBridge {
     case _ => None
   }
 
+  /** Catalyst → `sources.Filter` translation (`DataSourceStrategy
+    * .translateFilter` is `protected[sql]`): how a user-supplied predicate
+    * STRING becomes the pushed-filter form the manifest's zone/partition
+    * pruning understands (scoped compaction's admission test). */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  private object Conjuncts
+    extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+  }
+
+  def splitConjuncts(e: Expression): Seq[Expression] = Conjuncts.split(e)
+
   /** Build a DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
     * `private[sql]`) — the construction path for the engine's custom
     * logical operators (graft.plans.AsOfJoinPlan). */

@@ -740,7 +740,7 @@ class CatalogSpec extends AnyFunSuite {
       s"orphans leaked: ${onDisk -- referenced}")
   }
 
-  test("plain catalog reads stay COLUMNAR (vectorized parquet); row-level/vectored paths degrade to rows deliberately") {
+  test("plain AND vectored catalog reads stay COLUMNAR; metadata-column paths degrade to rows deliberately") {
     val root = freshTable("t_cplan")
     // the plain read's V2 scan must support columnar batches — the
     // catalog path keeps Spark's vectorized parquet decode + whole-stage
@@ -753,8 +753,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(scans.forall(_.supportsColumnar),
       "plain catalog read lost columnar batches")
     assert(plain.collect().length == 51)
-    // a vectored table forces the row path (ordinal integrity), still
-    // correct — the deliberate trade documented on the reader
+    // a vectored table STAYS columnar: tombstones apply inside the
+    // vectorized read through the selection wrapper (legacy per-position
+    // vector payload here — both generations ride the same path)
     val dv = SnapshotStore.writeData(spark, root,
       SnapshotStore.tombstonesWhere(spark, root, col("k") === 1L)
         .coalesce(1), "dv")
@@ -764,8 +765,10 @@ class CatalogSpec extends AnyFunSuite {
     val morScans = mor.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(morScans.forall(!_.supportsColumnar))
+    assert(morScans.nonEmpty && morScans.forall(_.supportsColumnar),
+      "vectored catalog read lost columnar batches")
     assert(mor.count() == 99)
+    assert(mor.agg(sum(col("k"))).head().getLong(0) == 5050L - 1)
   }
 
   test("ADD COLUMN NOT NULL declines; a failing DROP TABLE keeps the registration") {
@@ -873,7 +876,7 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
-  test("columnar gate is per scan: pruning away the vectored file keeps batches") {
+  test("columnar batches survive vectors: pruned AND vectored scans both stay columnar") {
     val root = freshTable("t_colprune")
     SnapshotStore.writeStats(spark, root, "k") // per-file [lo, hi] of k
     // tombstone one low key: the vector covers only the file holding k=5
@@ -893,9 +896,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(scansOf(high).nonEmpty && scansOf(high).forall(_.supportsColumnar),
       "vector-free pruned scan lost its batches to a disjoint file's vector")
     assert(high.count() == 11)
-    // a scan that plans the vectored file runs rows — and correctly
+    // a scan that plans the vectored file ALSO stays columnar (the
+    // tombstone filters inside the vectorized read) — and correctly
     val low = spark.sql("SELECT k FROM graft.t_colprune WHERE k <= 10")
-    assert(scansOf(low).forall(!_.supportsColumnar))
+    assert(scansOf(low).nonEmpty && scansOf(low).forall(_.supportsColumnar),
+      "vectored scan lost its batches")
     assert(low.count() == 9)
     SnapshotStore.dropSkipping(spark, root)
   }
@@ -1803,6 +1808,431 @@ class CatalogSpec extends AnyFunSuite {
       s"unexpected error: $e")
     // the failed write must not have committed anything
     assert(spark.table("graft.pt_tab").count() == 0)
+  }
+
+  test("MoR vector-overlap conflict: same-file vector rebase declines, disjoint files both land") {
+    val root = freshTable("t_vvc") // 4 range-clustered files, keys 1..100
+    SnapshotStore.setWriteMode(spark, root, "mor") // v2
+    val loaded = SnapshotStore.currentVersion(spark, root)
+    // a concurrent MoR DELETE lands a vector on the file holding k=5
+    spark.sql("DELETE FROM graft.t_vvc WHERE k = 5")
+    assert(SnapshotStore.currentVersion(spark, root) == loaded + 1)
+    val cov = SnapshotStore.dvCoverage(spark, root)
+    assert(cov.size == 1, s"expected one vectored file, got $cov")
+    val hitFile = cov.keys.head
+    val otherFile = SnapshotStore.files(spark, root)
+      .map(SnapshotStore.uriPath).filterNot(_ == hitFile).head
+    // a vector commit planned at `loaded` covering the SAME file must
+    // decline the rebase (UPDATE∥DELETE on overlapping rows would let a
+    // deleted row resurrect as its updated image)
+    assert(!graft.catalog.SnapshotTable.vectorCommitValidate(spark, root,
+      loaded, Set(hitFile))(SnapshotStore.currentVersion(spark, root)),
+      "same-file vector rebase must decline")
+    // a DISJOINT-file vector commit still commutes
+    assert(graft.catalog.SnapshotTable.vectorCommitValidate(spark, root,
+      loaded, Set(otherFile))(SnapshotStore.currentVersion(spark, root)),
+      "disjoint-file vector rebase must land")
+    // and end-to-end through appendCommit: the stale same-file commit
+    // aborts LOUDLY with a conflict, never interleaves
+    intercept[SnapshotStore.CommitConflictException] {
+      graft.catalog.SnapshotTable.appendCommit(spark, root, loaded,
+        Seq(SnapshotStore.dvLineCovering(s"$root/dvb_fake_0.parquet",
+          Seq(hitFile))), Nil,
+        validate = graft.catalog.SnapshotTable.vectorCommitValidate(spark,
+          root, loaded, Set(hitFile)))
+    }
+  }
+
+  test("threaded OCC: concurrent MoR UPDATE and DELETE over the same rows never lose the delete") {
+    val root = freshTable("t_vrace")
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def run(sql: String) =
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          start.await()
+          try { spark.sql(sql); None } catch { case t: Throwable => Some(t) }
+        }
+      })
+    val upd = run("UPDATE graft.t_vrace SET v = 'RACED' WHERE k BETWEEN 10 AND 20")
+    val del = run("DELETE FROM graft.t_vrace WHERE k BETWEEN 15 AND 25")
+    start.countDown()
+    val (updErr, delErr) = (upd.get(120, TimeUnit.SECONDS),
+      del.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // a loser may decline loudly (conflict) — but NEVER a lost delete:
+    // if both landed they serialized, and whichever order they took, a
+    // row the delete covered and the update did not re-insert after it
+    // must be gone; if the delete succeeded at all, k=25 (outside the
+    // update's range) is unconditionally gone
+    val t = spark.table("graft.t_vrace")
+    (updErr, delErr) match {
+      case (None, None) => // serialized: delete-after-update or update lost rows to delete
+        assert(t.where(col("k") === 25L).isEmpty, "k=25 must be deleted")
+        // no resurrected duplicate keys either way
+        assert(t.groupBy(col("k")).count().where(col("count") > 1).isEmpty)
+      case (Some(e), None) =>
+        assert(e.getMessage != null)
+        assert(t.where(col("k") === 25L).isEmpty, "k=25 must be deleted")
+      case (None, Some(e)) =>
+        assert(e.getMessage != null)
+        assert(t.where(col("k") === 15L && col("v") =!= "RACED").isEmpty)
+      case (Some(a), Some(b)) =>
+        fail(s"both writers failed: $a / $b")
+    }
+  }
+
+  test("append rebase declines when the partition spec evolved concurrently") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pt_drift")
+    spark.sql(
+      "CREATE TABLE graft.pt_drift (k BIGINT, g STRING) PARTITIONED BY (g)")
+    spark.sql("INSERT INTO graft.pt_drift VALUES (1L, 'a'), (2L, 'b')")
+    val root = s"$w/pt_drift"
+    val loaded = SnapshotStore.currentVersion(spark, root)
+    // concurrent spec evolution commits between load and publish
+    spark.sql("CALL graft.set_partition_spec('pt_drift', 'bucket(4, k)')")
+    val e = intercept[SnapshotStore.CommitConflictException] {
+      graft.catalog.SnapshotTable.appendCommit(spark, root, loaded,
+        Seq(s"$root/fake_stale_0.parquet\tpart=a"), Nil)
+    }
+    assert(e.getMessage.contains("partition spec"), e.getMessage)
+    // the stale annotation never reached the manifest
+    assert(!SnapshotStore.files(spark, root).exists(_.contains("fake_stale")))
+  }
+
+  test("vacuum on a never-committed root is a no-op, not an error") {
+    val out = java.nio.file.Files.createTempDirectory("vacempty")
+    assert(SnapshotStore.vacuum(spark, s"$out/t", 1) == ((Nil, Nil)))
+  }
+
+  test("delete vectors apply INSIDE the vectorized reader: mixed vectored+clean scan stays columnar and exact") {
+    val root = freshTable("t_dvvec") // 4 range-clustered files, k=1..100
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    // tombstones on two of the four files; the other two stay clean
+    spark.sql("DELETE FROM graft.t_dvvec WHERE k IN (5, 7, 90)")
+    assert(SnapshotStore.dvCoverage(spark, root).nonEmpty)
+    val df = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM graft.t_dvvec")
+    val r = df.head()
+    assert(r.getLong(0) == 97L)
+    assert(r.getLong(1) == 5050L - 5 - 7 - 90)
+    // the scan REMAINS columnar: every partition — vectored or clean —
+    // reports columnar support, and at least one actually carries vectors
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        rel.scan.asInstanceOf[graft.catalog.SnapshotScan]
+    }.head
+    val parts = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    assert(parts.forall(factory.supportColumnarReads),
+      "a vectored split dropped the scan out of columnar mode")
+    assert(parts.exists(
+      _.asInstanceOf[graft.catalog.SnapshotInputPartition].dvPaths.nonEmpty))
+    // exactness ACROSS SPLIT BOUNDARIES: force multi-split files — the
+    // native row index is file-absolute, so tombstones must drop exactly
+    // once no matter which split holds them
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+      val df2 = spark.sql("SELECT count(*) AS n, sum(k) AS s FROM graft.t_dvvec")
+      val scan2 = df2.queryExecution.optimizedPlan.collect {
+        case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          rel.scan.asInstanceOf[graft.catalog.SnapshotScan]
+      }.head
+      assert(scan2.planInputPartitions().length >
+        SnapshotStore.files(spark, root).length,
+        "maxPartitionBytes=512 did not split the files")
+      val r2 = df2.head()
+      assert(r2.getLong(0) == 97L)
+      assert(r2.getLong(1) == 5050L - 5 - 7 - 90)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    // string/double columns ride the same selection wrapper
+    val r3 = spark.sql(
+      """SELECT sum(CAST(p AS DECIMAL(18,2))) AS sp,
+        |  count(DISTINCT v) AS nv FROM graft.t_dvvec""".stripMargin).head()
+    assert(r3.getDecimal(0).longValue() == 5050L - 5 - 7 - 90)
+    assert(r3.getLong(1) == 97L)
+  }
+
+  test("scoped compaction: where-admitted partition rewritten, others byte-identical, vectors follow the scope") {
+    val w = freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.pt_scomp")
+    spark.sql(
+      "CREATE TABLE graft.pt_scomp (k BIGINT, g STRING) PARTITIONED BY (g)")
+    // fragment both partitions: 3 inserts -> 3 files per partition
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.pt_scomp
+           |SELECT id + ${i * 100}, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+           |FROM range(0, 100)""".stripMargin)
+    }
+    val root = s"$w/pt_scomp"
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    spark.sql("DELETE FROM graft.pt_scomp WHERE g = 'a' AND k % 10 = 4")
+    spark.sql("DELETE FROM graft.pt_scomp WHERE g = 'b' AND k % 10 = 5")
+    val beforeFiles = SnapshotStore.files(spark, root)
+    val pv = SnapshotStore.partitionValuesOf(spark, root)
+    val bFiles = beforeFiles.filter(f =>
+      pv.get(SnapshotStore.uriPath(f)).contains("b")).toSet
+    val aFiles = beforeFiles.toSet -- bFiles
+    assert(aFiles.size == 3 && bFiles.size == 3)
+    val dvBefore = SnapshotStore.deleteVectors(spark, root).toSet
+    // per-task vector files: classify by which partition's files they cover
+    val cov = SnapshotStore.dvCoverage(spark, root)
+    val dvA = aFiles.flatMap(f =>
+      cov.getOrElse(SnapshotStore.uriPath(f), Nil))
+    val dvB = bFiles.flatMap(f =>
+      cov.getOrElse(SnapshotStore.uriPath(f), Nil))
+    assert(dvA.nonEmpty && dvB.nonEmpty && (dvA intersect dvB).isEmpty,
+      s"expected per-partition vectors: a=$dvA b=$dvB")
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(p: String) = {
+      val st = fsys.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (st.getLen, st.getModificationTime)
+    }
+    val bStamps = bFiles.map(f => f -> stamp(f)).toMap
+    val expect = spark.table("graft.pt_scomp")
+      .agg(count(lit(1)), sum(col("k"))).head()
+    // below the min_files floor: a NO-OP — no commit, no version churn
+    val v0 = SnapshotStore.currentVersion(spark, root)
+    spark.sql("CALL graft.compact(table => 'pt_scomp', buckets => 1, " +
+      "where => 'g = \\'a\\'', min_files => 100)")
+    assert(SnapshotStore.currentVersion(spark, root) == v0)
+    // the scoped rewrite: only partition a's files + vector die
+    val res = spark.sql("CALL graft.compact(table => 'pt_scomp', " +
+      "buckets => 1, cluster_col => 'k', where => 'g = \\'a\\'', " +
+      "min_files => 2)").head()
+    assert(res.getInt(3) == dvA.size,
+      s"expected ${dvA.size} vectors reconciled: $res")
+    val after = SnapshotStore.files(spark, root).toSet
+    assert(bFiles.subsetOf(after), "untouched partition lost files")
+    assert(bFiles.forall(f => stamp(f) == bStamps(f)),
+      "untouched partition files changed bytes/mtime")
+    assert((after intersect aFiles).isEmpty, "scoped files not rewritten")
+    assert((after -- bFiles).size < aFiles.size, "no bin-packing happened")
+    val dvAfter = SnapshotStore.deleteVectors(spark, root)
+      .map(SnapshotStore.uriPath).toSet
+    assert(dvAfter == dvB.map(SnapshotStore.uriPath),
+      s"vector reconciliation must follow the scope: $dvBefore -> $dvAfter")
+    // content EXACT through the scoped rewrite (rebuild oracle)
+    val got = spark.table("graft.pt_scomp")
+      .agg(count(lit(1)), sum(col("k"))).head()
+    assert(got == expect, s"content drifted: $expect -> $got")
+    // and partition-a reads no longer consult any vector
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.pt_scomp WHERE g = 'a' AND k % 10 = 4")
+      .head().getLong(0) == 0L)
+  }
+
+  test("time-based vacuum: older_than keeps in-window and ref-pinned versions, expires the rest") {
+    val root = freshTable("t_tvac") // v1
+    spark.sql("INSERT INTO graft.t_tvac VALUES (201L, 'x', 1.0)") // v2
+    spark.sql("INSERT INTO graft.t_tvac VALUES (202L, 'x', 1.0)") // v3
+    spark.sql("CALL graft.tag('t_tvac', 'keepme', 1)") // v4 pins v1
+    spark.sql("INSERT INTO graft.t_tvac VALUES (203L, 'x', 1.0)") // v5
+    val now = System.currentTimeMillis()
+    Seq(1 -> 50, 2 -> 40, 3 -> 30, 4 -> 20, 5 -> 10).foreach { case (v, s) =>
+      SnapshotStore.setCommitTime(spark, root, v, now - s * 1000L)
+    }
+    // cutoff between v2 and v3: v3..v5 are in-window, v1 is ref-pinned,
+    // v2 expires — the manifest-mtime clock IS the TIMESTAMP AS OF clock
+    val cutoff = new java.sql.Timestamp(now - 35000L).toString
+    val r = spark.sql(
+      s"CALL graft.vacuum('t_tvac', keep => 1, older_than => '$cutoff')")
+      .head()
+    assert(r.getInt(1) == 1, s"expected exactly v2 expired: $r")
+    assert(SnapshotStore.versions(spark, root) == Seq(1, 3, 4, 5))
+    // the pinned tag still resolves its snapshot whole
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.t_tvac VERSION AS OF 'keepme'")
+      .head().getLong(0) == 100)
+    assert(spark.table("graft.t_tvac").count() == 103)
+    intercept[Throwable] {
+      spark.sql("SELECT * FROM graft.t_tvac VERSION AS OF 2").collect()
+    }
+  }
+
+  test("nested schema evolution: struct ADD/RENAME are metadata commits with per-epoch reads") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.ns_evo")
+    spark.sql(
+      "CREATE TABLE graft.ns_evo (k BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql(
+      """INSERT INTO graft.ns_evo VALUES
+        |(1L, named_struct('a', 10L, 'b', 'x')),
+        |(2L, named_struct('a', 20L, 'b', 'y'))""".stripMargin) // v2
+    spark.sql("ALTER TABLE graft.ns_evo RENAME COLUMN s.a TO a2") // v3
+    spark.sql(
+      "INSERT INTO graft.ns_evo VALUES (3L, named_struct('a2', 30L, 'b', 'z'))") // v4
+    // per-epoch reads: the v2 file resolves a2 under its write-epoch
+    // name `a`, the v4 file under the current name
+    assert(spark.sql(
+      "SELECT sum(s.a2) AS t FROM graft.ns_evo").head().getLong(0) == 60L)
+    // pushdown on the renamed nested field: the old epoch's conjunct
+    // drops (translated name differs) — result still exact
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.ns_evo WHERE s.a2 = 20").head()
+      .getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT k FROM graft.ns_evo WHERE s.a2 = 30").head().getLong(0) == 3L)
+    // nested ADD: old files null-fill INSIDE the struct
+    spark.sql("ALTER TABLE graft.ns_evo ADD COLUMN s.c BIGINT") // v5
+    spark.sql(
+      """INSERT INTO graft.ns_evo VALUES
+        |(4L, named_struct('a2', 40L, 'b', 'w', 'c', 400L))""".stripMargin) // v6
+    val rows = spark.sql(
+      "SELECT k, s.c AS c FROM graft.ns_evo ORDER BY k").collect()
+    assert(rows.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(-1L, -1L, -1L, 400L))
+    assert(spark.sql("SELECT sum(s.a2) AS t FROM graft.ns_evo")
+      .head().getLong(0) == 100L)
+    // time travel reads v2 under ITS OWN (pre-rename) schema
+    assert(spark.sql(
+      "SELECT sum(s.a) AS t FROM graft.ns_evo VERSION AS OF 2")
+      .head().getLong(0) == 30L)
+    // the full struct round-trips across epochs
+    val full = spark.sql("SELECT s FROM graft.ns_evo ORDER BY k").collect()
+    assert(full.head.getStruct(0).getLong(0) == 10L)
+    assert(full.last.getStruct(0).getLong(2) == 400L)
+    // a DROP-then-re-ADD of the same nested name must NOT resurrect old
+    // values — declined shapes stay declined loudly
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ns_evo DROP COLUMN s.b")
+    }
+  }
+
+  test("equality deletes: no-read upsert, columnar key anti-probe, compaction reconciles") {
+    val root = freshTable("t_equps") // 4 files, k=1..100, v=v<k>, p=k*1.0
+    val before = graft.catalog.SnapshotScan.created.get()
+    val batch = Seq((5L, "UP", 100.0), (200L, "NEW", 1.0)).toDF("k", "v", "p")
+    graft.catalog.GraftUpsert.upsert(spark, root, batch, Seq("k"))
+    // the upsert NEVER scanned the target
+    assert(graft.catalog.SnapshotScan.created.get() == before,
+      "upsert planned a target scan")
+    // replaced whole + inserted
+    assert(spark.table("graft.t_equps").count() == 101)
+    assert(spark.sql("SELECT v FROM graft.t_equps WHERE k = 5")
+      .head().getString(0) == "UP")
+    // eq applies even with the KEY COLUMN PRUNED from the projection
+    // (the reader augments, probes, strips)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t_equps WHERE v = 'v5'")
+      .head().getLong(0) == 0L)
+    // and the scan STAYS COLUMNAR through the anti-probe
+    val df = spark.sql("SELECT sum(k) AS s FROM graft.t_equps")
+    val eqScan = df.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        rel.scan.asInstanceOf[graft.catalog.SnapshotScan]
+    }.head
+    val eqParts = eqScan.planInputPartitions()
+    val eqFac = eqScan.createReaderFactory()
+    assert(eqParts.forall(eqFac.supportColumnarReads),
+      "eq-deleted scan lost columnar batches")
+    assert(eqParts.exists(
+      _.asInstanceOf[graft.catalog.SnapshotInputPartition].eqPaths.nonEmpty))
+    // the just-upserted insert file is NOT probed by its own eq delete
+    assert(eqParts.exists(p =>
+      p.asInstanceOf[graft.catalog.SnapshotInputPartition].eqPaths.isEmpty))
+    assert(df.head().getLong(0) == 5050L + 200L)
+    // a second upsert with a DIFFERENT key set declines loudly
+    intercept[IllegalArgumentException] {
+      graft.catalog.GraftUpsert.upsert(spark, root,
+        Seq((0L, "x", 0.0)).toDF("k", "v", "p"), Seq("v"))
+    }
+    // position vectors and key tombstones compose on one table
+    SnapshotStore.setWriteMode(spark, root, "mor")
+    spark.sql("DELETE FROM graft.t_equps WHERE k = 7")
+    assert(spark.table("graft.t_equps").count() == 100)
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.t_equps")
+      .head().getLong(0) == 5050L + 200L - 7L)
+    // FULL compaction reconciles BOTH tombstone kinds back to clean files
+    spark.sql(
+      "CALL graft.compact(table => 't_equps', buckets => 2, cluster_col => 'k')")
+    assert(SnapshotStore.eqDeletes(spark, root).isEmpty,
+      "full compact must reconcile equality deletes")
+    assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
+    assert(spark.table("graft.t_equps").count() == 100)
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.t_equps")
+      .head().getLong(0) == 5050L + 200L - 7L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.t_equps WHERE v = 'v5'")
+      .head().getLong(0) == 0L)
+  }
+
+  test("change feed: graft.t.changes classifies per version; streams past change commits; compaction emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshTable("t_cdf") // v1: k=1..100 in 4 files
+    spark.sql("INSERT INTO graft.t_cdf VALUES (200L, 'new', 2.0)") // v2
+    spark.sql("UPDATE graft.t_cdf SET v = 'U' WHERE k BETWEEN 10 AND 12") // v3 COW
+    SnapshotStore.setWriteMode(spark, root, "mor") // v4 (no data change)
+    spark.sql("DELETE FROM graft.t_cdf WHERE k IN (50, 51)") // v5 MoR
+    // BATCH feed from genesis
+    val feed = spark.table("graft.t_cdf.changes")
+    assert(feed.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+    // v1: 100 inserts; v2: 1 insert; v4: nothing
+    assert(feed.where(col("_commit_version") === 1).count() == 100)
+    assert(feed.where(col("_commit_version") === 1 &&
+      col("_change_type") =!= "insert").isEmpty)
+    assert(feed.where(col("_commit_version") === 2).count() == 1)
+    assert(feed.where(col("_commit_version") === 4).isEmpty)
+    // v3 COW UPDATE: delete+insert pairs; net per key = 3 updates
+    val v3 = feed.where(col("_commit_version") === 3).localCheckpoint()
+    val pre = v3.where(col("_change_type") === "delete")
+      .select(col("k").as("pk"), col("v").as("pv"))
+    val post = v3.where(col("_change_type") === "insert")
+      .select(col("k").as("qk"), col("v").as("qv"))
+    val net = pre.join(post, col("pk") === col("qk"), "full")
+      .where(col("pk").isNull || col("qk").isNull || col("pv") =!= col("qv"))
+    assert(net.count() == 3, "net v3 feed must be exactly the 3 updates")
+    assert(net.where(col("pk").isNull || col("qk").isNull).isEmpty)
+    // v5 MoR DELETE: exactly the tombstoned rows, no carry-over noise
+    val v5 = feed.where(col("_commit_version") === 5)
+    assert(v5.count() == 2)
+    assert(v5.select(col("k")).collect().map(_.getLong(0)).toSet ==
+      Set(50L, 51L))
+    assert(v5.where(col("_change_type") =!= "delete").isEmpty)
+    // STREAMING: a stream from genesis drains the identical multiset —
+    // through the COW and MoR change commits that readStream.table on the
+    // BASE table must fail on
+    val out = java.nio.file.Files.createTempDirectory("cdfspec_out")
+    val ck = java.nio.file.Files.createTempDirectory("cdfspec_ck")
+    val q = spark.readStream.option("startingVersion", "0")
+      .table("graft.t_cdf.changes")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out, "append"))
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out.toString)
+    assert(streamed.count() == feed.count())
+    // mid-chain start: startingVersion=5 emits ONLY v6+ (the default —
+    // no option — starts at the load version: only future changes)
+    val out2 = java.nio.file.Files.createTempDirectory("cdfspec_out2")
+    val ck2 = java.nio.file.Files.createTempDirectory("cdfspec_ck2")
+    spark.sql("INSERT INTO graft.t_cdf VALUES (300L, 'late', 3.0)") // v6
+    val q2 = spark.readStream.option("startingVersion", "5")
+      .table("graft.t_cdf.changes")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out2, "append"))
+      .option("checkpointLocation", ck2.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val late = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out2.toString)
+    assert(late.count() == 1 && late.head().getAs[Long]("k") == 300L)
+    // compaction is dataChange=false: the feed emits NOTHING for it
+    spark.sql("CALL graft.compact(table => 't_cdf', buckets => 2, cluster_col => 'k')") // v7
+    val v7 = spark.table("graft.t_cdf.changes")
+      .where(col("_commit_version") === 7)
+    assert(v7.isEmpty, "compaction must not re-emit rows in the feed")
+    // totals still reconcile: inserts - deletes == live count
+    val all = spark.table("graft.t_cdf.changes")
+    val ins = all.where(col("_change_type") === "insert").count()
+    val del = all.where(col("_change_type") === "delete").count()
+    assert(ins - del == spark.table("graft.t_cdf").count())
   }
 
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {

@@ -73,7 +73,7 @@ echo "== cluster smoke: master=$MASTER sf=$SF work=$WORK"
 
 echo "== [1/4] oracle gate over the executor boundary"
 SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=4 \
-SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit,q173_tws_timers,q174_list_state_lastk,q176_source_overlap,q178_bm25_topk,q181_kcenter_coreset,q185_lang_profile_id,q192_postings_commit,q195_cms_freq,q196_stream_cms,q198_theta_overlap,q203_kmeans_commit,q208_cc_star,q213_partition_refresh,q215_compaction,q216_matview_lifecycle,q217_sink_stream,q222_ivm_delta,q223_stream_ivm,q225_bloom_skip,q226_pq_ann,q229_entity_resolution,q230_zone_rule,q236_skyline,q243_index_attach,q279_ppjoin,q288_cow_merge,q290_stream_cdc_apply,q293_grid_radius,q294_cbo_rule,q301_time_travel,q306_snapshot_skip,q308_snap_merge,q309_sql_merge,q310_snap_skip_rule,q313_matview_rollup,q315_sql_time_travel,q316_cbo_broadcast,q317_snap_schema_evolve,q319_cat_merge,q321_cat_update,q322_cat_time_travel,q323_mor_merge,q324_stream_cdc_snap,q325_snap_partition,q326_matview_rollup_avg,q327_cbo_forest,q247b_rfm_dist,q298b_qnorm_dist,q330_cat_ddl,q331_cat_ctas,q332_cat_timestamp,q333_cat_stream,q334_cat_mor_dml,q335_cat_procedures,q336_cat_stream_read,q337_cat_zorder,q338_cat_partition_insert,q339_cat_days_partition,q340_cat_bucket_partition,q341_cat_zorder3,q342_matview_sketch_cd,q343_cat_rename,q344_cat_spj,q345_cat_meta_count,q346_cat_ts_zones,q347_cat_meta_typed,q348_cat_widen,q349_cat_hours,q350_cat_wap,q351_mor_feed,q352_cat_rollback,q353_cat_orphans \
+SPARK_GRAFT_ONLY=q03_mr_wordcount,q158_sink_chain,q127_triangles,q127b_clustering,q131_chunk_stream,q163_idle_session_evict,q164_typed_state,q168_stream_ann_ingest,q169_ann_store_commit,q173_tws_timers,q174_list_state_lastk,q176_source_overlap,q178_bm25_topk,q181_kcenter_coreset,q185_lang_profile_id,q192_postings_commit,q195_cms_freq,q196_stream_cms,q198_theta_overlap,q203_kmeans_commit,q208_cc_star,q213_partition_refresh,q215_compaction,q216_matview_lifecycle,q217_sink_stream,q222_ivm_delta,q223_stream_ivm,q225_bloom_skip,q226_pq_ann,q229_entity_resolution,q230_zone_rule,q236_skyline,q243_index_attach,q279_ppjoin,q288_cow_merge,q290_stream_cdc_apply,q293_grid_radius,q294_cbo_rule,q301_time_travel,q306_snapshot_skip,q308_snap_merge,q309_sql_merge,q310_snap_skip_rule,q313_matview_rollup,q315_sql_time_travel,q316_cbo_broadcast,q317_snap_schema_evolve,q319_cat_merge,q321_cat_update,q322_cat_time_travel,q323_mor_merge,q324_stream_cdc_snap,q325_snap_partition,q326_matview_rollup_avg,q327_cbo_forest,q247b_rfm_dist,q298b_qnorm_dist,q330_cat_ddl,q331_cat_ctas,q332_cat_timestamp,q333_cat_stream,q334_cat_mor_dml,q335_cat_procedures,q336_cat_stream_read,q337_cat_zorder,q338_cat_partition_insert,q339_cat_days_partition,q340_cat_bucket_partition,q341_cat_zorder3,q342_matview_sketch_cd,q343_cat_rename,q344_cat_spj,q345_cat_meta_count,q346_cat_ts_zones,q347_cat_meta_typed,q348_cat_widen,q349_cat_hours,q350_cat_wap,q351_mor_feed,q352_cat_rollback,q353_cat_orphans,q354_scoped_compact,q355_eq_upsert,q356_cdf_stream \
   sbt -batch "runMain graft.Verify $SF $WORK/verify" >"$WORK/verify.log" 2>&1 \
   || { tail -30 "$WORK/verify.log"; exit 1; }
 python3 tools/check.py "$WORK/verify" "$SF" | tail -3
