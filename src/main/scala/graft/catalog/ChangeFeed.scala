@@ -253,9 +253,17 @@ class ChangeFeedReaderFactory(
 /** Streaming half: versions are offsets, batch n = the feed of version n. */
 class ChangeFeedMicroBatchStream(spark: SparkSession, base: SnapshotTable,
     scan: ChangeFeedScan, startingVersion: Option[Int])
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** `Trigger.AvailableNow`: pin the drain target BEFORE the first
+    * batch — the query never chases writers that keep committing. */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(current)
 
   /** A pinned `main` (write-audit-publish staging) caps the feed exactly
     * like the plain table stream: staged commits never leak. */
@@ -271,7 +279,20 @@ class ChangeFeedMicroBatchStream(spark: SparkSession, base: SnapshotTable,
   override def initialOffset(): Offset =
     SnapshotVersionOffset(startingVersion.getOrElse(base.snapVersion))
 
-  override def latestOffset(): Offset = SnapshotVersionOffset(current)
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(availableNowCap.getOrElse(current))
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: the
+  // feed's unit of arrival is the version — no finer limit to honor
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = SnapshotVersionOffset(availableNowCap.getOrElse(current))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = SnapshotVersionOffset(current)
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(json.trim.toInt)

@@ -32,9 +32,22 @@ object GraftUpsert {
     * the commit stamps the epoch high-water mark and a redelivered epoch
     * finds its mark and skips whole (q324's version arithmetic, manifest
     * edition). Returns the committed (or already-stamped) version. */
+  /** Key-only equality DELETE — the streaming retraction half: ONE eq
+    * file, no insert files, no target scan. Same sequencing, replay, and
+    * key-set rules as [[upsert]]. */
+  def deleteKeys(spark: SparkSession, root: String, df: DataFrame,
+      keys: Seq[String], queryId: String = null,
+      epochId: Long = -1L): Int =
+    commitEq(spark, root, df, keys, insertRows = false, queryId, epochId)
+
   def upsert(spark: SparkSession, root: String, df: DataFrame,
       keys: Seq[String], queryId: String = null,
-      epochId: Long = -1L): Int = {
+      epochId: Long = -1L): Int =
+    commitEq(spark, root, df, keys, insertRows = true, queryId, epochId)
+
+  private def commitEq(spark: SparkSession, root: String, df: DataFrame,
+      keys: Seq[String], insertRows: Boolean, queryId: String,
+      epochId: Long): Int = {
     require(keys.nonEmpty, "upsert: at least one key column")
     keys.foreach(k => require(df.columns.contains(k),
       s"upsert: key column $k not in the batch schema"))
@@ -53,15 +66,17 @@ object GraftUpsert {
     val bound = SnapshotStore.partitionSpecOf(spark, root, loaded)
       .flatMap(PartitionSpec.parse)
       .flatMap(items => BoundPartItem.bind(items, df.schema))
-    val (dataLines, dataFiles) = bound match {
-      case Some(bp) =>
-        val pairs = SnapshotFanout.write(spark, root, df, bp, "ups")
-        (pairs.map { case (pp, v) => SnapshotStore.partLine(pp, v) },
-          pairs.map(_._1))
-      case None =>
-        val fl = SnapshotStore.writeData(spark, root, df, "ups")
-        (fl, fl)
-    }
+    val (dataLines, dataFiles) =
+      if (!insertRows) (Nil, Nil)
+      else bound match {
+        case Some(bp) =>
+          val pairs = SnapshotFanout.write(spark, root, df, bp, "ups")
+          (pairs.map { case (pp, v) => SnapshotStore.partLine(pp, v) },
+            pairs.map(_._1))
+        case None =>
+          val fl = SnapshotStore.writeData(spark, root, df, "ups")
+          (fl, fl)
+      }
     import org.apache.spark.sql.functions.col
     val eqFiles = SnapshotStore.writeData(spark, root,
       df.select(keys.map(col): _*).distinct().coalesce(1), "eqk")

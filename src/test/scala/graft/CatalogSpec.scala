@@ -2141,21 +2141,28 @@ class CatalogSpec extends AnyFunSuite {
       graft.catalog.GraftUpsert.upsert(spark, root,
         Seq((0L, "x", 0.0)).toDF("k", "v", "p"), Seq("v"))
     }
+    // key-only equality DELETE: one eq line, ZERO data files, no scan
+    val nFiles = SnapshotStore.files(spark, root).size
+    graft.catalog.GraftUpsert.deleteKeys(spark, root,
+      Seq(Tuple1(9L)).toDF("k"), Seq("k"))
+    assert(SnapshotStore.files(spark, root).size == nFiles)
+    assert(spark.table("graft.t_equps").where(col("k") === 9L).isEmpty)
+    assert(spark.table("graft.t_equps").count() == 100)
     // position vectors and key tombstones compose on one table
     SnapshotStore.setWriteMode(spark, root, "mor")
     spark.sql("DELETE FROM graft.t_equps WHERE k = 7")
-    assert(spark.table("graft.t_equps").count() == 100)
+    assert(spark.table("graft.t_equps").count() == 99)
     assert(spark.sql("SELECT sum(k) AS s FROM graft.t_equps")
-      .head().getLong(0) == 5050L + 200L - 7L)
+      .head().getLong(0) == 5050L + 200L - 9L - 7L)
     // FULL compaction reconciles BOTH tombstone kinds back to clean files
     spark.sql(
       "CALL graft.compact(table => 't_equps', buckets => 2, cluster_col => 'k')")
     assert(SnapshotStore.eqDeletes(spark, root).isEmpty,
       "full compact must reconcile equality deletes")
     assert(SnapshotStore.deleteVectors(spark, root).isEmpty)
-    assert(spark.table("graft.t_equps").count() == 100)
+    assert(spark.table("graft.t_equps").count() == 99)
     assert(spark.sql("SELECT sum(k) AS s FROM graft.t_equps")
-      .head().getLong(0) == 5050L + 200L - 7L)
+      .head().getLong(0) == 5050L + 200L - 9L - 7L)
     assert(spark.sql("SELECT count(*) AS n FROM graft.t_equps WHERE v = 'v5'")
       .head().getLong(0) == 0L)
   }
