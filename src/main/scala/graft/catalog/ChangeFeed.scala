@@ -98,6 +98,14 @@ class ChangeFeedScan(spark: SparkSession, base: SnapshotTable,
     val root = base.root
     if (SnapshotStore.maintenanceVersionsOf(spark, root, base.snapVersion)
         .contains(v)) return Nil // dataChange=false: net-zero by contract
+    // a diff needs BOTH manifests: a vacuumed predecessor means this
+    // version's feed is no longer derivable — decline loudly (the
+    // standard retention-vs-CDC contract), never a raw read failure
+    if (v > 1 && !SnapshotStore.versions(spark, root).contains(v - 1))
+      throw new IllegalStateException(
+        s"change feed of $root: version ${v - 1} has been vacuumed — " +
+          s"version $v's feed is not derivable; start at or after the " +
+          "retention window")
     val prev = if (v <= 1) Nil else SnapshotStore.files(spark, root, v - 1)
     val cur = SnapshotStore.files(spark, root, v)
     val prevSet = prev.map(SnapshotStore.uriPath).toSet

@@ -56,6 +56,15 @@ object GraftUpsert {
     if (queryId != null &&
         SnapshotStore.epochOf(spark, root, queryId).exists(_ >= epochId))
       return loaded // replayed epoch: already committed whole
+    // an insert batch must carry exactly the table's columns: parquet
+    // reads resolve by name, so a drifted batch would silently null-fill
+    // (or hide) columns in every later scan — decline loudly instead
+    if (insertRows)
+      SnapshotStore.schemaOf(spark, root, loaded).foreach { ts =>
+        require(df.columns.toSet == ts.fieldNames.toSet,
+          s"upsert: batch columns ${df.columns.sorted.mkString(",")} != " +
+            s"table columns ${ts.fieldNames.sorted.mkString(",")}")
+      }
     // one key set per table: mixed key sets would have no single probe
     // schema for the scan-side anti-probe
     val existing = SnapshotStore.eqDeletes(spark, root, loaded)

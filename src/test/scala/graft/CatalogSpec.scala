@@ -2242,6 +2242,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(ins - del == spark.table("graft.t_cdf").count())
   }
 
+  test("change feed declines loudly past the retention window; upsert declines drifted batch schemas") {
+    val root = freshTable("t_cdfvac") // v1
+    spark.sql("INSERT INTO graft.t_cdfvac VALUES (201L, 'a', 1.0)") // v2
+    spark.sql("INSERT INTO graft.t_cdfvac VALUES (202L, 'b', 2.0)") // v3
+    SnapshotStore.vacuum(spark, root, keep = 2) // v1 expires
+    // v2's feed needs v1's manifest: a clear decline, not a read crash
+    val e = intercept[Throwable] {
+      spark.table("graft.t_cdfvac.changes").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vacuumed")), s"unexpected: $e")
+    // inside the window the feed still derives
+    val ok = spark.read.option("startingVersion", "2")
+      .table("graft.t_cdfvac.changes")
+    assert(ok.count() == 1 && ok.head().getAs[Int]("_commit_version") == 3)
+    // a drifted upsert batch declines loudly on a schema-recorded table
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.ups_schema")
+    spark.sql("CREATE TABLE graft.ups_schema (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ups_schema VALUES (1L, 'x')")
+    val wroot = spark.conf.get("spark.sql.catalog.graft.warehouse") +
+      "/ups_schema"
+    val bad = intercept[IllegalArgumentException] {
+      graft.catalog.GraftUpsert.upsert(spark, wroot,
+        Seq((2L, "y", 9.9)).toDF("k", "v", "extra"), Seq("k"))
+    }
+    assert(bad.getMessage.contains("batch columns"))
+    assert(spark.table("graft.ups_schema").count() == 1)
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
