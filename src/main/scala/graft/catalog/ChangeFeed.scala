@@ -60,8 +60,12 @@ class ChangeFeedTable(@transient val spark: SparkSession, tableName: String,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ChangeFeedScan(spark, base, schema,
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ChangeFeedScan(spark, base, required,
         Option(options.get("startingVersion")).map(_.toInt))
     }
 }
@@ -81,6 +85,12 @@ class ChangeFeedScan(spark: SparkSession, base: SnapshotTable,
   // version — decline loudly rather than misread old epochs
   require(graft.sources.SchemaEvo.isTrivial(base.schema),
     s"change feed of ${base.root}: schema-evolved tables are not supported")
+
+  /** The DATA columns the (possibly pruned) output actually needs — what
+    * the parquet reader decodes; `_change_type`/`_commit_version` are
+    * partition constants, never read bytes. */
+  private[graft] val dataSchema = StructType(outSchema.fields.filterNot(
+    f => f.name == "_change_type" || f.name == "_commit_version"))
 
   override def readSchema(): StructType = outSchema
 
@@ -185,9 +195,9 @@ class ChangeFeedScan(spark: SparkSession, base: SnapshotTable,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         spark.sessionState.newHadoopConf())
-    new ChangeFeedReaderFactory(build(base.schema),
-      build(withIdx(base.schema)), auxReader(dvSchema), auxReader(dvbSchema),
-      base.schema)
+    new ChangeFeedReaderFactory(build(dataSchema),
+      build(withIdx(dataSchema)), auxReader(dvSchema), auxReader(dvbSchema),
+      dataSchema, outSchema)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -204,7 +214,8 @@ class ChangeFeedReaderFactory(
     idxRowFunc: PartitionedFile => Iterator[InternalRow],
     dvFunc: PartitionedFile => Iterator[InternalRow],
     dvbFunc: PartitionedFile => Iterator[InternalRow],
-    dataSchema: StructType) extends PartitionReaderFactory {
+    dataSchema: StructType, outSchema: StructType)
+  extends PartitionReaderFactory {
 
   private val nData = dataSchema.length
 
@@ -235,15 +246,21 @@ class ChangeFeedReaderFactory(
         (dv == null || !dv.contains(pos)) &&
           (keep == null || keep.contains(pos))
       }
-    // append the classification constants (and strip the row index): the
-    // reader row is [data cols][idx?], joined with [change_type, version]
+    // project to the (pruned) OUTPUT order: the reader row is
+    // [data cols][idx?], joined with [change_type, version] — each output
+    // field maps to its data ordinal or one of the two constants
     val constBase = nData + (if (needIdx) 1 else 0)
-    val proj = UnsafeProjection.create(
-      dataSchema.fields.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable)
-      }.toSeq ++ Seq(
-        BoundReference(constBase, StringType, nullable = false),
-        BoundReference(constBase + 1, IntegerType, nullable = false)))
+    val proj = UnsafeProjection.create(outSchema.fields.toSeq.map { f =>
+      f.name match {
+        case "_change_type" =>
+          BoundReference(constBase, StringType, nullable = false)
+        case "_commit_version" =>
+          BoundReference(constBase + 1, IntegerType, nullable = false)
+        case n =>
+          val i = dataSchema.fieldIndex(n)
+          BoundReference(i, f.dataType, f.nullable)
+      }
+    })
     val constRow = new GenericInternalRow(
       Array[Any](UTF8String.fromString(p.changeType), p.version))
     val joined = new JoinedRow

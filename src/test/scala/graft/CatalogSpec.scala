@@ -2240,6 +2240,17 @@ class CatalogSpec extends AnyFunSuite {
     val ins = all.where(col("_change_type") === "insert").count()
     val del = all.where(col("_change_type") === "delete").count()
     assert(ins - del == spark.table("graft.t_cdf").count())
+    // column pruning reaches the feed reader: a two-column projection
+    // decodes ONLY the projected data column
+    val pruned = spark.table("graft.t_cdf.changes")
+      .select(col("k"), col("_change_type"))
+    val pscan = pruned.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        rel.scan.asInstanceOf[graft.catalog.ChangeFeedScan]
+    }.head
+    assert(pscan.dataSchema.fieldNames.toSeq == Seq("k"),
+      s"feed read not pruned: ${pscan.dataSchema.fieldNames.toSeq}")
+    assert(pruned.where(col("_change_type") === "insert").count() == ins)
   }
 
   test("change feed declines loudly past the retention window; upsert declines drifted batch schemas") {
