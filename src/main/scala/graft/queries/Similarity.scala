@@ -1522,6 +1522,9 @@ object Similarity {
           .as("dpart"))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("ad2").asc, col("vec_id").asc)
+    // checkpointed: BOTH consumers below (exact re-rank, n_cand) broadcast
+    // this |queries|·pqDepth-row list — without it each broadcast re-runs
+    // the whole ADC join+window subtree
     val shortlist = codes.join(broadcast(dt), Seq("s", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -1532,6 +1535,7 @@ object Similarity {
       .withColumn("crn", row_number().over(wA))
       .where(col("crn") <= pqDepth)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint()
     val qv = base.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("vn").as("qvn"))
     val wE = Window.partitionBy(col("query_id"))
