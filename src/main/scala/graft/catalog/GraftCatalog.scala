@@ -269,9 +269,18 @@ class GraftCatalog extends TableCatalog
     lazy val partCols: Set[String] =
       SnapshotStore.partitionSpecOf(spark, root, cur)
         .flatMap(PartitionSpec.parse).getOrElse(Nil).map(_.col).toSet
+    // equality-delete KEY columns pin their names: live eq lines record
+    // keys by name, so renaming/dropping one would make every later scan
+    // unable to build the anti-probe (a bricked table, not a lazy error)
+    // — decline until compaction reconciles the lines away
+    lazy val eqKeyCols: Set[String] =
+      SnapshotStore.eqDeletes(spark, root, cur).flatMap(_.keys).toSet
     def requireEvolvable(op: String, colName: String): Unit = {
       require(!partCols.contains(colName),
         s"graft catalog: $op $colName: column is in the partition spec")
+      require(!eqKeyCols.contains(colName),
+        s"graft catalog: $op $colName: column keys live equality deletes " +
+          "- compact the table first")
       val fl = SnapshotStore.files(spark, root, cur)
       val svs = SnapshotStore.fileSchemaVersions(spark, root, cur)
       require(fl.forall(f => svs.contains(SnapshotStore.uriPath(f))),

@@ -2285,6 +2285,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graft.ups_schema").count() == 1)
   }
 
+  test("renaming or dropping an equality-delete key column declines until compaction") {
+    freshWarehouse()
+    spark.sql("DROP TABLE IF EXISTS graft.eq_evo")
+    spark.sql("CREATE TABLE graft.eq_evo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.eq_evo VALUES (1L, 'a'), (2L, 'b')")
+    val root = spark.conf.get("spark.sql.catalog.graft.warehouse") + "/eq_evo"
+    graft.catalog.GraftUpsert.upsert(spark, root,
+      Seq((1L, "UP")).toDF("k", "v"), Seq("k"))
+    // the key column's name is load-bearing for every future anti-probe
+    val e = intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.eq_evo RENAME COLUMN k TO k2")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("equality deletes")), s"unexpected: $e")
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.eq_evo DROP COLUMN k")
+    }
+    // non-key columns still evolve, and after compaction the key frees up
+    spark.sql("ALTER TABLE graft.eq_evo RENAME COLUMN v TO v2")
+    spark.sql("CALL graft.compact(table => 'eq_evo', buckets => 1)")
+    spark.sql("ALTER TABLE graft.eq_evo RENAME COLUMN k TO k2")
+    assert(spark.table("graft.eq_evo").columns.toSeq == Seq("k2", "v2"))
+    assert(spark.sql("SELECT v2 FROM graft.eq_evo WHERE k2 = 1").head()
+      .getString(0) == "UP")
+  }
+
   test("zone pruning: stats sidecar prunes catalog scans at plan time") {
     val root = freshTable("t_zone")
     SnapshotStore.writeStats(spark, root, "k")
