@@ -106,7 +106,10 @@ class ChangeFeedScan(spark: SparkSession, base: SnapshotTable,
   /** The classified partitions of version `v`'s manifest diff. */
   private[catalog] def feedPartitions(v: Int): Seq[InputPartition] = {
     val root = base.root
-    if (SnapshotStore.maintenanceVersionsOf(spark, root, base.snapVersion)
+    // the dataChange=false marker lives in ITS OWN version's manifest —
+    // read it there, so a compaction committed AFTER the stream's load
+    // version is still recognized (the load-version manifest predates it)
+    if (SnapshotStore.maintenanceVersionsOf(spark, root, v)
         .contains(v)) return Nil // dataChange=false: net-zero by contract
     // a diff needs BOTH manifests: a vacuumed predecessor means this
     // version's feed is no longer derivable — decline loudly (the

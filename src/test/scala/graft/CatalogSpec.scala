@@ -2240,6 +2240,32 @@ class CatalogSpec extends AnyFunSuite {
     val ins = all.where(col("_change_type") === "insert").count()
     val del = all.where(col("_change_type") === "delete").count()
     assert(ins - del == spark.table("graft.t_cdf").count())
+    // a compaction committed AFTER the stream loaded its table is still
+    // dataChange=false: the marker is read from ITS OWN version's
+    // manifest, not the stream-start one
+    val out3 = java.nio.file.Files.createTempDirectory("cdfspec_out3")
+    val ck3 = java.nio.file.Files.createTempDirectory("cdfspec_ck3")
+    val q3 = spark.readStream.option("startingVersion", "7")
+      .table("graft.t_cdf.changes")
+      .writeStream
+      .foreachBatch(graft.streaming.EventStreams.batchSink(out3, "append"))
+      .option("checkpointLocation", ck3.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      spark.sql("INSERT INTO graft.t_cdf VALUES (400L, 'x', 4.0)") // v8
+      q3.processAllAvailable()
+      spark.sql(
+        "CALL graft.compact(table => 't_cdf', buckets => 1, cluster_col => 'k')") // v9
+      spark.sql("INSERT INTO graft.t_cdf VALUES (401L, 'y', 5.0)") // v10
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val streamed3 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out3.toString)
+    assert(streamed3.count() == 2,
+      s"mid-stream compaction leaked into the feed: ${streamed3.collect().toSeq}")
+    assert(streamed3.select(col("k")).collect().map(_.getLong(0)).toSet ==
+      Set(400L, 401L))
     // column pruning reaches the feed reader: a two-column projection
     // decodes ONLY the projected data column
     val pruned = spark.table("graft.t_cdf.changes")
@@ -2250,7 +2276,8 @@ class CatalogSpec extends AnyFunSuite {
     }.head
     assert(pscan.dataSchema.fieldNames.toSeq == Seq("k"),
       s"feed read not pruned: ${pscan.dataSchema.fieldNames.toSeq}")
-    assert(pruned.where(col("_change_type") === "insert").count() == ins)
+    // ins was measured at v7; v8 and v10 added one insert each
+    assert(pruned.where(col("_change_type") === "insert").count() == ins + 2)
   }
 
   test("change feed declines loudly past the retention window; upsert declines drifted batch schemas") {
