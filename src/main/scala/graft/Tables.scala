@@ -16,7 +16,44 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else readCachedSchema(spark, s"$dir/$name.parquet")
+
+  /** Schema-inference cache for the driver's parquet inputs: every
+    * `spark.read.parquet(path)` without an explicit schema pays a footer
+    * -inference Spark JOB at plan time — measured ~0.1 s of job + driver
+    * gap per call at local[32], times 350+ table loads per bench pass
+    * (guide §1/§7.2: fixed driver overhead repeated per query). The
+    * schema of an input directory is a pure function of its files, so
+    * cache it keyed by (path, file fingerprint) — any rewrite of the
+    * directory (new file set, length, or mtime) misses and re-infers.
+    * Data reads are NOT cached; only the StructType. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[(String, Long, Long)]),
+      org.apache.spark.sql.types.StructType]()
+
+  private def fingerprint(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val listed =
+      if (st.isFile) Array(st)
+      else fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    listed.map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  private def readCachedSchema(spark: SparkSession, path: String): DataFrame = {
+    val key = (path, fingerprint(spark, path))
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   /** Normalize an `events.ts` column to `TimestampType` regardless of how
     * the producer wrote it. Three shapes exist in the wild:
@@ -62,5 +99,5 @@ object Tables {
     * [[normalizeTs]]. Assumes [[sessionConf]] was applied at session
     * construction (all graft entry points do). */
   private def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeTs(readCachedSchema(spark, s"$dir/events.parquet"))
 }

@@ -265,7 +265,8 @@ class GraftCatalog extends TableCatalog
     val cur = SnapshotStore.currentVersion(spark, root)
     if (cur <= 0) throw new NoSuchTableException(ident)
     val base = SnapshotStore.schemaOf(spark, root, cur).getOrElse(
-      spark.read.parquet(SnapshotStore.files(spark, root, cur): _*).schema)
+      SnapshotStore.inferredSchemaOf(spark,
+        SnapshotStore.files(spark, root, cur)))
     lazy val partCols: Set[String] =
       SnapshotStore.partitionSpecOf(spark, root, cur)
         .flatMap(PartitionSpec.parse).getOrElse(Nil).map(_.col).toSet
@@ -573,7 +574,7 @@ class SnapshotTable(@transient val spark: SparkSession, tableName: String,
     * else derived from the files' footers (pre-DDL snapshot roots). */
   override lazy val schema: StructType =
     SnapshotStore.schemaOf(spark, root, snapVersion)
-      .getOrElse(spark.read.parquet(files: _*).schema)
+      .getOrElse(SnapshotStore.inferredSchemaOf(spark, files))
 
   override def name(): String = tableName
 

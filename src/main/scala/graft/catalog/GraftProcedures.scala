@@ -366,8 +366,8 @@ class GraftProcedure(catalogName: String, procName: String)
           if (explicit.nonEmpty) explicit
           else {
             val schema = SnapshotStore.schemaOf(spark, root).getOrElse(
-              spark.read.parquet(SnapshotStore.files(spark, root): _*)
-                .schema)
+              SnapshotStore.inferredSchemaOf(spark,
+                SnapshotStore.files(spark, root)))
             val all = schema.fields
               .filter(f => SnapshotStore.zoneSupported(f.dataType))
               .map(_.name).toSeq
@@ -435,8 +435,8 @@ class GraftProcedure(catalogName: String, procName: String)
             throw new IllegalArgumentException(
               s"set_partition_spec: unparsable spec '$s'"))
           val schema = SnapshotStore.schemaOf(spark, root).getOrElse(
-            spark.read.parquet(
-              SnapshotStore.files(spark, root): _*).schema)
+            SnapshotStore.inferredSchemaOf(spark,
+              SnapshotStore.files(spark, root)))
           // bind validates column existence AND transform/type pairing
           BoundPartItem.bind(items, schema).getOrElse(
             throw new IllegalArgumentException(

