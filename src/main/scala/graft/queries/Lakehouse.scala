@@ -80,15 +80,69 @@ object Lakehouse {
     layout
   }
 
+  /** Per-file [min, max] of LONG column `key`, read from the parquet
+    * FOOTER statistics — the zone map without a table scan, which is what
+    * a manifest-backed format records at commit time (guide §6: stats
+    * belong in metadata; re-deriving them scans the table once per
+    * mutation). Returns None when any footer lacks usable INT64 stats
+    * (callers fall back to the one-aggregate scan). A file whose key
+    * column is all-null (or empty) contributes no zone row — exactly the
+    * scan edition's behavior, where null bounds fail every join
+    * predicate. Footer min/max for INT64 are exact (no truncation), so
+    * the admissibility sets are identical to the scan's. */
+  private def footerZones(spark: SparkSession, files: Seq[String],
+      key: String): Option[Seq[(String, Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      Some(files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          var lo = Long.MaxValue; var hi = Long.MinValue; var any = false
+          r.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == key) {
+                val st = c.getStatistics
+                if (st == null || st.isEmpty)
+                  throw new IllegalStateException(s"no stats: $f/$key")
+                if (st.hasNonNullValue) st match {
+                  case ls: org.apache.parquet.column.statistics.LongStatistics =>
+                    lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+                    any = true
+                  case other => throw new IllegalStateException(
+                    s"non-INT64 stats ${other.getClass.getSimpleName}: $f/$key")
+                }
+              }
+            }
+          }
+          if (any) Seq((f, lo, hi)) else Nil
+        } finally r.close()
+      })
+    } catch { case _: Exception => None }
+  }
+
+  /** The zone map as a DataFrame: footer statistics when available (a
+    * LocalTableScan — no file read beyond footers), else the one
+    * -aggregate scan. */
+  private def zonesOf(spark: SparkSession, files: Seq[String],
+      key: String): DataFrame =
+    footerZones(spark, files, key) match {
+      case Some(rows) => spark.createDataFrame(rows).toDF("file", "lo", "hi")
+      case None =>
+        spark.read.parquet(files: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    }
+
   /** The files whose [min,max] key interval covers at least one key of
     * `keys` — the zone-map admissibility test run as one broadcast join.
     * Conservative: covering-but-not-containing files are returned too
     * (an extra rewrite, never a lost row). */
   private def affectedFilesOf(spark: SparkSession, layout: String,
       key: String, keys: DataFrame): Seq[String] = {
-    val zones = spark.read.parquet(layout)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    val zones = zonesOf(spark,
+      listDataFiles(spark, layout).map(_.getPath.toString), key)
     keys.toDF("k").join(broadcast(zones),
         col("k") >= col("lo") && col("k") <= col("hi"))
       .select(col("file")).distinct()
@@ -330,9 +384,8 @@ object Lakehouse {
     val images = batch.localCheckpoint() // one materialization per batch
     val keys = images.select(col("o_orderkey"))
     val affected = affectedFilesOf(spark, layout, "o_orderkey", keys)
-    val zones = spark.read.parquet(layout)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+    val zones = zonesOf(spark,
+      listDataFiles(spark, layout).map(_.getPath.toString), "o_orderkey")
     val covered = images.join(broadcast(zones),
         col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"),
         "left_semi")
@@ -467,9 +520,7 @@ object Lakehouse {
     val images = batch.localCheckpoint()
     val keys = images.select(col("o_orderkey"))
     val affected = affectedOfList(spark, cur, keys)
-    val zones = spark.read.parquet(cur: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+    val zones = zonesOf(spark, cur, "o_orderkey")
     val covered = images.join(broadcast(zones),
       col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"),
       "left_semi")
@@ -625,9 +676,7 @@ object Lakehouse {
     * instead of a directory. */
   private def affectedOfList(spark: SparkSession, fl: Seq[String],
       keys: DataFrame): Seq[String] = {
-    val zones = spark.read.parquet(fl: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+    val zones = zonesOf(spark, fl, "o_orderkey")
     keys.toDF("k").join(broadcast(zones),
         col("k") >= col("lo") && col("k") <= col("hi"))
       .select(col("file")).distinct()
