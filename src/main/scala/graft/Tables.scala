@@ -31,17 +31,24 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[(String, Long, Long)]),
       org.apache.spark.sql.types.StructType]()
 
-  private def fingerprint(spark: SparkSession,
+  /** Recursive (name, len, mtime) listing of a file or directory tree —
+    * partition subdirectories included, so rewriting a file nested under
+    * `dt=.../` invalidates any cache keyed on this. Names are
+    * root-relative so two trees with identical content fingerprint
+    * identically only at the same path depth. */
+  private[graft] def fingerprint(spark: SparkSession,
       path: String): Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val listed =
-      if (st.isFile) Array(st)
-      else fs.listStatus(p).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    listed.map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-      .sortBy(_._1).toSeq
+    def walk(st: org.apache.hadoop.fs.FileStatus,
+        prefix: String): Seq[(String, Long, Long)] =
+      if (st.isFile)
+        Seq((prefix + st.getPath.getName, st.getLen, st.getModificationTime))
+      else fs.listStatus(st.getPath)
+        .filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => walk(s, prefix + st.getPath.getName + "/")).toSeq
+    walk(fs.getFileStatus(p), "").sortBy(_._1)
   }
 
   private def readCachedSchema(spark: SparkSession, path: String): DataFrame = {

@@ -644,8 +644,15 @@ object Lakehouse {
     * re-staging (OPTIMIZATION_r16.md). The memo holds per JVM session;
     * every bench/verify invocation still computes the fixture from the
     * parquet inputs. */
-  private val initStoreMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Memo keys carry the INPUT-FILE fingerprint alongside the dir (same
+    * discipline as Tables' schema cache): regenerating the parquet under
+    * `dir` within one JVM misses instead of serving a stale staged store. */
+  private def memoKey(spark: SparkSession, dir: String)
+      : (String, Seq[(String, Long, Long)]) =
+    (dir, graft.Tables.fingerprint(spark, s"$dir/orders.parquet"))
+
+  private val initStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, Long, Long)]), (String, Long)]()
 
   private[graft] def freshRoot(): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_snap")
@@ -656,7 +663,7 @@ object Lakehouse {
   }
 
   private[graft] def initStore(spark: SparkSession, dir: String): (String, Long) = {
-    val (src, mx) = initStoreMemo.computeIfAbsent(dir, _ => {
+    val (src, mx) = initStoreMemo.computeIfAbsent(memoKey(spark, dir), _ => {
       val root = freshRoot()
       val base = Tables(spark, dir, "orders")
         .repartitionByRange(8, col("o_orderkey"))
@@ -732,7 +739,7 @@ object Lakehouse {
     * mutations through [[mutateSnapshot]]'s stage-commit-retry protocol.
     * Returns (root, mx, prunedA, prunedB). */
   private val versionedStoreMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Long, Boolean, Boolean)]()
+    (String, Seq[(String, Long, Long)]), (String, Long, Boolean, Boolean)]()
 
   private[graft] def buildVersionedStore(spark: SparkSession,
       dir: String): (String, Long, Boolean, Boolean) = {
@@ -740,7 +747,7 @@ object Lakehouse {
     // store (v1 base, v2 merge, v3 delete) is a pure function of the
     // input dir; stage once per session, clone per query
     val (src, mx, prunedA, prunedB) =
-      versionedStoreMemo.computeIfAbsent(dir, _ => {
+      versionedStoreMemo.computeIfAbsent(memoKey(spark, dir), _ => {
         val root = freshRoot()
         val base = Tables(spark, dir, "orders")
           .repartitionByRange(8, col("o_orderkey"))

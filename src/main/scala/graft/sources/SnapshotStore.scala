@@ -923,16 +923,18 @@ object SnapshotStore {
     Files.createDirectories(dstDir)
     // data files: byte-identical copies keep every manifest annotation
     // (len=, rows=, sv=) true for the clone
-    Files.list(srcDir).forEach { p =>
+    val dataList = Files.list(srcDir)
+    try dataList.forEach { p =>
       if (Files.isRegularFile(p))
         Files.copy(p, dstDir.resolve(p.getFileName),
           StandardCopyOption.COPY_ATTRIBUTES)
-    }
+    } finally dataList.close()
     val srcSnap = srcDir.resolve("_graft_snapshots")
     val dstSnap = dstDir.resolve("_graft_snapshots")
     require(Files.isDirectory(srcSnap), s"cloneRoot: $src has no snapshots")
     Files.createDirectories(dstSnap)
-    Files.list(srcSnap).forEach { p =>
+    val snapList = Files.list(srcSnap)
+    try snapList.forEach { p =>
       val name = p.getFileName.toString
       require(Files.isRegularFile(p) && name.endsWith(".txt"),
         s"cloneRoot: unexpected snapshot entry $name (stats sidecar or " +
@@ -944,7 +946,7 @@ object SnapshotStore {
       val out = dstSnap.resolve(name)
       Files.write(out, lines.replace(src, dst).getBytes("UTF-8"))
       Files.setLastModifiedTime(out, Files.getLastModifiedTime(p))
-    }
+    } finally snapList.close()
   }
 
   /** Write `df` as new data files under `root`, named uniquely per commit
@@ -1108,7 +1110,10 @@ object SnapshotStore {
     val typed = typedRows.groupBy(_._4).flatMap { case (key, rs) =>
       val kinds = rs.map(_._5.get).distinct
       val dts = rs.flatMap(_._6).distinct
-      if (kinds.length != 1 || dts.length != 1) None // malformed: decline
+      // a typed row missing dt is malformed and declines the whole key,
+      // exactly as two distinct dt strings would
+      if (kinds.length != 1 || dts.length != 1 ||
+          !rs.forall(_._6.isDefined)) None // malformed: decline
       else Some(key -> TypedStats(kinds.head, dts.head,
         rs.flatMap { case (file, lo, hi, _, _, _, exact) =>
           // an all-null key column yields null bounds: no usable

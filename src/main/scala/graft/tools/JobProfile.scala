@@ -73,7 +73,11 @@ object JobProfile {
         println(s"========== $name  wall=${f"$wall%.2f"}s  jobs=${sorted.length} ==========")
       var lastEnd = base
       var gapTotal = 0L
-      for (j <- sorted) {
+      // a job that never saw onJobEnd (still running / listener raced the
+      // drain) has t1 == 0; its "duration" would be a huge negative that
+      // corrupts the per-site totals — report it and skip
+      for (j <- sorted if j.t1 != 0L || { System.err.println(
+          s"[profile] job ${j.id} (${j.site}) unfinished - skipped"); false }) {
         val gap = math.max(0L, j.t0 - lastEnd)
         gapTotal += gap
         val dur = (j.t1 - j.t0) / 1e3
