@@ -62,6 +62,45 @@ object Tables {
     }
   }
 
+  /** Rebalance a SMALL-SCAN input before CPU-heavy per-row expansion —
+    * guide §2.5's input-skew fix ("one huge unsplittable file …
+    * repartition immediately after the read"). The bench inputs are
+    * single-file single-row-group parquet, so every scan is ONE task no
+    * matter how many cores the session has; an expansion stage fused
+    * onto that scan (pair generation, Expand-distinct, tokenize) then
+    * runs 1-of-N-cores — measured 3.4 s single-task on q179's pair pass
+    * at local[32].
+    *
+    * The gate is the planner's own split math (input bytes /
+    * maxPartitionBytes) against the session's core count: it fires only
+    * when the scan CANNOT reach the session parallelism, i.e. exactly
+    * the local small-file layout. On a production multi-file input the
+    * estimate exceeds the core count and `df` is returned untouched —
+    * no exchange node is ever added to a plan that scans at scale, so
+    * this is never a full-table shuffle at 100 TB. Callers must project
+    * FIRST (guide §2.3: shuffle only the needed columns).
+    *
+    * Determinism: round-robin repartition with Spark's default
+    * sort-before-repartition; every registered consumer is
+    * partition-count-invariant (the Verify gate re-proves it at 3 and 8
+    * cores), so results are unchanged. */
+  def spread(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame =
+    spreadPath(spark, s"$dir/$name.parquet", df)
+
+  /** [[spread]] for any file/directory input — including a staged
+    * bounded-stream source dir, where the same single-file layout makes
+    * every micro-batch's map stage one task. Works on streaming frames
+    * (the exchange is stateless and order-free consumers are unaffected). */
+  def spreadPath(spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val bytes = fingerprint(spark, path).map(_._2).sum
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val cores = spark.sparkContext.defaultParallelism
+    val plannedTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (plannedTasks < cores) df.repartition(cores) else df
+  }
+
   /** Normalize an `events.ts` column to `TimestampType` regardless of how
     * the producer wrote it. Three shapes exist in the wild:
     *

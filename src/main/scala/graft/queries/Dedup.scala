@@ -31,9 +31,14 @@ object Dedup {
 
   // ---- shared shingling -------------------------------------------------
 
-  /** Spark: distinct 3-word shingles per doc (docs with >= 3 tokens). */
+  /** Spark: distinct 3-word shingles per doc (docs with >= 3 tokens).
+    * The split+shingle explode fuses onto the scan, which on the
+    * unsplittable single-file input is ONE task — rebalance first (guide
+    * §2.5 via [[Tables.spread]]; no-op on multi-split inputs). Every
+    * shingle consumer (q51/q52b/q103/q104/q110/q112*) shares this. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents",
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -892,7 +897,11 @@ object Dedup {
     * q103 needs every occurrence with its offset to locate duplicated runs.
     * Same hash as [[shingles]] so both engines agree bit-for-bit. */
   private def posShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    // shingle explode + md5 fuse onto the scan — rebalance the
+    // unsplittable single-file input first (guide §2.5, no-op on
+    // multi-split inputs); shared by the winnow/span families
+    Tables.spread(spark, dir, "documents",
+        Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), posexplode(expr(

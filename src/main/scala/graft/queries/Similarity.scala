@@ -1158,7 +1158,11 @@ object Similarity {
   def embedMoments(spark: SparkSession, dir: String): DataFrame = {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    val quant = Tables(spark, dir, "embeddings")
+    // the d²/2 pair expansion below fuses onto this scan; a single-file
+    // input would run it on ONE task (measured 3.4 s of a 4.1 s query at
+    // local[32]) — rebalance first (guide §2.5, no-op on split inputs)
+    val quant = Tables.spread(spark, dir, "embeddings",
+        Tables(spark, dir, "embeddings").select(col("embedding")))
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
         .as("q"))

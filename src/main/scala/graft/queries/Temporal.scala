@@ -1019,7 +1019,13 @@ object Temporal {
     * q280 (summaries) and q281 (repair). */
   private def replicaSides(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val raw = Tables(spark, dir, "orders")
+    // two md5s per row fuse onto this scan, and q281 derives FOUR sides
+    // from it (measured 4× ~0.5 s single-task jobs on the unsplittable
+    // single-file input) — rebalance once here (guide §2.5, no-op on
+    // multi-split inputs)
+    val raw = Tables.spread(spark, dir, "orders",
+      Tables(spark, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
     val replicaRaw = raw
       .where(col("o_orderkey") % 997L =!= 0L)
       .withColumn("o_orderstatus",

@@ -474,8 +474,11 @@ object TextAnalysis {
     * doc_id — an email for ids % 3, a phone for % 5, a 9-digit account
     * number for % 7 (first match wins) — mirrored exactly in the oracle, so
     * hit counts are non-trivial and value-pinned. */
+  /** All three consumers chain regex-heavy scrubbing onto this scan, so
+    * rebalance the unsplittable single-file input across cores first
+    * (guide §2.5 via [[Tables.spread]]; no-op on multi-split inputs). */
   private def withPii(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents", Tables(spark, dir, "documents"))
       .withColumn("raw",
         when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" contact user"),
@@ -939,9 +942,13 @@ object TextAnalysis {
     * engines, the oracle IS that full rebuild — every committed counter
     * hash-graded, read back from the gen1 table. */
   def cmsCommit(spark: SparkSession, dir: String): DataFrame = {
+    // per-token md5 hashing on an unsplittable single-file scan is ONE
+    // task (1.7 s measured) — rebalance first (guide §2.5, gate off on
+    // multi-split inputs)
     def countersOf(pred: String): DataFrame =
       graft.streaming.EventStreams.cmsCellCounts(
-        Tables(spark, dir, "documents").where(expr(pred)))
+        Tables.spread(spark, dir, "documents",
+          Tables(spark, dir, "documents").where(expr(pred))))
     val gen0 = Warehouse.materializeBucketed(spark,
       countersOf(s"NOT (${Dedup.batchPred})"), "graft_cms_gen0", 4, Seq("cell"))
     val merged = gen0.unionByName(countersOf(Dedup.batchPred))
@@ -2508,7 +2515,12 @@ object TextAnalysis {
     * per-doc sum). */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val bg = Tables(spark, dir, "documents")
+    // bigram tokenize+hash fuses onto the scan — ONE task on the
+    // unsplittable single-file input (0.72 s measured); rebalance first
+    // (guide §2.5, no-op on multi-split inputs)
+    val bg = Tables.spread(spark, dir, "documents",
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"),
         expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
       .where(size(col("toks")) >= 2)
@@ -2758,8 +2770,14 @@ object TextAnalysis {
     // that filter into its own branch, and a one-sided filter would make
     // the two dp0 subtrees canonically different — defeating the
     // exchange reuse the single-tokenize plan shape depends on
-    val tri = Tables(spark, dir, "documents")
-      .where(length(col("text")) >= 3 && col("lang").isNotNull)
+    // the trigram explode fuses onto this scan — rebalance the
+    // unsplittable single-file input across cores first (guide §2.5 via
+    // [[Tables.spread]]; projection/filter applied before the exchange,
+    // no-op on multi-split inputs)
+    val tri = Tables.spread(spark, dir, "documents",
+        Tables(spark, dir, "documents")
+          .where(length(col("text")) >= 3 && col("lang").isNotNull)
+          .select(col("doc_id"), col("lang"), col("text")))
       .select(col("doc_id"), col("lang"), lower(col("text")).as("s"))
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"))

@@ -18,11 +18,20 @@ private[graft] object Warehouse {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Write `df` as a bucketed+sorted warehouse table and read it back. */
+  /** Write `df` as a bucketed+sorted warehouse table and read it back.
+    * The input is hash-distributed by the bucket keys into `nBuckets`
+    * partitions before the write (guide §6, Iceberg's hash
+    * write-distribution): each task then owns exactly one bucket, so the
+    * table lands as ONE file per bucket written in parallel — instead of
+    * every input task writing a file per bucket (tasks×buckets small
+    * files at scale; a single serial writer task on a 1-partition local
+    * input, 0.9 s measured on q29). HashPartitioning and the bucket spec
+    * share Murmur3-pmod, so the alignment is exact. */
   def materializeBucketed(spark: SparkSession, df: DataFrame,
       table: String, nBuckets: Int, keys: Seq[String]): DataFrame = {
     resetTable(spark, table)
-    df.write.mode("overwrite")
+    df.repartition(nBuckets, keys.map(df.col): _*)
+      .write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
