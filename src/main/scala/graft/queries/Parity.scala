@@ -194,8 +194,14 @@ object Parity {
     * another — "en" sorts before "en-GB" but "en-GB.txt" < "en.txt").
     * Returns (txt dir, sorted langs). The label set is bounded (a handful
     * of languages) — harness staging, not a data-plane collect. */
+  /** Stages per-lang text files for the chunk-connector entries. `stage`
+    * lands a GROUP of langs in ONE Spark job — a partitioned text write,
+    * hash-distributed by lang so each `lang=` directory gets exactly one
+    * part file, rows doc_id-ordered within it (byte-identical to the old
+    * one-job-per-lang staging, which paid a full scan + write per lang:
+    * guide §1.2, remove repeated passes first). */
   private def langStager(spark: SparkSession, dir: String, tmpPrefix: String)
-      : (java.nio.file.Path, Array[String], (String, Int) => Unit) = {
+      : (java.nio.file.Path, Array[String], Seq[(String, Int)] => Unit) = {
     import java.nio.file.{Files, Paths}
     val out = Files.createTempDirectory(tmpPrefix)
     graft.streaming.EventStreams.deleteTreeOnExit(out)
@@ -204,19 +210,21 @@ object Parity {
       .select(col("lang"), col("doc_id"), col("text"))
     val langs = docs.select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted
-    val stage = (l: String, idx: Int) => {
-      val stageDir = s"$out/stage_$l"
-      docs.where(col("lang") === l)
-        .repartition(1).sortWithinPartitions("doc_id")
-        .select(col("text"))
-        .write.mode("overwrite").text(stageDir)
-      val part = {
-        val listing = Files.list(Paths.get(stageDir))
-        try listing.filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
-        finally listing.close()
+    val stage = (ls: Seq[(String, Int)]) => {
+      val stageDir = s"$out/stage_${ls.head._2}"
+      docs.where(col("lang").isin(ls.map(_._1): _*))
+        .repartition(col("lang")).sortWithinPartitions("lang", "doc_id")
+        .select(col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").text(stageDir)
+      for ((l, idx) <- ls) {
+        val part = {
+          val listing = Files.list(Paths.get(s"$stageDir/lang=$l"))
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          finally listing.close()
+        }
+        Files.move(part, txt.resolve(f"$idx%03d_$l.txt"))
       }
-      Files.move(part, txt.resolve(f"$idx%03d_$l.txt"))
       ()
     }
     (txt, langs, stage)
@@ -224,7 +232,7 @@ object Parity {
 
   def chunkMultifile(spark: SparkSession, dir: String): DataFrame = {
     val (txt, langs, stage) = langStager(spark, dir, "graft_chunk_multi")
-    for ((l, i) <- langs.zipWithIndex) stage(l, i)
+    stage(langs.zipWithIndex.toSeq)
     spark.read.format("graft-chunks")
       .option("recordsPerChunk", 37).load(txt.toString)
       .groupBy(col("chunk_id"))
@@ -260,7 +268,7 @@ object Parity {
   def chunkStreamIngest(spark: SparkSession, dir: String): DataFrame = {
     val (txt, langs, stage) = langStager(spark, dir, "graft_chunk_stream")
     val half = langs.length / 2
-    for ((l, i) <- langs.zipWithIndex.take(half)) stage(l, i)
+    stage(langs.zipWithIndex.take(half).toSeq)
     spark.catalog.dropTempView("q131_sink")
     val q = spark.readStream.format("graft-chunks")
       .option("recordsPerChunk", 37).load(txt.toString)
@@ -272,7 +280,7 @@ object Parity {
       .outputMode("complete").start()
     try {
       q.processAllAvailable()
-      for ((l, i) <- langs.zipWithIndex.drop(half)) stage(l, i)
+      stage(langs.zipWithIndex.drop(half).toSeq)
       q.processAllAvailable()
     } finally q.stop()
     spark.table("q131_sink")

@@ -600,8 +600,12 @@ object Scalars {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
     def cents(c: String) = (col(c).cast(DecimalType(12, 2)) * 100).cast("long")
-    val base = Tables(spark, dir, "lineitem")
-      .select(corrVars.map { case (n, c) => cents(c).as(n) }: _*)
+    // 26 decimal aggregates fuse onto this scan — ONE task on the
+    // unsplittable single-file input (2.1 s measured); project to the 4
+    // cents columns, then rebalance (guide §2.5, no-op on split inputs)
+    val base = Tables.spread(spark, dir, "lineitem",
+      Tables(spark, dir, "lineitem")
+        .select(corrVars.map { case (n, c) => cents(c).as(n) }: _*))
     val aggs =
       corrVars.flatMap { case (n, _) => Seq(
         sum(col(n).cast(d38)).as(s"s_$n"),

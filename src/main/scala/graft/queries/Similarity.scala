@@ -30,8 +30,14 @@ import org.apache.spark.sql.types.DecimalType
 object Similarity {
 
   /** vec_id, v (double[]), nrm for every embedding row. */
+  /** Shared vector loader of the whole ANN/embedding family. The cast +
+    * norm (and every consumer's distance arithmetic) fuse onto this scan,
+    * which on the unsplittable single-file input is ONE task — rebalance
+    * first (guide §2.5 via [[Tables.spread]]; measured 1.5 s single-task
+    * on q226's brute-force gate, no-op on multi-split inputs). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    Tables.spread(spark, dir, "embeddings",
+        Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(dot_d(col("v"), col("v"))))
 
