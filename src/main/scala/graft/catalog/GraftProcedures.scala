@@ -277,12 +277,41 @@ class GraftProcedure(catalogName: String, procName: String)
             // buckets of resolution per key — far beyond any useful file
             // count.
             val bits = math.min(15, 62 / k)
+            // Normalization bounds come from the stats sidecar when every
+            // scoped file carries EXACT long-kind bounds for every
+            // interleave key (min of file los / max of file his IS the
+            // global min/max): a manifest read instead of a full pass
+            // over the live rows — at 100 TB the difference between
+            // metadata and a table scan per OPTIMIZE ZORDER call. Falls
+            // back to the aggregate scan when the sidecar is missing, a
+            // key is unanalyzed/non-long, or any bound is inexact/open.
+            val zoneBounds: Option[Seq[(Long, Long)]] = {
+              val ts = SnapshotStore.statsTypedOf(spark, root, cur)
+              val per = clusterCols.toSeq.map { c =>
+                ts.get(c).filter(_.kind == "long").flatMap { st =>
+                  val bs = scoped.map(p => st.byUri.get(SnapshotStore.uriPath(p)))
+                  if (bs.nonEmpty && bs.forall(_.exists(b =>
+                      b.exact && b.lo.isDefined && b.hi.isDefined)))
+                    Some((bs.map(_.get.lo.get.toLong).min,
+                      bs.map(_.get.hi.get.toLong).max))
+                  else None
+                }
+              }
+              if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+            }
             def n(x: Any) = x.asInstanceOf[Number].longValue
-            val aggs = clusterCols.toSeq.flatMap(c => Seq(
-              org.apache.spark.sql.functions.min(col(c)),
-              org.apache.spark.sql.functions.max(col(c))))
-            val r = live.agg(aggs.head, aggs.tail: _*).head()
-            if ((0 until k).exists(i => r.isNullAt(2 * i))) live.coalesce(buckets)
+            lazy val r = {
+              val aggs = clusterCols.toSeq.flatMap(c => Seq(
+                org.apache.spark.sql.functions.min(col(c)),
+                org.apache.spark.sql.functions.max(col(c))))
+              live.agg(aggs.head, aggs.tail: _*).head()
+            }
+            val bounds: Option[Seq[(Long, Long)]] = zoneBounds.orElse {
+              if ((0 until k).exists(i => r.isNullAt(2 * i))) None
+              else Some((0 until k).map(i =>
+                (n(r.get(2 * i)), n(r.get(2 * i + 1)))))
+            }
+            if (bounds.isEmpty) live.coalesce(buckets)
             else {
               def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
                 org.apache.spark.sql.functions.least(
@@ -293,7 +322,8 @@ class GraftProcedure(catalogName: String, procName: String)
                   org.apache.spark.sql.functions.lit((1L << bits) - 1))
               val z = graft.queries.Layout.zValueN(
                 clusterCols.toSeq.zipWithIndex.map { case (c, i) =>
-                  norm(col(c), n(r.get(2 * i)), n(r.get(2 * i + 1)))
+                  val (lo, hi) = bounds.get(i)
+                  norm(col(c), lo, hi)
                 }, bits)
               live.withColumn("__graft_z", z)
                 .repartitionByRange(buckets, partSrc :+ col("__graft_z"): _*)
