@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_agg"),
       new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
       GraftExtensions.cmsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_l"),
+      new ExpressionInfo(classOf[SortedIntersectLong].getName,
+        "sorted_intersect_l"),
+      GraftExtensions.sortedIntersectBuilder))
   }
 }
 
@@ -71,6 +76,24 @@ object GraftExtensions {
     }
     TopKPairs(children.head, children(1), k)
   }
+
+  private val sortedIntersectBuilder: Seq[Expression] => Expression =
+    children => {
+      require(children.length == 2,
+        "sorted_intersect_l takes exactly 2 arguments")
+      SortedIntersectLong(children.head, children(1))
+    }
+
+  /** `sorted_intersect_l` counterpart of [[registerDotD]] — resolves the
+    * native sorted-merge intersection in sessions built without
+    * GraftExtensions. */
+  def registerSortedIntersect(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_l"),
+      new ExpressionInfo(classOf[SortedIntersectLong].getName,
+        "sorted_intersect_l"),
+      sortedIntersectBuilder)
 
   private val cmsBuilder: Seq[Expression] => Expression = children => {
     require(children.length == 4,

@@ -20,6 +20,13 @@ package object functions {
     ColumnBridge.column(L2SqLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Intersection of two sorted-ascending distinct `array<bigint>` columns
+    * (codegen'd two-pointer merge, no per-row hash set — identical result
+    * to `array_intersect` under that input contract). */
+  def sorted_intersect_l(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Distributed Bloom-filter build over a `long` column — Spark's native
     * `BloomFilterAggregate` (partial aggregates merged by bit-OR; the same
     * expression runtime join filtering uses). Returns ONE binary row.

@@ -151,7 +151,13 @@ object Graph {
   }
 
   /** Broadcast path: (x, y, z) triangle triples via set intersection of
-    * the two endpoints' broadcast out-neighbor arrays. */
+    * the two endpoints' broadcast out-neighbor arrays. The intersection is
+    * the native sorted-merge expression, not `array_intersect`: both
+    * adjacency arrays are sorted and distinct by construction
+    * (`sort_array(collect_list)` over distinct edges), and the per-edge
+    * hash-set build `array_intersect` does was the hot loop of the whole
+    * query (Σ outdeg² probed elements). Same result under that contract
+    * (`GraphSpec` pins both forms against each other). */
   private def triplesByIntersection(oriented: DataFrame): DataFrame = {
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
@@ -161,7 +167,8 @@ object Graph {
       .join(broadcast(adj.select(col("src").as("av"), col("nbrs").as("nv"))),
         col("dst") === col("av"))
       .select(col("src").as("x"), col("dst").as("y"),
-        explode(array_intersect(col("nu"), col("nv"))).as("z"))
+        explode(graft.functions.sorted_intersect_l(col("nu"), col("nv")))
+          .as("z"))
   }
 
   /** Shuffle path: the same (x, y, z) triple set by the three-way

@@ -47,6 +47,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).sum > 0)
   }
 
+  test("sorted_intersect_l equals array_intersect on sorted distinct arrays") {
+    import graft.functions.sorted_intersect_l
+    val rnd = new scala.util.Random(13)
+    // random sorted distinct arrays, including empties and disjoint pairs
+    val rows = Seq.fill(128)((
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(40)).sorted.toArray,
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(40)).sorted.toArray))
+    val df = rows.toDF("a", "b").select(
+      sorted_intersect_l($"a", $"b").as("native"),
+      array_intersect($"a", $"b").as("builtin"))
+    assert(df.where(not($"native" <=> $"builtin")).count() == 0)
+    assert(df.count() == 128)
+    // null propagation matches array_intersect
+    val n = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+    assert(n.select(sorted_intersect_l($"a", $"b")).head.isNullAt(0))
+    // SQL registration via GraftExtensions
+    val r = spark.sql(
+      "SELECT sorted_intersect_l(array(1L,3L,5L), array(2L,3L,5L,9L)) AS v")
+    assert(r.head.getSeq[Long](0) == Seq(3L, 5L))
+    // stays inside whole-stage codegen
+    val cg = spark.range(10)
+      .select(array($"id", $"id" + 5L).as("v"))
+      .select(sorted_intersect_l($"v", $"v").as("s"))
+    val p = cg.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("codegen id"), p)
+    assert(cg.collect().map(_.getSeq[Long](0).length).sum == 20)
+  }
+
   test("l2sq_l equals the integer zip_with fold and handles nulls/SQL/codegen") {
     import graft.functions.l2sq_l
     val rnd = new scala.util.Random(11)
