@@ -1263,16 +1263,26 @@ object SnapshotStore {
     val perFile = reader.parquet(statFiles: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    keyCols.map { k =>
+    // ONE row-expansion over the single aggregate, not a per-key UNION:
+    // column pruning made each union branch its own (file, one-key) scan
+    // + hash-agg pass, so a k-key analyze scanned the table k times
+    // (measured: 3 concurrent one-column jobs on q341's 3-key analyze).
+    // Exploding an array of per-key bound structs keeps it to the one
+    // pass the aggregate already is — at 100 TB, analyze cost no longer
+    // multiplies by the z-order key count. All-string bound columns as
+    // before: keys of DIFFERENT types land in one sidecar uncoerced.
+    import org.apache.spark.sql.functions.{array, explode, struct}
+    val boundStructs = keyCols.map { k =>
       val dt = perFile.schema(s"__lo_$k").dataType
       val (lo, hi, exact, kind) =
         canonicalBounds(col(s"__lo_$k"), col(s"__hi_$k"), dt)
-      // all-string bound columns: keys of DIFFERENT types union cleanly
-      // into one sidecar (a mixed-type multi-key analyze used to coerce
-      // or fail)
-      perFile.select(col("file"), lo.as("lo"), hi.as("hi"), lit(k).as("key"),
+      struct(lo.as("lo"), hi.as("hi"), lit(k).as("key"),
         lit(kind).as("kind"), lit(dt.json).as("dt"), exact.as("exact"))
-    }.reduce(_ unionByName _)
+    }
+    perFile.select(col("file"), explode(array(boundStructs: _*)).as("b"))
+      .select(col("file"), col("b.lo").as("lo"), col("b.hi").as("hi"),
+        col("b.key").as("key"), col("b.kind").as("kind"),
+        col("b.dt").as("dt"), col("b.exact").as("exact"))
       .coalesce(1).write.mode("overwrite")
       .parquet(statsPath(root, v).toString)
   }
