@@ -88,6 +88,27 @@ object Tables {
       df: DataFrame): DataFrame =
     spreadPath(spark, s"$dir/$name.parquet", df)
 
+  /** Keyed variant of [[spread]] for CPU-heavy EXPANSION stages fed by a
+    * shuffle (grouped pair generation): AQE coalesces post-shuffle
+    * partitions by BYTES, but an expansion stage's cost is quadratic in
+    * group size, so on a small local input the whole Σ group² expansion
+    * lands on 2-3 tasks. A user-specified keyed exchange to the session
+    * parallelism pins the stage's task count (exempt from AQE
+    * coalescing) AND satisfies the downstream groupBy/join distribution,
+    * so no second exchange appears. Same gate as [[spread]]: fires only
+    * when the SOURCE scan cannot reach session parallelism — on a
+    * production multi-split input `df` is returned untouched, so this
+    * never forces a cores-sized partition count at 100 TB. */
+  def spreadBy(spark: SparkSession, dir: String, name: String,
+      df: DataFrame, keys: Column*): DataFrame = {
+    val bytes = fingerprint(spark, s"$dir/$name.parquet").map(_._2).sum
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val cores = spark.sparkContext.defaultParallelism
+    val plannedTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (plannedTasks < cores) df.repartition(cores, keys: _*) else df
+  }
+
   /** [[spread]] for any file/directory input — including a staged
     * bounded-stream source dir, where the same single-file layout makes
     * every micro-batch's map stage one task. Works on streaming frames

@@ -44,8 +44,16 @@ object Graph {
     * pair-expansion pipeline once per consumer). */
   private def edgesOf(spark: SparkSession, dir: String): DataFrame =
     Memo("graph_edges", spark, dir) {
-      Tables(spark, dir, "lineitem")
+      // order-keyed repartition to session parallelism before the group
+      // + pair expansion: AQE's byte-based coalescing sizes the
+      // post-shuffle stage for the ~10 MB of (o, p) rows and runs the
+      // whole Σ basket² expansion + distinct partials on 2-3 tasks.
+      // Gated like Tables.spread (single-file local inputs only); a
+      // user-specified keyed exchange both pins the task count and
+      // satisfies the groupBy's distribution, so no second exchange.
+      val src = Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      Tables.spreadBy(spark, dir, "lineitem", src, col("o"))
         .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
         .select(explode(expr(
           """flatten(transform(ps,
@@ -60,6 +68,22 @@ object Graph {
     edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+
+  /** Degree table, memoized + checkpointed, for q140 ONLY: PageRank
+    * consumes it three times per run (the contribEdges build, the
+    * rank-join gate count, the initial ranks), each previously a full
+    * union+groupBy over the edge list. |V| rows. The OTHER deg consumers
+    * (q127's rank, q127b's coefficient join, q130's seeds) deliberately
+    * stay on the LAZY [[degOf]]: a `localCheckpoint`ed frame is a
+    * LogicalRDD with NO size statistics, and feeding it into their join
+    * subtrees flips downstream broadcast decisions to sort-merge
+    * (measured: q127 4.0 → 5.8 s, q130 4.4 → 7.9 s when they read the
+    * checkpoint). q140's consumers are estimate-safe — its rank join is
+    * explicitly gated broadcast/shuffle-hash, never estimate-planned. */
+  private def degCk(spark: SparkSession, dir: String): DataFrame =
+    Memo("graph_deg", spark, dir) {
+      degOf(edgesOf(spark, dir)).localCheckpoint()
+    }
 
   /** Oriented edge list (src = (deg,id)-smaller endpoint), memoized +
     * checkpointed: the wedge join consumes it THREE times (both wedge
@@ -331,7 +355,7 @@ object Graph {
     val edges = edgesOf(spark, dir)
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-    val deg = degOf(edges).select(col("node").as("dn"), col("d"))
+    val deg = degCk(spark, dir).select(col("node").as("dn"), col("d"))
     // Degree-annotated edges built ONCE and checkpointed — referenced by
     // all three iterations, so without the checkpoint the union+join
     // pipeline would recompute per round. The rank-join shape is gated
