@@ -47,10 +47,85 @@ object Bpe {
 
   /** Learn `k` merges from a `(w, freq)` word-frequency DataFrame. Returns
     * the ranked merge list (rank = position). Stops early if no adjacent
-    * pair is left (every word fused to a single symbol). */
+    * pair is left (every word fused to a single symbol).
+    *
+    * The physical strategy is SIZE-GATED at call time, the q127 adjacency
+    * pattern: the word-frequency table is already the corpus collapsed by
+    * orders of magnitude, and when it additionally fits a driver budget
+    * (`graft.bpe.localTrainBytes`, default 64 MB; one exact
+    * count+bytes job decides) the K-iteration loop runs DRIVER-LOCAL over
+    * the collected vocabulary — the 2 jobs/iteration (top-pair collect +
+    * merge checkpoint) of the distributed loop collapse to one collect
+    * total. Past the budget the distributed loop runs unchanged. Both
+    * paths share [[mergePair]] and the (count desc, lexicographic asc)
+    * tie-break, so the learned merges are IDENTICAL — `BpeSpec` executes
+    * both against the same vocabulary. `graft.bpe.trainImpl` =
+    * auto|local|distributed pins a path (tests; operators who know their
+    * vocabulary). */
   def train(spark: SparkSession, words: DataFrame, k: Int): Seq[(String, String)] = {
+    val src = words.select(col("w").cast("string"), col("freq").cast("long"))
+    val impl = spark.conf.get("graft.bpe.trainImpl", "auto")
+    val useLocal = impl match {
+      case "local"       => true
+      case "distributed" => false
+      case "auto" =>
+        val budget = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("graft.bpe.localTrainBytes", "64m"))
+        // exact sizing: one row per word at ~(2 chars-as-strings + row)
+        // overhead — 64 B/row + 2 B/char stays above the true collected
+        // footprint's growth rate while letting any real vocabulary in
+        val r = src.agg(count(lit(1)), sum(length(col("w")))).head()
+        val (n, chars) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        n * 64L + chars * 2L <= budget
+      case other => throw new IllegalArgumentException(
+        s"graft.bpe.trainImpl must be auto, local, or distributed; got '$other'")
+    }
+    if (useLocal) trainLocal(src.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+    else trainDistributed(spark, src, k)
+  }
+
+  /** Driver-local edition of the merge loop — byte-identical merges to
+    * [[trainDistributed]] (same pair counting over all adjacent
+    * positions, same mergePair, same tie-break). */
+  private[operators] def trainLocal(words: Seq[(String, Long)],
+      k: Int): Seq[(String, String)] = {
+    var syms: Array[(Array[String], Long)] = words
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = Seq.newBuilder[(String, String)]
+    var iter = 0
+    var exhausted = false
+    while (iter < k && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      syms.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge((s(i), s(i + 1)), f, java.lang.Long.sum)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (p._1 < best._1._1 ||
+                (p._1 == best._1._1 && p._2 < best._1._2))))
+            best = (p, c)
+        }
+        val (a, b) = best._1
+        merges += ((a, b))
+        syms = syms.map { case (s, f) => (mergePair(s, a, b).toArray, f) }
+      }
+      iter += 1
+    }
+    merges.result()
+  }
+
+  private def trainDistributed(spark: SparkSession, words: DataFrame,
+      k: Int): Seq[(String, String)] = {
     import spark.implicits._
-    var ds = words.select(col("w").cast("string"), col("freq").cast("long"))
+    var ds = words
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
       .localCheckpoint()

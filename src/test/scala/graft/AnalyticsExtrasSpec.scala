@@ -401,6 +401,27 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(Bpe.load(spark, p) == merges)
   }
 
+  test("BPE local and distributed trainers learn identical merges") {
+    import graft.operators.Bpe
+    // irregular vocabulary with re-merging symbols, ties, and a
+    // single-char word that drops out of pair counting immediately
+    val vocab = Seq(("abab", 2L), ("ab", 1L), ("banana", 3L),
+      ("bandana", 1L), ("x", 9L), ("xyxy", 2L), ("yz", 2L))
+    def run(impl: String): Seq[(String, String)] = {
+      spark.conf.set("graft.bpe.trainImpl", impl)
+      try Bpe.train(spark, vocab.toDF("w", "freq").repartition(3), k = 8)
+      finally spark.conf.unset("graft.bpe.trainImpl")
+    }
+    val local = run("local")
+    val dist = run("distributed")
+    assert(local == dist, s"$local vs $dist")
+    assert(local.size == 8, local)
+    // auto takes SOME path and agrees; a typo'd impl fails loudly
+    assert(run("auto") == local)
+    val bad = intercept[IllegalArgumentException] { run("lcoal") }
+    assert(bad.getMessage.contains("trainImpl"), bad.getMessage)
+  }
+
   test("q161: two exact-duplicate clusters co-locate 100% with full drop coverage") {
     // ids 0-4 are EXACTLY e1, ids 5-9 EXACTLY e2 (zero jitter, so the
     // outcome is closed-form): seeds 0-7 duplicate e1 five times and e2
