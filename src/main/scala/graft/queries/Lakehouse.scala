@@ -68,15 +68,41 @@ object Lakehouse {
     }
   }
 
-  /** Write `df` clustered by `key` into a fresh temp layout of ~`nFiles`
-    * files (each file owns a key interval — the precondition every
-    * stats-pruned mutation shares with q125's z-order clustering). */
-  private def writeClustered(spark: SparkSession, df: DataFrame, key: String,
+  /** Clustered-orders fixture templates: the COW entries (q288/q289/q290)
+    * each staged the SAME range-clustered orders layout with a fresh
+    * repartitionByRange + write per run — fixture setup, not the measured
+    * mutation. Template per (dir, orders fingerprint, key, nFiles),
+    * cloned per run by file copy (the [[initStore]] discipline — the
+    * queries mutate their copy in place, so each run gets its own). */
+  private val clusteredMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, Long, Long)], String, Int), String]()
+
+  /** The orders table clustered by `key` into ~`nFiles` files (each file
+    * owns a key interval — the precondition every stats-pruned mutation
+    * shares with q125's z-order clustering), in a fresh mutable temp
+    * layout cloned from the per-(dir, fingerprint) template. */
+  private def writeClustered(spark: SparkSession, dir: String, key: String,
       nFiles: Int, tag: String): String = {
-    val out = java.nio.file.Files.createTempDirectory(s"graft_cow_$tag")
+    import java.nio.file.{Files, Paths}
+    val tmpl = clusteredMemo.computeIfAbsent(
+      (dir, graft.Tables.fingerprint(spark, s"$dir/orders.parquet"),
+        key, nFiles), _ => {
+        val out = Files.createTempDirectory("graft_cow_tmpl")
+        graft.streaming.EventStreams.deleteTreeOnExit(out)
+        val layout = s"$out/table"
+        Tables(spark, dir, "orders")
+          .repartitionByRange(nFiles, col(key)).write.parquet(layout)
+        layout
+      })
+    val out = Files.createTempDirectory(s"graft_cow_$tag")
     graft.streaming.EventStreams.deleteTreeOnExit(out)
     val layout = s"$out/table"
-    df.repartitionByRange(nFiles, col(key)).write.parquet(layout)
+    Files.createDirectories(Paths.get(layout))
+    val s = Files.list(Paths.get(tmpl))
+    try s.forEach { p =>
+      if (!Files.isDirectory(p))
+        Files.copy(p, Paths.get(layout, p.getFileName.toString))
+    } finally s.close()
     layout
   }
 
@@ -200,8 +226,7 @@ object Lakehouse {
     * bit-identical. Updates are exact by the dsum2 argument: price is a
     * raw 2-dp double, +1.0 is the identical IEEE op in both engines. */
   def cowMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "orders")
-    val layout = writeClustered(spark, base, "o_orderkey", 8, "merge")
+    val layout = writeClustered(spark, dir, "o_orderkey", 8, "merge")
     val table = spark.read.parquet(layout)
     val mx = table.agg(max(col("o_orderkey"))).head().getLong(0)
     val lo = mx / 2
@@ -279,8 +304,7 @@ object Lakehouse {
     * untouched. Oracle = the surviving table, so a row deleted too many
     * or too few fails the hash. */
   def cowDelete(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "orders")
-    val layout = writeClustered(spark, base, "o_orderkey", 8, "delete")
+    val layout = writeClustered(spark, dir, "o_orderkey", 8, "delete")
     val table = spark.read.parquet(layout)
     val mx = table.agg(max(col("o_orderkey"))).head().getLong(0)
     val lo = mx / 10
@@ -330,7 +354,7 @@ object Lakehouse {
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = Tables(spark, dir, "orders")
-    val layout = writeClustered(spark, base, "o_orderkey", 8, "cdc")
+    val layout = writeClustered(spark, dir, "o_orderkey", 8, "cdc")
     // the change stream: updates (existing keys % 7 = 0, new price) and
     // inserts (keys % 11 = 0 re-keyed out of domain), absolute images
     val updates = base.where(col("o_orderkey") % 7 === 0)
