@@ -167,11 +167,23 @@ object Graph {
         s"graft.graph.triangleImpl must be auto, broadcast, or wedge; " +
           s"got '$other'")
     }
-    val tri =
-      if (useBroadcast) triplesByIntersection(oriented)
-      else triplesByWedgeJoin(oriented)
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    // the per-node counts are memoized + checkpointed like the edge list
+    // they derive from: q127 AND q127b both need them, and without the
+    // memo q127b re-ran the whole wedge/intersection pass. Keyed by the
+    // CHOSEN impl so an explicit `graft.graph.triangleImpl` pin (tests,
+    // operators) still executes its path rather than serving the other's
+    // cached counts. |V| rows; q127b's left join against the checkpoint
+    // is |V|⋈|V| (both tiny relative to the edge list), so the
+    // LogicalRDD no-stats caveat that kept degCk out of q127b's DEG side
+    // does not bite on the counts side.
+    Memo(s"graph_tricnt_${if (useBroadcast) "b" else "w"}", spark, dir) {
+      val tri =
+        if (useBroadcast) triplesByIntersection(oriented)
+        else triplesByWedgeJoin(oriented)
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+        .localCheckpoint()
+    }
   }
 
   /** Broadcast path: (x, y, z) triangle triples via set intersection of
