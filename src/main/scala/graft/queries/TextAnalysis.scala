@@ -1410,14 +1410,23 @@ object TextAnalysis {
     * docs_in count), one tiny fence aggregate broadcast back, one window
     * per dedup/packing — nothing quadratic, nothing driver-side. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val metrics = scrubPii(withPii(spark, dir), "raw")
-      .select(col("doc_id"), col("lang"), col("source"), col("clean"),
+    // One scrub pass, narrow thereafter (guide §2.3): the fence aggregate
+    // and the main stream BOTH consume `qual`, and as lazy subtrees each
+    // re-ran the 3-regex scrub over the corpus. Everything downstream
+    // needs only (doc_id, lang, n_tokens, n_chars) + the dedup
+    // fingerprint, so the fingerprint is computed IN the scrub pass, the
+    // text is dropped, and the narrow frame is checkpointed once — the
+    // shape a production curation run persists anyway. The dedup window
+    // then shuffles 8-byte-ids + a 32-char hash instead of document text.
+    val qual = scrubPii(withPii(spark, dir), "raw")
+      .select(col("doc_id"), col("lang"),
         size(split(col("clean"), " ")).cast("long").as("n_tokens"),
         length(col("clean")).cast("long").as("n_chars"),
         (length(regexp_replace(col("clean"), "[^a-z]", "")).cast("double") /
-          length(col("clean"))).as("alpha_ratio"))
-    val qual = metrics.where(
-      col("n_tokens").between(20, 200) && col("alpha_ratio") >= 0.7)
+          length(col("clean"))).as("alpha_ratio"),
+        md5(lower(trim(col("clean")))).as("fp"))
+      .where(col("n_tokens").between(20, 200) && col("alpha_ratio") >= 0.7)
+      .localCheckpoint()
     val fences = qual.groupBy(col("lang")).agg(
       expr("percentile(n_chars, 0.25D)").as("p25"),
       expr("percentile(n_chars, 0.75D)").as("p75"))
@@ -1426,7 +1435,7 @@ object TextAnalysis {
         col("n_chars") <= col("p75") + (col("p75") - col("p25")) * 1.5)
     val kept = fenced
       .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(lower(trim(col("clean"))))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
     val packed = kept
       .withColumn("start_off",
